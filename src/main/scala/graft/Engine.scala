@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Design notes for scale (the library targets a 1000-executor cluster even
+  * though CI runs `local[32]`):
+  *   - AQE is left ON (Spark 4 default): runtime coalescing of shuffle
+  *     partitions, dynamic broadcast-join demotion/promotion, and skew-join
+  *     splitting are the first line of defense at 100 TB.
+  *   - `spark.sql.shuffle.partitions` is only pinned in local mode; on a real
+  *     cluster AQE's coalescing makes the initial number mostly irrelevant.
+  *   - Session timezone is pinned to UTC so timestamp semantics match the
+  *     DuckDB oracle and the reference's TIMESTAMP_NTZ behavior
+  *     (reference: models/staging/stg_olist_orders.sql:9-13 renames raw
+  *     `%Y-%m-%d %H:%M:%S` timestamps without zone math).
+  */
+object Engine {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Readers for the driver-generated TPC-H-ish parquet tables
+  * (see /root/repo/TESTDATA.md). One method per table so call sites stay
+  * typo-proof; all reads are plain parquet scans that Catalyst can prune
+  * and push filters into.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytic operators beyond the reference's surface (SURVEY §2.9 lists these
+  * as absent from the reference): window functions, set operations, and the
+  * scalar function families a warehouse user expects. All deterministic —
+  * every window ORDER BY carries a unique tiebreak column so results are
+  * stable across partitionings.
+  */
+object Analytics {
+
+  private val dec = DecimalType(18, 2)
+
+  val ops: Seq[Op] = Seq(
+
+    // Ranking window: top-1 order per customer. Spark plans a single shuffle
+    // on the partition key; the rank filter is applied streaming per group.
+    Op("w1_rank_per_group",
+       """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+         |       o_totalprice AS total
+         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+         |             row_number() OVER (PARTITION BY o_custkey
+         |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |      FROM orders) WHERE rn = 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_custkey").as("customer_id"),
+          col("o_orderkey").as("order_id"),
+          col("o_totalprice").as("total"))
+    },
+
+    // Analytic window: running order count + running exact-decimal spend per
+    // customer. Decimal accumulators keep the running sum order-independent
+    // across retries/partitionings.
+    Op("w2_running_total",
+       """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+         |       count(*) OVER w AS orders_so_far,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2))
+         |         AS spend_so_far
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"),
+        count(lit(1)).over(w).as("orders_so_far"),
+        sum(col("o_totalprice").cast(dec)).over(w).cast(dec).as("spend_so_far"))
+    },
+
+    // Lag/lead window: days between consecutive orders of a customer.
+    Op("w3_lag_gap",
+       """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+         |       CAST(date_diff('day',
+         |         lag(o_orderdate) OVER (PARTITION BY o_custkey
+         |           ORDER BY o_orderdate, o_orderkey),
+         |         o_orderdate) AS BIGINT) AS days_since_prev
+         |FROM orders""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"),
+        datediff(to_date(col("o_orderdate")),
+                 to_date(lag(col("o_orderdate"), 1).over(w)))
+          .cast("long").as("days_since_prev"))
+    },
+
+    // Set op: EXCEPT (distinct) — segments' customers minus recent buyers.
+    Op("set_except",
+       """SELECT c_custkey AS customer_id FROM customer WHERE c_mktsegment = 'BUILDING'
+         |EXCEPT
+         |SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, d) =>
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("customer_id"))
+      val finished = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("customer_id"))
+      building.except(finished)
+    },
+
+    // Set op: INTERSECT (distinct).
+    Op("set_intersect",
+       """SELECT c_custkey AS customer_id FROM customer WHERE c_mktsegment = 'BUILDING'
+         |INTERSECT
+         |SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, d) =>
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("customer_id"))
+      val finished = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("customer_id"))
+      building.intersect(finished)
+    },
+
+    // Date functions: extract + truncate + group (the README's "date
+    // dimension derived from order timestamp" lives downstream of the
+    // reference in Power BI — reference: README.md:64 — so the engine provides
+    // it natively).
+    Op("f_date_parts",
+       """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
+         |       CAST(extract(month FROM o_orderdate) AS INT) AS order_month,
+         |       count(*) AS n_orders,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+         |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast(dec).as("revenue"))
+    },
+
+    // String functions: upper/substr/concat/length/trim.
+    Op("f_string_funcs",
+       """SELECT c_custkey AS customer_id,
+         |       upper(c_name) AS name_upper,
+         |       substr(c_name, 1, 8) AS name_prefix,
+         |       c_mktsegment || '#' || c_name AS tagged,
+         |       length(c_name) AS name_len
+         |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey").as("customer_id"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
+        length(col("c_name")).as("name_len"))
+    },
+
+    // CASE expression bucketing + conditional aggregation.
+    Op("f_case_when",
+       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+         |            WHEN o_totalprice < 200000 THEN 'mid'
+         |            ELSE 'large' END AS band,
+         |       count(*) AS n,
+         |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+         |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "mid")
+            .otherwise("large").as("band"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
+    },
+
+    // Distinct aggregate + multi-table join chain (customer -> nation ->
+    // region), both dims broadcast: zero extra shuffles beyond the
+    // aggregation's own.
+    Op("f_distinct_agg",
+       """SELECT r.r_name AS region_name,
+         |       count(DISTINCT c.c_custkey) AS n_customers,
+         |       count(*) AS n_rows
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name").as("region_name"))
+        .agg(
+          countDistinct(c("c_custkey")).as("n_customers"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Grouping sets via rollup: (year), (year,status), (grand total).
+    Op("f_rollup",
+       """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
+         |       o_orderstatus AS status, count(*) AS n
+         |FROM orders GROUP BY ROLLUP(1, 2)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(
+          year(col("o_orderdate")).as("order_year"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+    }
+  )
+}

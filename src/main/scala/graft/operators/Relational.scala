@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2 parity operators, re-expressed over the driver's TPC-H-ish
+  * testdata tables.
+  *
+  * The reference is a dbt+Snowflake ELT pipeline (reference:
+  * models/marts/fct_orders.sql, models/staging/stg_*.sql, tests/,
+  * dbt generic-test macros). Each operator below maps one row of the SURVEY §2
+  * inventory to an idiomatic DataFrame plan; the oracle string is the ANSI-SQL
+  * equivalent the driver runs in DuckDB.
+  *
+  * Numeric-determinism rule: every aggregated money column is cast to
+  * DECIMAL(18,2) *before* the sum on BOTH sides. Decimal addition is exact and
+  * order-independent, so Spark's partial/final hash aggregation over an
+  * arbitrary partitioning hash-matches DuckDB's single-threaded sum — and, at
+  * 100 TB, the same plan stays exact no matter how AQE re-splits the shuffle.
+  * Double sums would drift with partitioning and break both the oracle and
+  * cross-run reproducibility.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  val ops: Seq[Op] = Seq(
+
+    // S2/P1: table scan + passthrough projection (reference:
+    // models/staging/stg_*.sql:2 `select * from {{ ref(...) }}`).
+    // Catalyst turns this into a bare columnar parquet scan; nothing to tune.
+    Op("s2_scan_passthrough",
+       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      Tables.region(s, d).select("r_regionkey", "r_name")
+    },
+
+    // P2: column projection + rename (reference: models/staging/stg_items.sql:5-10
+    // narrows 7 cols to 5 and renames freight_value -> shipping_cost).
+    // The select drives column pruning into the scan: ReadSchema carries only
+    // 3 of orders' 6 columns.
+    Op("p2_project_rename",
+       """SELECT o_orderkey AS order_id, o_orderstatus AS status,
+         |       o_orderpriority AS priority
+         |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+    },
+
+    // P4: comparison predicate in WHERE (reference:
+    // tests/assert_revenue_is_positive.sql:7 `where total_order_value < 0`).
+    // Filter is pushed into the parquet scan (PushedFilters: LessThan).
+    Op("p4_filter_predicate",
+       """SELECT l_orderkey, l_linenumber, l_quantity
+         |FROM lineitem WHERE l_quantity < 3""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // P5 + J2: IS NULL after a left join (reference: the item-less-orders
+    // case of models/marts/fct_orders.sql:30 — orders keeping NULL revenue).
+    Op("p5_null_predicate",
+       """SELECT o.o_orderkey AS order_id
+         |FROM orders o
+         |LEFT JOIN (SELECT l_orderkey, sum(l_quantity) AS q
+         |           FROM lineitem GROUP BY l_orderkey) i
+         |  ON o.o_orderkey = i.l_orderkey
+         |WHERE i.q IS NULL""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum("l_quantity").as("q"))
+      Tables.orders(s, d)
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .filter(col("q").isNull)
+        .select(col("o_orderkey").as("order_id"))
+    },
+
+    // J1: left outer equi-join, 1:1 dim join (reference:
+    // models/marts/fct_orders.sql:29 orders LEFT JOIN customers).
+    // customer is the small side -> explicit broadcast: at 100 TB of orders
+    // the dimension still fits in memory and the join stays shuffle-free.
+    Op("j1_left_join_dim",
+       """SELECT o.o_orderkey AS order_id, o.o_orderstatus AS status,
+         |       c.c_name AS customer_name, c.c_mktsegment AS segment
+         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(
+          o("o_orderkey").as("order_id"),
+          o("o_orderstatus").as("status"),
+          c("c_name").as("customer_name"),
+          c("c_mktsegment").as("segment"))
+    },
+
+    // J2 + A1 + E1: the flagship fct_orders shape (reference:
+    // models/marts/fct_orders.sql:9-30) — per-order aggregation of items,
+    // left-joined back to orders, plus a NULL-propagating derived total.
+    // Orders with no lineitems keep NULL (not 0) money columns, exactly like
+    // the reference's left join; decimal + decimal preserves 3VL.
+    // Scale: both sides shuffle on the same key (orderkey); at 100 TB this is
+    // one co-partitioned sort-merge join, and the aggregation is partial
+    // (map-side) before the shuffle.
+    Op("j2_fct_orders",
+       """SELECT o.o_orderkey AS order_id, o.o_orderstatus AS order_status,
+         |       i.total_item_revenue, i.total_shipping_revenue,
+         |       CAST(i.total_item_revenue + i.total_shipping_revenue AS DECIMAL(18,2))
+         |         AS total_order_value
+         |FROM orders o
+         |LEFT JOIN (
+         |  SELECT l_orderkey,
+         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |           AS total_item_revenue,
+         |         CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |           AS total_shipping_revenue
+         |  FROM lineitem GROUP BY l_orderkey) i
+         |ON o.o_orderkey = i.l_orderkey""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("total_item_revenue"),
+          sum((col("l_extendedprice") * col("l_discount")).cast(dec)).cast(dec)
+            .as("total_shipping_revenue"))
+      val o = Tables.orders(s, d)
+      o.join(items, o("o_orderkey") === items("l_orderkey"), "left")
+        .select(
+          o("o_orderkey").as("order_id"),
+          o("o_orderstatus").as("order_status"),
+          col("total_item_revenue"),
+          col("total_shipping_revenue"),
+          (col("total_item_revenue") + col("total_shipping_revenue")).cast(dec)
+            .as("total_order_value"))
+    },
+
+    // J3: anti-join (reference: relationships generic test,
+    // dbt/include/global_project/macros/generic_test_sql/relationships.sql:1-22
+    // uses left-join + IS NULL; Spark has a first-class anti join that skips
+    // materializing the null-padded rows).
+    Op("j3_anti_join",
+       """SELECT o_orderkey AS order_id FROM orders o
+         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).select("l_orderkey")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select(o("o_orderkey").as("order_id"))
+    },
+
+    // A1: hash aggregate, sum x2 by key (reference: models/marts/fct_orders.sql:9-16,
+    // `group by 1` ordinal). TPC-H Q1 shape; partial aggregation happens
+    // map-side so the shuffle carries one row per (flag,status) per partition.
+    Op("a1_group_agg",
+       """SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc_price,
+         |       count(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+            .cast(dec).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // A2: uniqueness check body (reference: generic_test_sql/unique.sql:1-12 —
+    // group by key, having count > 1, null keys excluded).
+    Op("a2_unique_check",
+       """SELECT l_orderkey AS dup_key, count(*) AS n
+         |FROM lineitem WHERE l_orderkey IS NOT NULL
+         |GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isNotNull)
+        .groupBy(col("l_orderkey").as("dup_key"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+    },
+
+    // A3 + E2: the dbt test harness wrapper (reference:
+    // macros/materializations/tests/helpers.sql:5-14 — `select count(*) as
+    // failures, count(*) != 0 as should_error from (<test query>)`).
+    Op("a3_test_harness",
+       """SELECT count(*) AS failures, count(*) <> 0 AS should_error
+         |FROM (SELECT 1 FROM orders WHERE o_totalprice < 0)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") < 0)
+        .agg(count(lit(1)).as("failures"))
+        .select(col("failures"), (col("failures") =!= 0).as("should_error"))
+    },
+
+    // L1: limit (reference: tests/test.sql get_limit_subquery_sql). A bare
+    // LIMIT is non-deterministic, so the engine's form is ORDER BY + LIMIT —
+    // Spark plans it as TakeOrderedAndProject (a distributed top-k, no global
+    // sort), which is the only shape that scales anyway.
+    Op("l1_order_limit",
+       """SELECT o_orderkey AS order_id, o_totalprice AS total
+         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey").as("order_id"), col("o_totalprice").as("total"))
+    },
+
+    // U1: UNION ALL with a discriminator label (reference:
+    // tests/helpers.sql:23-44, dbt unit-test fixture compare).
+    Op("u1_union_all",
+       """SELECT 'urgent' AS which, o_orderkey AS order_id FROM orders
+         |WHERE o_orderpriority = '1-URGENT'
+         |UNION ALL
+         |SELECT 'open' AS which, o_orderkey AS order_id FROM orders
+         |WHERE o_orderstatus = 'O'""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("which"), col("o_orderkey").as("order_id"))
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(lit("open").as("which"), col("o_orderkey").as("order_id"))
+      urgent.unionByName(open)
+    }
+  )
+}
