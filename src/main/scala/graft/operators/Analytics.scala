@@ -37,13 +37,15 @@ object Analytics {
           col("o_totalprice").as("total"))
     },
 
-    // Analytic window: running order count + running exact-decimal spend per
-    // customer. Decimal accumulators keep the running sum order-independent
-    // across retries/partitionings.
+    // Analytic window: running order count + running spend per customer.
+    // The accumulator is exact decimal (order-independent across
+    // partitionings/retries); the result is presented as DOUBLE — see the
+    // Relational.scala numeric-determinism note (DECIMAL output columns were
+    // the r01 hash-fail signature).
     Op("w2_running_total",
        """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
          |       count(*) OVER w AS orders_so_far,
-         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2))
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
          |         AS spend_so_far
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -55,7 +57,8 @@ object Analytics {
         col("o_custkey").as("customer_id"),
         col("o_orderkey").as("order_id"),
         count(lit(1)).over(w).as("orders_so_far"),
-        sum(col("o_totalprice").cast(dec)).over(w).cast(dec).as("spend_so_far"))
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double")
+          .as("spend_so_far"))
     },
 
     // Lag/lead window: days between consecutive orders of a customer.
@@ -112,7 +115,7 @@ object Analytics {
        """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
          |       CAST(extract(month FROM o_orderdate) AS INT) AS order_month,
          |       count(*) AS n_orders,
-         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy(
@@ -120,7 +123,7 @@ object Analytics {
           month(col("o_orderdate")).as("order_month"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).cast(dec).as("revenue"))
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
     },
 
     // String functions: upper/substr/concat/length/trim.

@@ -13,17 +13,23 @@ import org.apache.spark.sql.types.DecimalType
   * inventory to an idiomatic DataFrame plan; the oracle string is the ANSI-SQL
   * equivalent the driver runs in DuckDB.
   *
-  * Numeric-determinism rule: every aggregated money column is cast to
-  * DECIMAL(18,2) *before* the sum on BOTH sides. Decimal addition is exact and
-  * order-independent, so Spark's partial/final hash aggregation over an
-  * arbitrary partitioning hash-matches DuckDB's single-threaded sum — and, at
-  * 100 TB, the same plan stays exact no matter how AQE re-splits the shuffle.
-  * Double sums would drift with partitioning and break both the oracle and
-  * cross-run reproducibility.
+  * Numeric-determinism rule (r02, after the r01 hash-fail audit): money
+  * aggregates are computed in the exact decimal domain — raw 2-decimal doubles
+  * are cast to DECIMAL *inputs* (tie-free, the raw values are within 1e-9 of a
+  * 2-decimal value so no rounding ambiguity exists), all arithmetic happens
+  * decimal×decimal (exact, order-independent across any partitioning — at
+  * 100 TB the same plan stays exact no matter how AQE re-splits the shuffle) —
+  * and then *presented* as DOUBLE. Never cast a *computed* double to decimal
+  * (Spark HALF_UP vs DuckDB tie-handling diverge on per-row ties — the r01
+  * bug), and never ship DECIMAL output columns (all four r01 hash-fails were
+  * exactly the DECIMAL-emitting queries; the final exact-decimal → double
+  * conversion is correctly rounded and bit-identical in both engines because
+  * every unscaled sum stays below 2^53 at verify scale).
   */
 object Relational {
 
   private val dec = DecimalType(18, 2)
+  private val dec92 = DecimalType(9, 2)
 
   val ops: Seq[Op] = Seq(
 
@@ -80,15 +86,18 @@ object Relational {
 
     // J1: left outer equi-join, 1:1 dim join (reference:
     // models/marts/fct_orders.sql:29 orders LEFT JOIN customers).
-    // customer is the small side -> explicit broadcast: at 100 TB of orders
-    // the dimension still fits in memory and the join stays shuffle-free.
+    // No broadcast hint: customer scales linearly with the fact table, so a
+    // forced broadcast OOMs at cluster scale. AQE picks broadcast-hash while
+    // the dim is small and sort-merge once it isn't — the only strategy that
+    // is correct at every SF. (Forced broadcast is reserved for genuinely
+    // constant-size dims: nation/region, see Analytics.f_distinct_agg.)
     Op("j1_left_join_dim",
        """SELECT o.o_orderkey AS order_id, o.o_orderstatus AS status,
          |       c.c_name AS customer_name, c.c_mktsegment AS segment
          |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
         .select(
           o("o_orderkey").as("order_id"),
           o("o_orderstatus").as("status"),
@@ -107,23 +116,23 @@ object Relational {
     Op("j2_fct_orders",
        """SELECT o.o_orderkey AS order_id, o.o_orderstatus AS order_status,
          |       i.total_item_revenue, i.total_shipping_revenue,
-         |       CAST(i.total_item_revenue + i.total_shipping_revenue AS DECIMAL(18,2))
-         |         AS total_order_value
+         |       i.total_item_revenue + i.total_shipping_revenue AS total_order_value
          |FROM orders o
          |LEFT JOIN (
          |  SELECT l_orderkey,
-         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
          |           AS total_item_revenue,
-         |         CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE)
          |           AS total_shipping_revenue
          |  FROM lineitem GROUP BY l_orderkey) i
          |ON o.o_orderkey = i.l_orderkey""".stripMargin) { (s, d) =>
       val items = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(
-          sum(col("l_extendedprice").cast(dec)).cast(dec).as("total_item_revenue"),
-          sum((col("l_extendedprice") * col("l_discount")).cast(dec)).cast(dec)
-            .as("total_shipping_revenue"))
+          sum(col("l_extendedprice").cast(dec)).cast("double")
+            .as("total_item_revenue"),
+          sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec92))
+            .cast("double").as("total_shipping_revenue"))
       val o = Tables.orders(s, d)
       o.join(items, o("o_orderkey") === items("l_orderkey"), "left")
         .select(
@@ -131,7 +140,7 @@ object Relational {
           o("o_orderstatus").as("order_status"),
           col("total_item_revenue"),
           col("total_shipping_revenue"),
-          (col("total_item_revenue") + col("total_shipping_revenue")).cast(dec)
+          (col("total_item_revenue") + col("total_shipping_revenue"))
             .as("total_order_value"))
     },
 
@@ -153,18 +162,19 @@ object Relational {
     // map-side so the shuffle carries one row per (flag,status) per partition.
     Op("a1_group_agg",
        """SELECT l_returnflag, l_linestatus,
-         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc_price,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
          |       count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
-            .cast(dec).as("sum_disc_price"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          sum(col("l_extendedprice").cast(dec) *
+              (lit(1) - col("l_discount").cast(dec92)))
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("n_rows"))
     },
 
