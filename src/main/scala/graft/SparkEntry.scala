@@ -14,7 +14,8 @@ object SparkEntry {
   private def allOps: Seq[Op] =
     operators.Relational.ops ++
       operators.QualityGates.ops ++
-      operators.Analytics.ops
+      operators.Analytics.ops ++
+      olist.OlistOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_orders shape (agg + left join + derived total) — the reference's

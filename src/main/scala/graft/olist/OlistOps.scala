@@ -1,0 +1,63 @@
+package graft.olist
+
+import graft.Op
+import org.apache.spark.sql.functions._
+
+/** Driver-facing entries for the Olist pipeline. The pipeline runs over the
+  * reference seed CSVs plus synthesized stripped seeds — tables the driver's
+  * DuckDB oracle does not have — so these are rows-only (`noOracle`) checks;
+  * value-level conformance for the same logic is covered by the ScalaTest
+  * suite and, structurally, by the TPC-H-shaped oracle ops (j2_fct_orders is
+  * the same plan shape with a DuckDB oracle).
+  */
+object OlistOps {
+
+  /** Scratch warehouse inside the build dir (kept out of git). */
+  private def scratch = s"target/olist_wh"
+
+  val ops: Seq[Op] = Seq(
+
+    // End-to-end: seeds -> staging views -> stored fct_orders (S1, S3, S4,
+    // D1-D4 in one pass). Returns the stored gold table.
+    Op.noOracle("olist_fct_orders_pipeline") { (s, _) =>
+      Pipeline.smoke(s, scratch)
+    },
+
+    // D4/D5: the five test nodes evaluated against the stored relation with
+    // dbt's severity protocol; one summary row per test. Runs the pipeline
+    // first so it is self-contained.
+    Op.noOracle("olist_tests_gate") { (s, _) =>
+      Pipeline.smoke(s, scratch)
+      val cat = Models.catalog(s, scratch,
+        synthDir = Some(s"$scratch/_synth_seeds"))
+      import s.implicits._
+      Pipeline.testQueries(cat)
+        .map { case (name, q) =>
+          val r = graft.checks.Checks.evaluate(q(), warnOnly = true)
+          (name, r.failures,
+            Pipeline.TestOutcome(name, r).status)
+        }
+        .toDF("test_name", "failures", "status")
+    },
+
+    // S1 visible in isolation: the three real reference CSVs through the
+    // declared-schema ingest (BOM header, quoted zips, null sentinels).
+    Op.noOracle("olist_seed_ingest") { (s, _) =>
+      val products = Seeds.readCsv(s, Seeds.referenceSeedsDir,
+        "olist_products_dataset")
+      val sellers = Seeds.readCsv(s, Seeds.referenceSeedsDir,
+        "olist_sellers_dataset")
+      val xlat = Seeds.readCsv(s, Seeds.referenceSeedsDir,
+        "product_category_name_translation")
+      products.agg(count(lit(1)).as("n_products"),
+          count(col("product_category_name")).as("n_categorized"))
+        .crossJoin(sellers.agg(count(lit(1)).as("n_sellers"),
+          // quoted zips must keep leading zeros -> all length 5
+          sum(when(length(col("seller_zip_code_prefix")) === 5, 1)
+            .otherwise(0)).as("n_zip5")))
+        .crossJoin(xlat.agg(count(lit(1)).as("n_translations"),
+          // BOM must not corrupt the first header/column
+          count(col("product_category_name")).as("n_bom_ok")))
+    }
+  )
+}

@@ -1,0 +1,85 @@
+package graft.olist
+
+import graft.checks.Checks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D4/D5: the reference's orchestration — seed, `run --select fct_orders`,
+  * then the five test nodes, with dbt's severity protocol.
+  *
+  * reference: automate_pipeline.py:10-26 — a model-build failure aborts the
+  * pipeline; test failures only warn. Tests run against the *stored* relation
+  * (dbt executes test SQL on the warehouse table, not the model's plan —
+  * materializations/tests/helpers.sql:5-14), so `testResults` reads
+  * fct_orders back from parquet; that is what catches write-path bugs.
+  *
+  * Test nodes (reference: models/marts/schema.yml:9-19 +
+  * tests/assert_revenue_is_positive.sql):
+  *   unique(order_id), not_null(order_id), not_null(customer_id),
+  *   relationships(customer_id -> stg_olist_customers.customer_id),
+  *   singular total_order_value < 0.
+  * The relationships test targets `stg_customers` in the reference, a model
+  * that does not exist (schema.yml:18 — a latent compile error in the
+  * reference); we implement the intended check against stg_olist_customers
+  * and document the deviation here.
+  */
+object Pipeline {
+
+  final case class TestOutcome(name: String, result: Checks.TestResult) {
+    def status: String = result match {
+      case Checks.Pass()   => "pass"
+      case Checks.Warn(_)  => "warn"
+      case Checks.Error(_) => "error"
+    }
+  }
+
+  final case class PipelineResult(
+      built: Seq[String],
+      tests: Seq[TestOutcome]) {
+    def buildOk: Boolean = built.nonEmpty
+    def testsOk: Boolean = tests.forall(_.result.failures == 0)
+  }
+
+  /** The five test nodes over the stored fct_orders. Each returns failure
+    * rows (0 rows = pass), dbt's protocol.
+    */
+  def testQueries(cat: Catalog): Seq[(String, () => DataFrame)] = {
+    def fct = cat.warehouse.load("fct_orders")
+    Seq(
+      "unique_fct_orders_order_id" ->
+        (() => Checks.unique(fct, "order_id")),
+      "not_null_fct_orders_order_id" ->
+        (() => Checks.notNull(fct, "order_id")),
+      "not_null_fct_orders_customer_id" ->
+        (() => Checks.notNull(fct, "customer_id")),
+      "relationships_fct_orders_customer_id" ->
+        (() => Checks.relationships(fct, "customer_id",
+          cat.ref("stg_olist_customers"), "customer_id")),
+      "assert_revenue_is_positive" ->
+        (() => Checks.singular(fct, col("total_order_value") < 0)))
+  }
+
+  /** Full pipeline: seed everything, build fct_orders (+ ancestors on first
+    * run), evaluate tests with dbt's warn-only gating for test failures.
+    */
+  def runAll(cat: Catalog, synthDir: String, nOrders: Long = 2000L): PipelineResult = {
+    Seeds.synthesizeCsv(cat.spark, synthDir, nOrders)
+    val built = cat.run(Seq("fct_orders"), withUpstream = true)
+    val tests = testQueries(cat).map { case (name, q) =>
+      TestOutcome(name, Checks.evaluate(q(), warnOnly = true))
+    }
+    PipelineResult(built, tests)
+  }
+
+  /** The driver-facing smoke entry: run the whole pipeline into a scratch
+    * warehouse and return the stored fct_orders (driver checks rows > 0),
+    * with per-test status columns appended as a summary row source.
+    */
+  def smoke(spark: SparkSession, scratchDir: String): DataFrame = {
+    val cat = Models.catalog(spark, scratchDir,
+      synthDir = Some(s"$scratchDir/_synth_seeds"))
+    val result = runAll(cat, s"$scratchDir/_synth_seeds")
+    require(result.buildOk, "olist pipeline build failed")
+    cat.warehouse.load("fct_orders")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.checks.Checks
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the dbt-semantics checks module (SURVEY §5) on hand-built
+  * frames — the reference behaviors each one reproduces are cited in
+  * Checks.scala.
+  */
+class ChecksSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.{Row, types => T}
+
+  private def df(rows: Seq[(java.lang.Long, String)]) = {
+    val schema = T.StructType(Seq(
+      T.StructField("id", T.LongType, nullable = true),
+      T.StructField("fk", T.StringType, nullable = true)))
+    spark.createDataFrame(
+      rows.map { case (i, f) => Row(i, f) }.asJava, schema)
+  }
+
+  test("unique: flags duplicated non-null keys only") {
+    val d = df(Seq((1L, "a"), (1L, "a"), (2L, "b"), (null, "c"), (null, "d")))
+    val dups = Checks.unique(d, "id").collect()
+    assert(dups.length == 1)
+    assert(dups.head.getLong(0) == 1L && dups.head.getLong(1) == 2L)
+  }
+
+  test("notNull: returns exactly the null-key rows") {
+    val d = df(Seq((1L, "a"), (null, "b"), (null, "c")))
+    assert(Checks.notNull(d, "id").count() == 2)
+    assert(Checks.notNull(d, "fk").count() == 0)
+  }
+
+  test("relationships: orphaned FKs fail, NULL FKs pass (dbt macro guard)") {
+    val child = df(Seq((1L, "p1"), (2L, "p2"), (3L, "orphan"), (4L, null)))
+    val parent = df(Seq((10L, "p1"), (11L, "p2")))
+    val bad = Checks.relationships(child, "fk", parent, "fk").collect()
+    assert(bad.map(_.getString(0)).toSeq == Seq("orphan"))
+  }
+
+  test("singular: violating-rows predicate, 3VL excludes NULL rows") {
+    val d = df(Seq((-1L, "x"), (5L, "y"), (null, "z")))
+    // id < 0 is NULL for the null row -> not a violation (SQL 3VL), exactly
+    // the reference's total_order_value < 0 semantics for item-less orders.
+    assert(Checks.singular(d, col("id") < 0).count() == 1)
+  }
+
+  test("evaluate: Pass / Warn / Error severity protocol (D5)") {
+    val d = df(Seq((-1L, "x"), (5L, "y")))
+    assert(Checks.evaluate(Checks.singular(d, col("id") < -100)) == Checks.Pass())
+    assert(Checks.evaluate(Checks.singular(d, col("id") < 0)) == Checks.Error(1))
+    assert(Checks.evaluate(Checks.singular(d, col("id") < 0), warnOnly = true) ==
+      Checks.Warn(1))
+  }
+}

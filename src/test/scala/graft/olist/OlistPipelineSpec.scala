@@ -1,0 +1,78 @@
+package graft.olist
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Golden end-to-end test of the Olist pipeline: seeds -> staging ->
+  * stored fct_orders -> test gate, plus the semantically risky spots from
+  * SURVEY §7.4 (NULL revenue for item-less orders, left-join row
+  * preservation, dbt --select semantics).
+  */
+class OlistPipelineSpec extends SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft_olist_test").toString
+  private lazy val cat =
+    Models.catalog(spark, wh, synthDir = Some(s"$wh/_synth_seeds"))
+  private lazy val result = Pipeline.runAll(cat, s"$wh/_synth_seeds", nOrders = 600L)
+
+  test("pipeline builds seeds, staging, and the stored mart") {
+    assert(result.buildOk)
+    assert(result.built.last == "fct_orders")
+    assert(cat.warehouse.exists("fct_orders"))
+    assert(cat.warehouse.exists("olist_orders_dataset"))
+  }
+
+  test("left joins preserve every order (J1/J2 row preservation)") {
+    val nOrders = cat.ref("olist_orders_dataset").count()
+    assert(cat.warehouse.load("fct_orders").count() == nOrders)
+  }
+
+  test("orders without items keep NULL total_order_value, not 0 (E1 3VL)") {
+    val fct = cat.warehouse.load("fct_orders")
+    val itemless = fct.filter(col("total_item_revenue").isNull)
+    assert(itemless.count() > 0, "synth data should include item-less orders")
+    assert(itemless.filter(col("total_order_value").isNotNull).count() == 0)
+    assert(fct.filter(col("total_order_value") === 0).count() == 0)
+  }
+
+  test("fct totals equal an independently computed aggregate (golden values)") {
+    val items = cat.ref("stg_items")
+    val expected = items.agg(sum("price")).head.getDecimal(0)
+    val got = cat.warehouse.load("fct_orders")
+      .agg(sum("total_item_revenue")).head.getDecimal(0)
+    assert(expected.compareTo(got) == 0,
+      s"sum(price)=$expected != sum(total_item_revenue)=$got")
+  }
+
+  test("all five reference test nodes pass on the built mart (D4)") {
+    assert(result.tests.map(_.name).toSet.size == 5)
+    assert(result.testsOk, result.tests.map(t => s"${t.name}=${t.status}"))
+  }
+
+  test("a failing test warns, not errors, under dbt's pipeline gate (D5)") {
+    // Orders with items always have total >= 5 in synth data; invert the
+    // singular predicate so it must fail, then check warn-only gating.
+    val fct = cat.warehouse.load("fct_orders")
+    val failing = graft.checks.Checks.singular(fct, col("total_order_value") > 0)
+    val r = graft.checks.Checks.evaluate(failing, warnOnly = true)
+    assert(r.isInstanceOf[graft.checks.Checks.Warn])
+  }
+
+  test("ref() to an unregistered model fails like dbt's missing-node error") {
+    intercept[NoSuchElementException](cat.ref("stg_customers"))
+  }
+
+  test("--select without upstream requires stored seeds (dbt semantics, D3)") {
+    val emptyWh = Files.createTempDirectory("graft_olist_empty").toString
+    val freshCat = Models.catalog(spark, emptyWh)
+    intercept[IllegalStateException](
+      freshCat.run(Seq("fct_orders"), withUpstream = false))
+  }
+
+  test("re-running just the mart reuses stored seeds (idempotent rebuild)") {
+    val before = cat.warehouse.load("fct_orders").count()
+    cat.run(Seq("fct_orders"), withUpstream = false)
+    assert(cat.warehouse.load("fct_orders").count() == before)
+  }
+}
