@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational.ops ++
       operators.QualityGates.ops ++
       operators.Analytics.ops ++
-      olist.OlistOps.ops
+      olist.OlistOps.ops ++
+      llm.LlmOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_orders shape (agg + left join + derived total) — the reference's

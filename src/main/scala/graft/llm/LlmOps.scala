@@ -1,0 +1,201 @@
+package graft.llm
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing LLM-data-pipeline operators over the `documents` and
+  * `embeddings` testdata tables.
+  *
+  * Oracle-parity rules (same discipline as Relational.scala): every double
+  * the oracle compares is produced by the same IEEE operation sequence on
+  * both sides — sequential array folds, identical literal constants,
+  * identical division order; md5 on both sides hashes UTF-8 bytes. Ops whose
+  * semantics are approximate (LSH candidate generation) or engine-specific
+  * (hash functions) are `noOracle` and verified structurally in the test
+  * suite instead.
+  */
+object LlmOps {
+
+  // Shared SQL fragments for the oracle side (DuckDB dialect).
+  private val normSql =
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private val stopSql =
+    "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+
+  val ops: Seq[Op] = Seq(
+
+    // --- dedup -----------------------------------------------------------
+
+    // Exact dedup: min doc_id per content fingerprint + multiplicity. One
+    // hash aggregate; the md5 key is uniform so the shuffle cannot skew.
+    Op("dedup_exact",
+       s"""SELECT min(doc_id) AS doc_id, md5($normSql) AS fp,
+          |       count(*) AS n_copies
+          |FROM documents GROUP BY 2""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.documents(s, d))
+    },
+
+    // MinHash-LSH near-dup pairs (banding join, no cross join anywhere in
+    // the plan). The exact-Jaccard verify step makes the *output* exact even
+    // though candidate generation is probabilistic, but the minhash signature
+    // depends on Spark's xxhash64, which DuckDB cannot reproduce -> rows-only
+    // check here; semantics are asserted in DedupSpec (planted near-dups,
+    // recall vs exact pairwise Jaccard).
+    Op.noOracle("dedup_minhash") { (s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.8)
+    },
+
+    // SimHash near-dup pairs (16-bit chunk pigeonhole join + exact hamming
+    // verify). Same xxhash64 dependence -> rows-only.
+    Op.noOracle("dedup_simhash") { (s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), maxHamming = 6)
+    },
+
+    // --- similarity search ----------------------------------------------
+
+    // Brute-force cosine top-10 for the 20 lowest-id query vectors:
+    // broadcast nested loop + custom TopK aggregate. The oracle mirrors the
+    // sequential-fold cosine bit-for-bit, so ranks match exactly (ties break
+    // on neighbor_id on both sides).
+    Op("knn_cosine",
+       """SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY q.vec_id
+         |           ORDER BY list_aggregate(
+         |             list_transform(range(1, len(c.embedding) + 1),
+         |               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+         |             'sum')
+         |           / (sqrt(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+         |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))
+         |            * sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+         |                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')))
+         |           DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      Similarity.bruteForceKnn(Tables.embeddings(s, d))
+    },
+
+    // LSH-bucketed ANN: sublinear scale path; approximate by construction
+    // -> rows-only check, recall asserted vs brute force in SimilaritySpec.
+    Op.noOracle("knn_lsh") { (s, d) =>
+      Similarity.lshKnn(Tables.embeddings(s, d), planes = 6, tables = 8)
+    },
+
+    // Embedding-cosine near-dup pairs via random-hyperplane buckets.
+    Op.noOracle("embed_near_dup") { (s, d) =>
+      Similarity.cosineNearDups(Tables.embeddings(s, d),
+        planes = 6, tables = 4, threshold = 0.4)
+    },
+
+    // --- text analysis ---------------------------------------------------
+
+    // Per-document token/char statistics; all doubles are single divisions
+    // of exact ints -> bit-identical.
+    Op("text_stats",
+       s"""SELECT doc_id,
+          |       len($toksSql) AS n_tokens,
+          |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+          |       length(text) AS n_chars_measured,
+          |       CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+          |         / length(text) AS punct_ratio,
+          |       CAST(list_aggregate(list_transform($toksSql, t -> length(t)), 'sum') AS DOUBLE)
+          |         / len($toksSql) AS avg_token_len,
+          |       CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS DOUBLE)
+          |         / len($toksSql) AS stopword_ratio
+          |FROM documents""".stripMargin) { (s, d) =>
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextFeatures.tokens(t)).cast("long").as("n_tokens"),
+        TextFeatures.bpeTokenCount(t).cast("long").as("n_bpe_tokens"),
+        length(t).cast("long").as("n_chars_measured"),
+        TextFeatures.punctRatio(t).as("punct_ratio"),
+        TextFeatures.avgTokenLen(t).as("avg_token_len"),
+        TextFeatures.stopwordRatio(t).as("stopword_ratio"))
+    },
+
+    // Language ID + quality score per document. The oracle replays the same
+    // marker-hit argmax CASE chain and the same constant arithmetic.
+    Op("text_lang_quality",
+       s"""WITH hits AS (
+          |  SELECT doc_id, lang, text,
+          |    len(list_filter($toksSql, t -> list_contains(['the','a','of','and','is'], t))) AS h_en,
+          |    len(list_filter($toksSql, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+          |    len(list_filter($toksSql, t -> list_contains(['le','la','les','et','est'], t))) AS h_fr,
+          |    len(list_filter($toksSql, t -> list_contains(['el','la','los','y','es'], t))) AS h_es,
+          |    CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS DOUBLE)
+          |      / len($toksSql) AS stop_ratio,
+          |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+          |      / length(text) AS p_ratio
+          |  FROM documents)
+          |SELECT doc_id, lang AS lang_label,
+          |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+          |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+          |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+          |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+          |       ELSE 'und' END AS lang_pred,
+          |  (CASE WHEN length(text) < 20 THEN 0.2
+          |        WHEN length(text) > 2000 THEN 0.5 ELSE 1.0 END) * 0.5
+          |  + (CASE WHEN p_ratio > 0.2 THEN 0.3 ELSE 1.0 END) * 0.25
+          |  + (CASE WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.7 END) * 0.25
+          |    AS quality
+          |FROM hits""".stripMargin) { (s, d) =>
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        col("lang").as("lang_label"),
+        TextFeatures.langId(t).as("lang_pred"),
+        TextFeatures.qualityScore(t).as("quality"))
+    },
+
+    // Per-source corpus rollup: counts and exact-int sums only (no
+    // cross-partition double sums -> order-independent, oracle-exact).
+    Op("text_source_rollup",
+       s"""SELECT source, count(*) AS n_docs,
+          |       CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+          |       CAST(min(length(text)) AS BIGINT) AS min_chars,
+          |       CAST(max(length(text)) AS BIGINT) AS max_chars
+          |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val t = col("text")
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextFeatures.tokens(t))).as("total_tokens"),
+          min(length(t)).cast("long").as("min_chars"),
+          max(length(t)).cast("long").as("max_chars"))
+    },
+
+    // Content fingerprints: exact (md5 of normal form) and winnowing-style
+    // min-window hash; md5 hex strings compare byte-for-byte across engines.
+    Op("text_fingerprint",
+       s"""SELECT doc_id, md5($normSql) AS fp,
+          |       CASE WHEN length($normSql) < 8 THEN md5($normSql)
+          |            ELSE list_aggregate(
+          |              list_transform(range(1, length($normSql) - 6),
+          |                i -> md5(substr($normSql, i, 8))), 'min') END
+          |         AS minwin_fp
+          |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFeatures.normalized(col("text")).as("norm"))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("fp"),
+          TextFeatures.minWindowFingerprintOfNorm(col("norm")).as("minwin_fp"))
+    },
+
+    // --- multimodal ------------------------------------------------------
+
+    // Binary media column + typed metadata through the batched per-partition
+    // decode (STUBBED codec, real plumbing). Engine-specific checksum ->
+    // rows-only; exact values asserted in MultimodalSpec.
+    Op.noOracle("multimodal_features") { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d))).toDF()
+    }
+  )
+}

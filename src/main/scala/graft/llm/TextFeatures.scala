@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for a training-data pipeline: tokenization,
+  * token-count estimation, quality scoring, language ID, fingerprinting.
+  *
+  * All of these are pure Spark SQL expressions (whole-stage-codegen'd — no
+  * UDFs anywhere), so they stream through a 100 TB scan at full columnar
+  * speed and push no work onto the driver. Each has an exact DuckDB oracle
+  * counterpart in LlmOps.
+  */
+object TextFeatures {
+
+  /** Lower-cased, whitespace-collapsed normal form. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normal form. */
+  def tokens(text: Column): Column =
+    split(normalized(text), " ")
+
+  /** BPE-ish subword-count estimate: runs of letters, runs of digits, and
+    * single punctuation marks each count as one token — the classic
+    * pre-tokenizer regex shape used by byte-pair encoders.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Share of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /
+      length(text)
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Share of tokens that are stopwords — a classic fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * some stopwords — the usual cheap pre-filter before expensive model
+    * scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text) < 20, 0.2)
+      .when(length(text) > 2000, 0.5)
+      .otherwise(1.0)
+    val punctScore = when(punctRatio(text) > 0.2, 0.3).otherwise(1.0)
+    val stopScore = when(stopwordRatio(text) > 0.02, 1.0).otherwise(0.7)
+    // No rounding: the constant arithmetic is the same IEEE sequence on the
+    // Spark and oracle sides, and round() tie-handling differs between
+    // engines (the r01 lesson).
+    lenScore * 0.5 + punctScore * 0.25 + stopScore * 0.25
+  }
+
+  /** Marker-token language ID: count hits of each language's characteristic
+    * high-frequency words and pick the first maximum in fixed language order
+    * (deterministic ties); 'und' when nothing matches. Same shape as n-gram
+    * language ID — per-language evidence then argmax — and exactly
+    * re-expressible as a SQL CASE chain for the oracle.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"))
+
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (lang, m) => lang -> langHits(text, m) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((lang, h), els) =>
+      when(maxHits > 0 && h === maxHits, lang).otherwise(els)
+    }
+  }
+
+  /** Content fingerprint: md5 of the normal form — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Winnowing-style robust fingerprint: the minimum md5 over all 8-char
+    * windows of the normal form (min-sampling of a rolling hash). Survives
+    * local edits that move but don't rewrite most windows.
+    *
+    * IMPORTANT: pass an already-materialized normal-form column (not a raw
+    * text expression) — `norm` is referenced inside the per-window lambda,
+    * and an inlined expression would be re-evaluated once per window.
+    */
+  def minWindowFingerprintOfNorm(norm: Column, window: Int = 8): Column =
+    when(length(norm) < window, md5(norm)).otherwise(
+      array_min(transform(
+        sequence(lit(1), length(norm) - (window - 1)),
+        i => md5(norm.substr(i, lit(window))))))
+}
