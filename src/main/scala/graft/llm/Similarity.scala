@@ -95,40 +95,43 @@ object Similarity {
 
   // --- LSH path ----------------------------------------------------------
 
-  /** Deterministic pseudo-random hyperplane component: hash of (table,
-    * plane, dimension) mapped to [-1, 1). No RNG state, so signatures are
-    * reproducible at any partitioning and any cluster size.
+  /** Deterministic pseudo-random hyperplane for (table, plane): components
+    * in [-1, 1) derived from a splitmix64 sequence of the (table, plane,
+    * dim) triple. Computed driver-side and shipped as LITERAL arrays: no
+    * per-row hashing, far shallower codegen than hashing each component in
+    * an expression, and still reproducible at any partitioning and cluster
+    * size (no RNG state).
     */
-  private def planeComponent(table: Column, plane: Column, dim: Column): Column =
-    (pmod(xxhash64(table, plane, dim), lit(2000L)).cast("double") - 1000.0) / 1000.0
+  def hyperplane(table: Int, plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      var z = table.toLong * 0x9E3779B97F4A7C15L +
+        plane.toLong * 0xC2B2AE3D27D4EB4FL + d.toLong * 0x165667B19E3779F9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 2000L).toDouble - 1000.0) / 1000.0
+    }
 
   /** Sign-of-projection signature for one hash table: `planes` bits packed
-    * into one long.
+    * into one long. `dim` must match the embedding dimensionality.
     */
-  def lshSignature(vec: Column, planes: Int, table: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p =>
-        when(
-          aggregate(
-            zip_with(vec,
-              transform(sequence(lit(0), size(vec) - 1),
-                d => planeComponent(table, p, d)),
-              (x, h) => x * h),
-            lit(0.0), (acc, v) => acc + v) >= 0,
-          pow(lit(2.0), p).cast("long")).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+  def lshSignature(vec: Column, planes: Int, table: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(vec, typedlit(hyperplane(table, p, dim))) >= 0, 1L << p)
+        .otherwise(0L)
+    }.reduce(_ bitwiseOR _)
 
-  /** (id, v, table, bucket): one row per hash table via posexplode —
+  /** (vid, v, table, bucket): one row per hash table via posexplode —
     * multi-table LSH (OR-amplification). More tables raise recall at the
     * cost of candidate volume: P[candidate] = 1 - (1 - s^planes)^tables for
-    * a pair with angular similarity s. The per-table signature is computed
-    * in one projection; the join key is (table, bucket) so tables never
-    * cross-pollinate.
+    * a pair with angular similarity s. The join key is (table, bucket) so
+    * tables never cross-pollinate.
     */
-  def lshBuckets(vecs: DataFrame, planes: Int, tables: Int): DataFrame =
+  def lshBuckets(vecs: DataFrame, planes: Int, tables: Int,
+                 dim: Int): DataFrame =
     vecs.select(col("vid"), col("v"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => lshSignature(col("v"), planes, t)))
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col("v"), planes, t, dim)): _*))
         .as(Seq("table", "bucket")))
 
   /** Bucketed ANN: equi-join on (table, bucket), rank distinct candidates
@@ -138,17 +141,21 @@ object Similarity {
     */
   def lshKnn(embeddings: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding",
-             planes: Int = 6, tables: Int = 8, k: Int = 10): DataFrame = {
+             planes: Int = 6, tables: Int = 8, k: Int = 10,
+             dim: Int = 64): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    val buckets = lshBuckets(vecs, planes, tables)
+    val buckets = lshBuckets(vecs, planes, tables, dim)
       .select("vid", "table", "bucket")
-    // candidate id-pairs first (dedup across tables BEFORE touching the
-    // vectors, so the distinct shuffles ids, not 64-double payloads)
-    val candidates = buckets.toDF("query_id", "table", "bucket")
-      .join(buckets, Seq("table", "bucket"))
-      .filter(col("vid") =!= col("query_id"))
-      .select("query_id", "vid").distinct()
+    // undirected candidate id-pairs from bucket membership (ONE bucket
+    // computation, in-bucket pair generation, dedup across tables before
+    // touching any vector payload), then both directions since every vector
+    // is a query.
+    val undirected = Dedup.candidatePairs(buckets, "vid",
+      Seq("table", "bucket"))
+    val candidates = undirected.unionByName(
+        undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("query_id", "vid")
     val scored = candidates
       .join(vecs.toDF("query_id", "qv"), Seq("query_id"))
       .join(vecs, Seq("vid"))
@@ -163,16 +170,12 @@ object Similarity {
   def cosineNearDups(embeddings: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      planes: Int = 8, tables: Int = 4,
-                     threshold: Double = 0.95): DataFrame = {
+                     threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    val buckets = lshBuckets(vecs, planes, tables)
+    val buckets = lshBuckets(vecs, planes, tables, dim)
       .select("vid", "table", "bucket")
-    val candidates = buckets.toDF("id_a", "table", "bucket")
-      .join(buckets.toDF("id_b", "table", "bucket"), Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    candidates
+    Dedup.candidatePairs(buckets, "vid", Seq("table", "bucket"))
       .join(vecs.toDF("id_a", "va"), Seq("id_a"))
       .join(vecs.toDF("id_b", "vb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))

@@ -24,12 +24,14 @@ object OlistOps {
     },
 
     // D4/D5: the five test nodes evaluated against the stored relation with
-    // dbt's severity protocol; one summary row per test. Runs the pipeline
-    // first so it is self-contained.
+    // dbt's severity protocol; one summary row per test. Reuses the stored
+    // warehouse when the pipeline op already built it (the build is
+    // deterministic, so the result is identical either way); builds it first
+    // otherwise, so the op stays self-contained.
     Op.noOracle("olist_tests_gate") { (s, _) =>
-      Pipeline.smoke(s, scratch)
       val cat = Models.catalog(s, scratch,
         synthDir = Some(s"$scratch/_synth_seeds"))
+      if (!cat.warehouse.exists("fct_orders")) Pipeline.smoke(s, scratch)
       import s.implicits._
       Pipeline.testQueries(cat)
         .map { case (name, q) =>

@@ -93,7 +93,7 @@ class DedupSpec extends SparkSpec {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // ground truth by brute force on the small SF (test-only; the operator
     // itself never does this)
-    val withSh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val withSh = Dedup.withShingles(d, "doc_id", "text")
     val truth = withSh.toDF("id_a", "sh_a")
       .crossJoin(withSh.toDF("id_b", "sh_b"))
       .filter(col("id_a") < col("id_b"))

@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
     val d = vecs(
       0L -> twin, 1L -> twin.map(_ * 2.0), // same direction -> same buckets
       2L -> Seq.tabulate(8)(i => math.cos(3 * i + 2)))
-    val out = Similarity.lshKnn(d, planes = 6, k = 2).collect()
+    val out = Similarity.lshKnn(d, planes = 6, k = 2, dim = 8).collect()
     val n0 = out.filter(_.getLong(0) == 0L)
     assert(n0.nonEmpty && n0.head.getLong(1) == 1L)
     assert(math.abs(n0.head.getDouble(3) - 1.0) < 1e-12)
@@ -65,7 +65,8 @@ class SimilaritySpec extends SparkSpec {
       0L -> a, 1L -> a.map(_ * 3.0),
       2L -> Seq.tabulate(8)(i => math.cos(5 * i)),
       3L -> Seq.tabulate(8)(i => math.sin(i) * math.cos(i)))
-    val pairs = Similarity.cosineNearDups(d, planes = 3, threshold = 0.99)
+    val pairs = Similarity.cosineNearDups(d, planes = 3, threshold = 0.99,
+        dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
