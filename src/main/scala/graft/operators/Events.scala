@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operators over the `events` table — the batch forms of the
+  * shapes a clickstream/telemetry pipeline needs (their incremental
+  * Structured Streaming counterparts live in graft.streaming and are
+  * equivalence-tested against these in StreamingSpec).
+  *
+  * Scale notes: every op keys its shuffle by (user_id) or (window bucket) —
+  * high-cardinality, uniform keys. Sessionization is the classic
+  * lag + running-sum pair of windows over the same (user_id, ts) ordering,
+  * so Spark plans ONE shuffle + sort and evaluates both window functions on
+  * the same sorted runs.
+  */
+object Events {
+
+  private val dec = DecimalType(18, 2)
+
+  /** 30-minute inactivity gap closes a session. */
+  val sessionGapMinutes = 30
+
+  val ops: Seq[Op] = Seq(
+
+    // Tumbling 1-hour windows per event type: the canonical streaming
+    // aggregation, batch form. Money-style sum follows the decimal-domain /
+    // double-presentation rule from Relational.scala.
+    // window_start is epoch seconds (BIGINT): integer output is the only
+    // timestamp representation that hashes identically across engines
+    // (Spark writes micros parquet, DuckDB computes nanos timestamps).
+    Op("e_windowed_agg",
+       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         |       event_type,
+         |       count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+    },
+
+    // Sessionization: a new session starts after a >30min silence; the
+    // session index is the running count of session starts per user.
+    Op("e_sessionize",
+       s"""SELECT event_id, user_id, session_idx FROM (
+          |  SELECT event_id, user_id,
+          |         CAST(sum(is_new) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |           AS session_idx
+          |  FROM (
+          |    SELECT event_id, user_id, ts,
+          |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |             IS NULL THEN 1
+          |           WHEN date_diff('second',
+          |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+          |             ts) > ${sessionGapMinutes * 60} THEN 1
+          |           ELSE 0 END AS is_new
+          |    FROM events))""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts"), 1).over(byUser)
+      val isNew = when(prevTs.isNull, 1)
+        .when(unix_timestamp(col("ts")) - unix_timestamp(prevTs) >
+          sessionGapMinutes * 60, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          isNew.as("is_new"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("is_new")).over(running).as("session_idx"))
+    },
+
+    // Semi-structured access: extract a JSON field from the props column
+    // and bucket by it — the schema-on-read shape every event pipeline has.
+    Op("e_json_extract",
+       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         |       count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10)
+          .as("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Ordered funnel: users whose first view precedes their first click,
+    // which precedes their first purchase. One pivot-style conditional-min
+    // aggregate per user — a single shuffle, no joins, no windows.
+    Op("e_funnel",
+       """SELECT count(*) AS n_converted FROM (
+         |  SELECT user_id,
+         |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+         |  FROM events GROUP BY user_id)
+         |WHERE t_view < t_click AND t_click < t_purchase""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .filter(col("t_view") < col("t_click") &&
+          col("t_click") < col("t_purchase"))
+        .agg(count(lit(1)).as("n_converted"))
+    }
+  )
+}

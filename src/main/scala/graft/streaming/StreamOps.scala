@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** Structured Streaming counterparts of the batch event operators
+  * (graft.operators.Events). The reference is batch-only (SURVEY §2.9: no
+  * streaming anywhere), so these are engine extensions; StreamingSpec
+  * asserts batch/stream equivalence by feeding the same events through a
+  * MemoryStream.
+  *
+  * Scale notes: both ops are the canonical incremental shapes — a
+  * watermarked windowed aggregation (state pruned by the watermark; shuffle
+  * keyed by (window, type)) and keyed sessionization via
+  * flatMapGroupsWithState (state is one (lastTs, sessionIdx) pair per user;
+  * processing-time per event is O(log batch) for the in-batch sort).
+  */
+object StreamOps {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Tumbling 1-hour windows per event type, 2-hour watermark: the
+    * streaming form of e_windowed_agg. In append mode a window emits once
+    * the watermark passes its end — late events beyond the watermark are
+    * dropped, the documented streaming-vs-batch delta.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class SessionEvent(event_id: Long, user_id: Long, ts: Timestamp)
+  final case class SessionAssignment(event_id: Long, user_id: Long,
+                                     session_idx: Long)
+  final case class SessionState(lastTsMillis: Long, sessionIdx: Long)
+
+  val sessionGapMillis: Long =
+    graft.operators.Events.sessionGapMinutes * 60L * 1000L
+
+  /** Per-user stateful sessionization: a >30min silence starts a new
+    * session; state carries (last event time, current session index) per
+    * user. Events inside one trigger batch are sorted by (ts, event_id)
+    * before the state walk, so ordering matches the batch operator's window
+    * ORDER BY; with in-order delivery the assignment is identical to
+    * e_sessionize (asserted in StreamingSpec).
+    */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[SessionEvent],
+         state: GroupState[SessionState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val t = e.ts.getTime
+            val isNew = st.lastTsMillis == Long.MinValue ||
+              t - st.lastTsMillis > sessionGapMillis
+            st = SessionState(t, if (isNew) st.sessionIdx + 1 else st.sessionIdx)
+            SessionAssignment(e.event_id, userId, st.sessionIdx)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

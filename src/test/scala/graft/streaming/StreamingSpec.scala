@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Batch/stream equivalence: the same events fed through a MemoryStream
+  * must produce the same windowed aggregates and session assignments as the
+  * batch operators in graft.operators.Events.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts matches the batch windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(events)
+    val q = StreamOps.windowedCounts(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win")
+      .orderBy("window_start", "event_type").collect()
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("stateful sessionize matches the batch window sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val events = raw.select(col("event_id"), col("user_id"), col("ts"))
+      .as[StreamOps.SessionEvent].collect().toSeq
+
+    val stream = MemoryStream[StreamOps.SessionEvent]
+    stream.addData(events)
+    val q = StreamOps.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val batch = graft.SparkEntry.queries("e_sessionize")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionize state carries across trigger batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess2")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10 min apart -> one session
+      stream.addData(
+        StreamOps.SessionEvent(1L, 7L, ts("2024-01-01 10:00:00")),
+        StreamOps.SessionEvent(2L, 7L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // batch 2: 20 min later (same session), then a 2h gap (new session)
+      stream.addData(
+        StreamOps.SessionEvent(3L, 7L, ts("2024-01-01 10:30:00")),
+        StreamOps.SessionEvent(4L, 7L, ts("2024-01-01 12:31:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess2").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)))
+  }
+}
