@@ -22,6 +22,7 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

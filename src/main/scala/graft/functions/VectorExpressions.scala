@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * `vec_cosine(a, b)` computes cosine similarity of two array<double>
+  * columns in ONE fused whole-stage-codegen'd loop. The composed
+  * `zip_with + aggregate` formulation evaluates three separate folds (dot,
+  * |a|^2, |b|^2) and allocates an intermediate product array per row; this
+  * expression is the preference-ladder case (b): a scalar function Spark
+  * lacks, implemented with doGenCode so it stays inside codegen.
+  *
+  * Numeric contract: each accumulator receives exactly the same IEEE
+  * addition sequence (index order) as the fold formulation and as the
+  * DuckDB oracle's list_aggregate sum, so results are bit-identical across
+  * all three — required for the knn oracle gate.
+  *
+  * Arrays must not contain null elements (embedding vectors never do);
+  * null inputs propagate to a null result via BinaryExpression's
+  * null-intolerant default eval.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(DoubleType, containsNull = false) ||
+        left.dataType == ArrayType(DoubleType, containsNull = true)) {
+      if (right.dataType.isInstanceOf[ArrayType] &&
+          right.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"right side must be array<double>, got ${right.dataType}")
+    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"left side must be array<double>, got ${left.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_cosine"
+}
+
+object GraftFunctions {
+
+  private val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+
+  /** Registration path (c): plug into `spark.sql.extensions` /
+    * `SparkSession.builder().withExtensions(...)`.
+    */
+  def install(extensions: SparkSessionExtensions): Unit =
+    registrations.foreach(extensions.injectFunction)
+
+  /** Idempotent in-session registration for sessions built without the
+    * extension (a library consumer's own SparkSession).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registrations.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+
+  /** Column-level API for the native expression. */
+  def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.install(extensions)
+}

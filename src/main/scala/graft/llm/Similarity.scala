@@ -23,13 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns (composed
+    * built-ins — portable to any session, three passes per row).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity. All engine entry points route through the native
+    * fused expression (graft.functions.CosineSimilarity — one codegen'd
+    * loop, no intermediate arrays); it is bit-identical to the composed
+    * fold form because every accumulator sees the same IEEE addition order.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecCosine(a, b)
+
+  /** The composed-built-ins form, kept for cross-checking the native
+    * expression in tests.
+    */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   // --- custom typed top-k aggregate --------------------------------------

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  test("vec_cosine is registered by the session extension") {
+    assert(spark.catalog.functionExists("vec_cosine"))
+  }
+
+  test("native vec_cosine is bit-identical to the composed fold form") {
+    val a = vecs.toDF("ida", "va")
+    val b = vecs.toDF("idb", "vb")
+    val pairs = a.join(b, col("ida") =!= col("idb")).limit(2000)
+    val diff = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineComposed(col("va"), col("vb")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("interpreted eval path matches codegen (nullSafeEval vs doGenCode)") {
+    // force the interpreted path by disabling whole-stage codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = vecs.limit(10)
+        .select(Similarity.cosine(col("v"), col("v")).as("c")).collect()
+      assert(interpreted.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("null input propagates to null result") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
+      .toDF("a", "b")
+    val out = df.select(GraftFunctions.vecCosine(col("a"), col("b"))).head()
+    assert(out.isNullAt(0))
+  }
+
+  test("type mismatch is rejected at analysis time") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0), "not a vector")).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(GraftFunctions.vecCosine(col("a"), col("b"))).head()
+    }
+  }
+}
