@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Relational.ops ++
       operators.QualityGates.ops ++
       operators.Analytics.ops ++
+      operators.Collections.ops ++
       operators.Events.ops ++
       olist.OlistOps.ops ++
       llm.LlmOps.ops

@@ -56,6 +56,16 @@ object Checks {
   def singular(df: DataFrame, violation: Column): DataFrame =
     df.filter(violation)
 
+  /** The dbt count harness as a one-row DataFrame — the distributed form
+    * (reference: tests/helpers.sql:5-14's `select count(*) as failures,
+    * count(*) != 0 as should_error`). `evaluate` below is the driver-side
+    * ADT form of the same protocol; QualityGates and Pipeline both route
+    * through these.
+    */
+  def harness(failureRows: DataFrame): DataFrame =
+    failureRows.agg(count(lit(1)).as("failures"))
+      .select(col("failures"), (col("failures") =!= 0).as("should_error"))
+
   /** dbt's test harness: failures count + severity evaluation.
     * `warnOnly` mirrors severity: warn config.
     */

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.functions._
+
+/** Collection/semi-structured function families (SURVEY §2.9 lists them as
+  * absent from the reference — engine extensions): array construction and
+  * higher-order functions, lateral explode, pivot, and sketch aggregates.
+  */
+object Collections {
+
+  val ops: Seq[Op] = Seq(
+
+    // Array construction + higher-order functions over a generated array.
+    // Spark sequence(1, n) == DuckDB range(1, n+1); the transform/filter/
+    // aggregate trio maps 1:1 to DuckDB list_transform/list_filter/
+    // list_sum.
+    Op("f_array_funcs",
+       """SELECT c_custkey AS customer_id,
+         |       len(range(1, c_nationkey % 5 + 2)) AS n_items,
+         |       CAST(list_aggregate(list_transform(range(1, c_nationkey % 5 + 2),
+         |         x -> x * x), 'sum') AS BIGINT) AS sum_squares,
+         |       len(list_filter(range(1, c_nationkey % 5 + 2),
+         |         x -> x % 2 = 0)) AS n_even
+         |FROM customer""".stripMargin) { (s, d) =>
+      val arr = sequence(lit(1), pmod(col("c_nationkey"), lit(5)) + 1)
+      Tables.customer(s, d).select(
+        col("c_custkey").as("customer_id"),
+        size(arr).cast("long").as("n_items"),
+        aggregate(transform(arr, x => (x * x).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("sum_squares"),
+        size(filter(arr, x => x % 2 === 0)).cast("long").as("n_even"))
+    },
+
+    // Lateral explode: one output row per generated element, then a
+    // re-aggregation — the UNNEST shape.
+    Op("f_explode",
+       """SELECT CAST(item AS BIGINT) AS item, count(*) AS n
+         |FROM (SELECT unnest(range(1, o_orderkey % 3 + 2)) AS item
+         |      FROM orders)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(explode(sequence(lit(1), pmod(col("o_orderkey"), lit(3)) + 1))
+          .as("item"))
+        .groupBy(col("item").cast("long").as("item"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Pivot: per-priority counts fanned out to one column per order status.
+    // Explicit pivot values keep the schema static (required at scale — a
+    // dynamic pivot needs a driver-side distinct pass first).
+    Op("f_pivot",
+       """SELECT o_orderpriority AS priority,
+         |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+         |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+         |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+         |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+    },
+
+    // HLL sketch aggregate: approx distinct + exact side by side. No SQL
+    // oracle (DuckDB's approx sketch differs by construction); the <2%
+    // relative-error bound is asserted in CollectionsSpec.
+    Op.noOracle("f_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01)
+          .as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    }
+  )
+}

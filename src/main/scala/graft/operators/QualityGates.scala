@@ -13,8 +13,7 @@ import org.apache.spark.sql.functions._
 object QualityGates {
 
   private def harness(rows: org.apache.spark.sql.DataFrame) =
-    rows.agg(count(lit(1)).as("failures"))
-      .select(col("failures"), (col("failures") =!= 0).as("should_error"))
+    Checks.harness(rows)
 
   val ops: Seq[Op] = Seq(
 
