@@ -11,18 +11,11 @@ object PlanCheck {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     time("warm")(d.count())
-    val exploded = llm.Dedup.withShingles(d, "doc_id", "text")
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    time("explode_count")(println("  rows=" + exploded.count()))
-    time("explode_noop")(noop(exploded))
-    def aggK(k: Int) = {
-      val mins = (0 until k).map(h => min(xxhash64(lit(h), col("shingle"))).as(s"mh$h"))
-      exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    }
-    time("agg4")(noop(aggK(4)))
-    time("agg16")(noop(aggK(16)))
-    time("agg64")(noop(aggK(64)))
-    time("agg64_again")(noop(aggK(64)))
+    time("sig")(noop(llm.Dedup.minhashSignatures(d, "doc_id", "text")))
+    time("sig2")(noop(llm.Dedup.minhashSignatures(d, "doc_id", "text")))
+    time("bands")(noop(llm.Dedup.lshBands(d, "doc_id", "text", 16, 4)))
+    time("full")(noop(llm.Dedup.minHashNearDups(d)))
+    time("full2")(noop(llm.Dedup.minHashNearDups(d)))
     spark.stop()
   }
 }

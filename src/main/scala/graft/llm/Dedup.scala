@@ -55,27 +55,32 @@ object Dedup {
     docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
       .select(col(idCol), shinglesOfTokens(col("toks"), n).as("sh"))
 
-  /** k seeded minhashes per doc: signature[h] = min over shingles of
-    * xxhash64(h, shingle), computed as a single map-only projection over the
-    * materialized shingle column — no explode, no shuffle, embarrassingly
-    * parallel at any corpus size.
+  /** k minhashes per doc: each shingle is string-hashed ONCE (xxhash64),
+    * and the k hash functions re-hash that fixed-width 8-byte base with the
+    * hash index as seed material — the string bytes are only traversed once
+    * per shingle instead of k times. (An affine Carter-Wegman mix would be
+    * cheaper still, but modular long arithmetic throws under Spark 4's ANSI
+    * overflow checking.) A single map-only projection chain: no explode, no
+    * shuffle, embarrassingly parallel at any corpus size.
     *
-    * The `when(size(sh) > 0, ...)` guard is semantically a no-op (shingles
-    * are never empty) but load-bearing: it makes `sh` referenced twice in
-    * this projection, which stops CollapseProject from inlining the
-    * shingle-building expression into the per-hash lambda (inlined, it
-    * would re-shingle the document k times per row; and an explode+groupBy
-    * formulation pays a Generate that re-evaluates its input per output
-    * row — both measured ~10x slower).
+    * The `when(size(x) > 0, ...)` guards are semantically no-ops (shingles
+    * are never empty) but load-bearing: they make each input column
+    * referenced twice in its consuming projection, which stops
+    * CollapseProject from inlining the producing expression into the
+    * per-element lambdas (inlined, shingling would re-run k times per row;
+    * an explode+groupBy formulation pays a Generate that re-evaluates its
+    * input per output row — both measured ~10x slower).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 64): DataFrame =
     withShingles(docs, idCol, textCol)
       .select(col(idCol),
-        when(size(col("sh")) > 0,
-          transform(sequence(lit(0), lit(k - 1)),
-            h => array_min(transform(col("sh"), s => xxhash64(h, s)))))
-          .otherwise(array().cast("array<bigint>")).as("sig"))
+        when(size(col("sh")) > 0, transform(col("sh"), s => xxhash64(s)))
+          .otherwise(array().cast("array<bigint>")).as("bases"))
+      .select(col(idCol),
+        array((0 until k).map(h =>
+          array_min(transform(col("bases"),
+            b => xxhash64(b, lit(h))))): _*).as("sig"))
 
   /** (doc_id, band, band_sig) — one row per band of the signature array.
     * b bands of r rows, k = b * r; `sig` is a physical column here, so the

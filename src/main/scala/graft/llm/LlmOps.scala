@@ -196,6 +196,38 @@ object LlmOps {
     Op.noOracle("multimodal_features") { (s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d))).toDF()
+    },
+
+    // Resize + frame-sample over the same media table (stub codecs, real
+    // per-partition batch shapes).
+    Op.noOracle("multimodal_resize") { (s, d) =>
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), maxSide = 256)
+        .toDF().select(col("media_id"), col("kind"), col("width"),
+          col("height"), length(col("bytes")).as("n_bytes"))
+    },
+
+    Op.noOracle("multimodal_frame_sample") { (s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), n = 4).toDF()
+    },
+
+    // Global top-20 tokens by frequency: explode -> count -> distributed
+    // top-k (TakeOrderedAndProject — no global sort). Deterministic via the
+    // (count desc, token asc) tie-break, so it oracle-checks exactly.
+    Op("text_top_words",
+       s"""SELECT tok, n FROM (
+          |  SELECT tok, count(*) AS n FROM (
+          |    SELECT unnest($toksSql) AS tok FROM documents)
+          |  GROUP BY tok)
+          |ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(TextFeatures.tokens(col("text")).as("toks"))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
     }
   )
 }

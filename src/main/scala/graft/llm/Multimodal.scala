@@ -60,6 +60,46 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      bytes: Array[Byte])
+
+  /** ======= STUB =======
+    * Resize: a real implementation decodes, scales, re-encodes. The fake
+    * deterministically truncates the payload in proportion to the area
+    * ratio so output sizes are assertable; the plumbing (typed Dataset in,
+    * typed Dataset out, narrow per-partition map) is the real shape.
+    */
+  def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, w, h) = decodeStub(r.kind, r.bytes)
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt))
+        val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
+        ResizedMedia(r.media_id, r.kind, nw, nh, r.bytes.take(nBytes))
+      }
+    }
+  }
+
+  final case class Frame(media_id: Long, frame_idx: Int, offset_bytes: Long)
+
+  /** ======= STUB =======
+    * Frame sampling for video payloads: emits `n` evenly spaced frame
+    * offsets per video (a real decoder would emit decoded frames). One
+    * input row fans out to n output rows inside the same partition — the
+    * flatMap shape a real frame sampler has, still shuffle-free.
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val len = math.max(1L, r.bytes.length.toLong)
+      (0 until n).map(i => Frame(r.media_id, i, i * len / n))
+    }
+  }
+
   /** Build a media table from the documents corpus: text bytes standing in
     * for encoded media payloads (UTF-8 is as opaque to the plumbing as JPEG).
     */

@@ -31,4 +31,33 @@ class MultimodalSpec extends SparkSpec {
       (h ^ (b & 0xff)) * 1099511628211L)
     assert(f1.head.checksum == expected)
   }
+
+  test("resize caps the longest side and shrinks payload quadratically") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val resized = Multimodal.resize(media, maxSide = 128).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.width <= 128 && r.height <= 128))
+    val orig = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      if (o.width <= 128 && o.height <= 128)
+        assert(r.width == o.width && r.height == o.height)
+    }
+  }
+
+  test("frame sampling: n evenly spaced offsets per video only") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val frames = Multimodal.sampleFrames(media, n = 4).collect()
+    val nVideos = media.filter(_.kind == "video").count()
+    assert(frames.length == nVideos * 4)
+    val byMedia = frames.groupBy(_.media_id)
+    byMedia.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+      assert(fs.sortBy(_.frame_idx).map(_.offset_bytes).toSeq ==
+        fs.sortBy(_.frame_idx).map(_.offset_bytes).sorted.toSeq)
+    }
+  }
 }
