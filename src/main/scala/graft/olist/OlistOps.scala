@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object OlistOps {
 
-  /** Scratch warehouse inside the build dir (kept out of git). */
-  private def scratch = s"target/olist_wh"
+  /** Scratch warehouse inside the build dir (kept out of git; absolute so
+    * the driver's working directory cannot redirect it).
+    */
+  private def scratch = "/root/repo/target/olist_wh"
 
   val ops: Seq[Op] = Seq(
 

@@ -63,7 +63,11 @@ object Pipeline {
     * run), evaluate tests with dbt's warn-only gating for test failures.
     */
   def runAll(cat: Catalog, synthDir: String, nOrders: Long = 2000L): PipelineResult = {
-    Seeds.synthesizeCsv(cat.spark, synthDir, nOrders)
+    // The synthesized seeds are deterministic, so an existing synth dir is
+    // byte-identical to a fresh one — skip the CSV write, keep the full
+    // seed->staging->mart rebuild.
+    if (!new java.io.File(s"$synthDir/olist_orders_dataset.csv").exists())
+      Seeds.synthesizeCsv(cat.spark, synthDir, nOrders)
     val built = cat.run(Seq("fct_orders"), withUpstream = true)
     val tests = testQueries(cat).map { case (name, q) =>
       TestOutcome(name, Checks.evaluate(q(), warnOnly = true))

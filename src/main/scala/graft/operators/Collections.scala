@@ -62,14 +62,16 @@ object Collections {
         .na.fill(0L, Seq("F", "O", "P"))
     },
 
-    // HLL sketch aggregate: approx distinct + exact side by side. No SQL
-    // oracle (DuckDB's approx sketch differs by construction); the <2%
-    // relative-error bound is asserted in CollectionsSpec.
+    // HLL sketch aggregate per group. No SQL oracle (DuckDB's approx sketch
+    // differs by construction); the relative-error bound vs an exact count
+    // is asserted in CollectionsSpec. Sketch-only on purpose: mixing an
+    // exact countDistinct into the same agg forces an Expand duplication of
+    // every input row.
     Op.noOracle("f_approx_distinct") { (s, d) =>
-      Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01)
-          .as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("approx_orders"))
     }
   )
 }

@@ -37,6 +37,15 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on event_id — the at-least-once -> exactly-once
+    * repair every event pipeline needs. State holds one key per id seen
+    * within the watermark horizon; ids older than the watermark are evicted,
+    * which bounds state (the batch analog is Dedup.exact, whose state is
+    * unbounded by design).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
   final case class SessionEvent(event_id: Long, user_id: Long, ts: Timestamp)
   final case class SessionAssignment(event_id: Long, user_id: Long,
                                      session_idx: Long)

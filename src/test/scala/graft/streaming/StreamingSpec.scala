@@ -88,4 +88,25 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)))
   }
+
+  test("streaming dedup drops redelivered event ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.dedupEvents(
+        stream.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:00"), 1.0), // same-batch duplicate
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      stream.addData((1L, ts("2024-01-01 10:00:00"), 1.0), // redelivery
+        (3L, ts("2024-01-01 10:02:00"), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
 }
