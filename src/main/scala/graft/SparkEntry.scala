@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def allOps: Seq[Op] =
     operators.Relational.ops ++
+      operators.Headline.ops ++
       operators.QualityGates.ops ++
       operators.Analytics.ops ++
       operators.Collections.ops ++

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Headline analytic queries — multi-join aggregate shapes in the style of
+  * TPC-H Q3/Q5/Q10, adapted to the testdata columns. These are the plans
+  * that exercise join ordering, filter pushdown, broadcast-vs-shuffle
+  * choices, and partial aggregation together; the money arithmetic follows
+  * the exact-decimal / double-presentation rule (Relational.scala header).
+  *
+  * Scale shapes:
+  *  - q3: two selective pushed filters, customer⋈orders⋈lineitem keyed
+  *    joins, per-order partial agg, distributed top-10
+  *    (TakeOrderedAndProject).
+  *  - q5: constant-size dims (region, nation) broadcast; the two fact-side
+  *    joins shuffle on their keys; one final small aggregate.
+  *  - q10: selective returnflag filter into a per-customer aggregate joined
+  *    back to the customer dim, top-20.
+  */
+object Headline {
+
+  private val dec = DecimalType(18, 2)
+  private val dec92 = DecimalType(9, 2)
+
+  private def revenue = sum(col("l_extendedprice").cast(dec) *
+    (lit(1) - col("l_discount").cast(dec92))).cast("double")
+
+  private val revenueSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE)"
+
+  val ops: Seq[Op] = Seq(
+
+    // Q3 shape: shipping-priority candidates — segment-filtered customers,
+    // orders placed before D, items shipped after D, top-10 open revenue.
+    Op("q3_shipping_priority",
+       s"""SELECT o.o_orderkey AS order_id,
+          |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+          |       o.o_orderpriority AS priority,
+          |       $revenueSql AS revenue
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          |  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, order_id LIMIT 10""".stripMargin) { (s, d) =>
+      val cutoff = "1995-03-15 00:00:00"
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit(cutoff)))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit(cutoff)))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(
+          o("o_orderkey").as("order_id"),
+          // string form: DATE columns surface as date-vs-timestamp dtype
+          // mismatches between the two engines' parquet/pandas paths
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          o("o_orderpriority").as("priority"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("order_id"))
+        .limit(10)
+    },
+
+    // Q5 shape: revenue by nation inside one region and one year, customer
+    // and supplier required to sit in the same nation. region/nation are
+    // constant-size -> forced broadcast is correct for them (and only them).
+    Op("q5_local_supplier_volume",
+       s"""SELECT n.n_name AS nation_name, $revenueSql AS revenue
+          |FROM region r
+          |JOIN nation n ON n.n_regionkey = r.r_regionkey
+          |JOIN customer c ON c.c_nationkey = n.n_nationkey
+          |JOIN orders o ON o.o_custkey = c.c_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          |             AND s.s_nationkey = n.n_nationkey
+          |WHERE r.r_name = 'ASIA'
+          |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY 1""".stripMargin) { (s, d) =>
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      broadcast(r).join(broadcast(n), n("n_regionkey") === r("r_regionkey"))
+        .join(c, c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, sup("s_suppkey") === l("l_suppkey") &&
+          sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("nation_name"))
+        .agg(revenue.as("revenue"))
+    },
+
+    // Q10 shape: customers who returned the most revenue.
+    Op("q10_returned_items",
+       s"""SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+          |       n.n_name AS nation_name, $revenueSql AS lost_revenue
+          |FROM customer c
+          |JOIN nation n ON n.n_nationkey = c.c_nationkey
+          |JOIN orders o ON o.o_custkey = c.c_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE l.l_returnflag = 'R'
+          |GROUP BY 1, 2, 3
+          |ORDER BY lost_revenue DESC, customer_id LIMIT 20""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      c.join(broadcast(n), n("n_nationkey") === c("c_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(
+          c("c_custkey").as("customer_id"),
+          c("c_name").as("customer_name"),
+          n("n_name").as("nation_name"))
+        .agg(revenue.as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("customer_id"))
+        .limit(20)
+    }
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executable plan audits: the properties a 100 TB deployment depends on,
+  * asserted on the actual physical plans so a regression fails CI rather
+  * than surfacing as a cluster incident.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters are pushed into the parquet scan (p4)") {
+    val p = plan("p4_filter_predicate")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThan(l_quantity,3.0)") || p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("projection prunes the scan schema (p2 reads 3 of 6 order columns)") {
+    val p = plan("p2_project_rename")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_orderstatus")
+      && readSchema.contains("o_orderpriority"), readSchema)
+    assert(!readSchema.contains("o_totalprice") && !readSchema.contains("o_custkey"),
+      readSchema)
+  }
+
+  test("order-by + limit plans as distributed top-k, not a global sort") {
+    Seq("l1_order_limit", "text_top_words", "q3_shipping_priority",
+        "q10_returned_items").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name:\n$p")
+    }
+  }
+
+  test("no accidental cartesian products or nested-loop joins anywhere") {
+    // knn_cosine's broadcast nested loop is the intended brute-force shape;
+    // olist ops execute eagerly (they run a pipeline) and are audited in
+    // their own specs.
+    val audited = SparkEntry.queries.keys.filterNot(n =>
+      n.startsWith("olist_") || n == "knn_cosine")
+    audited.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
+    }
+  }
+
+  test("constant-size dims broadcast; fact-side joins do not (q5)") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the orders-lineitem join side must not be broadcast under a realistic
+    // threshold: disable auto-broadcast, keep the explicit dim hints
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = plan("q5_local_supplier_volume")
+      assert(p2.contains("SortMergeJoin"), p2)
+      assert(p2.contains("BroadcastHashJoin"), p2) // region/nation hints survive
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("flagship j2 keys both shuffles on orderkey with partial aggregation") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("j2_fct_orders")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("HashAggregate"), p)
+      assert(p.linesIterator.count(_.contains("partial_sum")) > 0 ||
+        p.contains("partial"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
