@@ -84,6 +84,13 @@ object LlmOps {
       Similarity.lshKnn(Tables.embeddings(s, d), planes = 6, tables = 8)
     },
 
+    // IVF ANN: k-means coarse quantizer + nprobe list search — the
+    // data-adaptive scale path next to LSH. Rows-only; recall asserted vs
+    // brute force in SimilaritySpec.
+    Op.noOracle("knn_ivf") { (s, d) =>
+      Similarity.ivfKnn(Tables.embeddings(s, d))
+    },
+
     // Embedding-cosine near-dup pairs via random-hyperplane buckets.
     Op.noOracle("embed_near_dup") { (s, d) =>
       Similarity.cosineNearDups(Tables.embeddings(s, d),

@@ -176,6 +176,54 @@ object Similarity {
     topKPerGroup(scored, "query_id", "vid", "sim", k)
   }
 
+  // --- IVF path ----------------------------------------------------------
+
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * vector to its nearest of `nlist` centroids; a query searches only the
+    * `nprobe` nearest lists. The other standard ANN scale path next to LSH:
+    * data-adaptive (clustered corpora get tight lists) where LSH is
+    * data-oblivious.
+    *
+    * Plan shape: the quantizer is trained once on (a sample of) the corpus
+    * — the only driver-side state, `nlist` centroid vectors, broadcast as
+    * literals; assignment and probing are pure map-side expressions over
+    * the native vec_cosine, and candidates come from an equi-join on the
+    * list id. Fixed seed -> deterministic across runs and partitionings.
+    */
+  def ivfKnn(embeddings: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             nlist: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(vecs.select(array_to_vector(col("v")).as("features")))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+
+    // distance of a vector to each centroid, as literal-array expressions
+    def dist2(c: Seq[Double]) = {
+      val diff = zip_with(col("v"), typedlit(c), (x, y) => (x - y) * (x - y))
+      aggregate(diff, lit(0.0), (acc, d) => acc + d)
+    }
+    val allDists = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(c).as("d"), lit(i).as("list"))
+    }: _*)
+    // corpus side: nearest list only; query side: nprobe nearest lists
+    val assigned = vecs.select(col("vid"), col("v"),
+      array_min(allDists).getField("list").as("list"))
+    val probed = vecs.select(col("vid"), col("v"),
+      explode(slice(array_sort(allDists), 1, nprobe)).as("probe"))
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("probe.list").as("list"))
+    val scored = probed
+      .join(assigned, Seq("list"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid"), cosine(col("qv"), col("v")).as("sim"))
+    topKPerGroup(scored, "query_id", "vid", "sim", k)
+  }
+
   /** Embedding-cosine near-duplicates: same-bucket pairs with cosine above
     * `threshold` — the embedding-space analog of MinHash dedup, again a
     * bucket equi-join rather than an all-pairs comparison.

@@ -59,6 +59,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("ivfKnn recall vs brute force beats the probed-list fraction") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceKnn(d, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKnn(d, nlist = 16, nprobe = 4, k = 5)
+      .filter(col("query_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    // probing 4 of 16 lists scans ~25% of a uniform corpus; recall must
+    // beat that baseline decisively (the quantizer concentrates neighbors)
+    assert(recall > 0.35, s"recall=$recall")
+  }
+
+  test("ivfKnn is deterministic across runs (fixed quantizer seed)") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run() = Similarity.ivfKnn(d, nlist = 8, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run() == run())
+  }
+
   test("cosineNearDups finds planted duplicate directions only") {
     val a = Seq.tabulate(8)(i => math.sin(i * 2 + 1))
     val d = vecs(
