@@ -79,6 +79,70 @@ object Analytics {
           .cast("long").as("days_since_prev"))
     },
 
+    // Range-framed window: spend within the trailing 30 days of each order
+    // (RANGE frame keyed on a numeric day offset — the time-window analytic
+    // a RANGE BETWEEN frame exists for).
+    Op("w4_range_frame",
+       """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         |         PARTITION BY o_custkey ORDER BY epoch_day
+         |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |         AS spend_30d
+         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+         |             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS epoch_day
+         |      FROM orders)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_day"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("epoch_day",
+          (unix_timestamp(col("o_orderdate")) / 86400).cast("long"))
+        .select(
+          col("o_custkey").as("customer_id"),
+          col("o_orderkey").as("order_id"),
+          sum(col("o_totalprice").cast(dec)).over(w).cast("double")
+            .as("spend_30d"))
+    },
+
+    // ntile + percent_rank: quantile bucketing of customers by balance
+    // WITHIN their market segment. Keyed on purpose: an unpartitioned
+    // window is a single-partition global sort — the one window shape that
+    // cannot scale (global quantiles belong to approx_percentile instead).
+    Op("w5_ntile",
+       """SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+         |       ntile(4) OVER w AS quartile,
+         |       percent_rank() OVER w AS pct_rank
+         |FROM customer
+         |WINDOW w AS (PARTITION BY c_mktsegment
+         |             ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_custkey").as("customer_id"),
+        col("c_mktsegment").as("segment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+    },
+
+    // first/last value over an ordered frame: each customer's cheapest and
+    // priciest order ids.
+    Op("w6_first_last",
+       """SELECT DISTINCT o_custkey AS customer_id,
+         |       first_value(o_orderkey) OVER w AS cheapest_order,
+         |       last_value(o_orderkey) OVER w AS priciest_order
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey").as("customer_id"),
+        first(col("o_orderkey")).over(w).as("cheapest_order"),
+        last(col("o_orderkey")).over(w).as("priciest_order"))
+        .distinct()
+    },
+
     // Set op: EXCEPT (distinct) — segments' customers minus recent buyers.
     Op("set_except",
        """SELECT c_custkey AS customer_id FROM customer WHERE c_mktsegment = 'BUILDING'
