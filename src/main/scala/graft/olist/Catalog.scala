@@ -1,6 +1,7 @@
 package graft.olist
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** D1–D3: model registry, DAG scheduling, and `--select` semantics.
   *
@@ -27,6 +28,15 @@ object Materialization {
 
   /** S1: CSV -> stored table. */
   case object Seed extends Materialization
+
+  /** dbt's incremental materialization with the merge strategy on a unique
+    * key (available-but-unused in the reference — SURVEY §2.9): the first
+    * run is a full build; later runs keep stored rows whose key is absent
+    * from the new batch and replace the rest. At scale this rewrites only
+    * the table, never rescans upstream history — the build function decides
+    * what "new batch" means (typically a timestamp predicate).
+    */
+  final case class Incremental(uniqueKey: String) extends Materialization
 }
 
 final case class Model(
@@ -47,6 +57,24 @@ final class Warehouse(spark: SparkSession, val dir: String) {
   def load(name: String): DataFrame = spark.read.parquet(path(name))
   def exists(name: String): Boolean =
     new java.io.File(path(name)).exists()
+
+  /** Replace a table with a plan that READS the same table: write to a
+    * scratch location first, then swap directories. Overwriting a parquet
+    * path while a lazy plan still scans it corrupts the read — the classic
+    * self-referential merge trap.
+    */
+  def replace(name: String, df: DataFrame): Unit = {
+    val tmp = s"${path(name)}__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(path(name))
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete()
+    }
+    if (target.exists()) delete(target)
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(s"swap failed for $name")
+  }
 }
 
 final class Catalog(
@@ -120,6 +148,14 @@ final class Catalog(
       m.materialized match {
         case Materialization.View =>
           m.build(resolveDeps(m)).createOrReplaceTempView(name)
+        case Materialization.Incremental(key) =>
+          val fresh = m.build(resolveDeps(m))
+          if (!warehouse.exists(name)) warehouse.save(name, fresh)
+          else {
+            val kept = warehouse.load(name)
+              .join(fresh.select(col(key)).distinct(), Seq(key), "left_anti")
+            warehouse.replace(name, kept.unionByName(fresh))
+          }
         case _ =>
           warehouse.save(name, m.build(resolveDeps(m)))
       }
