@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests for the custom operators: the TopK aggregator must be
+  * indistinguishable from the window-rank formulation on arbitrary data,
+  * and exact dedup must be idempotent.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def checkProp(prop: Prop, tests: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(tests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("TopK aggregator == window row_number formulation on random data") {
+    val genRows = Gen.nonEmptyListOf(for {
+      g <- Gen.chooseNum(0L, 5L)
+      id <- Gen.chooseNum(0L, 50L)
+      s <- Gen.chooseNum(-10, 10)
+    } yield (g, id, s.toDouble))
+    checkProp(Prop.forAll(genRows) { rows =>
+      import spark.implicits._
+      // distinct (g, id): ranking is defined per distinct member
+      val df = rows.toDF("g", "id", "s")
+        .groupBy("g", "id").agg(max("s").as("s"))
+      val viaAgg = Similarity.topKPerGroup(df, "g", "id", "s", 3)
+        .select("g", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+      val viaWindow = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("g", "id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      viaAgg == viaWindow
+    })
+  }
+
+  test("exact dedup is idempotent and total-count preserving") {
+    val genDocs = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 100L)
+      t <- Gen.oneOf("aa bb", "aa  BB", "cc dd", "x", "")
+    } yield (id, t))
+    checkProp(Prop.forAll(genDocs) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+        .groupBy("doc_id").agg(first("text").as("text"))
+      val once = Dedup.exact(df)
+      val onceRows = once.collect()
+      // multiplicities must add back to the corpus size
+      val totalCopies = onceRows.map(_.getLong(2)).sum
+      // dedup of the deduped survivors keeps every row with n_copies 1
+      val surviving = df.join(once.select("doc_id"), "doc_id")
+      val twice = Dedup.exact(surviving).collect()
+      totalCopies == df.count() &&
+        twice.length == onceRows.length &&
+        twice.forall(_.getLong(2) == 1L)
+    })
+  }
+}
