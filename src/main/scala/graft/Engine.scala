@@ -26,6 +26,11 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The events table stores TIMESTAMP(NANOS), which the vectorized
+      // parquet reader rejects; session-wide legacy nanos-as-long lets
+      // Tables.events rebuild microsecond timestamps without any reader
+      // mutating shared session state mid-query.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,16 +55,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read nanos as raw longs
-    * (legacy flag) and rebuild a microsecond timestamp — lossless for this
-    * data (values carry microsecond precision) and bit-compatible with the
-    * DuckDB oracle's microsecond TIMESTAMP.
+    * Spark's vectorized reader rejects outright. The nanos-as-long legacy
+    * flag is set once in Engine.local (not here — a reader must not mutate
+    * session state); rebuild a microsecond timestamp with INTEGER division:
+    * epoch-nanos (~1.5e18) exceed 2^53, so a double round-trip would lose up
+    * to ~256 ns and shift some rows by 1 µs. `div` is exact for all longs
+    * and bit-compatible with the DuckDB oracle's microsecond TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -96,33 +96,6 @@ object Dedup {
             b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
           .as(Seq("band", "band_sig")))
 
-  /** All ordered pairs (a < b) within a sorted id array — the in-bucket
-    * candidate generator. Pure array expression, evaluated inside the
-    * aggregation output row, so no self-join is needed to pair bucket
-    * members (Spark never reuses the exchange of a self-joined aggregate, so
-    * the join formulation would compute every signature twice).
-    */
-  private def pairCombinations(sorted: Column): Column =
-    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
-      transform(slice(sorted, i + 2, size(sorted)),
-        b => struct(element_at(sorted, i + 1).as("a"), b.as("b")))))
-
-  /** Distinct candidate pairs from bucketed rows (bucketCols identify the
-    * bucket; idCol its member). `maxBucket` caps degenerate buckets (a bucket
-    * of m members yields m(m-1)/2 pairs): buckets above the cap are dropped,
-    * which only ever suppresses pairs a healthier band already produced —
-    * LSH gives every true near-dup pair `bands` independent chances.
-    */
-  def candidatePairs(bucketed: DataFrame, idCol: String,
-                     bucketCols: Seq[String],
-                     maxBucket: Int = 10000): DataFrame =
-    bucketed.groupBy(bucketCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairCombinations(array_sort(col("ids")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
-
   /** Candidate pairs from LSH banding, verified with exact shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     *
@@ -131,12 +104,14 @@ object Dedup {
     * side (Spark does not reuse a self-joined aggregate's exchange), but
     * that cost is pure map-side CPU — embarrassingly parallel, no extra
     * shuffle. The bucket-collect alternative (collect_list per bucket +
-    * in-expression pair generation — see candidatePairs) computes signatures
-    * once but materializes m^2 pair structs inside single rows, which
-    * straggles badly on corpora with large duplicate clusters (measured 1.7x
-    * slower on the benchmark corpus); the join distributes exactly the same
-    * pair count across tasks. Duplicate candidates from multiple matching
-    * bands are collapsed by the distinct before verification.
+    * in-expression pair generation) computes signatures once but
+    * materializes m^2 pair structs of an m-member bucket inside single
+    * rows — a straggler/OOM on corpora with large duplicate clusters
+    * (measured 1.7x slower at sf0.1, unboundedly worse as buckets grow);
+    * the join distributes exactly the same pair count across tasks, which
+    * is why every candidate generator in this engine uses the join form.
+    * Duplicate candidates from multiple matching bands are collapsed by the
+    * distinct before verification.
     */
   def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",

@@ -80,8 +80,9 @@ object LlmOps {
 
     // LSH-bucketed ANN: sublinear scale path; approximate by construction
     // -> rows-only check, recall asserted vs brute force in SimilaritySpec.
+    // planes is left at auto (corpus-scaled bucket space via planesFor).
     Op.noOracle("knn_lsh") { (s, d) =>
-      Similarity.lshKnn(Tables.embeddings(s, d), planes = 6, tables = 8)
+      Similarity.lshKnn(Tables.embeddings(s, d), tables = 8)
     },
 
     // IVF ANN: k-means coarse quantizer + nprobe list search — the
@@ -91,10 +92,11 @@ object LlmOps {
       Similarity.ivfKnn(Tables.embeddings(s, d))
     },
 
-    // Embedding-cosine near-dup pairs via random-hyperplane buckets.
+    // Embedding-cosine near-dup pairs via random-hyperplane buckets
+    // (corpus-scaled bucket space, self-equi-join candidates).
     Op.noOracle("embed_near_dup") { (s, d) =>
       Similarity.cosineNearDups(Tables.embeddings(s, d),
-        planes = 6, tables = 4, threshold = 0.4)
+        tables = 4, threshold = 0.4)
     },
 
     // --- text analysis ---------------------------------------------------

@@ -57,16 +57,40 @@ object Similarity {
     * instead of O(all scored rows), which is what makes brute-force search
     * survive a wide corpus. A typed Aggregator is preference (b) in the
     * custom-operator ladder: an agg function Spark lacks, no plan surgery.
-    * Score ties break on ascending id, so results are deterministic.
+    *
+    * Ordering is a TOTAL order (descending score, ascending id, NaN ranks
+    * LAST — a zero-norm vector makes cosine 0/0 = NaN, and a sortWith over a
+    * non-total comparator would make survivor choice partition-order
+    * dependent). The hot `reduce` path is a bounded insertion into an
+    * already-sorted buffer — O(k) per row with an O(1) common-case reject,
+    * not a sort per row.
     */
   final class TopK(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // < 0 iff a ranks strictly before b; total even when scores are NaN.
+    private def cmp(a: Scored, b: Scored): Int = {
+      val an = java.lang.Double.isNaN(a.score)
+      val bn = java.lang.Double.isNaN(b.score)
+      if (an || bn) {
+        if (an && bn) java.lang.Long.compare(a.id, b.id)
+        else if (an) 1
+        else -1
+      } else {
+        val c = java.lang.Double.compare(b.score, a.score)
+        if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+      }
+    }
     def zero: TopKBuf = TopKBuf(Vector.empty)
-    def reduce(b: TopKBuf, x: Scored): TopKBuf =
-      TopKBuf(((b.items :+ x).sortWith(better)).take(k))
+    def reduce(b: TopKBuf, x: Scored): TopKBuf = {
+      val items = b.items
+      if (items.size >= k && cmp(x, items.last) >= 0) b // common case: reject
+      else {
+        val idx = items.indexWhere(it => cmp(x, it) < 0)
+        val pos = if (idx < 0) items.size else idx
+        TopKBuf(((items.take(pos) :+ x) ++ items.drop(pos)).take(k))
+      }
+    }
     def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
-      TopKBuf((a.items ++ b.items).sortWith(better).take(k))
+      TopKBuf((a.items ++ b.items).sortWith(cmp(_, _) < 0).take(k))
     def finish(b: TopKBuf): Seq[Scored] = b.items
     def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
     def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
@@ -147,28 +171,47 @@ object Similarity {
         lshSignature(col("v"), planes, t, dim)): _*))
         .as(Seq("table", "bucket")))
 
-  /** Bucketed ANN: equi-join on (table, bucket), rank distinct candidates
-    * by true cosine. Sublinear: only same-bucket pairs are scored. Recall
-    * vs the brute-force baseline is asserted in the test suite, not
-    * oracle-checked (the oracle cannot express "approximately right").
+  /** Bucket granularity that SCALES WITH THE CORPUS: enough hyperplanes
+    * that the expected bucket population stays near `targetBucket`
+    * regardless of corpus size (2^planes ≈ n / targetBucket). A fixed plane
+    * count is the classic LSH scale trap: bucket population — and therefore
+    * same-bucket pair count — grows linearly with the corpus, so the
+    * candidate join output grows quadratically. Keeping expected population
+    * constant keeps candidates O(n · targetBucket · tables), i.e. linear.
+    */
+  def planesFor(n: Long, targetBucket: Int = 64,
+                minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    val buckets = math.max(1L, n / math.max(1, targetBucket))
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(buckets) // ~ceil(log2)
+    math.min(maxPlanes, math.max(minPlanes, p))
+  }
+
+  /** Bucketed ANN: candidates come from a SELF-EQUI-JOIN on (table,
+    * bucket) — the same pair count as any in-bucket enumeration, but
+    * distributed across shuffle tasks instead of materialized inside
+    * single aggregate rows (the bucket-collect formulation packs O(m²)
+    * structs of an m-member bucket into ONE row: an executor OOM / terminal
+    * straggler as buckets grow, and any bucket-size cap silently zeroes
+    * recall). The signature subtree is evaluated once per join side — pure
+    * map-side CPU, no extra shuffle. `planes = 0` (the default) derives the
+    * bucket space from the corpus size via planesFor, so buckets stay
+    * bounded at any scale. Rank distinct candidates by true cosine.
+    * Sublinear: only same-bucket pairs are scored. Recall vs the
+    * brute-force baseline is asserted in the test suite, not oracle-checked
+    * (the oracle cannot express "approximately right").
     */
   def lshKnn(embeddings: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding",
-             planes: Int = 6, tables: Int = 8, k: Int = 10,
+             planes: Int = 0, tables: Int = 8, k: Int = 10,
              dim: Int = 64): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    val buckets = lshBuckets(vecs, planes, tables, dim)
-      .select("vid", "table", "bucket")
-    // undirected candidate id-pairs from bucket membership (ONE bucket
-    // computation, in-bucket pair generation, dedup across tables before
-    // touching any vector payload), then both directions since every vector
-    // is a query.
-    val undirected = Dedup.candidatePairs(buckets, "vid",
-      Seq("table", "bucket"))
-    val candidates = undirected.unionByName(
-        undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("query_id", "vid")
+    val p = if (planes > 0) planes else planesFor(vecs.count())
+    val b = lshBuckets(vecs, p, tables, dim).select("vid", "table", "bucket")
+    val candidates = b.toDF("query_id", "table", "bucket")
+      .join(b.toDF("vid", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("vid"))
+      .select("query_id", "vid").distinct()
     val scored = candidates
       .join(vecs.toDF("query_id", "qv"), Seq("query_id"))
       .join(vecs, Seq("vid"))
@@ -231,18 +274,23 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicates: same-bucket pairs with cosine above
-    * `threshold` — the embedding-space analog of MinHash dedup, again a
-    * bucket equi-join rather than an all-pairs comparison.
+    * `threshold` — the embedding-space analog of MinHash dedup. Same
+    * self-equi-join candidate formulation and corpus-scaled bucket space as
+    * lshKnn (`planes = 0` → planesFor), never an all-pairs comparison and
+    * never a per-bucket collect.
     */
   def cosineNearDups(embeddings: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     planes: Int = 8, tables: Int = 4,
+                     planes: Int = 0, tables: Int = 4,
                      threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    val buckets = lshBuckets(vecs, planes, tables, dim)
-      .select("vid", "table", "bucket")
-    Dedup.candidatePairs(buckets, "vid", Seq("table", "bucket"))
+    val p = if (planes > 0) planes else planesFor(vecs.count())
+    val b = lshBuckets(vecs, p, tables, dim).select("vid", "table", "bucket")
+    b.toDF("id_a", "table", "bucket")
+      .join(b.toDF("id_b", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
       .join(vecs.toDF("id_a", "va"), Seq("id_a"))
       .join(vecs.toDF("id_b", "vb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))

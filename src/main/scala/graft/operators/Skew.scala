@@ -26,6 +26,14 @@ object Skew {
                  buckets: Int, saltBy: Seq[String],
                  joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // The dim side is replicated `buckets` times, so any join type that
+    // emits unmatched DIM rows (right/full outer) would emit each of them
+    // `buckets` times — only fact-side-preserving types are row-identical
+    // to the unsalted join.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(
+        joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin only preserves fact-side semantics; got '$joinType'")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(saltBy.map(col): _*), lit(buckets)).cast("int"))
     val replicated = dim.withColumn("__salt",
