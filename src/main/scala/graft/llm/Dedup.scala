@@ -82,19 +82,46 @@ object Dedup {
           array_min(transform(col("bases"),
             b => xxhash64(b, lit(h))))): _*).as("sig"))
 
+  /** k minhashes per doc, PORTABLE mode: hash h of a shingle is the md5 hex
+    * string of "h:shingle" and the signature entry is the lexicographic min
+    * over shingles. Both engines md5 identical UTF-8 bytes and compare
+    * ASCII hex identically, so the whole near-dup pipeline — candidates
+    * included — can be replayed by the DuckDB oracle byte-for-byte. Costs k
+    * md5 calls per shingle where the fast path pays k cheap long re-hashes
+    * of one xxhash64 base; same map-only plan shape, so it scales the same
+    * way, just with a larger CPU constant. Use the xxhash64 path when
+    * cross-engine reproducibility isn't needed.
+    */
+  def minhashSignaturesPortable(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int = 64): DataFrame =
+    withShingles(docs, idCol, textCol)
+      .select(col(idCol), col("sh"),
+        array((0 until k).map(h =>
+          array_min(transform(col("sh"),
+            s => md5(concat(lit(h + ":"), s))))): _*).as("sig"))
+
   /** (doc_id, band, band_sig) — one row per band of the signature array.
     * b bands of r rows, k = b * r; `sig` is a physical column here, so the
-    * band hashes are cheap slices.
+    * band hashes are cheap slices. `portable = true` uses the md5 signature
+    * mode (band_sig = md5 of the joined band slice) so the DuckDB oracle
+    * can reproduce the buckets.
     */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
-               bands: Int, rows: Int): DataFrame =
-    minhashSignatures(docs, idCol, textCol, bands * rows)
-      .select(
-        col(idCol),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
-          .as(Seq("band", "band_sig")))
+               bands: Int, rows: Int,
+               portable: Boolean = false): DataFrame = {
+    val sigs =
+      if (portable) minhashSignaturesPortable(docs, idCol, textCol, bands * rows)
+      else minhashSignatures(docs, idCol, textCol, bands * rows)
+    def bandSig(b: Column): Column = {
+      val bandSlice = slice(col("sig"), b * rows + 1, lit(rows))
+      if (portable) md5(concat_ws("|", bandSlice)) else xxhash64(bandSlice)
+    }
+    sigs.select(
+      col(idCol),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b => bandSig(b)))
+        .as(Seq("band", "band_sig")))
+  }
 
   /** Candidate pairs from LSH banding, verified with exact shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -116,8 +143,9 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
                       bands: Int = 16, rows: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
-    val b = lshBands(docs, idCol, textCol, bands, rows)
+                      threshold: Double = 0.8,
+                      portable: Boolean = false): DataFrame = {
+    val b = lshBands(docs, idCol, textCol, bands, rows, portable)
     val candidates = b.toDF("id_a", "band", "band_sig")
       .join(b.toDF("id_b", "band", "band_sig"), Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
@@ -157,18 +185,20 @@ object Dedup {
     summed.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dups: candidates share one of four 16-bit chunks
+  /** SimHash near-dups: candidates share one of EIGHT 8-bit chunks
     * (equi-join on (chunk index, chunk value) — pigeonhole guarantees no
-    * misses up to hamming distance 3), verified by exact popcount. Join
-    * formulation for the same straggler reason as minHashNearDups.
+    * misses up to hamming distance 7, so the default maxHamming = 6 is
+    * lossless; the previous 4x16 chunking only covered distance <= 3),
+    * verified by exact popcount. Join formulation for the same straggler
+    * reason as minHashNearDups.
     */
   def simHashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 6): DataFrame = {
     val sig = simhash(docs, idCol, textCol)
     val chunked = sig.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until 8).map(c =>
+        shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*))
         .as(Seq("chunk", "chunk_val")))
     chunked.toDF("id_a", "sig_a", "chunk", "chunk_val")
       .join(chunked.toDF("id_b", "sig_b", "chunk", "chunk_val"),
@@ -176,6 +206,59 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** PORTABLE SimHash: the per-token hash is md5, with bit b of the
+    * first 64 signature bits read from hex nibble b/4 (bit b%4, LSB
+    * first); the signature is kept as EIGHT 8-bit chunk values rather than
+    * one packed long (no sign/overflow semantics to align across engines).
+    * Both engines derive identical chunk values from identical md5 hex, so
+    * candidates AND verification replay exactly in the DuckDB oracle.
+    * Same plan shape as the fast path: map-side hashing, one partial+final
+    * aggregate per doc, chunk equi-join, popcount verify.
+    */
+  def simhashChunksPortable(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // value of hex nibble j (0-based) of the md5 hex string
+    def nib(j: Int): Column =
+      conv(substring(col("h"), j + 1, 1), 16, 10).cast("int")
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(nib(b / 4), b % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val chunks = array((0 until 8).map { c =>
+      (0 until 8).map { w =>
+        when(col(s"b${c * 8 + w}") > 0, lit(1 << w)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    summed.select(col(idCol), chunks.as("chunks"))
+  }
+
+  /** simHashNearDups over the portable chunked signature — identical join
+    * shape; hamming is the summed popcount of per-chunk XORs.
+    */
+  def simHashNearDupsPortable(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              maxHamming: Int = 6): DataFrame = {
+    val sig = simhashChunksPortable(docs, idCol, textCol)
+    val chunked = sig.select(col(idCol), col("chunks"),
+      posexplode(col("chunks")).as(Seq("chunk", "chunk_val")))
+    chunked.toDF("id_a", "chunks_a", "chunk", "chunk_val")
+      .join(chunked.toDF("id_b", "chunks_b", "chunk", "chunk_val"),
+        Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(
+          zip_with(col("chunks_a"), col("chunks_b"),
+            (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, v) => acc + v).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -23,6 +23,84 @@ object LlmOps {
   private val stopSql =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
 
+  /** DuckDB replay of the PORTABLE MinHash near-dup pipeline (md5 string
+    * hashes — see Dedup.minhashSignaturesPortable). Generated, not
+    * hand-written: the k signature expressions mirror the Spark builder
+    * loop exactly, so the two can only drift if the parameters drift.
+    */
+  private def minhashOracleSql(bands: Int, rows: Int,
+                               threshold: Double): String = {
+    val k = bands * rows
+    val sigArr = (0 until k).map(h =>
+      s"list_aggregate(list_transform(sh, s -> md5(concat('$h:', s))), 'min')")
+      .mkString("[", ",\n      ", "]")
+    val bandCols = (1 to rows).map(j => s"sig[b.range*$rows+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(0, len(toks) - 2),
+       |        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END) AS sh
+       |  FROM toks),
+       |sigs AS (SELECT doc_id, sh, $sigArr AS sig FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b.range AS band,
+       |         md5(concat_ws('|', $bandCols)) AS band_sig
+       |  FROM sigs, range(0, $bands) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig
+       |   AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replay of the PORTABLE SimHash near-dup pipeline (md5 nibble
+    * bits, 8x8-bit chunk signature — see Dedup.simhashChunksPortable).
+    */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val bitSums = (0 until 64).map { b =>
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val chunkArr = (0 until 8).map { c =>
+      (0 until 8).map(w =>
+        s"(CASE WHEN b${c * 8 + w} > 0 THEN ${1 << w} ELSE 0 END)")
+        .mkString(" + ")
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |chunks AS (SELECT doc_id, $chunkArr AS chunks FROM bits),
+       |exploded AS (
+       |  SELECT doc_id, chunks, c.range AS chunk, chunks[c.range + 1] AS chunk_val
+       |  FROM chunks, range(0, 8) c),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         x.chunks AS ca, y.chunks AS cb
+       |  FROM exploded x JOIN exploded y
+       |    ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(list_aggregate(list_transform(range(1, 9),
+       |      i -> bit_count(xor(ca[i], cb[i]))), 'sum') AS BIGINT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $maxHamming""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
 
     // --- dedup -----------------------------------------------------------
@@ -37,19 +115,21 @@ object LlmOps {
     },
 
     // MinHash-LSH near-dup pairs (banding join, no cross join anywhere in
-    // the plan). The exact-Jaccard verify step makes the *output* exact even
-    // though candidate generation is probabilistic, but the minhash signature
-    // depends on Spark's xxhash64, which DuckDB cannot reproduce -> rows-only
-    // check here; semantics are asserted in DedupSpec (planted near-dups,
-    // recall vs exact pairwise Jaccard).
-    Op.noOracle("dedup_minhash") { (s, d) =>
-      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.8)
+    // the plan). The driver entry runs the PORTABLE md5 signature mode so
+    // candidate generation itself replays in DuckDB and the whole pipeline
+    // hash-matches; the xxhash64 fast path keeps the same plan shape and is
+    // covered by DedupSpec (planted near-dups, recall vs exact Jaccard).
+    Op("dedup_minhash", minhashOracleSql(bands = 16, rows = 4,
+        threshold = 0.8)) { (s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.8,
+        portable = true)
     },
 
-    // SimHash near-dup pairs (16-bit chunk pigeonhole join + exact hamming
-    // verify). Same xxhash64 dependence -> rows-only.
-    Op.noOracle("dedup_simhash") { (s, d) =>
-      Dedup.simHashNearDups(Tables.documents(s, d), maxHamming = 6)
+    // SimHash near-dup pairs (8-bit chunk pigeonhole join, lossless to
+    // hamming <= 7 + exact popcount verify). Portable md5-nibble mode for
+    // the oracle; xxhash64 fast path tested in DedupSpec.
+    Op("dedup_simhash", simhashOracleSql(maxHamming = 6)) { (s, d) =>
+      Dedup.simHashNearDupsPortable(Tables.documents(s, d), maxHamming = 6)
     },
 
     // --- similarity search ----------------------------------------------

@@ -52,7 +52,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: exact dups always pair; near-dups have small radius; " +
-       "candidate generation is exactly the 16-bit-chunk pigeonhole") {
+       "candidate generation is exactly the 8-bit-chunk pigeonhole") {
     // 500-token docs: signatures are deterministic (hash-derived), so these
     // assertions are exact, not probabilistic.
     val big = (1 to 500).map(i => s"tok$i").mkString(" ")
@@ -67,10 +67,10 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(2L)) < 16,
       s"near-dup hamming=${hamming(sigs(1L), sigs(2L))}")
     assert(hamming(sigs(1L), sigs(3L)) > 16)
-    // candidate set == pairs sharing at least one 16-bit chunk (pigeonhole
-    // candidate generation, exact hamming verify)
+    // candidate set == pairs sharing at least one 8-bit chunk (pigeonhole
+    // candidate generation — lossless to hamming <= 7 — exact hamming verify)
     def chunkMatch(a: Long, b: Long) =
-      (0 until 4).exists(c => ((a >> (c * 16)) & 0xFFFFL) == ((b >> (c * 16)) & 0xFFFFL))
+      (0 until 8).exists(c => ((a >> (c * 8)) & 0xFFL) == ((b >> (c * 8)) & 0xFFL))
     val pairs = Dedup.simHashNearDups(d, maxHamming = 63).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ids = Seq(1L, 2L, 3L, 4L)
@@ -87,6 +87,33 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.simhash(d.repartition(7)).orderBy("doc_id").collect()
       .map(_.getLong(1))
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("portable minhash finds the planted near-dup pair with identical " +
+       "jaccard to the fast path") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val fast = Dedup.minHashNearDups(d, threshold = 0.5).collect()
+    val port = Dedup.minHashNearDups(d, threshold = 0.5, portable = true)
+      .collect()
+    // different hash families -> same verified pairs, identical exact
+    // jaccard (verification is hash-independent)
+    assert(port.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      fast.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(port.head.getDouble(2) == fast.head.getDouble(2))
+  }
+
+  test("portable simhash: exact dups pair at hamming 0; chunks stay in " +
+       "[0, 255]") {
+    val big = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> big, 2L -> big, 3L -> unrelated)
+    val chunks = Dedup.simhashChunksPortable(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(chunks.values.forall(_.forall(v => v >= 0 && v <= 255)))
+    assert(chunks(1L) == chunks(2L))
+    assert(chunks(1L) != chunks(3L))
+    val pairs = Dedup.simHashNearDupsPortable(d, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L)))
   }
 
   test("testdata: minhash recovers exactly the pairs exact Jaccard >= 0.8") {
