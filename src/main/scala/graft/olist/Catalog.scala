@@ -49,31 +49,56 @@ final case class Model(
   * warehouse. Writes are distributed (no coalesce — the writer parallelism is
   * the upstream partitioning; at cluster scale that is the whole point of the
   * sink).
+  *
+  * All filesystem operations go through the Hadoop FileSystem API resolved
+  * from the warehouse URI, so the same code runs against file://, hdfs://,
+  * or an s3a:// bucket — never java.io.File, which silently only works on a
+  * local disk. On stores whose rename is a copy (raw object stores), swap
+  * latency grows with table size; the directory-swap protocol below is still
+  * correct because a valid table directory exists at every step.
   */
 final class Warehouse(spark: SparkSession, val dir: String) {
-  private def path(name: String) = s"$dir/$name"
+  import org.apache.hadoop.fs.Path
+
+  private def path(name: String) = new Path(dir, name)
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def save(name: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(path(name))
-  def load(name: String): DataFrame = spark.read.parquet(path(name))
-  def exists(name: String): Boolean =
-    new java.io.File(path(name)).exists()
+    df.write.mode("overwrite").parquet(path(name).toString)
+  def load(name: String): DataFrame =
+    spark.read.parquet(path(name).toString)
+  def exists(name: String): Boolean = {
+    val p = path(name)
+    fs(p).exists(p)
+  }
 
   /** Replace a table with a plan that READS the same table: write to a
     * scratch location first, then swap directories. Overwriting a parquet
     * path while a lazy plan still scans it corrupts the read — the classic
     * self-referential merge trap.
+    *
+    * Swap order is crash-safe: the new data is fully written to `__tmp`,
+    * the live directory is renamed ASIDE to `__old` (not deleted), the tmp
+    * renamed into place, and only then is the old copy dropped. A crash at
+    * any step leaves a complete copy of the table on disk (under its name
+    * or under `__old`), unlike delete-then-rename which has a window with
+    * no table at all.
     */
   def replace(name: String, df: DataFrame): Unit = {
-    val tmp = s"${path(name)}__tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path(name))
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete()
-    }
-    if (target.exists()) delete(target)
-    if (!new java.io.File(tmp).renameTo(target))
+    val target = path(name)
+    val f = fs(target)
+    val tmp = new Path(dir, s"${name}__tmp")
+    val old = new Path(dir, s"${name}__old")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(old)) f.delete(old, true)
+    if (f.exists(target) && !f.rename(target, old))
+      throw new java.io.IOException(s"could not stage old copy of $name")
+    if (!f.rename(tmp, target)) {
+      if (f.exists(old)) f.rename(old, target) // restore the previous table
       throw new java.io.IOException(s"swap failed for $name")
+    }
+    if (f.exists(old)) f.delete(old, true)
   }
 }
 
@@ -134,31 +159,61 @@ final class Catalog(
     order.toSeq
   }
 
+  /** Materialize one node (dbt's ModelRunner.execute analog). */
+  private def runNode(name: String): Unit = {
+    val m = model(name)
+    m.materialized match {
+      case Materialization.View =>
+        m.build(resolveDeps(m)).createOrReplaceTempView(name)
+      case Materialization.Incremental(key) =>
+        val fresh = m.build(resolveDeps(m))
+        if (!warehouse.exists(name)) warehouse.save(name, fresh)
+        else {
+          val kept = warehouse.load(name)
+            .join(fresh.select(col(key)).distinct(), Seq(key), "left_anti")
+          warehouse.replace(name, kept.unionByName(fresh))
+        }
+      case _ =>
+        warehouse.save(name, m.build(resolveDeps(m)))
+    }
+  }
+
   /** D3: `run --select <names>`. Like dbt, a bare select does NOT rebuild
     * ancestors (`withUpstream = false` — reference: automate_pipeline.py:10
     * runs `--select fct_orders` assuming staging exists); `withUpstream =
     * true` mirrors dbt's `+fct_orders`. Views cost nothing to "run" (their
     * materialization is the lazy plan itself) but are registered as temp
     * views so SQL readers can also see them.
+    *
+    * `threads > 1` mirrors dbt's thread-pool scheduler (reference:
+    * dbt/task/runnable.py:317,437 — a GraphQueue feeds `threads` workers):
+    * every node gets a Future that awaits its in-selection dependencies'
+    * Futures, so a node starts the moment its deps finish — ready-queue
+    * semantics, not layer barriers — bounded by a fixed pool. Spark's
+    * scheduler is thread-safe, so concurrent saves of independent models
+    * just become concurrent jobs. Any node failure propagates and aborts
+    * the run, like dbt marking downstream nodes errored. The returned order
+    * is the deterministic topological order regardless of threads.
     */
-  def run(select: Seq[String], withUpstream: Boolean = false): Seq[String] = {
+  def run(select: Seq[String], withUpstream: Boolean = false,
+          threads: Int = 1): Seq[String] = {
     val order = topo(select, withUpstream)
-    order.foreach { name =>
-      val m = model(name)
-      m.materialized match {
-        case Materialization.View =>
-          m.build(resolveDeps(m)).createOrReplaceTempView(name)
-        case Materialization.Incremental(key) =>
-          val fresh = m.build(resolveDeps(m))
-          if (!warehouse.exists(name)) warehouse.save(name, fresh)
-          else {
-            val kept = warehouse.load(name)
-              .join(fresh.select(col(key)).distinct(), Seq(key), "left_anti")
-            warehouse.replace(name, kept.unionByName(fresh))
-          }
-        case _ =>
-          warehouse.save(name, m.build(resolveDeps(m)))
-      }
+    if (threads <= 1) order.foreach(runNode)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val inSelection = order.toSet
+        val futures = scala.collection.mutable.Map[String, Future[Unit]]()
+        order.foreach { n => // topo order => dep futures already registered
+          val depFs = model(n).deps.filter(inSelection).map(futures)
+          futures(n) = Future.sequence(depFs)
+            .flatMap(_ => Future(runNode(n)))
+        }
+        Await.result(Future.sequence(futures.values.toSeq), Duration.Inf)
+      } finally pool.shutdown()
     }
     order
   }

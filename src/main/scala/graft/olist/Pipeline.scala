@@ -68,7 +68,9 @@ object Pipeline {
     // seed->staging->mart rebuild.
     if (!new java.io.File(s"$synthDir/olist_orders_dataset.csv").exists())
       Seeds.synthesizeCsv(cat.spark, synthDir, nOrders)
-    val built = cat.run(Seq("fct_orders"), withUpstream = true)
+    // threads = 4 mirrors dbt's default profile threads: independent seeds
+    // build concurrently, dependent models still wait on their upstreams.
+    val built = cat.run(Seq("fct_orders"), withUpstream = true, threads = 4)
     val tests = testQueries(cat).map { case (name, q) =>
       TestOutcome(name, Checks.evaluate(q(), warnOnly = true))
     }

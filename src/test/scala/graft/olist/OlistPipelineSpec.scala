@@ -75,4 +75,47 @@ class OlistPipelineSpec extends SparkSpec {
     cat.run(Seq("fct_orders"), withUpstream = false)
     assert(cat.warehouse.load("fct_orders").count() == before)
   }
+
+  test("parallel run: diamond DAG builds dependency-ordered under a " +
+       "thread pool (D2, dbt threads semantics)") {
+    import org.apache.spark.sql.DataFrame
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val whP = Files.createTempDirectory("graft_diamond").toString
+    val events =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    def mk(name: String, deps: Seq[String])(
+        f: Map[String, DataFrame] => DataFrame) =
+      Model(name, deps, Materialization.Table,
+        m => { events.add(name); f(m) })
+    val models = Seq(
+      mk("base", Nil)(_ => (1 to 100).toDF("x")),
+      mk("left", Seq("base"))(m => m("base").withColumn("y", col("x") * 2)),
+      mk("right", Seq("base"))(m => m("base").withColumn("y", col("x") * 3)),
+      mk("top", Seq("left", "right"))(m =>
+        m("left").unionByName(m("right"))))
+    val dcat = new Catalog(spark, new Warehouse(spark, whP), models)
+    val ran = dcat.run(Seq("top"), withUpstream = true, threads = 4)
+    assert(ran == Seq("base", "left", "right", "top"))
+    assert(dcat.warehouse.load("top").count() == 200)
+    // builds happened dependency-first even though left/right ran
+    // concurrently on the pool
+    val idx = events.asScala.zipWithIndex.toMap
+    assert(idx("base") < idx("left") && idx("base") < idx("right"))
+    assert(idx("top") > idx("left") && idx("top") > idx("right"))
+  }
+
+  test("parallel run failure in one node aborts the run (dbt error gate)") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val whP = Files.createTempDirectory("graft_fail").toString
+    val models = Seq(
+      Model("ok", Nil, Materialization.Table,
+        (_: Map[String, DataFrame]) => (1 to 10).toDF("x")),
+      Model("boom", Nil, Materialization.Table,
+        (_: Map[String, DataFrame]) => sys.error("node failure")))
+    val fcat = new Catalog(spark, new Warehouse(spark, whP), models)
+    intercept[RuntimeException](
+      fcat.run(Seq("ok", "boom"), withUpstream = true, threads = 2))
+  }
 }
