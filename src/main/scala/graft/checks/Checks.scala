@@ -56,6 +56,20 @@ object Checks {
   def singular(df: DataFrame, violation: Column): DataFrame =
     df.filter(violation)
 
+  /** dbt's accepted_values generic test (reference:
+    * dbt/include/global_project/macros/generic_test_sql/accepted_values.sql):
+    * group by the column, fail each group whose value is outside the
+    * accepted list. NULL values pass (the macro's `not in` is 3VL: NULL
+    * not-in-list is NULL, filtered out) — reproduced exactly by Spark's
+    * `!isin`. One partial+final aggregate over at most |distinct values|
+    * groups, so the check is as cheap as a distinct count at any scale.
+    */
+  def acceptedValues(df: DataFrame, key: String,
+                     accepted: Seq[String]): DataFrame =
+    df.groupBy(col(key).as("value_field"))
+      .agg(count(lit(1)).as("n_records"))
+      .filter(!col("value_field").isin(accepted: _*))
+
   /** The dbt count harness as a one-row DataFrame — the distributed form
     * (reference: tests/helpers.sql:5-14's `select count(*) as failures,
     * count(*) != 0 as should_error`). `evaluate` below is the driver-side
@@ -66,13 +80,35 @@ object Checks {
     failureRows.agg(count(lit(1)).as("failures"))
       .select(col("failures"), (col("failures") =!= 0).as("should_error"))
 
+  /** dbt test-node config (reference:
+    * dbt/include/global_project/macros/materializations/tests/test.sql:4-37):
+    *   - `limit`: the test query is wrapped with `limit N` BEFORE counting,
+    *     so `failures` is capped at N (get_limit_subquery_sql) — bounds the
+    *     cost of a pathologically failing test on a huge table.
+    *   - `storeFailures`: persist the (limited) failure rows for post-hoc
+    *     debugging, dbt's store_failures audit table. Passed as a sink
+    *     callback so the checks module stays warehouse-agnostic.
+    */
+  final case class TestConfig(
+      warnOnly: Boolean = false,
+      limit: Option[Int] = None,
+      storeFailures: Option[DataFrame => Unit] = None)
+
   /** dbt's test harness: failures count + severity evaluation.
     * `warnOnly` mirrors severity: warn config.
     */
-  def evaluate(failureRows: DataFrame, warnOnly: Boolean = false): TestResult = {
-    val n = failureRows.count()
+  def evaluate(failureRows: DataFrame, warnOnly: Boolean = false): TestResult =
+    evaluate(failureRows, TestConfig(warnOnly = warnOnly))
+
+  /** Full-config harness: limit wrapper first (dbt applies it inside the
+    * count subquery), then the optional failure-row sink, then severity.
+    */
+  def evaluate(failureRows: DataFrame, config: TestConfig): TestResult = {
+    val limited = config.limit.fold(failureRows)(failureRows.limit)
+    config.storeFailures.foreach(sink => sink(limited))
+    val n = limited.count()
     if (n == 0) Pass()
-    else if (warnOnly) Warn(n)
+    else if (config.warnOnly) Warn(n)
     else Error(n)
   }
 }

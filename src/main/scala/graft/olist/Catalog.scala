@@ -37,6 +37,20 @@ object Materialization {
     * what "new batch" means (typically a timestamp predicate).
     */
   final case class Incremental(uniqueKey: String) extends Materialization
+
+  /** dbt's snapshot (SCD type-2) materialization, timestamp strategy
+    * (framework-available, unused by the reference — its snapshots/ holds
+    * only .gitkeep; semantics per dbt's snapshot materialization: each key
+    * keeps a version history with [valid_from, valid_to), valid_to IS NULL
+    * marking the current version). A run closes the current version of any
+    * key whose incoming `updatedAt` is newer and appends the new version;
+    * unchanged keys are untouched. The build's result must be unique per
+    * key (dbt's snapshot contract). All set logic is keyed joins — no
+    * driver-side diffing — so a snapshot over a 100 TB source is three
+    * shuffles on the unique key.
+    */
+  final case class Snapshot(uniqueKey: String,
+                            updatedAt: String) extends Materialization
 }
 
 final case class Model(
@@ -172,6 +186,35 @@ final class Catalog(
           val kept = warehouse.load(name)
             .join(fresh.select(col(key)).distinct(), Seq(key), "left_anti")
           warehouse.replace(name, kept.unionByName(fresh))
+        }
+      case Materialization.Snapshot(key, updatedAt) =>
+        val fresh = m.build(resolveDeps(m))
+        val nullTo = org.apache.spark.sql.functions.lit(null)
+          .cast(fresh.schema(updatedAt).dataType)
+        val freshSnap = fresh
+          .withColumn("valid_from", col(updatedAt))
+          .withColumn("valid_to", nullTo)
+        if (!warehouse.exists(name)) warehouse.save(name, freshSnap)
+        else {
+          val stored = warehouse.load(name)
+          val current = stored.filter(col("valid_to").isNull)
+          val history = stored.filter(col("valid_to").isNotNull)
+          // a key's incoming row supersedes its current version iff newer
+          val curKeys = current
+            .select(col(key).as("__k"), col("valid_from").as("__cur_from"))
+          val incoming = freshSnap
+            .join(curKeys, col(key) === col("__k"), "left")
+            .filter(col("__k").isNull || col(updatedAt) > col("__cur_from"))
+            .drop("__k", "__cur_from")
+          val superseded = incoming
+            .select(col(key).as("__k"), col("valid_from").as("__new_from"))
+          val closed = current.join(superseded, col(key) === col("__k"))
+            .withColumn("valid_to", col("__new_from"))
+            .drop("__k", "__new_from")
+          val untouched = current
+            .join(superseded, col(key) === col("__k"), "left_anti")
+          warehouse.replace(name, history.unionByName(closed)
+            .unionByName(untouched).unionByName(incoming))
         }
       case _ =>
         warehouse.save(name, m.build(resolveDeps(m)))

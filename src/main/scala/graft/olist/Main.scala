@@ -1,0 +1,50 @@
+package graft.olist
+
+/** CLI entry mirroring the reference's orchestration script
+  * (reference: automate_pipeline.py:12-26): build the mart, then run the
+  * test suite. A MODEL BUILD failure aborts with a non-zero exit code; TEST
+  * failures are reported but only warn (the script prints a warning and
+  * carries on), so the process still exits 0 — exactly the gate an external
+  * scheduler (cron/Airflow) observes from the reference.
+  *
+  * Usage: runMain graft.olist.Main [warehouseDir]
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val whDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_olist_wh").toString)
+    val spark = graft.Engine.local()
+    val code =
+      try run(spark, whDir)
+      finally spark.stop()
+    sys.exit(code)
+  }
+
+  /** Session-injected body so specs can assert exit codes without forking
+    * a JVM. Returns the process exit code.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, whDir: String): Int = {
+    val outcome = scala.util.Try {
+      val cat = Models.catalog(spark, whDir,
+        synthDir = Some(s"$whDir/_synth_seeds"))
+      Pipeline.runAll(cat, s"$whDir/_synth_seeds")
+    }
+    gate(outcome)
+  }
+
+  /** The exit-code policy, isolated for direct testing: build failure -> 1,
+    * test failures -> warn + 0, clean -> 0.
+    */
+  def gate(outcome: scala.util.Try[Pipeline.PipelineResult]): Int =
+    outcome match {
+      case scala.util.Failure(e) =>
+        Console.err.println(s"model build failed: ${e.getMessage}")
+        1
+      case scala.util.Success(r) =>
+        r.tests.foreach(t => println(s"test ${t.name}: ${t.status}"))
+        if (!r.testsOk)
+          println("warning: test failures (severity=warn); pipeline continues")
+        0
+    }
+}

@@ -50,6 +50,32 @@ object QualityGates {
        """SELECT count(*) AS failures, count(*) <> 0 AS should_error
          |FROM (SELECT 1 FROM orders WHERE o_totalprice < 0)""".stripMargin) { (s, d) =>
       harness(Checks.singular(Tables.orders(s, d), col("o_totalprice") < 0))
+    },
+
+    // accepted_values (reference:
+    // dbt macros/generic_test_sql/accepted_values.sql — framework test
+    // unused by the project). The accepted list deliberately excludes the
+    // real status 'P' so the FAILURE path is exercised: exactly one group
+    // fails, failures = 1, should_error = true.
+    Op("t_accepted_values",
+       """SELECT count(*) AS failures, count(*) <> 0 AS should_error FROM (
+         |  SELECT o_orderstatus AS value_field, count(*) AS n_records
+         |  FROM orders GROUP BY o_orderstatus
+         |  HAVING o_orderstatus NOT IN ('O', 'F'))""".stripMargin) { (s, d) =>
+      harness(Checks.acceptedValues(Tables.orders(s, d), "o_orderstatus",
+        Seq("O", "F")))
+    },
+
+    // dbt's test `limit` config (reference:
+    // dbt macros/materializations/tests/test.sql:4-8 —
+    // get_limit_subquery_sql wraps the test query with `limit N` BEFORE the
+    // count): a massively failing test reports at most N failures and stops
+    // scanning once N rows are found.
+    Op("t_limited_failures",
+       """SELECT count(*) AS failures, count(*) <> 0 AS should_error FROM (
+         |  SELECT 1 FROM orders WHERE o_totalprice > 0 LIMIT 5)""".stripMargin) { (s, d) =>
+      harness(Checks.singular(Tables.orders(s, d), col("o_totalprice") > 0)
+        .limit(5))
     }
   )
 }

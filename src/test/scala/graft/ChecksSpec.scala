@@ -53,4 +53,33 @@ class ChecksSpec extends SparkSpec {
     assert(Checks.evaluate(Checks.singular(d, col("id") < 0), warnOnly = true) ==
       Checks.Warn(1))
   }
+
+  test("acceptedValues: out-of-list groups fail with counts, NULLs pass") {
+    val d = df(Seq((1L, "ok"), (2L, "ok"), (3L, "bad"), (4L, null)))
+    val out = Checks.acceptedValues(d, "fk", Seq("ok")).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "bad" && out.head.getLong(1) == 1L)
+    assert(Checks.acceptedValues(d, "fk", Seq("ok", "bad")).count() == 0)
+  }
+
+  test("limit config caps reported failures before counting (dbt limit)") {
+    val d = df((1L to 100L).map(i => (java.lang.Long.valueOf(i), "x")))
+    val failing = Checks.singular(d, col("id") > 0)
+    assert(Checks.evaluate(failing, Checks.TestConfig(limit = Some(7))) ==
+      Checks.Error(7))
+    assert(Checks.evaluate(failing,
+      Checks.TestConfig(warnOnly = true, limit = Some(7))) == Checks.Warn(7))
+  }
+
+  test("storeFailures persists the (limited) failure rows (store_failures)") {
+    val d = df(Seq((-1L, "x"), (-2L, "y"), (5L, "z")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf").toString
+    val r = Checks.evaluate(Checks.singular(d, col("id") < 0),
+      Checks.TestConfig(storeFailures =
+        Some(rows => rows.write.mode("overwrite").parquet(s"$dir/audit"))))
+    assert(r == Checks.Error(2))
+    val stored = spark.read.parquet(s"$dir/audit")
+    assert(stored.count() == 2)
+    assert(stored.filter(col("id") >= 0).count() == 0)
+  }
 }

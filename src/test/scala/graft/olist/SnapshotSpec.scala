@@ -1,0 +1,83 @@
+package graft.olist
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** SCD2 snapshot materialization semantics (dbt timestamp strategy):
+  * changed keys close their current version and append a new one,
+  * unchanged keys are untouched, new keys start a history.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+
+  private def batch(rows: (Long, String, Timestamp)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "payload", "updated_at")
+  }
+
+  private def snapshotCatalog(source: () => DataFrame): Catalog = {
+    val wh = Files.createTempDirectory("graft_snap").toString
+    new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("snap", Nil, Materialization.Snapshot("id", "updated_at"),
+        (_: Map[String, DataFrame]) => source())))
+  }
+
+  test("first run: every row becomes a current version") {
+    val cat = snapshotCatalog(() => batch((1L, "a", t1), (2L, "b", t1)))
+    cat.run(Seq("snap"))
+    val snap = cat.warehouse.load("snap")
+    assert(snap.count() == 2)
+    assert(snap.filter(col("valid_to").isNull).count() == 2)
+    assert(snap.filter(col("valid_from") === lit(t1)).count() == 2)
+  }
+
+  test("changed key closes the old version; unchanged and new keys behave") {
+    var current = batch((1L, "a", t1), (2L, "b", t1))
+    val cat = snapshotCatalog(() => current)
+    cat.run(Seq("snap"))
+    current = batch((1L, "a2", t2), (2L, "b", t1), (3L, "c", t2))
+    cat.run(Seq("snap"))
+    val snap = cat.warehouse.load("snap").cache()
+
+    // key 1: two versions - old one closed at t2, new one open from t2
+    val k1 = snap.filter(col("id") === 1).orderBy("valid_from").collect()
+    assert(k1.length == 2)
+    assert(k1(0).getAs[String]("payload") == "a" &&
+      k1(0).getAs[Timestamp]("valid_to") == t2)
+    assert(k1(1).getAs[String]("payload") == "a2" &&
+      k1(1).getAs[Timestamp]("valid_to") == null)
+
+    // key 2 unchanged: single open version
+    val k2 = snap.filter(col("id") === 2).collect()
+    assert(k2.length == 1 && k2(0).getAs[Timestamp]("valid_to") == null)
+
+    // key 3 new: single open version from t2
+    val k3 = snap.filter(col("id") === 3).collect()
+    assert(k3.length == 1 && k3(0).getAs[Timestamp]("valid_from") == t2)
+    snap.unpersist()
+  }
+
+  test("re-running the same batch is a no-op (idempotent snapshot)") {
+    val cat = snapshotCatalog(() => batch((1L, "a", t1)))
+    cat.run(Seq("snap"))
+    cat.run(Seq("snap"))
+    assert(cat.warehouse.load("snap").count() == 1)
+  }
+
+  test("Main gate: build failure exits 1, warn-only test failures exit 0") {
+    import graft.checks.Checks
+    assert(Main.gate(scala.util.Failure(new RuntimeException("boom"))) == 1)
+    val warn = Pipeline.PipelineResult(Seq("fct_orders"),
+      Seq(Pipeline.TestOutcome("t", Checks.Warn(3))))
+    assert(!warn.testsOk)
+    assert(Main.gate(scala.util.Success(warn)) == 0)
+    val clean = Pipeline.PipelineResult(Seq("fct_orders"),
+      Seq(Pipeline.TestOutcome("t", Checks.Pass())))
+    assert(Main.gate(scala.util.Success(clean)) == 0)
+  }
+}
