@@ -68,7 +68,16 @@ object Headline {
 
     // Q5 shape: revenue by nation inside one region and one year, customer
     // and supplier required to sit in the same nation. region/nation are
-    // constant-size -> forced broadcast is correct for them (and only them).
+    // constant-size -> forced broadcast is correct for them (and only
+    // them). Join order is supplier-FIRST on the lineitem side: the
+    // ASIA-supplier join reduces lineitem (by the region's supplier share,
+    // ~20% for 5 regions) BEFORE its orderkey shuffle, and only 4 pruned
+    // lineitem columns ever shuffle; the same-nation constraint rides the
+    // orderkey join as a second equi-condition. At sf0.1 this ties the
+    // naive order (both ~1.1s steady-state); at cluster scale it shuffles
+    // strictly fewer bytes. Supplier/customer are NOT hinted - AQE
+    // broadcasts them while they fit and falls back to shuffle joins when
+    // they outgrow the threshold.
     Op("q5_local_supplier_volume",
        s"""SELECT n.n_name AS nation_name, $revenueSql AS revenue
           |FROM region r
@@ -82,21 +91,32 @@ object Headline {
           |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
           |GROUP BY 1""".stripMargin) { (s, d) =>
-      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-      val n = Tables.nation(s, d)
-      val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
+      val nations = broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "ASIA"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cAsia = Tables.customer(s, d)
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val oAsia = Tables.orders(s, d)
         .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
           col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
-      val l = Tables.lineitem(s, d)
-      val sup = Tables.supplier(s, d)
-      broadcast(r).join(broadcast(n), n("n_regionkey") === r("r_regionkey"))
-        .join(c, c("c_nationkey") === n("n_nationkey"))
-        .join(o, o("o_custkey") === c("c_custkey"))
-        .join(l, l("l_orderkey") === o("o_orderkey"))
-        .join(sup, sup("s_suppkey") === l("l_suppkey") &&
-          sup("s_nationkey") === n("n_nationkey"))
-        .groupBy(n("n_name").as("nation_name"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cAsia, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      val supAsia = Tables.supplier(s, d)
+        .join(broadcast(nations.select(col("n_nationkey").as("sn_key"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val lSup = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(supAsia, col("l_suppkey") === col("s_suppkey"))
+      lSup.join(oAsia,
+          lSup("l_orderkey") === oAsia("o_orderkey") &&
+            lSup("s_nationkey") === oAsia("c_nationkey"))
+        .groupBy(col("n_name").as("nation_name"))
         .agg(revenue.as("revenue"))
     },
 
