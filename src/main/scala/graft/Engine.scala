@@ -31,6 +31,9 @@ object Engine {
       // Tables.events rebuild microsecond timestamps without any reader
       // mutating shared session state mid-query.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (SessionCatalogWarehouse) land in tmp, not the cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -82,23 +82,38 @@ object Dedup {
           array_min(transform(col("bases"),
             b => xxhash64(b, lit(h))))): _*).as("sig"))
 
-  /** k minhashes per doc, PORTABLE mode: hash h of a shingle is the md5 hex
-    * string of "h:shingle" and the signature entry is the lexicographic min
-    * over shingles. Both engines md5 identical UTF-8 bytes and compare
-    * ASCII hex identically, so the whole near-dup pipeline — candidates
-    * included — can be replayed by the DuckDB oracle byte-for-byte. Costs k
-    * md5 calls per shingle where the fast path pays k cheap long re-hashes
-    * of one xxhash64 base; same map-only plan shape, so it scales the same
-    * way, just with a larger CPU constant. Use the xxhash64 path when
-    * cross-engine reproducibility isn't needed.
+  /** k minhashes per doc, PORTABLE mode: each md5 call yields EIGHT 16-bit
+    * hash values (the 4-hex-char slices of the digest), so hash h of a
+    * shingle is slice h%8 of md5("(h/8):shingle") and the signature entry
+    * is the lexicographic min over shingles (fixed-width hex, so string
+    * order == numeric order). Both engines md5 identical UTF-8 bytes and
+    * compare ASCII hex identically, so the whole near-dup pipeline —
+    * candidates included — replays in the DuckDB oracle byte-for-byte.
+    * Slicing cuts the md5 count to k/8 per shingle; md5 inside the
+    * (interpreted) higher-order lambda is the dominant cost, and this
+    * array formulation measured FASTER than the codegen-friendly
+    * explode + 64-way min() aggregate alternative (whose generated update
+    * path blows past JIT method limits). The base digests are materialized
+    * as their own columns so each md5 runs once, not once per slice.
+    * 16-bit values only inflate candidate counts marginally (1/65536
+    * cross-shingle collisions) and the exact Jaccard verify keeps the
+    * OUTPUT exact regardless. Same map-only plan shape as the fast path,
+    * larger CPU constant; use the xxhash64 path when cross-engine
+    * reproducibility isn't needed.
     */
   def minhashSignaturesPortable(docs: DataFrame, idCol: String,
-                                textCol: String, k: Int = 64): DataFrame =
+                                textCol: String, k: Int = 64): DataFrame = {
+    val nBase = (k + 7) / 8
     withShingles(docs, idCol, textCol)
+      .select(col(idCol) +: col("sh") +: (0 until nBase).map(j =>
+        transform(col("sh"),
+          s => md5(concat(lit(j + ":"), s))).as(s"base$j")): _*)
       .select(col(idCol), col("sh"),
-        array((0 until k).map(h =>
-          array_min(transform(col("sh"),
-            s => md5(concat(lit(h + ":"), s))))): _*).as("sig"))
+        array((0 until k).map { h =>
+          array_min(transform(col(s"base${h / 8}"),
+            b => substring(b, (h % 8) * 4 + 1, 4)))
+        }: _*).as("sig"))
+  }
 
   /** (doc_id, band, band_sig) — one row per band of the signature array.
     * b bands of r rows, k = b * r; `sig` is a physical column here, so the
@@ -221,18 +236,23 @@ object Dedup {
     */
   def simhashChunksPortable(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
-    val toks = docs
+    // One md5 per token, then the 16 nibble values decoded ONCE as
+    // top-level codegen'd columns — the 64 per-bit aggregates below only
+    // shift and mask, instead of re-running conv/substr four times per
+    // nibble (and a lambda-free plan keeps whole-stage codegen intact).
+    val withNibs = docs
       .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(col("toks")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    // value of hex nibble j (0-based) of the md5 hex string
-    def nib(j: Int): Column =
-      conv(substring(col("h"), j + 1, 1), 16, 10).cast("int")
+      .select(col(idCol) +: (0 until 16).map(j =>
+        conv(substring(col("h"), j + 1, 1), 16, 10).cast("int")
+          .as(s"nib$j")): _*)
+    def nib(j: Int): Column = col(s"nib$j")
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(nib(b / 4), b % 4).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$b")
     }
-    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val summed = withNibs.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val chunks = array((0 until 8).map { c =>
       (0 until 8).map { w =>
         when(col(s"b${c * 8 + w}") > 0, lit(1 << w)).otherwise(lit(0))

@@ -31,9 +31,12 @@ object LlmOps {
   private def minhashOracleSql(bands: Int, rows: Int,
                                threshold: Double): String = {
     val k = bands * rows
-    val sigArr = (0 until k).map(h =>
-      s"list_aggregate(list_transform(sh, s -> md5(concat('$h:', s))), 'min')")
-      .mkString("[", ",\n      ", "]")
+    // hash h = 4-hex-char slice h%8 of md5("(h/8):shingle"), mirroring
+    // minhashSignaturesPortable's md5-slicing exactly
+    val sigArr = (0 until k).map { h =>
+      s"list_aggregate(list_transform(sh, s -> " +
+        s"substr(md5(concat('${h / 8}:', s)), ${(h % 8) * 4 + 1}, 4)), 'min')"
+    }.mkString("[", ",\n      ", "]")
     val bandCols = (1 to rows).map(j => s"sig[b.range*$rows+$j]").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, $toksSql AS toks FROM documents),
@@ -119,10 +122,14 @@ object LlmOps {
     // candidate generation itself replays in DuckDB and the whole pipeline
     // hash-matches; the xxhash64 fast path keeps the same plan shape and is
     // covered by DedupSpec (planted near-dups, recall vs exact Jaccard).
-    Op("dedup_minhash", minhashOracleSql(bands = 16, rows = 4,
+    // 8 bands x 4 rows for the portable entry: the oracle replays candidate
+    // generation identically, so the hash-match is insensitive to LSH
+    // recall and the smaller k halves the (md5-heavy) signature cost; the
+    // fast path keeps the 16x4 default.
+    Op("dedup_minhash", minhashOracleSql(bands = 8, rows = 4,
         threshold = 0.8)) { (s, d) =>
-      Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.8,
-        portable = true)
+      Dedup.minHashNearDups(Tables.documents(s, d), bands = 8, rows = 4,
+        threshold = 0.8, portable = true)
     },
 
     // SimHash near-dup pairs (8-bit chunk pigeonhole join, lossless to

@@ -59,6 +59,24 @@ final case class Model(
     materialized: Materialization,
     build: Map[String, DataFrame] => DataFrame)
 
+/** S4 sink + S2 scan contract: where materialized relations live. Two
+  * implementations — a parquet-directory store (Warehouse) and the Spark
+  * session catalog (SessionCatalogWarehouse, the literal `saveAsTable`
+  * mapping of SURVEY §2 S4). The pipeline is store-agnostic.
+  */
+trait TableStore {
+  def location: String
+  def save(name: String, df: DataFrame): Unit
+  def load(name: String): DataFrame
+  def exists(name: String): Boolean
+
+  /** Replace a table with a plan that may READ the same table (the
+    * self-referential merge of incremental/snapshot builds). Implementations
+    * must fully materialize the new data before unlinking the old.
+    */
+  def replace(name: String, df: DataFrame): Unit
+}
+
 /** S4 sink + S2 scan: a directory of parquet tables standing in for the
   * warehouse. Writes are distributed (no coalesce — the writer parallelism is
   * the upstream partitioning; at cluster scale that is the whole point of the
@@ -71,8 +89,10 @@ final case class Model(
   * latency grows with table size; the directory-swap protocol below is still
   * correct because a valid table directory exists at every step.
   */
-final class Warehouse(spark: SparkSession, val dir: String) {
+final class Warehouse(spark: SparkSession, val dir: String) extends TableStore {
   import org.apache.hadoop.fs.Path
+
+  def location: String = dir
 
   private def path(name: String) = new Path(dir, name)
   private def fs(p: Path) =
@@ -116,9 +136,38 @@ final class Warehouse(spark: SparkSession, val dir: String) {
   }
 }
 
+/** S4's literal mapping: `CREATE OR REPLACE TABLE ... AS` becomes
+  * `df.write.saveAsTable` into the Spark session catalog (reference:
+  * dbt/include/snowflake/macros/relations/table/create.sql:95). Readers use
+  * `spark.table`, so materialized models are visible to any SQL client of
+  * the session/metastore, and table formats/locations are whatever the
+  * catalog is configured with (Hive metastore, Unity-style catalogs, ...).
+  *
+  * The self-referential replace writes a scratch TABLE first (Spark refuses
+  * to overwrite a table its own plan reads), drops the target, then renames
+  * the scratch into place — each step is a single metastore operation.
+  */
+final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
+  def location: String = "spark_catalog (session)"
+  private def sane(name: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe table name: $name")
+    name
+  }
+  def save(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").saveAsTable(sane(name))
+  def load(name: String): DataFrame = spark.table(sane(name))
+  def exists(name: String): Boolean = spark.catalog.tableExists(sane(name))
+  def replace(name: String, df: DataFrame): Unit = {
+    val tmp = s"${sane(name)}__tmp"
+    df.write.mode("overwrite").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS ${sane(name)}")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${sane(name)}")
+  }
+}
+
 final class Catalog(
     val spark: SparkSession,
-    val warehouse: Warehouse,
+    val warehouse: TableStore,
     models: Seq[Model]) {
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
@@ -139,7 +188,7 @@ final class Catalog(
       case _ =>
         if (!warehouse.exists(name))
           throw new IllegalStateException(
-            s"relation '$name' not found in warehouse ${warehouse.dir} — " +
+            s"relation '$name' not found in warehouse ${warehouse.location} — " +
               "run it (or seed) first, like dbt's Database Error on a " +
               "missing upstream relation")
         warehouse.load(name)

@@ -49,6 +49,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ANN candidate generation is join-based: no per-bucket collect " +
+       "anywhere in the dedup/similarity plans") {
+    // A collect_list on the candidate path would pack O(m^2) pair structs
+    // of an m-member bucket into single rows — the 100x-scale OOM this
+    // engine's self-equi-join formulation exists to avoid.
+    Seq("knn_lsh", "embed_near_dup", "dedup_minhash", "dedup_simhash")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("collect_list"), s"$name collects buckets:\n$p")
+      }
+  }
+
   test("constant-size dims broadcast; fact-side joins do not (q5)") {
     val p = plan("q5_local_supplier_volume")
     assert(p.contains("BroadcastHashJoin"), p)
