@@ -284,6 +284,40 @@ object LlmOps {
           TextFeatures.minWindowFingerprintOfNorm(col("norm")).as("minwin_fp"))
     },
 
+    // --- data mixing -----------------------------------------------------
+
+    // Deterministic stratified sampling (data mixing): per-source keep
+    // rates from an md5-derived 16-bit draw; the oracle replays the hash
+    // and the CASE rate table exactly.
+    Op("mix_stratified_sample",
+       """SELECT doc_id, source FROM documents
+         |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 4) <
+         |  CASE WHEN source = 'src0' THEN 'c000'
+         |       WHEN source = 'src1' THEN '8000'
+         |       WHEN source = 'src2' THEN '4000'
+         |       ELSE '2000' END""".stripMargin) { (s, d) =>
+      Mixing.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.125)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // Sequence packing: per-source cumulative token count assigns docs to
+    // fixed-capacity packs (sequential-fill approximation). Keyed window +
+    // integer arithmetic -> exact in both engines.
+    Op("mix_pack_sequences",
+       s"""SELECT doc_id, source, n_tokens,
+          |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+          |FROM (
+          |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          |         sum(CAST(len($toksSql) AS BIGINT)) OVER (
+          |           PARTITION BY source ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM documents)""".stripMargin) { (s, d) =>
+      Mixing.packSequences(Tables.documents(s, d), "doc_id", "text",
+        "source", capacity = 2048)
+    },
+
     // --- multimodal ------------------------------------------------------
 
     // Binary media column + typed metadata through the batched per-partition

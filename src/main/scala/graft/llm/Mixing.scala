@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for assembling a training corpus: per-source
+  * sampling rates and sequence packing — the two steps between "clean
+  * documents" and "token batches" in an LLM data pipeline.
+  *
+  * Both are deterministic pure-SQL plans (no RNG state, no UDFs): sampling
+  * decisions derive from md5 of the row identity, so they are reproducible
+  * across runs, partitionings, and engines — the DuckDB oracle replays them
+  * byte-for-byte.
+  */
+object Mixing {
+
+  /** Deterministic stratified sampling: keep a row iff the first 4 hex
+    * chars of md5("<stratum>:<id>") sort below the stratum's rate
+    * threshold (rate mapped onto the 16-bit hex space; fixed-width
+    * lowercase hex compares identically to its numeric value in both
+    * engines). Including the stratum in the hash makes draws independent
+    * across strata even for equal ids. A pure map-side filter — pushes
+    * into the scan, no shuffle, trivially 100 TB-safe.
+    *
+    * Rates must be in [0, 1); a rate of exactly 1.0 would need a 5-char
+    * threshold and break the fixed-width compare — use 0.9999 (or skip
+    * sampling for that stratum upstream).
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r < 1),
+      "rates must be in [0, 1)")
+    def thresh(r: Double) = f"${(r * 65536).toInt}%04x"
+    val h = substring(
+      md5(concat(col(strataCol), lit(":"), col(idCol).cast("string"))), 1, 4)
+    val t = rates.toSeq.sortBy(_._1).foldRight(lit(thresh(defaultRate))) {
+      case ((s, r), els) => when(col(strataCol) === s, thresh(r)).otherwise(els)
+    }
+    docs.filter(h < t)
+  }
+
+  /** Sequence packing, sequential-fill approximation: within each stratum,
+    * documents (in id order) are assigned to fixed-capacity packs by
+    * cumulative token count — pack_id = (cumsum_before_doc) div capacity.
+    * A pack can overflow by at most one document (the standard streaming
+    * approximation of bin packing; exact first-fit is inherently
+    * sequential and not worth a distributed barrier).
+    *
+    * The window is KEYED by the stratum, so each stratum sorts
+    * independently — at 100 TB, pack within finer shards (source x day,
+    * or a hash-bucketed sub-stratum) to bound per-partition sort size; the
+    * operator is agnostic to what the stratum column encodes.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    strataCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0)
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(strataCol),
+        size(TextFeatures.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $capacity"))
+      .drop("cum")
+  }
+}
