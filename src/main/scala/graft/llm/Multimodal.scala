@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * struct, with per-partition batch decode/feature-extract.
   *
   * The Spark-side plumbing — schema, partitioning, the mapPartitions batch
-  * shape an image/audio codec would plug into — is real and tested; the
-  * codec itself is a clearly marked deterministic STUB (this container has
-  * no image/audio libraries). Swapping `decodeStub` for a real decoder
-  * changes no plan shape: the operator stays a narrow per-partition map, no
-  * shuffle, executed where the bytes already live — exactly how a 100 TB
-  * media table should be processed.
+  * shape a codec plugs into — is real and tested, and so is everything
+  * downstream of RAW payloads: RawMedia's container parsing,
+  * nearest-neighbor resampling, and frame extraction are genuine
+  * implementations (see RawMedia.scala). Only COMPRESSED payloads (here:
+  * the "audio" kind, standing in for mp3/jpeg-style bytes) hit the clearly
+  * marked deterministic STUB, because this container ships no native
+  * codecs. Swapping the stub for a real decoder changes no plan shape: every
+  * operator stays a narrow per-partition map, no shuffle, executed where
+  * the bytes already live — exactly how a 100 TB media table should be
+  * processed.
   */
 object Multimodal {
 
@@ -27,14 +31,14 @@ object Multimodal {
       checksum: Long)
 
   /** ======= STUB =======
-    * Stands in for an image/audio decoder (e.g. libjpeg / ffmpeg bindings).
+    * Stands in for a COMPRESSED-format decoder (e.g. libjpeg / ffmpeg
+    * bindings), used only when RawMedia cannot parse the payload.
     * Deterministic fake: "dimensions" derive from a byte checksum, so tests
     * can assert exact values and re-runs are stable. A real implementation
     * would decode `bytes` and return true dimensions/duration.
     */
   def decodeStub(kind: String, bytes: Array[Byte]): (String, Int, Int) = {
-    val checksum = bytes.foldLeft(1469598103934665603L)((h, b) =>
-      (h ^ (b & 0xff)) * 1099511628211L) // FNV-1a, pure JVM, deterministic
+    val checksum = checksum64(bytes)
     val w = 64 + math.floorMod(checksum, 1024L).toInt
     val h = 64 + math.floorMod(checksum >> 10, 1024L).toInt
     (s"fake/$kind", w, h)
@@ -42,7 +46,16 @@ object Multimodal {
 
   private def checksum64(bytes: Array[Byte]): Long =
     bytes.foldLeft(1469598103934665603L)((h, b) =>
-      (h ^ (b & 0xff)) * 1099511628211L)
+      (h ^ (b & 0xff)) * 1099511628211L) // FNV-1a, pure JVM, deterministic
+
+  /** Real header decode for raw containers; stub for anything else. */
+  private def decodeAny(kind: String,
+                        bytes: Array[Byte]): (String, Int, Int) =
+    RawMedia.decodeImage(bytes)
+      .map(img => (s"raw/image-${img.channels}ch", img.width, img.height))
+      .orElse(RawMedia.decodeVideoInfo(bytes)
+        .map(v => (s"raw/video-${v.nFrames}f", v.width, v.height)))
+      .getOrElse(decodeStub(kind, bytes))
 
   /** Batch feature extraction: one decoder invocation per row, batched per
     * partition (the shape a vectorized codec or model runtime needs — the
@@ -53,7 +66,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (format, w, h) = decodeStub(r.kind, r.bytes)
+        val (format, w, h) = decodeAny(r.kind, r.bytes)
         MediaFeatures(r.media_id, r.kind, r.bytes.length, format, w, h,
           checksum64(r.bytes))
       }
@@ -64,52 +77,117 @@ object Multimodal {
       media_id: Long, kind: String, width: Int, height: Int,
       bytes: Array[Byte])
 
-  /** ======= STUB =======
-    * Resize: a real implementation decodes, scales, re-encodes. The fake
-    * deterministically truncates the payload in proportion to the area
-    * ratio so output sizes are assertable; the plumbing (typed Dataset in,
-    * typed Dataset out, narrow per-partition map) is the real shape.
+  /** Resize to fit `maxSide`. Raw images get a REAL nearest-neighbor
+    * resample + re-encode (RawMedia.resizeNearest); raw videos resample
+    * every frame; undecodable (compressed) payloads fall back to the stub
+    * behavior of truncating proportionally to the area ratio, which keeps
+    * output sizes assertable. Typed Dataset in/out, narrow per-partition
+    * map — the real shape at any scale.
     */
   def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (_, w, h) = decodeStub(r.kind, r.bytes)
-        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-        val (nw, nh) = (math.max(1, (w * scale).toInt),
-          math.max(1, (h * scale).toInt))
-        val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
-        ResizedMedia(r.media_id, r.kind, nw, nh, r.bytes.take(nBytes))
+        RawMedia.decodeImage(r.bytes) match {
+          case Some(img) =>
+            val scale = math.min(1.0, maxSide.toDouble /
+              math.max(img.width, img.height))
+            val (nw, nh) = (math.max(1, (img.width * scale).toInt),
+              math.max(1, (img.height * scale).toInt))
+            val out = if (scale >= 1.0) img
+              else RawMedia.resizeNearest(img, nw, nh)
+            ResizedMedia(r.media_id, r.kind, out.width, out.height,
+              RawMedia.encodeImage(out))
+          case None => RawMedia.decodeVideoInfo(r.bytes) match {
+            case Some(v) =>
+              val scale = math.min(1.0, maxSide.toDouble /
+                math.max(v.width, v.height))
+              val (nw, nh) = (math.max(1, (v.width * scale).toInt),
+                math.max(1, (v.height * scale).toInt))
+              val frames = (0 until v.nFrames).map { i =>
+                RawMedia.resizeNearest(RawMedia.frameAt(r.bytes, v, i),
+                  nw, nh).pixels
+              }
+              val info = RawMedia.VideoInfo(v.nFrames, nw, nh, v.channels)
+              ResizedMedia(r.media_id, r.kind, nw, nh,
+                RawMedia.encodeVideo(info, frames))
+            case None => // ======= STUB fallback (compressed payloads) ====
+              val (_, w, h) = decodeStub(r.kind, r.bytes)
+              val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+              val (nw, nh) = (math.max(1, (w * scale).toInt),
+                math.max(1, (h * scale).toInt))
+              val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
+              ResizedMedia(r.media_id, r.kind, nw, nh, r.bytes.take(nBytes))
+          }
+        }
       }
     }
   }
 
-  final case class Frame(media_id: Long, frame_idx: Int, offset_bytes: Long)
+  final case class Frame(media_id: Long, frame_idx: Int, offset_bytes: Long,
+                         n_bytes: Int)
 
-  /** ======= STUB =======
-    * Frame sampling for video payloads: emits `n` evenly spaced frame
-    * offsets per video (a real decoder would emit decoded frames). One
-    * input row fans out to n output rows inside the same partition — the
-    * flatMap shape a real frame sampler has, still shuffle-free.
+  /** Frame sampling: `n` evenly spaced REAL frames per raw video — indices
+    * spread over the container's actual frame count, offsets computed from
+    * the real container layout (RawMedia.frameOffset). One input row fans
+    * out to n output rows inside the same partition — still shuffle-free.
+    * Non-raw video payloads are skipped (a real compressed-video sampler
+    * would need the stubbed codec).
     */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val len = math.max(1L, r.bytes.length.toLong)
-      (0 until n).map(i => Frame(r.media_id, i, i * len / n))
+      RawMedia.decodeVideoInfo(r.bytes) match {
+        case Some(v) =>
+          (0 until n).map { i =>
+            val frameIdx = (i.toLong * v.nFrames / n).toInt
+            Frame(r.media_id, frameIdx, v.frameOffset(frameIdx),
+              v.frameBytes)
+          }.distinct
+        case None => Seq.empty
+      }
     }
   }
 
-  /** Build a media table from the documents corpus: text bytes standing in
-    * for encoded media payloads (UTF-8 is as opaque to the plumbing as JPEG).
+  /** Build a media table from the documents corpus. Image and video rows
+    * carry REAL RawMedia payloads synthesized from the text bytes (pixels
+    * = UTF-8 bytes cycled to fill the plane), so the decode/resize/frame
+    * paths above exercise genuine parsing and pixel math; audio rows stay
+    * opaque UTF-8 (the compressed-codec stand-in that routes through the
+    * stub).
     */
-  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+  def mediaFromDocuments(spark: SparkSession,
+                         docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        pmod(col("doc_id"), lit(3)).cast("int") + 1).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"))
-      .as[MediaRow]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          def plane(w: Int, h: Int, c: Int, phase: Int): Array[Byte] = {
+            val out = new Array[Byte](w * h * c)
+            var i = 0
+            while (i < out.length) {
+              out(i) = raw((i + phase) % raw.length)
+              i += 1
+            }
+            out
+          }
+          id % 3 match {
+            case 0 => // image: dims derived from the text, payload real
+              val w = 8 + (raw.length % 24)
+              val h = 8 + ((raw.length / 2) % 24)
+              MediaRow(id, "image",
+                RawMedia.encodeImage(RawMedia.Image(w, h, 3, plane(w, h, 3, 0))))
+            case 2 => // video: 4-11 frames of a small plane
+              val nf = 4 + (raw.length % 8)
+              val (w, h) = (12, 8)
+              val info = RawMedia.VideoInfo(nf, w, h, 3)
+              MediaRow(id, "video", RawMedia.encodeVideo(info,
+                (0 until nf).map(f => plane(w, h, 3, f))))
+            case _ => // audio: opaque compressed stand-in -> stub path
+              MediaRow(id, "audio", raw)
+          }
+        }
+      }
   }
 }

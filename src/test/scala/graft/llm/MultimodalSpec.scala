@@ -4,60 +4,82 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
+  private def media = Multimodal.mediaFromDocuments(spark,
+    graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+
   test("media table: binary payload + kind metadata from documents") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val media = Multimodal.mediaFromDocuments(spark, docs)
-    assert(media.schema("bytes").dataType.typeName == "binary")
-    val row = media.filter(_.media_id == 0L).head()
+    val m = media
+    assert(m.schema("bytes").dataType.typeName == "binary")
+    val row = m.filter(_.media_id == 0L).head()
     assert(row.kind == "image")
-    assert(new String(row.bytes, "UTF-8").nonEmpty)
+    assert(RawMedia.decodeImage(row.bytes).nonEmpty) // a REAL raw payload
   }
 
-  test("feature extraction: deterministic stub decode, stable checksums") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val media = Multimodal.mediaFromDocuments(spark, docs)
-    val f1 = Multimodal.extractFeatures(media).collect()
-      .sortBy(_.media_id)
-    assert(f1.length == docs.count())
-    assert(f1.forall(f => f.width >= 64 && f.height >= 64))
-    assert(f1.forall(f => f.format == s"fake/${f.kind}"))
+  test("raw image codec round-trips and resizes with exact pixel math") {
+    // 2x2 single-channel image: nearest-neighbor to 1x1 keeps pixel (0,0)
+    val img = RawMedia.Image(2, 2, 1, Array[Byte](10, 20, 30, 40))
+    val decoded = RawMedia.decodeImage(RawMedia.encodeImage(img)).get
+    assert(decoded == img.copy(pixels = decoded.pixels) &&
+      decoded.pixels.toSeq == img.pixels.toSeq)
+    val small = RawMedia.resizeNearest(img, 1, 1)
+    assert(small.pixels.toSeq == Seq(10.toByte))
+    // upscale 1x1 -> 2x2 replicates the pixel
+    val up = RawMedia.resizeNearest(small, 2, 2)
+    assert(up.pixels.toSeq == Seq.fill(4)(10.toByte))
+  }
+
+  test("feature extraction: real header decode for raw media, stub only " +
+       "for opaque payloads; stable checksums") {
+    val m = media
+    val f1 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
+    assert(f1.length == m.count())
+    // images/videos decode for real; audio (compressed stand-in) is stubbed
+    assert(f1.filter(_.kind == "image").forall(f =>
+      f.format == "raw/image-3ch" && f.width >= 8 && f.width < 32))
+    assert(f1.filter(_.kind == "video").forall(_.format.startsWith("raw/video-")))
+    assert(f1.filter(_.kind == "audio").forall(_.format == "fake/audio"))
     // deterministic across repartitionings
-    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect()
+    val f2 = Multimodal.extractFeatures(m.repartition(7)).collect()
       .sortBy(_.media_id)
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
-    // checksum matches a local recomputation of the same bytes
-    val bytes0 = media.filter(_.media_id == 0L).head().bytes
-    val expected = bytes0.foldLeft(1469598103934665603L)((h, b) =>
-      (h ^ (b & 0xff)) * 1099511628211L)
-    assert(f1.head.checksum == expected)
+    // the decoded image dims equal the synthesis formula's dims
+    val bytes0 = m.filter(_.media_id == 0L).head().bytes
+    val img0 = RawMedia.decodeImage(bytes0).get
+    assert(f1.head.width == img0.width && f1.head.height == img0.height)
   }
 
-  test("resize caps the longest side and shrinks payload quadratically") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val media = Multimodal.mediaFromDocuments(spark, docs)
-    val resized = Multimodal.resize(media, maxSide = 128).collect()
+  test("resize really resamples raw payloads (output re-decodes at the " +
+       "capped size) and caps stub payloads") {
+    val m = media
+    val resized = Multimodal.resize(m, maxSide = 16).collect()
     assert(resized.nonEmpty)
-    assert(resized.forall(r => r.width <= 128 && r.height <= 128))
-    val orig = Multimodal.extractFeatures(media).collect()
-      .map(f => f.media_id -> f).toMap
-    resized.foreach { r =>
-      val o = orig(r.media_id)
-      if (o.width <= 128 && o.height <= 128)
-        assert(r.width == o.width && r.height == o.height)
+    assert(resized.forall(r => r.width <= 16 && r.height <= 16))
+    resized.filter(r => r.kind == "image").foreach { r =>
+      val img = RawMedia.decodeImage(r.bytes).get // still a valid container
+      assert(img.width == r.width && img.height == r.height)
+    }
+    resized.filter(_.kind == "video").foreach { r =>
+      val v = RawMedia.decodeVideoInfo(r.bytes).get
+      assert(v.width == r.width && v.height == r.height)
     }
   }
 
-  test("frame sampling: n evenly spaced offsets per video only") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val media = Multimodal.mediaFromDocuments(spark, docs)
-    val frames = Multimodal.sampleFrames(media, n = 4).collect()
-    val nVideos = media.filter(_.kind == "video").count()
-    assert(frames.length == nVideos * 4)
-    val byMedia = frames.groupBy(_.media_id)
-    byMedia.values.foreach { fs =>
-      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
-      assert(fs.sortBy(_.frame_idx).map(_.offset_bytes).toSeq ==
-        fs.sortBy(_.frame_idx).map(_.offset_bytes).sorted.toSeq)
+  test("frame sampling: n evenly spaced real frames with container-true " +
+       "offsets, videos only") {
+    val m = media
+    val frames = Multimodal.sampleFrames(m, n = 4).collect()
+    val videos = m.filter(_.kind == "video").collect()
+      .map(r => r.media_id -> r.bytes).toMap
+    assert(frames.map(_.media_id).toSet == videos.keySet)
+    assert(frames.length == videos.size * 4)
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val v = RawMedia.decodeVideoInfo(videos(id)).get
+      fs.foreach { f =>
+        assert(f.offset_bytes == v.frameOffset(f.frame_idx)) // real layout
+        assert(f.n_bytes == v.frameBytes)
+        assert(f.frame_idx >= 0 && f.frame_idx < v.nFrames)
+      }
+      assert(fs.map(_.frame_idx).distinct.length == 4)
     }
   }
 }
