@@ -46,6 +46,16 @@ object StreamOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dim's plan, re-resolved per trigger (so a dim refresh is picked
+    * up batch-to-batch) and broadcast by AQE while it fits. Stateless — no
+    * watermark, no streaming state — so scale is exactly that of the
+    * underlying batch join; the canonical way to dim-enrich an event
+    * stream without a shuffle of the stream side when the dim broadcasts.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   final case class SessionEvent(event_id: Long, user_id: Long, ts: Timestamp)
   final case class SessionAssignment(event_id: Long, user_id: Long,
                                      session_idx: Long)

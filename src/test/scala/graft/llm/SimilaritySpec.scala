@@ -59,6 +59,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("planesFor scales the bucket space with the corpus and clamps") {
+    assert(Similarity.planesFor(500) == 4)            // min clamp
+    assert(Similarity.planesFor(64L * 1024) == 11)    // 2^11 buckets, pop 32
+    assert(Similarity.planesFor(1L << 40) == 24)      // max clamp
+    // expected bucket population stays ~targetBucket across scales
+    Seq(100000L, 10000000L).foreach { n =>
+      val p = Similarity.planesFor(n, targetBucket = 64)
+      val pop = n.toDouble / (1L << p)
+      assert(pop <= 128 && pop >= 16, s"n=$n planes=$p pop=$pop")
+    }
+  }
+
+  test("lshKnn auto planes (corpus-scaled) keeps recall above chance") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceKnn(d, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(d, tables = 8, k = 5) // planes = auto
+      .filter(col("query_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("ivfKnn recall vs brute force beats the probed-list fraction") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceKnn(d, nQueries = 20, k = 5)

@@ -109,4 +109,25 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("stream-static enrich matches the batch left join, dim-side " +
+       "broadcast per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Long, Double)]
+    val q = StreamOps.enrich(
+        stream.toDF().toDF("event_id", "user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 7L, 1.0), (2L, 8L, 2.0), (3L, 9L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // join(Seq(key)) puts the key first: (user_id, event_id, value, tier)
+    val out = spark.table("enriched").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    // unmatched key keeps the row with a NULL tier (left-join semantics)
+    assert(out == Seq((7L, Some("gold")), (8L, Some("basic")), (9L, None)))
+  }
 }
