@@ -31,9 +31,13 @@ object Engine {
       // Tables.events rebuild microsecond timestamps without any reader
       // mutating shared session state mid-query.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // managed tables (SessionCatalogWarehouse) land in tmp, not the cwd
+      // managed tables (SessionCatalogWarehouse) land in tmp, not the cwd;
+      // per-process dir so a previous JVM's orphaned managed-table
+      // locations (the in-memory catalog forgets them, the files persist)
+      // can't collide with this session's saveAsTable
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-spark-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-spark-warehouse-" +
+          ProcessHandle.current().pid())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -153,15 +153,31 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
     require(name.matches("[A-Za-z0-9_]+"), s"unsafe table name: $name")
     name
   }
-  def save(name: String, df: DataFrame): Unit =
+  def save(name: String, df: DataFrame): Unit = {
+    if (!exists(name)) dropOrphanLocation(name)
     df.write.mode("overwrite").saveAsTable(sane(name))
+  }
   def load(name: String): DataFrame = spark.table(sane(name))
   def exists(name: String): Boolean = spark.catalog.tableExists(sane(name))
   def replace(name: String, df: DataFrame): Unit = {
     val tmp = s"${sane(name)}__tmp"
+    if (!exists(tmp)) dropOrphanLocation(tmp)
     df.write.mode("overwrite").saveAsTable(tmp)
     spark.sql(s"DROP TABLE IF EXISTS ${sane(name)}")
     spark.sql(s"ALTER TABLE $tmp RENAME TO ${sane(name)}")
+  }
+
+  /** A crashed or restarted session can leave a managed-table LOCATION on
+    * disk that the (restarted, in-memory) catalog no longer knows about;
+    * saveAsTable refuses to create over it. Clearing the stale default-db
+    * location when no catalog entry exists makes save() self-healing —
+    * the same role the parquet Warehouse's overwrite mode plays.
+    */
+  private def dropOrphanLocation(name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), sane(name).toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }
 
