@@ -66,6 +66,47 @@ object LlmOps {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  /** DuckDB replay of the random-hyperplane near-dup pipeline. The
+    * hyperplanes are deterministic driver-side literals (splitmix64 of
+    * (table, plane, dim) — Similarity.hyperplane), so the oracle embeds
+    * THE SAME literal arrays; dot products are sequential folds on both
+    * sides (the knn_cosine precedent proves bit-exactness), so bucket
+    * assignment, candidates, and the cosine threshold all replay exactly.
+    */
+  private def embedNearDupOracleSql(planes: Int, tables: Int,
+                                    threshold: Double, dim: Int): String = {
+    def lst(a: Seq[Double]) = a.map(_.toString).mkString("[", ", ", "]")
+    def dotSql(vec: String, h: Seq[Double]) =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * (${lst(h)})[i]), 'sum')"
+    def bucketSql(t: Int) = (0 until planes).map { p =>
+      s"(CASE WHEN ${dotSql("embedding", Similarity.hyperplane(t, p, dim))} >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val bucketed = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl,\n      ${bucketSql(t)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    def norm(vec: String) =
+      s"sqrt(list_aggregate(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * CAST($vec[i] AS DOUBLE)), 'sum'))"
+    val cosSql =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')" +
+        s" / (${norm("a.embedding")} * ${norm("b.embedding")})"
+    s"""WITH b AS (
+       |  $bucketed),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM b x JOIN b y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT c.id_a, c.id_b, $cosSql AS cos
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.id_a
+       |  JOIN embeddings b ON b.vec_id = c.id_b)
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
   /** DuckDB replay of the PORTABLE SimHash near-dup pipeline (md5 nibble
     * bits, 8x8-bit chunk signature — see Dedup.simhashChunksPortable).
     */
@@ -180,10 +221,14 @@ object LlmOps {
     },
 
     // Embedding-cosine near-dup pairs via random-hyperplane buckets
-    // (corpus-scaled bucket space, self-equi-join candidates).
-    Op.noOracle("embed_near_dup") { (s, d) =>
+    // (self-equi-join candidates). Planes pinned (not auto) so the static
+    // oracle can embed the identical hyperplane literals and replay bucket
+    // assignment + threshold bit-for-bit; the auto-scaled path is the
+    // lshKnn entry.
+    Op("embed_near_dup", embedNearDupOracleSql(planes = 8, tables = 4,
+        threshold = 0.4, dim = 64)) { (s, d) =>
       Similarity.cosineNearDups(Tables.embeddings(s, d),
-        tables = 4, threshold = 0.4)
+        planes = 8, tables = 4, threshold = 0.4)
     },
 
     // --- text analysis ---------------------------------------------------
