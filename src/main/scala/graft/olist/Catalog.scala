@@ -29,6 +29,13 @@ object Materialization {
   /** S1: CSV -> stored table. */
   case object Seed extends Materialization
 
+  /** S4 variant with Hive-style partitioning (dbt's partition_by model
+    * config on warehouses that support it): readers filtering on the
+    * partition columns prune whole partitions at planning time.
+    */
+  final case class PartitionedTable(partitionBy: Seq[String])
+    extends Materialization
+
   /** dbt's incremental materialization with the merge strategy on a unique
     * key (available-but-unused in the reference — SURVEY §2.9): the first
     * run is a full build; later runs keep stored rows whose key is absent
@@ -67,6 +74,16 @@ final case class Model(
 trait TableStore {
   def location: String
   def save(name: String, df: DataFrame): Unit
+
+  /** Hive-style partitioned write: one directory (or catalog partition)
+    * per distinct value combination, so readers filtering on the partition
+    * columns scan only matching partitions (partition pruning — the
+    * cheapest possible predicate pushdown at 100 TB). Choose columns of
+    * bounded cardinality; per-value file counts follow the upstream
+    * partitioning.
+    */
+  def savePartitioned(name: String, df: DataFrame,
+                      partitionBy: Seq[String]): Unit
   def load(name: String): DataFrame
   def exists(name: String): Boolean
 
@@ -100,6 +117,10 @@ final class Warehouse(spark: SparkSession, val dir: String) extends TableStore {
 
   def save(name: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(path(name).toString)
+  def savePartitioned(name: String, df: DataFrame,
+                      partitionBy: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionBy: _*)
+      .parquet(path(name).toString)
   def load(name: String): DataFrame =
     spark.read.parquet(path(name).toString)
   def exists(name: String): Boolean = {
@@ -156,6 +177,12 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
   def save(name: String, df: DataFrame): Unit = {
     if (!exists(name)) dropOrphanLocation(name)
     df.write.mode("overwrite").saveAsTable(sane(name))
+  }
+  def savePartitioned(name: String, df: DataFrame,
+                      partitionBy: Seq[String]): Unit = {
+    if (!exists(name)) dropOrphanLocation(name)
+    df.write.mode("overwrite").partitionBy(partitionBy: _*)
+      .saveAsTable(sane(name))
   }
   def load(name: String): DataFrame = spark.table(sane(name))
   def exists(name: String): Boolean = spark.catalog.tableExists(sane(name))
@@ -244,6 +271,8 @@ final class Catalog(
     m.materialized match {
       case Materialization.View =>
         m.build(resolveDeps(m)).createOrReplaceTempView(name)
+      case Materialization.PartitionedTable(cols) =>
+        warehouse.savePartitioned(name, m.build(resolveDeps(m)), cols)
       case Materialization.Incremental(key) =>
         val fresh = m.build(resolveDeps(m))
         if (!warehouse.exists(name)) warehouse.save(name, fresh)

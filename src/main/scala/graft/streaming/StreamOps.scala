@@ -56,6 +56,31 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Watermarked stream-stream inner join: click events joined to the
+    * impression that caused them within `within` (attribution — the
+    * canonical stream-stream shape). Both sides carry watermarks and the
+    * join condition bounds event time on BOTH ends, so Spark can prune
+    * buffered state: an impression is dropped once the watermark passes
+    * impression_ts + within, a click once its own watermark passes. State
+    * is therefore O(events inside the watermark horizon) per key range —
+    * bounded at any throughput — instead of unbounded buffering.
+    */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      within: String = "30 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("impression_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", "1 hour")
+    val clk = clicks
+      .select(col("click_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+      .withWatermark("clk_ts", "1 hour")
+    imp.join(clk,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr(s"INTERVAL $within"))
+  }
+
   final case class SessionEvent(event_id: Long, user_id: Long, ts: Timestamp)
   final case class SessionAssignment(event_id: Long, user_id: Long,
                                      session_idx: Long)

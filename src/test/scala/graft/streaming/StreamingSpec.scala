@@ -110,6 +110,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream attribution join pairs clicks with in-window " +
+       "impressions only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.attributeClicks(
+        imps.toDF().toDF("impression_id", "user_id", "ts"),
+        clks.toDF().toDF("click_id", "user_id", "ts"),
+        within = "30 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData((100L, 7L, ts("2024-01-01 10:00:00")),
+        (101L, 8L, ts("2024-01-01 10:00:00")))
+      clks.addData(
+        (1L, 7L, ts("2024-01-01 10:10:00")), // in window -> attributed
+        (2L, 8L, ts("2024-01-01 11:10:00")), // >30min after -> dropped
+        (3L, 9L, ts("2024-01-01 10:05:00"))) // no impression -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attr")
+      .select("impression_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 1L)))
+  }
+
   test("stream-static enrich matches the batch left join, dim-side " +
        "broadcast per micro-batch") {
     import spark.implicits._
