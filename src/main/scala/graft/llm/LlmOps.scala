@@ -387,6 +387,31 @@ object LlmOps {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), n = 4).toDF()
     },
 
+    // Global top-20 token BIGRAMS by frequency (multiset, not the distinct
+    // shingles dedup uses): n-gram profile of the corpus, same
+    // explode -> partial count -> distributed top-k shape as text_top_words.
+    Op("text_top_bigrams",
+       s"""SELECT bigram, n FROM (
+          |  SELECT bigram, count(*) AS n FROM (
+          |    SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+          |      ELSE list_transform(range(0, len(toks) - 1),
+          |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS bigram
+          |    FROM (SELECT $toksSql AS toks FROM documents))
+          |  GROUP BY bigram)
+          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(TextFeatures.tokens(col("text")).as("toks"))
+        .select(when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))).as("bg"))
+        .select(explode(col("bg")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
     // Global top-20 tokens by frequency: explode -> count -> distributed
     // top-k (TakeOrderedAndProject — no global sort). Deterministic via the
     // (count desc, token asc) tie-break, so it oracle-checks exactly.

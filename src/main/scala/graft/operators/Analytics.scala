@@ -256,6 +256,37 @@ object Analytics {
           year(col("o_orderdate")).as("order_year"),
           col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // CUBE: all four grouping sets of (priority, status). Same single-pass
+    // expand+aggregate physical shape as rollup — each input row fans out
+    // to its grouping-set rows before the partial aggregate, so the
+    // shuffle still carries pre-aggregated groups only.
+    Op("f_cube",
+       """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         |       count(*) AS n
+         |FROM orders GROUP BY CUBE(1, 2)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Explicit GROUPING SETS — the general form rollup/cube specialize:
+    // here (status), (priority) with no cross or grand-total set, which
+    // neither rollup nor cube can express.
+    Op("f_grouping_sets",
+       """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         |       count(*) AS n
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.createOrReplaceTempView("gs_orders")
+      o.sparkSession.sql(
+        """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+          |       count(*) AS n
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
     }
   )
 }
