@@ -86,6 +86,104 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "vec_cosine"
 }
 
+/** Fused dot product — same contract and codegen shape as vec_cosine,
+  * without the norm terms. Useful on pre-normalized embeddings, where
+  * cosine degenerates to the dot and the two sqrt/divide ops per row are
+  * pure waste.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t.isInstanceOf[ArrayType] &&
+      t.asInstanceOf[ArrayType].elementType == DoubleType
+    if (!ok(left.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"left side must be array<double>, got ${left.dataType}")
+    else if (!ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"right side must be array<double>, got ${right.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** Fused L2 norm (sqrt of the self-dot), the third member of the family. */
+case class L2Norm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be array<double>, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val xi = x.getDouble(i); s += xi * xi; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val xi = ctx.freshName("xi")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  $s += $xi * $xi;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_norm"
+}
+
 object GraftFunctions {
 
   private val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -93,7 +191,13 @@ object GraftFunctions {
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+        CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "vec_norm"),
+      (children: Seq[Expression]) => L2Norm(children(0))))
 
   /** Registration path (c): plug into `spark.sql.extensions` /
     * `SparkSession.builder().withExtensions(...)`.
@@ -112,8 +216,10 @@ object GraftFunctions {
     }
   }
 
-  /** Column-level API for the native expression. */
+  /** Column-level API for the native expressions. */
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vecNorm(a: Column): Column = call_function("vec_norm", a)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */

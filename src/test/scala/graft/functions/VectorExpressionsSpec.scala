@@ -42,6 +42,28 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot and vec_norm match their composed forms bit-for-bit, and " +
+       "cosine == dot/(norm*norm)") {
+    assert(spark.catalog.functionExists("vec_dot"))
+    assert(spark.catalog.functionExists("vec_norm"))
+    val a = vecs.toDF("ida", "va")
+    val b = vecs.toDF("idb", "vb")
+    val pairs = a.join(b, col("ida") =!= col("idb")).limit(1000)
+    val bad = pairs.select(
+        GraftFunctions.vecDot(col("va"), col("vb")).as("ndot"),
+        Similarity.dot(col("va"), col("vb")).as("cdot"),
+        GraftFunctions.vecNorm(col("va")).as("nnorm"),
+        Similarity.l2norm(col("va")).as("cnorm"),
+        GraftFunctions.vecCosine(col("va"), col("vb")).as("ncos"),
+        (GraftFunctions.vecDot(col("va"), col("vb")) /
+          (GraftFunctions.vecNorm(col("va")) *
+            GraftFunctions.vecNorm(col("vb")))).as("reconstructed"))
+      .filter(col("ndot") =!= col("cdot") || col("nnorm") =!= col("cnorm") ||
+        col("ncos") =!= col("reconstructed"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("null input propagates to null result") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
