@@ -150,11 +150,16 @@ object Similarity {
     }
 
   /** Sign-of-projection signature for one hash table: `planes` bits packed
-    * into one long. `dim` must match the embedding dimensionality.
+    * into one long. `dim` must match the embedding dimensionality. Uses the
+    * native fused vec_dot (bit-identical to the composed fold — same index
+    * order — so the embed_near_dup oracle replay is unaffected) instead of
+    * an interpreted zip_with/aggregate pair per plane: tables x planes
+    * folds per row is the signature stage's entire cost.
     */
   def lshSignature(vec: Column, planes: Int, table: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      when(dot(vec, typedlit(hyperplane(table, p, dim))) >= 0, 1L << p)
+      when(graft.functions.GraftFunctions
+          .vecDot(vec, typedlit(hyperplane(table, p, dim))) >= 0, 1L << p)
         .otherwise(0L)
     }.reduce(_ bitwiseOR _)
 
