@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Headline.ops ++
       operators.QualityGates.ops ++
       operators.Analytics.ops ++
+      operators.AsOf.ops ++
       operators.Collections.ops ++
       operators.Events.ops ++
       olist.OlistOps.ops ++
