@@ -17,6 +17,7 @@ object SparkEntry {
       operators.QualityGates.ops ++
       operators.Analytics.ops ++
       operators.AsOf.ops ++
+      operators.Ranges.ops ++
       operators.Collections.ops ++
       operators.Events.ops ++
       olist.OlistOps.ops ++

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangesSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    val points = Seq((1L, 5.0), (2L, 999.0), (3L, 1000.0), (4L, 2500.0),
+      (5L, -3.0)).toDF("pid", "x")
+    val intervals = Seq(
+      (10L, 0.0, 999.0),      // [0, 999]
+      (11L, 500.0, 1500.0),   // overlaps the first
+      (12L, 2500.0, 2500.0),  // degenerate single point
+      (13L, -10.0, -1.0))     // negative range
+      .toDF("iid", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("binned range join matches exactly the true containments, " +
+       "multi-match and negatives included") {
+    val (points, intervals) = fixture
+    val got = Ranges.rangeJoin(points, "x", intervals, "lo", "hi", 100)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = points.crossJoin(intervals)
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.contains((2L, 10L)) && got.contains((2L, 11L))) // multi-match
+    assert(got.contains((4L, 12L))) // degenerate interval
+    assert(got.contains((5L, 13L))) // negative bins (floor semantics)
+  }
+
+  test("each true match is emitted exactly once (no bin-replication dups)") {
+    val (points, intervals) = fixture
+    val rows = Ranges.rangeJoin(points, "x", intervals, "lo", "hi", 100)
+      .groupBy("pid", "iid").count().filter(col("count") > 1).count()
+    assert(rows == 0)
+  }
+
+  test("plan is a shuffle equi-join on the bin, not a nested loop") {
+    val (points, intervals) = fixture
+    val plan = Ranges.rangeJoin(points, "x", intervals, "lo", "hi", 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
