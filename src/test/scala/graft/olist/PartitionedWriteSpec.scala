@@ -36,6 +36,30 @@ class PartitionedWriteSpec extends SparkSpec {
     assert(back.columns.toSet == Set("id", "etype", "value"))
   }
 
+  test("insert_overwrite incremental replaces touched partitions only " +
+       "and keeps the partitioned layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_iow").toString
+    var batch = Seq((1L, "d1", "v1"), (2L, "d1", "v1"), (3L, "d2", "v1"))
+      .toDF("id", "day", "v")
+    val cat = new Catalog(spark, new Warehouse(spark, dir), Seq(
+      Model("by_day", Nil, Materialization.IncrementalByPartition("day"),
+        (_: Map[String, DataFrame]) => batch)))
+    cat.run(Seq("by_day"))
+    // replay day d2 with different rows + add d3; d1 must be untouched
+    batch = Seq((30L, "d2", "v2"), (31L, "d3", "v2")).toDF("id", "day", "v")
+    cat.run(Seq("by_day"))
+    val back = cat.warehouse.load("by_day")
+    val byDay = back.collect().groupBy(_.getAs[String]("day"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(byDay == Map("d1" -> Set(1L, 2L), "d2" -> Set(30L),
+      "d3" -> Set(31L)))
+    // layout survived the swap: hive-style partition dirs
+    val dirs = new java.io.File(s"$dir/by_day").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("day=d1", "day=d2", "day=d3"))
+  }
+
   test("a filter on the partition column prunes partitions at plan time") {
     val plan = wh.load("events_by_type")
       .filter(col("etype") === "type3")
