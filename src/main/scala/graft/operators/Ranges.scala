@@ -33,6 +33,29 @@ object Ranges {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: all pairs (a, b) with a.lo <= b.hi AND
+    * b.lo <= a.hi. Same binning idea, one extra subtlety: two intervals
+    * can share SEVERAL bins, so each side explodes to its bins and a pair
+    * is emitted only in the bin where the later-starting interval begins
+    * (`bin == max(binOf(a.lo), binOf(b.lo))`) — every true overlap
+    * appears in exactly that one bin, so no distinct pass is needed.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          loL: String, hiL: String,
+                          loR: String, hiR: String,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    def binOf(c: Column): Column = floor(c / binWidth).cast("long")
+    val l = left.withColumn("__bin",
+      explode(sequence(binOf(col(loL)), binOf(col(hiL)))))
+    val r = right.withColumn("__bin",
+      explode(sequence(binOf(col(loR)), binOf(col(hiR)))))
+    l.join(r, Seq("__bin"))
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col("__bin") === greatest(binOf(col(loL)), binOf(col(loR))))
+      .drop("__bin")
+  }
+
   /** Driver entry: lineitem prices matched into overlapping price bands
     * (width 2500, stride 2000 — adjacent bands overlap, so one price can
     * land in two bands, exercising true multi-match range semantics).

@@ -41,6 +41,25 @@ class RangesSpec extends SparkSpec {
     assert(rows == 0)
   }
 
+  test("interval overlap join: exact pair set, each pair exactly once") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 250.0), (2L, 300.0, 400.0), (3L, 90.0, 110.0))
+      .toDF("aid", "lo", "hi")
+    val b = Seq((10L, 100.0, 350.0), (11L, 500.0, 600.0),
+      (12L, 240.0, 260.0)).toDF("bid", "blo", "bhi")
+    val got = Ranges.intervalOverlapJoin(a, b, "lo", "hi", "blo", "bhi", 100)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = a.crossJoin(b)
+      .filter(col("lo") <= col("bhi") && col("blo") <= col("hi"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exact multiset equality: every true overlap exactly once, even for
+    // pairs sharing multiple bins (1 x 10 share bins 1 and 2)
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+    assert(got.toSet.contains((1L, 10L)) && got.toSet.contains((1L, 12L)))
+  }
+
   test("plan is a shuffle equi-join on the bin, not a nested loop") {
     val (points, intervals) = fixture
     val plan = Ranges.rangeJoin(points, "x", intervals, "lo", "hi", 100)
