@@ -247,15 +247,18 @@ object Dedup {
       .select(col(idCol) +: (0 until 16).map(j =>
         conv(substring(col("h"), j + 1, 1), 16, 10).cast("int")
           .as(s"nib$j")): _*)
+    // Per bit: sum the raw 0/1 extraction (branch-free) and count tokens
+    // once; the +1/-1 sign test is then 2*ones - n > 0. Same chunk values
+    // as the conditional-sum form, one fewer branch per bit per token.
     def nib(j: Int): Column = col(s"nib$j")
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(nib(b / 4), b % 4).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b")
-    }
+      sum(shiftright(nib(b / 4), b % 4).bitwiseAND(1)).as(s"b$b")
+    } :+ count(lit(1)).as("n_tok")
     val summed = withNibs.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val chunks = array((0 until 8).map { c =>
       (0 until 8).map { w =>
-        when(col(s"b${c * 8 + w}") > 0, lit(1 << w)).otherwise(lit(0))
+        when(col(s"b${c * 8 + w}") * 2 > col("n_tok"), lit(1 << w))
+          .otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
     summed.select(col(idCol), chunks.as("chunks"))
