@@ -72,6 +72,21 @@ object Collections {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
           .as("approx_orders"))
+    },
+
+    // Approximate quantiles (Greenwald-Khanna sketch): mergeable partial
+    // sketches -> one small final merge, the scalable shape for
+    // percentiles over 100 TB (an exact percentile needs a global sort).
+    // Sketch internals are engine-specific -> rows-only; the error bound
+    // vs exact quantiles is asserted in CollectionsSpec.
+    Op.noOracle("f_approx_quantile") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("p95"))
     }
   )
 }

@@ -19,4 +19,19 @@ class CollectionsSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.06, s"flag=$k approx=$a exact=$e")
     }
   }
+
+  test("percentile_approx (acc=1000) lands within 2% rank of exact") {
+    val approx = graft.SparkEntry.queries("f_approx_quantile")(
+        spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    approx.foreach { case (flag, (p50, p95)) =>
+      val vals = li.filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double) = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) < 0.02, s"$flag p50=$p50")
+      assert(math.abs(rankOf(p95) - 0.95) < 0.02, s"$flag p95=$p95")
+    }
+  }
 }
