@@ -32,6 +32,46 @@ object Headline {
 
   val ops: Seq[Op] = Seq(
 
+    // Q1 shape: the pricing summary — one selective pushed date filter,
+    // a 4-group hash aggregate with 8 aggregates (partial+final, so the
+    // shuffle carries 4 rows per map partition regardless of table size).
+    // All money math in exact decimal; averages are single divisions of
+    // exact sums -> bit-identical presentation on both engines.
+    Op("q1_pricing_summary",
+       s"""SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  $revenueSql AS sum_disc_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))
+          |        * (1 + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+          |  CAST(sum(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / count(*) AS avg_disc,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val qty = sum(col("l_quantity").cast(dec))
+      val base = sum(col("l_extendedprice").cast(dec))
+      val disc = sum(col("l_discount").cast(dec92))
+      val n = count(lit(1))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          qty.cast("double").as("sum_qty"),
+          base.cast("double").as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          sum(col("l_extendedprice").cast(dec) *
+              (lit(1) - col("l_discount").cast(dec92)) *
+              (lit(1) + col("l_tax").cast(dec92)))
+            .cast("double").as("sum_charge"),
+          (qty.cast("double") / n).as("avg_qty"),
+          (base.cast("double") / n).as("avg_price"),
+          (disc.cast("double") / n).as("avg_disc"),
+          n.as("count_order"))
+    },
+
     // Q3 shape: shipping-priority candidates — segment-filtered customers,
     // orders placed before D, items shipped after D, top-10 open revenue.
     Op("q3_shipping_priority",
