@@ -46,6 +46,23 @@ object StreamOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Native session windows: per-user sessions closed by a 30-minute
+    * silence, aggregated incrementally (Spark merges adjacent session
+    * windows as events arrive; the watermark closes and emits finished
+    * sessions and bounds state). The built-in counterpart of the
+    * flatMapGroupsWithState sessionization below — use this one when the
+    * per-session output is an aggregate; use the custom-state form when
+    * every EVENT needs its session id.
+    */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * static dim's plan, re-resolved per trigger (so a dim refresh is picked
     * up batch-to-batch) and broadcast by AQE while it fits. Stateless — no

@@ -110,6 +110,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("native session windows split on the gap and count per session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionCounts(
+        stream.toDF().toDF("user_id", "ts"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try {
+      stream.addData(
+        (7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")),
+        (7L, ts("2024-01-01 12:00:00")), // >30min later -> new session
+        (8L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_win")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 2L), (7L, 1L), (8L, 1L)))
+  }
+
   test("stream-stream attribution join pairs clicks with in-window " +
        "impressions only") {
     import spark.implicits._
