@@ -89,10 +89,16 @@ object Checks {
     *     debugging, dbt's store_failures audit table. Passed as a sink
     *     callback so the checks module stays warehouse-agnostic.
     */
+  /** `warnIf`/`errorIf` mirror dbt's threshold expressions (defaults
+    * `!= 0`): error wins when both trip; a failure count tripping neither
+    * still passes (e.g. error_if = "> 100" tolerates up to 100 bad rows).
+    */
   final case class TestConfig(
       warnOnly: Boolean = false,
       limit: Option[Int] = None,
-      storeFailures: Option[DataFrame => Unit] = None)
+      storeFailures: Option[DataFrame => Unit] = None,
+      warnIf: Long => Boolean = _ != 0,
+      errorIf: Long => Boolean = _ != 0)
 
   /** dbt's test harness: failures count + severity evaluation.
     * `warnOnly` mirrors severity: warn config.
@@ -107,8 +113,8 @@ object Checks {
     val limited = config.limit.fold(failureRows)(failureRows.limit)
     config.storeFailures.foreach(sink => sink(limited))
     val n = limited.count()
-    if (n == 0) Pass()
-    else if (config.warnOnly) Warn(n)
-    else Error(n)
+    if (!config.warnOnly && config.errorIf(n)) Error(n)
+    else if (config.warnIf(n)) Warn(n)
+    else Pass()
   }
 }

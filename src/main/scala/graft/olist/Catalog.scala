@@ -258,14 +258,20 @@ final class Catalog(
     m.deps.map(d => d -> ref(d)).toMap
 
   /** D2: deterministic topological order of `names` plus (optionally) all
-    * ancestors. Kahn's algorithm with name-sorted tie-break so run order is
+    * ancestors and/or descendants (dbt's `+model` / `model+` selector
+    * halves). Kahn's algorithm with name-sorted tie-break so run order is
     * stable across JVMs.
     */
-  def topo(names: Seq[String], withUpstream: Boolean): Seq[String] = {
+  def topo(names: Seq[String], withUpstream: Boolean,
+           withDownstream: Boolean = false): Seq[String] = {
+    lazy val dependents: Map[String, Seq[String]] = byName.values.toSeq
+      .flatMap(m => m.deps.map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val wanted = scala.collection.mutable.Set[String]()
     def visit(n: String): Unit = if (!wanted(n)) {
       wanted += n
       if (withUpstream) model(n).deps.foreach(visit)
+      if (withDownstream) dependents.getOrElse(n, Nil).foreach(visit)
     }
     names.foreach(visit)
     val remaining = scala.collection.mutable.Set(wanted.toSeq: _*)
@@ -365,8 +371,8 @@ final class Catalog(
     * is the deterministic topological order regardless of threads.
     */
   def run(select: Seq[String], withUpstream: Boolean = false,
-          threads: Int = 1): Seq[String] = {
-    val order = topo(select, withUpstream)
+          threads: Int = 1, withDownstream: Boolean = false): Seq[String] = {
+    val order = topo(select, withUpstream, withDownstream)
     if (threads <= 1) order.foreach(runNode)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}

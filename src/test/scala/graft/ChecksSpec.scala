@@ -71,6 +71,19 @@ class ChecksSpec extends SparkSpec {
       Checks.TestConfig(warnOnly = true, limit = Some(7))) == Checks.Warn(7))
   }
 
+  test("warn_if / error_if thresholds: counts below the gate pass") {
+    val d = df((1L to 10L).map(i => (java.lang.Long.valueOf(i), "x")))
+    val failing = Checks.singular(d, col("id") > 5) // 5 failure rows
+    // tolerate up to 100 bad rows -> pass outright
+    assert(Checks.evaluate(failing,
+      Checks.TestConfig(warnIf = _ > 100, errorIf = _ > 100)) == Checks.Pass())
+    // warn from 1, error only above 100 -> warn
+    assert(Checks.evaluate(failing,
+      Checks.TestConfig(errorIf = _ > 100)) == Checks.Warn(5))
+    // default gates unchanged
+    assert(Checks.evaluate(failing, Checks.TestConfig()) == Checks.Error(5))
+  }
+
   test("storeFailures persists the (limited) failure rows (store_failures)") {
     val d = df(Seq((-1L, "x"), (-2L, "y"), (5L, "z")))
     val dir = java.nio.file.Files.createTempDirectory("graft_sf").toString

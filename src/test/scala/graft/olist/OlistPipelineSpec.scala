@@ -105,6 +105,24 @@ class OlistPipelineSpec extends SparkSpec {
     assert(idx("top") > idx("left") && idx("top") > idx("right"))
   }
 
+  test("downstream selection (model+) rebuilds dependents, not ancestors") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val whP = Files.createTempDirectory("graft_down").toString
+    def mk(name: String, deps: Seq[String]) =
+      Model(name, deps, Materialization.Table,
+        (m: Map[String, DataFrame]) =>
+          m.values.headOption.getOrElse((1 to 5).toDF("x")))
+    val dcat = new Catalog(spark, new Warehouse(spark, whP), Seq(
+      mk("a", Nil), mk("b", Seq("a")), mk("c", Seq("b")), mk("d", Nil)))
+    dcat.run(Seq("a"), withUpstream = true) // seed a so b can read it
+    val order = dcat.topo(Seq("b"), withUpstream = false,
+      withDownstream = true)
+    assert(order == Seq("b", "c")) // dependents follow, 'a' and 'd' excluded
+    val ran = dcat.run(Seq("b"), withDownstream = true)
+    assert(ran == Seq("b", "c") && dcat.warehouse.exists("c"))
+  }
+
   test("parallel run failure in one node aborts the run (dbt error gate)") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
