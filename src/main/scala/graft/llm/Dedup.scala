@@ -175,6 +175,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** End-to-end corpus cleaning — the composition a training-data run
+    * actually executes: quality floor -> exact dedup (min doc_id survives
+    * its content-fingerprint group) -> near-dup removal (for every
+    * verified near-dup pair, the higher id is dropped; the standard
+    * greedy keep-lowest rule, which needs no connected-components pass
+    * because survivors are defined per-pair). Built entirely from the
+    * portable operators, so the WHOLE pipeline replays in the DuckDB
+    * oracle. Plan: one map-side quality filter, one keyed aggregate, one
+    * banding join — nothing quadratic, nothing driver-side.
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minQuality: Double = 0.5,
+                  bands: Int = 8, rows: Int = 4,
+                  threshold: Double = 0.8): DataFrame = {
+    val quality = docs.filter(
+      TextFeatures.qualityScore(col(textCol)) >= minQuality)
+    val exactSurvivors = quality
+      .groupBy(TextFeatures.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val base = quality.join(exactSurvivors, Seq(idCol), "left_semi")
+    val nearDupLosers = minHashNearDups(base, idCol, textCol, bands, rows,
+        threshold, portable = true)
+      .select(col("id_b").as(idCol)).distinct()
+    base.join(nearDupLosers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("source"),
+        length(col(textCol)).cast("long").as("n_chars"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 over token
     * hashes; the sign picks the bit. Expressed as one aggregate over 64
     * generated bit columns — partial aggregation happens map-side, so the

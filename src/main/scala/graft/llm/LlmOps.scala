@@ -28,8 +28,8 @@ object LlmOps {
     * hand-written: the k signature expressions mirror the Spark builder
     * loop exactly, so the two can only drift if the parameters drift.
     */
-  private def minhashOracleSql(bands: Int, rows: Int,
-                               threshold: Double): String = {
+  private def minhashOracleSql(bands: Int, rows: Int, threshold: Double,
+                               from: String = "documents"): String = {
     val k = bands * rows
     // hash h = 4-hex-char slice h%8 of md5("(h/8):shingle"), mirroring
     // minhashSignaturesPortable's md5-slicing exactly
@@ -39,7 +39,7 @@ object LlmOps {
     }.mkString("[", ",\n      ", "]")
     val bandCols = (1 to rows).map(j => s"sig[b.range*$rows+$j]").mkString(", ")
     s"""WITH toks AS (
-       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |  SELECT doc_id, $toksSql AS toks FROM $from),
        |sh AS (
        |  SELECT doc_id,
        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -178,6 +178,32 @@ object LlmOps {
     // the oracle; xxhash64 fast path tested in DedupSpec.
     Op("dedup_simhash", simhashOracleSql(maxHamming = 6)) { (s, d) =>
       Dedup.simHashNearDupsPortable(Tables.documents(s, d), maxHamming = 6)
+    },
+
+    // End-to-end corpus cleaning: quality floor -> exact dedup -> near-dup
+    // removal, all portable pieces, so the WHOLE pipeline hash-checks. The
+    // oracle nests the minhash replay over the cleaned base relation.
+    Op("llm_clean_corpus", {
+      val qualitySql =
+        s"""(CASE WHEN length(text) < 20 THEN 0.2
+           |      WHEN length(text) > 2000 THEN 0.5 ELSE 1.0 END) * 0.5
+           |+ (CASE WHEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+           |          / length(text) > 0.2 THEN 0.3 ELSE 1.0 END) * 0.25
+           |+ (CASE WHEN CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS DOUBLE)
+           |          / len($toksSql) > 0.02 THEN 1.0 ELSE 0.7 END) * 0.25""".stripMargin
+      s"""WITH q AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE $qualitySql >= 0.5),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5($normSql)),
+         |base AS (SELECT * FROM q WHERE doc_id IN (SELECT doc_id FROM ex)),
+         |losers AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM (
+         |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8,
+                from = "base").linesIterator.mkString("\n    ")}))
+         |SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+         |FROM base WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    }) { (s, d) =>
+      Dedup.cleanCorpus(Tables.documents(s, d))
     },
 
     // --- similarity search ----------------------------------------------

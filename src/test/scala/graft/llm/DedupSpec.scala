@@ -116,6 +116,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0L)))
   }
 
+  test("cleanCorpus drops low-quality docs, exact copies, and near-dups; " +
+       "keeps the lowest id of each cluster") {
+    import spark.implicits._
+    val good = (1 to 40).map(i => s"tok$i the of and").mkString(" ")
+    val d = Seq(
+      (1L, good, "s"),
+      (2L, good, "s"),                          // exact copy -> dropped
+      (3L, good.replace("tok20", "changed"), "s"), // near-dup -> dropped
+      (4L, "!!##$$%%", "s"),                    // junk -> quality-dropped
+      (5L, (100 to 140).map(i => s"zz$i the of and").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.cleanCorpus(d, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+  }
+
   test("testdata: minhash recovers exactly the pairs exact Jaccard >= 0.8") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // ground truth by brute force on the small SF (test-only; the operator
