@@ -181,8 +181,12 @@ object LlmOps {
     },
 
     // End-to-end corpus cleaning: quality floor -> exact dedup -> near-dup
-    // removal, all portable pieces, so the WHOLE pipeline hash-checks. The
-    // oracle nests the minhash replay over the cleaned base relation.
+    // CONNECTED-COMPONENTS removal (one min-id survivor per duplicate
+    // cluster), all portable pieces, so the WHOLE pipeline hash-checks. The
+    // oracle nests the minhash replay over the cleaned base relation and
+    // replays the component rule with a recursive CTE (min reachable id
+    // over the undirected pair graph) — the exact fixpoint the engine's
+    // iterated label propagation converges to.
     Op("llm_clean_corpus", {
       val qualitySql =
         s"""(CASE WHEN length(text) < 20 THEN 0.2
@@ -191,18 +195,35 @@ object LlmOps {
            |          / length(text) > 0.2 THEN 0.3 ELSE 1.0 END) * 0.25
            |+ (CASE WHEN CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS DOUBLE)
            |          / len($toksSql) > 0.02 THEN 1.0 ELSE 0.7 END) * 0.25""".stripMargin
-      s"""WITH q AS (
+      s"""WITH RECURSIVE q AS (
          |  SELECT doc_id, source, text FROM documents
          |  WHERE $qualitySql >= 0.5),
          |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5($normSql)),
          |base AS (SELECT * FROM q WHERE doc_id IN (SELECT doc_id FROM ex)),
-         |losers AS (
-         |  SELECT DISTINCT id_b AS doc_id FROM (
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
          |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8,
-                from = "base").linesIterator.mkString("\n    ")}))
+                from = "base").linesIterator.mkString("\n    ")})),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+         |losers AS (SELECT DISTINCT node AS doc_id FROM walk WHERE reach < node)
          |SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
          |FROM base WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
     }) { (s, d) =>
+      Dedup.cleanCorpus(Tables.documents(s, d), portable = true)
+    },
+
+    // The PRODUCTION clean-corpus path: identical pipeline and survivor
+    // semantics, xxhash64 signatures instead of the md5-portable family
+    // (DedupSpec asserts fast/portable survivor-set equality on planted
+    // fixtures; hash-family-specific LSH candidates make a DuckDB replay
+    // inexpressible, hence rows-only here).
+    Op.noOracle("llm_clean_corpus_fast") { (s, d) =>
       Dedup.cleanCorpus(Tables.documents(s, d))
     },
 

@@ -132,6 +132,75 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("componentMinLabels: min id reaches every cluster member, " +
+       "including long chains (pointer jumping)") {
+    import spark.implicits._
+    // two components: a triangle-free chain 1-3, 2-3 and a pair 10-11,
+    // plus a 9-node path 20-21-...-28 that needs transitive propagation
+    val chain = (20L until 28L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 3L), (2L, 3L), (10L, 11L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val labels = Dedup.componentMinLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    (20L to 28L).foreach(i => assert(labels(i) == 20L, s"node $i"))
+  }
+
+  // Three-block fixture: doc1 = A+B, doc3 = A+B' (bridge), doc2 = A'+B'.
+  // Adjacent pairs share 30 of 40 tokens (jaccard ~0.58); the far pair
+  // (1,2) shares only the middle 20 (~0.31, below the 0.5 threshold), so
+  // the dup graph is the chain 1~3~2 with the BRIDGE holding the highest
+  // id: per-pair greedy (drop id_b) would delete only doc 3 and keep
+  // docs 1 AND 2; connected components keeps exactly the cluster min.
+  private def chainDocs = {
+    import spark.implicits._
+    val blockA  = (1 to 20).map(i => s"a$i")
+    val blockA2 = (1 to 10).map(i => s"x$i") ++ (11 to 20).map(i => s"a$i")
+    val blockB  = (1 to 20).map(i => s"b$i")
+    val blockB2 = (1 to 10).map(i => s"b$i") ++ (11 to 20).map(i => s"y$i")
+    Seq(
+      (1L, (blockA ++ blockB).mkString(" "), "s"),
+      (2L, (blockA2 ++ blockB2).mkString(" "), "s"),
+      (3L, (blockA ++ blockB2).mkString(" "), "s"),
+      (4L, "!!##$$%%", "s"), // junk -> quality-dropped
+      (5L, (100 to 140).map(i => s"zz$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("cleanCorpus keeps ONE survivor per transitive near-dup cluster " +
+       "(connected components, not per-pair greedy)") {
+    val d = chainDocs
+    // sanity: the verified pair graph is exactly the chain through doc 3
+    val pairs = Dedup.minHashNearDups(d, bands = 16, rows = 2,
+        threshold = 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), s"pairs=$pairs")
+    val kept = Dedup.cleanCorpus(d, bands = 16, rows = 2, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L), s"kept=$kept")
+  }
+
+  test("cleanCorpus fast and portable hash paths agree on the survivor set") {
+    val d = chainDocs
+    val fast = Dedup.cleanCorpus(d, bands = 16, rows = 2, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val port = Dedup.cleanCorpus(d, bands = 16, rows = 2, threshold = 0.5,
+        portable = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(fast == port, s"fast=$fast portable=$port")
+  }
+
+  test("cleanCorpus passthrough: runs on a corpus without a 'source' column") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (100 to 140).map(i => s"qq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.cleanCorpus(d, passthrough = Nil)
+    assert(out.columns.toSeq == Seq("doc_id", "n_chars"))
+    assert(out.count() == 2)
+  }
+
   test("testdata: minhash recovers exactly the pairs exact Jaccard >= 0.8") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // ground truth by brute force on the small SF (test-only; the operator
