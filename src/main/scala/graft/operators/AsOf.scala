@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * This is the union + carry-forward formulation — the composition-first
   * rung of the custom-operator ladder, and the shape that scales:
   * interleave both sides into one frame tagged by side, sort each key's
-  * timeline once, and propagate the last seen right values forward with
-  * `last(_, ignoreNulls)` over a running window. ONE shuffle + sort on
+  * timeline once, and propagate the last seen right ROW forward — packed
+  * into a single struct column carried by one `last(_, ignoreNulls)` over
+  * a running window, so a right row with NULL payload fields is still
+  * matched atomically (per-column carry would tear rows). ONE shuffle +
+  * sort on
   * the join key total, O(1) state per row, no pair blowup; ties at equal
   * time resolve right-before-left (inclusive <=) and then by `tieBreak`
   * among simultaneous right rows, making the result fully deterministic.
@@ -28,34 +31,37 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                tieBreak: String, prefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val rCols = right.columns.filterNot(_ == key).toSeq
     require(rCols.contains(tieBreak), s"tieBreak '$tieBreak' not in right side")
-    // __tb snapshots the right-side tie-break for the window ORDER BY so
-    // the carry-forward withColumns (which overwrite the prefixed columns,
-    // tieBreak included) cannot perturb the sort.
+    // The right payload travels as ONE struct column carried by ONE
+    // last(ignoreNulls): the matched right row arrives atomically. Carrying
+    // each payload column independently would mix columns from different
+    // right rows whenever a payload field is NULL (the newer row's NULL
+    // field would be "filled" from an older row — a torn row).
+    val rStruct = StructType(
+      rCols.map(c => StructField(c, right.schema(c).dataType)))
+    // __tb snapshots the right-side tie-break for the window ORDER BY.
     val lPart = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-      .withColumn("__tb", lit(null).cast(right.schema(tieBreak).dataType))
-      .select(left.columns.map(col) ++
-        Seq(col("__t"), col("__side"), col("__tb")) ++
-        rCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"$prefix$c")): _*)
+      .select(left.columns.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(right.schema(tieBreak).dataType).as("__tb"),
+        lit(null).cast(rStruct).as("__r")): _*)
     val rPart = right
       .select(left.columns.toSeq.map {
         case c if c == key => col(key)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
       } ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-        col(tieBreak).as("__tb")) ++
-        rCols.map(c => col(c).as(s"$prefix$c")): _*)
+        col(tieBreak).as("__tb"),
+        struct(rCols.map(col): _*).as("__r")): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rCols.foldLeft(lPart.unionByName(rPart)) { (df, c) =>
-      df.withColumn(s"$prefix$c",
-        last(col(s"$prefix$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side", "__tb")
+    val carried = lPart.unionByName(rPart)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rCols.map(c => col("__r").getField(c).as(s"$prefix$c")): _*)
   }
 
   /** Driver entry: every event enriched with the user's latest
@@ -73,26 +79,26 @@ object AsOf {
         |u AS (
         |  SELECT event_id, user_id, ts, ts AS t, 1 AS side,
         |         CAST(NULL AS BIGINT) AS tb,
-        |         CAST(NULL AS BIGINT) AS r_event_id,
-        |         CAST(NULL AS TIMESTAMP) AS r_ts,
-        |         CAST(NULL AS DOUBLE) AS r_value
+        |         CAST(NULL AS STRUCT(event_id BIGINT, ts TIMESTAMP,
+        |                             "value" DOUBLE)) AS rrow
         |  FROM l
         |  UNION ALL
         |  SELECT CAST(NULL AS BIGINT), user_id, CAST(NULL AS TIMESTAMP),
-        |         ts, 0, event_id, event_id, ts, value
+        |         ts, 0, event_id,
+        |         struct_pack(event_id := event_id, ts := ts, value := value)
         |  FROM r),
         |c AS (
         |  SELECT event_id, user_id, ts, side,
-        |         last_value(r_event_id IGNORE NULLS) OVER w AS r_event_id,
-        |         last_value(r_ts IGNORE NULLS) OVER w AS r_ts,
-        |         last_value(r_value IGNORE NULLS) OVER w AS r_value
+        |         last_value(rrow IGNORE NULLS) OVER w AS rrow
         |  FROM u
         |  WINDOW w AS (
         |    PARTITION BY user_id
         |    ORDER BY t ASC, side ASC, tb ASC NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |       r_event_id, epoch_us(r_ts) AS r_ts_us, r_value
+        |       struct_extract(rrow, 'event_id') AS r_event_id,
+        |       epoch_us(struct_extract(rrow, 'ts')) AS r_ts_us,
+        |       struct_extract(rrow, 'value') AS r_value
         |FROM c WHERE side = 1""".stripMargin) { (s, d) =>
       val ev = graft.Tables.events(s, d)
       val l = ev.select(col("event_id"), col("user_id"), col("ts"))

@@ -57,6 +57,21 @@ class AsOfSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("a right row with NULL payload fields is matched atomically " +
+       "(no torn rows mixing columns of different right rows)") {
+    import spark.implicits._
+    val l = Seq((1L, 5L, ts("2024-01-01 00:00:10"))).toDF("lid", "k", "ts")
+    val r = Seq(
+      (21L, 5L, ts("2024-01-01 00:00:01"), Some(1.5)),
+      (22L, 5L, ts("2024-01-01 00:00:02"), None)) // latest row, NULL payload
+      .toDF("rid", "k", "ts", "v")
+    val out = AsOf.asofJoin(l, r, "k", "ts", "ts", "rid").head()
+    assert(out.getAs[Long]("r_rid") == 22L)
+    // the NULL travels with its row — NOT filled from the older row 21
+    assert(out.isNullAt(out.fieldIndex("r_v")),
+      s"torn row: r_v=${out.get(out.fieldIndex("r_v"))}")
+  }
+
   test("simultaneous right rows resolve deterministically via tieBreak") {
     import spark.implicits._
     val l = Seq((1L, 5L, ts("2024-01-01 00:00:10"))).toDF("lid", "k", "ts")
