@@ -1,0 +1,96 @@
+package graft.llm
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL compressed-image codec on the pure-JDK `javax.imageio` stack —
+  * PNG / JPEG / BMP / GIF / WBMP decode and PNG encode ship with the JVM,
+  * no native libraries. This is the decoder the Multimodal stub used to
+  * stand in for: raw GRIM/GRVD containers are still parsed by RawMedia,
+  * compressed images land here, and only formats the JDK has no reader
+  * for (compressed audio/video) fall through to the labeled stub.
+  *
+  * All entry points are executor-side pure functions over byte arrays —
+  * the in-memory cache setting avoids ImageIO's default temp-file spill,
+  * which would be a per-record disk write inside a mapPartitions hot loop.
+  */
+object CompressedMedia {
+
+  ImageIO.setUseCache(false)
+
+  /** Header-only probe: (format, width, height) without decoding pixels —
+    * what feature extraction over a 100 TB media table should pay per row
+    * (readers parse just the header for dimensions).
+    */
+  def sniff(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((s"image/${r.getFormatName.toLowerCase}",
+            r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: Exception => None
+    } finally iis.close()
+  }
+
+  /** Full decode to a 3-channel RGB RawMedia.Image (row-major RGB bytes),
+    * so the downstream pixel math (resizeNearest etc.) is shared with the
+    * raw-container path.
+    */
+  def decode(bytes: Array[Byte]): Option[RawMedia.Image] = {
+    val bi =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (bi == null) None
+    else {
+      val (w, h) = (bi.getWidth, bi.getHeight)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = bi.getRGB(x, y)
+          val i = (y * w + x) * 3
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(RawMedia.Image(w, h, 3, out))
+    }
+  }
+
+  /** PNG-encode a 3-channel image (PNG is lossless, so decode(encodePng(x))
+    * round-trips pixels exactly — asserted in MultimodalSpec).
+    */
+  def encodePng(img: RawMedia.Image): Array[Byte] = {
+    require(img.channels == 3, s"encodePng needs 3 channels, got ${img.channels}")
+    val bi = new BufferedImage(img.width, img.height,
+      BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val i = (y * img.width + x) * 3
+        val rgb = ((img.pixels(i) & 0xff) << 16) |
+          ((img.pixels(i + 1) & 0xff) << 8) | (img.pixels(i + 2) & 0xff)
+        bi.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+}

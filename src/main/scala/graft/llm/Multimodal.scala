@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
   * struct, with per-partition batch decode/feature-extract.
   *
   * The Spark-side plumbing — schema, partitioning, the mapPartitions batch
-  * shape a codec plugs into — is real and tested, and so is everything
-  * downstream of RAW payloads: RawMedia's container parsing,
-  * nearest-neighbor resampling, and frame extraction are genuine
-  * implementations (see RawMedia.scala). Only COMPRESSED payloads (here:
-  * the "audio" kind, standing in for mp3/jpeg-style bytes) hit the clearly
-  * marked deterministic STUB, because this container ships no native
-  * codecs. Swapping the stub for a real decoder changes no plan shape: every
-  * operator stays a narrow per-partition map, no shuffle, executed where
-  * the bytes already live — exactly how a 100 TB media table should be
-  * processed.
+  * shape a codec plugs into — is real and tested, and so is decoding for
+  * TWO real payload families: RawMedia's uncompressed GRIM/GRVD containers
+  * (header parse, nearest-neighbor resample, frame extraction) and
+  * COMPRESSED images through the pure-JDK `javax.imageio` codecs
+  * (PNG/JPEG/BMP/GIF — see CompressedMedia.scala). Only formats the JDK
+  * has no reader for (compressed audio/video — the "audio" kind here)
+  * hit the clearly marked deterministic STUB, because their codecs need
+  * native libraries this container image does not ship. Swapping the stub
+  * for a real decoder changes no plan shape: every operator stays a narrow
+  * per-partition map, no shuffle, executed where the bytes already live —
+  * exactly how a 100 TB media table should be processed.
   */
 object Multimodal {
 
@@ -31,8 +32,9 @@ object Multimodal {
       checksum: Long)
 
   /** ======= STUB =======
-    * Stands in for a COMPRESSED-format decoder (e.g. libjpeg / ffmpeg
-    * bindings), used only when RawMedia cannot parse the payload.
+    * Stands in for the codecs the JDK does NOT ship (compressed audio /
+    * video — mp3/H.264-style bytes), used only when neither RawMedia nor
+    * CompressedMedia (javax.imageio) can parse the payload.
     * Deterministic fake: "dimensions" derive from a byte checksum, so tests
     * can assert exact values and re-runs are stable. A real implementation
     * would decode `bytes` and return true dimensions/duration.
@@ -48,13 +50,17 @@ object Multimodal {
     bytes.foldLeft(1469598103934665603L)((h, b) =>
       (h ^ (b & 0xff)) * 1099511628211L) // FNV-1a, pure JVM, deterministic
 
-  /** Real header decode for raw containers; stub for anything else. */
+  /** Real header decode for raw containers AND compressed images (javax
+    * .imageio header-only probe — no pixel decode on the feature path);
+    * stub only for formats the JDK cannot parse.
+    */
   private def decodeAny(kind: String,
                         bytes: Array[Byte]): (String, Int, Int) =
     RawMedia.decodeImage(bytes)
       .map(img => (s"raw/image-${img.channels}ch", img.width, img.height))
       .orElse(RawMedia.decodeVideoInfo(bytes)
         .map(v => (s"raw/video-${v.nFrames}f", v.width, v.height)))
+      .orElse(CompressedMedia.sniff(bytes))
       .getOrElse(decodeStub(kind, bytes))
 
   /** Batch feature extraction: one decoder invocation per row, batched per
@@ -111,13 +117,24 @@ object Multimodal {
               val info = RawMedia.VideoInfo(v.nFrames, nw, nh, v.channels)
               ResizedMedia(r.media_id, r.kind, nw, nh,
                 RawMedia.encodeVideo(info, frames))
-            case None => // ======= STUB fallback (compressed payloads) ====
-              val (_, w, h) = decodeStub(r.kind, r.bytes)
-              val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-              val (nw, nh) = (math.max(1, (w * scale).toInt),
-                math.max(1, (h * scale).toInt))
-              val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
-              ResizedMedia(r.media_id, r.kind, nw, nh, r.bytes.take(nBytes))
+            case None => CompressedMedia.decode(r.bytes) match {
+              case Some(img) => // REAL compressed-image path (javax.imageio)
+                val scale = math.min(1.0, maxSide.toDouble /
+                  math.max(img.width, img.height))
+                val (nw, nh) = (math.max(1, (img.width * scale).toInt),
+                  math.max(1, (img.height * scale).toInt))
+                val out = if (scale >= 1.0) img
+                  else RawMedia.resizeNearest(img, nw, nh)
+                ResizedMedia(r.media_id, r.kind, out.width, out.height,
+                  CompressedMedia.encodePng(out))
+              case None => // ==== STUB fallback (no JDK codec: audio) ====
+                val (_, w, h) = decodeStub(r.kind, r.bytes)
+                val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+                val (nw, nh) = (math.max(1, (w * scale).toInt),
+                  math.max(1, (h * scale).toInt))
+                val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
+                ResizedMedia(r.media_id, r.kind, nw, nh, r.bytes.take(nBytes))
+            }
           }
         }
       }
@@ -149,12 +166,13 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from the documents corpus. Image and video rows
-    * carry REAL RawMedia payloads synthesized from the text bytes (pixels
-    * = UTF-8 bytes cycled to fill the plane), so the decode/resize/frame
-    * paths above exercise genuine parsing and pixel math; audio rows stay
-    * opaque UTF-8 (the compressed-codec stand-in that routes through the
-    * stub).
+  /** Build a media table from the documents corpus. Raw-image and video
+    * rows carry REAL RawMedia payloads synthesized from the text bytes
+    * (pixels = UTF-8 bytes cycled to fill the plane); every fourth row is
+    * a REAL PNG (CompressedMedia.encodePng over the same plane) exercising
+    * the javax.imageio decode path; audio rows stay opaque UTF-8 (the
+    * no-JDK-codec stand-in that routes through the stub). Empty documents
+    * get a single zero byte so plane synthesis never divides by zero.
     */
   def mediaFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[MediaRow] = {
@@ -162,7 +180,8 @@ object Multimodal {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
+          val utf8 = text.getBytes("UTF-8")
+          val raw = if (utf8.isEmpty) Array[Byte](0) else utf8
           def plane(w: Int, h: Int, c: Int, phase: Int): Array[Byte] = {
             val out = new Array[Byte](w * h * c)
             var i = 0
@@ -172,12 +191,17 @@ object Multimodal {
             }
             out
           }
-          id % 3 match {
-            case 0 => // image: dims derived from the text, payload real
+          id % 4 match {
+            case 0 => // raw image: dims derived from the text, payload real
               val w = 8 + (raw.length % 24)
               val h = 8 + ((raw.length / 2) % 24)
               MediaRow(id, "image",
                 RawMedia.encodeImage(RawMedia.Image(w, h, 3, plane(w, h, 3, 0))))
+            case 1 => // compressed image: a REAL PNG of the same plane
+              val w = 8 + (raw.length % 24)
+              val h = 8 + ((raw.length / 2) % 24)
+              MediaRow(id, "image",
+                CompressedMedia.encodePng(RawMedia.Image(w, h, 3, plane(w, h, 3, 0))))
             case 2 => // video: 4-11 frames of a small plane
               val nf = 4 + (raw.length % 8)
               val (w, h) = (12, 8)

@@ -28,14 +28,18 @@ class MultimodalSpec extends SparkSpec {
     assert(up.pixels.toSeq == Seq.fill(4)(10.toByte))
   }
 
-  test("feature extraction: real header decode for raw media, stub only " +
-       "for opaque payloads; stable checksums") {
+  test("feature extraction: real header decode for raw media, real " +
+       "javax.imageio probe for PNG rows, stub only for opaque payloads; " +
+       "stable checksums") {
     val m = media
     val f1 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
     assert(f1.length == m.count())
-    // images/videos decode for real; audio (compressed stand-in) is stubbed
-    assert(f1.filter(_.kind == "image").forall(f =>
+    // raw images and PNGs both decode for real; audio (no JDK codec) stubs
+    assert(f1.filter(f => f.kind == "image" && f.media_id % 4 == 0).forall(f =>
       f.format == "raw/image-3ch" && f.width >= 8 && f.width < 32))
+    assert(f1.filter(f => f.kind == "image" && f.media_id % 4 == 1).forall(f =>
+      f.format == "image/png" && f.width >= 8 && f.width < 32))
+    assert(f1.exists(_.format == "image/png"))
     assert(f1.filter(_.kind == "video").forall(_.format.startsWith("raw/video-")))
     assert(f1.filter(_.kind == "audio").forall(_.format == "fake/audio"))
     // deterministic across repartitionings
@@ -54,14 +58,48 @@ class MultimodalSpec extends SparkSpec {
     val resized = Multimodal.resize(m, maxSide = 16).collect()
     assert(resized.nonEmpty)
     assert(resized.forall(r => r.width <= 16 && r.height <= 16))
-    resized.filter(r => r.kind == "image").foreach { r =>
+    resized.filter(r => r.kind == "image" && r.media_id % 4 == 0).foreach { r =>
       val img = RawMedia.decodeImage(r.bytes).get // still a valid container
+      assert(img.width == r.width && img.height == r.height)
+    }
+    resized.filter(r => r.kind == "image" && r.media_id % 4 == 1).foreach { r =>
+      val img = CompressedMedia.decode(r.bytes).get // still a valid PNG
       assert(img.width == r.width && img.height == r.height)
     }
     resized.filter(_.kind == "video").foreach { r =>
       val v = RawMedia.decodeVideoInfo(r.bytes).get
       assert(v.width == r.width && v.height == r.height)
     }
+  }
+
+  test("CompressedMedia: PNG encode/decode round-trips pixels exactly; " +
+       "sniff reads true dimensions from the header alone") {
+    val img = RawMedia.Image(5, 3, 3,
+      Array.tabulate(5 * 3 * 3)(i => (i * 17 % 251).toByte))
+    val png = CompressedMedia.encodePng(img)
+    // real PNG magic bytes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G')
+    val (fmt, w, h) = CompressedMedia.sniff(png).get
+    assert(fmt == "image/png" && w == 5 && h == 3)
+    val back = CompressedMedia.decode(png).get
+    assert(back.width == 5 && back.height == 3 && back.channels == 3)
+    assert(back.pixels.toSeq == img.pixels.toSeq) // PNG is lossless
+    // non-image bytes are rejected, not crashed on
+    assert(CompressedMedia.sniff("not an image".getBytes).isEmpty)
+    assert(CompressedMedia.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("empty documents synthesize media without crashing (zero-byte guard)") {
+    import spark.implicits._
+    val docs = Seq((0L, ""), (1L, ""), (2L, ""), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.mediaFromDocuments(spark, docs).collect()
+    assert(rows.length == 4)
+    val f = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs)).collect()
+    assert(f.length == 4)
+    assert(f.find(_.media_id == 1L).get.format == "image/png")
   }
 
   test("frame sampling: n evenly spaced real frames with container-true " +
