@@ -66,46 +66,86 @@ object LlmOps {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
-  /** DuckDB replay of the random-hyperplane near-dup pipeline. The
-    * hyperplanes are deterministic driver-side literals (splitmix64 of
-    * (table, plane, dim) — Similarity.hyperplane), so the oracle embeds
-    * THE SAME literal arrays; dot products are sequential folds on both
-    * sides (the knn_cosine precedent proves bit-exactness), so bucket
-    * assignment, candidates, and the cosine threshold all replay exactly.
-    */
-  private def embedNearDupOracleSql(planes: Int, tables: Int,
-                                    threshold: Double, dim: Int): String = {
-    def lst(a: Seq[Double]) = a.map(_.toString).mkString("[", ", ", "]")
-    def dotSql(vec: String, h: Seq[Double]) =
-      s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
-        s"i -> CAST($vec[i] AS DOUBLE) * (${lst(h)})[i]), 'sum')"
-    def bucketSql(t: Int) = (0 until planes).map { p =>
-      s"(CASE WHEN ${dotSql("embedding", Similarity.hyperplane(t, p, dim))} >= 0 " +
+  // --- shared hyperplane-replay SQL builders (DuckDB dialect) -----------
+  // The hyperplanes are deterministic driver-side literals (splitmix64 of
+  // (table, plane, dim) — Similarity.hyperplane), so the oracle embeds THE
+  // SAME literal arrays; dot products are sequential folds on both sides
+  // (the knn_cosine precedent proves bit-exactness), so bucket assignment,
+  // candidates, cosine scores, and ranks all replay exactly.
+
+  private def lstSql(a: Seq[Double]) =
+    a.map(_.toString).mkString("[", ", ", "]")
+
+  private def hyperDotSql(vec: String, h: Seq[Double], dim: Int) =
+    s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * (${lstSql(h)})[i]), 'sum')"
+
+  private def bucketSql(t: Int, planes: Int, dim: Int) = (0 until planes)
+    .map { p =>
+      s"(CASE WHEN ${hyperDotSql("embedding", Similarity.hyperplane(t, p, dim), dim)} >= 0 " +
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n      + ")
-    val bucketed = (0 until tables).map(t =>
-      s"SELECT vec_id, $t AS tbl,\n      ${bucketSql(t)} AS bucket FROM embeddings")
+
+  /** One row per (vector, table) with its packed bucket signature. */
+  private def bucketedSql(planes: Int, tables: Int, dim: Int) =
+    (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl,\n      ${bucketSql(t, planes, dim)} AS bucket FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
-    def norm(vec: String) =
-      s"sqrt(list_aggregate(list_transform(range(1, ${dim + 1}), " +
-        s"i -> CAST($vec[i] AS DOUBLE) * CAST($vec[i] AS DOUBLE)), 'sum'))"
-    val cosSql =
-      s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
-        s"i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')" +
-        s" / (${norm("a.embedding")} * ${norm("b.embedding")})"
+
+  private def vecNormSql(vec: String, dim: Int) =
+    s"sqrt(list_aggregate(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * CAST($vec[i] AS DOUBLE)), 'sum'))"
+
+  /** cos(a.embedding, b.embedding) as the same sequential fold the native
+    * vec_cosine expression computes.
+    */
+  private def cosineSql(dim: Int) =
+    s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')" +
+      s" / (${vecNormSql("a.embedding", dim)} * ${vecNormSql("b.embedding", dim)})"
+
+  /** DuckDB replay of the random-hyperplane near-dup pipeline. */
+  private def embedNearDupOracleSql(planes: Int, tables: Int,
+                                    threshold: Double, dim: Int): String =
     s"""WITH b AS (
-       |  $bucketed),
+       |  ${bucketedSql(planes, tables, dim)}),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM b x JOIN b y
        |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |SELECT id_a, id_b, cos FROM (
-       |  SELECT c.id_a, c.id_b, $cosSql AS cos
+       |  SELECT c.id_a, c.id_b, ${cosineSql(dim)} AS cos
        |  FROM cand c
        |  JOIN embeddings a ON a.vec_id = c.id_a
        |  JOIN embeddings b ON b.vec_id = c.id_b)
        |WHERE cos >= $threshold""".stripMargin
-  }
+
+  /** DuckDB replay of the FULL pinned-planes LSH ANN pipeline: bucket
+    * assignment, self-join candidates, exact-cosine scoring, and the
+    * per-query top-k rank — the same hyperplane-literal trick as
+    * embedNearDupOracleSql, extended through the ranking tail.
+    */
+  private def lshKnnOracleSql(planes: Int, tables: Int, k: Int,
+                              dim: Int): String =
+    s"""WITH b AS (
+       |  ${bucketedSql(planes, tables, dim)}),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS vid
+       |  FROM b x JOIN b y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |   AND x.vec_id <> y.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vid, ${cosineSql(dim)} AS sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.query_id
+       |  JOIN embeddings b ON b.vec_id = c.vid)
+       |SELECT query_id, neighbor_id, rank, score FROM (
+       |  SELECT query_id, vid AS neighbor_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY query_id ORDER BY sim DESC, vid) AS INT) AS rank,
+       |         sim AS score
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
 
   /** DuckDB replay of the PORTABLE SimHash near-dup pipeline (md5 nibble
     * bits, 8x8-bit chunk signature — see Dedup.simhashChunksPortable).
@@ -253,11 +293,15 @@ object LlmOps {
       Similarity.bruteForceKnn(Tables.embeddings(s, d))
     },
 
-    // LSH-bucketed ANN: sublinear scale path; approximate by construction
-    // -> rows-only check, recall asserted vs brute force in SimilaritySpec.
-    // planes is left at auto (corpus-scaled bucket space via planesFor).
-    Op.noOracle("knn_lsh") { (s, d) =>
-      Similarity.lshKnn(Tables.embeddings(s, d), tables = 8)
+    // LSH-bucketed ANN: sublinear scale path. Planes pinned (7 — what
+    // planesFor picks at the sf0.1 bench corpus) so the static oracle can
+    // embed the identical hyperplane literals and replay buckets,
+    // candidates, cosine scores, AND the per-query top-k rank exactly;
+    // recall vs brute force and the auto corpus-scaled mode stay asserted
+    // in SimilaritySpec.
+    Op("knn_lsh", lshKnnOracleSql(planes = 7, tables = 8, k = 10,
+        dim = 64)) { (s, d) =>
+      Similarity.lshKnn(Tables.embeddings(s, d), planes = 7, tables = 8)
     },
 
     // IVF ANN: k-means coarse quantizer + nprobe list search — the

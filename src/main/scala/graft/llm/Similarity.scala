@@ -191,6 +191,22 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, p))
   }
 
+  /** Resolve the bucket space without an EXTRA pass over the corpus: a
+    * pinned `planes` or a caller-provided `corpusSize` hint keeps the
+    * operator fully lazy (no job at plan-construction time); otherwise the
+    * projected vectors are persisted BEFORE the sizing count, so the count
+    * materializes the cache and the main query reads it back — one input
+    * scan total instead of two.
+    */
+  private def resolveBuckets(vecs: DataFrame, planes: Int,
+                             corpusSize: Long): (DataFrame, Int) =
+    if (planes > 0) (vecs, planes)
+    else if (corpusSize > 0) (vecs, planesFor(corpusSize))
+    else {
+      val cached = vecs.persist()
+      (cached, planesFor(cached.count()))
+    }
+
   /** Bucketed ANN: candidates come from a SELF-EQUI-JOIN on (table,
     * bucket) — the same pair count as any in-bucket enumeration, but
     * distributed across shuffle tasks instead of materialized inside
@@ -199,19 +215,22 @@ object Similarity {
     * straggler as buckets grow, and any bucket-size cap silently zeroes
     * recall). The signature subtree is evaluated once per join side — pure
     * map-side CPU, no extra shuffle. `planes = 0` (the default) derives the
-    * bucket space from the corpus size via planesFor, so buckets stay
-    * bounded at any scale. Rank distinct candidates by true cosine.
-    * Sublinear: only same-bucket pairs are scored. Recall vs the
-    * brute-force baseline is asserted in the test suite, not oracle-checked
-    * (the oracle cannot express "approximately right").
+    * bucket space from the corpus size via planesFor — from the
+    * `corpusSize` hint when given, else from a count over a persisted
+    * projection (see resolveBuckets) — so buckets stay bounded at any
+    * scale. Rank distinct candidates by true cosine. Sublinear: only
+    * same-bucket pairs are scored. Recall vs the brute-force baseline is
+    * asserted in the test suite; with pinned planes the whole pipeline is
+    * deterministic and replays in the DuckDB oracle (the knn_lsh entry).
     */
   def lshKnn(embeddings: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding",
              planes: Int = 0, tables: Int = 8, k: Int = 10,
-             dim: Int = 64): DataFrame = {
-    val vecs = embeddings.select(col(idCol).as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
-    val p = if (planes > 0) planes else planesFor(vecs.count())
+             dim: Int = 64, corpusSize: Long = 0L): DataFrame = {
+    val (vecs, p) = resolveBuckets(
+      embeddings.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("v")),
+      planes, corpusSize)
     val b = lshBuckets(vecs, p, tables, dim).select("vid", "table", "bucket")
     val candidates = b.toDF("query_id", "table", "bucket")
       .join(b.toDF("vid", "table", "bucket"), Seq("table", "bucket"))
@@ -287,10 +306,12 @@ object Similarity {
   def cosineNearDups(embeddings: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      planes: Int = 0, tables: Int = 4,
-                     threshold: Double = 0.95, dim: Int = 64): DataFrame = {
-    val vecs = embeddings.select(col(idCol).as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
-    val p = if (planes > 0) planes else planesFor(vecs.count())
+                     threshold: Double = 0.95, dim: Int = 64,
+                     corpusSize: Long = 0L): DataFrame = {
+    val (vecs, p) = resolveBuckets(
+      embeddings.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("v")),
+      planes, corpusSize)
     val b = lshBuckets(vecs, p, tables, dim).select("vid", "table", "bucket")
     b.toDF("id_a", "table", "bucket")
       .join(b.toDF("id_b", "table", "bucket"), Seq("table", "bucket"))

@@ -61,6 +61,23 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("knn_lsh builds its plan without an eager sizing job (pinned planes)") {
+    // every spark.read.parquet runs one footer/schema job — that is the
+    // unavoidable cost of ANY plan over the table. knn_lsh construction
+    // must add nothing on top (the r3 formulation ran a corpus count()
+    // per call: baseline + 1).
+    def jobs() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).length
+    val b0 = jobs()
+    Tables.embeddings(spark, sf)
+    val baseline = jobs() - b0
+    val q0 = jobs()
+    SparkEntry.queries("knn_lsh")(spark, sf)
+    val cost = jobs() - q0
+    assert(cost <= baseline,
+      s"knn_lsh plan construction ran $cost job(s) vs read-only baseline $baseline")
+  }
+
   test("constant-size dims broadcast; fact-side joins do not (q5)") {
     val p = plan("q5_local_supplier_volume")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -102,6 +102,23 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("pinned planes / corpus-size hint keep the LSH operators fully " +
+       "lazy — no sizing job at plan-construction time") {
+    val sc = spark.sparkContext
+    val d = vecs(
+      0L -> Seq.tabulate(8)(i => math.sin(i + 1)),
+      1L -> Seq.tabulate(8)(i => math.cos(i + 2)),
+      2L -> Seq.tabulate(8)(i => math.sin(2 * i)))
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    Similarity.lshKnn(d, planes = 4, tables = 2, k = 2, dim = 8)
+    Similarity.lshKnn(d, tables = 2, k = 2, dim = 8, corpusSize = 3)
+    Similarity.cosineNearDups(d, planes = 4, tables = 2, dim = 8)
+    Similarity.cosineNearDups(d, tables = 2, dim = 8, corpusSize = 3)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"plan construction ran ${after - before} eager job(s)")
+  }
+
   test("cosineNearDups finds planted duplicate directions only") {
     val a = Seq.tabulate(8)(i => math.sin(i * 2 + 1))
     val d = vecs(
