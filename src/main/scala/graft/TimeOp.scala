@@ -1,18 +1,26 @@
 package graft
 
 /** Time one query end-to-end (noop materialization): diagnostics for slow
-  * operators. Usage: runMain graft.TimeOp <name> [sfDir]
+  * operators. Warm-up pass first (codegen/JIT/footers), then three timed
+  * passes — the MIN is the steady-state number comparable to Bench's warm
+  * measurements. Usage: runMain graft.TimeOp <name> [sfDir]
   */
 object TimeOp {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val spark = Engine.local(8)
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"TIMEOP $name $secs%.2f s rows=${df.count()}")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.local(cpus.toInt)
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm-up
+    val times = Seq.fill(3)(pass())
+    println(f"TIMEOP $name warm-min=${times.min}%.2f s " +
+      times.map(t => f"$t%.2f").mkString("passes=[", ", ", "] s"))
     spark.stop()
   }
 }

@@ -51,21 +51,33 @@ object Headline {
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      val qty = sum(col("l_quantity").cast(dec))
-      val base = sum(col("l_extendedprice").cast(dec))
-      val disc = sum(col("l_discount").cast(dec92))
+      // The decimal casts and the two per-row products are projected ONCE
+      // below the aggregate (a Project under HashAggregate survives to the
+      // physical plan), so the 8 aggregate update expressions reduce to
+      // plain column sums instead of each re-running its own cast chain —
+      // per-row decimal conversion work drops ~3x on this 8-aggregate
+      // shape. Same exact-decimal domain, same results.
+      val qty = sum(col("qty"))
+      val base = sum(col("price"))
+      val disc = sum(col("disc"))
       val n = count(lit(1))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(dec).as("qty"),
+          col("l_extendedprice").cast(dec).as("price"),
+          col("l_discount").cast(dec92).as("disc"),
+          (col("l_extendedprice").cast(dec) *
+            (lit(1) - col("l_discount").cast(dec92))).as("disc_price"),
+          (col("l_extendedprice").cast(dec) *
+            (lit(1) - col("l_discount").cast(dec92)) *
+            (lit(1) + col("l_tax").cast(dec92))).as("charge"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           qty.cast("double").as("sum_qty"),
           base.cast("double").as("sum_base_price"),
-          revenue.as("sum_disc_price"),
-          sum(col("l_extendedprice").cast(dec) *
-              (lit(1) - col("l_discount").cast(dec92)) *
-              (lit(1) + col("l_tax").cast(dec92)))
-            .cast("double").as("sum_charge"),
+          sum(col("disc_price")).cast("double").as("sum_disc_price"),
+          sum(col("charge")).cast("double").as("sum_charge"),
           (qty.cast("double") / n).as("avg_qty"),
           (base.cast("double") / n).as("avg_price"),
           (disc.cast("double") / n).as("avg_disc"),
