@@ -41,7 +41,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the line: the driver captures a bounded log tail, which
+    // truncated the r3 artifact once the suite outgrew it. BENCH_LOCAL.json
+    // in the repo root is the complete record regardless of log length.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }

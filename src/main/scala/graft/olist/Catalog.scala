@@ -201,13 +201,30 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
   }
   def load(name: String): DataFrame = spark.table(sane(name))
   def exists(name: String): Boolean = spark.catalog.tableExists(sane(name))
+  /** Crash-safe swap, mirroring the parquet Warehouse's rename-aside
+    * protocol: the new data is fully written to `__tmp`, the live table is
+    * renamed ASIDE to `__old` (never dropped first), the tmp renamed into
+    * place, and only then is the old copy dropped — restoring `__old` if
+    * the final rename fails. A crash at any step leaves a complete copy of
+    * the table in the catalog (under its name or under `__old`), unlike
+    * drop-then-rename which has a window with no table at all.
+    */
   def replace(name: String, df: DataFrame,
               partitionBy: Seq[String] = Nil): Unit = {
-    val tmp = s"${sane(name)}__tmp"
+    val n = sane(name)
+    val (tmp, old) = (s"${n}__tmp", s"${n}__old")
     if (!exists(tmp)) dropOrphanLocation(tmp)
     df.write.mode("overwrite").partitionBy(partitionBy: _*).saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS ${sane(name)}")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${sane(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    if (!exists(old)) dropOrphanLocation(old)
+    if (exists(n)) spark.sql(s"ALTER TABLE $n RENAME TO $old")
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO $n")
+    catch {
+      case e: Throwable =>
+        if (exists(old)) spark.sql(s"ALTER TABLE $old RENAME TO $n")
+        throw e
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 
   /** A crashed or restarted session can leave a managed-table LOCATION on

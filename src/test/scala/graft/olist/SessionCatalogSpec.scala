@@ -40,6 +40,20 @@ class SessionCatalogSpec extends SparkSpec {
     assert(rows == Seq((1L, "v1"), (2L, "v2"), (3L, "v2")))
   }
 
+  test("replace swaps via rename-aside, cleans up, and survives stale " +
+       "__old leftovers from a crashed prior swap") {
+    import spark.implicits._
+    val store = new SessionCatalogWarehouse(spark)
+    store.save("sc_swap", Seq((1, "old")).toDF("id", "v"))
+    // a stale aside copy, as a crash between the two renames would leave
+    Seq((9, "stale")).toDF("id", "v").write.mode("overwrite")
+      .saveAsTable("sc_swap__old")
+    store.replace("sc_swap", Seq((2, "new")).toDF("id", "v"))
+    val rows = store.load("sc_swap").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2, "new")))
+    assert(!store.exists("sc_swap__old") && !store.exists("sc_swap__tmp"))
+  }
+
   test("unsafe table names are rejected before reaching SQL") {
     val store = new SessionCatalogWarehouse(spark)
     intercept[IllegalArgumentException](store.exists("x; DROP TABLE y"))
