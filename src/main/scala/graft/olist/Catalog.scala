@@ -75,7 +75,8 @@ final case class Model(
     name: String,
     deps: Seq[String],
     materialized: Materialization,
-    build: Map[String, DataFrame] => DataFrame)
+    build: Map[String, DataFrame] => DataFrame,
+    tags: Set[String] = Set.empty)
 
 /** S4 sink + S2 scan contract: where materialized relations live. Two
   * implementations — a parquet-directory store (Warehouse) and the Spark
@@ -274,13 +275,9 @@ final class Catalog(
   private def resolveDeps(m: Model): Map[String, DataFrame] =
     m.deps.map(d => d -> ref(d)).toMap
 
-  /** D2: deterministic topological order of `names` plus (optionally) all
-    * ancestors and/or descendants (dbt's `+model` / `model+` selector
-    * halves). Kahn's algorithm with name-sorted tie-break so run order is
-    * stable across JVMs.
-    */
-  def topo(names: Seq[String], withUpstream: Boolean,
-           withDownstream: Boolean = false): Seq[String] = {
+  /** Reachable-node collection for one direction pair. */
+  private def reach(names: Seq[String], withUpstream: Boolean,
+                    withDownstream: Boolean): Set[String] = {
     lazy val dependents: Map[String, Seq[String]] = byName.values.toSeq
       .flatMap(m => m.deps.map(_ -> m.name))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -291,7 +288,47 @@ final class Catalog(
       if (withDownstream) dependents.getOrElse(n, Nil).foreach(visit)
     }
     names.foreach(visit)
-    val remaining = scala.collection.mutable.Set(wanted.toSeq: _*)
+    wanted.toSet
+  }
+
+  /** Expand one dbt-style node selector (dbt's node-selection syntax,
+    * [dbt]/graph/selector_spec.py): a model name, `tag:<t>` (every model
+    * carrying the tag), with optional `+` affixes — `+sel` adds ancestors,
+    * `sel+` adds descendants, `+sel+` both. The method-wide
+    * upstream/downstream flags OR with the per-selector affixes, so
+    * `run(Seq("+fct_orders"))` and `run(Seq("fct_orders"), withUpstream =
+    * true)` select identically.
+    */
+  private def expandSelector(sel: String, withUpstream: Boolean,
+                             withDownstream: Boolean): Set[String] = {
+    val up = withUpstream || sel.startsWith("+")
+    val down = withDownstream || sel.endsWith("+")
+    val core = sel.stripPrefix("+").stripSuffix("+")
+    val bases =
+      if (core.startsWith("tag:")) {
+        val t = core.stripPrefix("tag:")
+        byName.values.filter(_.tags.contains(t)).map(_.name).toSeq.sorted
+      } else Seq(model(core).name) // validates existence, dbt-style error
+    reach(bases, up, down)
+  }
+
+  /** D2/D3: deterministic topological order of the selected set — each
+    * selector expanded per expandSelector, minus everything `exclude`
+    * selects (dbt's `--exclude`, same selector syntax, no graph-flag
+    * inheritance — [dbt]/task/runnable.py:90,167). Kahn's algorithm with
+    * name-sorted tie-break so run order is stable across JVMs; dependency
+    * edges to nodes OUTSIDE the selection are treated as satisfied, which
+    * is exactly how dbt runs a mid-graph selection against stored state.
+    */
+  def topo(names: Seq[String], withUpstream: Boolean,
+           withDownstream: Boolean = false,
+           exclude: Seq[String] = Nil): Seq[String] = {
+    val selected = names.flatMap(expandSelector(_, withUpstream,
+      withDownstream)).toSet
+    val excluded = exclude.flatMap(expandSelector(_, withUpstream = false,
+      withDownstream = false)).toSet
+    val remaining = scala.collection.mutable.Set(
+      (selected -- excluded).toSeq: _*)
     val order = scala.collection.mutable.ArrayBuffer[String]()
     while (remaining.nonEmpty) {
       val ready = remaining.toSeq.sorted
@@ -388,8 +425,9 @@ final class Catalog(
     * is the deterministic topological order regardless of threads.
     */
   def run(select: Seq[String], withUpstream: Boolean = false,
-          threads: Int = 1, withDownstream: Boolean = false): Seq[String] = {
-    val order = topo(select, withUpstream, withDownstream)
+          threads: Int = 1, withDownstream: Boolean = false,
+          exclude: Seq[String] = Nil): Seq[String] = {
+    val order = topo(select, withUpstream, withDownstream, exclude)
     if (threads <= 1) order.foreach(runNode)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}

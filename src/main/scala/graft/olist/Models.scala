@@ -81,8 +81,10 @@ object Models {
     val wh = new Warehouse(spark, warehouseDir)
     def seed(name: String, dir: => String): Model =
       Model(name, Nil, Materialization.Seed,
-        _ => Seeds.readCsv(spark, dir, name))
+        _ => Seeds.readCsv(spark, dir, name), tags = Set("seed"))
     val synth = synthDir.getOrElse(s"$warehouseDir/_synth_seeds")
+    // layer tags mirror dbt_project.yml's medallion folders, selectable
+    // via `tag:staging` / `tag:mart` like dbt's tag: method
     val models = Seq(
       seed("olist_products_dataset", seedsDir),
       seed("olist_sellers_dataset", seedsDir),
@@ -91,16 +93,20 @@ object Models {
       seed("olist_orders_dataset", synth),
       seed("olist_order_items_dataset", synth),
       Model("stg_olist_orders", Seq("olist_orders_dataset"),
-        Materialization.View, d => stgOlistOrders(d("olist_orders_dataset"))),
+        Materialization.View, d => stgOlistOrders(d("olist_orders_dataset")),
+        tags = Set("staging")),
       Model("stg_olist_customers", Seq("olist_customers_dataset"),
-        Materialization.View, d => stgOlistCustomers(d("olist_customers_dataset"))),
+        Materialization.View, d => stgOlistCustomers(d("olist_customers_dataset")),
+        tags = Set("staging")),
       Model("stg_items", Seq("olist_order_items_dataset"),
-        Materialization.View, d => stgItems(d("olist_order_items_dataset"))),
+        Materialization.View, d => stgItems(d("olist_order_items_dataset")),
+        tags = Set("staging")),
       Model("fct_orders",
         Seq("stg_olist_orders", "stg_olist_customers", "stg_items"),
         Materialization.Table,
         d => fctOrders(d("stg_olist_orders"), d("stg_olist_customers"),
-          d("stg_items"))))
+          d("stg_items")),
+        tags = Set("mart")))
     new Catalog(spark, wh, models)
   }
 }

@@ -123,6 +123,30 @@ class OlistPipelineSpec extends SparkSpec {
     assert(ran == Seq("b", "c") && dcat.warehouse.exists("c"))
   }
 
+  test("tag: selection, +/+ affixes, and --exclude (dbt node selection)") {
+    // tag:staging selects exactly the three staging views
+    assert(cat.topo(Seq("tag:staging"), withUpstream = false).toSet ==
+      Set("stg_olist_orders", "stg_olist_customers", "stg_items"))
+    // +fct_orders excluding tag:staging keeps seeds + mart, drops views
+    val noStaging = cat.topo(Seq("+fct_orders"), withUpstream = false,
+      exclude = Seq("tag:staging"))
+    assert(noStaging.contains("fct_orders") &&
+      noStaging.contains("olist_orders_dataset") &&
+      !noStaging.exists(_.startsWith("stg_")), noStaging)
+    // name exclusion
+    assert(cat.topo(Seq("tag:staging"), withUpstream = false,
+      exclude = Seq("stg_items")).toSet ==
+      Set("stg_olist_orders", "stg_olist_customers"))
+    // affix syntax matches the flag form
+    assert(cat.topo(Seq("stg_items+"), withUpstream = false) ==
+      cat.topo(Seq("stg_items"), withUpstream = false, withDownstream = true))
+    assert(cat.topo(Seq("+fct_orders"), withUpstream = false) ==
+      cat.topo(Seq("fct_orders"), withUpstream = true))
+    // unknown model name still errors like dbt's missing-node compile error
+    intercept[NoSuchElementException](
+      cat.topo(Seq("tag_typo_model"), withUpstream = false))
+  }
+
   test("parallel run failure in one node aborts the run (dbt error gate)") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
