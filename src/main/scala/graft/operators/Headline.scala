@@ -172,6 +172,47 @@ object Headline {
         .agg(revenue.as("revenue"))
     },
 
+    // Q9 shape: product-type profit by supplier nation and order year —
+    // the four-fact-join aggregate whose partkey join is the classic skew
+    // victim (one hot part's rows all land in one task). The part join
+    // runs through Skew.saltedJoin: the fact side salts on the row's own
+    // identity, the filtered part dim replicates `buckets` times, so a hot
+    // partkey spreads over 8 shuffle partitions BY CONSTRUCTION — the
+    // explicit fallback for when AQE's skew splitting can't see the join.
+    // Row-identical to the unsalted join (SkewSpec), so the oracle replays
+    // a plain join.
+    Op("q9_product_profit",
+       s"""SELECT n.n_name AS nation_name,
+          |       CAST(year(o.o_orderdate) AS INT) AS o_year,
+          |       $revenueSql AS revenue
+          |FROM lineitem l
+          |JOIN part p ON p.p_partkey = l.l_partkey
+          |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          |JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |JOIN orders o ON o.o_orderkey = l.l_orderkey
+          |WHERE p.p_type = 'PROMO'
+          |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("p_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val lp = Skew.saltedJoin(l, parts, "p_partkey", buckets = 8,
+        saltBy = Seq("l_orderkey", "l_linenumber"), joinType = "left_semi")
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      lp.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("n_nationkey") === col("s_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation_name"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(revenue.as("revenue"))
+    },
+
     // Q10 shape: customers who returned the most revenue.
     Op("q10_returned_items",
        s"""SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,

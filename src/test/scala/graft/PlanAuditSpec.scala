@@ -78,6 +78,12 @@ class PlanAuditSpec extends SparkSpec {
       s"knn_lsh plan construction ran $cost job(s) vs read-only baseline $baseline")
   }
 
+  test("q9's part join is salted: the physical join key carries __salt") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("constant-size dims broadcast; fact-side joins do not (q5)") {
     val p = plan("q5_local_supplier_volume")
     assert(p.contains("BroadcastHashJoin"), p)
