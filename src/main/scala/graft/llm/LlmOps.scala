@@ -220,6 +220,20 @@ object LlmOps {
       Dedup.simHashNearDupsPortable(Tables.documents(s, d), maxHamming = 6)
     },
 
+    // PRODUCTION hash paths of the two near-dup operators: same plan
+    // shapes and verify stages, xxhash64 signatures (hash-family-specific
+    // candidates -> no DuckDB replay; pair semantics asserted in
+    // DedupSpec). These are the numbers a real corpus run pays — the
+    // md5-portable entries above exist for the oracle's sake.
+    Op.noOracle("dedup_minhash_fast") { (s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), bands = 8, rows = 4,
+        threshold = 0.8)
+    },
+
+    Op.noOracle("dedup_simhash_fast") { (s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), maxHamming = 6)
+    },
+
     // End-to-end corpus cleaning: quality floor -> exact dedup -> near-dup
     // CONNECTED-COMPONENTS removal (one min-id survivor per duplicate
     // cluster), all portable pieces, so the WHOLE pipeline hash-checks. The

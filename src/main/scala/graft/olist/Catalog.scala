@@ -71,12 +71,19 @@ object Materialization {
                             updatedAt: String) extends Materialization
 }
 
+/** `preHooks`/`postHooks` mirror dbt's model-level pre-/post-hook config
+  * (run before/after the node materializes, in declaration order; dbt's
+  * hooks are SQL statements against the warehouse — here any effect over
+  * the session, e.g. `s => s.sql("...")`).
+  */
 final case class Model(
     name: String,
     deps: Seq[String],
     materialized: Materialization,
     build: Map[String, DataFrame] => DataFrame,
-    tags: Set[String] = Set.empty)
+    tags: Set[String] = Set.empty,
+    preHooks: Seq[SparkSession => Unit] = Nil,
+    postHooks: Seq[SparkSession => Unit] = Nil)
 
 /** S4 sink + S2 scan contract: where materialized relations live. Two
   * implementations — a parquet-directory store (Warehouse) and the Spark
@@ -242,10 +249,18 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
   }
 }
 
+/** `onRunStart`/`onRunEnd` mirror dbt's project-level on-run-start /
+  * on-run-end hooks: start hooks fire once before any node of a `run`,
+  * end hooks fire once after the invocation — success or failure, like
+  * dbt's — receiving the attempted topological order (dbt's `results`
+  * context analog).
+  */
 final class Catalog(
     val spark: SparkSession,
     val warehouse: TableStore,
-    models: Seq[Model]) {
+    models: Seq[Model],
+    onRunStart: Seq[SparkSession => Unit] = Nil,
+    onRunEnd: Seq[(SparkSession, Seq[String]) => Unit] = Nil) {
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
 
@@ -341,9 +356,18 @@ final class Catalog(
     order.toSeq
   }
 
-  /** Materialize one node (dbt's ModelRunner.execute analog). */
+  /** Materialize one node (dbt's ModelRunner.execute analog), bracketed
+    * by the model's pre-/post-hooks.
+    */
   private def runNode(name: String): Unit = {
     val m = model(name)
+    m.preHooks.foreach(_(spark))
+    materializeNode(m)
+    m.postHooks.foreach(_(spark))
+  }
+
+  private def materializeNode(m: Model): Unit = {
+    val name = m.name
     m.materialized match {
       case Materialization.View =>
         m.build(resolveDeps(m)).createOrReplaceTempView(name)
@@ -428,6 +452,13 @@ final class Catalog(
           threads: Int = 1, withDownstream: Boolean = false,
           exclude: Seq[String] = Nil): Seq[String] = {
     val order = topo(select, withUpstream, withDownstream, exclude)
+    onRunStart.foreach(_(spark))
+    try runOrder(order, threads)
+    finally onRunEnd.foreach(_(spark, order))
+    order
+  }
+
+  private def runOrder(order: Seq[String], threads: Int): Unit = {
     if (threads <= 1) order.foreach(runNode)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -445,6 +476,5 @@ final class Catalog(
         Await.result(Future.sequence(futures.values.toSeq), Duration.Inf)
       } finally pool.shutdown()
     }
-    order
   }
 }
