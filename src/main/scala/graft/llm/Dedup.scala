@@ -273,6 +273,35 @@ object Dedup {
         length(col(textCol)).cast("long").as("n_chars"): _*)
   }
 
+  /** Benchmark decontamination — the training-data hygiene op every
+    * large-scale pipeline runs before training: flag corpus documents
+    * sharing any token n-gram with a benchmark/eval set (the n-gram
+    * overlap rule of the GPT-3/PaLM data cards; n = 8..13 typical).
+    * Returns (idCol, n_contaminated) — one row per contaminated corpus
+    * doc with its count of distinct benchmark-overlapping shingles;
+    * callers anti-join to scrub.
+    *
+    * Plan shape at 100 TB: shingling is map-side on both sides; the
+    * benchmark side (eval sets — tiny relative to the corpus) is
+    * deduplicated once and joined by shingle string. No hashing involved,
+    * so the overlap semantics are EXACT and the whole operator replays in
+    * the DuckDB oracle verbatim. AQE broadcasts the benchmark side while
+    * it fits, falling back to a shuffle join when an enormous benchmark
+    * suite outgrows the threshold.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8): DataFrame = {
+    val cSh = withShingles(corpus, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("sh"))
+    val bSh = withShingles(benchmark, idCol, textCol, n)
+      .select(explode(col("sh")).as("sh")).distinct()
+    // shingle arrays are distinct per doc, so count(1) == distinct count
+    cSh.join(bSh, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 over token
     * hashes; the sign picks the bit. Expressed as one aggregate over 64
     * generated bit columns — partial aggregation happens map-side, so the

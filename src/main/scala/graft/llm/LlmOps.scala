@@ -185,6 +185,16 @@ object LlmOps {
        |WHERE hamming <= $maxHamming""".stripMargin
   }
 
+  /** Distinct token n-gram shingles of the materialized `toks` list —
+    * mirrors Dedup.shinglesOfTokens for any n (DuckDB dialect).
+    */
+  private def shSql(n: Int): String = {
+    val parts = (1 to n).map(j => s"toks[i+$j]").mkString(", ")
+    s"list_distinct(CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]" +
+      s" ELSE list_transform(range(0, len(toks) - ${n - 1})," +
+      s" i -> concat_ws(' ', $parts)) END)"
+  }
+
   val ops: Seq[Op] = Seq(
 
     // --- dedup -----------------------------------------------------------
@@ -279,6 +289,47 @@ object LlmOps {
     // inexpressible, hence rows-only here).
     Op.noOracle("llm_clean_corpus_fast") { (s, d) =>
       Dedup.cleanCorpus(Tables.documents(s, d))
+    },
+
+    // Benchmark decontamination: corpus docs sharing any n-gram with the
+    // benchmark set (deterministic stand-in: every 97th doc). Exact string
+    // shingle join — no hashing — so the oracle replays it verbatim.
+    // n = 4 here: real pipelines use 8-13 on natural text, but the synth
+    // corpus draws from a ~40-word vocabulary, where 4-grams are the
+    // equivalent rare-collision signal (8-grams never collide -> a
+    // vacuously empty check; 3-grams flag a third of the corpus).
+    Op("llm_decontaminate",
+       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |sh AS (SELECT doc_id, ${shSql(4)} AS sh FROM toks),
+          |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+          |          WHERE doc_id % 97 = 0),
+          |corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh
+          |           WHERE doc_id % 97 <> 0)
+          |SELECT c.doc_id, count(*) AS n_contaminated
+          |FROM corpus c JOIN bench b ON c.s = b.s
+          |GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 4)
+    },
+
+    // Gopher-style repetition signals: top-bigram mass + duplicate-bigram
+    // mass per document. Single divisions of exact counts -> bit-identical.
+    Op("text_repetition",
+       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |bg AS (
+          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+          |    ELSE list_transform(range(0, len(toks) - 1),
+          |      i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS g
+          |  FROM toks),
+          |counts AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+          |SELECT doc_id,
+          |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
+          |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+          |    / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
+          |FROM counts GROUP BY 1""".stripMargin) { (s, d) =>
+      CorpusQuality.repetitionStats(Tables.documents(s, d))
     },
 
     // --- similarity search ----------------------------------------------

@@ -201,6 +201,24 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("decontaminate flags exactly the corpus docs sharing an n-gram " +
+       "with the benchmark set, with exact overlap counts") {
+    import spark.implicits._
+    val benchText = (1 to 20).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      // embeds benchmark tokens 5..16 -> 12-4+1... contains 8-grams of bench
+      (1L, ((1 to 4).map(i => s"c$i") ++ (5 to 16).map(i => s"b$i")).mkString(" ")),
+      (2L, (1 to 30).map(i => s"clean$i").mkString(" ")), // no overlap
+      (3L, benchText))                                    // verbatim copy
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: tokens b5..b16 = 12 benchmark tokens -> 5 overlapping 8-grams;
+    // doc 3: all 13 benchmark 8-grams; doc 2 absent
+    assert(out == Map(1L -> 5L, 3L -> 13L), out.toString)
+  }
+
   test("testdata: minhash recovers exactly the pairs exact Jaccard >= 0.8") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // ground truth by brute force on the small SF (test-only; the operator
