@@ -363,25 +363,30 @@ object Dedup {
     */
   def simhashChunksPortable(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
-    // One md5 per token, then the 16 nibble values decoded ONCE as
-    // top-level codegen'd columns — the 64 per-bit aggregates below only
-    // shift and mask, instead of re-running conv/substr four times per
-    // nibble (and a lambda-free plan keeps whole-stage codegen intact).
-    val withNibs = docs
+    // One md5 per token, then the first 16 hex chars parsed with TWO
+    // 8-char conv calls (32 bits each, big-endian hex) instead of 16
+    // per-nibble conv/substring pairs — the dominant portable-vs-fast
+    // cost was 16 string decodes per token (measured ~2x the whole fast
+    // path). Nibble j is a pure shift/mask of the parsed half: char j
+    // holds bits 4*(7-j)..4*(7-j)+3 of its half's value, so the decoded
+    // nibble VALUES — and every bit sum below — are unchanged.
+    val withHalves = docs
       .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(col("toks")).as("tok"))
       .withColumn("h", md5(col("tok")))
-      .select(col(idCol) +: (0 until 16).map(j =>
-        conv(substring(col("h"), j + 1, 1), 16, 10).cast("int")
-          .as(s"nib$j")): _*)
+      .select(col(idCol),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("h2"))
     // Per bit: sum the raw 0/1 extraction (branch-free) and count tokens
     // once; the +1/-1 sign test is then 2*ones - n > 0. Same chunk values
     // as the conditional-sum form, one fewer branch per bit per token.
-    def nib(j: Int): Column = col(s"nib$j")
+    def nib(j: Int): Column =
+      if (j < 8) shiftright(col("h1"), 4 * (7 - j)).bitwiseAND(15)
+      else shiftright(col("h2"), 4 * (15 - j)).bitwiseAND(15)
     val bitSums = (0 until 64).map { b =>
       sum(shiftright(nib(b / 4), b % 4).bitwiseAND(1)).as(s"b$b")
     } :+ count(lit(1)).as("n_tok")
-    val summed = withNibs.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val summed = withHalves.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val chunks = array((0 until 8).map { c =>
       (0 until 8).map { w =>
         when(col(s"b${c * 8 + w}") * 2 > col("n_tok"), lit(1 << w))
@@ -391,24 +396,43 @@ object Dedup {
     summed.select(col(idCol), chunks.as("chunks"))
   }
 
-  /** simHashNearDups over the portable chunked signature — identical join
-    * shape; hamming is the summed popcount of per-chunk XORs.
+  /** The portable signature PACKED into one long (chunk c in bits
+    * 8c..8c+7) — the same 64 sign bits as simhashChunksPortable, in the
+    * same layout the fast path uses. Packing matters downstream: the
+    * candidate join then shuffles one long per row instead of an 8-int
+    * array, and the hamming verify is a single codegen'd bit_count(xor)
+    * instead of an interpreted zip_with fold (measured ~2.5s of the
+    * portable pipeline's cost at sf0.1).
+    */
+  def simhashPackedPortable(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    simhashChunksPortable(docs, idCol, textCol)
+      .select(col(idCol),
+        (0 until 8).map(c =>
+          shiftleft(element_at(col("chunks"), c + 1).cast("long"), c * 8))
+          .reduce(_ bitwiseOR _).as("simhash"))
+
+  /** simHashNearDups over the portable signature — EXACTLY the fast
+    * path's join/verify shape (packed-long chunks, popcount verify);
+    * only the per-token hash family differs. Chunk values, candidates,
+    * and hamming distances are identical to the chunk-array formulation,
+    * so the DuckDB oracle replay is unchanged.
     */
   def simHashNearDupsPortable(docs: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text",
                               maxHamming: Int = 6): DataFrame = {
-    val sig = simhashChunksPortable(docs, idCol, textCol)
-    val chunked = sig.select(col(idCol), col("chunks"),
-      posexplode(col("chunks")).as(Seq("chunk", "chunk_val")))
-    chunked.toDF("id_a", "chunks_a", "chunk", "chunk_val")
-      .join(chunked.toDF("id_b", "chunks_b", "chunk", "chunk_val"),
+    val sig = simhashPackedPortable(docs, idCol, textCol)
+    val chunked = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 8).map(c =>
+        shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*))
+        .as(Seq("chunk", "chunk_val")))
+    chunked.toDF("id_a", "sig_a", "chunk", "chunk_val")
+      .join(chunked.toDF("id_b", "sig_b", "chunk", "chunk_val"),
         Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        aggregate(
-          zip_with(col("chunks_a"), col("chunks_b"),
-            (x, y) => bit_count(x.bitwiseXOR(y))),
-          lit(0), (acc, v) => acc + v).cast("long").as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
