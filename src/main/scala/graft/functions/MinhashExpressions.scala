@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native portable-minhash signature kernel.
+  *
+  * `minhash_md5(shingles, k)` computes the k-wide md5-sliced minhash
+  * signature of Dedup.minhashSignaturesPortable in ONE pass over the
+  * shingle array: hash h of a shingle is the 4-hex-char slice h%8 of
+  * md5("(h/8):shingle") and the signature entry is the minimum over
+  * shingles (fixed-width lowercase hex, so string order == numeric
+  * order — the mins are tracked as 16-bit ints and formatted once).
+  *
+  * Why a native expression (ladder rung (b), like vec_cosine): the
+  * composed formulation evaluates md5 + substring inside higher-order
+  * lambdas, which Spark INTERPRETS per element — measured ~4x the cost
+  * of the same digest count here, where the k/8 digests per shingle run
+  * as tight JVM code with no per-slice string allocation. Byte-for-byte
+  * identical output: MessageDigest("MD5") over the UTF-8 bytes of
+  * "(j):shingle" is exactly what Spark's md5(concat(...)) hashes, so the
+  * DuckDB oracle replay is untouched.
+  */
+case class MinhashMd5Sigs(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be array<string>, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMd5.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashMd5.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashMd5Sigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_md5"
+}
+
+/** Fast-path twin of MinhashMd5Sigs: `minhash_xx(shingles, k)` — one
+  * XXH64 of each shingle's UTF-8 bytes, then k splitmix64 remixes of the
+  * 8-byte base (the Carter-Wegman-style rehash the composed formulation
+  * approximated with k interpreted xxhash64 lambda calls; splitmix's
+  * modular arithmetic is unavailable to SQL expressions under ANSI
+  * overflow checking but trivial in JVM code). Returns array<bigint>.
+  * No cross-engine contract — this is the production hash family; the
+  * exact Jaccard verify downstream keeps outputs exact regardless.
+  */
+case class MinhashXxSigs(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be array<string>, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMd5.computeXx(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashMd5.computeXx($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashXxSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_xx"
+}
+
+object MinhashMd5 {
+
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Invoked from generated code — keep the signature JVM-friendly. */
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val nBase = (k + 7) / 8
+    val mins = Array.fill(k)(Int.MaxValue)
+    val md = digests.get()
+    var i = 0
+    while (i < shingles.numElements()) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val sBytes = s.getBytes
+        var j = 0
+        while (j < nBase) {
+          md.reset()
+          // UTF-8 bytes of "(j):" + shingle == bytes of the concatenated
+          // string Spark's md5(concat(lit(j + ":"), s)) hashes
+          if (j < 10) md.update(('0' + j).toByte)
+          else { md.update(('0' + j / 10).toByte); md.update(('0' + j % 10).toByte) }
+          md.update(':'.toByte)
+          md.update(sBytes)
+          val dig = md.digest()
+          // slice h%8 of the 32-char hex = bytes 2*(h%8), 2*(h%8)+1
+          var slice = 0
+          while (slice < 8) {
+            val h = j * 8 + slice
+            if (h < k) {
+              val v = ((dig(slice * 2) & 0xff) << 8) | (dig(slice * 2 + 1) & 0xff)
+              if (v < mins(h)) mins(h) = v
+            }
+            slice += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](k)
+    var h = 0
+    while (h < k) {
+      val v = if (mins(h) == Int.MaxValue) 0 else mins(h)
+      out(h) = UTF8String.fromString(new String(Array(
+        hexChars((v >> 12) & 0xf), hexChars((v >> 8) & 0xf),
+        hexChars((v >> 4) & 0xf), hexChars(v & 0xf))))
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** minhash_xx kernel — see MinhashXxSigs. */
+  def computeXx(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.numElements()) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var h = 0
+        while (h < k) {
+          var z = base + h.toLong * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= z >>> 31
+          if (z < mins(h)) mins(h) = z
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

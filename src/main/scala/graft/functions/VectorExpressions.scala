@@ -197,7 +197,15 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "vec_norm"),
-      (children: Seq[Expression]) => L2Norm(children(0))))
+      (children: Seq[Expression]) => L2Norm(children(0))),
+    (FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinhashMd5Sigs].getName, "minhash_md5"),
+      (children: Seq[Expression]) => MinhashMd5Sigs(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("minhash_xx"),
+      new ExpressionInfo(classOf[MinhashXxSigs].getName, "minhash_xx"),
+      (children: Seq[Expression]) => MinhashXxSigs(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Registration path (c): plug into `spark.sql.extensions` /
     * `SparkSession.builder().withExtensions(...)`.
@@ -220,6 +228,12 @@ object GraftFunctions {
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
+  def minhashMd5(shingles: Column, k: Int): Column =
+    call_function("minhash_md5", shingles,
+      org.apache.spark.sql.functions.lit(k))
+  def minhashXx(shingles: Column, k: Int): Column =
+    call_function("minhash_xx", shingles,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */

@@ -55,32 +55,22 @@ object Dedup {
     docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
       .select(col(idCol), shinglesOfTokens(col("toks"), n).as("sh"))
 
-  /** k minhashes per doc: each shingle is string-hashed ONCE (xxhash64),
-    * and the k hash functions re-hash that fixed-width 8-byte base with the
-    * hash index as seed material — the string bytes are only traversed once
-    * per shingle instead of k times. (An affine Carter-Wegman mix would be
-    * cheaper still, but modular long arithmetic throws under Spark 4's ANSI
-    * overflow checking.) A single map-only projection chain: no explode, no
-    * shuffle, embarrassingly parallel at any corpus size.
-    *
-    * The `when(size(x) > 0, ...)` guards are semantically no-ops (shingles
-    * are never empty) but load-bearing: they make each input column
-    * referenced twice in its consuming projection, which stops
-    * CollapseProject from inlining the producing expression into the
-    * per-element lambdas (inlined, shingling would re-run k times per row;
-    * an explode+groupBy formulation pays a Generate that re-evaluates its
-    * input per output row — both measured ~10x slower).
+  /** k minhashes per doc: each shingle is string-hashed ONCE (XXH64),
+    * and the k hash functions are splitmix64 remixes of the 8-byte base —
+    * all inside the NATIVE minhash_xx kernel
+    * (functions/MinhashExpressions.scala), so the string bytes are
+    * traversed once per shingle and the k remixes are plain JVM long
+    * arithmetic (the composed formulation ran k xxhash64 calls per
+    * shingle inside interpreted higher-order lambdas; splitmix's modular
+    * arithmetic is unexpressible in SQL under ANSI overflow checking). A
+    * single map-only projection chain: no explode, no shuffle,
+    * embarrassingly parallel at any corpus size.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 64): DataFrame =
     withShingles(docs, idCol, textCol)
       .select(col(idCol),
-        when(size(col("sh")) > 0, transform(col("sh"), s => xxhash64(s)))
-          .otherwise(array().cast("array<bigint>")).as("bases"))
-      .select(col(idCol),
-        array((0 until k).map(h =>
-          array_min(transform(col("bases"),
-            b => xxhash64(b, lit(h))))): _*).as("sig"))
+        graft.functions.GraftFunctions.minhashXx(col("sh"), k).as("sig"))
 
   /** k minhashes per doc, PORTABLE mode: each md5 call yields EIGHT 16-bit
     * hash values (the 4-hex-char slices of the digest), so hash h of a
@@ -89,31 +79,20 @@ object Dedup {
     * order == numeric order). Both engines md5 identical UTF-8 bytes and
     * compare ASCII hex identically, so the whole near-dup pipeline —
     * candidates included — replays in the DuckDB oracle byte-for-byte.
-    * Slicing cuts the md5 count to k/8 per shingle; md5 inside the
-    * (interpreted) higher-order lambda is the dominant cost, and this
-    * array formulation measured FASTER than the codegen-friendly
-    * explode + 64-way min() aggregate alternative (whose generated update
-    * path blows past JIT method limits). The base digests are materialized
-    * as their own columns so each md5 runs once, not once per slice.
-    * 16-bit values only inflate candidate counts marginally (1/65536
-    * cross-shingle collisions) and the exact Jaccard verify keeps the
-    * OUTPUT exact regardless. Same map-only plan shape as the fast path,
-    * larger CPU constant; use the xxhash64 path when cross-engine
-    * reproducibility isn't needed.
+    * The k-wide signature is computed by the NATIVE minhash_md5 kernel
+    * (functions/MinhashExpressions.scala) — one pass over the shingle
+    * array in tight JVM code. The previous composed formulation ran
+    * md5 + substring inside interpreted higher-order lambdas (~4x the
+    * digest cost; the explode + k-way min() aggregate alternative was
+    * worse still — its generated update path blows past JIT method
+    * limits). Same map-only plan shape as the fast path; use the xxhash64
+    * path when cross-engine reproducibility isn't needed.
     */
   def minhashSignaturesPortable(docs: DataFrame, idCol: String,
-                                textCol: String, k: Int = 64): DataFrame = {
-    val nBase = (k + 7) / 8
+                                textCol: String, k: Int = 64): DataFrame =
     withShingles(docs, idCol, textCol)
-      .select(col(idCol) +: col("sh") +: (0 until nBase).map(j =>
-        transform(col("sh"),
-          s => md5(concat(lit(j + ":"), s))).as(s"base$j")): _*)
       .select(col(idCol), col("sh"),
-        array((0 until k).map { h =>
-          array_min(transform(col(s"base${h / 8}"),
-            b => substring(b, (h % 8) * 4 + 1, 4)))
-        }: _*).as("sig"))
-  }
+        graft.functions.GraftFunctions.minhashMd5(col("sh"), k).as("sig"))
 
   /** (doc_id, band, band_sig) — one row per band of the signature array.
     * b bands of r rows, k = b * r; `sig` is a physical column here, so the

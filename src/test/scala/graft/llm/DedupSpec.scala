@@ -201,6 +201,28 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("native minhash_md5 kernel is byte-identical to the composed " +
+       "md5/substring expression formulation") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val sh = Dedup.withShingles(d, "doc_id", "text")
+    val k = 32
+    val composed = sh
+      .select(col("doc_id") +: col("sh") +: (0 until (k + 7) / 8).map(j =>
+        transform(col("sh"),
+          s => md5(concat(lit(j + ":"), s))).as(s"base$j")): _*)
+      .select(col("doc_id"),
+        array((0 until k).map { h =>
+          array_min(transform(col(s"base${h / 8}"),
+            b => substring(b, (h % 8) * 4 + 1, 4)))
+        }: _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = sh
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashMd5(col("sh"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == composed)
+  }
+
   test("decontaminate flags exactly the corpus docs sharing an n-gram " +
        "with the benchmark set, with exact overlap counts") {
     import spark.implicits._
