@@ -92,6 +92,41 @@ case class MinhashXxSigs(child: Expression, k: Int)
   override def prettyName: String = "minhash_xx"
 }
 
+/** `minwindow_md5(s, w)` — the winnowing-style fingerprint: the minimum
+  * md5 hex digest over all w-char sliding windows of `s` (the whole
+  * digest string, matching md5(substring(s, i, w)) per window); the full
+  * digest of `s` itself when shorter than w. Same native-kernel rationale
+  * as minhash_md5: one JVM pass beats length(s) interpreted lambda md5
+  * calls ~4x, and MessageDigest over the window's UTF-8 bytes is
+  * byte-identical to the composed formulation the DuckDB oracle replays.
+  */
+case class MinWindowMd5(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window > 0, s"window must be positive, got $window")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMd5.computeMinWindow(a.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashMd5.computeMinWindow($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinWindowMd5 =
+    copy(child = newChild)
+
+  override def prettyName: String = "minwindow_md5"
+}
+
 object MinhashMd5 {
 
   private val digests = new ThreadLocal[MessageDigest] {
@@ -146,6 +181,52 @@ object MinhashMd5 {
       h += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** minwindow_md5 kernel — see MinWindowMd5. Windows are CHARACTER
+    * (code-point) windows, matching substring semantics; UTF8String
+    * .substringSQL slices by code point and yields the window's UTF-8
+    * bytes. The min tracks the 16 digest bytes directly (hex order ==
+    * byte order for unsigned comparison) and formats once at the end.
+    */
+  def computeMinWindow(s: UTF8String, window: Int): UTF8String = {
+    val md = digests.get()
+    val nChars = s.numChars()
+    def hex(dig: Array[Byte]): UTF8String = {
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(i * 2) = hexChars((dig(i) >> 4) & 0xf)
+        out(i * 2 + 1) = hexChars(dig(i) & 0xf)
+        i += 1
+      }
+      UTF8String.fromString(new String(out))
+    }
+    md.reset()
+    if (nChars < window) {
+      md.update(s.getBytes)
+      return hex(md.digest())
+    }
+    var min: Array[Byte] = null
+    var i = 1
+    while (i <= nChars - window + 1) {
+      md.reset()
+      md.update(s.substringSQL(i, window).getBytes)
+      val dig = md.digest()
+      if (min == null || unsignedLess(dig, min)) min = dig
+      i += 1
+    }
+    hex(min)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val av = a(i) & 0xff; val bv = b(i) & 0xff
+      if (av != bv) return av < bv
+      i += 1
+    }
+    false
   }
 
   /** minhash_xx kernel — see MinhashXxSigs. */

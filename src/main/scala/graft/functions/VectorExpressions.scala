@@ -205,6 +205,10 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_xx"),
       new ExpressionInfo(classOf[MinhashXxSigs].getName, "minhash_xx"),
       (children: Seq[Expression]) => MinhashXxSigs(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("minwindow_md5"),
+      new ExpressionInfo(classOf[MinWindowMd5].getName, "minwindow_md5"),
+      (children: Seq[Expression]) => MinWindowMd5(children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Registration path (c): plug into `spark.sql.extensions` /
@@ -234,6 +238,9 @@ object GraftFunctions {
   def minhashXx(shingles: Column, k: Int): Column =
     call_function("minhash_xx", shingles,
       org.apache.spark.sql.functions.lit(k))
+  def minWindowMd5(s: Column, window: Int): Column =
+    call_function("minwindow_md5", s,
+      org.apache.spark.sql.functions.lit(window))
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */

@@ -92,15 +92,11 @@ object TextFeatures {
 
   /** Winnowing-style robust fingerprint: the minimum md5 over all 8-char
     * windows of the normal form (min-sampling of a rolling hash). Survives
-    * local edits that move but don't rewrite most windows.
-    *
-    * IMPORTANT: pass an already-materialized normal-form column (not a raw
-    * text expression) — `norm` is referenced inside the per-window lambda,
-    * and an inlined expression would be re-evaluated once per window.
+    * local edits that move but don't rewrite most windows. Computed by the
+    * native minwindow_md5 kernel (functions/MinhashExpressions.scala) —
+    * byte-identical to the composed md5-per-window lambda formulation the
+    * DuckDB oracle replays, without its interpreted per-window evaluation.
     */
   def minWindowFingerprintOfNorm(norm: Column, window: Int = 8): Column =
-    when(length(norm) < window, md5(norm)).otherwise(
-      array_min(transform(
-        sequence(lit(1), length(norm) - (window - 1)),
-        i => md5(norm.substr(i, lit(window))))))
+    graft.functions.GraftFunctions.minWindowMd5(norm, window)
 }

@@ -223,6 +223,25 @@ class DedupSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("native minwindow_md5 kernel is byte-identical to the composed " +
+       "md5-per-window expression formulation (incl. short strings)") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .select(col("doc_id"), TextFeatures.normalized(col("text")).as("norm"))
+      .unionByName(spark.createDataFrame(
+        Seq((90001L, "short"), (90002L, "exactly8"), (90003L, "")))
+        .toDF("doc_id", "norm"))
+    val composed = d.select(col("doc_id"),
+      when(length(col("norm")) < 8, md5(col("norm"))).otherwise(
+        array_min(transform(
+          sequence(lit(1), length(col("norm")) - 7),
+          i => md5(col("norm").substr(i, lit(8)))))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val native = d.select(col("doc_id"),
+      graft.functions.GraftFunctions.minWindowMd5(col("norm"), 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native == composed)
+  }
+
   test("decontaminate flags exactly the corpus docs sharing an n-gram " +
        "with the benchmark set, with exact overlap counts") {
     import spark.implicits._
