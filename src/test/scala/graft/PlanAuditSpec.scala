@@ -84,6 +84,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("no Filter node re-evaluates tokenization (InferFiltersFromGenerate " +
+       "stays excluded — the 32x llm_decontaminate regression class)") {
+    Seq("llm_decontaminate", "dedup_minhash", "text_top_bigrams").foreach { name =>
+      val filters = plan(name).linesIterator
+        .dropWhile(l => !l.contains("Filter"))
+        .filter(l => l.contains("Condition"))
+      filters.foreach { f =>
+        assert(!f.contains("regexp_replace"),
+          s"$name has tokenization inlined into a Filter:\n$f")
+      }
+    }
+  }
+
   test("constant-size dims broadcast; fact-side joins do not (q5)") {
     val p = plan("q5_local_supplier_volume")
     assert(p.contains("BroadcastHashJoin"), p)
