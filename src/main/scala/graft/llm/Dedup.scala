@@ -241,7 +241,13 @@ object Dedup {
       .groupBy(TextFeatures.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
+    // base feeds both LSH sides, both verify joins, and the final
+    // anti-join (~6 evaluations of the quality-regex + fingerprint
+    // subtree); the operator already materializes eagerly for the
+    // component fixpoint, so persisting it trades executor memory
+    // (survivor ids + text) for 5 recomputations of the filter scan.
     val base = quality.join(exactSurvivors, Seq(idCol), "left_semi")
+      .persist()
     val pairs = minHashNearDups(base, idCol, textCol, bands, rows,
       threshold, portable)
     val nearDupLosers = componentMinLabels(pairs)
