@@ -260,6 +260,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 5L, 3L -> 13L), out.toString)
   }
 
+  test("componentMinLabels matches a driver-side union-find ground truth " +
+       "on the real testdata pair graph") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minHashNearDups(d, threshold = 0.5)
+      .select("id_a", "id_b")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture needs a non-empty dup graph")
+    // reference union-find (test-only)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+    val labels = Dedup.componentMinLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == truth,
+      s"mismatch: ${labels.toSet.diff(truth.toSet).take(5)}")
+  }
+
   test("testdata: minhash recovers exactly the pairs exact Jaccard >= 0.8") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // ground truth by brute force on the small SF (test-only; the operator
