@@ -140,6 +140,10 @@ object MinhashMd5 {
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val nBase = (k + 7) / 8
     val mins = Array.fill(k)(Int.MaxValue)
+    // UTF-8 bytes of "(j):" == the prefix of the concatenated string
+    // Spark's md5(concat(lit(j + ":"), s)) hashes — rendered once per
+    // base index, for ANY j (not just single digits)
+    val prefixes = Array.tabulate(nBase)(j => (j + ":").getBytes("UTF-8"))
     val md = digests.get()
     var i = 0
     while (i < shingles.numElements()) {
@@ -149,11 +153,7 @@ object MinhashMd5 {
         var j = 0
         while (j < nBase) {
           md.reset()
-          // UTF-8 bytes of "(j):" + shingle == bytes of the concatenated
-          // string Spark's md5(concat(lit(j + ":"), s)) hashes
-          if (j < 10) md.update(('0' + j).toByte)
-          else { md.update(('0' + j / 10).toByte); md.update(('0' + j % 10).toByte) }
-          md.update(':'.toByte)
+          md.update(prefixes(j))
           md.update(sBytes)
           val dig = md.digest()
           // slice h%8 of the 32-char hex = bytes 2*(h%8), 2*(h%8)+1

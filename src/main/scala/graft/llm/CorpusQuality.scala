@@ -24,16 +24,10 @@ object CorpusQuality {
 
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // one zip_with over two slices (see text_top_bigrams: per-index
-    // element_at lambdas re-evaluate the tokenization per bigram)
     val grams = docs
       .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
-        explode(when(size(col("toks")) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => concat_ws(" ", a, b)))).as("g"))
+        explode(TextFeatures.bigramsOfTokens(col("toks"))).as("g"))
     grams
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("c"))

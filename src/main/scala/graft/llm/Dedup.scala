@@ -244,18 +244,24 @@ object Dedup {
     // base feeds both LSH sides, both verify joins, and the final
     // anti-join (~6 evaluations of the quality-regex + fingerprint
     // subtree); the operator already materializes eagerly for the
-    // component fixpoint, so persisting it trades executor memory
-    // (survivor ids + text) for 5 recomputations of the filter scan.
+    // component fixpoint, so it is persisted for the run — and
+    // unpersisted before returning: the (small — ids, passthrough,
+    // lengths; no text) result is localCheckpoint'ed so the returned
+    // DataFrame neither re-reads the freed cache nor replays the
+    // pipeline, and no session-lifetime cache entry leaks per call.
     val base = quality.join(exactSurvivors, Seq(idCol), "left_semi")
       .persist()
-    val pairs = minHashNearDups(base, idCol, textCol, bands, rows,
-      threshold, portable)
-    val nearDupLosers = componentMinLabels(pairs)
-      .filter(col("label") < col("node"))
-      .select(col("node").as(idCol))
-    base.join(nearDupLosers, Seq(idCol), "left_anti")
-      .select(col(idCol) +: passthrough.map(col) :+
-        length(col(textCol)).cast("long").as("n_chars"): _*)
+    try {
+      val pairs = minHashNearDups(base, idCol, textCol, bands, rows,
+        threshold, portable)
+      val nearDupLosers = componentMinLabels(pairs)
+        .filter(col("label") < col("node"))
+        .select(col("node").as(idCol))
+      base.join(nearDupLosers, Seq(idCol), "left_anti")
+        .select(col(idCol) +: passthrough.map(col) :+
+          length(col(textCol)).cast("long").as("n_chars"): _*)
+        .localCheckpoint()
+    } finally base.unpersist()
   }
 
   /** Benchmark decontamination — the training-data hygiene op every
@@ -339,12 +345,13 @@ object Dedup {
 
   /** PORTABLE SimHash: the per-token hash is md5, with bit b of the
     * first 64 signature bits read from hex nibble b/4 (bit b%4, LSB
-    * first); the signature is kept as EIGHT 8-bit chunk values rather than
-    * one packed long (no sign/overflow semantics to align across engines).
-    * Both engines derive identical chunk values from identical md5 hex, so
-    * candidates AND verification replay exactly in the DuckDB oracle.
-    * Same plan shape as the fast path: map-side hashing, one partial+final
-    * aggregate per doc, chunk equi-join, popcount verify.
+    * first). This builder returns the EIGHT 8-bit chunk VALUES — the
+    * cross-engine contract the DuckDB oracle derives from the same md5
+    * hex, so candidates AND verification replay exactly. The engine-side
+    * pipeline packs those chunks into one long (simhashPackedPortable —
+    * a Spark-internal, value-preserving layout choice the oracle never
+    * sees). Same plan shape as the fast path: map-side hashing, one
+    * partial+final aggregate per doc, chunk equi-join, popcount verify.
     */
   def simhashChunksPortable(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {

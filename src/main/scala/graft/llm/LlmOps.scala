@@ -555,16 +555,9 @@ object LlmOps {
           |    FROM (SELECT $toksSql AS toks FROM documents))
           |  GROUP BY bigram)
           |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
-      // one zip_with over two slices (not per-index element_at lambdas —
-      // measured 50x slower: the indexed form re-evaluates its way into
-      // the tokenization per bigram)
       Tables.documents(s, d)
         .select(TextFeatures.tokens(col("text")).as("toks"))
-        .select(when(size(col("toks")) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => concat_ws(" ", a, b))).as("bg"))
+        .select(TextFeatures.bigramsOfTokens(col("toks")).as("bg"))
         .select(explode(col("bg")).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))

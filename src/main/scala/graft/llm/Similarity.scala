@@ -191,21 +191,19 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, p))
   }
 
-  /** Resolve the bucket space without an EXTRA pass over the corpus: a
-    * pinned `planes` or a caller-provided `corpusSize` hint keeps the
-    * operator fully lazy (no job at plan-construction time); otherwise the
-    * projected vectors are persisted BEFORE the sizing count, so the count
-    * materializes the cache and the main query reads it back — one input
-    * scan total instead of two.
+  /** Resolve the bucket space: a pinned `planes` or a caller-provided
+    * `corpusSize` hint keeps the operator fully lazy (no job at
+    * plan-construction time) — the production path. The auto fallback
+    * runs one counting scan at plan time; it deliberately does NOT
+    * persist the projection to save that scan, because a library
+    * operator has no safe point to unpersist (the cache would outlive
+    * the returned lazy DataFrame and leak for the session's lifetime).
     */
   private def resolveBuckets(vecs: DataFrame, planes: Int,
                              corpusSize: Long): (DataFrame, Int) =
     if (planes > 0) (vecs, planes)
     else if (corpusSize > 0) (vecs, planesFor(corpusSize))
-    else {
-      val cached = vecs.persist()
-      (cached, planesFor(cached.count()))
-    }
+    else (vecs, planesFor(vecs.count()))
 
   /** Bucketed ANN: candidates come from a SELF-EQUI-JOIN on (table,
     * bucket) — the same pair count as any in-bucket enumeration, but

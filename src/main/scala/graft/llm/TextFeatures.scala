@@ -21,6 +21,19 @@ object TextFeatures {
   def tokens(text: Column): Column =
     split(normalized(text), " ")
 
+  /** Token bigrams of an ALREADY-MATERIALIZED token array column (empty
+    * for sub-2-token docs). One zip_with over two slices — per-index
+    * element_at lambdas re-evaluate their way into the tokenization per
+    * bigram, measured ~50x slower (see text_top_bigrams). Shared by the
+    * bigram-frequency op and the repetition quality signals.
+    */
+  def bigramsOfTokens(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+
   /** BPE-ish subword-count estimate: runs of letters, runs of digits, and
     * single punctuation marks each count as one token — the classic
     * pre-tokenizer regex shape used by byte-pair encoders.

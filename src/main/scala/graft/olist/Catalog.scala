@@ -322,7 +322,15 @@ final class Catalog(
     val bases =
       if (core.startsWith("tag:")) {
         val t = core.stripPrefix("tag:")
-        byName.values.filter(_.tags.contains(t)).map(_.name).toSeq.sorted
+        val matched = byName.values.filter(_.tags.contains(t))
+          .map(_.name).toSeq.sorted
+        // dbt parity: an unmatched tag is an empty selection, not an
+        // error — but silence would hide a renamed/typoed tag from a CI
+        // pipeline, so say so (dbt's "Nothing to do" warning)
+        if (matched.isEmpty)
+          Console.err.println(
+            s"warning: selector 'tag:$t' matches no models (nothing to do)")
+        matched
       } else Seq(model(core).name) // validates existence, dbt-style error
     reach(bases, up, down)
   }
