@@ -19,6 +19,7 @@ object SparkEntry {
       operators.AsOf.ops ++
       operators.Ranges.ops ++
       operators.Collections.ops ++
+      operators.Sketches.ops ++
       operators.Events.ops ++
       olist.OlistOps.ops ++
       llm.LlmOps.ops

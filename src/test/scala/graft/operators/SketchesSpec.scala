@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Encoders, functions => F}
+
+/** Misra-Gries guarantees, asserted against exact counts: items above the
+  * n/k frequency threshold always survive, and every estimate undercounts
+  * true frequency by at most n/k — under any partitioning.
+  */
+class SketchesSpec extends SparkSpec {
+
+  private def runMg(items: Seq[String], k: Int, parts: Int): Map[String, Long] = {
+    import spark.implicits._
+    val mg = F.udaf(new Sketches.MisraGries(k), Encoders.STRING)
+    items.toDF("x").repartition(parts)
+      .agg(mg(F.col("x")).as("m"))
+      .head().getAs[Map[String, Long]]("m")
+  }
+
+  test("exact on low-cardinality input (fewer than k distinct items)") {
+    val items = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
+    val got = runMg(items, k = 10, parts = 4)
+    assert(got == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
+  }
+
+  test("guaranteed capture and n/k error bound for heavy hitters, " +
+       "any partitioning") {
+    // one heavy item at ~30% of n plus a long tail of singletons
+    val n = 1000
+    val heavy = Seq.fill(300)("HEAVY")
+    val tail = (1 to (n - 300)).map(i => s"t$i")
+    // fixed seed: the bound holds for ANY order, but a failure must be
+    // reproducible
+    val items = new scala.util.Random(42).shuffle(heavy ++ tail)
+    val k = 10
+    for (parts <- Seq(1, 7, 32)) {
+      val got = runMg(items, k, parts)
+      assert(got.size <= k - 1)
+      assert(got.contains("HEAVY"),
+        s"item above n/k=${n / k} must survive (parts=$parts)")
+      // undercount bounded by n/k; never overcounts
+      assert(got("HEAVY") <= 300L && got("HEAVY") >= 300L - n / k,
+        s"estimate ${got("HEAVY")} (parts=$parts)")
+      got.foreach { case (item, est) =>
+        val truth = if (item == "HEAVY") 300L else 1L
+        assert(est <= truth && truth - est <= n / k, s"$item=$est")
+      }
+    }
+  }
+
+  test("driver entry: five ranked hitters per source, stopwords dominate") {
+    val out = graft.SparkEntry.queries("f_heavy_hitters")(
+      spark, "/root/testdata/sf0.001").collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+  }
+}
