@@ -277,8 +277,12 @@ object Dedup {
     * deduplicated once and joined by shingle string. No hashing involved,
     * so the overlap semantics are EXACT and the whole operator replays in
     * the DuckDB oracle verbatim. AQE broadcasts the benchmark side while
-    * it fits, falling back to a shuffle join when an enormous benchmark
-    * suite outgrows the threshold.
+    * it fits — the broadcast form is skew-immune (no shuffle keyed by
+    * shingle). If an enormous benchmark suite forces the shuffle-join
+    * fallback, natural-language n-gram frequency skew ("of the same ...")
+    * concentrates hot shingle keys; AQE's skew-join splitting handles the
+    * sort-merge side, and raising `n` (real pipelines use 8-13) thins hot
+    * keys exponentially.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
