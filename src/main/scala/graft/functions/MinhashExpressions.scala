@@ -92,6 +92,49 @@ case class MinhashXxSigs(child: Expression, k: Int)
   override def prettyName: String = "minhash_xx"
 }
 
+/** `simhash_md5(tokens)` / `simhash_xx(tokens)` — the 64-bit SimHash of a
+  * document's token multiset as ONE map-side expression: per token, hash
+  * once (md5 hex-nibble bits for the portable family, XXH64 bits for the
+  * fast family), accumulate 64 ones-counts locally, and set signature bit
+  * b iff ones(b)*2 > n (the +1/-1 sign test). Bit layout matches the
+  * composed formulations exactly: portable bit b reads hex nibble b/4,
+  * bit b%4 LSB-first (== Dedup.simhashChunksPortable / packed), fast bit
+  * b reads bit b of xxhash64(token) — so the DuckDB oracle replay of the
+  * portable path is untouched.
+  *
+  * The plan-shape win is bigger than the CPU win: the composed form
+  * explodes tokens and runs a 65-column partial+final aggregate — a
+  * SHUFFLE per consumer (and the near-dup self-join evaluates its
+  * signature subtree once per side). This expression makes SimHash
+  * signatures map-only, like the minhash kernels: no Generate, no
+  * aggregate, no exchange, embarrassingly parallel at any corpus size.
+  */
+case class SimhashSigs(child: Expression, portable: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be array<string>, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMd5.computeSimhash(a.asInstanceOf[ArrayData], portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashMd5.computeSimhash($c, $portable);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = if (portable) "simhash_md5" else "simhash_xx"
+}
+
 /** `minwindow_md5(s, w)` — the winnowing-style fingerprint: the minimum
   * md5 hex digest over all w-char sliding windows of `s` (the whole
   * digest string, matching md5(substring(s, i, w)) per window); the full
@@ -227,6 +270,56 @@ object MinhashMd5 {
       i += 1
     }
     false
+  }
+
+  /** simhash kernel — see SimhashSigs. Portable: bit b of a token's
+    * contribution is bit b%4 (LSB-first) of the md5 hex nibble at char
+    * b/4, exactly what conv(substr(md5hex, b/4+1, 1), 16, 10) >> (b%4)
+    * extracts — computed here straight from the digest bytes: hex char
+    * 2i is the HIGH nibble of digest byte i, char 2i+1 the LOW nibble.
+    * Fast: bit b of XXH64(tokenBytes, seed 42), identical to Spark's
+    * xxhash64(token).
+    */
+  def computeSimhash(tokens: ArrayData, portable: Boolean): Long = {
+    val ones = new Array[Int](64)
+    var n = 0
+    val md = if (portable) digests.get() else null
+    var i = 0
+    while (i < tokens.numElements()) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        n += 1
+        if (portable) {
+          md.reset()
+          md.update(t.getBytes)
+          val dig = md.digest()
+          var b = 0
+          while (b < 64) {
+            val hexChar = b / 4 // 0-based index into the 32-char hex string
+            val byte0 = dig(hexChar / 2) & 0xff
+            val nib = if (hexChar % 2 == 0) byte0 >> 4 else byte0 & 0xf
+            ones(b) += (nib >> (b % 4)) & 1
+            b += 1
+          }
+        } else {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+          var b = 0
+          while (b < 64) {
+            ones(b) += ((h >>> b) & 1L).toInt
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 64) {
+      if (ones(b) * 2 > n) packed |= 1L << b
+      b += 1
+    }
+    packed
   }
 
   /** minhash_xx kernel — see MinhashXxSigs. */

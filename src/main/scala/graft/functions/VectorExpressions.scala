@@ -209,7 +209,13 @@ object GraftFunctions {
     (FunctionIdentifier("minwindow_md5"),
       new ExpressionInfo(classOf[MinWindowMd5].getName, "minwindow_md5"),
       (children: Seq[Expression]) => MinWindowMd5(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+        children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_md5"),
+      (children: Seq[Expression]) => SimhashSigs(children(0), portable = true)),
+    (FunctionIdentifier("simhash_xx"),
+      new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_xx"),
+      (children: Seq[Expression]) => SimhashSigs(children(0), portable = false)))
 
   /** Registration path (c): plug into `spark.sql.extensions` /
     * `SparkSession.builder().withExtensions(...)`.
@@ -241,6 +247,8 @@ object GraftFunctions {
   def minWindowMd5(s: Column, window: Int): Column =
     call_function("minwindow_md5", s,
       org.apache.spark.sql.functions.lit(window))
+  def simhashMd5(tokens: Column): Column = call_function("simhash_md5", tokens)
+  def simhashXx(tokens: Column): Column = call_function("simhash_xx", tokens)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */

@@ -298,29 +298,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 over token
-    * hashes; the sign picks the bit. Expressed as one aggregate over 64
-    * generated bit columns — partial aggregation happens map-side, so the
-    * shuffle carries 64 longs per doc-partition, not per token.
+    * hashes; the sign picks the bit. Computed by the NATIVE simhash_xx
+    * kernel (functions/MinhashExpressions.scala) as ONE map-side
+    * expression over the token array — no explode, no 65-column
+    * aggregate, no shuffle (the previous composed form paid an exchange
+    * per consumer, twice in the near-dup self-join). Bit values are
+    * identical: the kernel's XXH64 matches Spark's xxhash64(token) and
+    * the 2*ones > n sign test equals the +1/-1 sum sign.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    // tokens materialized before the explode: Generate re-evaluates its
-    // input expression per output row, so exploding the raw tokenization
-    // expression would re-tokenize the document once per token.
-    val toks = docs
-      .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$bit")
-    }
-    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { bit =>
-      when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    summed.select(col(idCol), sig.as("simhash"))
-  }
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        graft.functions.GraftFunctions.simhashXx(col("toks")).as("simhash"))
 
   /** SimHash near-dups: candidates share one of EIGHT 8-bit chunks
     * (equi-join on (chunk index, chunk value) — pigeonhole guarantees no
@@ -358,55 +348,25 @@ object Dedup {
     * partial+final aggregate per doc, chunk equi-join, popcount verify.
     */
   def simhashChunksPortable(docs: DataFrame, idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
-    // One md5 per token, then the first 16 hex chars parsed with TWO
-    // 8-char conv calls (32 bits each, big-endian hex) instead of 16
-    // per-nibble conv/substring pairs — the dominant portable-vs-fast
-    // cost was 16 string decodes per token (measured ~2x the whole fast
-    // path). Nibble j is a pure shift/mask of the parsed half: char j
-    // holds bits 4*(7-j)..4*(7-j)+3 of its half's value, so the decoded
-    // nibble VALUES — and every bit sum below — are unchanged.
-    val withHalves = docs
-      .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(col("toks")).as("tok"))
-      .withColumn("h", md5(col("tok")))
+                            textCol: String = "text"): DataFrame =
+    simhashPackedPortable(docs, idCol, textCol)
       .select(col(idCol),
-        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("h2"))
-    // Per bit: sum the raw 0/1 extraction (branch-free) and count tokens
-    // once; the +1/-1 sign test is then 2*ones - n > 0. Same chunk values
-    // as the conditional-sum form, one fewer branch per bit per token.
-    def nib(j: Int): Column =
-      if (j < 8) shiftright(col("h1"), 4 * (7 - j)).bitwiseAND(15)
-      else shiftright(col("h2"), 4 * (15 - j)).bitwiseAND(15)
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(nib(b / 4), b % 4).bitwiseAND(1)).as(s"b$b")
-    } :+ count(lit(1)).as("n_tok")
-    val summed = withHalves.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val chunks = array((0 until 8).map { c =>
-      (0 until 8).map { w =>
-        when(col(s"b${c * 8 + w}") * 2 > col("n_tok"), lit(1 << w))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-    summed.select(col(idCol), chunks.as("chunks"))
-  }
+        array((0 until 8).map(c =>
+          shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL).cast("int")): _*)
+          .as("chunks"))
 
   /** The portable signature PACKED into one long (chunk c in bits
-    * 8c..8c+7) — the same 64 sign bits as simhashChunksPortable, in the
-    * same layout the fast path uses. Packing matters downstream: the
-    * candidate join then shuffles one long per row instead of an 8-int
-    * array, and the hamming verify is a single codegen'd bit_count(xor)
-    * instead of an interpreted zip_with fold (measured ~2.5s of the
-    * portable pipeline's cost at sf0.1).
+    * 8c..8c+7, the same layout as the fast path) — computed by the
+    * NATIVE simhash_md5 kernel as one map-side expression over the token
+    * array: no explode, no 65-column aggregate, no shuffle. The packed
+    * long is also what the candidate join shuffles (one long per row)
+    * and what the verify popcounts in a single codegen'd bit_count(xor).
     */
   def simhashPackedPortable(docs: DataFrame, idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame =
-    simhashChunksPortable(docs, idCol, textCol)
+    docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
-        (0 until 8).map(c =>
-          shiftleft(element_at(col("chunks"), c + 1).cast("long"), c * 8))
-          .reduce(_ bitwiseOR _).as("simhash"))
+        graft.functions.GraftFunctions.simhashMd5(col("toks")).as("simhash"))
 
   /** simHashNearDups over the portable signature — EXACTLY the fast
     * path's join/verify shape (packed-long chunks, popcount verify);
