@@ -12,8 +12,20 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
 
-  test("vec_cosine is registered by the session extension") {
-    assert(spark.catalog.functionExists("vec_cosine"))
+  test("the whole native family is registered by the session extension " +
+       "and callable from SQL") {
+    Seq("vec_cosine", "vec_dot", "vec_norm", "minhash_md5", "minhash_xx",
+      "minwindow_md5", "simhash_md5", "simhash_xx").foreach { f =>
+      assert(spark.catalog.functionExists(f), f)
+    }
+    // SQL-surface smoke: a consumer with only the SQL API can use them
+    val r = spark.sql(
+      """SELECT simhash_xx(array('a', 'b')) AS s,
+        |       minwindow_md5('hello world!', 8) AS w,
+        |       element_at(minhash_md5(array('x'), 8), 1) AS m""".stripMargin)
+      .head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getString(1).length == 32 && r.getString(2).length == 4)
   }
 
   test("native vec_cosine is bit-identical to the composed fold form") {
