@@ -70,6 +70,34 @@ object CompressedMedia {
     }
   }
 
+  /** Header-only audio probe on the pure-JDK `javax.sound.sampled` stack
+    * (WAV/AIFF/AU ship with the JVM): (format, frame count, channels)
+    * without decoding samples. Returns None for anything the JDK has no
+    * audio reader for.
+    */
+  def sniffAudio(bytes: Array[Byte]): Option[(String, Int, Int)] =
+    try {
+      val f = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val fmt = f.getType.getExtension.toLowerCase
+      Some((s"audio/$fmt", f.getFrameLength, f.getFormat.getChannels))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Encode raw 8-bit PCM mono samples as a REAL RIFF/WAVE container. */
+  def encodeWav(samples: Array[Byte], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate, 8, 1, 1, sampleRate, false)
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** PNG-encode a 3-channel image (PNG is lossless, so decode(encodePng(x))
     * round-trips pixels exactly — asserted in MultimodalSpec).
     */

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, the mapPartitions batch
   * shape a codec plugs into — is real and tested, and so is decoding for
-  * TWO real payload families: RawMedia's uncompressed GRIM/GRVD containers
-  * (header parse, nearest-neighbor resample, frame extraction) and
-  * COMPRESSED images through the pure-JDK `javax.imageio` codecs
-  * (PNG/JPEG/BMP/GIF — see CompressedMedia.scala). Only formats the JDK
-  * has no reader for (compressed audio/video — the "audio" kind here)
+  * THREE real payload families: RawMedia's uncompressed GRIM/GRVD
+  * containers (header parse, nearest-neighbor resample, frame
+  * extraction), COMPRESSED images through the pure-JDK `javax.imageio`
+  * codecs (PNG/JPEG/BMP/GIF), and audio containers through pure-JDK
+  * `javax.sound.sampled` (WAV/AIFF/AU — see CompressedMedia.scala). Only
+  * formats the JDK has no reader for (compressed video, mp3-style audio)
   * hit the clearly marked deterministic STUB, because their codecs need
   * native libraries this container image does not ship. Swapping the stub
   * for a real decoder changes no plan shape: every operator stays a narrow
@@ -50,9 +51,11 @@ object Multimodal {
     bytes.foldLeft(1469598103934665603L)((h, b) =>
       (h ^ (b & 0xff)) * 1099511628211L) // FNV-1a, pure JVM, deterministic
 
-  /** Real header decode for raw containers AND compressed images (javax
-    * .imageio header-only probe — no pixel decode on the feature path);
-    * stub only for formats the JDK cannot parse.
+  /** Real header decode for raw containers, compressed images (javax
+    * .imageio header-only probe — no pixel decode on the feature path),
+    * and JDK-supported audio containers (javax.sound.sampled probe; for
+    * audio, width carries the frame count and height the channel count);
+    * stub only for formats the JDK cannot parse (e.g. compressed video).
     */
   private def decodeAny(kind: String,
                         bytes: Array[Byte]): (String, Int, Int) =
@@ -61,6 +64,7 @@ object Multimodal {
       .orElse(RawMedia.decodeVideoInfo(bytes)
         .map(v => (s"raw/video-${v.nFrames}f", v.width, v.height)))
       .orElse(CompressedMedia.sniff(bytes))
+      .orElse(CompressedMedia.sniffAudio(bytes))
       .getOrElse(decodeStub(kind, bytes))
 
   /** Batch feature extraction: one decoder invocation per row, batched per
@@ -208,8 +212,9 @@ object Multimodal {
               val info = RawMedia.VideoInfo(nf, w, h, 3)
               MediaRow(id, "video", RawMedia.encodeVideo(info,
                 (0 until nf).map(f => plane(w, h, 3, f))))
-            case _ => // audio: opaque compressed stand-in -> stub path
-              MediaRow(id, "audio", raw)
+            case _ => // audio: a REAL RIFF/WAVE container (8-bit PCM mono
+              // from the text bytes) — decoded by the javax.sound probe
+              MediaRow(id, "audio", CompressedMedia.encodeWav(raw))
           }
         }
       }

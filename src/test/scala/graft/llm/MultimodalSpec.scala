@@ -41,7 +41,9 @@ class MultimodalSpec extends SparkSpec {
       f.format == "image/png" && f.width >= 8 && f.width < 32))
     assert(f1.exists(_.format == "image/png"))
     assert(f1.filter(_.kind == "video").forall(_.format.startsWith("raw/video-")))
-    assert(f1.filter(_.kind == "audio").forall(_.format == "fake/audio"))
+    // audio rows are REAL WAV containers: frame count == source byte count
+    assert(f1.filter(_.kind == "audio").forall(f =>
+      f.format == "audio/wav" && f.width > 0 && f.height == 1))
     // deterministic across repartitionings
     val f2 = Multimodal.extractFeatures(m.repartition(7)).collect()
       .sortBy(_.media_id)
@@ -88,6 +90,20 @@ class MultimodalSpec extends SparkSpec {
     // non-image bytes are rejected, not crashed on
     assert(CompressedMedia.sniff("not an image".getBytes).isEmpty)
     assert(CompressedMedia.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("WAV audio: real RIFF container round-trips through the " +
+       "javax.sound header probe; opaque bytes still hit the stub") {
+    val samples = Array.tabulate(100)(i => (i * 7 % 251).toByte)
+    val wav = CompressedMedia.encodeWav(samples)
+    assert(new String(wav.take(4)) == "RIFF" &&
+      new String(wav.slice(8, 12)) == "WAVE")
+    val (fmt, frames, channels) = CompressedMedia.sniffAudio(wav).get
+    assert(fmt == "audio/wav" && frames == 100 && channels == 1)
+    assert(CompressedMedia.sniffAudio("not audio at all".getBytes).isEmpty)
+    // the stub remains the terminal fallback for undecodable payloads
+    val (sf, _, _) = Multimodal.decodeStub("audio", "opaque".getBytes)
+    assert(sf == "fake/audio")
   }
 
   test("empty documents synthesize media without crashing (zero-byte guard)") {
