@@ -40,6 +40,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("decontaminate against itself flags every multi-token doc with " +
+       "its full shingle count; against a disjoint corpus flags nothing") {
+    val genDocs = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 50L)
+      n <- Gen.chooseNum(3, 12)
+      base <- Gen.chooseNum(0, 1)
+    } yield (id, (1 to n).map(i => s"w${base}_${i}").mkString(" ")))
+    checkProp(Prop.forAll(genDocs) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+        .groupBy("doc_id").agg(first("text").as("text"))
+      val n = 3
+      val self = Dedup.decontaminate(df, df, n = n).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = Dedup.withShingles(df, "doc_id", "text", n)
+        .select(col("doc_id"), size(col("sh")).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      // disjoint vocabulary -> zero contamination
+      val shifted = df.select(col("doc_id"),
+        regexp_replace(col("text"), "w", "zz").as("text"))
+      val none = Dedup.decontaminate(df, shifted, n = n).count()
+      self == expected && none == 0L
+    }, tests = 5)
+  }
+
   test("exact dedup is idempotent and total-count preserving") {
     val genDocs = Gen.nonEmptyListOf(for {
       id <- Gen.chooseNum(0L, 100L)
