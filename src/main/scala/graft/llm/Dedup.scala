@@ -264,6 +264,73 @@ object Dedup {
     } finally base.unpersist()
   }
 
+  /** Position-carrying length-n token windows: one row per DISTINCT
+    * window string per document, `pos` = the 0-based token offset of the
+    * window's FIRST occurrence. Documents shorter than n tokens emit no
+    * rows (no length-n window exists — deliberately unlike withShingles'
+    * whole-doc fallback, which exists for Jaccard's benefit). The
+    * position survives the distinct-collapse via min(pos), so passage
+    * consumers (substringDups) can report where a shared run starts.
+    */
+  def windowsWithPos(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        posexplode(
+          when(size(col("toks")) < n, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+              i => concat_ws(" ",
+                (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+          .as(Seq("pos", "w")))
+      .groupBy(col(idCol), col("w"))
+      .agg(min(col("pos")).as("pos"))
+
+  /** Substring/passage-level exact dedup — the third standard
+    * training-data dedup next to document-level fingerprinting and
+    * near-dup hashing (cf. the suffix-array pipeline of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): flag
+    * document pairs sharing ANY contiguous run of n tokens. Returns
+    * (id_a, id_b, n_shared, a_pos, b_pos) with id_a < id_b: the count of
+    * distinct shared length-n windows and the earliest shared-window
+    * offset in each doc. A single shared passage of L >= n tokens yields
+    * n_shared = L - n + 1, so n_shared + n - 1 estimates the passage
+    * length; callers scrub by cutting the flagged spans or dropping the
+    * higher-id doc.
+    *
+    * Plan shape at 100 TB: window generation is map-side; one keyed
+    * aggregate computes per-window doc frequency, and ONLY windows with
+    * 2 <= df <= maxDocFreq enter the corpus-vs-itself equi-join — the
+    * df >= 2 floor discards the (overwhelmingly dominant) unique windows
+    * before any shuffle-heavy work, and the df cap is the hot-shingle
+    * guard: a boilerplate window appearing in df docs would emit
+    * df*(df-1)/2 pairs, so license headers/navigation chrome would
+    * otherwise explode the join quadratically. Capped windows are
+    * ignored as non-signal, exactly how production passage-dedup treats
+    * ubiquitous boilerplate (it is removed by quality filters, not pair
+    * dedup). Everything is exact string equality — no hashing — so the
+    * whole operator replays verbatim in the DuckDB oracle.
+    */
+  def substringDups(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 50,
+                    maxDocFreq: Int = 1000): DataFrame = {
+    val wins = windowsWithPos(docs, idCol, textCol, n)
+    val shared = wins.join(
+      wins.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+        .select("w"),
+      Seq("w"), "left_semi")
+    val a = shared.select(col("w"), col(idCol).as("id_a"),
+      col("pos").as("pos_a"))
+    val b = shared.select(col("w"), col(idCol).as("id_b"),
+      col("pos").as("pos_b"))
+    a.join(b, "w")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos_a")).as("a_pos"),
+        min(col("pos_b")).as("b_pos"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene op every
     * large-scale pipeline runs before training: flag corpus documents
     * sharing any token n-gram with a benchmark/eval set (the n-gram

@@ -314,6 +314,34 @@ object LlmOps {
         docs.filter(col("doc_id") % 97 === 0), n = 4)
     },
 
+    // Substring/passage-level exact dedup: document pairs sharing any
+    // contiguous n-token window, with the earliest shared-window offset on
+    // each side. Exact string windows — no hashing — so the oracle replays
+    // candidates, counts, and positions verbatim. n = 10 here (the planted
+    // near-dup passages are 10-100 tokens; production default is 50) and
+    // the df cap = 100 is structurally in both plans (max window df in the
+    // synth corpus is 3, so it prunes nothing at this SF — the hot-window
+    // DedupSpec fixture exercises it).
+    Op("llm_substring_dedup", {
+      val winSql = (1 to 10).map(j => s"toks[pos+$j]").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |        unnest(range(0, greatest(len(toks) - 9, 0))) AS pos
+         |      FROM toks),
+         |dw AS (SELECT doc_id, concat_ws(' ', $winSql) AS w,
+         |         CAST(min(pos) AS INT) AS pos
+         |       FROM p GROUP BY 1, 2),
+         |keep AS (SELECT w FROM (SELECT w, count(*) AS df FROM dw GROUP BY 1)
+         |         WHERE df BETWEEN 2 AND 100),
+         |sw AS (SELECT dw.* FROM dw JOIN keep USING (w))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+         |       min(a.pos) AS a_pos, min(b.pos) AS b_pos
+         |FROM sw a JOIN sw b ON a.w = b.w AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      Dedup.substringDups(Tables.documents(s, d), n = 10, maxDocFreq = 100)
+    },
+
     // Gopher-style repetition signals: top-bigram mass + duplicate-bigram
     // mass per document. Single divisions of exact counts -> bit-identical.
     Op("text_repetition",

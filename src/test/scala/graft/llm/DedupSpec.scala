@@ -303,4 +303,63 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
+
+  // --- substring/passage-level dedup -----------------------------------
+
+  private val passage = (1 to 60).map(i => s"p$i").mkString(" ")
+  private def filler(tag: String, k: Int) =
+    (1 to k).map(i => s"$tag$i").mkString(" ")
+
+  test("substringDups: planted 60-token passage flagged with count and " +
+       "positions; unrelated doc untouched") {
+    val d = docs(
+      1L -> s"${filler("x", 5)} $passage ${filler("y", 8)}",
+      2L -> s"$passage ${filler("z", 12)}",
+      3L -> filler("q", 80))
+    val out = Dedup.substringDups(d, n = 50).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // a 60-token run has 60 - 50 + 1 = 11 distinct length-50 windows
+    assert(r.getLong(2) == 11L, s"n_shared=${r.getLong(2)}")
+    assert(r.getInt(3) == 5 && r.getInt(4) == 0,
+      s"positions=(${r.getInt(3)}, ${r.getInt(4)})")
+  }
+
+  test("substringDups: repeated passage within one doc collapses to its " +
+       "first occurrence") {
+    val d = docs(
+      1L -> s"$passage ${filler("x", 10)} $passage",
+      2L -> s"${filler("z", 3)} $passage")
+    val out = Dedup.substringDups(d, n = 50).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == 11L) // distinct windows, not occurrences
+    assert(r.getInt(3) == 0 && r.getInt(4) == 3)
+  }
+
+  test("substringDups: hot-window df cap suppresses boilerplate pairs") {
+    val boiler = (1 to 50).map(i => s"b$i").mkString(" ")
+    val d = docs((1L to 5L).map(i =>
+      i -> s"$boiler ${filler(s"u$i", 20)}"): _*)
+    // 5 docs share the window: df = 5 > cap = 3 -> non-signal, no pairs
+    assert(Dedup.substringDups(d, n = 50, maxDocFreq = 3).isEmpty)
+    // raise the cap: all C(5,2) = 10 pairs appear
+    assert(Dedup.substringDups(d, n = 50, maxDocFreq = 5).count() == 10L)
+  }
+
+  test("substringDups: docs shorter than n emit no windows and no pairs") {
+    val d = docs(1L -> filler("a", 10), 2L -> filler("a", 10))
+    assert(Dedup.substringDups(d, n = 50).isEmpty)
+    // but the same docs DO pair under a smaller n
+    assert(Dedup.substringDups(d, n = 10).count() == 1L)
+  }
+
+  test("substringDups plan contains no cartesian product") {
+    val d = docs(1L -> passage, 2L -> passage)
+    val plan = Dedup.substringDups(d, n = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
