@@ -4,14 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query wall seconds.
   *
-  * Measurement rules (r02, after the r01 harness audit):
+  * Measurement rules (r02 harness audit; median-of-N added in r05):
   *   - Every query is fully materialized through the `noop` sink — a real
   *     write action that evaluates every output column on every row but
   *     discards the bytes. `count()` let Catalyst prune all projections, so
   *     projection-heavy queries benched as no-ops in r01.
-  *   - A warm-up pass (flagship query, untimed) pays the one-time JVM/codegen
+  *   - A warm-up pass (every query, untimed) pays the one-time JVM/codegen
   *     and parquet-footer costs so the first timed query isn't charged ~4s of
   *     session warm-up.
+  *   - MEDIAN OF N (default 3) timed passes per query, the passes
+  *     interleaved (pass 1 runs every query, then pass 2, ...) so a
+  *     GC/compaction hiccup lands on different queries in different passes
+  *     instead of poisoning all samples of one query. r4 showed ±1.3-1.6x
+  *     single-shot jitter in BOTH directions on sub-second queries, making
+  *     per-query deltas unfalsifiable; the headline `queries` map is now the
+  *     per-query median and `detail` carries {median, min, runs}.
   *   - A query failure fails the bench (non-zero exit) instead of being
   *     silently recorded as a timing.
   */
@@ -19,6 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = Engine.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -28,21 +36,36 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up pass over every query (untimed): pays whole-stage-codegen
-    // compilation and JIT once, so the timed pass measures steady-state
+    // compilation and JIT once, so the timed passes measure steady-state
     // data-proportional work — the number that actually extrapolates to
     // cluster scale — rather than per-plan compiler latency.
     names.foreach(materialize)
 
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      materialize(name)
-      name -> (System.nanoTime() - t0) / 1e9
+    val runs = names.map(_ -> Vector.newBuilder[Double]).toMap
+    (1 to passes).foreach { _ =>
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        materialize(name)
+        runs(name) += (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(runs(n).result()))
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val detail = names.map { n =>
+      val r = runs(n).result()
+      "\"" + n + "\":{\"median\":" + median(r) + ",\"min\":" + r.min +
+        ",\"runs\":[" + r.mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"detail":$detail,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line: the driver captures a bounded log tail, which
     // truncated the r3 artifact once the suite outgrew it. BENCH_LOCAL.json

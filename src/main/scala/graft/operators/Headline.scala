@@ -125,11 +125,13 @@ object Headline {
     // ASIA-supplier join reduces lineitem (by the region's supplier share,
     // ~20% for 5 regions) BEFORE its orderkey shuffle, and only 4 pruned
     // lineitem columns ever shuffle; the same-nation constraint rides the
-    // orderkey join as a second equi-condition. At sf0.1 this ties the
-    // naive order (both ~1.1s steady-state); at cluster scale it shuffles
-    // strictly fewer bytes. Supplier/customer are NOT hinted - AQE
-    // broadcasts them while they fit and falls back to shuffle joins when
-    // they outgrow the threshold.
+    // orderkey join as a second equi-condition. Measured (r5 warm probe,
+    // min of 3 at sf0.1): 1.02s — the same steady state as r3's 1.00s
+    // bench entry, so the r4 single-shot 1.63s was cross-query GC jitter,
+    // not this order (the bench reports per-query medians now). At
+    // cluster scale the order shuffles strictly fewer bytes. Supplier/
+    // customer are NOT hinted - AQE broadcasts them while they fit and
+    // falls back to shuffle joins when they outgrow the threshold.
     Op("q5_local_supplier_volume",
        s"""SELECT n.n_name AS nation_name, $revenueSql AS revenue
           |FROM region r
