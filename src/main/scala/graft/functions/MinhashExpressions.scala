@@ -33,6 +33,13 @@ case class MinhashMd5Sigs(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // null on an empty (or all-null-element) shingle array: the composed
+  // md5/substring formulation — and the DuckDB oracle replay — yields NULL
+  // there (min over zero elements), so the byte-for-byte contract must too.
+  // Unreachable from shinglesOfTokens (it always emits one element), but
+  // latent divergence if shingle generation ever changes.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType.isInstanceOf[ArrayType] &&
@@ -46,7 +53,8 @@ case class MinhashMd5Sigs(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinhashMd5.compute($c, $k);")
+      s"""${ev.value} = graft.functions.MinhashMd5.compute($c, $k);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashMd5Sigs =
     copy(child = newChild)
@@ -71,6 +79,10 @@ case class MinhashXxSigs(child: Expression, k: Int)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
+  // same empty-array null contract as MinhashMd5Sigs (the fast path kept
+  // Long.MaxValue sentinels before — inconsistent with the md5 kernel)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType.isInstanceOf[ArrayType] &&
@@ -84,7 +96,8 @@ case class MinhashXxSigs(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinhashMd5.computeXx($c, $k);")
+      s"""${ev.value} = graft.functions.MinhashMd5.computeXx($c, $k);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashXxSigs =
     copy(child = newChild)
@@ -179,9 +192,14 @@ object MinhashMd5 {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  /** Invoked from generated code — keep the signature JVM-friendly. */
+  /** Invoked from generated code — keep the signature JVM-friendly.
+    * Returns null when no shingle contributed (empty array or all-null
+    * elements): the composed formulation's min over zero md5 slices is
+    * NULL, and the kernel's contract is byte-for-byte parity with it.
+    */
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val nBase = (k + 7) / 8
+    var contributed = false
     val mins = Array.fill(k)(Int.MaxValue)
     // UTF-8 bytes of "(j):" == the prefix of the concatenated string
     // Spark's md5(concat(lit(j + ":"), s)) hashes — rendered once per
@@ -192,6 +210,7 @@ object MinhashMd5 {
     while (i < shingles.numElements()) {
       val s = shingles.getUTF8String(i)
       if (s != null) {
+        contributed = true
         val sBytes = s.getBytes
         var j = 0
         while (j < nBase) {
@@ -214,10 +233,11 @@ object MinhashMd5 {
       }
       i += 1
     }
+    if (!contributed) return null
     val out = new Array[AnyRef](k)
     var h = 0
     while (h < k) {
-      val v = if (mins(h) == Int.MaxValue) 0 else mins(h)
+      val v = mins(h)
       out(h) = UTF8String.fromString(new String(Array(
         hexChars((v >> 12) & 0xf), hexChars((v >> 8) & 0xf),
         hexChars((v >> 4) & 0xf), hexChars(v & 0xf))))
@@ -322,13 +342,16 @@ object MinhashMd5 {
     packed
   }
 
-  /** minhash_xx kernel — see MinhashXxSigs. */
+  /** minhash_xx kernel — see MinhashXxSigs. Null on an empty/all-null
+    * array, consistent with the md5 kernel's contract. */
   def computeXx(shingles: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
+    var contributed = false
     var i = 0
     while (i < shingles.numElements()) {
       val s = shingles.getUTF8String(i)
       if (s != null) {
+        contributed = true
         val base = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var h = 0
@@ -343,6 +366,7 @@ object MinhashMd5 {
       }
       i += 1
     }
+    if (!contributed) return null
     new GenericArrayData(mins)
   }
 }

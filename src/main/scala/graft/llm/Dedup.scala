@@ -154,6 +154,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Release the block-manager blocks behind a localCheckpoint'ed
+    * DataFrame. `localCheckpoint` persists the query's internal RDD and
+    * wraps it in a LogicalRDD; without an explicit unpersist, every
+    * fixpoint round's blocks linger until the ContextCleaner happens to
+    * GC the RDD reference — on a 100 TB run that is rounds × label-table
+    * bytes of dead storage. (This touches an RDD only for storage
+    * bookkeeping — no data ever moves to the driver.) No-op for
+    * non-checkpointed plans.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Component-minimum label for every node of the verified near-dup pair
     * graph: (node, label) where label is the smallest id reachable from
     * `node` over pair edges — the canonical one-survivor-per-cluster rule
@@ -165,10 +181,20 @@ object Dedup {
     * keyed join/agg rounds, not O(diameter) — a duplicate chain of length
     * 1000 converges in ~10 rounds. All state lives in DataFrames keyed by
     * node id; per-round localCheckpoint truncates the plan lineage (the
-    * label table is O(nodes-in-dup-graph), far smaller than the corpus).
+    * label table is O(nodes-in-dup-graph), far smaller than the corpus),
+    * and each round RELEASES the previous round's checkpoint blocks once
+    * the new round has materialized (localCheckpoint is eager), so peak
+    * block-manager footprint is two label tables + edges, not rounds×.
     * The only driver-side work is the per-round convergence test — a
     * keyed anti-join emptiness check, the same protocol as any iterative
     * distributed graph algorithm short of GraphX.
+    *
+    * Fault-tolerance caveat: localCheckpoint blocks are NOT recoverable —
+    * an executor loss mid-fixpoint fails the job. On a long cluster run,
+    * point `spark.checkpoint.dir` at durable storage and swap these for
+    * reliable checkpoints; the label table is small, so the extra write
+    * is cheap insurance. The local form is the right default for the
+    * single-node profile this library is benched under.
     */
   def componentMinLabels(pairs: DataFrame, idA: String = "id_a",
                          idB: String = "id_b",
@@ -205,9 +231,11 @@ object Dedup {
           col("node") === col("onode"))
         .filter(col("label") < col("olabel"))
         .isEmpty
+      releaseCheckpoint(labels) // next is materialized; free the old round
       labels = next
       round += 1
     }
+    releaseCheckpoint(edges)
     labels
   }
 
@@ -254,13 +282,16 @@ object Dedup {
     try {
       val pairs = minHashNearDups(base, idCol, textCol, bands, rows,
         threshold, portable)
-      val nearDupLosers = componentMinLabels(pairs)
+      val labels = componentMinLabels(pairs)
+      val nearDupLosers = labels
         .filter(col("label") < col("node"))
         .select(col("node").as(idCol))
-      base.join(nearDupLosers, Seq(idCol), "left_anti")
+      val out = base.join(nearDupLosers, Seq(idCol), "left_anti")
         .select(col(idCol) +: passthrough.map(col) :+
           length(col(textCol)).cast("long").as("n_chars"): _*)
         .localCheckpoint()
+      releaseCheckpoint(labels) // out is materialized; labels' blocks are dead
+      out
     } finally base.unpersist()
   }
 

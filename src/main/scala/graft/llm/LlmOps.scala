@@ -397,6 +397,16 @@ object LlmOps {
       Similarity.lshKnn(Tables.embeddings(s, d), planes = 7, tables = 8)
     },
 
+    // The AUTO-sized LSH path: planes derived from the corpus size
+    // (planesFor), i.e. the bucket space that actually scales — pinning 7
+    // is right only where planesFor would pick 7, and a bigger sf under a
+    // fixed 2^7 bucket space grows candidate pairs quadratically per
+    // bucket. Rows-only (candidates are hash-family + sizing dependent);
+    // keeps the corpus-scaled sizing exercised by the bench at every sf.
+    Op.noOracle("knn_lsh_auto") { (s, d) =>
+      Similarity.lshKnn(Tables.embeddings(s, d), tables = 8)
+    },
+
     // IVF ANN: k-means coarse quantizer + nprobe list search — the
     // data-adaptive scale path next to LSH. Rows-only; recall asserted vs
     // brute force in SimilaritySpec.

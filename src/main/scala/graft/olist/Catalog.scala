@@ -216,6 +216,12 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
     * the final rename fails. A crash at any step leaves a complete copy of
     * the table in the catalog (under its name or under `__old`), unlike
     * drop-then-rename which has a window with no table at all.
+    *
+    * The guarantee is RECOVERABILITY, not concurrent-reader atomicity: a
+    * query resolving `name` between the two renames fails with
+    * table-not-found (there is no multi-statement catalog transaction to
+    * close that window). Readers that must never observe the gap should
+    * resolve through a view layer or retry on resolution failure.
     */
   def replace(name: String, df: DataFrame,
               partitionBy: Seq[String] = Nil): Unit = {

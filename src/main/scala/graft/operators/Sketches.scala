@@ -23,43 +23,76 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  final case class MGBuf(counters: Map[String, Long])
+  /** Mutable sketch buffer: key -> single-cell count array, mutated in
+    * place. A typed Aggregator is a TypedImperativeAggregate underneath —
+    * the buffer lives as a JVM object for a whole partition and only
+    * meets its encoder at spill/shuffle boundaries — so the hot loop
+    * (reduce, once per token of a 100 TB stream) must not allocate. The
+    * previous immutable formulation rebuilt a k-entry Map per token; this
+    * one increments a long cell in place (no boxing: the count lives in a
+    * one-element Array[Long]) and the decrement step removes entries via
+    * the entry iterator. Kryo serializes the map at boundaries (~k
+    * entries, negligible next to the shuffle it rides).
+    */
+  type MGBuf = java.util.HashMap[String, Array[Long]]
 
   final class MisraGries(k: Int)
       extends Aggregator[String, MGBuf, Map[String, Long]] {
     require(k > 1, s"k must exceed 1, got $k")
 
-    def zero: MGBuf = MGBuf(Map.empty)
+    def zero: MGBuf = new MGBuf(2 * k)
 
-    def reduce(b: MGBuf, x: String): MGBuf = {
-      val c = b.counters
-      c.get(x) match {
-        case Some(v) => MGBuf(c.updated(x, v + 1))
-        case None if c.size < k - 1 => MGBuf(c.updated(x, 1L))
-        case None => // decrement-all step: drop zeros, skip the new item
-          MGBuf(c.view.mapValues(_ - 1).filter(_._2 > 0).toMap)
+    def reduce(c: MGBuf, x: String): MGBuf = {
+      val cell = c.get(x)
+      if (cell != null) cell(0) += 1
+      else if (c.size < k - 1) c.put(x, Array(1L))
+      else {
+        // decrement-all step: drop zeros in place, skip the new item
+        val it = c.values().iterator()
+        while (it.hasNext) {
+          val v = it.next(); v(0) -= 1
+          if (v(0) == 0L) it.remove()
+        }
       }
+      c
     }
 
     def merge(a: MGBuf, b: MGBuf): MGBuf = {
-      if (a.counters.isEmpty) return b
-      if (b.counters.isEmpty) return a
-      val combined = (a.counters.keySet ++ b.counters.keySet).iterator
-        .map(key => key ->
-          (a.counters.getOrElse(key, 0L) + b.counters.getOrElse(key, 0L)))
-        .toMap
-      if (combined.size <= k - 1) MGBuf(combined)
-      else {
-        // subtract the k-th largest count from everything; ≤ combined
-        // error stays ≤ n/k (Agarwal et al. merge rule)
-        val d = combined.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
-        MGBuf(combined.view.mapValues(_ - d).filter(_._2 > 0).toMap)
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val bit = b.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        val cell = a.get(e.getKey)
+        if (cell != null) cell(0) += e.getValue()(0)
+        else a.put(e.getKey, e.getValue) // b is dead after merge: safe alias
       }
+      if (a.size > k - 1) {
+        // subtract the k-th largest count from everything; combined
+        // error stays ≤ n/k (Agarwal et al. merge rule)
+        val vals = new Array[Long](a.size)
+        var i = 0
+        val vit = a.values().iterator()
+        while (vit.hasNext) { vals(i) = vit.next()(0); i += 1 }
+        java.util.Arrays.sort(vals)
+        val d = vals(vals.length - k)
+        val it = a.values().iterator()
+        while (it.hasNext) {
+          val cell = it.next()
+          cell(0) -= d
+          if (cell(0) <= 0L) it.remove()
+        }
+      }
+      a
     }
 
-    def finish(b: MGBuf): Map[String, Long] = b.counters
+    def finish(b: MGBuf): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      b.forEach((key, cell) => out += key -> cell(0))
+      out.result()
+    }
 
-    def bufferEncoder: Encoder[MGBuf] = ExpressionEncoder[MGBuf]()
+    def bufferEncoder: Encoder[MGBuf] = Encoders.kryo[MGBuf]
     def outputEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
   }

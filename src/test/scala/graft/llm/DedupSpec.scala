@@ -304,6 +304,25 @@ class DedupSpec extends SparkSpec {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+  test("minhash kernels return null on an empty shingle array, matching " +
+       "the composed formulation's min-over-nothing (contract guard: " +
+       "unreachable from shinglesOfTokens today)") {
+    import spark.implicits._
+    val empty = Seq(1L).toDF("id")
+      .select(col("id"), array().cast("array<string>").as("sh"))
+    val md5Row = empty.select(
+      graft.functions.GraftFunctions.minhashMd5(col("sh"), 8)).head()
+    val xxRow = empty.select(
+      graft.functions.GraftFunctions.minhashXx(col("sh"), 8)).head()
+    assert(md5Row.isNullAt(0) && xxRow.isNullAt(0))
+    // and non-empty arrays still produce non-null k-wide signatures
+    val one = Seq(1L).toDF("id").select(array(lit("s")).as("sh"))
+    assert(one.select(graft.functions.GraftFunctions.minhashMd5(col("sh"), 8))
+      .head().getSeq[String](0).length == 8)
+    assert(one.select(graft.functions.GraftFunctions.minhashXx(col("sh"), 8))
+      .head().getSeq[Long](0).length == 8)
+  }
+
   // --- substring/passage-level dedup -----------------------------------
 
   private val passage = (1 to 60).map(i => s"p$i").mkString(" ")
