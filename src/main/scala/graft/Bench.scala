@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query wall seconds.
   *
-  * Measurement rules (r02 harness audit; median-of-N added in r05):
+  * Measurement rules (r02 harness audit; median-of-N r05; r06 fixes):
   *   - Every query is fully materialized through the `noop` sink — a real
   *     write action that evaluates every output column on every row but
   *     discards the bytes. `count()` let Catalyst prune all projections, so
@@ -15,10 +15,20 @@ import org.apache.spark.sql.SparkSession
   *   - MEDIAN OF N (default 3) timed passes per query, the passes
   *     interleaved (pass 1 runs every query, then pass 2, ...) so a
   *     GC/compaction hiccup lands on different queries in different passes
-  *     instead of poisoning all samples of one query. r4 showed ±1.3-1.6x
-  *     single-shot jitter in BOTH directions on sub-second queries, making
-  *     per-query deltas unfalsifiable; the headline `queries` map is now the
-  *     per-query median and `detail` carries {median, min, runs}.
+  *     instead of poisoning all samples of one query.
+  *   - BETWEEN timed queries (outside the timer) any RDD blocks still in the
+  *     block manager are dropped and a GC is requested. r05 showed 4-8x
+  *     pass-correlated spikes (q1_pricing_summary 9.6/6.7/1.2s for a 0.8s
+  *     aggregate) caused by the PREVIOUS queries' garbage — multimodal byte
+  *     arrays and lingering localCheckpoint blocks — being collected inside
+  *     the next query's timing window. On a cluster each query gets fresh
+  *     executors; billing query N's garbage to query N+1 measures the
+  *     harness, not the plan.
+  *   - The LAST stdout line is a COMPACT summary (no per-run detail): the
+  *     driver captures a bounded log tail, and r05's detail-bearing line
+  *     outgrew it — the head of the line was cut off and the driver recorded
+  *     `parsed: null`. Full {median, min, runs} detail goes only to
+  *     BENCH_LOCAL.json.
   *   - A query failure fails the bench (non-zero exit) instead of being
   *     silently recorded as a timing.
   */
@@ -34,6 +44,16 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Drop whatever the previous query left in the block manager (persisted
+    // relations whose async unpersist hadn't landed, localCheckpoint blocks
+    // awaiting ContextCleaner) and ask for a GC, so the next timing window
+    // starts from a quiet heap. Runs OUTSIDE the timers.
+    def quiesce(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up pass over every query (untimed): pays whole-stage-codegen
     // compilation and JIT once, so the timed passes measure steady-state
@@ -44,6 +64,7 @@ object Bench {
     val runs = names.map(_ -> Vector.newBuilder[Double]).toMap
     (1 to passes).foreach { _ =>
       names.foreach { name =>
+        quiesce()
         val t0 = System.nanoTime()
         materialize(name)
         runs(name) += (System.nanoTime() - t0) / 1e9
@@ -55,23 +76,29 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def fmt(d: Double): String = "%.6f".format(d)
     val med = names.map(n => n -> median(runs(n).result()))
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detail = names.map { n =>
       val r = runs(n).result()
-      "\"" + n + "\":{\"median\":" + median(r) + ",\"min\":" + r.min +
-        ",\"runs\":[" + r.mkString(",") + "]}"
+      "\"" + n + "\":{\"median\":" + fmt(median(r)) + ",\"min\":" + fmt(r.min) +
+        ",\"runs\":[" + r.map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"detail":$detail,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist the line: the driver captures a bounded log tail, which
-    // truncated the r3 artifact once the suite outgrew it. BENCH_LOCAL.json
-    // in the repo root is the complete record regardless of log length.
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"detail":$detail,"sf":"$sfDir"}"""
+    // Full record first (driver log keeps only a bounded tail; if anything
+    // is cut it must be this line, not the compact one)...
+    println(full)
+    // ...then the parseable compact line LAST on stdout.
+    println(compact)
+    // BENCH_LOCAL.json in the repo root is the complete record regardless of
+    // log length (r3 truncation fix).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     spark.stop()
   }
 }

@@ -581,6 +581,14 @@ object LlmOps {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), n = 4).toDF()
     },
 
+    // REAL PCM decode (javax.sound) + RMS/peak per audio row; signal
+    // values are engine-specific floats -> rows-only, exact RMS asserted
+    // against a synthesized sine wave in MultimodalSpec.
+    Op.noOracle("multimodal_audio_stats") { (s, d) =>
+      Multimodal.audioFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d))).toDF()
+    },
+
     // Global top-20 token BIGRAMS by frequency (multiset, not the distinct
     // shingles dedup uses): n-gram profile of the corpus, same
     // explode -> partial count -> distributed top-k shape as text_top_words.

@@ -148,34 +148,65 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, offset_bytes: Long,
                          n_bytes: Int)
 
-  /** Frame sampling: `n` evenly spaced REAL frames per raw video — indices
-    * spread over the container's actual frame count, offsets computed from
-    * the real container layout (RawMedia.frameOffset). One input row fans
-    * out to n output rows inside the same partition — still shuffle-free.
-    * Non-raw video payloads are skipped (a real compressed-video sampler
-    * would need the stubbed codec).
+  /** Frame sampling: `n` evenly spaced REAL frames per multi-frame
+    * container — indices spread over the container's actual frame count,
+    * offsets computed from the real container layout. Two real container
+    * families: raw GRVD video (RawMedia.frameOffset — fixed-stride layout)
+    * and animated GIF (CompressedMedia.gifFrameRanges — a pure-Scala walk
+    * of the GIF block structure yielding each frame's true byte extent; the
+    * one compressed multi-frame container the JDK can also decode
+    * pixel-level, asserted in MultimodalSpec). One input row fans out to n
+    * output rows inside the same partition — still shuffle-free. Payloads
+    * in neither family (compressed video — no JDK codec) are skipped.
     */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
+      def sampleIdx(nFrames: Int): Seq[Int] =
+        (0 until n).map(i => (i.toLong * nFrames / n).toInt).distinct
       RawMedia.decodeVideoInfo(r.bytes) match {
         case Some(v) =>
-          (0 until n).map { i =>
-            val frameIdx = (i.toLong * v.nFrames / n).toInt
-            Frame(r.media_id, frameIdx, v.frameOffset(frameIdx),
-              v.frameBytes)
-          }.distinct
-        case None => Seq.empty
+          sampleIdx(v.nFrames).map(i =>
+            Frame(r.media_id, i, v.frameOffset(i), v.frameBytes))
+        case None => CompressedMedia.gifFrameRanges(r.bytes) match {
+          case Some(ranges) if ranges.nonEmpty =>
+            sampleIdx(ranges.size).map { i =>
+              val (off, len) = ranges(i)
+              Frame(r.media_id, i, off, len)
+            }
+          case _ => Seq.empty
+        }
       }
     }
   }
 
-  /** Build a media table from the documents corpus. Raw-image and video
-    * rows carry REAL RawMedia payloads synthesized from the text bytes
-    * (pixels = UTF-8 bytes cycled to fill the plane); every fourth row is
-    * a REAL PNG (CompressedMedia.encodePng over the same plane) exercising
-    * the javax.imageio decode path; audio rows stay opaque UTF-8 (the
-    * no-JDK-codec stand-in that routes through the stub). Empty documents
+  final case class AudioFeatures(
+      media_id: Long, format: String, frames: Int, channels: Int,
+      sample_rate: Float, rms: Double, peak: Double)
+
+  /** REAL PCM signal stats (RMS / absolute peak, samples normalized to
+    * [-1, 1]) for every JDK-decodable audio row — the loudness/silence
+    * signals an audio training-data filter keys on. Rows whose bytes the
+    * JDK cannot decode (mp3-family) are dropped rather than faked. Narrow
+    * per-partition map, no shuffle.
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      CompressedMedia.audioStats(r.bytes).map(s =>
+        AudioFeatures(r.media_id, s.format, s.frames, s.channels,
+          s.sampleRate, s.rms, s.peak))
+    }
+  }
+
+  /** Build a media table from the documents corpus. Raw-image rows carry
+    * REAL RawMedia payloads synthesized from the text bytes (pixels = UTF-8
+    * bytes cycled to fill the plane); every fourth row is a REAL PNG
+    * (CompressedMedia.encodePng over the same plane) exercising the
+    * javax.imageio decode path; video rows alternate between raw GRVD
+    * containers and REAL animated GIFs (JDK GIF writer) so both frame-
+    * sampling container parsers get real input; audio rows are REAL
+    * RIFF/WAVE containers decoded by the javax.sound stack. Empty documents
     * get a single zero byte so plane synthesis never divides by zero.
     */
   def mediaFromDocuments(spark: SparkSession,
@@ -206,12 +237,20 @@ object Multimodal {
               val h = 8 + ((raw.length / 2) % 24)
               MediaRow(id, "image",
                 CompressedMedia.encodePng(RawMedia.Image(w, h, 3, plane(w, h, 3, 0))))
-            case 2 => // video: 4-11 frames of a small plane
+            case 2 => // video: 4-11 frames of a small plane. Every other
+              // video row is a REAL animated GIF (JDK GIF writer sequence
+              // API) so the compressed-container frame path is exercised;
+              // the rest are raw GRVD containers.
               val nf = 4 + (raw.length % 8)
               val (w, h) = (12, 8)
-              val info = RawMedia.VideoInfo(nf, w, h, 3)
-              MediaRow(id, "video", RawMedia.encodeVideo(info,
-                (0 until nf).map(f => plane(w, h, 3, f))))
+              val frames = (0 until nf).map(f => plane(w, h, 3, f))
+              val payload =
+                if (id % 8 == 2)
+                  RawMedia.encodeVideo(RawMedia.VideoInfo(nf, w, h, 3), frames)
+                else
+                  CompressedMedia.encodeGifAnimation(
+                    frames.map(RawMedia.Image(w, h, 3, _)))
+              MediaRow(id, "video", payload)
             case _ => // audio: a REAL RIFF/WAVE container (8-bit PCM mono
               // from the text bytes) — decoded by the javax.sound probe
               MediaRow(id, "audio", CompressedMedia.encodeWav(raw))

@@ -40,7 +40,12 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.filter(f => f.kind == "image" && f.media_id % 4 == 1).forall(f =>
       f.format == "image/png" && f.width >= 8 && f.width < 32))
     assert(f1.exists(_.format == "image/png"))
-    assert(f1.filter(_.kind == "video").forall(_.format.startsWith("raw/video-")))
+    // video rows alternate raw GRVD (id%8==2) and animated GIF (id%8==6);
+    // both decode for real (GIF via the javax.imageio sniff)
+    assert(f1.filter(f => f.kind == "video" && f.media_id % 8 == 2)
+      .forall(_.format.startsWith("raw/video-")))
+    assert(f1.filter(f => f.kind == "video" && f.media_id % 8 == 6)
+      .forall(_.format == "image/gif"))
     // audio rows are REAL WAV containers: frame count == source byte count
     assert(f1.filter(_.kind == "audio").forall(f =>
       f.format == "audio/wav" && f.width > 0 && f.height == 1))
@@ -68,9 +73,14 @@ class MultimodalSpec extends SparkSpec {
       val img = CompressedMedia.decode(r.bytes).get // still a valid PNG
       assert(img.width == r.width && img.height == r.height)
     }
-    resized.filter(_.kind == "video").foreach { r =>
+    resized.filter(r => r.kind == "video" && r.media_id % 8 == 2).foreach { r =>
       val v = RawMedia.decodeVideoInfo(r.bytes).get
       assert(v.width == r.width && v.height == r.height)
+    }
+    // GIF videos resize through the compressed-image path (first frame)
+    resized.filter(r => r.kind == "video" && r.media_id % 8 == 6).foreach { r =>
+      val img = CompressedMedia.decode(r.bytes).get
+      assert(img.width == r.width && img.height == r.height)
     }
   }
 
@@ -119,7 +129,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling: n evenly spaced real frames with container-true " +
-       "offsets, videos only") {
+       "offsets, videos only — raw GRVD and animated GIF containers") {
     val m = media
     val frames = Multimodal.sampleFrames(m, n = 4).collect()
     val videos = m.filter(_.kind == "video").collect()
@@ -127,13 +137,92 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.media_id).toSet == videos.keySet)
     assert(frames.length == videos.size * 4)
     frames.groupBy(_.media_id).foreach { case (id, fs) =>
-      val v = RawMedia.decodeVideoInfo(videos(id)).get
-      fs.foreach { f =>
-        assert(f.offset_bytes == v.frameOffset(f.frame_idx)) // real layout
-        assert(f.n_bytes == v.frameBytes)
-        assert(f.frame_idx >= 0 && f.frame_idx < v.nFrames)
+      RawMedia.decodeVideoInfo(videos(id)) match {
+        case Some(v) => // raw container: fixed-stride layout
+          fs.foreach { f =>
+            assert(f.offset_bytes == v.frameOffset(f.frame_idx))
+            assert(f.n_bytes == v.frameBytes)
+            assert(f.frame_idx >= 0 && f.frame_idx < v.nFrames)
+          }
+        case None => // animated GIF: offsets from the block-structure walk
+          val ranges = CompressedMedia.gifFrameRanges(videos(id)).get
+          fs.foreach { f =>
+            assert((f.offset_bytes, f.n_bytes.toLong) ==
+              (ranges(f.frame_idx)._1, ranges(f.frame_idx)._2.toLong))
+            // each frame extent starts at a real GIF image descriptor
+            assert((videos(id)(f.offset_bytes.toInt) & 0xff) == 0x2c)
+          }
       }
       assert(fs.map(_.frame_idx).distinct.length == 4)
     }
+  }
+
+  test("animated GIF: JDK-encoded multi-frame container round-trips " +
+       "frame count, byte extents, and exact pixels per frame") {
+    // 3 solid-color frames from a tiny palette: GIF quantization is exact
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val frames = colors.map { case (r, g, b) =>
+      RawMedia.Image(6, 4, 3, Array.tabulate(6 * 4 * 3)(i => (i % 3 match {
+        case 0 => r; case 1 => g; case _ => b
+      }).toByte))
+    }
+    val gif = CompressedMedia.encodeGifAnimation(frames)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val ranges = CompressedMedia.gifFrameRanges(gif).get
+    assert(ranges.size == 3)
+    // extents are disjoint, in order, and each starts at an image descriptor
+    ranges.sliding(2).foreach { case Vector((o1, l1), (o2, _)) =>
+      assert(o1 + l1 <= o2)
+    case _ => ()
+    }
+    ranges.foreach { case (off, len) =>
+      assert((gif(off.toInt) & 0xff) == 0x2c && len > 10)
+    }
+    // pixel-exact per-frame decode via the JDK GIF reader
+    colors.zipWithIndex.foreach { case ((r, g, b), i) =>
+      val img = CompressedMedia.decodeFrame(gif, i).get
+      assert(img.width == 6 && img.height == 4)
+      assert(img.pixels.grouped(3).forall(px =>
+        (px(0) & 0xff) == r && (px(1) & 0xff) == g && (px(2) & 0xff) == b))
+    }
+    assert(CompressedMedia.decodeFrame(gif, 3).isEmpty) // out of range
+    assert(CompressedMedia.gifFrameRanges("not a gif".getBytes).isEmpty)
+    // sampleFrames over a 1-row dataset lands on the GIF path end-to-end
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaRow(7L, "video", gif)).toDS()
+    val sampled = Multimodal.sampleFrames(ds, n = 2).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 1))
+    assert(sampled.map(f => (f.offset_bytes, f.n_bytes.toLong)).toSeq ==
+      Seq(ranges(0), ranges(1)).map { case (o, l) => (o, l) })
+  }
+
+  test("audio stats: REAL PCM decode — RMS of a synthesized sine wave " +
+       "matches amplitude/sqrt(2), silence is 0, peak is the amplitude") {
+    // 8-bit unsigned mono sine, amplitude 100/128 full scale, many periods
+    val n = 8000
+    val amp = 100.0
+    val sine = Array.tabulate(n)(i =>
+      (128 + amp * math.sin(2 * math.Pi * 440 * i / 8000.0)).round.toByte)
+    val wav = CompressedMedia.encodeWav(sine)
+    val s = CompressedMedia.audioStats(wav).get
+    assert(s.format == "audio/wav" && s.channels == 1 && s.frames == n)
+    val expectedRms = (amp / 128.0) / math.sqrt(2.0)
+    assert(math.abs(s.rms - expectedRms) < 0.01, s"rms=${s.rms}")
+    assert(math.abs(s.peak - amp / 128.0) < 0.02, s"peak=${s.peak}")
+    // silence
+    val silent = CompressedMedia.audioStats(
+      CompressedMedia.encodeWav(Array.fill(100)(128.toByte))).get
+    assert(silent.rms < 0.005 && silent.peak < 0.005)
+    // undecodable bytes are dropped, not faked
+    assert(CompressedMedia.audioStats("not audio".getBytes).isEmpty)
+    // the Dataset operator keeps only decodable audio rows
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "audio", wav),
+      Multimodal.MediaRow(2L, "audio", "opaque-mp3-ish".getBytes),
+      Multimodal.MediaRow(3L, "video", wav)).toDS()
+    val feats = Multimodal.audioFeatures(ds).collect()
+    assert(feats.map(_.media_id).toSeq == Seq(1L))
+    assert(math.abs(feats.head.rms - expectedRms) < 0.01)
   }
 }
