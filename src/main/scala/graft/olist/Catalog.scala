@@ -36,6 +36,34 @@ object Materialization {
   final case class PartitionedTable(partitionBy: Seq[String])
     extends Materialization
 
+  /** dbt's `on_schema_change` config for incremental models
+    * ([dbt]/include/global_project/macros/materializations/models/
+    * incremental/on_schema_change.sql): what to do when the new batch's
+    * schema drifts from the stored table's.
+    */
+  sealed trait OnSchemaChange
+  object OnSchemaChange {
+    /** dbt default: new batch columns are NOT added (dropped on write);
+      * a batch missing a stored column errors, as the warehouse insert
+      * would.
+      */
+    case object Ignore extends OnSchemaChange
+
+    /** Any schema drift aborts the run (dbt's `fail`). */
+    case object Fail extends OnSchemaChange
+
+    /** New batch columns are added to the table (stored history reads NULL
+      * for them); columns the batch dropped stay, NULL-filled in new rows.
+      */
+    case object AppendNewColumns extends OnSchemaChange
+
+    /** Full sync: the table takes the batch's schema — new columns added
+      * (history NULL-filled), departed columns removed, common columns cast
+      * to the batch's types.
+      */
+    case object SyncAllColumns extends OnSchemaChange
+  }
+
   /** dbt's incremental materialization with the merge strategy on a unique
     * key (available-but-unused in the reference — SURVEY §2.9): the first
     * run is a full build; later runs keep stored rows whose key is absent
@@ -43,7 +71,9 @@ object Materialization {
     * the table, never rescans upstream history — the build function decides
     * what "new batch" means (typically a timestamp predicate).
     */
-  final case class Incremental(uniqueKey: String) extends Materialization
+  final case class Incremental(uniqueKey: String,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore)
+    extends Materialization
 
   /** dbt's incremental materialization with the insert_overwrite strategy:
     * the new batch fully REPLACES every partition it touches and leaves
@@ -53,7 +83,8 @@ object Materialization {
     * affected partition directories: the untouched history is never read
     * or written.
     */
-  final case class IncrementalByPartition(partitionCol: String)
+  final case class IncrementalByPartition(partitionCol: String,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore)
     extends Materialization
 
   /** dbt's snapshot (SCD type-2) materialization, timestamp strategy
@@ -255,18 +286,46 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
   }
 }
 
+/** The state dbt persists to `target/manifest.json` that `--select
+  * state:modified --state <dir>` diffs against ([dbt]/task/runnable.py:90,
+  * 167; graph/selector_methods.py StateSelectorMethod): one content
+  * fingerprint per model. Stored as sorted `name<TAB>hash` lines — no JSON
+  * machinery needed for a two-column table.
+  */
+final case class Manifest(fingerprints: Map[String, String]) {
+  def write(path: String): Unit = {
+    val body = fingerprints.toSeq.sorted
+      .map { case (n, h) => s"$n\t$h" }.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+}
+object Manifest {
+  def read(path: String): Manifest = Manifest(
+    scala.io.Source.fromFile(path).getLines().filter(_.nonEmpty).map { l =>
+      val Array(n, h) = l.split("\t", 2)
+      n -> h
+    }.toMap)
+}
+
 /** `onRunStart`/`onRunEnd` mirror dbt's project-level on-run-start /
   * on-run-end hooks: start hooks fire once before any node of a `run`,
   * end hooks fire once after the invocation — success or failure, like
   * dbt's — receiving the attempted topological order (dbt's `results`
   * context analog).
+  *
+  * `defer` mirrors dbt's `--defer`: when a stored upstream relation is
+  * absent from THIS catalog's warehouse, `ref()` falls back to the deferred
+  * store (dbt resolves unbuilt, unselected upstreams from the `--state`
+  * environment's namespace — the CI pattern of building only changed models
+  * in a scratch schema while reading everything else from prod).
   */
 final class Catalog(
     val spark: SparkSession,
     val warehouse: TableStore,
     models: Seq[Model],
     onRunStart: Seq[SparkSession => Unit] = Nil,
-    onRunEnd: Seq[(SparkSession, Seq[String]) => Unit] = Nil) {
+    onRunEnd: Seq[(SparkSession, Seq[String]) => Unit] = Nil,
+    defer: Option[TableStore] = None) {
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
 
@@ -284,17 +343,75 @@ final class Catalog(
     m.materialized match {
       case Materialization.View => m.build(resolveDeps(m))
       case _ =>
-        if (!warehouse.exists(name))
+        if (warehouse.exists(name)) warehouse.load(name)
+        else defer.filter(_.exists(name)).map(_.load(name)).getOrElse {
           throw new IllegalStateException(
-            s"relation '$name' not found in warehouse ${warehouse.location} — " +
-              "run it (or seed) first, like dbt's Database Error on a " +
+            s"relation '$name' not found in warehouse ${warehouse.location}" +
+              defer.map(d => s" or deferred store ${d.location}").getOrElse("") +
+              " — run it (or seed) first, like dbt's Database Error on a " +
               "missing upstream relation")
-        warehouse.load(name)
+        }
     }
   }
 
   private def resolveDeps(m: Model): Map[String, DataFrame] =
     m.deps.map(d => d -> ref(d)).toMap
+
+  // --- state:modified fingerprints ---------------------------------------
+
+  /** Output schema of a model's transform, derived purely by plan
+    * composition (no execution, no warehouse): deps are empty relations of
+    * their own recursively-derived schemas. Memoized — a diamond DAG would
+    * otherwise recompute shared ancestors exponentially.
+    */
+  private val schemaMemo =
+    scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
+  private def planSchema(name: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.getOrElseUpdate(name,
+      model(name).build(placeholderDeps(model(name))).schema)
+
+  /** Schema-only stand-ins for a model's deps: empty local relations with
+    * the dep's derived schema, aliased to the dep's name so which dep a
+    * column comes from is part of the plan text.
+    */
+  private def placeholderDeps(m: Model): Map[String, DataFrame] =
+    m.deps.map { d =>
+      d -> spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), planSchema(d))
+        .as(d)
+    }.toMap
+
+  /** The model's content fingerprint — the analog of the checksum dbt
+    * stores per node in manifest.json and diffs for `state:modified`
+    * ([dbt]/graph/selector_methods.py, `recursively_check_macros` aside:
+    * dbt hashes raw SQL + config; a compiled Scala transform has no raw
+    * text, so the hashable "definition" is the ANALYZED LOGICAL PLAN of the
+    * build applied to schema-only placeholder deps). Because deps enter as
+    * placeholders, the fingerprint covers exactly this node's own logic +
+    * config (materialization, deps, tags) + its upstreams' SCHEMAS — an
+    * upstream logic change that keeps its schema does NOT mark descendants
+    * modified, same as dbt; an upstream schema change does (dbt needs
+    * `state:modified+` to catch the fallout — here it is part of the
+    * definition, since column resolution is). ExprIds are minted fresh per
+    * JVM, so they are normalized out of the plan text before hashing.
+    */
+  def fingerprint(name: String): String = {
+    val m = model(name)
+    val plan = m.build(placeholderDeps(m)).queryExecution.analyzed
+    val text = plan.toString.replaceAll("#\\d+", "#")
+    val config = s"${m.materialized}|${m.deps.mkString(",")}|" +
+      s"${m.tags.toSeq.sorted.mkString(",")}"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((config + "\n" + text).getBytes("UTF-8"))
+    digest.map("%02x".format(_)).mkString
+  }
+
+  /** Current-state manifest over every registered model (dbt writes
+    * target/manifest.json on each invocation; call this after a successful
+    * run and point the next run's `state` at it).
+    */
+  def manifest(): Manifest =
+    Manifest(byName.keys.map(n => n -> fingerprint(n)).toMap)
 
   /** Reachable-node collection for one direction pair. */
   private def reach(names: Seq[String], withUpstream: Boolean,
@@ -321,7 +438,8 @@ final class Catalog(
     * true)` select identically.
     */
   private def expandSelector(sel: String, withUpstream: Boolean,
-                             withDownstream: Boolean): Set[String] = {
+                             withDownstream: Boolean,
+                             state: Option[Manifest] = None): Set[String] = {
     val up = withUpstream || sel.startsWith("+")
     val down = withDownstream || sel.endsWith("+")
     val core = sel.stripPrefix("+").stripSuffix("+")
@@ -337,6 +455,19 @@ final class Catalog(
           Console.err.println(
             s"warning: selector 'tag:$t' matches no models (nothing to do)")
         matched
+      } else if (core == "state:modified" || core == "state:new") {
+        // dbt's state method ([dbt]/graph/selector_methods.py): `new` =
+        // absent from the old manifest; `modified` = new OR fingerprint
+        // drift. Requires a previous state, like dbt's "--state" error.
+        val old = state.getOrElse(throw new IllegalArgumentException(
+          s"selector '$core' requires a previous-state manifest " +
+            "(dbt: 'Got a state selector method, but no comparison manifest')"))
+        byName.keys.toSeq.sorted.filter { n =>
+          old.fingerprints.get(n) match {
+            case None => true
+            case Some(h) => core == "state:modified" && fingerprint(n) != h
+          }
+        }
       } else Seq(model(core).name) // validates existence, dbt-style error
     reach(bases, up, down)
   }
@@ -351,11 +482,12 @@ final class Catalog(
     */
   def topo(names: Seq[String], withUpstream: Boolean,
            withDownstream: Boolean = false,
-           exclude: Seq[String] = Nil): Seq[String] = {
+           exclude: Seq[String] = Nil,
+           state: Option[Manifest] = None): Seq[String] = {
     val selected = names.flatMap(expandSelector(_, withUpstream,
-      withDownstream)).toSet
+      withDownstream, state)).toSet
     val excluded = exclude.flatMap(expandSelector(_, withUpstream = false,
-      withDownstream = false)).toSet
+      withDownstream = false, state)).toSet
     val remaining = scala.collection.mutable.Set(
       (selected -- excluded).toSeq: _*)
     val order = scala.collection.mutable.ArrayBuffer[String]()
@@ -387,15 +519,17 @@ final class Catalog(
         m.build(resolveDeps(m)).createOrReplaceTempView(name)
       case Materialization.PartitionedTable(cols) =>
         warehouse.savePartitioned(name, m.build(resolveDeps(m)), cols)
-      case Materialization.Incremental(key) =>
+      case Materialization.Incremental(key, osc) =>
         val fresh = m.build(resolveDeps(m))
         if (!warehouse.exists(name)) warehouse.save(name, fresh)
         else {
-          val kept = warehouse.load(name)
-            .join(fresh.select(col(key)).distinct(), Seq(key), "left_anti")
-          warehouse.replace(name, kept.unionByName(fresh))
+          val (stored, batch) =
+            alignSchemas(name, warehouse.load(name), fresh, osc)
+          val kept = stored
+            .join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
+          warehouse.replace(name, kept.unionByName(batch))
         }
-      case Materialization.IncrementalByPartition(pcol) =>
+      case Materialization.IncrementalByPartition(pcol, osc) =>
         val fresh = m.build(resolveDeps(m))
         if (!warehouse.exists(name))
           warehouse.savePartitioned(name, fresh, Seq(pcol))
@@ -406,10 +540,11 @@ final class Catalog(
           // INSERT OVERWRITE; the store-agnostic form reads untouched
           // partitions once — still partition-pruned — and never merges
           // rows.)
-          val touched = fresh.select(col(pcol)).distinct()
-          val kept = warehouse.load(name)
-            .join(touched, Seq(pcol), "left_anti")
-          warehouse.replace(name, kept.unionByName(fresh), Seq(pcol))
+          val (stored, batch) =
+            alignSchemas(name, warehouse.load(name), fresh, osc)
+          val touched = batch.select(col(pcol)).distinct()
+          val kept = stored.join(touched, Seq(pcol), "left_anti")
+          warehouse.replace(name, kept.unionByName(batch), Seq(pcol))
         }
       case Materialization.Snapshot(key, updatedAt) =>
         val fresh = m.build(resolveDeps(m))
@@ -445,6 +580,71 @@ final class Catalog(
     }
   }
 
+  /** Reconcile an incremental batch's schema with the stored table per the
+    * model's `on_schema_change` ([dbt]/include/global_project/macros/
+    * materializations/models/incremental/on_schema_change.sql — dbt's
+    * process_schema_changes). Returns (stored', batch') with IDENTICAL
+    * schemas ready to union. Pure projection plans — history is never
+    * rewritten column-by-column on the driver; the casts/NULL-fills ride
+    * the same distributed write the merge was already doing.
+    */
+  private def alignSchemas(name: String, stored: DataFrame, fresh: DataFrame,
+      osc: Materialization.OnSchemaChange): (DataFrame, DataFrame) = {
+    import Materialization.OnSchemaChange._
+    val sFields = stored.schema.fields
+    val fFields = fresh.schema.fields
+    val sByName = sFields.map(f => f.name -> f).toMap
+    val fByName = fFields.map(f => f.name -> f).toMap
+    val added = fFields.filter(f => !sByName.contains(f.name))
+    val removed = sFields.filter(f => !fByName.contains(f.name))
+    if (added.isEmpty && removed.isEmpty) {
+      // common fast path: same columns; align batch types/order to stored
+      (stored, fresh.select(sFields.map(f =>
+        col(f.name).cast(f.dataType)).toIndexedSeq: _*))
+    } else osc match {
+      case Fail =>
+        throw new IllegalStateException(
+          s"incremental model '$name': schema changed (added: " +
+            s"${added.map(_.name).mkString(",")}; removed: " +
+            s"${removed.map(_.name).mkString(",")}) and on_schema_change " +
+            "is fail — aborting, like dbt's fail mode")
+      case Ignore =>
+        // dbt default: new batch columns silently not added; a batch
+        // missing stored columns is the error the warehouse INSERT raises
+        if (removed.nonEmpty)
+          throw new IllegalStateException(
+            s"incremental model '$name': batch is missing stored columns " +
+              s"${removed.map(_.name).mkString(",")} and on_schema_change " +
+              "is ignore (dbt: the insert fails on removed columns)")
+        (stored, fresh.select(sFields.map(f =>
+          col(f.name).cast(f.dataType)).toIndexedSeq: _*))
+      case AppendNewColumns =>
+        // table gains the batch's new columns; departed columns remain,
+        // NULL in new rows. Common columns keep the STORED type.
+        val outFields = sFields ++ added
+        def pick(df: DataFrame, have: Map[String,
+            org.apache.spark.sql.types.StructField]) =
+          df.select(outFields.map { f =>
+            if (have.contains(f.name)) col(f.name).cast(
+              sByName.getOrElse(f.name, f).dataType)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(sByName.getOrElse(f.name, f).dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        (pick(stored, sByName), pick(fresh, fByName))
+      case SyncAllColumns =>
+        // table takes the batch's schema: adds, removals, AND type changes
+        val outFields = fFields
+        def pick(df: DataFrame, have: Map[String,
+            org.apache.spark.sql.types.StructField]) =
+          df.select(outFields.map { f =>
+            if (have.contains(f.name)) col(f.name).cast(f.dataType)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        (pick(stored, sByName), pick(fresh, fByName))
+    }
+  }
+
   /** D3: `run --select <names>`. Like dbt, a bare select does NOT rebuild
     * ancestors (`withUpstream = false` — reference: automate_pipeline.py:10
     * runs `--select fct_orders` assuming staging exists); `withUpstream =
@@ -464,8 +664,9 @@ final class Catalog(
     */
   def run(select: Seq[String], withUpstream: Boolean = false,
           threads: Int = 1, withDownstream: Boolean = false,
-          exclude: Seq[String] = Nil): Seq[String] = {
-    val order = topo(select, withUpstream, withDownstream, exclude)
+          exclude: Seq[String] = Nil,
+          state: Option[Manifest] = None): Seq[String] = {
+    val order = topo(select, withUpstream, withDownstream, exclude, state)
     onRunStart.foreach(_(spark))
     try runOrder(order, threads)
     finally onRunEnd.foreach(_(spark, order))
