@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * THREE real payload families: RawMedia's uncompressed GRIM/GRVD
   * containers (header parse, nearest-neighbor resample, frame
   * extraction), COMPRESSED images through the pure-JDK `javax.imageio`
-  * codecs (PNG/JPEG/BMP/GIF), and audio containers through pure-JDK
-  * `javax.sound.sampled` (WAV/AIFF/AU — see CompressedMedia.scala). Only
-  * formats the JDK has no reader for (compressed video, mp3-style audio)
-  * hit the clearly marked deterministic STUB, because their codecs need
-  * native libraries this container image does not ship. Swapping the stub
-  * for a real decoder changes no plan shape: every operator stays a narrow
-  * per-partition map, no shuffle, executed where the bytes already live —
-  * exactly how a 100 TB media table should be processed.
+  * codecs (PNG/JPEG/BMP/GIF, including animated-GIF frame enumeration),
+  * audio containers through pure-JDK `javax.sound.sampled` (WAV/AIFF/AU —
+  * see CompressedMedia.scala), and mp3/mp4 container METADATA through
+  * pure-Scala header parsers (MediaHeaders — MPEG frame chains, ISO-BMFF
+  * box trees). The clearly marked deterministic STUB remains only for (a)
+  * bytes in no recognizable container and (b) frame-DATA decode of
+  * mp3/mp4, whose codecs need native libraries this image does not ship.
+  * Swapping the stub for a real decoder changes no plan shape: every
+  * operator stays a narrow per-partition map, no shuffle, executed where
+  * the bytes already live — exactly how a 100 TB media table should be
+  * processed.
   */
 object Multimodal {
 
@@ -53,9 +56,12 @@ object Multimodal {
 
   /** Real header decode for raw containers, compressed images (javax
     * .imageio header-only probe — no pixel decode on the feature path),
-    * and JDK-supported audio containers (javax.sound.sampled probe; for
-    * audio, width carries the frame count and height the channel count);
-    * stub only for formats the JDK cannot parse (e.g. compressed video).
+    * JDK-supported audio containers (javax.sound.sampled probe; for
+    * audio, width carries the frame count and height the channel count),
+    * and — via pure-Scala container parsers (MediaHeaders) — MPEG audio
+    * frame chains and ISO-BMFF (mp4) box trees. The stub is the terminal
+    * fallback only for bytes in NO recognizable container; for mp3/mp4 the
+    * remaining honest gap is frame DATA decode, not metadata.
     */
   private def decodeAny(kind: String,
                         bytes: Array[Byte]): (String, Int, Int) =
@@ -65,6 +71,8 @@ object Multimodal {
         .map(v => (s"raw/video-${v.nFrames}f", v.width, v.height)))
       .orElse(CompressedMedia.sniff(bytes))
       .orElse(CompressedMedia.sniffAudio(bytes))
+      .orElse(MediaHeaders.sniffMp3(bytes))
+      .orElse(MediaHeaders.sniffMp4(bytes))
       .getOrElse(decodeStub(kind, bytes))
 
   /** Batch feature extraction: one decoder invocation per row, batched per
@@ -251,9 +259,15 @@ object Multimodal {
                   CompressedMedia.encodeGifAnimation(
                     frames.map(RawMedia.Image(w, h, 3, _)))
               MediaRow(id, "video", payload)
-            case _ => // audio: a REAL RIFF/WAVE container (8-bit PCM mono
-              // from the text bytes) — decoded by the javax.sound probe
-              MediaRow(id, "audio", CompressedMedia.encodeWav(raw))
+            case _ => // audio: alternating REAL RIFF/WAVE containers (8-bit
+              // PCM mono from the text bytes, javax.sound-decodable) and
+              // MPEG-audio frame chains (real headers, silence payload —
+              // the mp3 header-sniff path)
+              if (id % 8 == 3)
+                MediaRow(id, "audio", CompressedMedia.encodeWav(raw))
+              else
+                MediaRow(id, "audio",
+                  MediaHeaders.encodeMp3Silence(2 + (raw.length % 6)))
           }
         }
       }

@@ -46,9 +46,12 @@ class MultimodalSpec extends SparkSpec {
       .forall(_.format.startsWith("raw/video-")))
     assert(f1.filter(f => f.kind == "video" && f.media_id % 8 == 6)
       .forall(_.format == "image/gif"))
-    // audio rows are REAL WAV containers: frame count == source byte count
-    assert(f1.filter(_.kind == "audio").forall(f =>
+    // audio rows alternate REAL WAV containers (frame count == source byte
+    // count) and MPEG frame chains parsed by the pure-Scala header walker
+    assert(f1.filter(f => f.kind == "audio" && f.media_id % 8 == 3).forall(f =>
       f.format == "audio/wav" && f.width > 0 && f.height == 1))
+    assert(f1.filter(f => f.kind == "audio" && f.media_id % 8 == 7).forall(f =>
+      f.format == "audio/mpeg" && f.width >= 2 && f.height == 1))
     // deterministic across repartitionings
     val f2 = Multimodal.extractFeatures(m.repartition(7)).collect()
       .sortBy(_.media_id)
@@ -194,6 +197,39 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_.frame_idx).toSeq == Seq(0, 1))
     assert(sampled.map(f => (f.offset_bytes, f.n_bytes.toLong)).toSeq ==
       Seq(ranges(0), ranges(1)).map { case (o, l) => (o, l) })
+  }
+
+  test("mp3 header walk: frame chain counted through an ID3v2 tag; " +
+       "sync-lookalike bytes rejected") {
+    val mp3 = MediaHeaders.encodeMp3Silence(5, mono = true, id3Padding = 40)
+    val (fmt, frames, ch) = MediaHeaders.sniffMp3(mp3).get
+    assert(fmt == "audio/mpeg" && frames == 5 && ch == 1)
+    val stereo = MediaHeaders.encodeMp3Silence(3, mono = false)
+    assert(MediaHeaders.sniffMp3(stereo).get == (("audio/mpeg", 3, 2)))
+    // a lone sync word is not an mp3 (needs >= 2 chained valid frames)
+    assert(MediaHeaders.sniffMp3(
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)).isEmpty)
+    // a WAV container must not be claimed as mp3
+    val wav = CompressedMedia.encodeWav(Array.fill(64)(1.toByte))
+    assert(MediaHeaders.sniffMp3(wav).isEmpty)
+    // truncating mid-chain breaks the walk -> rejected
+    assert(MediaHeaders.sniffMp3(mp3.take(mp3.length - 500)).isEmpty ||
+      MediaHeaders.sniffMp3(mp3.take(mp3.length - 500)).get._2 < 5)
+  }
+
+  test("mp4 box walk: tkhd dimensions read from a well-formed ISO-BMFF " +
+       "shell; malformed trees rejected") {
+    val mp4 = MediaHeaders.encodeMp4Shell(640, 360)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(MediaHeaders.sniffMp4(mp4).get == (("video/mp4", 640, 360)))
+    // no ftyp -> not claimed
+    assert(MediaHeaders.sniffMp4(mp4.drop(16)).isEmpty)
+    assert(MediaHeaders.sniffMp4("random junk bytes".getBytes).isEmpty)
+    // the features path picks the mp4 sniff up end-to-end
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaRow(1L, "video", mp4)).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert(f.format == "video/mp4" && f.width == 640 && f.height == 360)
   }
 
   test("audio stats: REAL PCM decode — RMS of a synthesized sine wave " +
