@@ -47,14 +47,26 @@ object Bench {
     // Drop whatever the previous query left in the block manager (persisted
     // relations whose async unpersist hadn't landed, localCheckpoint blocks
     // awaiting ContextCleaner) and ask for a GC, so the next timing window
-    // starts from a quiet heap. Runs OUTSIDE the timers.
+    // starts from a quiet heap. Runs OUTSIDE the timers. The GC is GATED on
+    // blocks actually lingering (r6 ran 240 unconditional System.gc() calls
+    // — full-heap collections that dominated the untimed gaps; most queries
+    // leave nothing persisted, and their ordinary allocation garbage is
+    // G1's concurrent job, not a stop-the-world one). Queries that DO leave
+    // blocks (localCheckpoint fixpoints, cached corpora) still get the
+    // unpersist + GC so their successors start from a quiet heap.
     def quiesce(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
+      val lingering = spark.sparkContext.getPersistentRDDs.values
+      if (lingering.nonEmpty) {
+        lingering.foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
     }
 
+    val benchStart = System.nanoTime()
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up pass over every query (untimed): pays whole-stage-codegen
     // compilation and JIT once, so the timed passes measure steady-state
     // data-proportional work — the number that actually extrapolates to
@@ -86,10 +98,11 @@ object Bench {
         ",\"runs\":[" + r.map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    val wall = (System.nanoTime() - benchStart) / 1e9
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"wall_sec":${fmt(wall)},"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"wall_sec":${fmt(wall)},"detail":$detail,"sf":"$sfDir"}"""
     // Full record first (driver log keeps only a bounded tail; if anything
     // is cut it must be this line, not the compact one)...
     println(full)

@@ -3,9 +3,9 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native portable-minhash signature kernel.
@@ -183,6 +183,59 @@ case class MinWindowMd5(child: Expression, window: Int)
   override def prettyName: String = "minwindow_md5"
 }
 
+/** `windows_with_pos(toks, n)` — every DISTINCT length-n token window of
+  * the array, with the 0-based token offset of its FIRST occurrence:
+  * array<struct<pos:int, w:string>>; empty when the array has fewer than
+  * n tokens. Window strings are the space-joined token runs — byte-equal
+  * to `concat_ws(" ", toks[i+1..i+n])` per start offset i, so the DuckDB
+  * oracle replay of substring dedup is untouched.
+  *
+  * Two wins over the composed transform-over-sequence formulation it
+  * replaces (the same interpreted-HOF anti-pattern measured on
+  * text_top_bigrams, 16.4s -> 1.5s after its rewrite):
+  *   - CPU: Catalyst interprets HOF lambdas per element, and each window
+  *     ran n per-index element_at calls. Here all tokens are joined into
+  *     ONE byte buffer and each window is an O(1) offset-range view —
+  *     no per-window re-walk, no interpreter.
+  *   - PLAN SHAPE: the distinct-collapse (first occurrence per window
+  *     string) happens in a local hash map per document, so the
+  *     posexplode + groupBy(id, w)/min(pos) SHUFFLE the old formulation
+  *     needed is gone — window generation is now map-only, which at
+  *     100 TB removes the single largest shuffle of the passage-dedup
+  *     pipeline (windows are ~n x the corpus bytes).
+  */
+case class WindowsWithPos(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, s"n must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("w", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be array<string>, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMd5.computeWindowsWithPos(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashMd5.computeWindowsWithPos($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowsWithPos =
+    copy(child = newChild)
+
+  override def prettyName: String = "windows_with_pos"
+}
+
 object MinhashMd5 {
 
   private val digests = new ThreadLocal[MessageDigest] {
@@ -340,6 +393,79 @@ object MinhashMd5 {
       b += 1
     }
     packed
+  }
+
+  /** windows_with_pos kernel — see WindowsWithPos. Fast path (no null
+    * tokens — the tokenizer never emits them): join all tokens into one
+    * byte buffer with single-space separators and record each token's
+    * byte range; window starting at token p is then the O(1) buffer view
+    * [start(p), end(p+n-1)) — exactly the bytes concat_ws(" ", ...) of
+    * that token run produces. First occurrences are kept via putIfAbsent
+    * on the view (UTF8String hashes/compares its bytes). The null-token
+    * slow path mirrors concat_ws's skip-nulls semantics per window.
+    */
+  def computeWindowsWithPos(toks: ArrayData, n: Int): ArrayData = {
+    val L = toks.numElements()
+    if (L < n) return new GenericArrayData(Array.empty[Any])
+    var hasNull = false
+    var i = 0
+    while (i < L && !hasNull) {
+      if (toks.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    val out = new java.util.ArrayList[AnyRef](L - n + 1)
+    val seen = new java.util.HashMap[UTF8String, Integer](
+      Math.max(8, (L - n + 1) * 2))
+    if (!hasNull) {
+      val tokBytes = new Array[Array[Byte]](L)
+      val starts = new Array[Int](L)
+      val ends = new Array[Int](L)
+      var off = 0
+      i = 0
+      while (i < L) {
+        val b = toks.getUTF8String(i).getBytes
+        tokBytes(i) = b
+        if (i > 0) off += 1 // separator slot
+        starts(i) = off
+        off += b.length
+        ends(i) = off
+        i += 1
+      }
+      val buf = new Array[Byte](off)
+      i = 0
+      while (i < L) {
+        if (i > 0) buf(starts(i) - 1) = ' '.toByte
+        System.arraycopy(tokBytes(i), 0, buf, starts(i), tokBytes(i).length)
+        i += 1
+      }
+      var p = 0
+      while (p <= L - n) {
+        val w = UTF8String.fromBytes(buf, starts(p), ends(p + n - 1) - starts(p))
+        if (seen.putIfAbsent(w, p) == null)
+          out.add(new GenericInternalRow(Array[Any](p, w)))
+        p += 1
+      }
+    } else {
+      var p = 0
+      while (p <= L - n) {
+        val sb = new java.lang.StringBuilder
+        var first = true
+        var j = p
+        while (j < p + n) {
+          if (!toks.isNullAt(j)) {
+            if (!first) sb.append(' ')
+            sb.append(toks.getUTF8String(j).toString)
+            first = false
+          }
+          j += 1
+        }
+        val w = UTF8String.fromString(sb.toString)
+        if (seen.putIfAbsent(w, p) == null)
+          out.add(new GenericInternalRow(Array[Any](p, w)))
+        p += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** minhash_xx kernel — see MinhashXxSigs. Null on an empty/all-null

@@ -210,6 +210,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinWindowMd5].getName, "minwindow_md5"),
       (children: Seq[Expression]) => MinWindowMd5(children(0),
         children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("windows_with_pos"),
+      new ExpressionInfo(classOf[WindowsWithPos].getName, "windows_with_pos"),
+      (children: Seq[Expression]) => WindowsWithPos(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_md5"),
       (children: Seq[Expression]) => SimhashSigs(children(0), portable = true)),
@@ -247,6 +251,9 @@ object GraftFunctions {
   def minWindowMd5(s: Column, window: Int): Column =
     call_function("minwindow_md5", s,
       org.apache.spark.sql.functions.lit(window))
+  def windowsWithPos(toks: Column, n: Int): Column =
+    call_function("windows_with_pos", toks,
+      org.apache.spark.sql.functions.lit(n))
   def simhashMd5(tokens: Column): Column = call_function("simhash_md5", tokens)
   def simhashXx(tokens: Column): Column = call_function("simhash_xx", tokens)
 }

@@ -299,22 +299,28 @@ object Dedup {
     * window string per document, `pos` = the 0-based token offset of the
     * window's FIRST occurrence. Documents shorter than n tokens emit no
     * rows (no length-n window exists — deliberately unlike withShingles'
-    * whole-doc fallback, which exists for Jaccard's benefit). The
-    * position survives the distinct-collapse via min(pos), so passage
-    * consumers (substringDups) can report where a shared run starts.
+    * whole-doc fallback, which exists for Jaccard's benefit).
+    *
+    * Computed by the NATIVE windows_with_pos kernel
+    * (functions/MinhashExpressions.scala): one joined byte buffer per
+    * document, each window an O(1) offset-range view, first occurrences
+    * collapsed in a LOCAL hash map — so this is a MAP-ONLY projection +
+    * explode. The previous composed formulation paid n interpreted
+    * element_at calls per window inside a transform-over-sequence lambda
+    * (the measured text_top_bigrams anti-pattern; 10.6s at sf0.1) AND a
+    * posexplode + groupBy(id, w)/min(pos) shuffle for the
+    * distinct-collapse; at 100 TB that shuffle moved ~n x the corpus
+    * bytes. Window strings are byte-identical to the old
+    * concat_ws(" ", ...) form, so the DuckDB oracle replay is unchanged
+    * (parity asserted in DedupSpec).
     */
   def windowsWithPos(docs: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
     docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
-        posexplode(
-          when(size(col("toks")) < n, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
-              i => concat_ws(" ",
-                (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
-          .as(Seq("pos", "w")))
-      .groupBy(col(idCol), col("w"))
-      .agg(min(col("pos")).as("pos"))
+        explode(graft.functions.GraftFunctions.windowsWithPos(col("toks"), n))
+          .as("wp"))
+      .select(col(idCol), col("wp.w").as("w"), col("wp.pos").as("pos"))
 
   /** Substring/passage-level exact dedup — the third standard
     * training-data dedup next to document-level fingerprinting and
@@ -340,10 +346,17 @@ object Dedup {
     * ubiquitous boilerplate (it is removed by quality filters, not pair
     * dedup). Everything is exact string equality — no hashing — so the
     * whole operator replays verbatim in the DuckDB oracle.
+    *
+    * PAIR BUDGET: the default maxDocFreq = 100 bounds any one window key
+    * at df*(df-1)/2 <= 4,950 join pairs (the previous default of 1000
+    * admitted ~500k per hot key — tolerable on a test corpus, an
+    * invitation to stragglers under web-scale boilerplate). Raise it
+    * only when the corpus is known boilerplate-free and genuine passages
+    * are expected in >100 documents.
     */
   def substringDups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 50,
-                    maxDocFreq: Int = 1000): DataFrame = {
+                    maxDocFreq: Int = 100): DataFrame = {
     val wins = windowsWithPos(docs, idCol, textCol, n)
     val shared = wins.join(
       wins.groupBy(col("w")).agg(count(lit(1)).as("df"))

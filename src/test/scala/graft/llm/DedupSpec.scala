@@ -374,6 +374,45 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDups(d, n = 10).count() == 1L)
   }
 
+  test("windowsWithPos kernel: byte parity with the composed " +
+       "transform/element_at + groupBy formulation") {
+    // real-ish text (repeats, punctuation, multi-space) + the planted docs
+    val d = docs(
+      1L -> s"${filler("x", 5)} $passage ${filler("y", 8)}",
+      2L -> s"$passage  again $passage",
+      3L -> "The  quick brown fox THE quick brown fox the quick",
+      4L -> filler("q", 9), // shorter than n -> no rows
+      5L -> (1 to 30).map(i => s"t${i % 7}").mkString(" ")) // heavy repeats
+    for (n <- Seq(3, 10)) {
+      val kernel = Dedup.windowsWithPos(d, "doc_id", "text", n)
+        .orderBy("doc_id", "w").collect()
+      val composed = d
+        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(
+            when(size(col("toks")) < n, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+                i => concat_ws(" ",
+                  (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+            .as(Seq("pos", "w")))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(min(col("pos")).as("pos"))
+        .orderBy("doc_id", "w").collect()
+      assert(kernel.length == composed.length, s"n=$n row counts differ")
+      kernel.zip(composed).foreach { case (k, c) =>
+        assert(k.getLong(0) == c.getLong(0) && k.getString(1) == c.getString(1)
+          && k.getInt(2) == c.getInt(2), s"n=$n: $k != $c")
+      }
+    }
+  }
+
+  test("windowsWithPos is map-only: no exchange in the window plan") {
+    val d = docs(1L -> passage, 2L -> passage)
+    val plan = Dedup.windowsWithPos(d, "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("substringDups plan contains no cartesian product") {
     val d = docs(1L -> passage, 2L -> passage)
     val plan = Dedup.substringDups(d, n = 50)
