@@ -375,6 +375,64 @@ object Dedup {
         min(col("pos_b")).as("b_pos"))
   }
 
+  /** Passage scrubbing — the cut-the-span remediation of suffix-array
+    * passage dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): instead of dropping a whole document that
+    * shares a passage, excise the flagged token span from the HIGHER-id
+    * document of each pair (the lower id keeps its copy — the same
+    * min-id-survives rule as every other dedup here). `dups` is
+    * substringDups(…, n) output; each (id_b, b_pos, n_shared) flags the
+    * span of n_shared + n - 1 tokens starting at token offset b_pos.
+    * Overlapping/adjacent spans on one document are MERGED (classic
+    * gaps-and-islands over the tiny span table) before surgery, so
+    * multi-pair documents are cut once per contiguous region.
+    *
+    * Returns (idCol, textCol, n_cut): scrubbed documents are rebuilt in
+    * normalized token space (the space b_pos lives in — raw-offset
+    * surgery would need a token-to-raw alignment the window pipeline
+    * deliberately never materializes); untouched documents pass through
+    * verbatim with n_cut = 0.
+    *
+    * Plan shape at 100 TB: the span table is pairs-sized (tiny vs the
+    * corpus); its window/merge shuffles only spans, and the per-doc
+    * merged-span arrays join the corpus by id — broadcastable in
+    * practice, an equi-join worst-case. The rebuild is map-side: one
+    * filter-by-index over the token array per flagged doc, with the
+    * span list bounded by the merge. Exact integer/string surgery — the
+    * whole operator replays verbatim in the DuckDB oracle.
+    */
+  def scrubPassages(docs: DataFrame, dups: DataFrame, n: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // half-open token span [s, e) on the higher-id doc of each pair
+    val spans = dups.select(
+      col("id_b").as(idCol),
+      col("b_pos").cast("int").as("s"),
+      (col("b_pos") + col("n_shared") + lit(n - 1)).cast("int").as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans
+      .withColumn("new_island",
+        when(col("s") > coalesce(prevMax, lit(-1)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val spanArr = merged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val toks = TextFeatures.tokens(col(textCol))
+    val kept = filter(toks, (_, i) =>
+      !exists(col("spans"), sp => i >= sp("s") && i < sp("e")))
+    docs.join(spanArr, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)).as(textCol),
+        when(col("spans").isNull, lit(0L))
+          .otherwise(size(toks) - size(kept)).cast("long").as("n_cut"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene op every
     * large-scale pipeline runs before training: flag corpus documents
     * sharing any token n-gram with a benchmark/eval set (the n-gram

@@ -342,6 +342,70 @@ object LlmOps {
       Dedup.substringDups(Tables.documents(s, d), n = 10, maxDocFreq = 100)
     },
 
+    // Passage scrubbing: cut-the-span remediation over the substring-dedup
+    // pairs (same n = 10, cap = 100). Exact integer/string surgery — span
+    // arithmetic, gaps-and-islands merge, and the token-filter rebuild all
+    // replay verbatim in the oracle, which re-derives the pairs with the
+    // llm_substring_dedup SQL and re-cuts the spans with an unnest +
+    // anti-range-join + ordered string_agg.
+    Op("llm_scrub_passages", {
+      val winSql = (1 to 10).map(j => s"toks[pos+$j]").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |        unnest(range(0, greatest(len(toks) - 9, 0))) AS pos
+         |      FROM toks),
+         |dw AS (SELECT doc_id, concat_ws(' ', $winSql) AS w,
+         |         CAST(min(pos) AS INT) AS pos
+         |       FROM p GROUP BY 1, 2),
+         |keep AS (SELECT w FROM (SELECT w, count(*) AS df FROM dw GROUP BY 1)
+         |         WHERE df BETWEEN 2 AND 100),
+         |sw AS (SELECT dw.* FROM dw JOIN keep USING (w)),
+         |dups AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           count(*) AS n_shared, min(b.pos) AS b_pos
+         |         FROM sw a JOIN sw b ON a.w = b.w AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |spans AS (SELECT id_b AS doc_id, CAST(b_pos AS INT) AS s,
+         |            CAST(b_pos + n_shared + 9 AS INT) AS e FROM dups),
+         |isl AS (SELECT doc_id, s, e,
+         |          CASE WHEN s > coalesce(max(e) OVER (
+         |            PARTITION BY doc_id ORDER BY s, e
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |          THEN 1 ELSE 0 END AS ni
+         |        FROM spans),
+         |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+         |           FROM (SELECT doc_id, s, e, sum(ni) OVER (
+         |                   PARTITION BY doc_id ORDER BY s, e
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                   AS island FROM isl)
+         |           GROUP BY doc_id, island),
+         |tokrows AS (SELECT doc_id, unnest(toks) AS t,
+         |              generate_subscripts(toks, 1) - 1 AS i
+         |            FROM toks
+         |            WHERE doc_id IN (SELECT doc_id FROM merged)),
+         |rebuilt AS (SELECT tr.doc_id,
+         |              string_agg(tr.t, ' ' ORDER BY tr.i) AS text,
+         |              count(*) AS n_kept
+         |            FROM tokrows tr
+         |            WHERE NOT EXISTS (SELECT 1 FROM merged m
+         |              WHERE m.doc_id = tr.doc_id
+         |                AND tr.i >= m.s AND tr.i < m.e)
+         |            GROUP BY 1),
+         |flagged AS (SELECT DISTINCT doc_id FROM merged)
+         |SELECT t.doc_id,
+         |  CASE WHEN f.doc_id IS NULL THEN t.text
+         |       ELSE coalesce(r.text, '') END AS text,
+         |  CAST(CASE WHEN f.doc_id IS NULL THEN 0
+         |       ELSE len(t.toks) - coalesce(r.n_kept, 0) END AS BIGINT)
+         |    AS n_cut
+         |FROM toks t
+         |LEFT JOIN flagged f ON f.doc_id = t.doc_id
+         |LEFT JOIN rebuilt r ON r.doc_id = t.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.scrubPassages(docs,
+        Dedup.substringDups(docs, n = 10, maxDocFreq = 100), n = 10)
+    },
+
     // Gopher-style repetition signals: top-bigram mass + duplicate-bigram
     // mass per document. Single divisions of exact counts -> bit-identical.
     Op("text_repetition",

@@ -413,6 +413,44 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("scrubPassages: cuts the planted span from the higher-id doc, " +
+       "keeps surrounding text and the lower-id copy intact") {
+    val d = docs(
+      1L -> s"${filler("x", 5)} $passage ${filler("y", 8)}",
+      2L -> s"${filler("z", 3)} $passage ${filler("k", 4)}",
+      3L -> filler("q", 80))
+    val dups = Dedup.substringDups(d, n = 50)
+    val out = Dedup.scrubPassages(d, dups, n = 50)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // doc 1 is the lower id: untouched, raw text, n_cut = 0
+    assert(out(0).getString(1).contains("p1") && out(0).getLong(2) == 0L)
+    // doc 2 loses exactly the 60-token passage (11 windows + 50 - 1 = 60)
+    assert(out(1).getLong(2) == 60L, s"n_cut=${out(1).getLong(2)}")
+    assert(out(1).getString(1) == s"${filler("z", 3)} ${filler("k", 4)}")
+    // unrelated doc untouched
+    assert(out(2).getString(1) == filler("q", 80) && out(2).getLong(2) == 0L)
+  }
+
+  test("scrubPassages: overlapping spans from multiple pairs merge into " +
+       "one contiguous cut") {
+    // docs 1 and 2 plant the FIRST 55 tokens of the passage in doc 3 at
+    // offsets 0 and 5 respectively -> two overlapping spans on doc 3
+    val p55 = (1 to 55).map(i => s"p$i").mkString(" ")
+    val p50tail = (6 to 55).map(i => s"p$i").mkString(" ")
+    val d = docs(
+      1L -> s"$p55 ${filler("a", 10)}",
+      2L -> s"$p50tail ${filler("b", 10)}",
+      3L -> s"$p55 ${filler("c", 10)}")
+    val dups = Dedup.substringDups(d, n = 50)
+    val out = Dedup.scrubPassages(d, dups, n = 50)
+      .filter(col("doc_id") === 3L).head()
+    // doc 3 pairs with both 1 (span [0,55)) and 2 (span [5,55)); merged
+    // cut is [0,55) -> the c-filler survives
+    assert(out.getLong(2) == 55L, s"n_cut=${out.getLong(2)}")
+    assert(out.getString(1) == filler("c", 10))
+  }
+
   test("substringDups plan contains no cartesian product") {
     val d = docs(1L -> passage, 2L -> passage)
     val plan = Dedup.substringDups(d, n = 50)
