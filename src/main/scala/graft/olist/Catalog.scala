@@ -100,12 +100,43 @@ object Materialization {
     */
   final case class Snapshot(uniqueKey: String,
                             updatedAt: String) extends Materialization
+
+  /** dbt's snapshot CHECK strategy ([dbt]/include/global_project/macros/
+    * materializations/snapshots/strategies.sql:142,
+    * snapshot_check_strategy) — for sources WITHOUT a reliable
+    * `updated_at`: a key's row "changed" iff any of `checkCols` differs
+    * (null-safely, dbt's column_changed_expression) between the incoming
+    * row and the key's current stored version; `checkCols = Nil` mirrors
+    * `check_cols: all` (every column of the build's output participates).
+    * valid_from/valid_to come from the RUN's timestamp (dbt's
+    * snapshotted_at), injectable via `snapshotAt` for deterministic
+    * tests/backfills. Same keyed-join plan shape as the timestamp
+    * strategy — three shuffles on the unique key, no driver-side diffing.
+    */
+  final case class SnapshotCheck(uniqueKey: String,
+      checkCols: Seq[String] = Nil,
+      snapshotAt: () => java.sql.Timestamp =
+        () => new java.sql.Timestamp(System.currentTimeMillis()))
+    extends Materialization {
+    // stable config text for the state:modified fingerprint — the default
+    // toString would render the snapshotAt lambda's per-JVM object identity
+    // and permanently mark every snapshot-check model "modified"
+    override def toString: String =
+      s"SnapshotCheck($uniqueKey,${checkCols.mkString("[", ",", "]")})"
+  }
 }
 
 /** `preHooks`/`postHooks` mirror dbt's model-level pre-/post-hook config
   * (run before/after the node materializes, in declaration order; dbt's
   * hooks are SQL statements against the warehouse — here any effect over
   * the session, e.g. `s => s.sql("...")`).
+  *
+  * `fullRefresh` mirrors dbt's model-level `full_refresh` config
+  * ([dbt]/include/global_project/macros/materializations/configs.sql:6,
+  * should_full_refresh): None defers to the run's `--full-refresh` flag;
+  * Some(false) PINS the model incremental even under the flag (dbt's
+  * guard for enormous tables a blanket CI flag must not rebuild);
+  * Some(true) rebuilds from scratch on every run.
   */
 final case class Model(
     name: String,
@@ -114,7 +145,8 @@ final case class Model(
     build: Map[String, DataFrame] => DataFrame,
     tags: Set[String] = Set.empty,
     preHooks: Seq[SparkSession => Unit] = Nil,
-    postHooks: Seq[SparkSession => Unit] = Nil)
+    postHooks: Seq[SparkSession => Unit] = Nil,
+    fullRefresh: Option[Boolean] = None)
 
 /** S4 sink + S2 scan contract: where materialized relations live. Two
   * implementations — a parquet-directory store (Warehouse) and the Spark
@@ -400,7 +432,7 @@ final class Catalog(
     val plan = m.build(placeholderDeps(m)).queryExecution.analyzed
     val text = plan.toString.replaceAll("#\\d+", "#")
     val config = s"${m.materialized}|${m.deps.mkString(",")}|" +
-      s"${m.tags.toSeq.sorted.mkString(",")}"
+      s"${m.tags.toSeq.sorted.mkString(",")}|${m.fullRefresh}"
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest((config + "\n" + text).getBytes("UTF-8"))
     digest.map("%02x".format(_)).mkString
@@ -505,15 +537,17 @@ final class Catalog(
   /** Materialize one node (dbt's ModelRunner.execute analog), bracketed
     * by the model's pre-/post-hooks.
     */
-  private def runNode(name: String): Unit = {
+  private def runNode(name: String, fullRefresh: Boolean): Unit = {
     val m = model(name)
     m.preHooks.foreach(_(spark))
-    materializeNode(m)
+    materializeNode(m, fullRefresh)
     m.postHooks.foreach(_(spark))
   }
 
-  private def materializeNode(m: Model): Unit = {
+  private def materializeNode(m: Model, runFullRefresh: Boolean): Unit = {
     val name = m.name
+    // dbt's should_full_refresh(): the model config wins over the run flag
+    val refresh = m.fullRefresh.getOrElse(runFullRefresh)
     m.materialized match {
       case Materialization.View =>
         m.build(resolveDeps(m)).createOrReplaceTempView(name)
@@ -522,6 +556,12 @@ final class Catalog(
       case Materialization.Incremental(key, osc) =>
         val fresh = m.build(resolveDeps(m))
         if (!warehouse.exists(name)) warehouse.save(name, fresh)
+        else if (refresh)
+          // --full-refresh: rebuild from scratch, DISCARDING stored rows
+          // the merge would have kept (the escape hatch for a corrupted or
+          // re-specified incremental table). replace(), not save(): the
+          // swap stays crash-safe and tolerates a build that reads `this`.
+          warehouse.replace(name, fresh)
         else {
           val (stored, batch) =
             alignSchemas(name, warehouse.load(name), fresh, osc)
@@ -533,6 +573,8 @@ final class Catalog(
         val fresh = m.build(resolveDeps(m))
         if (!warehouse.exists(name))
           warehouse.savePartitioned(name, fresh, Seq(pcol))
+        else if (refresh)
+          warehouse.replace(name, fresh, Seq(pcol))
         else {
           // keep only stored partitions the new batch does NOT touch, then
           // swap in history + batch as a new partitioned table. (With a
@@ -570,6 +612,40 @@ final class Catalog(
           val closed = current.join(superseded, col(key) === col("__k"))
             .withColumn("valid_to", col("__new_from"))
             .drop("__k", "__new_from")
+          val untouched = current
+            .join(superseded, col(key) === col("__k"), "left_anti")
+          warehouse.replace(name, history.unionByName(closed)
+            .unionByName(untouched).unionByName(incoming))
+        }
+      case Materialization.SnapshotCheck(key, checkCols, snapshotAt) =>
+        val fresh = m.build(resolveDeps(m))
+        val at = org.apache.spark.sql.functions.lit(snapshotAt())
+        val freshSnap = fresh
+          .withColumn("valid_from", at)
+          .withColumn("valid_to",
+            org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+        if (!warehouse.exists(name)) warehouse.save(name, freshSnap)
+        else {
+          val stored = warehouse.load(name)
+          val current = stored.filter(col("valid_to").isNull)
+          val history = stored.filter(col("valid_to").isNotNull)
+          // check_cols: all = every column of the build's output
+          val cols = if (checkCols.nonEmpty) checkCols
+            else fresh.columns.toSeq
+          val cur = current.select(col(key).as("__k") +:
+            cols.map(c => col(c).as(s"__cur_$c")): _*)
+          // changed iff new key OR any watched column differs null-safely
+          // (dbt's column_changed_expression is the null-aware inequality)
+          val changed = cols.map(c => !(col(c) <=> col(s"__cur_$c")))
+            .reduce(_ || _)
+          val incoming = freshSnap
+            .join(cur, col(key) === col("__k"), "left")
+            .filter(col("__k").isNull || changed)
+            .drop("__k" +: cols.map(c => s"__cur_$c"): _*)
+          val superseded = incoming.select(col(key).as("__k"))
+          val closed = current.join(superseded, col(key) === col("__k"))
+            .withColumn("valid_to", at)
+            .drop("__k")
           val untouched = current
             .join(superseded, col(key) === col("__k"), "left_anti")
           warehouse.replace(name, history.unionByName(closed)
@@ -665,16 +741,18 @@ final class Catalog(
   def run(select: Seq[String], withUpstream: Boolean = false,
           threads: Int = 1, withDownstream: Boolean = false,
           exclude: Seq[String] = Nil,
-          state: Option[Manifest] = None): Seq[String] = {
+          state: Option[Manifest] = None,
+          fullRefresh: Boolean = false): Seq[String] = {
     val order = topo(select, withUpstream, withDownstream, exclude, state)
     onRunStart.foreach(_(spark))
-    try runOrder(order, threads)
+    try runOrder(order, threads, fullRefresh)
     finally onRunEnd.foreach(_(spark, order))
     order
   }
 
-  private def runOrder(order: Seq[String], threads: Int): Unit = {
-    if (threads <= 1) order.foreach(runNode)
+  private def runOrder(order: Seq[String], threads: Int,
+                       fullRefresh: Boolean = false): Unit = {
+    if (threads <= 1) order.foreach(runNode(_, fullRefresh))
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -686,7 +764,7 @@ final class Catalog(
         order.foreach { n => // topo order => dep futures already registered
           val depFs = model(n).deps.filter(inSelection).map(futures)
           futures(n) = Future.sequence(depFs)
-            .flatMap(_ => Future(runNode(n)))
+            .flatMap(_ => Future(runNode(n, fullRefresh)))
         }
         Await.result(Future.sequence(futures.values.toSeq), Duration.Inf)
       } finally pool.shutdown()

@@ -31,6 +31,62 @@ class IncrementalSpec extends SparkSpec {
     assert(wh.load("inc_model").count() == 3)
   }
 
+  test("--full-refresh rebuilds from scratch, discarding stale rows the " +
+       "merge path would have kept") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_fr").toString)
+    @volatile var batch: Seq[(Long, String)] = Seq(1L -> "a", 2L -> "b")
+    val cat = new Catalog(spark, wh, Seq(
+      Model("m", Nil, Materialization.Incremental("id"),
+        _ => batch.toDF("id", "v"))))
+    cat.run(Seq("m"))
+    batch = Seq(2L -> "b2", 3L -> "c")
+    // merge keeps id=1; the same batch under --full-refresh must not
+    cat.run(Seq("m"), fullRefresh = true)
+    val out = wh.load("m").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((2L, "b2"), (3L, "c")))
+  }
+
+  test("model config full_refresh=false pins the model incremental even " +
+       "under the run flag; full_refresh=true always rebuilds") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_frc").toString)
+    @volatile var batch: Seq[(Long, String)] = Seq(1L -> "a")
+    val cat = new Catalog(spark, wh, Seq(
+      Model("pinned", Nil, Materialization.Incremental("id"),
+        _ => batch.toDF("id", "v"), fullRefresh = Some(false)),
+      Model("always", Nil, Materialization.Incremental("id"),
+        _ => batch.toDF("id", "v"), fullRefresh = Some(true))))
+    cat.run(Seq("pinned", "always"))
+    batch = Seq(2L -> "b")
+    // flag set: 'pinned' still merges (keeps id=1), 'always' rebuilds
+    cat.run(Seq("pinned", "always"), fullRefresh = true)
+    assert(wh.load("pinned").count() == 2)
+    assert(wh.load("always").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    batch = Seq(3L -> "c")
+    // no flag: 'always' STILL rebuilds (config full_refresh: true)
+    cat.run(Seq("always"))
+    assert(wh.load("always").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("--full-refresh on insert_overwrite rebuilds the whole partitioned " +
+       "table, dropping partitions the batch no longer carries") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_frp").toString)
+    @volatile var batch = Seq(("d1", 1L), ("d2", 2L))
+    val cat = new Catalog(spark, wh, Seq(
+      Model("p", Nil, Materialization.IncrementalByPartition("day"),
+        _ => batch.toDF("day", "n"))))
+    cat.run(Seq("p"))
+    batch = Seq(("d2", 20L))
+    // partition-merge would keep d1; full refresh must not
+    cat.run(Seq("p"), fullRefresh = true)
+    val out = wh.load("p").select("day", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("d2", 20L)))
+  }
+
   test("on_schema_change=ignore (default): added batch columns are " +
        "dropped; a batch missing stored columns errors") {
     import spark.implicits._

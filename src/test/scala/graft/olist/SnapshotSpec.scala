@@ -69,6 +69,92 @@ class SnapshotSpec extends SparkSpec {
     assert(cat.warehouse.load("snap").count() == 1)
   }
 
+  // --- check strategy ----------------------------------------------------
+
+  private def checkBatch(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "watched", "unwatched")
+  }
+
+  private def checkCatalog(source: () => DataFrame, cols: Seq[String],
+                           at: () => Timestamp): Catalog = {
+    val wh = Files.createTempDirectory("graft_snapchk").toString
+    new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("snap", Nil,
+        Materialization.SnapshotCheck("id", cols, at),
+        (_: Map[String, DataFrame]) => source())))
+  }
+
+  test("check strategy: a watched column change opens a new SCD2 row; " +
+       "an unwatched change does not") {
+    @volatile var now = t1
+    @volatile var current = checkBatch((1L, "w", "u"), (2L, "w", "u"))
+    val cat = checkCatalog(() => current, Seq("watched"), () => now)
+    cat.run(Seq("snap"))
+
+    now = t2
+    // key 1: watched col changes -> new version; key 2: only the
+    // UNWATCHED col changes -> untouched
+    current = checkBatch((1L, "w2", "u"), (2L, "w", "u-changed"))
+    cat.run(Seq("snap"))
+    val snap = cat.warehouse.load("snap").cache()
+
+    val k1 = snap.filter(col("id") === 1).orderBy("valid_from").collect()
+    assert(k1.length == 2)
+    assert(k1(0).getAs[String]("watched") == "w" &&
+      k1(0).getAs[Timestamp]("valid_to") == t2)
+    assert(k1(1).getAs[String]("watched") == "w2" &&
+      k1(1).getAs[Timestamp]("valid_from") == t2 &&
+      k1(1).getAs[Timestamp]("valid_to") == null)
+
+    val k2 = snap.filter(col("id") === 2).collect()
+    assert(k2.length == 1 && k2(0).getAs[Timestamp]("valid_to") == null)
+    assert(k2(0).getAs[String]("unwatched") == "u") // old version kept
+    snap.unpersist()
+  }
+
+  test("check strategy with check_cols=all: any column change (incl. a " +
+       "null transition) versions the row; identical rows are no-ops") {
+    @volatile var now = t1
+    @volatile var current = checkBatch((1L, "w", "u"), (2L, "w", "u"))
+    val cat = checkCatalog(() => current, Nil, () => now) // Nil = all
+    cat.run(Seq("snap"))
+
+    now = t2
+    current = {
+      import spark.implicits._
+      Seq((1L, "w", null: String), (2L, "w", "u"))
+        .toDF("id", "watched", "unwatched")
+    }
+    cat.run(Seq("snap"))
+    val snap = cat.warehouse.load("snap").cache()
+    // key 1 versioned on the u -> NULL transition (null-safe compare)
+    assert(snap.filter(col("id") === 1).count() == 2)
+    // key 2 identical -> single open version
+    val k2 = snap.filter(col("id") === 2).collect()
+    assert(k2.length == 1 && k2(0).getAs[Timestamp]("valid_to") == null)
+    snap.unpersist()
+
+    // idempotent: re-running the same batch at a later time changes nothing
+    now = Timestamp.valueOf("2024-03-01 00:00:00")
+    cat.run(Seq("snap"))
+    assert(cat.warehouse.load("snap").count() == 3)
+  }
+
+  test("check strategy: new keys start a history stamped with the run " +
+       "timestamp") {
+    @volatile var now = t1
+    @volatile var current = checkBatch((1L, "w", "u"))
+    val cat = checkCatalog(() => current, Seq("watched"), () => now)
+    cat.run(Seq("snap"))
+    now = t2
+    current = checkBatch((1L, "w", "u"), (3L, "x", "y"))
+    cat.run(Seq("snap"))
+    val k3 = cat.warehouse.load("snap").filter(col("id") === 3).collect()
+    assert(k3.length == 1 && k3(0).getAs[Timestamp]("valid_from") == t2 &&
+      k3(0).getAs[Timestamp]("valid_to") == null)
+  }
+
   test("Main gate: build failure exits 1, warn-only test failures exit 0") {
     import graft.checks.Checks
     assert(Main.gate(scala.util.Failure(new RuntimeException("boom"))) == 1)
