@@ -21,14 +21,22 @@ object MediaHeaders {
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
   private val Mp3SampleRates = Array(44100, 48000, 32000)
 
-  /** Count of MPEG-1 Layer III frames + channel count, by walking the real
-    * frame-header chain: sync word, bitrate/samplerate indices, padding bit
-    * -> frame length (144 * bitrate / samplerate + padding), repeat. An
-    * ID3v2 tag (header + syncsafe length) is skipped first. At least two
-    * consecutive valid frames are required before claiming mp3 — a lone
-    * 0xFFE sync is too easy to find in arbitrary binary.
+  /** Full header metadata of an MPEG-1 Layer III frame chain. Each frame
+    * carries 1152 samples, so `durationMs` = frames * 1152 / sampleRate —
+    * honest container arithmetic, no payload decode.
     */
-  def sniffMp3(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+  final case class Mp3Info(frames: Int, channels: Int, sampleRate: Int) {
+    def durationMs: Double = frames * 1152.0 * 1000.0 / sampleRate
+  }
+
+  /** MPEG-1 Layer III frame-chain walk: sync word, bitrate/samplerate
+    * indices, padding bit -> frame length (144 * bitrate / samplerate +
+    * padding), repeat. An ID3v2 tag (header + syncsafe length) is skipped
+    * first. At least two consecutive valid frames are required before
+    * claiming mp3 — a lone 0xFFE sync is too easy to find in arbitrary
+    * binary.
+    */
+  def sniffMp3Info(bytes: Array[Byte]): Option[Mp3Info] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     var p = 0
     // ID3v2: "ID3" + version(2) + flags(1) + 28-bit syncsafe size
@@ -39,6 +47,7 @@ object MediaHeaders {
     }
     var frames = 0
     var channels = 0
+    var sampleRate = 0
     var ok = true
     while (ok && p + 4 <= bytes.length) {
       val b1 = u8(p); val b2 = u8(p + 1); val b3 = u8(p + 2); val b4 = u8(p + 3)
@@ -53,15 +62,23 @@ object MediaHeaders {
           val len = 144 * Mp3Bitrates(bitrateIdx) * 1000 /
             Mp3SampleRates(srIdx) + padding
           channels = if (((b4 >> 6) & 0x03) == 3) 1 else 2
+          sampleRate = Mp3SampleRates(srIdx)
           frames += 1
           p += len
         }
       }
     }
     // the chain must cover the payload (trailing partial frame tolerated)
-    if (frames >= 2 && p >= bytes.length) Some(("audio/mpeg", frames, channels))
+    if (frames >= 2 && p >= bytes.length)
+      Some(Mp3Info(frames, channels, sampleRate))
     else None
   }
+
+  /** (format, frames, channels) view of sniffMp3Info — the decodeAny
+    * fallback-chain shape shared with the other sniffers.
+    */
+  def sniffMp3(bytes: Array[Byte]): Option[(String, Int, Int)] =
+    sniffMp3Info(bytes).map(i => ("audio/mpeg", i.frames, i.channels))
 
   /** Structurally-valid MPEG-1 Layer III silence stream (128 kbps, 44.1 kHz):
     * real frame headers + zeroed payloads, optional ID3v2 tag. Used to
@@ -136,13 +153,65 @@ object MediaHeaders {
     dims.map { case (w, h) => ("video/mp4", w, h) }
   }
 
+  /** Presentation duration in milliseconds from the real `mvhd` box
+    * (moov/mvhd: 32-bit timescale + 32-bit (v0) or 64-bit (v1) duration —
+    * duration/timescale seconds): the movie-level duration every ISO-BMFF
+    * player shows, read from container structure alone. None when the box
+    * tree is absent/malformed or the timescale is zero.
+    */
+  def mp4DurationMs(bytes: Array[Byte]): Option[Long] = {
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def fourcc(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 12 || fourcc(4) != "ftyp") return None
+    var out: Option[Long] = None
+    def walk(from: Long, to: Long): Unit = {
+      var p = from
+      while (p + 8 <= to && out.isEmpty) {
+        val size0 = u32(p.toInt)
+        val typ = fourcc(p.toInt + 4)
+        val (bodyStart, boxEnd) =
+          if (size0 == 1) {
+            val large = (u32(p.toInt + 8) << 32) | u32(p.toInt + 12)
+            (p + 16, p + large)
+          } else if (size0 == 0) (p + 8, to)
+          else (p + 8, p + size0)
+        if (boxEnd <= p || boxEnd > to) return
+        if (typ == "moov") walk(bodyStart, boxEnd)
+        else if (typ == "mvhd" && boxEnd - bodyStart >= 4) {
+          val version = bytes(bodyStart.toInt) & 0xff
+          // v0: flags(3) creation(4) modification(4) timescale(4) dur(4)
+          // v1: flags(3) creation(8) modification(8) timescale(4) dur(8)
+          val tsOff = bodyStart + 4 + (if (version == 1) 16 else 8)
+          val durLen = if (version == 1) 8 else 4
+          if (tsOff + 4 + durLen <= boxEnd) {
+            val timescale = u32(tsOff.toInt)
+            val duration =
+              if (version == 1)
+                (u32(tsOff.toInt + 4) << 32) | u32(tsOff.toInt + 8)
+              else u32(tsOff.toInt + 4)
+            if (timescale > 0) out = Some(duration * 1000L / timescale)
+          }
+        }
+        p = boxEnd
+      }
+    }
+    try walk(0, bytes.length.toLong)
+    catch { case _: ArrayIndexOutOfBoundsException => return None }
+    out
+  }
+
   /** Minimal well-formed ISO-BMFF shell (ftyp + moov[mvhd, trak[tkhd]] +
     * mdat): every box has a correct size, the tkhd carries real 16.16
-    * dimensions and a unity matrix. The mdat payload is opaque filler —
-    * this synthesizes the CONTAINER (what sniffMp4 parses), not codec data.
+    * dimensions and a unity matrix, and the mvhd carries the given
+    * timescale/duration. The mdat payload is opaque filler — this
+    * synthesizes the CONTAINER (what sniffMp4 parses), not codec data.
     */
   def encodeMp4Shell(width: Int, height: Int,
-                     mdat: Array[Byte] = new Array[Byte](16)): Array[Byte] = {
+                     mdat: Array[Byte] = new Array[Byte](16),
+                     timescale: Long = 1000L,
+                     duration: Long = 1000L): Array[Byte] = {
     def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def box(typ: String, body: Array[Byte]): Array[Byte] =
@@ -150,8 +219,8 @@ object MediaHeaders {
     val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
     // mvhd v0: flags, creation, modification, timescale, duration, rate,
     // volume+reserved, reserved, unity matrix, predefined, next track id
-    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
-      be32(1000) ++ be32(0x00010000L) ++ be32(0x01000000L) ++
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ be32(0x00010000L) ++ be32(0x01000000L) ++
       new Array[Byte](8) ++
       (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
         be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++

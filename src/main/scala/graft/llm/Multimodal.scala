@@ -190,20 +190,29 @@ object Multimodal {
 
   final case class AudioFeatures(
       media_id: Long, format: String, frames: Int, channels: Int,
-      sample_rate: Float, rms: Double, peak: Double)
+      sample_rate: Float, duration_ms: Double,
+      rms: Option[Double], peak: Option[Double])
 
   /** REAL PCM signal stats (RMS / absolute peak, samples normalized to
     * [-1, 1]) for every JDK-decodable audio row — the loudness/silence
-    * signals an audio training-data filter keys on. Rows whose bytes the
-    * JDK cannot decode (mp3-family) are dropped rather than faked. Narrow
-    * per-partition map, no shuffle.
+    * signals an audio training-data filter keys on — plus honest
+    * container metadata (frames, channels, sample rate, duration_ms) for
+    * the no-codec mp3 family via the MediaHeaders frame-chain walk
+    * (1152 samples per MPEG-1 Layer III frame). Signal stats for mp3 are
+    * None, never faked: the row is as rich as WAV's METADATA while the
+    * frame-data boundary stays labeled. Unparseable bytes are dropped.
+    * Narrow per-partition map, no shuffle.
     */
   def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio").flatMap { r =>
       CompressedMedia.audioStats(r.bytes).map(s =>
         AudioFeatures(r.media_id, s.format, s.frames, s.channels,
-          s.sampleRate, s.rms, s.peak))
+          s.sampleRate, s.frames * 1000.0 / s.sampleRate,
+          Some(s.rms), Some(s.peak)))
+        .orElse(MediaHeaders.sniffMp3Info(r.bytes).map(i =>
+          AudioFeatures(r.media_id, "audio/mpeg", i.frames, i.channels,
+            i.sampleRate.toFloat, i.durationMs, None, None)))
     }
   }
 

@@ -389,6 +389,41 @@ final class Catalog(
   private def resolveDeps(m: Model): Map[String, DataFrame] =
     m.deps.map(d => d -> ref(d)).toMap
 
+  /** dbt's `source freshness` task ([dbt]/task/freshness.py +
+    * [dbt]/include/global_project/macros/adapters/freshness.sql
+    * collect_freshness: `select max(loaded_at_field) from source`):
+    * measure the staleness of a source relation as
+    * `age = now - max(loadedAtCol)` and grade it against the source's
+    * `warn_after` / `error_after` windows. Returns the same
+    * Pass/Warn(n)/Error(n) ADT as the test harness with n = AGE IN
+    * SECONDS (dbt's FreshnessStatus carries the age the same way; error
+    * wins when both windows are exceeded). An EMPTY source — max is NULL
+    * — grades Error(Long.MaxValue): dbt raises there, but a scheduler
+    * polling freshness wants a status, not an exception. The whole check
+    * is one distributed max aggregate — a column-pruned scan at any
+    * scale, no driver-side data movement beyond the single max row.
+    *
+    * `now` is injectable for deterministic tests/backfills, like
+    * SnapshotCheck's `snapshotAt`.
+    */
+  def sourceFreshness(name: String, loadedAtCol: String,
+      warnAfter: java.time.Duration, errorAfter: java.time.Duration,
+      now: () => java.sql.Timestamp =
+        () => new java.sql.Timestamp(System.currentTimeMillis())):
+      graft.checks.Checks.TestResult = {
+    import graft.checks.Checks
+    val maxRow = ref(name)
+      .agg(org.apache.spark.sql.functions.max(col(loadedAtCol))).head()
+    if (maxRow.isNullAt(0)) Checks.Error(Long.MaxValue)
+    else {
+      val maxLoaded = maxRow.getTimestamp(0)
+      val ageSec = (now().getTime - maxLoaded.getTime) / 1000L
+      if (ageSec > errorAfter.getSeconds) Checks.Error(ageSec)
+      else if (ageSec > warnAfter.getSeconds) Checks.Warn(ageSec)
+      else Checks.Pass()
+    }
+  }
+
   // --- state:modified fingerprints ---------------------------------------
 
   /** Output schema of a model's transform, derived purely by plan

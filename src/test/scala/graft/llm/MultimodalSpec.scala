@@ -204,6 +204,10 @@ class MultimodalSpec extends SparkSpec {
     val mp3 = MediaHeaders.encodeMp3Silence(5, mono = true, id3Padding = 40)
     val (fmt, frames, ch) = MediaHeaders.sniffMp3(mp3).get
     assert(fmt == "audio/mpeg" && frames == 5 && ch == 1)
+    // header-derived duration: 5 frames x 1152 samples at 44.1 kHz
+    val info = MediaHeaders.sniffMp3Info(mp3).get
+    assert(info.sampleRate == 44100 &&
+      math.abs(info.durationMs - 5 * 1152.0 * 1000 / 44100) < 1e-9)
     val stereo = MediaHeaders.encodeMp3Silence(3, mono = false)
     assert(MediaHeaders.sniffMp3(stereo).get == (("audio/mpeg", 3, 2)))
     // a lone sync word is not an mp3 (needs >= 2 chained valid frames)
@@ -230,6 +234,13 @@ class MultimodalSpec extends SparkSpec {
     val ds = Seq(Multimodal.MediaRow(1L, "video", mp4)).toDS()
     val f = Multimodal.extractFeatures(ds).head()
     assert(f.format == "video/mp4" && f.width == 640 && f.height == 360)
+    // mvhd duration: default shell is 1000/1000 -> 1000 ms; a custom
+    // timescale/duration replays duration/timescale exactly
+    assert(MediaHeaders.mp4DurationMs(mp4).get == 1000L)
+    val long = MediaHeaders.encodeMp4Shell(320, 240,
+      timescale = 600, duration = 1800)
+    assert(MediaHeaders.mp4DurationMs(long).get == 3000L)
+    assert(MediaHeaders.mp4DurationMs("random junk bytes".getBytes).isEmpty)
   }
 
   test("audio stats: REAL PCM decode — RMS of a synthesized sine wave " +
@@ -251,14 +262,23 @@ class MultimodalSpec extends SparkSpec {
     assert(silent.rms < 0.005 && silent.peak < 0.005)
     // undecodable bytes are dropped, not faked
     assert(CompressedMedia.audioStats("not audio".getBytes).isEmpty)
-    // the Dataset operator keeps only decodable audio rows
+    // the Dataset operator: WAV rows get PCM stats + duration, mp3 rows
+    // get honest header metadata (duration from the frame chain) with
+    // None stats, unparseable bytes are dropped, non-audio kinds ignored
     import spark.implicits._
+    val mp3 = MediaHeaders.encodeMp3Silence(5)
     val ds = Seq(
       Multimodal.MediaRow(1L, "audio", wav),
-      Multimodal.MediaRow(2L, "audio", "opaque-mp3-ish".getBytes),
-      Multimodal.MediaRow(3L, "video", wav)).toDS()
-    val feats = Multimodal.audioFeatures(ds).collect()
-    assert(feats.map(_.media_id).toSeq == Seq(1L))
-    assert(math.abs(feats.head.rms - expectedRms) < 0.01)
+      Multimodal.MediaRow(2L, "audio", "opaque-junk".getBytes),
+      Multimodal.MediaRow(3L, "video", wav),
+      Multimodal.MediaRow(4L, "audio", mp3)).toDS()
+    val feats = Multimodal.audioFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 4L))
+    assert(math.abs(feats(0).rms.get - expectedRms) < 0.01)
+    // 8000 frames at 8 kHz = exactly one second
+    assert(math.abs(feats(0).duration_ms - 1000.0) < 1e-9)
+    assert(feats(1).format == "audio/mpeg" && feats(1).frames == 5 &&
+      feats(1).rms.isEmpty && feats(1).peak.isEmpty &&
+      math.abs(feats(1).duration_ms - 5 * 1152.0 * 1000 / 44100) < 1e-9)
   }
 }
