@@ -47,19 +47,21 @@ object Bench {
     // Drop whatever the previous query left in the block manager (persisted
     // relations whose async unpersist hadn't landed, localCheckpoint blocks
     // awaiting ContextCleaner) and ask for a GC, so the next timing window
-    // starts from a quiet heap. Runs OUTSIDE the timers. The GC is GATED on
-    // blocks actually lingering (r6 ran 240 unconditional System.gc() calls
-    // — full-heap collections that dominated the untimed gaps; most queries
-    // leave nothing persisted, and their ordinary allocation garbage is
-    // G1's concurrent job, not a stop-the-world one). Queries that DO leave
-    // blocks (localCheckpoint fixpoints, cached corpora) still get the
-    // unpersist + GC so their successors start from a quiet heap.
+    // starts from a quiet heap. Runs OUTSIDE the timers. The GC is GATED:
+    // r6 ran 240 unconditional System.gc() calls — full-heap collections
+    // that dominated the untimed gaps (439s wall for 76s of query time) —
+    // but gating on lingering blocks ALONE re-billed accumulated garbage
+    // to whichever allocation-heavy query ran furthest from the last GC
+    // (llm_clean_corpus 3.9/9.1/8.0s across passes). So: GC when blocks
+    // lingered OR used heap exceeds a quarter of max — cheap queries skip
+    // the collection, and any timing window still starts from a bounded
+    // heap.
     def quiesce(): Unit = {
       val lingering = spark.sparkContext.getPersistentRDDs.values
-      if (lingering.nonEmpty) {
-        lingering.foreach(_.unpersist(blocking = true))
-        System.gc()
-      }
+      lingering.foreach(_.unpersist(blocking = true))
+      val rt = Runtime.getRuntime
+      val used = rt.totalMemory() - rt.freeMemory()
+      if (lingering.nonEmpty || used > rt.maxMemory() / 4) System.gc()
     }
 
     val benchStart = System.nanoTime()

@@ -621,6 +621,79 @@ object LlmOps {
         "source", capacity = 2048)
     },
 
+    // Temperature-scaled mixing (alpha = 0.5 square-root temperature,
+    // target half the corpus): per-source rates derive from the corpus
+    // counts — so the SAME static SQL stays correct at every scale factor
+    // — via a SEQUENTIAL sqrt-sum fold in sorted-source order on both
+    // sides (sqrt is correctly rounded in both engines; list_aggregate
+    // 'sum' folds in list order like the driver's loop), making every
+    // 1/65536-quantized threshold bit-identical.
+    Op("mix_temperature_sample",
+       """WITH counts AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+         |         list_aggregate(list_transform(
+         |           list(CAST(n AS DOUBLE) ORDER BY source), x -> sqrt(x)),
+         |           'sum') AS z
+         |  FROM counts),
+         |th AS (
+         |  SELECT source,
+         |         printf('%04x', CAST(floor(
+         |           least(0.9999, 0.5 * n_total / z * sqrt(CAST(n AS DOUBLE))
+         |                 / CAST(n AS DOUBLE)) * 65536) AS INT)) AS t
+         |  FROM counts, agg)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN th USING (source)
+         |WHERE substr(md5(concat(d.source, ':', CAST(d.doc_id AS VARCHAR))),
+         |             1, 4) < th.t""".stripMargin) { (s, d) =>
+      Mixing.temperatureSample(Tables.documents(s, d), "doc_id", "source",
+          alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // PII redaction: the scrub every public-corpus pipeline runs before
+    // training. Synthetic PII (email/IP/phone/SSN derived from doc_id) is
+    // appended to every document so the replacement chain is exercised on
+    // every row; patterns are the RE2-and-java.util.regex-compatible
+    // subset, applied in the same order on both sides, so the redacted
+    // text and per-family counts replay exactly.
+    Op("llm_redact_pii", {
+      val Seq(email, ssn, phone, ip) = TextFeatures.piiPatterns.map(_._2)
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+         |           '@example.com on 10.0.', CAST(doc_id % 256 AS VARCHAR),
+         |           '.7 or 555-867-',
+         |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+         |           ' ssn 123-45-6789') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    text, '$email', '<EMAIL>', 'g'),
+         |    '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g') AS text,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ssn')) AS INT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ip
+         |FROM aug""".stripMargin
+    }) { (s, d) =>
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com on 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ssn 123-45-6789")).as("text"))
+      val counts = TextFeatures.piiCounts(col("text"))
+        .map { case (name, c) => c.as(s"n_$name") }
+      aug.select(col("doc_id") +:
+        TextFeatures.redactPii(col("text")).as("text") +: counts: _*)
+    },
+
     // --- multimodal ------------------------------------------------------
 
     // Binary media column + typed metadata through the batched per-partition

@@ -41,6 +41,57 @@ object Mixing {
     docs.filter(h < t)
   }
 
+  /** Temperature-scaled mixture rates — the Pile/ROOTS/multilingual-LM
+    * recipe for upweighting rare sources: source s with n_s documents gets
+    * mixture share w_s = n_s^alpha / Σ_t n_t^alpha (alpha < 1 flattens the
+    * natural distribution; alpha = 1 keeps it; alpha = 0.5 is the classic
+    * "square-root temperature"), and its per-document keep rate targets a
+    * corpus of targetFraction * N total documents:
+    * rate_s = min(0.9999, targetFraction * N / Z * n_s^alpha / n_s).
+    * Sources whose rate clips at the cap contribute all their documents;
+    * the realized corpus then lands under target, the standard behavior
+    * (upsampling beyond 1x is an epoch-count decision, not a filter's).
+    *
+    * Driver-side by design, like Similarity's k-means centroids: the input
+    * is one distributed count aggregate with ONE ROW PER SOURCE (bounded
+    * catalog cardinality, not data volume), and emitting rates as literals
+    * keeps the sampling filter itself a pure map-side plan. All double
+    * arithmetic is a SEQUENTIAL fold in sorted-source order with a fixed
+    * operation sequence (and sqrt — correctly rounded by both engines —
+    * rather than pow when alpha = 0.5), so the DuckDB oracle reproduces
+    * every rate bit-for-bit and therefore every 1/65536-quantized
+    * threshold exactly.
+    */
+  def temperatureRates(docs: DataFrame, strataCol: String,
+                       alpha: Double,
+                       targetFraction: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction < 1,
+      s"targetFraction must be in (0, 1), got $targetFraction")
+    def p(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nTotal = counts.map(_._2).sum.toDouble
+    var z = 0.0
+    counts.foreach { case (_, n) => z += p(n.toDouble) }
+    counts.map { case (s, n) =>
+      val nd = n.toDouble
+      s -> math.min(0.9999, targetFraction * nTotal / z * p(nd) / nd)
+    }.toMap
+  }
+
+  /** Deterministic temperature sampling: temperatureRates composed with
+    * the stratifiedSample md5 draw (same row-identity hashing, zero rate
+    * for sources absent from the count — impossible unless the corpus
+    * changed between the two scans).
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, strataCol: String,
+                        alpha: Double, targetFraction: Double): DataFrame =
+    stratifiedSample(docs, idCol, strataCol,
+      temperatureRates(docs, strataCol, alpha, targetFraction),
+      defaultRate = 0.0)
+
   /** Sequence packing, sequential-fill approximation: within each stratum,
     * documents (in id order) are assigned to fixed-capacity packs by
     * cumulative token count — pack_id = (cumsum_before_doc) div capacity.

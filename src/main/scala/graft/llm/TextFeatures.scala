@@ -100,6 +100,41 @@ object TextFeatures {
     }
   }
 
+  /** PII patterns for training-data redaction — the scrub every public
+    * web-corpus pipeline runs before training (emails, SSNs, NANP phone
+    * numbers, IPv4 addresses). Deliberately conservative regex subset:
+    * no lookaround, no backreferences — valid in BOTH java.util.regex and
+    * RE2, so the DuckDB oracle replays every replacement byte-for-byte.
+    * Order matters and is part of the contract: e-mail first (its local
+    * part may contain digit runs the later patterns would mangle), then
+    * SSN (3-2-4 grouping) before phone (3-3-4), then IPv4.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Redacted text: each PII family replaced by its tag, applied in
+    * piiPatterns order. A chain of codegen'd regexp_replace calls — pure
+    * map-side, streams through a 100 TB scan like every other column
+    * builder here.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, p, r)) =>
+      regexp_replace(t, p, r)
+    }
+
+  /** Per-family match counts over the ORIGINAL text (each pattern counted
+    * independently, before any replacement — so a phone number inside an
+    * e-mail counts for both; the cascade in redactPii still replaces it
+    * exactly once, as part of the e-mail).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, p, _) =>
+      name -> size(regexp_extract_all(text, lit(p), lit(0)))
+    }
+
   /** Content fingerprint: md5 of the normal form — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 

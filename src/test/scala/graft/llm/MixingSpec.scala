@@ -44,4 +44,64 @@ class MixingSpec extends SparkSpec {
     // every doc is packed exactly once
     assert(packed.count() == docs.count())
   }
+
+  test("temperature rates: alpha=1 reproduces the natural distribution " +
+       "(uniform rate), alpha<1 upweights rare sources") {
+    import spark.implicits._
+    // skewed corpus: 160 docs of 'big', 40 of 'rare'
+    val d = ((1L to 160L).map(i => (i, "big")) ++
+      (161L to 200L).map(i => (i, "rare"))).toDF("doc_id", "source")
+    val natural = Mixing.temperatureRates(d, "source",
+      alpha = 1.0, targetFraction = 0.5)
+    // alpha=1: every source keeps the same fraction (the target)
+    assert(math.abs(natural("big") - 0.5) < 1e-12 &&
+      math.abs(natural("rare") - 0.5) < 1e-12, natural)
+    val sqrtT = Mixing.temperatureRates(d, "source",
+      alpha = 0.5, targetFraction = 0.5)
+    // sqrt temperature: the rare source's keep rate rises, the big one's
+    // falls, and the expected total still hits the target budget (no
+    // source clips at the cap with this skew)
+    assert(sqrtT("rare") > 0.5 && sqrtT("big") < 0.5, sqrtT)
+    val expected = 160 * sqrtT("big") + 40 * sqrtT("rare")
+    assert(math.abs(expected - 100.0) < 1e-6, s"expected kept=$expected")
+  }
+
+  test("temperature sample: deterministic across partitionings and caps " +
+       "rates below 1") {
+    import spark.implicits._
+    // tiny source whose uncapped rate would exceed 1 -> clipped to 0.9999
+    val d = ((1L to 500L).map(i => (i, "big")) ++
+      (501L to 502L).map(i => (i, "tiny"))).toDF("doc_id", "source")
+    val rates = Mixing.temperatureRates(d, "source",
+      alpha = 0.5, targetFraction = 0.8)
+    assert(rates("tiny") == 0.9999, rates)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixing.temperatureSample(df, "doc_id", "source",
+        alpha = 0.5, targetFraction = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(d) == run(d.repartition(13)))
+  }
+
+  test("PII redaction: each family replaced with its tag, counts match, " +
+       "clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org thanks"),
+      (2L, "ssn 123-45-6789 phone 555-867-5309 ip 10.0.42.7"),
+      (3L, "three point one four one five nine"),
+      (4L, "overlap: bob@host.com twice bob@host.com")).toDF("doc_id", "text")
+    val counts = TextFeatures.piiCounts(col("text"))
+      .map { case (n, c) => c.as(s"n_$n") }
+    val out = d.select(col("doc_id") +:
+        TextFeatures.redactPii(col("text")).as("red") +: counts: _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "reach me at <EMAIL> thanks" &&
+      out(0).getInt(2) == 1)
+    assert(out(1).getString(1) == "ssn <SSN> phone <PHONE> ip <IP>")
+    assert((out(1).getInt(3), out(1).getInt(4), out(1).getInt(5)) == ((1, 1, 1)))
+    assert(out(2).getString(1) == "three point one four one five nine" &&
+      (2 to 5).forall(i => out(2).getInt(i) == 0))
+    assert(out(3).getString(1) == "overlap: <EMAIL> twice <EMAIL>" &&
+      out(3).getInt(2) == 2)
+  }
 }
