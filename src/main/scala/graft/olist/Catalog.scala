@@ -304,6 +304,29 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
     spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 
+  /** Bucketed CTAS — the co-location contract only a CATALOG table can
+    * carry (plain parquet directories have nowhere to record the hash
+    * function, which is why this lives here and not on the TableStore
+    * trait): rows are hash-distributed into `nBuckets` files per the
+    * bucket columns, optionally sorted within each bucket. Two tables
+    * bucketed on their join key with the same bucket count join with NO
+    * Exchange on either side — at 100 TB that converts every
+    * fact-to-fact equi-join on the bucket key from a full-corpus shuffle
+    * into a per-bucket local merge, and aggregations keyed by the bucket
+    * columns skip their exchange the same way (asserted in
+    * BucketedTableSpec). Choose nBuckets for the LARGEST consumer: all
+    * co-located tables must agree on it.
+    */
+  def saveBucketed(name: String, df: DataFrame, bucketCols: Seq[String],
+                   nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && nBuckets > 0)
+    if (!exists(name)) dropOrphanLocation(name)
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(sane(name))
+  }
+
   /** A crashed or restarted session can leave a managed-table LOCATION on
     * disk that the (restarted, in-memory) catalog no longer knows about;
     * saveAsTable refuses to create over it. Clearing the stale default-db
