@@ -375,6 +375,26 @@ object Dedup {
         min(col("pos_b")).as("b_pos"))
   }
 
+  /** Intra-document line dedup — the CCNet/Gopher remediation paired with
+    * CorpusQuality's repetition SIGNALS: drop every repeat of a line
+    * within a document, keeping first occurrences in order (boilerplate
+    * chrome — nav bars, cookie banners, footers — repeats inside a page
+    * long before it repeats across pages). Pure map-side expression:
+    * split on the separator, array_distinct (first-occurrence order),
+    * rejoin — streams through a 100 TB scan with no shuffle and replays
+    * exactly in the DuckDB oracle (index-based min-position replay).
+    * Returns (idCol, textCol, n_dropped).
+    */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = array_distinct(lines)
+    docs.select(col(idCol),
+      array_join(kept, sep).as(textCol),
+      (size(lines) - size(kept)).as("n_dropped"))
+  }
+
   /** Passage scrubbing — the cut-the-span remediation of suffix-array
     * passage dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"): instead of dropping a whole document that

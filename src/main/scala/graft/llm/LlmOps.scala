@@ -342,6 +342,38 @@ object LlmOps {
       Dedup.substringDups(Tables.documents(s, d), n = 10, maxDocFreq = 100)
     },
 
+    // Intra-document line dedup: boilerplate lines planted around every
+    // document (nav chrome repeated top and bottom, plus a full duplicate
+    // of the body) are dropped down to their first occurrence, in order.
+    // Exact string splitting/joining — the oracle replays with an
+    // index-based min-position collapse + ordered string_agg.
+    Op("llm_dedup_lines",
+       """WITH aug AS (
+         |  SELECT doc_id,
+         |    concat('nav home about', chr(10), text, chr(10),
+         |           'nav home about', chr(10), text, chr(10),
+         |           'c 2024 example corp') AS text
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+         |  FROM aug),
+         |firsts AS (
+         |  SELECT doc_id, line, min(i) AS i FROM l GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_lines FROM l GROUP BY 1)
+         |SELECT f.doc_id,
+         |       string_agg(f.line, chr(10) ORDER BY f.i) AS text,
+         |       CAST(any_value(t.n_lines) - count(*) AS INT) AS n_dropped
+         |FROM firsts f JOIN tot t ON t.doc_id = f.doc_id
+         |GROUP BY f.doc_id""".stripMargin) { (s, d) =>
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("nav home about\n"), col("text"),
+          lit("\nnav home about\n"), col("text"),
+          lit("\nc 2024 example corp")).as("text"))
+      Dedup.dedupLines(aug)
+    },
+
     // Passage scrubbing: cut-the-span remediation over the substring-dedup
     // pairs (same n = 10, cap = 100). Exact integer/string surgery — span
     // arithmetic, gaps-and-islands merge, and the token-filter rebuild all

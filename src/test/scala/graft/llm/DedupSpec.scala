@@ -451,6 +451,24 @@ class DedupSpec extends SparkSpec {
     assert(out.getString(1) == filler("c", 10))
   }
 
+  test("dedupLines: repeated boilerplate collapses to first occurrence " +
+       "in order; unique lines untouched; custom separator works") {
+    val d = docs(
+      1L -> "nav\nbody one\nnav\nbody two\nnav\nfooter",
+      2L -> "all\nunique\nlines",
+      3L -> "")
+    val out = Dedup.dedupLines(d).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "nav\nbody one\nbody two\nfooter" &&
+      out(0).getInt(2) == 2)
+    assert(out(1).getString(1) == "all\nunique\nlines" &&
+      out(1).getInt(2) == 0)
+    assert(out(2).getString(1) == "" && out(2).getInt(2) == 0)
+    // separator is a literal, not a regex ('.' must not split every char)
+    val dot = docs(4L -> "a.b.a.c")
+    val r = Dedup.dedupLines(dot, sep = ".").head()
+    assert(r.getString(1) == "a.b.c" && r.getInt(2) == 1)
+  }
+
   test("substringDups plan contains no cartesian product") {
     val d = docs(1L -> passage, 2L -> passage)
     val plan = Dedup.substringDups(d, n = 50)
