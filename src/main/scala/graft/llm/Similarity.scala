@@ -270,6 +270,12 @@ object Similarity {
       .select(array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setTol(0.01).setFeaturesCol("features")
+      // random init, not the k-means|| default: the parallel init alone is
+      // several fixed-overhead Spark jobs, and for a COARSE quantizer
+      // (nlist lists a query probes nprobe of) init quality washes out
+      // after a few Lloyd iterations — recall stays asserted in
+      // SimilaritySpec. Fixed seed keeps it deterministic.
+      .setInitMode("random")
       .fit(sample)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
 
