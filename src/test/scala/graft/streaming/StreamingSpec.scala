@@ -41,6 +41,37 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("append mode: an event behind the watermark is dropped from its " +
+       "already-closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowedCounts(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      // batch 1: one event in [10,11); a 13:30 event pushes the watermark
+      // to 11:30 at batch end, past the window's close
+      stream.addData(Seq(
+        (ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-01 13:30:00"), "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the closed [10,11) window (behind the
+      // 11:30 watermark -> dropped), plus a fresh event advancing time
+      stream.addData(Seq(
+        (ts("2024-01-01 10:15:00"), "click", 5.0),
+        (ts("2024-01-01 16:00:00"), "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w10 = spark.table("late")
+      .filter(col("window_start") === ts("2024-01-01 10:00:00")).collect()
+    assert(w10.length == 1, w10.mkString(";"))
+    // the late 5.0-value event contributed nothing
+    assert(w10.head.getAs[Long]("n_events") == 1L &&
+      w10.head.getAs[Double]("total_value") == 1.0, w10.head)
+  }
+
   test("stateful sessionize matches the batch window sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
