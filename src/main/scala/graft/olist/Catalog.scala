@@ -98,8 +98,25 @@ object Materialization {
     * driver-side diffing — so a snapshot over a 100 TB source is three
     * shuffles on the unique key.
     */
+  /** `invalidateHardDeletes` mirrors dbt's snapshot config of the same
+    * name ([dbt]/include/global_project/macros/materializations/snapshots/
+    * helpers.sql, snapshot_staging_table's delete CTE): when true, a key
+    * PRESENT in the stored current set but ABSENT from the incoming batch
+    * has its current version closed at the run's timestamp — the SCD2
+    * record of a source-row deletion. Default false, like dbt: absent
+    * keys are simply untouched.
+    */
   final case class Snapshot(uniqueKey: String,
-                            updatedAt: String) extends Materialization
+                            updatedAt: String,
+                            invalidateHardDeletes: Boolean = false,
+                            snapshotAt: () => java.sql.Timestamp =
+                              () => new java.sql.Timestamp(
+                                System.currentTimeMillis()))
+    extends Materialization {
+    // stable config text for state:modified (see SnapshotCheck)
+    override def toString: String =
+      s"Snapshot($uniqueKey,$updatedAt,$invalidateHardDeletes)"
+  }
 
   /** dbt's snapshot CHECK strategy ([dbt]/include/global_project/macros/
     * materializations/snapshots/strategies.sql:142,
@@ -116,13 +133,15 @@ object Materialization {
   final case class SnapshotCheck(uniqueKey: String,
       checkCols: Seq[String] = Nil,
       snapshotAt: () => java.sql.Timestamp =
-        () => new java.sql.Timestamp(System.currentTimeMillis()))
+        () => new java.sql.Timestamp(System.currentTimeMillis()),
+      invalidateHardDeletes: Boolean = false)
     extends Materialization {
     // stable config text for the state:modified fingerprint — the default
     // toString would render the snapshotAt lambda's per-JVM object identity
     // and permanently mark every snapshot-check model "modified"
     override def toString: String =
-      s"SnapshotCheck($uniqueKey,${checkCols.mkString("[", ",", "]")})"
+      s"SnapshotCheck($uniqueKey,${checkCols.mkString("[", ",", "]")}," +
+        s"$invalidateHardDeletes)"
   }
 }
 
@@ -646,10 +665,10 @@ final class Catalog(
           val kept = stored.join(touched, Seq(pcol), "left_anti")
           warehouse.replace(name, kept.unionByName(batch), Seq(pcol))
         }
-      case Materialization.Snapshot(key, updatedAt) =>
+      case Materialization.Snapshot(key, updatedAt, hardDeletes, snapAt) =>
         val fresh = m.build(resolveDeps(m))
-        val nullTo = org.apache.spark.sql.functions.lit(null)
-          .cast(fresh.schema(updatedAt).dataType)
+        val toType = fresh.schema(updatedAt).dataType
+        val nullTo = org.apache.spark.sql.functions.lit(null).cast(toType)
         val freshSnap = fresh
           .withColumn("valid_from", col(updatedAt))
           .withColumn("valid_to", nullTo)
@@ -672,10 +691,25 @@ final class Catalog(
             .drop("__k", "__new_from")
           val untouched = current
             .join(superseded, col(key) === col("__k"), "left_anti")
-          warehouse.replace(name, history.unionByName(closed)
-            .unionByName(untouched).unionByName(incoming))
+          // invalidate_hard_deletes: keys gone from the source close at
+          // the RUN's timestamp (cast to the updatedAt column's type)
+          val (deleted, kept) =
+            if (!hardDeletes) (None, untouched)
+            else {
+              val batchKeys = fresh.select(col(key)).distinct()
+              val gone = untouched
+                .join(batchKeys, Seq(key), "left_anti")
+                .withColumn("valid_to",
+                  org.apache.spark.sql.functions.lit(snapAt()).cast(toType))
+              (Some(gone), untouched.join(batchKeys, Seq(key), "left_semi"))
+            }
+          val merged = history.unionByName(closed).unionByName(kept)
+            .unionByName(incoming)
+          warehouse.replace(name,
+            deleted.fold(merged)(merged.unionByName))
         }
-      case Materialization.SnapshotCheck(key, checkCols, snapshotAt) =>
+      case Materialization.SnapshotCheck(key, checkCols, snapshotAt,
+                                         hardDeletes) =>
         val fresh = m.build(resolveDeps(m))
         val at = org.apache.spark.sql.functions.lit(snapshotAt())
         val freshSnap = fresh
@@ -706,8 +740,20 @@ final class Catalog(
             .drop("__k")
           val untouched = current
             .join(superseded, col(key) === col("__k"), "left_anti")
-          warehouse.replace(name, history.unionByName(closed)
-            .unionByName(untouched).unionByName(incoming))
+          // invalidate_hard_deletes, like the timestamp strategy
+          val (deleted, kept) =
+            if (!hardDeletes) (None, untouched)
+            else {
+              val batchKeys = fresh.select(col(key)).distinct()
+              val gone = untouched
+                .join(batchKeys, Seq(key), "left_anti")
+                .withColumn("valid_to", at)
+              (Some(gone), untouched.join(batchKeys, Seq(key), "left_semi"))
+            }
+          val merged = history.unionByName(closed).unionByName(kept)
+            .unionByName(incoming)
+          warehouse.replace(name,
+            deleted.fold(merged)(merged.unionByName))
         }
       case _ =>
         warehouse.save(name, m.build(resolveDeps(m)))

@@ -155,6 +155,63 @@ class SnapshotSpec extends SparkSpec {
       k3(0).getAs[Timestamp]("valid_to") == null)
   }
 
+  test("invalidate_hard_deletes (timestamp strategy): a key gone from the " +
+       "source closes at the run timestamp; default leaves it open") {
+    val tRun = Timestamp.valueOf("2024-03-01 00:00:00")
+    var current = batch((1L, "a", t1), (2L, "b", t1))
+    val wh = Files.createTempDirectory("graft_snap_hd").toString
+    val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("snap", Nil, Materialization.Snapshot("id", "updated_at",
+        invalidateHardDeletes = true, snapshotAt = () => tRun),
+        (_: Map[String, DataFrame]) => current)))
+    cat.run(Seq("snap"))
+    current = batch((1L, "a", t1)) // key 2 hard-deleted from the source
+    cat.run(Seq("snap"))
+    val snap = cat.warehouse.load("snap").cache()
+    val k2 = snap.filter(col("id") === 2).collect()
+    assert(k2.length == 1 && k2(0).getAs[Timestamp]("valid_to") == tRun,
+      k2.mkString(";"))
+    // key 1 untouched and still current
+    val k1 = snap.filter(col("id") === 1).collect()
+    assert(k1.length == 1 && k1(0).getAs[Timestamp]("valid_to") == null)
+    snap.unpersist()
+
+    // contrast: the default (false) leaves the absent key's version open
+    var cur2 = batch((1L, "a", t1), (2L, "b", t1))
+    val cat2 = snapshotCatalog(() => cur2)
+    cat2.run(Seq("snap"))
+    cur2 = batch((1L, "a", t1))
+    cat2.run(Seq("snap"))
+    val open2 = cat2.warehouse.load("snap")
+      .filter(col("id") === 2).collect()
+    assert(open2.length == 1 && open2(0).getAs[Timestamp]("valid_to") == null)
+  }
+
+  test("invalidate_hard_deletes (check strategy): deletion closes; a " +
+       "reappearing key starts a new version") {
+    @volatile var now = t1
+    @volatile var current = checkBatch((1L, "w", "u"), (2L, "x", "y"))
+    val wh = Files.createTempDirectory("graft_snapchk_hd").toString
+    val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("snap", Nil, Materialization.SnapshotCheck("id", Seq("watched"),
+        () => now, invalidateHardDeletes = true),
+        (_: Map[String, DataFrame]) => current)))
+    cat.run(Seq("snap"))
+    now = t2
+    current = checkBatch((1L, "w", "u")) // key 2 deleted
+    cat.run(Seq("snap"))
+    now = Timestamp.valueOf("2024-03-01 00:00:00")
+    current = checkBatch((1L, "w", "u"), (2L, "x", "y")) // key 2 returns
+    cat.run(Seq("snap"))
+    val k2 = cat.warehouse.load("snap").filter(col("id") === 2)
+      .orderBy("valid_from").collect()
+    assert(k2.length == 2, k2.mkString(";"))
+    assert(k2(0).getAs[Timestamp]("valid_from") == t1 &&
+      k2(0).getAs[Timestamp]("valid_to") == t2) // closed on deletion
+    assert(k2(1).getAs[Timestamp]("valid_from") == now &&
+      k2(1).getAs[Timestamp]("valid_to") == null) // reopened on return
+  }
+
   test("Main gate: build failure exits 1, warn-only test failures exit 0") {
     import graft.checks.Checks
     assert(Main.gate(scala.util.Failure(new RuntimeException("boom"))) == 1)
