@@ -456,6 +456,24 @@ object LlmOps {
       CorpusQuality.repetitionStats(Tables.documents(s, d))
     },
 
+    // Corpus-frequency commonness: each doc scored by how common its
+    // tokens are corpus-wide (mean occurrence count + rare-token mass) —
+    // the model-free CCNet-style quality proxy. Integer sums with one
+    // final division -> bit-identical in DuckDB.
+    Op("text_commonness",
+       s"""WITH occ AS (
+          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+          |freqs AS (SELECT tok, count(*) AS tf FROM occ GROUP BY 1)
+          |SELECT o.doc_id,
+          |       count(*) AS n_tokens,
+          |       CAST(sum(f.tf) AS DOUBLE) / count(*) AS mean_token_freq,
+          |       CAST(sum(CASE WHEN f.tf < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+          |         / count(*) AS rare_frac
+          |FROM occ o JOIN freqs f ON f.tok = o.tok
+          |GROUP BY 1""".stripMargin) { (s, d) =>
+      CorpusQuality.commonness(Tables.documents(s, d))
+    },
+
     // --- similarity search ----------------------------------------------
 
     // Brute-force cosine top-10 for the 20 lowest-id query vectors:
