@@ -69,7 +69,10 @@ object Mixing {
     require(targetFraction > 0 && targetFraction < 1,
       s"targetFraction must be in (0, 1), got $targetFraction")
     def p(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
-    val counts = docs.groupBy(col(strataCol))
+    // null strata are excluded from the budget: stratifiedSample's
+    // when-chain can never match them, so they fall to defaultRate = 0
+    val counts = docs.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val nTotal = counts.map(_._2).sum.toDouble
