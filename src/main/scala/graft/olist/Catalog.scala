@@ -854,6 +854,50 @@ final class Catalog(
     order
   }
 
+  /** One node's outcome from `build`: `success`, `error` (its build threw
+    * or an attached error-severity test failed), or `skipped` (some
+    * transitive upstream errored).
+    */
+  final case class NodeResult(name: String, status: String,
+      tests: Seq[(String, graft.checks.Checks.TestResult)])
+
+  /** dbt's `build` command semantics, distinct from run-then-test: nodes
+    * materialize in topological order with their ATTACHED tests evaluated
+    * immediately after each node, and an error outcome (build exception or
+    * Error-severity test failure) SKIPS every transitive downstream node
+    * while INDEPENDENT branches keep running ([dbt]/task/build.py — test
+    * failures block children, unlike `dbt run; dbt test` where bad data
+    * has already propagated by the time tests run). Warn outcomes do not
+    * gate. `tests` maps node name -> (test name, failure-rows query);
+    * `warnOnly` names tests with severity: warn.
+    */
+  def build(select: Seq[String],
+            tests: Map[String, Seq[(String, Catalog => DataFrame)]],
+            withUpstream: Boolean = false,
+            warnOnly: Set[String] = Set.empty,
+            fullRefresh: Boolean = false): Seq[NodeResult] = {
+    import graft.checks.Checks
+    val order = topo(select, withUpstream, false, Nil, None)
+    val failed = scala.collection.mutable.Set[String]()
+    order.map { n =>
+      if (model(n).deps.exists(failed)) {
+        failed += n // transitive: a skip gates its own children too
+        NodeResult(n, "skipped", Nil)
+      } else scala.util.Try(runNode(n, fullRefresh)) match {
+        case scala.util.Failure(_) =>
+          failed += n
+          NodeResult(n, "error", Nil)
+        case scala.util.Success(_) =>
+          val outcomes = tests.getOrElse(n, Nil).map { case (tn, q) =>
+            tn -> Checks.evaluate(q(this), warnOnly = warnOnly(tn))
+          }
+          val bad = outcomes.exists(_._2.isInstanceOf[Checks.Error])
+          if (bad) failed += n
+          NodeResult(n, if (bad) "error" else "success", outcomes)
+      }
+    }
+  }
+
   private def runOrder(order: Seq[String], threads: Int,
                        fullRefresh: Boolean = false): Unit = {
     if (threads <= 1) order.foreach(runNode(_, fullRefresh))
