@@ -86,4 +86,60 @@ class PropertySpec extends SparkSpec {
         twice.forall(_.getLong(2) == 1L)
     })
   }
+
+  test("windows_with_pos invariants on random token arrays: distinct " +
+       "windows, valid first-occurrence positions, exact reconstruction") {
+    val genDoc = for {
+      id <- Gen.chooseNum(0L, 30L)
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd"))
+    } yield (id, toks.mkString(" "))
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(genDoc)) { docs =>
+      import spark.implicits._
+      val n = 3
+      val byId = docs.toMap // one text per id, same row set as df below
+      val df = byId.toSeq.toDF("doc_id", "text")
+      val toksById = byId.map { case (id, t) =>
+        id -> t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+      }
+      Dedup.windowsWithPos(df, "doc_id", "text", n).collect().forall { r =>
+        val (id, w, pos) = (r.getLong(0), r.getString(1), r.getInt(2))
+        val toks = toksById(id)
+        // pos in range and the window IS the n tokens starting there
+        pos >= 0 && pos + n <= toks.length &&
+          w == toks.slice(pos, pos + n).mkString(" ") &&
+          // first occurrence: no earlier start yields the same window
+          (0 until pos).forall(p =>
+            toks.slice(p, p + n).mkString(" ") != w)
+      } && {
+        // per doc: one row per DISTINCT window, none for short docs
+        val counts = Dedup.windowsWithPos(df, "doc_id", "text", n)
+          .groupBy("doc_id").agg(count(lit(1)).as("c"),
+            countDistinct(col("w")).as("d"))
+          .collect()
+        counts.forall(r => r.getLong(1) == r.getLong(2))
+      }
+    })
+  }
+
+  test("dedupLines is idempotent and never grows the text") {
+    val genDoc = for {
+      id <- Gen.chooseNum(0L, 30L)
+      lines <- Gen.listOf(Gen.oneOf("nav", "body", "x y", ""))
+    } yield (id, lines.mkString("\n"))
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(genDoc)) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+        .groupBy("doc_id").agg(first("text").as("text"))
+      val once = Dedup.dedupLines(df)
+      val twice = Dedup.dedupLines(once.select("doc_id", "text"))
+      val o = once.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+      val t = twice.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+      o.keySet == t.keySet && o.forall { case (id, (text, _)) =>
+        t(id)._1 == text && t(id)._2 == 0 // second pass drops nothing
+      }
+    })
+  }
 }
