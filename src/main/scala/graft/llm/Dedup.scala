@@ -154,6 +154,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08).
+    * Returns every pair (id_a < id_b) whose shingle-set Jaccard >=
+    * threshold, with recall 1.0 at the threshold — the deterministic
+    * counterpart of the probabilistic MinHash/SimHash candidate
+    * generators, for pipelines that need a guarantee rather than an
+    * expectation. Complements minHashNearDups: same verify stage, a
+    * different (exact, slightly costlier) candidate stage.
+    *
+    * Plan shape at 100 TB: prefix filtering is what makes an exact
+    * similarity join subquadratic. Under a global "rare-first" total
+    * order (document frequency asc, shingle asc), any two sets with
+    * J >= t share at least one shingle among their first
+    * |S| - ceil(t*|S|) + 1 shingles, so ONLY those prefix shingles enter
+    * the self-equi-join — and because the order puts RARE shingles
+    * (df ~ 1) in the prefix, join bucket sizes stay tiny exactly where a
+    * naive inverted index (join on ALL shingles) explodes on stopword
+    * n-grams. Cost: one keyed shuffle for the global df, one per-doc
+    * window to rank shingles (partitioned by doc id — no skew), the
+    * prefix self-join, then the same exact-Jaccard verify join as
+    * MinHash. Size filtering (t*max(|A|,|B|) <= min(|A|,|B|), implied by
+    * J >= t) prunes candidates before the verify join.
+    *
+    * Float-safety: the prefix length and size filters use an epsilon
+    * slack so binary rounding of `threshold` can only LENGTHEN a prefix
+    * or ADMIT a borderline candidate — never drop a valid pair; the
+    * final `jaccard >= threshold` filter is what decides membership.
+    */
+  def jaccardNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 3,
+                      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(docs, idCol, textCol, n)
+    val tok = sh.select(col(idCol), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfreq = tok.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col(idCol), col("sz"), col("s"))
+    val candidates = prefix.toDF("id_a", "sz_a", "s")
+      .join(prefix.toDF("id_b", "sz_b", "s"), "s")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") * threshold <= col("sz_a") + lit(1e-9) &&
+        col("sz_a") * threshold <= col("sz_b") + lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Release the block-manager blocks behind a localCheckpoint'ed
     * DataFrame. `localCheckpoint` persists the query's internal RDD and
     * wraps it in a LogicalRDD; without an explicit unpersist, every

@@ -244,6 +244,25 @@ object LlmOps {
       Dedup.simHashNearDups(Tables.documents(s, d), maxHamming = 6)
     },
 
+    // EXACT n-gram Jaccard similarity join (prefix-filtered AllPairs).
+    // The oracle is the brute-force ALL-PAIRS join — tractable at sf0.01
+    // (500 docs -> 125k pairs) — so the hash-match proves the prefix
+    // filter is LOSSLESS at the threshold, not merely that the engine
+    // agrees with its own candidate generator. No hashing anywhere:
+    // shingles compare as strings, Jaccard is one int/int division, so
+    // the whole operator replays in DuckDB bit-for-bit.
+    Op("dedup_jaccard",
+       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks)
+          |SELECT id_a, id_b, jaccard FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
+      Dedup.jaccardNearDups(Tables.documents(s, d), threshold = 0.8)
+    },
+
     // End-to-end corpus cleaning: quality floor -> exact dedup -> near-dup
     // CONNECTED-COMPONENTS removal (one min-id survivor per duplicate
     // cluster), all portable pieces, so the WHOLE pipeline hash-checks. The

@@ -304,6 +304,38 @@ class DedupSpec extends SparkSpec {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+  test("testdata: prefix-filtered exact Jaccard join is LOSSLESS — " +
+       "pairs AND scores equal the brute-force all-pairs join") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val withSh = Dedup.withShingles(d, "doc_id", "text")
+    val truth = withSh.toDF("id_a", "sh_a")
+      .crossJoin(withSh.toDF("id_b", "sh_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .filter(col("j") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Dedup.jaccardNearDups(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == truth,
+      s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
+    assert(truth.nonEmpty) // the planted corpus must exercise the operator
+  }
+
+  test("jaccardNearDups: planted near-dup found at 0.5, unrelated docs " +
+       "never pair, and the plan has no cartesian product") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated,
+      4L -> (1 to 40).map(i => s"zz$i").mkString(" "))
+    val out = Dedup.jaccardNearDups(d, threshold = 0.5)
+    val pairs = out.collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.8 && pairs.head.getDouble(2) < 1.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhash kernels return null on an empty shingle array, matching " +
        "the composed formulation's min-over-nothing (contract guard: " +
        "unreachable from shinglesOfTokens today)") {
