@@ -558,6 +558,38 @@ object LlmOps {
         planes = 8, tables = 4, threshold = 0.4)
     },
 
+    // SemDeDup: the near-dup pair graph above, collapsed to connected
+    // components with one (min-id) survivor per component. Same pinned
+    // hyperplane literals as embed_near_dup, so the oracle replays pairs
+    // verbatim and walks components with the same recursive CTE the
+    // clean-corpus oracle uses.
+    Op("embed_semantic_dedup",
+       s"""WITH RECURSIVE pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    ${embedNearDupOracleSql(planes = 8, tables = 4,
+                  threshold = 0.4, dim = 64)
+                  .linesIterator.mkString("\n    ")})),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs),
+          |walk(node, reach) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |lab AS (
+          |  SELECT node, least(node, min(reach)) AS label FROM walk
+          |  GROUP BY node),
+          |cl AS (SELECT label, count(*) - 1 AS dups_removed FROM lab
+          |       GROUP BY label)
+          |SELECT e.vec_id, coalesce(c.dups_removed, 0) AS dups_removed
+          |FROM embeddings e
+          |LEFT JOIN lab l ON l.node = e.vec_id
+          |LEFT JOIN cl c ON c.label = e.vec_id
+          |WHERE l.node IS NULL OR l.label = e.vec_id""".stripMargin) { (s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d),
+        planes = 8, tables = 4, threshold = 0.4)
+    },
+
     // --- text analysis ---------------------------------------------------
 
     // Per-document token/char statistics; all doubles are single divisions

@@ -326,4 +326,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): treat
+    * embedding-cosine near-duplicate pairs as edges of a duplicate graph,
+    * take connected components, and keep ONE canonical survivor (the
+    * minimum id) per component. The per-pair "drop the larger id" rule
+    * over-keeps whenever a component member's only edges point to larger
+    * ids; components give the same one-survivor-per-cluster semantics the
+    * MinHash text path (`Dedup.cleanCorpus`) uses.
+    *
+    * Output: one row per SURVIVING vector — (idCol, dups_removed) where
+    * dups_removed is how many component members were dropped in its favor
+    * (0 for vectors in no near-dup pair).
+    *
+    * Plan shape at 100 TB: candidate pairs come from the corpus-scaled LSH
+    * bucket self-equi-join (never all-pairs), the component fixpoint runs
+    * O(log diameter) keyed rounds over the (small) dup graph only, and the
+    * final survivor selection is one broadcast-able left join against the
+    * corpus — the corpus itself is never shuffled.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    planes: Int = 0, tables: Int = 4,
+                    threshold: Double = 0.95, dim: Int = 64,
+                    corpusSize: Long = 0L): DataFrame = {
+    val pairs = cosineNearDups(embeddings, idCol, vecCol, planes, tables,
+      threshold, dim, corpusSize)
+    val labels = Dedup.componentMinLabels(pairs)
+    val clusterSizes = labels.groupBy(col("label"))
+      .agg((count(lit(1)) - 1).as("dups_removed"))
+      .withColumnRenamed("label", "cluster_label")
+    embeddings.select(col(idCol))
+      .join(labels, col(idCol) === col("node"), "left")
+      .filter(col("node").isNull || col("label") === col(idCol))
+      .join(clusterSizes, col(idCol) === col("cluster_label"), "left")
+      .select(col(idCol),
+        coalesce(col("dups_removed"), lit(0L)).as("dups_removed"))
+  }
 }

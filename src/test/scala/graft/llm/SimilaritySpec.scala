@@ -131,6 +131,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semanticDedup keeps one min-id survivor per component, counts drops") {
+    // Component {0,1,2} chained by direction (0~1, 1~2 — NOT 0~2 direct if
+    // buckets split them; components must still collapse the chain), plus
+    // two singletons. All five rows must appear exactly once in either the
+    // survivor set or a drop count.
+    val a = Seq.tabulate(8)(i => math.sin(i * 2 + 1))
+    val d = vecs(
+      0L -> a, 1L -> a.map(_ * 3.0), 2L -> a.map(_ * 0.5),
+      3L -> Seq.tabulate(8)(i => math.cos(5 * i)),
+      4L -> Seq.tabulate(8)(i => math.sin(i) * math.cos(i)))
+    val out = Similarity.semanticDedup(d, planes = 3, threshold = 0.99,
+        dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 2L, 3L -> 0L, 4L -> 0L), out.toString)
+  }
+
+  test("semanticDedup leaves a pair-free corpus untouched") {
+    val d = vecs(
+      0L -> Seq.tabulate(8)(i => math.sin(7 * i + 1)),
+      1L -> Seq.tabulate(8)(i => math.cos(3 * i + 2)))
+    val out = Similarity.semanticDedup(d, planes = 3, threshold = 0.999,
+        dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("brute-force plan: corpus is not shuffled before the TopK aggregate") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForceKnn(d).queryExecution.executedPlan.toString
