@@ -219,7 +219,27 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimhashSigs(children(0), portable = true)),
     (FunctionIdentifier("simhash_xx"),
       new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_xx"),
-      (children: Seq[Expression]) => SimhashSigs(children(0), portable = false)))
+      (children: Seq[Expression]) => SimhashSigs(children(0), portable = false)),
+    // Spark's own runtime-filter bloom expressions, surfaced as session
+    // functions so the engine can build a semi-join pre-filter EXPLICITLY
+    // (InjectRuntimeFilter only plants them inside a same-query join;
+    // graft's decontamination wants the sketch across two statements).
+    // graft_bloom_agg(xxhash64(k), estItems, numBits) -> binary sketch;
+    // graft_might_contain(sketch, xxhash64(k)) -> boolean, codegen'd.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   /** Registration path (c): plug into `spark.sql.extensions` /
     * `SparkSession.builder().withExtensions(...)`.
@@ -256,6 +276,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(n))
   def simhashMd5(tokens: Column): Column = call_function("simhash_md5", tokens)
   def simhashXx(tokens: Column): Column = call_function("simhash_xx", tokens)
+  def bloomAgg(hashed: Column, estItems: Long, numBits: Long): Column =
+    call_function("graft_bloom_agg", hashed,
+      org.apache.spark.sql.functions.lit(estItems),
+      org.apache.spark.sql.functions.lit(numBits))
+  def mightContain(sketch: Column, hashed: Column): Column =
+    call_function("graft_might_contain", sketch, hashed)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */

@@ -543,6 +543,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[decontaminate]]. Exact-join decontamination shuffles (or at least
+    * scans into a broadcast-hash probe) EVERY corpus shingle; at web scale
+    * the overwhelming majority match nothing. This variant builds a bloom
+    * filter over the (small) benchmark shingle set with Spark's own
+    * runtime-filter BloomFilterAggregate, pulls the bounded-size sketch to
+    * the driver (`numBits/8` bytes — the same sketch-as-literal pattern as
+    * the IVF centroids), and drops non-matching corpus shingles MAP-SIDE
+    * with the codegen'd might_contain before any join. The exact join then
+    * runs only over bloom survivors, so false positives cannot reach the
+    * output — the result is bit-identical to [[decontaminate]] and shares
+    * its oracle.
+    *
+    * Sizing: `numBits ~= 9.6 * estItems` gives ~1% false positives; the
+    * default 16M bits = 2 MiB sketch covers ~1.7M benchmark shingles,
+    * plenty for any benchmark suite (suites are small by construction —
+    * that is why this prefilter wins).
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 8, estItems: Long = 1L << 20,
+                         numBits: Long = 1L << 24): DataFrame = {
+    import graft.functions.GraftFunctions
+    val spark = corpus.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    // Consumed twice (sketch build now, exact verify join at execution) —
+    // deliberately NOT persisted: the result is lazy, so a persist here
+    // would outlive this call, and the benchmark side is small by
+    // construction (one cheap re-scan beats lingering blocks).
+    val bSh = withShingles(benchmark, idCol, textCol, n)
+      .select(explode(col("sh")).as("sh")).distinct()
+    val sketch = bSh
+      .agg(GraftFunctions.bloomAgg(xxhash64(col("sh")), estItems, numBits)
+        .as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (sketch == null) { // empty benchmark -> nothing is contaminated
+      return corpus.select(col(idCol), lit(0L).as("n_contaminated")).limit(0)
+    }
+    val cSh = withShingles(corpus, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("sh"))
+      .filter(GraftFunctions.mightContain(lit(sketch), xxhash64(col("sh"))))
+    cSh.join(bSh, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 over token
     * hashes; the sign picks the bit. Computed by the NATIVE simhash_xx
     * kernel (functions/MinhashExpressions.scala) as ONE map-side

@@ -195,6 +195,22 @@ object LlmOps {
       s" i -> concat_ws(' ', $parts)) END)"
   }
 
+  /** Shared by llm_decontaminate and llm_decontaminate_bloom — the bloom
+    * path's verify join makes its output bit-identical to the exact path.
+    * n = 4: the synth corpus draws from a ~40-word vocabulary where
+    * 4-grams are the rare-collision signal (see the op comments).
+    */
+  private val decontaminateOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shSql(4)} AS sh FROM toks),
+       |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+       |          WHERE doc_id % 97 = 0),
+       |corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh
+       |           WHERE doc_id % 97 <> 0)
+       |SELECT c.doc_id, count(*) AS n_contaminated
+       |FROM corpus c JOIN bench b ON c.s = b.s
+       |GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
 
     // --- dedup -----------------------------------------------------------
@@ -317,18 +333,21 @@ object LlmOps {
     // corpus draws from a ~40-word vocabulary, where 4-grams are the
     // equivalent rare-collision signal (8-grams never collide -> a
     // vacuously empty check; 3-grams flag a third of the corpus).
-    Op("llm_decontaminate",
-       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          |sh AS (SELECT doc_id, ${shSql(4)} AS sh FROM toks),
-          |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
-          |          WHERE doc_id % 97 = 0),
-          |corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh
-          |           WHERE doc_id % 97 <> 0)
-          |SELECT c.doc_id, count(*) AS n_contaminated
-          |FROM corpus c JOIN bench b ON c.s = b.s
-          |GROUP BY 1""".stripMargin) { (s, d) =>
+    Op("llm_decontaminate", decontaminateOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 4)
+    },
+
+    // The bloom-prefiltered scale path: benchmark shingles -> bounded
+    // sketch -> map-side might_contain prune -> exact verify join. False
+    // positives are removed by the verify join, so the output is
+    // bit-identical to llm_decontaminate and the SAME oracle applies —
+    // the strongest possible check that the prefilter loses nothing.
+    Op("llm_decontaminate_bloom", decontaminateOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateBloom(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), n = 4)
     },

@@ -260,6 +260,28 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 5L, 3L -> 13L), out.toString)
   }
 
+  test("decontaminateBloom: bit-identical to the exact path on sf0.001, " +
+       "and the bloom prune sits map-side under the shingle join") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.decontaminateBloom(corpus, bench, n = 4)
+    assert(bloom.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == exact)
+    assert(exact.nonEmpty) // non-vacuous: the fixture does contaminate
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("decontaminateBloom: empty benchmark yields an empty result") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val bench = corpus.limit(0)
+    assert(Dedup.decontaminateBloom(corpus, bench, n = 4).count() == 0)
+  }
+
   test("componentMinLabels matches a driver-side union-find ground truth " +
        "on the real testdata pair graph") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
