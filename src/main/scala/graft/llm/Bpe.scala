@@ -1,0 +1,190 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016) — trained FROM the
+  * corpus, applied TO the corpus, entirely inside the engine.
+  *
+  * Scale shape: BPE training needs only the corpus WORD-FREQUENCY table —
+  * the word histogram is a sufficient statistic for every pair count the
+  * algorithm ever consults. So the distributed part is one
+  * explode→groupBy→count aggregate plus a bounded distributed top-V cut
+  * (Zipf: the top ~10-50k word types carry nearly all token mass), and only
+  * that bounded (word, count) table ever reaches the driver — the corpus
+  * text itself is never collected, the same bounded-sufficient-statistic
+  * pattern as the IVF k-means sample and the bloom decontamination sketch.
+  * The learned merge table (numMerges entries) is broadcast back as part of
+  * the encode closure; application is embarrassingly map-side.
+  *
+  * Determinism: pair-count ties break lexicographically, so the merge
+  * sequence is a pure function of the word histogram regardless of
+  * partitioning.
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended to every word's symbol sequence — the
+    * classic trick that lets the encoder distinguish "est" inside "west"
+    * from "est" ending "low_est_".
+    */
+  val EndOfWord = "</w>"
+
+  /** Symbol sequence of a word: one symbol per char, plus the sentinel. */
+  private def symbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndOfWord
+
+  /** Learn `numMerges` merges from a (word -> count) histogram.
+    * Returns merges in learned order (rank = index).
+    *
+    * Driver-side by design — the histogram is bounded (top-V types) and
+    * each round touches only words containing the merged pair, indexed so
+    * rounds are near-O(affected words).
+    */
+  def train(wordCounts: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    // working state: each word as a mutable symbol vector + its count
+    val words = wordCounts.toArray.map { case (w, c) => (symbols(w), c) }
+    val seqs = words.map(_._1.to(mutable.ArrayBuffer))
+    val counts = words.map(_._2)
+
+    // pair -> total count, and pair -> set of word indexes containing it
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addPair(p: (String, String), wi: Int, c: Long): Unit = {
+      pairCount.updateWith(p) { prev => Some(prev.getOrElse(0L) + c) }
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    def dropPair(p: (String, String), wi: Int, c: Long): Unit = {
+      pairCount.updateWith(p) { prev =>
+        val n = prev.getOrElse(0L) - c
+        if (n <= 0L) None else Some(n)
+      }
+      // word index sets are pruned lazily: a stale index just re-scans one
+      // word and finds no occurrence
+    }
+    for (wi <- seqs.indices; j <- 0 until seqs(wi).length - 1)
+      addPair((seqs(wi)(j), seqs(wi)(j + 1)), wi, counts(wi))
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < numMerges && pairCount.nonEmpty) {
+      // most frequent pair; lexicographic tie-break for determinism
+      val best = pairCount.keysIterator.reduce { (a, b) =>
+        val ca = pairCount(a); val cb = pairCount(b)
+        if (ca > cb || (ca == cb && implicitly[Ordering[(String, String)]]
+              .lt(a, b))) a
+        else b
+      }
+      merges += best
+      val merged = best._1 + best._2
+      for (wi <- pairWords.getOrElse(best, mutable.Set.empty).toArray) {
+        val s = seqs(wi); val c = counts(wi)
+        var j = 0
+        while (j < s.length - 1) {
+          if (s(j) == best._1 && s(j + 1) == best._2) {
+            // bookkeeping: neighbors of the merged pair change identity
+            if (j > 0) {
+              dropPair((s(j - 1), s(j)), wi, c)
+              addPair((s(j - 1), merged), wi, c)
+            }
+            if (j + 2 < s.length) {
+              dropPair((s(j + 1), s(j + 2)), wi, c)
+              addPair((merged, s(j + 2)), wi, c)
+            }
+            dropPair(best, wi, c)
+            s.remove(j + 1)
+            s(j) = merged
+          } else j += 1
+        }
+      }
+      pairCount.remove(best)
+      pairWords.remove(best)
+    }
+    merges.toSeq
+  }
+
+  /** Encode one word with a learned merge table (pair -> rank): repeatedly
+    * apply the lowest-rank applicable merge — the standard greedy BPE
+    * encoder, a pure function suitable for a broadcast closure.
+    */
+  def encode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var s = symbols(word)
+    var done = false
+    while (!done && s.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < s.length - 1) {
+        val r = ranks.getOrElse((s(j), s(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else s = (s.take(bestAt) :+ (s(bestAt) + s(bestAt + 1))) ++
+        s.drop(bestAt + 2)
+    }
+    s
+  }
+
+  /** Distributed word histogram, cut to the top `vocabWords` types by
+    * count (ties broken by word for determinism). One explode + one
+    * keyed partial/final aggregate + a distributed top-k — the only
+    * shuffle-bearing stage of training.
+    */
+  def wordHistogram(docs: DataFrame, textCol: String,
+                    vocabWords: Int): DataFrame =
+    docs.select(explode(TextFeatures.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabWords)
+
+  /** Train on the corpus: histogram -> bounded driver table -> merges. */
+  def trainOnCorpus(docs: DataFrame, textCol: String = "text",
+                    numMerges: Int = 200,
+                    vocabWords: Int = 10000): Seq[(String, String)] = {
+    val hist = wordHistogram(docs, textCol, vocabWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    train(hist, numMerges)
+  }
+
+  /** Per-document BPE token count next to the whitespace token count —
+    * the length statistic a sequence-packing / budget pass actually needs.
+    * Merge ranks ride the encode closure (broadcast with the task); the
+    * stage is map-only.
+    */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val toks: Dataset[(Long, Seq[String])] = docs
+      .select(col(idCol).cast("long"),
+        TextFeatures.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+    toks.map { case (id, ws) =>
+      (id, ws.length.toLong,
+        ws.iterator.map(w => encode(w, ranks).length.toLong).sum)
+    }.toDF(idCol, "n_words", "n_bpe_tokens")
+  }
+
+  /** Corpus-wide top-k BPE vocabulary: encode every word occurrence,
+    * count subword frequency, keep the k most frequent (ties by token).
+    * explode -> map encode -> keyed agg -> distributed top-k.
+    */
+  def topVocab(docs: DataFrame, merges: Seq[(String, String)],
+               textCol: String = "text", k: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    docs.select(explode(TextFeatures.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .as[String]
+      .flatMap(w => encode(w, ranks))
+      .toDF("bpe_token")
+      .groupBy("bpe_token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bpe_token"))
+      .limit(k)
+  }
+}

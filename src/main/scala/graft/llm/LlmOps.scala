@@ -884,6 +884,29 @@ object LlmOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))
         .limit(20)
+    },
+
+    // --- BPE tokenizer ---------------------------------------------------
+
+    // Corpus-trained byte-pair encoding, end to end: word histogram ->
+    // bounded driver merge learning -> broadcast ranks -> map-side encode.
+    // Rows-only (a 100-round greedy merge sequence is not expressible as
+    // one SQL statement); determinism + known-merge fixtures are asserted
+    // in BpeSpec.
+    Op.noOracle("llm_bpe_vocab") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainOnCorpus(docs, numMerges = 100,
+        vocabWords = 5000)
+      Bpe.topVocab(docs, merges, k = 20)
+    },
+
+    // Per-document whitespace-vs-BPE token counts — the length statistic
+    // a packing/budget pass consumes.
+    Op.noOracle("llm_bpe_token_counts") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainOnCorpus(docs, numMerges = 100,
+        vocabWords = 5000)
+      Bpe.tokenCounts(docs, merges)
     }
   )
 }
