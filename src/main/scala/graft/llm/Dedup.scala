@@ -154,6 +154,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The persistent MinHash band index of a corpus — (idCol, band,
+    * band_sig), one row per (doc, band). THIS is the state an incremental
+    * corpus pipeline stores (parquet/table, partitioned or bucketed by
+    * (band, band_sig)): ~bands rows of a few dozen bytes per document,
+    * instead of re-deriving signatures for the full corpus on every
+    * ingest. Alias of [[lshBands]] under the name that says what it is.
+    */
+  def bandIndex(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text",
+                bands: Int = 16, rows: Int = 4,
+                portable: Boolean = false): DataFrame =
+    lshBands(docs, idCol, textCol, bands, rows, portable)
+
+  /** Incremental near-dup detection: flag each document of a NEW batch
+    * whose Jaccard against any ALREADY-INDEXED corpus document reaches
+    * `threshold`. Returns (new_id, corpus_id, jaccard).
+    *
+    * This is the shape a growing corpus actually runs at 100 TB: the daily
+    * ingest (small) is banded and equi-joined against the STORED band
+    * index — never against the corpus text — and the exact-Jaccard verify
+    * re-reads only the corpus documents that produced a candidate (a
+    * semi-join prune BEFORE shingling, so corpus shingle CPU is
+    * proportional to candidates, not corpus size). Cost per ingest:
+    * O(batch) signature work + one index equi-join + verify on the touched
+    * fraction. Re-running [[minHashNearDups]] over corpus+batch would pay
+    * the full-corpus signature scan every day.
+    *
+    * `bands`/`rows`/`portable` must match what built `corpusIndex` — band
+    * signatures are only comparable within one (k, hash-family) config.
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+                          corpusIndex: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          bands: Int = 16, rows: Int = 4,
+                          threshold: Double = 0.8,
+                          portable: Boolean = false): DataFrame = {
+    val nb = lshBands(newDocs, idCol, textCol, bands, rows, portable)
+      .toDF("new_id", "band", "band_sig")
+    val candidates = nb
+      .join(corpusIndex.toDF("corpus_id", "band", "band_sig"),
+        Seq("band", "band_sig"))
+      .select("new_id", "corpus_id").distinct()
+    // shingle ONLY the corpus docs that produced a candidate: the semi-join
+    // must run before the shingle projection, or every corpus row pays the
+    // shingle CPU just to be dropped by the verify join
+    val touched = corpus.join(
+      candidates.select(col("corpus_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    candidates
+      .join(withShingles(newDocs, idCol, textCol).toDF("new_id", "sh_a"),
+        "new_id")
+      .join(withShingles(touched, idCol, textCol).toDF("corpus_id", "sh_b"),
+        "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** EXACT n-gram Jaccard similarity join via prefix filtering — the
     * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08).
     * Returns every pair (id_a < id_b) whose shingle-set Jaccard >=

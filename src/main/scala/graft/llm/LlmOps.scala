@@ -28,8 +28,10 @@ object LlmOps {
     * hand-written: the k signature expressions mirror the Spark builder
     * loop exactly, so the two can only drift if the parameters drift.
     */
-  private def minhashOracleSql(bands: Int, rows: Int, threshold: Double,
-                               from: String = "documents"): String = {
+  /** The toks/sh/sigs/bands CTE chain shared by the self-join and the
+    * incremental (new-batch-vs-index) MinHash oracles.
+    */
+  private def minhashBandsCtes(bands: Int, rows: Int, from: String): String = {
     val k = bands * rows
     // hash h = 4-hex-char slice h%8 of md5("(h/8):shingle"), mirroring
     // minhashSignaturesPortable's md5-slicing exactly
@@ -38,7 +40,7 @@ object LlmOps {
         s"substr(md5(concat('${h / 8}:', s)), ${(h % 8) * 4 + 1}, 4)), 'min')"
     }.mkString("[", ",\n      ", "]")
     val bandCols = (1 to rows).map(j => s"sig[b.range*$rows+$j]").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, $toksSql AS toks FROM $from),
        |sh AS (
        |  SELECT doc_id,
@@ -50,7 +52,12 @@ object LlmOps {
        |bands AS (
        |  SELECT doc_id, b.range AS band,
        |         md5(concat_ws('|', $bandCols)) AS band_sig
-       |  FROM sigs, range(0, $bands) b),
+       |  FROM sigs, range(0, $bands) b)""".stripMargin
+  }
+
+  private def minhashOracleSql(bands: Int, rows: Int, threshold: Double,
+                               from: String = "documents"): String =
+    s"""WITH ${minhashBandsCtes(bands, rows, from)},
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y
@@ -64,7 +71,27 @@ object LlmOps {
        |  JOIN sh a ON a.doc_id = c.id_a
        |  JOIN sh b ON b.doc_id = c.id_b)
        |WHERE jaccard >= $threshold""".stripMargin
-  }
+
+  /** Incremental variant: candidates cross a NEW batch (doc_id % mod = 0)
+    * against the indexed CORPUS (doc_id % mod <> 0) instead of self-joining.
+    */
+  private def incrementalMinhashOracleSql(bands: Int, rows: Int,
+                                          threshold: Double,
+                                          mod: Int): String =
+    s"""WITH ${minhashBandsCtes(bands, rows, "documents")},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig
+       |  WHERE x.doc_id % $mod = 0 AND y.doc_id % $mod <> 0)
+       |SELECT new_id, corpus_id, jaccard FROM (
+       |  SELECT c.new_id, c.corpus_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.new_id
+       |  JOIN sh b ON b.doc_id = c.corpus_id)
+       |WHERE jaccard >= $threshold""".stripMargin
 
   // --- shared hyperplane-replay SQL builders (DuckDB dialect) -----------
   // The hyperplanes are deterministic driver-side literals (splitmix64 of
@@ -251,6 +278,22 @@ object LlmOps {
     // candidates -> no DuckDB replay; pair semantics asserted in
     // DedupSpec). These are the numbers a real corpus run pays — the
     // md5-portable entries above exist for the oracle's sake.
+    // Incremental ingest dedup: the newest tenth of the corpus (doc_id %
+    // 10 = 0) banded and joined against the band INDEX of the other nine
+    // tenths — the stored-index shape a growing corpus runs daily. Same
+    // portable signature family as dedup_minhash, so candidates, verify,
+    // and Jaccard all replay in DuckDB.
+    Op("dedup_incremental", incrementalMinhashOracleSql(bands = 8, rows = 4,
+        threshold = 0.8, mod = 10)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val index = Dedup.bandIndex(corpus, bands = 8, rows = 4,
+        portable = true)
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 === 0), corpus, index,
+        bands = 8, rows = 4, threshold = 0.8, portable = true)
+    },
+
     Op.noOracle("dedup_minhash_fast") { (s, d) =>
       Dedup.minHashNearDups(Tables.documents(s, d), bands = 8, rows = 4,
         threshold = 0.8)

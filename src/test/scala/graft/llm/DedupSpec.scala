@@ -275,6 +275,34 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("incrementalNearDups: flags planted new-vs-corpus dups via the " +
+       "stored band index, agrees with the self-join operator") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),                                   // near-dup of new doc 100
+      (2L, (1 to 40).map(i => s"x$i").mkString(" ")), // unrelated
+      (3L, base + " tail1 tail2"))                  // also near 100
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (100L, base + " extra"),
+      (101L, (1 to 40).map(i => s"z$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val index = Dedup.bandIndex(corpus, bands = 8, rows = 4)
+    val inc = Dedup.incrementalNearDups(newDocs, corpus, index,
+        bands = 8, rows = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.nonEmpty && inc.forall(_._1 == 100L), inc.toString)
+    // cross-check: the self-join operator over corpus+new restricted to
+    // cross-boundary pairs must agree exactly
+    val full = Dedup.minHashNearDups(corpus.union(newDocs),
+        bands = 8, rows = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.collect { case (a, b) if b >= 100L && a < 100L =>
+      (b, a) }
+    assert(inc == cross, s"inc=$inc cross=$cross")
+  }
+
   test("decontaminateBloom: empty benchmark yields an empty result") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
