@@ -898,6 +898,30 @@ final class Catalog(
     }
   }
 
+  /** dbt's `retry` command ([dbt]/task/retry.py): re-execute ONLY the
+    * nodes the previous `build` did not complete successfully (status
+    * `error` or `skipped`), leaving successful nodes' stored artifacts
+    * untouched — their tables already exist in the warehouse, which is
+    * the whole point of not re-running them. Dependency gating inside
+    * the retry behaves exactly as in `build` (a node that errors again
+    * re-skips its downstream). Returns the MERGED result set: the
+    * previous successes verbatim plus the retried nodes' new outcomes,
+    * in the previous run's order — dbt's run_results merge semantics.
+    */
+  def retry(previous: Seq[NodeResult],
+            tests: Map[String, Seq[(String, Catalog => DataFrame)]],
+            warnOnly: Set[String] = Set.empty,
+            fullRefresh: Boolean = false): Seq[NodeResult] = {
+    val redo = previous.filter(_.status != "success").map(_.name)
+    if (redo.isEmpty) previous
+    else {
+      val retried = build(redo, tests, withUpstream = false, warnOnly,
+        fullRefresh)
+      val byName = retried.map(r => r.name -> r).toMap
+      previous.map(r => byName.getOrElse(r.name, r))
+    }
+  }
+
   private def runOrder(order: Seq[String], threads: Int,
                        fullRefresh: Boolean = false): Unit = {
     if (threads <= 1) order.foreach(runNode(_, fullRefresh))

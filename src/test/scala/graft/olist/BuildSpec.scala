@@ -77,4 +77,41 @@ class BuildSpec extends SparkSpec {
     assert(rs("boom") == "error" && rs("child") == "skipped" &&
       rs("other") == "success", rs.toString)
   }
+
+  test("retry re-executes only the failed node and its skipped subtree, " +
+       "leaving successes untouched") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_retry").toString
+    val runCounts = scala.collection.mutable.Map[String, Int]()
+      .withDefaultValue(0)
+    @volatile var broken = true
+    def counted(name: String)(f: Map[String, DataFrame] => DataFrame) =
+      (d: Map[String, DataFrame]) => { runCounts(name) += 1; f(d) }
+    val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("ok", Nil, Materialization.Table,
+        counted("ok")(_ => Seq(1L).toDF("id"))),
+      Model("flaky", Nil, Materialization.Table,
+        counted("flaky") { _ =>
+          if (broken) sys.error("transient") else Seq(2L).toDF("id")
+        }),
+      Model("child", Seq("flaky"), Materialization.Table,
+        counted("child")(d => d("flaky")))))
+    val first = cat.build(Seq("ok", "child"), Map.empty, withUpstream = true)
+    assert(first.map(r => r.name -> r.status).toMap ==
+      Map("ok" -> "success", "flaky" -> "error", "child" -> "skipped"))
+    broken = false
+    val merged = cat.retry(first, Map.empty)
+    assert(merged.map(r => r.name -> r.status).toMap ==
+      Map("ok" -> "success", "flaky" -> "success", "child" -> "success"),
+      merged.toString)
+    // ok built once (never retried); flaky twice (fail + retry); child
+    // once (skip on the first pass runs nothing)
+    assert(runCounts.toMap == Map("ok" -> 1, "flaky" -> 2, "child" -> 1),
+      runCounts.toString)
+    assert(cat.warehouse.exists("child"))
+    // an all-success result set retries nothing and returns unchanged
+    val counts = runCounts.toMap
+    assert(cat.retry(merged, Map.empty) == merged &&
+      runCounts.toMap == counts)
+  }
 }
