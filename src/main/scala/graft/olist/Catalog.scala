@@ -165,7 +165,40 @@ final case class Model(
     tags: Set[String] = Set.empty,
     preHooks: Seq[SparkSession => Unit] = Nil,
     postHooks: Seq[SparkSession => Unit] = Nil,
-    fullRefresh: Option[Boolean] = None)
+    fullRefresh: Option[Boolean] = None,
+    contract: Option[org.apache.spark.sql.types.StructType] = None)
+
+/** dbt model contracts (`contract: enforced: true` + a full `columns:`
+  * spec): the built relation's schema must match the declared one — same
+  * column SET, same data types — or the node fails BEFORE anything is
+  * written ([dbt]/adapters/base/impl.py render_columns + the
+  * assert_columns_equivalent check dbt runs ahead of the DDL). Contracts
+  * exist so a producer can promise a stable public schema to downstream
+  * consumers; a refactor that drops/retypes a column must fail the
+  * producer's build, not the consumers' reads three DAGs later. The check
+  * is pure plan analysis (schema only, order-insensitive like dbt's) — no
+  * job runs, so a violating 100 TB model costs nothing to reject.
+  */
+object Contracts {
+  final class Violation(msg: String) extends RuntimeException(msg)
+
+  def enforce(name: String,
+              actual: org.apache.spark.sql.types.StructType,
+              declared: org.apache.spark.sql.types.StructType): Unit = {
+    val a = actual.fields.map(f => f.name -> f.dataType).toMap
+    val d = declared.fields.map(f => f.name -> f.dataType).toMap
+    val missing = d.keySet -- a.keySet
+    val extra = a.keySet -- d.keySet
+    val retyped = (d.keySet & a.keySet).filter(k => a(k) != d(k))
+      .map(k => s"$k: declared ${d(k).simpleString}, built ${a(k).simpleString}")
+    if (missing.nonEmpty || extra.nonEmpty || retyped.nonEmpty)
+      throw new Violation(
+        s"model $name violates its contract — " +
+          s"missing: ${missing.toSeq.sorted.mkString(",")} " +
+          s"unexpected: ${extra.toSeq.sorted.mkString(",")} " +
+          s"retyped: ${retyped.toSeq.sorted.mkString("; ")}")
+  }
+}
 
 /** S4 sink + S2 scan contract: where materialized relations live. Two
   * implementations — a parquet-directory store (Warehouse) and the Spark
@@ -415,7 +448,7 @@ final class Catalog(
   def ref(name: String): DataFrame = {
     val m = model(name)
     m.materialized match {
-      case Materialization.View => m.build(resolveDeps(m))
+      case Materialization.View => builtFor(m)
       case _ =>
         if (warehouse.exists(name)) warehouse.load(name)
         else defer.filter(_.exists(name)).map(_.load(name)).getOrElse {
@@ -611,6 +644,17 @@ final class Catalog(
     order.toSeq
   }
 
+  /** Build a model's plan and, if it declares a contract, validate the
+    * analyzed schema against it before anything is materialized (dbt runs
+    * assert_columns_equivalent ahead of the DDL for `contract: enforced`
+    * models). Schema-only — no job is triggered here.
+    */
+  private def builtFor(m: Model): DataFrame = {
+    val df = m.build(resolveDeps(m))
+    m.contract.foreach(Contracts.enforce(m.name, df.schema, _))
+    df
+  }
+
   /** Materialize one node (dbt's ModelRunner.execute analog), bracketed
     * by the model's pre-/post-hooks.
     */
@@ -627,11 +671,11 @@ final class Catalog(
     val refresh = m.fullRefresh.getOrElse(runFullRefresh)
     m.materialized match {
       case Materialization.View =>
-        m.build(resolveDeps(m)).createOrReplaceTempView(name)
+        builtFor(m).createOrReplaceTempView(name)
       case Materialization.PartitionedTable(cols) =>
-        warehouse.savePartitioned(name, m.build(resolveDeps(m)), cols)
+        warehouse.savePartitioned(name, builtFor(m), cols)
       case Materialization.Incremental(key, osc) =>
-        val fresh = m.build(resolveDeps(m))
+        val fresh = builtFor(m)
         if (!warehouse.exists(name)) warehouse.save(name, fresh)
         else if (refresh)
           // --full-refresh: rebuild from scratch, DISCARDING stored rows
@@ -647,7 +691,7 @@ final class Catalog(
           warehouse.replace(name, kept.unionByName(batch))
         }
       case Materialization.IncrementalByPartition(pcol, osc) =>
-        val fresh = m.build(resolveDeps(m))
+        val fresh = builtFor(m)
         if (!warehouse.exists(name))
           warehouse.savePartitioned(name, fresh, Seq(pcol))
         else if (refresh)
@@ -666,7 +710,7 @@ final class Catalog(
           warehouse.replace(name, kept.unionByName(batch), Seq(pcol))
         }
       case Materialization.Snapshot(key, updatedAt, hardDeletes, snapAt) =>
-        val fresh = m.build(resolveDeps(m))
+        val fresh = builtFor(m)
         val toType = fresh.schema(updatedAt).dataType
         val nullTo = org.apache.spark.sql.functions.lit(null).cast(toType)
         val freshSnap = fresh
@@ -710,7 +754,7 @@ final class Catalog(
         }
       case Materialization.SnapshotCheck(key, checkCols, snapshotAt,
                                          hardDeletes) =>
-        val fresh = m.build(resolveDeps(m))
+        val fresh = builtFor(m)
         val at = org.apache.spark.sql.functions.lit(snapshotAt())
         val freshSnap = fresh
           .withColumn("valid_from", at)
@@ -756,7 +800,7 @@ final class Catalog(
             deleted.fold(merged)(merged.unionByName))
         }
       case _ =>
-        warehouse.save(name, m.build(resolveDeps(m)))
+        warehouse.save(name, builtFor(m))
     }
   }
 
