@@ -784,6 +784,30 @@ object LlmOps {
         "source", capacity = 2048)
     },
 
+    // Sliding-window chunking: documents cut into context-window-sized
+    // token chunks with boundary overlap (stride shape). Map-only plan;
+    // starts/slices are integer-exact so the oracle replays every chunk
+    // string byte-for-byte.
+    Op("mix_chunk_docs",
+       s"""WITH toks AS (
+          |  SELECT doc_id, $toksSql AS toks FROM documents),
+          |w AS (
+          |  SELECT doc_id, toks, len(toks) AS n,
+          |         unnest(generate_series(0, greatest(len(toks) - 9, 0), 56))
+          |           AS start_tok
+          |  FROM toks)
+          |SELECT doc_id,
+          |       CAST(start_tok // 56 AS INT) AS chunk_id,
+          |       CAST(start_tok AS INT) AS start_tok,
+          |       CAST(least(64, n - start_tok) AS INT) AS n_tokens,
+          |       array_to_string(list_slice(toks, start_tok + 1,
+          |                                  start_tok + 64), ' ')
+          |         AS chunk_text
+          |FROM w""".stripMargin) { (s, d) =>
+      Mixing.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, overlap = 8)
+    },
+
     // Temperature-scaled mixing (alpha = 0.5 square-root temperature,
     // target half the corpus): per-source rates derive from the corpus
     // counts — so the SAME static SQL stays correct at every scale factor

@@ -119,4 +119,40 @@ object Mixing {
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $capacity"))
       .drop("cum")
   }
+
+  /** Sliding-window document chunking — the step that turns cleaned
+    * documents into trainer-sized pieces (a context-window's worth of
+    * tokens, with `overlap` tokens repeated at each boundary so no
+    * span of fewer than `overlap` consecutive tokens is ever split
+    * across chunks — the HF `return_overflowing_tokens`/stride shape).
+    *
+    * Chunk starts are 0, stride, 2*stride, ... (stride = chunkSize −
+    * overlap) while the start still contributes unseen tokens (start ≤
+    * n − overlap − 1; a document shorter than a chunk emits exactly one
+    * chunk). The final chunk may be short, never empty.
+    *
+    * Pure map-side — project + per-row explode, no shuffle, no window:
+    * at 100 TB this pipelines straight from the scan into the sink, and
+    * chunk identity (doc, chunk_id) is deterministic under any
+    * partitioning.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col(idCol), col("toks"), col("n"),
+        posexplode(sequence(lit(0),
+          greatest(col("n") - lit(overlap) - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        col("pos").as("chunk_id"),
+        col("col").as("start_tok"),
+        least(lit(chunkSize), col("n") - col("col")).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
 }

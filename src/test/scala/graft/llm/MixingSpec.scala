@@ -104,4 +104,40 @@ class MixingSpec extends SparkSpec {
     assert(out(3).getString(1) == "overlap: <EMAIL> twice <EMAIL>" &&
       out(3).getInt(2) == 2)
   }
+
+  test("chunking: full coverage with exact overlap, short docs emit one " +
+       "chunk, final chunk never empty") {
+    import spark.implicits._
+    val toks = (1 to 25).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, toks),          // 25 tokens: chunk 10/overlap 2 -> starts 0,8,16
+      (2L, "a b c"),       // shorter than one chunk
+      (3L, "")             // empty text -> one chunk of the "" token
+    ).toDF("doc_id", "text")
+    val out = Mixing.chunkDocs(df, "doc_id", "text",
+      chunkSize = 10, overlap = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(2)).toSeq == Seq(0, 8, 16)) // start_tok
+    assert(d1.map(_.getInt(3)).toSeq == Seq(10, 10, 9)) // n_tokens
+    // consecutive chunks share exactly `overlap` boundary tokens
+    val c0 = d1(0).getString(4).split(" ")
+    val c1 = d1(1).getString(4).split(" ")
+    assert(c0.takeRight(2).sameElements(c1.take(2)))
+    // every token of the doc appears in order when overlaps are dropped
+    val reassembled =
+      (c0 ++ c1.drop(2) ++ d1(2).getString(4).split(" ").drop(2)).mkString(" ")
+    assert(reassembled == toks)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(4) == "a b c" &&
+      d2(0).getInt(3) == 3)
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3(0).getString(4) == "")
+  }
+
+  test("chunking is map-only: no shuffle exchange in the plan") {
+    val plan = Mixing.chunkDocs(docs, "doc_id", "text", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
