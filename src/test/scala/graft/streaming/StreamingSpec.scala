@@ -209,4 +209,48 @@ class StreamingSpec extends SparkSpec {
     // unmatched key keeps the row with a NULL tier (left-join semantics)
     assert(out == Seq((7L, Some("gold")), (8L, Some("basic")), (9L, None)))
   }
+
+  test("dedupIngest: intra-batch dups rejected, later batches dedup " +
+       "against the stored index, corpus and rejects grow correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+    def dir(n: String) = root.resolve(n).toString
+
+    // 40-token texts; a near-dup appends ONE token -> Jaccard ~ 38/39
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngest(stream.toDF().toDF("doc_id", "text"),
+      dir("corpus"), dir("index"), dir("rejects"), dir("ckpt"))
+    try {
+      // batch 0: A, B, and an intra-batch near-dup of A
+      stream.addData((1L, textA), (2L, textB), (3L, textA + " extra"))
+      q.processAllAvailable()
+      val afterB0 = spark.read.parquet(dir("corpus"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterB0 == Set(1L, 2L), afterB0)
+
+      // batch 1: a near-dup of corpus doc B, plus genuinely new C
+      stream.addData((4L, textB + " tail"), (5L, textC))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val corpus = spark.read.parquet(dir("corpus"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 2L, 5L), corpus)
+
+    val rejects = spark.read.parquet(dir("rejects"))
+      .select("doc_id", "dup_of", "reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rejects == Set((3L, 1L, "intra_batch"), (4L, 2L, "corpus")),
+      rejects)
+
+    // the stored band index covers exactly the accepted corpus
+    val indexed = spark.read.parquet(dir("index"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 5L), indexed)
+  }
 }
