@@ -118,6 +118,38 @@ object Artifacts {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }
 
+  /** dbt's `docs generate` catalog ([dbt]/task/docs/generate.py →
+    * target/catalog.json): for every relation that actually EXISTS in the
+    * warehouse, its concrete column names/types and row count — the
+    * as-built inventory, against the manifest's as-declared graph. Columns
+    * come from the stored parquet footer (schema-only); `stats.row_count`
+    * is one count aggregate per table, the same metadata query dbt's
+    * adapter issues.
+    */
+  def writeCatalog(path: String, catalog: Catalog): Unit = {
+    val root = mapper.createObjectNode()
+    val meta = root.putObject("metadata")
+    meta.put("generated_at", java.time.Instant.now().toString)
+    meta.put("engine", "graft")
+    val nodes = root.putObject("nodes")
+    catalog.manifest().fingerprints.keys.toSeq.sorted
+      .filter(catalog.warehouse.exists).foreach { name =>
+        val df = catalog.warehouse.load(name)
+        val n = nodes.putObject(s"model.$name")
+        n.put("name", name)
+        val cols = n.putObject("columns")
+        df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          val c = cols.putObject(f.name)
+          c.put("type", f.dataType.simpleString)
+          c.put("index", i)
+          c.put("nullable", f.nullable)
+        }
+        n.putObject("stats").put("row_count", df.count())
+      }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
   /** Read a stored manifest back as the `state:modified` baseline — the
     * file-level form of the Manifest TSV, for interop with runs that wrote
     * JSON artifacts only.

@@ -87,4 +87,26 @@ class ArtifactsSpec extends SparkSpec {
       text.contains("\"materialized\":\"View\""))
     assert(text.contains("\"model.leaf\""))
   }
+
+  test("catalog.json lists only built relations with as-stored columns " +
+       "and row counts") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_artifacts_c").toString
+    val path = Files.createTempDirectory("graft_target_c")
+      .resolve("catalog.json").toString
+    val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("built", Nil, Materialization.Table,
+        (_: Map[String, DataFrame]) =>
+          Seq((1L, "x"), (2L, "y")).toDF("id", "name")),
+      Model("unbuilt", Nil, Materialization.Table,
+        (_: Map[String, DataFrame]) => Seq(1L).toDF("id"))))
+    cat.run(Seq("built"))
+    Artifacts.writeCatalog(path, cat)
+    val text = Files.readString(java.nio.file.Paths.get(path))
+    assert(text.contains("\"model.built\"") &&
+      !text.contains("\"model.unbuilt\""))
+    assert(text.contains("\"row_count\" : 2") ||
+      text.contains("\"row_count\":2"))
+    assert(text.contains("\"name\"") && text.contains("\"bigint\""))
+  }
 }
