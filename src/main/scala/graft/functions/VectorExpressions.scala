@@ -27,6 +27,43 @@ import org.apache.spark.sql.SparkSessionExtensions
   * null inputs propagate to a null result via BinaryExpression's
   * null-intolerant default eval.
   */
+/** `ieee_ln(x)` — natural log pinned to the `java.lang.Math`
+  * implementation.
+  *
+  * Spark's own `log` codegen routes through `java.lang.StrictMath`
+  * (fdlibm), which differs from `Math` by 1 ulp on some operands — e.g.
+  * ln(0.03879310344827586) = -0x1.9ff00905ca688p1 (StrictMath) vs
+  * -0x1.9ff00905ca687p1 (Math) — while DuckDB's `ln` matches `Math.log`
+  * bit-for-bit on this platform (measured over the perplexity operator's
+  * full operand range). Operators whose oracle replays transcendental math
+  * (text_perplexity) use this kernel so both engines evaluate the same
+  * function, keeping the driver's hash compare exact. Same preference-
+  * ladder case (b) as vec_cosine: trivial scalar codegen, no UDF.
+  *
+  * There is deliberately NO ieee_exp twin: DuckDB's `exp` (glibc) was
+  * measured 1 ulp off BOTH JVM exps at e.g. x = 0x1.aa32f29509925p1, so
+  * no JVM-side pin can reproduce it — oracle-checked operators must keep
+  * exp out of compared columns (work in the log domain) instead.
+  */
+case class IeeeLn(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"ieee_ln needs double, got ${child.dataType}")
+  override def nullSafeEval(x: Any): Any =
+    java.lang.Math.log(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
+  override protected def withNewChildInternal(c: Expression): IeeeLn = copy(c)
+  override def prettyName: String = "ieee_ln"
+}
+
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -198,6 +235,9 @@ object GraftFunctions {
     (FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "vec_norm"),
       (children: Seq[Expression]) => L2Norm(children(0))),
+    (FunctionIdentifier("ieee_ln"),
+      new ExpressionInfo(classOf[IeeeLn].getName, "ieee_ln"),
+      (children: Seq[Expression]) => IeeeLn(children(0))),
     (FunctionIdentifier("minhash_md5"),
       new ExpressionInfo(classOf[MinhashMd5Sigs].getName, "minhash_md5"),
       (children: Seq[Expression]) => MinhashMd5Sigs(children(0),
@@ -262,6 +302,7 @@ object GraftFunctions {
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
+  def ieeeLn(x: Column): Column = call_function("ieee_ln", x)
   def minhashMd5(shingles: Column, k: Int): Column =
     call_function("minhash_md5", shingles,
       org.apache.spark.sql.functions.lit(k))

@@ -60,6 +60,71 @@ object CorpusQuality {
     * handles the sort-merge side, and the count table per token is one
     * row, so no bucket ever explodes quadratically.
     */
+  /** Bigram-LM perplexity — the CCNet-style quality signal (Wenzek et al.
+    * 2020 score documents by LM perplexity; here the LM is a corpus-trained
+    * add-one-smoothed bigram model, so the operator is model-free like
+    * [[commonness]] but SEQUENCE-aware: a doc of common tokens in an
+    * improbable order scores high-perplexity where mean token frequency
+    * cannot tell the difference).
+    *
+    *   P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V),   V = corpus vocab size
+    *   log_ppl(doc) = −(Σ ln P) / n_bigrams        (ppl = e^log_ppl)
+    *
+    * The score is reported in the LOG domain: log_ppl is monotone in
+    * perplexity, so thresholds translate directly (filter at ppl > T ⇔
+    * log_ppl > ln T) — and it keeps `exp` out of the compared output,
+    * which matters because DuckDB's `exp` is 1 ulp off BOTH JVM exps on
+    * some arguments (see functions.IeeeLn's scaladoc), so an exp'd
+    * column cannot be oracle-hash-matched at all.
+    *
+    * Documents with fewer than 2 tokens have no bigrams and are absent
+    * from the output (no defined perplexity).
+    *
+    * Plan shape: explode to (doc, pos, bigram) -> two global count
+    * aggregates (bigram and left-context, both partial+final) -> count
+    * joins back onto occurrences (hot stopword bigrams skew these joins;
+    * AQE splits them) -> per-doc fold. Scales like commonness: no driver
+    * state except the 1-row vocab scalar.
+    *
+    * Oracle-parity: ln/exp are bit-identical between the JVM and DuckDB
+    * (verified over the operand range), every division is a single
+    * double op on exact integer counts, and the per-doc Σ ln P folds
+    * SEQUENTIALLY in token-position order on both sides (sort_array +
+    * aggregate here, list(... ORDER BY i) + list_aggregate there) — a
+    * plain sum(double) would be partitioning-dependent.
+    */
+  def perplexity(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
+    val occ = toks
+      .select(col(idCol),
+        posexplode(TextFeatures.bigramsOfTokens(col("toks"))))
+      .select(col(idCol), col("pos").as("i"), col("col").as("bigram"),
+        substring_index(col("col"), " ", 1).as("w1"))
+    val c12 = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val c1 = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    occ.join(c12, "bigram").join(c1, "w1")
+      .crossJoin(vocab) // 1-row scalar attachment
+      .select(col(idCol), col("i"),
+        // ieee_ln, not Spark's log: Spark codegen routes log/exp through
+        // StrictMath, 1 ulp off DuckDB's libm on some operands (see
+        // functions.IeeeLn) — enough to break the oracle hash compare
+        graft.functions.GraftFunctions.ieeeLn(
+          (col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")).as("lnp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          sort_array(collect_list(struct(col("i"), col("lnp")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("lnp")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        (-(col("s") / col("n_bigrams"))).as("log_ppl"))
+  }
+
   def commonness(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
                  rareBelow: Long = 5L): DataFrame = {

