@@ -937,6 +937,23 @@ object LlmOps {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), n = 4).toDF()
     },
 
+    // Cross-container image dedup: every raw image gets a PNG twin
+    // (same pixels, different encoding, shifted id) planted into the
+    // corpus; dHash is container-invariant so each twin pair surfaces at
+    // hamming 0 through the pigeonhole banding join. Binary media — no
+    // DuckDB oracle; hash/banding semantics asserted in MultimodalSpec.
+    Op.noOracle("multimodal_image_dedup") { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      val twins = media
+        .filter(m => m.kind == "image" && m.media_id % 4 == 0)
+        .map(m => Multimodal.MediaRow(m.media_id + 1000000L, "image",
+          graft.llm.CompressedMedia.encodePng(
+            graft.llm.RawMedia.decodeImage(m.bytes).get)))
+      Multimodal.imageNearDups(
+        Multimodal.imageHashes(media.union(twins)).toDF())
+    },
+
     // REAL PCM decode (javax.sound) + RMS/peak per audio row; signal
     // values are engine-specific floats -> rows-only, exact RMS asserted
     // against a synthesized sine wave in MultimodalSpec.

@@ -226,6 +226,106 @@ object Multimodal {
     * RIFF/WAVE containers decoded by the javax.sound stack. Empty documents
     * get a single zero byte so plane synthesis never divides by zero.
     */
+  final case class ImageHash(media_id: Long, format: String, dhash: Long)
+
+  /** 64-bit difference hash (dHash) of decoded pixels — the standard
+    * perceptual fingerprint for image near-dup detection: average-pool
+    * the grayscale image onto a 9×8 grid, emit one bit per horizontally
+    * adjacent cell pair (left < right). Container-INVARIANT: the same
+    * pixels stored as a raw GRIM container or a PNG hash identically
+    * (PNG is lossless; asserted in MultimodalSpec), which is the actual
+    * dedup scenario — one image crawled in two encodings. Integer-only
+    * arithmetic (sum/count pooling, 299/587/114 luma weights), so the
+    * hash is deterministic across platforms.
+    */
+  def dHash64(img: RawMedia.Image): Long = {
+    val gw = 9; val gh = 8
+    val g = Array.ofDim[Int](gh, gw)
+    var y = 0
+    while (y < gh) {
+      val y0 = y * img.height / gh
+      val y1 = math.max(y0 + 1, (y + 1) * img.height / gh)
+      var x = 0
+      while (x < gw) {
+        val x0 = x * img.width / gw
+        val x1 = math.max(x0 + 1, (x + 1) * img.width / gw)
+        var sum = 0L; var n = 0
+        var yy = y0
+        while (yy < y1 && yy < img.height) {
+          var xx = x0
+          while (xx < x1 && xx < img.width) {
+            val i = (yy * img.width + xx) * img.channels
+            val gray =
+              if (img.channels >= 3)
+                (299 * (img.pixels(i) & 0xff) +
+                  587 * (img.pixels(i + 1) & 0xff) +
+                  114 * (img.pixels(i + 2) & 0xff)) / 1000
+              else img.pixels(i) & 0xff
+            sum += gray; n += 1
+            xx += 1
+          }
+          yy += 1
+        }
+        g(y)(x) = (sum / n).toInt
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L; var b = 0; var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        if (g(yy)(xx) < g(yy)(xx + 1)) h |= (1L << b)
+        b += 1; xx += 1
+      }
+      yy += 1
+    }
+    h
+  }
+
+  /** Per-partition pixel decode + dHash of every image row (raw container
+    * or any javax.imageio codec). Narrow map, no shuffle — the hash is
+    * ~1e7x smaller than the pixels, so at 100 TB this is the projection
+    * you run ONCE and store.
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "image").flatMap { r =>
+        RawMedia.decodeImage(r.bytes).map(("raw", _))
+          .orElse(CompressedMedia.decode(r.bytes).map(("compressed", _)))
+          .map { case (fmt, img) => ImageHash(r.media_id, fmt, dHash64(img)) }
+      }
+    }
+  }
+
+  /** Near-dup image pairs with dHash hamming distance ≤ `maxHamming`
+    * (must be < 8): the same 8×8-bit pigeonhole banding as SimHash text
+    * dedup — two 64-bit hashes within hamming 7 must agree exactly on at
+    * least one byte chunk, so candidates come from an equi-join on
+    * (band, chunk), never an all-pairs compare; the exact hamming verify
+    * is one codegen'd bit_count(xor). Same 100 TB shape as every other
+    * dedup operator here: banding join + cheap verify, no cartesian.
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      "pigeonhole banding over 8 chunks guarantees recall only below 8")
+    val chunks = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("band"),
+          shiftright(col("dhash"), c * 8).bitwiseAND(lit(255L)).as("sig")))
+        : _*)).as("bc"))
+      .select(col("media_id"), col("dhash"),
+        col("bc.band").as("band"), col("bc.sig").as("sig"))
+    chunks.toDF("id_a", "h_a", "band", "sig")
+      .join(chunks.toDF("id_b", "h_b", "band", "sig"), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def mediaFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._

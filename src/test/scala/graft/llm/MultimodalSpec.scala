@@ -281,4 +281,63 @@ class MultimodalSpec extends SparkSpec {
       feats(1).rms.isEmpty && feats(1).peak.isEmpty &&
       math.abs(feats(1).duration_ms - 5 * 1152.0 * 1000 / 44100) < 1e-9)
   }
+
+  test("dHash: container-invariant, stable under tiny perturbation, far " +
+       "for opposite gradients") {
+    def gradient(w: Int, h: Int, reversed: Boolean): RawMedia.Image = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val v = (if (reversed) (w - 1 - x) else x) * 255 / (w - 1)
+        px((y * w + x) * 3 + c) = v.toByte
+      }
+      RawMedia.Image(w, h, 3, px)
+    }
+    val img = gradient(32, 32, reversed = false)
+    val hRaw = Multimodal.dHash64(img)
+    // PNG round-trip is lossless -> identical hash across containers
+    val hPng = Multimodal.dHash64(
+      CompressedMedia.decode(CompressedMedia.encodePng(img)).get)
+    assert(hRaw == hPng)
+    // a left->right gradient brightens at every adjacent step: all 64 bits
+    assert(hRaw == -1L)
+    assert(Multimodal.dHash64(gradient(32, 32, reversed = true)) == 0L)
+    // one slightly-altered pixel moves the hash by at most a couple bits
+    val perturbed = img.pixels.clone()
+    perturbed(3 * (5 * 32 + 7)) = (perturbed(3 * (5 * 32 + 7)) + 9).toByte
+    val hNear = Multimodal.dHash64(RawMedia.Image(32, 32, 3, perturbed))
+    assert(java.lang.Long.bitCount(hRaw ^ hNear) <= 2)
+  }
+
+  test("imageNearDups: banded join finds the near pair, not the far one, " +
+       "with no cartesian") {
+    import spark.implicits._
+    val hashes = Seq(
+      (1L, "raw", -1L),                  // all-ones
+      (2L, "compressed", -1L ^ 3L),      // hamming 2 from id 1
+      (3L, "raw", 0L)                    // hamming 64/62 from 1/2
+    ).toDF("media_id", "format", "dhash")
+    val out = Multimodal.imageNearDups(hashes, maxHamming = 6)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 2)), pairs)
+  }
+
+  test("the image-dedup driver entry surfaces every planted PNG twin at " +
+       "hamming 0") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    import spark.implicits._
+    val twins = media.filter(m => m.kind == "image" && m.media_id % 4 == 0)
+      .map(m => Multimodal.MediaRow(m.media_id + 1000000L, "image",
+        CompressedMedia.encodePng(RawMedia.decodeImage(m.bytes).get)))
+    val nRaw = twins.count()
+    val pairs = Multimodal.imageNearDups(
+      Multimodal.imageHashes(media.union(twins)).toDF()).collect()
+    val twinPairs = pairs.filter(r =>
+      r.getLong(1) == r.getLong(0) + 1000000L).map(r => r.getInt(2))
+    assert(twinPairs.length == nRaw && twinPairs.forall(_ == 0))
+  }
 }
