@@ -641,6 +641,14 @@ object LlmOps {
       Similarity.ivfKnn(Tables.embeddings(s, d))
     },
 
+    // PQ-ADC ANN: product-quantized codes (m bytes per vector) scanned
+    // with per-query distance lookup tables — the memory scale path.
+    // Rows-only (k-means codebooks are not SQL-expressible); recall vs
+    // exact L2 and the compression contract asserted in SimilaritySpec.
+    Op.noOracle("knn_pq") { (s, d) =>
+      Similarity.pqKnn(Tables.embeddings(s, d))
+    },
+
     // Embedding-cosine near-dup pairs via random-hyperplane buckets
     // (self-equi-join candidates). Planes pinned (not auto) so the static
     // oracle can embed the identical hyperplane literals and replay bucket

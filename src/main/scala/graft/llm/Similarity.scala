@@ -301,6 +301,120 @@ object Similarity {
     topKPerGroup(scored, "query_id", "vid", "sim", k)
   }
 
+  /** PQ-ADC ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): vectors are split into `m` subvectors, and each
+    * subvector quantized to one of `ksub` per-subspace
+    * centroids — the corpus lives as `m` SMALL INTS per vector (a 64-dim
+    * float64 embedding becomes m bytes: 64x smaller at m=8). This is the
+    * memory scale path the other ANN ops lack: at 100 TB of raw embeddings
+    * the PQ code table fits in a fraction of the executors' page cache, so
+    * the scan is memory-bound on codes, not I/O-bound on floats.
+    *
+    * Queries (the `nQueries` lowest ids, matching knn_cosine) precompute an
+    * ADC table — per subspace, the squared distance from the query's
+    * subvector to each centroid — so scoring a corpus vector is `m` table
+    * lookups and adds, no float-vector math. The metric is squared L2
+    * (PQ's native distance); SimilaritySpec checks recall against an exact
+    * L2 top-k computed independently.
+    *
+    * Plan shape: codebooks train per subspace on a bounded deterministic
+    * sample (driver-side Lloyd's — partitioning-invariant, unlike a
+    * sampled MLlib fit); encoding and table building are native one-pass
+    * kernels carrying the codebook; the scan is a broadcast
+    * of nQueries table rows against the code table + the TopK partial
+    * aggregate — the intended flat-scan shape, like knn_cosine, but over
+    * codes instead of vectors.
+    */
+  def pqKnn(embeddings: DataFrame, idCol: String = "vec_id",
+            vecCol: String = "embedding",
+            m: Int = 16, ksub: Int = 32, k: Int = 10,
+            nQueries: Int = 20, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val vecs = embeddings
+      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    // Bounded deterministic sample: the maxSample smallest (hash, vid)
+    // keys — a distributed top-k, O(1) driver state at any corpus size,
+    // identical under any partitioning. Codebooks train DRIVER-SIDE
+    // (plain Lloyd's on <= maxSample tiny subvectors — microseconds),
+    // which, unlike MLlib's sampled init, makes the codebooks — and
+    // therefore every code and every query result — partitioning-
+    // invariant (asserted in SimilaritySpec).
+    val maxSample = 2048
+    val sampleRows = vecs
+      .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
+      .limit(maxSample)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val books: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      localKMeans(sampleRows.map(_.slice(j * dsub, (j + 1) * dsub)),
+        ksub, iters = 10)
+    }
+    // Native kernels (pq_encode / pq_adc_table / pq_adc_score,
+    // functions.PqKernels): the composed centroid-literal formulation
+    // built a ~4 MiB interpreted-HOF plan that cost 4.2s at sf0.1; the
+    // kernels do the same argmin/table/lookup math as tight JVM loops
+    // with the codebook as a codegen reference object.
+    val bookLits: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq)
+    val codes = vecs.select(col("vid"),
+      graft.functions.GraftFunctions.pqEncode(col("v"), bookLits).as("code"))
+    val queries = vecs.orderBy("vid").limit(nQueries)
+      .select(col("vid").as("query_id"),
+        graft.functions.GraftFunctions.pqAdcTable(col("v"), bookLits)
+          .as("qtab"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid"),
+        // approximate squared L2 = m lookups; negated so TopK's
+        // descending order yields nearest-first
+        (-graft.functions.GraftFunctions.pqAdcScore(col("code"), col("qtab")))
+          .as("sim"))
+    topKPerGroup(scored, "query_id", "vid", "sim", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("score")).as("adc_dist2"))
+  }
+
+  /** Plain Lloyd's k-means over a small in-memory point set — the PQ
+    * codebook trainer. Deterministic by construction: init spreads over
+    * the lexicographically sorted points, ties in assignment break to the
+    * lowest centroid index, and an emptied cluster keeps its previous
+    * centroid. No RNG, no partitioning sensitivity.
+    */
+  private[llm] def localKMeans(points: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
+    val sorted = points.sortBy(_.toSeq)(
+      scala.math.Ordering.Implicits.seqOrdering[Seq, Double])
+    val n = sorted.length
+    require(n > 0, "empty codebook training sample")
+    var cents = Array.tabulate(math.min(k, n))(i =>
+      sorted(((i.toLong * n) / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](sorted(0).length))
+      val counts = new Array[Int](cents.length)
+      sorted.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) {
+            val diff = p(i) - cents(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Embedding-cosine near-duplicates: same-bucket pairs with cosine above
     * `threshold` — the embedding-space analog of MinHash dedup. Same
     * self-equi-join candidate formulation and corpus-scaled bucket space as

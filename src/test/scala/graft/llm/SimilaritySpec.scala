@@ -102,6 +102,55 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("pqKnn recall vs exact L2 beats chance decisively on uniform " +
+       "vectors; deterministic across partitionings") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // exact L2 top-5 per query, computed independently of the operator
+    val all = d.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val queries = all.take(20)
+    val brute = queries.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          val d2 = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (nid, d2)
+        }
+        .sortBy { case (nid, d2) => (d2, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val approx = Similarity.pqKnn(d, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    // uniform random 64-dim vectors are PQ's worst case (no cluster
+    // structure for the codebooks to exploit); random top-5 agreement on
+    // this corpus would be ~5/n. The coded scan must still rank true
+    // neighbors far above chance.
+    assert(recall > 0.3, s"recall=$recall")
+    val re = Similarity.pqKnn(d.repartition(7), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == approx)
+  }
+
+  test("pqKnn: a planted exact twin codes identically and ranks 1 (its " +
+       "ADC distance is the query's own quantization distortion — the " +
+       "minimum any code can score)") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // planted exact twin: identical vector -> identical argmin codes in
+    // every subspace -> its ADC total is the minimal achievable for the
+    // query, so it must rank first (ADC is never 0 — the table stores
+    // distances from the QUERY's subvectors to the centroids, so even the
+    // twin pays the query's quantization distortion)
+    val twin = d.filter(col("vec_id") === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val out = Similarity.pqKnn(d.unionByName(twin), k = 3)
+    val first = out.filter(col("query_id") === 0 &&
+      col("neighbor_id") === 100000L).collect()
+    assert(first.length == 1 && first(0).getInt(2) == 1, first.mkString)
+    assert(first(0).getDouble(3) > 0.0) // distortion, not SDC's zero
+  }
+
   test("pinned planes / corpus-size hint keep the LSH operators fully " +
        "lazy — no sizing job at plan-construction time") {
     val sc = spark.sparkContext
