@@ -249,49 +249,47 @@ object Similarity {
     * data-adaptive (clustered corpora get tight lists) where LSH is
     * data-oblivious.
     *
-    * Plan shape: the quantizer is trained once on (a sample of) the corpus
-    * — the only driver-side state, `nlist` centroid vectors, broadcast as
-    * literals; assignment and probing are pure map-side expressions over
-    * the native vec_cosine, and candidates come from an equi-join on the
-    * list id. Fixed seed -> deterministic across runs and partitionings.
+    * Plan shape: the quantizer is trained once driver-side on a bounded
+    * deterministic sample — the only driver state, `nlist` centroid
+    * vectors carried by the pq_encode/pq_adc_table kernels; assignment
+    * and probing are pure map-side, and candidates come from an equi-join
+    * on the list id. No RNG anywhere -> identical results across runs AND
+    * partitionings (asserted in SimilaritySpec).
     */
   def ivfKnn(embeddings: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding",
              nlist: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val vecs = embeddings.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    // Coarse quantizer: few iterations on a bounded deterministic sample —
-    // list assignment quality saturates fast, and each extra iteration is a
-    // full Spark job. The sample keeps training O(1) in corpus size.
-    val sample = vecs
-      .filter(pmod(xxhash64(col("vid")), lit(97L)) < 20L) // ~20% stable sample
-      .select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setTol(0.01).setFeaturesCol("features")
-      // random init, not the k-means|| default: the parallel init alone is
-      // several fixed-overhead Spark jobs, and for a COARSE quantizer
-      // (nlist lists a query probes nprobe of) init quality washes out
-      // after a few Lloyd iterations — recall stays asserted in
-      // SimilaritySpec. Fixed seed keeps it deterministic.
-      .setInitMode("random")
-      .fit(sample)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    // Coarse quantizer: driver-side Lloyd's on a bounded deterministic
+    // sample (the maxSample smallest (hash, vid) keys — one distributed
+    // top-k, O(1) driver state at any corpus size). Same trainer as
+    // pqKnn's codebooks: no MLlib fit jobs, and — unlike a sampled
+    // random-init fit — the centroids, list assignment, and results are
+    // partitioning-invariant.
+    val sampleRows = vecs
+      .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
+      .limit(2048)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = localKMeans(sampleRows, nlist, iters = 10)
+    val book: Seq[Seq[Seq[Double]]] = Seq(centroids.map(_.toSeq).toSeq)
 
-    // distance of a vector to each centroid, as literal-array expressions
-    def dist2(c: Seq[Double]) = {
-      val diff = zip_with(col("v"), typedlit(c), (x, y) => (x - y) * (x - y))
-      aggregate(diff, lit(0.0), (acc, d) => acc + d)
-    }
-    val allDists = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(c).as("d"), lit(i).as("list"))
-    }: _*)
+    // Centroid distances via the PQ kernels with a single subspace (m=1,
+    // dsub=dim): pq_encode gives the nearest list in one fused pass,
+    // pq_adc_table the full distance row for the nprobe ranking —
+    // replacing nlist interpreted zip_with folds per row.
+    val nearest = element_at(
+      graft.functions.GraftFunctions.pqEncode(col("v"), book), 1)
+    val distRow = element_at(
+      graft.functions.GraftFunctions.pqAdcTable(col("v"), book), 1)
     // corpus side: nearest list only; query side: nprobe nearest lists
-    val assigned = vecs.select(col("vid"), col("v"),
-      array_min(allDists).getField("list").as("list"))
+    val assigned = vecs.select(col("vid"), col("v"), nearest.as("list"))
     val probed = vecs.select(col("vid"), col("v"),
-      explode(slice(array_sort(allDists), 1, nprobe)).as("probe"))
+      explode(slice(array_sort(
+        zip_with(distRow,
+          sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct(d.as("d"), i.as("list")))), 1, nprobe))
+        .as("probe"))
       .select(col("vid").as("query_id"), col("v").as("qv"),
         col("probe.list").as("list"))
     val scored = probed

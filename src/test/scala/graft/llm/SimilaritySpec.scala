@@ -95,11 +95,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.35, s"recall=$recall")
   }
 
-  test("ivfKnn is deterministic across runs (fixed quantizer seed)") {
+  test("ivfKnn is deterministic across runs AND partitionings (driver-" +
+       "side Lloyd's, no RNG)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    def run() = Similarity.ivfKnn(d, nlist = 8, nprobe = 2, k = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(run() == run())
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfKnn(df, nlist = 8, nprobe = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = run(d)
+    assert(run(d) == base)
+    assert(run(d.repartition(11)) == base)
   }
 
   test("pqKnn recall vs exact L2 beats chance decisively on uniform " +
