@@ -70,6 +70,56 @@ object Checks {
       .agg(count(lit(1)).as("n_records"))
       .filter(!col("value_field").isin(accepted: _*))
 
+  // --- dbt-utils generic tests (the de-facto standard extension pack) ----
+
+  /** dbt_utils.expression_is_true: rows where `expression` is NOT true
+    * (false or NULL fail — the macro selects `where not(expr)`, and dbt
+    * treats a NULL expression row as a failure via coalesce in common
+    * usage; here the stricter "must be true" contract).
+    */
+  def expressionIsTrue(df: DataFrame, expression: Column): DataFrame =
+    df.filter(!coalesce(expression, lit(false)))
+
+  /** dbt_utils.recency: fails (one row) when the newest `tsCol` value is
+    * older than `maxAgeSeconds` relative to `now` — the data-freshness
+    * test form (vs Catalog.sourceFreshness, the operational command).
+    * One column-pruned max aggregate.
+    */
+  def recency(df: DataFrame, tsCol: String, maxAgeSeconds: Long,
+              now: java.sql.Timestamp): DataFrame =
+    df.agg(max(col(tsCol)).as("most_recent"))
+      .filter(col("most_recent").isNull ||
+        col("most_recent") < lit(new java.sql.Timestamp(
+          now.getTime - maxAgeSeconds * 1000L)))
+
+  /** dbt_utils.equal_rowcount: fails (one row with both counts) when the
+    * two relations disagree on row count. Two count aggregates, no join
+    * of the data itself.
+    */
+  def equalRowcount(a: DataFrame, b: DataFrame): DataFrame = {
+    val ca = a.agg(count(lit(1)).as("count_a"))
+    val cb = b.agg(count(lit(1)).as("count_b"))
+    ca.crossJoin(cb).filter(col("count_a") =!= col("count_b"))
+  }
+
+  /** dbt_utils.mutually_exclusive_ranges: within each `partitionBy` group,
+    * ranges [lower, upper) ordered by lower bound must not overlap — the
+    * SCD2-validity / booking-calendar invariant. One keyed window (lag of
+    * the running max upper bound), no self-join: at 100 TB this is a
+    * single shuffle on the partition key, not a range join.
+    */
+  def mutuallyExclusiveRanges(df: DataFrame, lower: String, upper: String,
+                              partitionBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(col(lower), col(upper))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prev_max_upper", max(col(upper)).over(w))
+      .filter(col("__prev_max_upper").isNotNull &&
+        col(lower) < col("__prev_max_upper"))
+      .drop("__prev_max_upper")
+  }
+
   /** The dbt count harness as a one-row DataFrame — the distributed form
     * (reference: tests/helpers.sql:5-14's `select count(*) as failures,
     * count(*) != 0 as should_error`). `evaluate` below is the driver-side

@@ -76,6 +76,67 @@ object QualityGates {
          |  SELECT 1 FROM orders WHERE o_totalprice > 0 LIMIT 5)""".stripMargin) { (s, d) =>
       harness(Checks.singular(Tables.orders(s, d), col("o_totalprice") > 0)
         .limit(5))
+    },
+
+    // --- dbt-utils generic tests (the standard extension pack) ----------
+
+    // expression_is_true: every row must satisfy the expression; false OR
+    // NULL rows fail. The 50k threshold is deliberately low enough that
+    // real orders violate it, exercising the failure path.
+    Op("t_expression_is_true",
+       """SELECT count(*) AS failures, count(*) <> 0 AS should_error
+         |FROM (SELECT 1 FROM orders
+         |      WHERE NOT coalesce(o_totalprice < 50000, false))""".stripMargin) { (s, d) =>
+      harness(Checks.expressionIsTrue(Tables.orders(s, d),
+        col("o_totalprice") < 50000))
+    },
+
+    // recency: newest o_orderdate must be within 7300 days of the pinned
+    // "now" (2026-01-01) — TPC-H dates end in 1998, so the gate trips.
+    Op("t_recency",
+       """SELECT count(*) AS failures, count(*) <> 0 AS should_error
+         |FROM (SELECT max(o_orderdate) AS most_recent FROM orders)
+         |WHERE most_recent IS NULL
+         |   OR most_recent < TIMESTAMP '2026-01-01 00:00:00'
+         |                    - INTERVAL 7300 DAY""".stripMargin) { (s, d) =>
+      harness(Checks.recency(Tables.orders(s, d), "o_orderdate",
+        maxAgeSeconds = 7300L * 86400L,
+        now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    },
+
+    // equal_rowcount: raw compare row (count_a, count_b) when the two
+    // relations disagree — orders vs lineitem always do.
+    Op("t_equal_rowcount",
+       """SELECT count_a, count_b FROM (
+         |  SELECT (SELECT count(*) FROM orders) AS count_a,
+         |         (SELECT count(*) FROM lineitem) AS count_b)
+         |WHERE count_a <> count_b""".stripMargin) { (s, d) =>
+      Checks.equalRowcount(Tables.orders(s, d), Tables.lineitem(s, d))
+    },
+
+    // mutually_exclusive_ranges: per customer, 30-day windows starting at
+    // each order date must not overlap (they frequently do — the failing
+    // rows are the oracle-compared output). One keyed window, no range
+    // self-join.
+    Op("t_exclusive_ranges",
+       """WITH r AS (
+         |  SELECT o_custkey, o_orderdate AS lower,
+         |         o_orderdate + INTERVAL 30 DAY AS upper
+         |  FROM orders),
+         |m AS (
+         |  SELECT o_custkey, lower, upper,
+         |         max(upper) OVER (PARTITION BY o_custkey
+         |           ORDER BY lower, upper
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS prev
+         |  FROM r)
+         |SELECT o_custkey, lower, upper FROM m
+         |WHERE prev IS NOT NULL AND lower < prev""".stripMargin) { (s, d) =>
+      Checks.mutuallyExclusiveRanges(
+        Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderdate").as("lower"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("upper")),
+        "lower", "upper", Seq("o_custkey"))
     }
   )
 }

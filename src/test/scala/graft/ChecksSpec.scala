@@ -95,4 +95,45 @@ class ChecksSpec extends SparkSpec {
     assert(stored.count() == 2)
     assert(stored.filter(col("id") >= 0).count() == 0)
   }
+
+  test("expressionIsTrue: false AND null expression rows fail") {
+    import spark.implicits._
+    val d = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("id", "amount")
+    val fails = Checks.expressionIsTrue(d, col("amount") > 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(fails == Set(2L, 3L)) // -1 is false; NULL is not-true
+  }
+
+  test("recency: passes inside the window, fails outside, fails on empty") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2026-08-13 00:00:00")
+    val d = Seq(java.sql.Timestamp.valueOf("2026-08-12 00:00:00"))
+      .toDF("loaded_at")
+    assert(Checks.recency(d, "loaded_at", 2 * 86400L, now).count() == 0)
+    assert(Checks.recency(d, "loaded_at", 3600L, now).count() == 1)
+    assert(Checks.recency(d.filter(lit(false)), "loaded_at", 3600L, now)
+      .count() == 1) // empty table = no fresh data
+  }
+
+  test("equalRowcount: equal passes, unequal emits the count pair") {
+    import spark.implicits._
+    val a = (1 to 5).toDF("x"); val b = (1 to 5).toDF("y")
+    assert(Checks.equalRowcount(a, b).count() == 0)
+    val r = Checks.equalRowcount(a, b.limit(3)).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 5 && r(0).getLong(1) == 3)
+  }
+
+  test("mutuallyExclusiveRanges: overlap flagged within a key, adjacent " +
+       "ranges and other keys pass") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 0, 10), ("a", 10, 20),  // adjacent: [0,10) then [10,20) - ok
+      ("a", 15, 25),                // overlaps [10,20) -> fail
+      ("b", 0, 100)                 // other key untouched
+    ).toDF("k", "lower", "upper")
+    val fails = Checks.mutuallyExclusiveRanges(d, "lower", "upper", Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(fails == Set(("a", 15)))
+  }
 }
