@@ -62,6 +62,50 @@ object OlistOps {
         .crossJoin(xlat.agg(count(lit(1)).as("n_translations"),
           // BOM must not corrupt the first header/column
           count(col("product_category_name")).as("n_bom_ok")))
+    },
+
+    // --- semantic layer (dbt metrics) ------------------------------------
+
+    // One governed metric definition compiled to a grouped plan: revenue
+    // (decimal-exact sum presented as double) at month grain sliced by
+    // order status. The oracle is the same aggregation hand-written.
+    Op("m_revenue_monthly",
+       """SELECT date_trunc('month', o_orderdate) AS metric_time,
+         |       o_orderstatus,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS revenue
+         |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Metrics.query(graft.Tables.orders(s, d), revenueMetric,
+        grain = "month", dims = Seq("o_orderstatus"))
+    },
+
+    // Derived ratio metric in ONE aggregation pass: average order value =
+    // decimal-exact revenue / order count per quarter (single division of
+    // deterministic aggregates -> bit-exact replay).
+    Op("m_avg_order_value",
+       """SELECT metric_time,
+         |       revenue / n_orders AS avg_order_value
+         |FROM (
+         |  SELECT date_trunc('quarter', o_orderdate) AS metric_time,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |           AS revenue,
+         |         count(*) AS n_orders
+         |  FROM orders GROUP BY 1)""".stripMargin) { (s, d) =>
+      Metrics.ratio(graft.Tables.orders(s, d), "avg_order_value",
+        num = revenueMetric, den = orderCountMetric, grain = "quarter")
     }
   )
+
+  /** The demo metric definitions the semantic-layer entries compile. */
+  private val revenueMetric = Metrics.Metric(
+    name = "revenue", agg = "sum",
+    measure = col("o_totalprice").cast("decimal(18,2)"),
+    timeDim = "o_orderdate",
+    dims = Set("o_orderstatus", "o_orderpriority"),
+    present = _.cast("double"))
+
+  private val orderCountMetric = Metrics.Metric(
+    name = "n_orders", agg = "count", measure = lit(1),
+    timeDim = "o_orderdate",
+    dims = Set("o_orderstatus", "o_orderpriority"))
 }
