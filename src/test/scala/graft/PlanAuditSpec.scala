@@ -41,10 +41,15 @@ class PlanAuditSpec extends SparkSpec {
     // olist ops execute eagerly (they run a pipeline) and are audited in
     // their own specs.
     // text_perplexity's only BNLJ is the 1-ROW vocab-size scalar attached
-    // by crossJoin (same shape as OlistOps' scalar attachments): broadcast
-    // of one row, not a pair blowup. Verified 1-row below.
+    // by crossJoin (same shape as OlistOps' scalar attachments), and
+    // t_equal_rowcount's is two 1-ROW global count aggregates compared —
+    // broadcasts of one row, not pair blowups. Verified 1-row below.
+    // knn_pq shares knn_cosine's intended brute shape: nQueries ADC-table
+    // rows broadcast against the code scan (flat PQ search IS a full scan
+    // per query — the win is scanning codes, not floats).
     val audited = SparkEntry.queries.keys.filterNot(n =>
-      n.startsWith("olist_") || n == "knn_cosine" || n == "text_perplexity")
+      n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
+        n == "text_perplexity" || n == "t_equal_rowcount")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -55,6 +60,11 @@ class PlanAuditSpec extends SparkSpec {
     // the BNLJ's build side must be the global-aggregate scalar (1 row)
     assert(ppl.contains("BroadcastNestedLoopJoin"), ppl)
     assert(ppl.contains("count(distinct tok"), ppl)
+    val erc = plan("t_equal_rowcount")
+    assert(!erc.contains("CartesianProduct"), erc)
+    // both joined sides are keyless global aggregates -> exactly one row
+    assert("HashAggregate\\(keys=\\[\\], functions=\\[count\\(1\\)\\]".r
+      .findAllIn(erc).size >= 2, erc)
   }
 
   test("ANN candidate generation is join-based: no per-bucket collect " +
