@@ -98,24 +98,37 @@ object Materialization {
     * driver-side diffing — so a snapshot over a 100 TB source is three
     * shuffles on the unique key.
     */
-  /** `invalidateHardDeletes` mirrors dbt's snapshot config of the same
-    * name ([dbt]/include/global_project/macros/materializations/snapshots/
-    * helpers.sql, snapshot_staging_table's delete CTE): when true, a key
-    * PRESENT in the stored current set but ABSENT from the incoming batch
-    * has its current version closed at the run's timestamp — the SCD2
-    * record of a source-row deletion. Default false, like dbt: absent
-    * keys are simply untouched.
+  /** dbt's snapshot `hard_deletes` config (dbt 1.9 — supersedes the older
+    * `invalidate_hard_deletes` boolean): what happens when a key PRESENT
+    * in the stored current set is ABSENT from the incoming batch.
+    *   - Ignore (dbt default): absent keys are untouched.
+    *   - Invalidate: the key's current version closes at the run's
+    *     timestamp — the SCD2 record of a source-row deletion.
+    *   - NewRecord: the current version closes AND a tombstone row is
+    *     appended (same payload, valid from the run's timestamp, open,
+    *     `dbt_is_deleted = true`; all live rows carry `false`) — so
+    *     "key X is currently deleted" is queryable without a NOT EXISTS
+    *     against the current set. A NewRecord snapshot adds the
+    *     dbt_is_deleted column from its FIRST run; switching an existing
+    *     flag-less table to NewRecord fails loudly on the union.
     */
+  sealed trait HardDeletes
+  object HardDeletes {
+    case object Ignore extends HardDeletes
+    case object Invalidate extends HardDeletes
+    case object NewRecord extends HardDeletes
+  }
+
   final case class Snapshot(uniqueKey: String,
                             updatedAt: String,
-                            invalidateHardDeletes: Boolean = false,
+                            hardDeletes: HardDeletes = HardDeletes.Ignore,
                             snapshotAt: () => java.sql.Timestamp =
                               () => new java.sql.Timestamp(
                                 System.currentTimeMillis()))
     extends Materialization {
     // stable config text for state:modified (see SnapshotCheck)
     override def toString: String =
-      s"Snapshot($uniqueKey,$updatedAt,$invalidateHardDeletes)"
+      s"Snapshot($uniqueKey,$updatedAt,$hardDeletes)"
   }
 
   /** dbt's snapshot CHECK strategy ([dbt]/include/global_project/macros/
@@ -134,14 +147,14 @@ object Materialization {
       checkCols: Seq[String] = Nil,
       snapshotAt: () => java.sql.Timestamp =
         () => new java.sql.Timestamp(System.currentTimeMillis()),
-      invalidateHardDeletes: Boolean = false)
+      hardDeletes: HardDeletes = HardDeletes.Ignore)
     extends Materialization {
     // stable config text for the state:modified fingerprint — the default
     // toString would render the snapshotAt lambda's per-JVM object identity
     // and permanently mark every snapshot-check model "modified"
     override def toString: String =
       s"SnapshotCheck($uniqueKey,${checkCols.mkString("[", ",", "]")}," +
-        s"$invalidateHardDeletes)"
+        s"$hardDeletes)"
   }
 }
 
@@ -710,12 +723,19 @@ final class Catalog(
           warehouse.replace(name, kept.unionByName(batch), Seq(pcol))
         }
       case Materialization.Snapshot(key, updatedAt, hardDeletes, snapAt) =>
+        import Materialization.HardDeletes
+        val newRec = hardDeletes == HardDeletes.NewRecord
         val fresh = builtFor(m)
         val toType = fresh.schema(updatedAt).dataType
         val nullTo = org.apache.spark.sql.functions.lit(null).cast(toType)
-        val freshSnap = fresh
+        val freshSnap0 = fresh
           .withColumn("valid_from", col(updatedAt))
           .withColumn("valid_to", nullTo)
+        // new_record mode: every live row carries the tombstone flag
+        val freshSnap =
+          if (!newRec) freshSnap0
+          else freshSnap0.withColumn("dbt_is_deleted",
+            org.apache.spark.sql.functions.lit(false))
         if (!warehouse.exists(name)) warehouse.save(name, freshSnap)
         else {
           val stored = warehouse.load(name)
@@ -735,17 +755,28 @@ final class Catalog(
             .drop("__k", "__new_from")
           val untouched = current
             .join(superseded, col(key) === col("__k"), "left_anti")
-          // invalidate_hard_deletes: keys gone from the source close at
-          // the RUN's timestamp (cast to the updatedAt column's type)
+          // hard_deletes: keys gone from the source close at the RUN's
+          // timestamp (Invalidate), optionally also appending an open
+          // tombstone row flagged dbt_is_deleted (NewRecord)
           val (deleted, kept) =
-            if (!hardDeletes) (None, untouched)
+            if (hardDeletes == HardDeletes.Ignore) (None, untouched)
             else {
+              val at = org.apache.spark.sql.functions.lit(snapAt())
+                .cast(toType)
               val batchKeys = fresh.select(col(key)).distinct()
               val gone = untouched
                 .join(batchKeys, Seq(key), "left_anti")
-                .withColumn("valid_to",
-                  org.apache.spark.sql.functions.lit(snapAt()).cast(toType))
-              (Some(gone), untouched.join(batchKeys, Seq(key), "left_semi"))
+                .withColumn("valid_to", at)
+              val keep = untouched.join(batchKeys, Seq(key), "left_semi")
+              if (!newRec) (Some(gone), keep)
+              else {
+                val tomb = gone
+                  .withColumn("valid_from", at)
+                  .withColumn("valid_to", nullTo)
+                  .withColumn("dbt_is_deleted",
+                    org.apache.spark.sql.functions.lit(true))
+                (Some(gone.unionByName(tomb)), keep)
+              }
             }
           val merged = history.unionByName(closed).unionByName(kept)
             .unionByName(incoming)
@@ -754,20 +785,31 @@ final class Catalog(
         }
       case Materialization.SnapshotCheck(key, checkCols, snapshotAt,
                                          hardDeletes) =>
+        import Materialization.HardDeletes
+        val newRec = hardDeletes == HardDeletes.NewRecord
         val fresh = builtFor(m)
         val at = org.apache.spark.sql.functions.lit(snapshotAt())
-        val freshSnap = fresh
+        val freshSnap0 = fresh
           .withColumn("valid_from", at)
           .withColumn("valid_to",
             org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+        val freshSnap =
+          if (!newRec) freshSnap0
+          else freshSnap0.withColumn("dbt_is_deleted",
+            org.apache.spark.sql.functions.lit(false))
         if (!warehouse.exists(name)) warehouse.save(name, freshSnap)
         else {
           val stored = warehouse.load(name)
           val current = stored.filter(col("valid_to").isNull)
           val history = stored.filter(col("valid_to").isNotNull)
-          // check_cols: all = every column of the build's output
-          val cols = if (checkCols.nonEmpty) checkCols
-            else fresh.columns.toSeq
+          // check_cols: all = every column of the build's output. In
+          // new_record mode the tombstone flag joins the watched set, so
+          // a key REAPPEARING after deletion registers as changed (its
+          // current version is the flag=true tombstone, the incoming row
+          // carries false) and a fresh live version opens.
+          val cols = (if (checkCols.nonEmpty) checkCols
+            else fresh.columns.toSeq) ++
+            (if (newRec) Seq("dbt_is_deleted") else Nil)
           val cur = current.select(col(key).as("__k") +:
             cols.map(c => col(c).as(s"__cur_$c")): _*)
           // changed iff new key OR any watched column differs null-safely
@@ -784,15 +826,25 @@ final class Catalog(
             .drop("__k")
           val untouched = current
             .join(superseded, col(key) === col("__k"), "left_anti")
-          // invalidate_hard_deletes, like the timestamp strategy
+          // hard_deletes, like the timestamp strategy
           val (deleted, kept) =
-            if (!hardDeletes) (None, untouched)
+            if (hardDeletes == HardDeletes.Ignore) (None, untouched)
             else {
               val batchKeys = fresh.select(col(key)).distinct()
               val gone = untouched
                 .join(batchKeys, Seq(key), "left_anti")
                 .withColumn("valid_to", at)
-              (Some(gone), untouched.join(batchKeys, Seq(key), "left_semi"))
+              val keep = untouched.join(batchKeys, Seq(key), "left_semi")
+              if (!newRec) (Some(gone), keep)
+              else {
+                val tomb = gone
+                  .withColumn("valid_from", at)
+                  .withColumn("valid_to",
+                    org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+                  .withColumn("dbt_is_deleted",
+                    org.apache.spark.sql.functions.lit(true))
+                (Some(gone.unionByName(tomb)), keep)
+              }
             }
           val merged = history.unionByName(closed).unionByName(kept)
             .unionByName(incoming)

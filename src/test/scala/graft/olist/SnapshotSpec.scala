@@ -162,7 +162,8 @@ class SnapshotSpec extends SparkSpec {
     val wh = Files.createTempDirectory("graft_snap_hd").toString
     val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
       Model("snap", Nil, Materialization.Snapshot("id", "updated_at",
-        invalidateHardDeletes = true, snapshotAt = () => tRun),
+        hardDeletes = Materialization.HardDeletes.Invalidate,
+        snapshotAt = () => tRun),
         (_: Map[String, DataFrame]) => current)))
     cat.run(Seq("snap"))
     current = batch((1L, "a", t1)) // key 2 hard-deleted from the source
@@ -194,7 +195,7 @@ class SnapshotSpec extends SparkSpec {
     val wh = Files.createTempDirectory("graft_snapchk_hd").toString
     val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
       Model("snap", Nil, Materialization.SnapshotCheck("id", Seq("watched"),
-        () => now, invalidateHardDeletes = true),
+        () => now, hardDeletes = Materialization.HardDeletes.Invalidate),
         (_: Map[String, DataFrame]) => current)))
     cat.run(Seq("snap"))
     now = t2
@@ -210,6 +211,70 @@ class SnapshotSpec extends SparkSpec {
       k2(0).getAs[Timestamp]("valid_to") == t2) // closed on deletion
     assert(k2(1).getAs[Timestamp]("valid_from") == now &&
       k2(1).getAs[Timestamp]("valid_to") == null) // reopened on return
+  }
+
+  test("hard_deletes new_record (timestamp strategy): deletion closes the " +
+       "live row AND appends an open tombstone flagged dbt_is_deleted") {
+    val tRun = Timestamp.valueOf("2024-03-01 00:00:00")
+    var current = batch((1L, "a", t1), (2L, "b", t1))
+    val wh = Files.createTempDirectory("graft_snap_nr").toString
+    val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("snap", Nil, Materialization.Snapshot("id", "updated_at",
+        hardDeletes = Materialization.HardDeletes.NewRecord,
+        snapshotAt = () => tRun),
+        (_: Map[String, DataFrame]) => current)))
+    cat.run(Seq("snap"))
+    // first run: every live row carries the flag, false
+    val first = cat.warehouse.load("snap").collect()
+    assert(first.forall(!_.getAs[Boolean]("dbt_is_deleted")))
+
+    current = batch((1L, "a", t1)) // key 2 hard-deleted
+    cat.run(Seq("snap"))
+    val k2 = cat.warehouse.load("snap").filter(col("id") === 2)
+      .orderBy("valid_from", "valid_to").collect()
+    assert(k2.length == 2, k2.mkString(";"))
+    val closed = k2.find(_.getAs[Timestamp]("valid_to") != null).get
+    val tomb = k2.find(_.getAs[Timestamp]("valid_to") == null).get
+    assert(closed.getAs[Timestamp]("valid_to") == tRun &&
+      !closed.getAs[Boolean]("dbt_is_deleted"))
+    assert(tomb.getAs[Timestamp]("valid_from") == tRun &&
+      tomb.getAs[Boolean]("dbt_is_deleted") &&
+      tomb.getAs[String]("payload") == "b") // payload preserved
+  }
+
+  test("hard_deletes new_record (check strategy): a reappearing key " +
+       "closes its tombstone and opens a fresh live version") {
+    @volatile var now = t1
+    @volatile var current = checkBatch((1L, "w", "u"), (2L, "x", "y"))
+    val wh = Files.createTempDirectory("graft_snapchk_nr").toString
+    val cat = new Catalog(spark, new Warehouse(spark, wh), Seq(
+      Model("snap", Nil, Materialization.SnapshotCheck("id", Seq("watched"),
+        () => now, hardDeletes = Materialization.HardDeletes.NewRecord),
+        (_: Map[String, DataFrame]) => current)))
+    cat.run(Seq("snap"))
+    now = t2
+    current = checkBatch((1L, "w", "u")) // key 2 deleted
+    cat.run(Seq("snap"))
+    val afterDelete = cat.warehouse.load("snap").filter(col("id") === 2)
+      .collect()
+    assert(afterDelete.length == 2) // closed live row + open tombstone
+    assert(afterDelete.count(r => r.getAs[Timestamp]("valid_to") == null &&
+      r.getAs[Boolean]("dbt_is_deleted")) == 1)
+
+    now = Timestamp.valueOf("2024-03-01 00:00:00")
+    current = checkBatch((1L, "w", "u"), (2L, "x", "y")) // key 2 returns
+    cat.run(Seq("snap"))
+    val k2 = cat.warehouse.load("snap").filter(col("id") === 2)
+      .orderBy("valid_from", "valid_to").collect()
+    // three versions: original (closed at t2), tombstone (closed at
+    // return), fresh live row (flag false, open)
+    assert(k2.length == 3, k2.mkString(";"))
+    val live = k2.filter(_.getAs[Timestamp]("valid_to") == null)
+    assert(live.length == 1 && !live(0).getAs[Boolean]("dbt_is_deleted") &&
+      live(0).getAs[Timestamp]("valid_from") == now)
+    val tomb = k2.find(_.getAs[Boolean]("dbt_is_deleted")).get
+    assert(tomb.getAs[Timestamp]("valid_from") == t2 &&
+      tomb.getAs[Timestamp]("valid_to") == now)
   }
 
   test("Main gate: build failure exits 1, warn-only test failures exit 0") {
