@@ -253,4 +253,46 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 2L, 5L), indexed)
   }
+
+  test("dedupIngest restarts from its checkpoint: committed batches are " +
+       "not reprocessed, state carries via the stored index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_rs")
+    def dir(n: String) = root.resolve(n).toString
+    val textA = (1 to 40).map(i => s"resta$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"restb$i").mkString(" ")
+
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamOps.dedupIngest(stream.toDF().toDF("doc_id", "text"),
+      dir("corpus"), dir("index"), dir("rejects"), dir("ckpt"))
+
+    val q1 = start()
+    try {
+      stream.addData((1L, textA))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val batchesBefore = spark.read.parquet(dir("corpus"))
+      .select("ingest_batch").distinct().count()
+
+    // RESTART: a new query over the same checkpoint + stores. The next
+    // batch must dedup against doc 1 purely via the on-disk band index.
+    val q2 = start()
+    try {
+      stream.addData((2L, textA + " again"), (3L, textB))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val corpus = spark.read.parquet(dir("corpus"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 3L), corpus) // 2 rejected vs restored state
+    val rejects = spark.read.parquet(dir("rejects"))
+      .select("doc_id", "dup_of", "reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rejects == Set((2L, 1L, "corpus")), rejects)
+    // doc 1's partition was committed once and not rewritten on restart
+    val batchesAfter = spark.read.parquet(dir("corpus"))
+      .select("ingest_batch").distinct().count()
+    assert(batchesBefore == 1 && batchesAfter == 2)
+  }
 }
