@@ -950,6 +950,25 @@ final class Catalog(
     order
   }
 
+  /** dbt's `clone` command ([dbt]/task/clone.py): materialize COPIES of
+    * the selected relations from another environment's store into this
+    * catalog's warehouse — the CI pattern when `--defer`'s read-through
+    * is not enough because the job will WRITE (an incremental model
+    * merging into a clone leaves prod untouched; a deferred read would
+    * resolve the self-reference to the prod table). Snowflake backs this
+    * with zero-copy clone; a parquet warehouse pays the copy, once,
+    * distributed. Nodes absent from the source store are skipped, like
+    * dbt cloning against a partial state. Returns the cloned names in
+    * topological order.
+    */
+  def cloneFrom(from: TableStore, select: Seq[String],
+                withUpstream: Boolean = false): Seq[String] = {
+    val order = topo(select, withUpstream, false, Nil, None)
+    val present = order.filter(from.exists)
+    present.foreach(n => warehouse.save(n, from.load(n)))
+    present
+  }
+
   /** One node's outcome from `build`: `success`, `error` (its build threw
     * or an attached error-severity test failed), or `skipped` (some
     * transitive upstream errored).
