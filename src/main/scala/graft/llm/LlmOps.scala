@@ -587,6 +587,26 @@ object LlmOps {
       CorpusQuality.perplexity(Tables.documents(s, d))
     },
 
+    // Trained quality model (CCNet/DCLM shape): logistic regression over
+    // the engineered text features, trained driver-side on a bounded
+    // deterministic CONTRASTIVE sample (corpus docs vs their deterministic
+    // corruption — the no-labeled-pool recipe), applied map-side with
+    // frozen literal weights. The entry scores originals AND corruptions
+    // so the separation is driver-visible. Rows-only: gradient-descent
+    // training is not SQL-expressible; separation/determinism asserted in
+    // QualityModelSpec.
+    Op.noOracle("text_quality_model") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scorer = QualityModel.trainContrastive(docs, "doc_id", "text")
+      val both = docs.select(col("doc_id"), col("text"),
+          lit(true).as("is_clean"))
+        .unionByName(docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          QualityModel.corrupt(col("text")).as("text"),
+          lit(false).as("is_clean")))
+      QualityModel.score(both, "text", scorer)
+        .select(col("doc_id"), col("is_clean"), col("quality_logit"))
+    },
+
     // --- similarity search ----------------------------------------------
 
     // Brute-force cosine top-10 for the 20 lowest-id query vectors:
