@@ -235,26 +235,16 @@ object CompressedMedia {
         val fileFmt = AudioSystem
           .getAudioFileFormat(new ByteArrayInputStream(bytes))
         val src = in.getFormat
-        // Normalize every PCM flavor to signed 16-bit so the sample loop is
-        // one code path; the JDK converts 8-bit unsigned etc. for free.
-        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-          src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
-          src.getSampleRate, false)
-        val pcm = AudioSystem.getAudioInputStream(target, in)
-        val data = pcm.readAllBytes()
-        var i = 0
+        val samples = pcmSamples(in, src)
         var sumSq = 0.0
         var peak = 0.0
-        var n = 0
-        while (i + 1 < data.length) {
-          val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort / 32768.0
+        samples.foreach { s =>
           sumSq += s * s
           val a = math.abs(s)
           if (a > peak) peak = a
-          n += 1
-          i += 2
         }
-        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        val rms =
+          if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
         Some(AudioStats(s"audio/${fileFmt.getType.getExtension.toLowerCase}",
           fileFmt.getFrameLength, src.getChannels, src.getSampleRate, rms,
           peak))
@@ -264,6 +254,39 @@ object CompressedMedia {
       case _: java.io.IOException => None
       case _: IllegalArgumentException => None // no conversion path
     }
+
+  /** Decoded normalized samples ([-1, 1], channels interleaved) of any
+    * JDK-supported audio container — the input to envelope hashing. None
+    * for formats the JDK cannot decode.
+    */
+  def decodeSamples(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      import javax.sound.sampled._
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try Some(pcmSamples(in, in.getFormat)) finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+
+  // Normalize every PCM flavor to signed 16-bit so the sample loop is one
+  // code path; the JDK converts 8-bit unsigned etc. for free.
+  private def pcmSamples(in: javax.sound.sampled.AudioInputStream,
+                         src: javax.sound.sampled.AudioFormat): Array[Double] = {
+    import javax.sound.sampled._
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+      src.getSampleRate, false)
+    val data = AudioSystem.getAudioInputStream(target, in).readAllBytes()
+    val out = new Array[Double](data.length / 2)
+    var i = 0
+    while (i + 1 < data.length) {
+      out(i / 2) = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort / 32768.0
+      i += 2
+    }
+    out
+  }
 
   /** Encode raw 8-bit PCM mono samples as a REAL RIFF/WAVE container. */
   def encodeWav(samples: Array[Byte], sampleRate: Float = 8000f): Array[Byte] = {

@@ -965,6 +965,28 @@ object LlmOps {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), n = 4).toDF()
     },
 
+    // Amplitude-invariant audio dedup: every decodable audio row gets a
+    // HALF-VOLUME twin (same samples scaled 0.5, re-encoded WAV); the
+    // loudness-envelope hash is built on comparisons, so each twin pair
+    // surfaces through the banding join at a small hamming distance.
+    // Binary media — no DuckDB oracle; invariances asserted in
+    // MultimodalSpec.
+    Op.noOracle("multimodal_audio_dedup") { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      val twins = media.filter(_.kind == "audio")
+        .flatMap { m =>
+          graft.llm.CompressedMedia.decodeSamples(m.bytes).map { samples =>
+            val scaled = samples.map(v =>
+              (v * 0.5 * 128 + 128).toInt.max(0).min(255).toByte)
+            Multimodal.MediaRow(m.media_id + 1000000L, "audio",
+              graft.llm.CompressedMedia.encodeWav(scaled))
+          }
+        }
+      Multimodal.hammingNearDups(
+        Multimodal.audioHashes(media.union(twins)).toDF())
+    },
+
     // Cross-container image dedup: every raw image gets a PNG twin
     // (same pixels, different encoding, shifted id) planted into the
     // corpus; dHash is container-invariant so each twin pair surfaces at

@@ -299,15 +299,69 @@ object Multimodal {
     }
   }
 
-  /** Near-dup image pairs with dHash hamming distance ≤ `maxHamming`
-    * (must be < 8): the same 8×8-bit pigeonhole banding as SimHash text
-    * dedup — two 64-bit hashes within hamming 7 must agree exactly on at
-    * least one byte chunk, so candidates come from an equi-join on
-    * (band, chunk), never an all-pairs compare; the exact hamming verify
-    * is one codegen'd bit_count(xor). Same 100 TB shape as every other
-    * dedup operator here: banding join + cheap verify, no cartesian.
+  final case class AudioHash(media_id: Long, format: String, dhash: Long)
+
+  /** 64-bit loudness-envelope hash of decoded audio: the PCM stream is
+    * pooled into 65 equal RMS frames and each bit records whether the
+    * envelope RISES between consecutive frames — the audio analog of the
+    * image dHash. Comparisons make it AMPLITUDE-invariant (the same
+    * recording at half volume hashes identically) and the decode
+    * normalization makes it container-invariant (WAV/AIFF/AU of the same
+    * samples agree; asserted in MultimodalSpec). Like any envelope
+    * fingerprint, audio with an identical loudness contour collides —
+    * this is loudness-SHAPE identity, the cheap first pass before
+    * spectral fingerprinting.
     */
-  def imageNearDups(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def audioHash64(samples: Array[Double]): Long = {
+    val frames = 65
+    val n = samples.length
+    if (n == 0) return 0L
+    val env = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      val lo = f.toLong * n / frames
+      val hi = math.max(lo + 1, (f + 1).toLong * n / frames)
+      var s = 0.0
+      var i = lo
+      while (i < hi && i < n) { s += samples(i.toInt) * samples(i.toInt); i += 1 }
+      env(f) = math.sqrt(s / (hi - lo))
+      f += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (env(b + 1) > env(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Per-partition decode + envelope hash of every audio row the JDK can
+    * decode (WAV/AIFF/AU; mp3 rows are skipped — no pure-JDK codec).
+    * Narrow map, no shuffle, same projection-once-store-forever shape as
+    * imageHashes.
+    */
+  def audioHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "audio").flatMap { r =>
+        CompressedMedia.decodeSamples(r.bytes)
+          .map(s => AudioHash(r.media_id, "pcm", audioHash64(s)))
+      }
+    }
+  }
+
+  /** Near-dup pairs of any 64-bit perceptual hash with hamming distance ≤
+    * `maxHamming` (must be < 8): the same 8×8-bit pigeonhole banding as
+    * SimHash text dedup — two 64-bit hashes within hamming 7 must agree
+    * exactly on at least one byte chunk, so candidates come from an
+    * equi-join on (band, chunk), never an all-pairs compare; the exact
+    * hamming verify is one codegen'd bit_count(xor). Shared by the image
+    * dHash and audio envelope-hash dedup. Same 100 TB shape as every
+    * other dedup operator here: banding join + cheap verify, no
+    * cartesian.
+    */
+  def hammingNearDups(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       "pigeonhole banding over 8 chunks guarantees recall only below 8")
     val chunks = hashes.select(col("media_id"), col("dhash"),
@@ -325,6 +379,9 @@ object Multimodal {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
+    hammingNearDups(hashes, maxHamming)
 
   def mediaFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[MediaRow] = {

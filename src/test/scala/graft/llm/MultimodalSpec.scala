@@ -325,6 +325,58 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 2)), pairs)
   }
 
+  test("audio envelope hash: amplitude- and container-invariant, far for " +
+       "a reversed envelope") {
+    // AM-modulated tone over a monotone loudness ramp (asymmetric, so the
+    // reversed contour is a genuinely different envelope)
+    def am(reversed: Boolean): Array[Double] = {
+      val n = 8000
+      Array.tabulate(n) { i =>
+        val t = i.toDouble / n
+        val env = if (reversed) 1.0 - t else t
+        env * math.sin(2 * math.Pi * 440 * i / 8000.0)
+      }
+    }
+    val up = am(reversed = false)
+    val h = Multimodal.audioHash64(up)
+    // half volume: comparisons unchanged -> identical hash
+    assert(Multimodal.audioHash64(up.map(_ * 0.5)) == h)
+    // container invariance: the same 8-bit samples through a real WAV
+    // encode/decode round-trip hash identically
+    val bytes8 = up.map(v => (v * 127 + 128).toInt.max(0).min(255).toByte)
+    val viaWav = CompressedMedia.decodeSamples(
+      CompressedMedia.encodeWav(bytes8)).get
+    val direct8 = bytes8.map(b => ((b & 0xff) - 128) / 128.0)
+    assert(Multimodal.audioHash64(viaWav) == Multimodal.audioHash64(direct8))
+    // a reversed loudness contour flips most envelope comparisons
+    val hRev = Multimodal.audioHash64(am(reversed = true))
+    assert(java.lang.Long.bitCount(h ^ hRev) > 20,
+      s"hamming=${java.lang.Long.bitCount(h ^ hRev)}")
+  }
+
+  test("the audio-dedup driver entry pairs every decodable row with its " +
+       "half-volume twin") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val twins = media.filter(_.kind == "audio")
+      .flatMap { m =>
+        CompressedMedia.decodeSamples(m.bytes).map { samples =>
+          val scaled = samples.map(v =>
+            (v * 0.5 * 128 + 128).toInt.max(0).min(255).toByte)
+          Multimodal.MediaRow(m.media_id + 1000000L, "audio",
+            CompressedMedia.encodeWav(scaled))
+        }
+      }
+    val nDecodable = twins.count()
+    assert(nDecodable > 0)
+    val pairs = Multimodal.hammingNearDups(
+      Multimodal.audioHashes(media.union(twins)).toDF()).collect()
+    val twinPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(twinPairs.length == nDecodable,
+      s"found ${twinPairs.length} of $nDecodable twin pairs")
+  }
+
   test("the image-dedup driver entry surfaces every planted PNG twin at " +
        "hamming 0") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
