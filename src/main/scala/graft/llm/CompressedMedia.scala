@@ -257,9 +257,17 @@ object CompressedMedia {
 
   /** Decoded normalized samples ([-1, 1], channels interleaved) of any
     * JDK-supported audio container — the input to envelope hashing. None
-    * for formats the JDK cannot decode.
+    * for formats the JDK cannot decode. A magic-byte pre-check (RIFF /
+    * FORM / .snd) rejects non-JDK containers BEFORE AudioSystem: letting
+    * every mp3 row reject via UnsupportedAudioFileException costs an
+    * exception per row, which dominated the audio-dedup scan when half
+    * the corpus is mp3.
     */
-  def decodeSamples(bytes: Array[Byte]): Option[Array[Double]] =
+  def decodeSamples(bytes: Array[Byte]): Option[Array[Double]] = {
+    def magic(s: String) = bytes.length >= 4 &&
+      bytes(0) == s(0).toByte && bytes(1) == s(1).toByte &&
+      bytes(2) == s(2).toByte && bytes(3) == s(3).toByte
+    if (!magic("RIFF") && !magic("FORM") && !magic(".snd")) return None
     try {
       import javax.sound.sampled._
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -269,6 +277,7 @@ object CompressedMedia {
       case _: java.io.IOException => None
       case _: IllegalArgumentException => None
     }
+  }
 
   // Normalize every PCM flavor to signed 16-bit so the sample loop is one
   // code path; the JDK converts 8-bit unsigned etc. for free.
