@@ -369,6 +369,38 @@ object LlmOps {
       Dedup.cleanCorpus(Tables.documents(s, d))
     },
 
+    // Duplication-structure analytics: how big are the near-dup clusters?
+    // (The corpus-health number dedup reports lead with — a few huge
+    // boilerplate clusters vs many small twins need different remedies.)
+    // Same component machinery as clean_corpus; the oracle replays the
+    // label propagation with the recursive-CTE walk and aggregates
+    // cluster sizes identically.
+    Op("llm_dup_clusters",
+       s"""WITH RECURSIVE pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8)
+                 .linesIterator.mkString("\n    ")})),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs),
+          |walk(node, reach) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |labels AS (
+          |  SELECT node, least(node, min(reach)) AS label
+          |  FROM walk GROUP BY node),
+          |sizes AS (
+          |  SELECT label, count(*) AS cluster_size FROM labels GROUP BY 1)
+          |SELECT cluster_size, count(*) AS n_clusters
+          |FROM sizes GROUP BY 1""".stripMargin) { (s, d) =>
+      val pairs = Dedup.minHashNearDups(Tables.documents(s, d),
+        bands = 8, rows = 4, threshold = 0.8, portable = true)
+      Dedup.componentMinLabels(pairs)
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    },
+
     // Benchmark decontamination: corpus docs sharing any n-gram with the
     // benchmark set (deterministic stand-in: every 97th doc). Exact string
     // shingle join — no hashing — so the oracle replays it verbatim.
