@@ -159,20 +159,38 @@ object StreamOps {
     * corpus docs only — the whole point of carrying the index instead of
     * re-signaturing history every trigger.
     */
+  /** `minQuality > 0` inserts the cleanCorpus quality gate ahead of the
+    * dedup stages (rejected docs audit with reason `quality`), and
+    * `redactPii = true` scrubs accepted documents before they are stored —
+    * together the full continuous form of the batch cleaning pipeline:
+    * filter -> redact -> intra-batch dedup -> corpus dedup -> append.
+    */
   def dedupIngest(newDocs: DataFrame,
                   corpusDir: String, indexDir: String, rejectsDir: String,
                   checkpointDir: String,
                   bands: Int = 16, rows: Int = 4,
-                  threshold: Double = 0.8)
+                  threshold: Double = 0.8,
+                  minQuality: Double = 0.0,
+                  redactPii: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.llm.Dedup
+    import graft.llm.{Dedup, TextFeatures}
     newDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(corpusDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val b = batch.select(col("doc_id"), col("text")).persist()
+        val all = batch.select(col("doc_id"),
+          (if (redactPii) TextFeatures.redactPii(col("text"))
+           else col("text")).as("text"))
+        val qualityRejects = all
+          .filter(TextFeatures.qualityScore(col("text")) < minQuality)
+          .select(col("doc_id"), lit(null).cast("long").as("dup_of"),
+            lit(null).cast("double").as("jaccard"),
+            lit("quality").as("reason"))
+        val b = all
+          .filter(TextFeatures.qualityScore(col("text")) >= minQuality)
+          .persist()
         try {
           // (1) intra-batch: near-dup components, min-id survives
           val pairs = Dedup.minHashNearDups(b,
@@ -215,7 +233,8 @@ object StreamOps {
           writeBatch(accepted, corpusDir)
           writeBatch(Dedup.bandIndex(accepted,
             bands = bands, rows = rows), indexDir)
-          writeBatch(crossRejects.fold(intraRejects)(intraRejects.unionByName(_)),
+          writeBatch(qualityRejects.unionByName(
+            crossRejects.fold(intraRejects)(intraRejects.unionByName(_))),
             rejectsDir)
         } finally b.unpersist()
       }

@@ -254,6 +254,38 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L), indexed)
   }
 
+  test("dedupIngest full pipeline: quality gate rejects junk with its own " +
+       "reason, accepted docs are PII-redacted before storage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_q")
+    def dir(n: String) = root.resolve(n).toString
+    // fluent text with planted PII vs sub-threshold junk (short + puncty)
+    val good = (1 to 30).map(i => s"word$i").mkString(" ") +
+      " the and of contact me at someone@example.com please"
+    val junk = "@@@ ###"
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngest(stream.toDF().toDF("doc_id", "text"),
+      dir("corpus"), dir("index"), dir("rejects"), dir("ckpt"),
+      minQuality = 0.5, redactPii = true)
+    try {
+      stream.addData((1L, good), (2L, junk))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val corpus = spark.read.parquet(dir("corpus"))
+      .select("doc_id", "text").collect()
+    assert(corpus.map(_.getLong(0)).toSet == Set(1L))
+    val stored = corpus(0).getString(1)
+    assert(stored.contains("<EMAIL>") && !stored.contains("@example.com"),
+      stored) // redacted BEFORE storage
+    val rejects = spark.read.parquet(dir("rejects"))
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rejects == Set((2L, "quality")), rejects)
+  }
+
   test("dedupIngest restarts from its checkpoint: committed batches are " +
        "not reprocessed, state carries via the stored index") {
     import spark.implicits._
