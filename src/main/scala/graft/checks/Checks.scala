@@ -99,7 +99,7 @@ object Checks {
   def equalRowcount(a: DataFrame, b: DataFrame): DataFrame = {
     val ca = a.agg(count(lit(1)).as("count_a"))
     val cb = b.agg(count(lit(1)).as("count_b"))
-    ca.crossJoin(cb).filter(col("count_a") =!= col("count_b"))
+    ca.crossJoin(broadcast(cb)).filter(col("count_a") =!= col("count_b"))
   }
 
   /** dbt_utils.mutually_exclusive_ranges: within each `partitionBy` group,

@@ -107,7 +107,9 @@ object CorpusQuality {
     val vocab = toks.select(explode(col("toks")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
     occ.join(c12, "bigram").join(c1, "w1")
-      .crossJoin(vocab) // 1-row scalar attachment
+      .crossJoin(broadcast(vocab)) // 1-row scalar attachment; the explicit
+      // hint keeps it a broadcast even where the session disables
+      // auto-broadcast, so it can never degrade to a cartesian
       .select(col(idCol), col("i"),
         // ieee_ln, not Spark's log: Spark codegen routes log/exp through
         // StrictMath, 1 ulp off DuckDB's libm on some operands (see
