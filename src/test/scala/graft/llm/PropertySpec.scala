@@ -142,4 +142,36 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("chunking invariants on arbitrary docs/params: exact coverage " +
+       "when overlaps are dropped, boundary overlap preserved, bounded " +
+       "chunk sizes") {
+    val genCase = for {
+      nToks <- Gen.chooseNum(1, 120)
+      chunk <- Gen.chooseNum(2, 40)
+      overlap <- Gen.chooseNum(0, 1).flatMap(_ => Gen.chooseNum(0, chunk - 1))
+    } yield (nToks, chunk, overlap)
+    checkProp(Prop.forAll(genCase) { case (nToks, chunk, overlap) =>
+      import spark.implicits._
+      val toks = (1 to nToks).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val out = Mixing.chunkDocs(df, "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4).split(" ").toSeq))
+      val sizesOk = out.forall { case (_, _, n, words) =>
+        n == words.length && n >= 1 && n <= chunk
+      }
+      // every chunk after the first repeats exactly `overlap` boundary
+      // tokens; dropping them reassembles the document losslessly
+      val overlapsOk = out.sliding(2).forall {
+        case Array((_, _, _, a), (_, _, _, b)) =>
+          a.takeRight(overlap) == b.take(overlap)
+        case _ => true
+      }
+      val reassembled = out.head._4 ++
+        out.tail.flatMap { case (_, _, _, w) => w.drop(overlap) }
+      sizesOk && overlapsOk && reassembled == toks
+    }, tests = 30)
+  }
 }
