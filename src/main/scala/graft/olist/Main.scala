@@ -22,13 +22,26 @@ object Main {
   }
 
   /** Session-injected body so specs can assert exit codes without forking
-    * a JVM. Returns the process exit code.
+    * a JVM. Returns the process exit code. Like dbt, every invocation
+    * leaves its artifacts under `<warehouse>/target/`: run_results.json
+    * (per-node status + test outcomes, the `retry` input), manifest.json
+    * (the node graph + state fingerprints), and catalog.json (as-built
+    * columns and row counts).
     */
   def run(spark: org.apache.spark.sql.SparkSession, whDir: String): Int = {
     val outcome = scala.util.Try {
       val cat = Models.catalog(spark, whDir,
         synthDir = Some(s"$whDir/_synth_seeds"))
-      Pipeline.runAll(cat, s"$whDir/_synth_seeds")
+      val result = Pipeline.runAll(cat, s"$whDir/_synth_seeds")
+      val target = java.nio.file.Paths.get(whDir, "target")
+      java.nio.file.Files.createDirectories(target)
+      Artifacts.writeRunResults(target.resolve("run_results.json").toString,
+        result.built.map(n => cat.NodeResult(n, "success",
+          if (n == "fct_orders") result.tests.map(t => t.name -> t.result)
+          else Nil)))
+      Artifacts.writeManifest(target.resolve("manifest.json").toString, cat)
+      Artifacts.writeCatalog(target.resolve("catalog.json").toString, cat)
+      result
     }
     gate(outcome)
   }

@@ -288,4 +288,21 @@ class SnapshotSpec extends SparkSpec {
       Seq(Pipeline.TestOutcome("t", Checks.Pass())))
     assert(Main.gate(scala.util.Success(clean)) == 0)
   }
+
+  test("Main.run leaves the dbt artifact trio under <warehouse>/target " +
+       "and exits 0 on the reference pipeline") {
+    val wh = Files.createTempDirectory("graft_main_art").toString
+    assert(Main.run(spark, wh) == 0)
+    Seq("run_results.json", "manifest.json", "catalog.json").foreach { f =>
+      assert(Files.exists(java.nio.file.Paths.get(wh, "target", f)), f)
+    }
+    val rr = Files.readString(
+      java.nio.file.Paths.get(wh, "target", "run_results.json"))
+    assert(rr.contains("\"model.fct_orders\"") &&
+      rr.contains("\"test.unique_order_id\"") || rr.contains("\"test."))
+    val catJson = Files.readString(
+      java.nio.file.Paths.get(wh, "target", "catalog.json"))
+    assert(catJson.contains("\"model.fct_orders\"") &&
+      catJson.contains("row_count"))
+  }
 }
