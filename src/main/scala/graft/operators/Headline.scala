@@ -240,6 +240,125 @@ object Headline {
         .agg(revenue.as("lost_revenue"))
         .orderBy(col("lost_revenue").desc, col("customer_id"))
         .limit(20)
+    },
+
+    // Q6 shape: the forecast-revenue scan-aggregate — every predicate
+    // pushes into the parquet scan, no join, no group: the purest test
+    // that filters reach the reader and money stays exact.
+    Op("q6_forecast_revenue",
+       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         |           * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          col("l_discount").cast(dec92)).cast("double").as("revenue"))
+    },
+
+    // Q4 shape: priority count gated by an EXISTS — a correlated semi-join
+    // with a non-equi term (any line shipped after the order date), which
+    // Spark plans as a left_semi with a composite condition: no
+    // de-correlation rewrite needed, no duplicate-amplifying inner join.
+    Op("q4_priority_count",
+       """SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Q7 shape: nation-to-nation trade volume by year — the 5-join
+    // bushy shape (fact⋈fact⋈dim⋈dim⋈dim⋈dim) with a derived time
+    // dimension; constant-size nation dims broadcast twice under two
+    // aliases, the fact joins shuffle on their keys.
+    Op("q7_volume_shipping",
+       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |       CAST(year(l_shipdate) AS INT) AS l_year,
+          |       $revenueSql AS revenue
+          |FROM lineitem
+          |JOIN orders   ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+          |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+          |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d).toDF("n1_key", "supp_nation", "n1_region")
+      val n2 = Tables.nation(s, d).toDF("n2_key", "cust_nation", "n2_region")
+      l.filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp"))
+        .join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(sup, sup("s_suppkey") === l("l_suppkey"))
+        .join(n1, col("n1_key") === sup("s_nationkey"))
+        .join(n2, col("n2_key") === c("c_nationkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue.as("revenue"))
+    },
+
+    // Q12 shape: conditional counting after a fact⋈fact join — the
+    // CASE-in-aggregate idiom (late lines split by order priority),
+    // integer-exact on both engines.
+    Op("q12_priority_shipping",
+       """SELECT l_returnflag,
+         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_shipdate > o_orderdate
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      o.join(l, l("l_orderkey") === o("o_orderkey"))
+        .filter(l("l_shipdate") > o("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+    },
+
+    // Q14 shape: promo revenue share — a part-dim join feeding a ratio of
+    // two conditional decimal sums (CASE WITHOUT ELSE -> NULLs that both
+    // engines' sum skips); one multiply and one divide on the presented
+    // doubles, in the same order on both sides.
+    Op("q14_promo_revenue",
+       """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+         |         * (1 - CAST(l_discount AS DECIMAL(9,2))) END) AS DOUBLE)
+         |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         |         * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+         |  AS promo_revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val discPrice = col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount").cast(dec92))
+      l.filter(col("l_shipdate") >= lit("1995-09-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01 00:00:00").cast("timestamp"))
+        .join(p, p("p_partkey") === l("l_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", discPrice)).cast("double") /
+          sum(discPrice).cast("double")).as("promo_revenue"))
     }
   )
 }
