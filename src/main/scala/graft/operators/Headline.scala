@@ -359,6 +359,120 @@ object Headline {
         .agg((lit(100.0) *
           sum(when(col("p_type") === "PROMO", discPrice)).cast("double") /
           sum(discPrice).cast("double")).as("promo_revenue"))
+    },
+
+    // Q17 shape: small-quantity revenue against a per-part average — the
+    // "aggregate then join back to the detail" decorrelation of a
+    // correlated scalar subquery, done explicitly (one keyed agg + one
+    // equi-join; no per-row subquery execution).
+    Op("q17_small_quantity",
+       """WITH pa AS (
+         |  SELECT l_partkey,
+         |         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |                / count(*)) AS thresh
+         |  FROM lineitem GROUP BY 1)
+         |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |       / 7.0 AS avg_yearly
+         |FROM lineitem
+         |JOIN pa USING (l_partkey)
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#12' AND l_quantity < thresh""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val pa = l.groupBy(col("l_partkey").as("pa_partkey"))
+        .agg((lit(0.2) * (sum(col("l_quantity").cast(dec)).cast("double") /
+          count(lit(1)))).as("thresh"))
+      l.join(pa, col("pa_partkey") === l("l_partkey"))
+        .join(p, p("p_partkey") === l("l_partkey"))
+        .filter(col("p_brand") === "Brand#12" &&
+          col("l_quantity") < col("thresh"))
+        .agg((sum(col("l_extendedprice").cast(dec)).cast("double") / 7.0)
+          .as("avg_yearly"))
+    },
+
+    // Q18 shape: large-order customers — an IN-subquery over a HAVING
+    // aggregate, planned as a semi-join against the aggregated keys
+    // (quantity sums in exact decimal so the HAVING threshold is
+    // engine-stable).
+    Op("q18_large_orders",
+       """WITH big AS (
+         |  SELECT l_orderkey
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |FROM customer
+         |JOIN orders ON o_custkey = c_custkey
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM big)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+        .filter(col("qty") > 300)
+        .select("l_orderkey")
+      c.join(o, o("o_custkey") === c("c_custkey"))
+        .join(big, big("l_orderkey") === o("o_orderkey"), "left_semi")
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+    },
+
+    // Q19 shape: disjunctive multi-attribute join predicates — an
+    // OR-of-ANDs over (brand, size, quantity) on top of the partkey
+    // equi-join. Catalyst keeps the equi-join hashable and evaluates the
+    // disjunction as a post-join filter; the common partkey term never
+    // degenerates to a nested loop.
+    Op("q19_disjunctive_revenue",
+       s"""SELECT $revenueSql AS revenue
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      def arm(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      l.join(p, p("p_partkey") === l("l_partkey"))
+        .filter(arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
+          arm("Brand#34", 50, 20, 30))
+        .agg(revenue.as("revenue"))
+    },
+
+    // Q22 shape: above-average-balance customers who never placed a
+    // LARGE order — a 1-row global-average scalar (explicitly broadcast,
+    // like the text_perplexity vocab attach) feeding an anti-join against
+    // a filtered order set, grouped by segment. The average is a
+    // decimal-exact sum with one division.
+    Op("q22_idle_balances",
+       """WITH ab AS (
+         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |         / count(*) AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment,
+         |       count(*) AS numcust,
+         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS totacctbal
+         |FROM customer, ab
+         |WHERE c_acctbal > ab.avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_totalprice > 400000)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(dec)).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o.filter(col("o_totalprice") > 400000),
+          o("o_custkey") === c("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
     }
   )
 }

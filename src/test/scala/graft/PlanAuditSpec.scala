@@ -47,9 +47,12 @@ class PlanAuditSpec extends SparkSpec {
     // knn_pq shares knn_cosine's intended brute shape: nQueries ADC-table
     // rows broadcast against the code scan (flat PQ search IS a full scan
     // per query — the win is scanning codes, not floats).
+    // q22's BNLJ is its 1-row global-average scalar, broadcast like
+    // text_perplexity's vocab attach.
     val audited = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
-        n == "text_perplexity" || n == "t_equal_rowcount")
+        n == "text_perplexity" || n == "t_equal_rowcount" ||
+        n == "q22_idle_balances")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -65,6 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     // both joined sides are keyless global aggregates -> exactly one row
     assert("HashAggregate\\(keys=\\[\\], functions=\\[count\\(1\\)\\]".r
       .findAllIn(erc).size >= 2, erc)
+    val q22 = plan("q22_idle_balances")
+    assert(!q22.contains("CartesianProduct"), q22)
+    // the broadcast side is a keyless global aggregate -> one row
+    assert(q22.contains("HashAggregate(keys=[]"), q22)
   }
 
   test("ANN candidate generation is join-based: no per-bucket collect " +
