@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Headline analytic queries — multi-join aggregate shapes in the style of
-  * TPC-H Q3/Q5/Q10, adapted to the testdata columns. These are the plans
+  * TPC-H Q1/Q3/Q4/Q5/Q6/Q7/Q9/Q10/Q12/Q14/Q17/Q18/Q19/Q22, adapted to the
+  * testdata columns. These are the plans
   * that exercise join ordering, filter pushdown, broadcast-vs-shuffle
   * choices, and partial aggregation together; the money arithmetic follows
   * the exact-decimal / double-presentation rule (Relational.scala header).
