@@ -55,13 +55,13 @@ object OlistOps {
         "product_category_name_translation")
       products.agg(count(lit(1)).as("n_products"),
           count(col("product_category_name")).as("n_categorized"))
-        .crossJoin(sellers.agg(count(lit(1)).as("n_sellers"),
+        .crossJoin(broadcast(sellers.agg(count(lit(1)).as("n_sellers"),
           // quoted zips must keep leading zeros -> all length 5
           sum(when(length(col("seller_zip_code_prefix")) === 5, 1)
-            .otherwise(0)).as("n_zip5")))
-        .crossJoin(xlat.agg(count(lit(1)).as("n_translations"),
+            .otherwise(0)).as("n_zip5"))))
+        .crossJoin(broadcast(xlat.agg(count(lit(1)).as("n_translations"),
           // BOM must not corrupt the first header/column
-          count(col("product_category_name")).as("n_bom_ok")))
+          count(col("product_category_name")).as("n_bom_ok"))))
     },
 
     // --- semantic layer (dbt metrics) ------------------------------------
