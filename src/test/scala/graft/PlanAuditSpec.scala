@@ -48,11 +48,13 @@ class PlanAuditSpec extends SparkSpec {
     // rows broadcast against the code scan (flat PQ search IS a full scan
     // per query — the win is scanning codes, not floats).
     // q22's BNLJ is its 1-row global-average scalar, broadcast like
-    // text_perplexity's vocab attach.
+    // text_perplexity's vocab attach; q11's global-total threshold and
+    // q15's max-revenue scalar are the same shape (verified 1-row below).
     val audited = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
-        n == "q22_idle_balances")
+        n == "q22_idle_balances" || n == "q11_important_parts" ||
+        n == "q15_top_supplier")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -68,10 +70,15 @@ class PlanAuditSpec extends SparkSpec {
     // both joined sides are keyless global aggregates -> exactly one row
     assert("HashAggregate\\(keys=\\[\\], functions=\\[count\\(1\\)\\]".r
       .findAllIn(erc).size >= 2, erc)
-    val q22 = plan("q22_idle_balances")
-    assert(!q22.contains("CartesianProduct"), q22)
-    // the broadcast side is a keyless global aggregate -> one row
-    assert(q22.contains("HashAggregate(keys=[]"), q22)
+    // same audit for every query whose only BNLJ is a 1-row
+    // global-aggregate scalar attached by crossJoin(broadcast(...))
+    Seq("q22_idle_balances", "q11_important_parts", "q15_top_supplier")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+        // the broadcast side is a keyless global aggregate -> one row
+        assert(p.contains("HashAggregate(keys=[]"), s"$name:\n$p")
+      }
   }
 
   test("ANN candidate generation is join-based: no per-bucket collect " +
