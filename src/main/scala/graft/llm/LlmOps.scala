@@ -931,6 +931,45 @@ object LlmOps {
         .select(col("doc_id"), col("source"))
     },
 
+    // Per-source token budget: keep documents (in md5-draw order) while
+    // the stratum's running token total is under budget — the final cut of
+    // a weighted corpus mix. The oracle replays the draw ordering and the
+    // integer running sum exactly.
+    Op("mix_token_budget",
+       s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+          |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          |         CAST(sum(CAST(len($toksSql) AS BIGINT)) OVER (
+          |           PARTITION BY source
+          |           ORDER BY md5(concat(source, ':', CAST(doc_id AS VARCHAR))),
+          |                    doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum_tokens
+          |  FROM documents)
+          |WHERE cum_tokens - n_tokens < 700""".stripMargin) { (s, d) =>
+      Mixing.tokenBudget(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 700L)
+    },
+
+    // Deterministic output sharding: per-shard manifest (docs/tokens/chars)
+    // from an md5-byte shard assignment. The oracle recomputes the hash
+    // byte from its hex digits; all aggregates are integer-exact.
+    Op("mix_shard_manifest",
+       s"""SELECT shard_id, count(*) AS n_docs,
+          |       CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars
+          |FROM (
+          |  SELECT text, CAST(
+          |    ((strpos('0123456789abcdef',
+          |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          |     + strpos('0123456789abcdef',
+          |              substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16
+          |    AS INT) AS shard_id
+          |  FROM documents)
+          |GROUP BY 1""".stripMargin) { (s, d) =>
+      Mixing.shardManifest(Tables.documents(s, d), "doc_id", "text",
+        nShards = 16)
+    },
+
     // PII redaction: the scrub every public-corpus pipeline runs before
     // training. Synthetic PII (email/IP/phone/SSN derived from doc_id) is
     // appended to every document so the replacement chain is exercised on

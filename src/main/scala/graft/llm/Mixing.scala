@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,67 @@ object Mixing {
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $capacity"))
       .drop("cum")
   }
+
+  /** Per-source token budget — the "assemble a corpus of N tokens at these
+    * source weights" cut every training-data mixture ends with: within each
+    * stratum, documents are drawn in md5-derived pseudo-random order (an
+    * unbiased sample, reproducible across runs/partitionings/engines — the
+    * same draw identity as stratifiedSample) and kept while the stratum's
+    * running token total is still under the budget. The budget overflows by
+    * at most the one document that crosses it (the same streaming
+    * approximation as packSequences; trimming that document is a chunking
+    * decision, not a sampling one).
+    *
+    * One keyed window per stratum — at 100 TB, budget within finer shards
+    * (source x bucket) and divide the budget accordingly to bound
+    * per-partition sort size; budgets compose linearly.
+    */
+  def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                  strataCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("draw"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(strataCol),
+        size(TextFeatures.tokens(col(textCol))).cast("long").as("n_tokens"),
+        md5(concat(col(strataCol), lit(":"), col(idCol).cast("string")))
+          .as("draw"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .drop("draw")
+  }
+
+  /** Deterministic shard assignment for corpus output: shard =
+    * (first byte of md5(id)) mod nShards — stable under any partitioning
+    * and engine-portable (the oracle recomputes the byte from the hex
+    * digits). Balanced to binomial noise for nShards ≤ 256; divisors of
+    * 256 are exactly uniform over the byte space. The writer path is
+    * `df.withColumn("shard_id", shardId(...)).repartition(n, $"shard_id")`
+    * into a partitioned sink (TableStore.savePartitioned) — one directory
+    * per shard, sized by the budget, not by upstream partitioning.
+    */
+  def shardId(id: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1, 256], got $nShards")
+    pmod(conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int"),
+      lit(nShards))
+  }
+
+  /** Per-shard manifest — the summary record (docs/tokens/chars per output
+    * shard) a training job reads to plan its input splits. One partial+final
+    * aggregate over ≤ nShards groups; the token count is the same
+    * whitespace tokenization the packing/budget operators use.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame =
+    docs
+      .select(shardId(col(idCol), nShards).as("shard_id"),
+        size(TextFeatures.tokens(col(textCol))).cast("long").as("t"),
+        length(col(textCol)).cast("long").as("c"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("c")).as("n_chars"))
 
   /** Sliding-window document chunking — the step that turns cleaned
     * documents into trainer-sized pieces (a context-window's worth of

@@ -140,4 +140,50 @@ class MixingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("token budget: every stratum lands within one document of the " +
+       "budget, kept sets are prefixes of the draw order, and the result " +
+       "is partitioning-invariant") {
+    val budget = 700L
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixing.tokenBudget(df, "doc_id", "text", "source", budget)
+    val out = run(docs).collect()
+    val bySource = out.groupBy(_.getString(1))
+    val full = docs.groupBy(col("source"))
+      .agg(sum(size(TextFeatures.tokens(col("text")))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val total = rows.map(_.getLong(2)).sum
+      val maxDoc = rows.map(_.getLong(2)).max
+      // crossed the budget by at most the crossing document
+      assert(total < budget + maxDoc, s"$src: total=$total max=$maxDoc")
+      // where the budget cut the stratum, the kept prefix reaches it: the
+      // crossing document is kept, everything after it is dropped
+      if (full(src) > budget)
+        assert(rows.map(_.getLong(3)).max >= budget && total < full(src),
+          s"$src: cum_max=${rows.map(_.getLong(3)).max} total=$total")
+    }
+    // every stratum with more tokens than the budget exists in this corpus
+    assert(full.values.forall(_ > budget), full.toString)
+    // deterministic under repartitioning (window order is md5-derived)
+    val again = run(docs.repartition(17)).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(3))).toSet)
+  }
+
+  test("shard manifest: shards cover every document exactly once, ids are " +
+       "dense in [0, n), and assignment is value-derived (stable)") {
+    val m = Mixing.shardManifest(docs, "doc_id", "text", nShards = 16)
+      .collect()
+    assert(m.map(_.getInt(0)).toSet.subsetOf((0 until 16).toSet))
+    assert(m.map(_.getLong(1)).sum == docs.count())
+    // balanced to binomial noise: 500 docs over 16 shards ~ 31 each
+    val sizes = m.map(_.getLong(1))
+    assert(sizes.min > 10 && sizes.max < 60, sizes.mkString(","))
+    // stable across partitionings
+    val again = Mixing.shardManifest(docs.repartition(13), "doc_id", "text",
+      nShards = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == m.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
