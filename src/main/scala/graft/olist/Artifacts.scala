@@ -114,6 +114,19 @@ object Artifacts {
       m.tags.toSeq.sorted.foreach(tags.add)
       n.put("fingerprint", fps(name))
     }
+    // exposures: leaf nodes with dependency edges only (dbt writes them
+    // beside models under their own `exposures` key)
+    val exps = root.putObject("exposures")
+    catalog.exposures.sortBy(_.name).foreach { e =>
+      val n = exps.putObject(s"exposure.${e.name}")
+      n.put("name", e.name)
+      n.put("type", e.exposureType)
+      n.put("owner", e.owner)
+      n.put("maturity", e.maturity)
+      e.url.foreach(n.put("url", _))
+      val deps = n.putObject("depends_on").putArray("nodes")
+      e.dependsOn.foreach(d => deps.add(s"model.$d"))
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
   }

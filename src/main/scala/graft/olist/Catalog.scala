@@ -181,6 +181,23 @@ final case class Model(
     fullRefresh: Option[Boolean] = None,
     contract: Option[org.apache.spark.sql.types.StructType] = None)
 
+/** dbt exposure (`exposures:` YAML, [dbt]/contracts/graph/nodes.py
+  * Exposure; the reference's real-world instance is its two Power BI
+  * dashboards — `dashboard_final.jpg` / `dashboard_sp_analysis.jpg` read
+  * from the fct_orders mart): a DOWNSTREAM consumer declared in the
+  * graph so lineage is visible and `+exposure:<name>` can rebuild
+  * exactly what a dashboard needs. Exposures are leaf nodes — nothing
+  * materializes for them; they contribute dependency edges and manifest
+  * entries only.
+  */
+final case class Exposure(
+    name: String,
+    exposureType: String, // dashboard | notebook | analysis | ml | application
+    owner: String,
+    dependsOn: Seq[String],
+    url: Option[String] = None,
+    maturity: String = "low")
+
 /** dbt model contracts (`contract: enforced: true` + a full `columns:`
   * spec): the built relation's schema must match the declared one — same
   * column SET, same data types — or the node fails BEFORE anything is
@@ -445,9 +462,23 @@ final class Catalog(
     models: Seq[Model],
     onRunStart: Seq[SparkSession => Unit] = Nil,
     onRunEnd: Seq[(SparkSession, Seq[String]) => Unit] = Nil,
-    defer: Option[TableStore] = None) {
+    defer: Option[TableStore] = None,
+    val exposures: Seq[Exposure] = Nil) {
 
   private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
+
+  private val exposureByName: Map[String, Exposure] =
+    exposures.map(e => e.name -> e).toMap
+
+  // dbt parity: an exposure depending on an unknown node is a parse-time
+  // "depends on a node which was not found" error, not a run-time one
+  exposures.foreach(e => e.dependsOn.foreach(d =>
+    if (!byName.contains(d)) throw new NoSuchElementException(
+      s"exposure '${e.name}' depends on unregistered model '$d'")))
+
+  def exposure(name: String): Exposure = exposureByName.getOrElse(name,
+    throw new NoSuchElementException(
+      s"selector resolves to no registered exposure '$name'"))
 
   def model(name: String): Model = byName.getOrElse(name,
     throw new NoSuchElementException(
@@ -610,6 +641,14 @@ final class Catalog(
           Console.err.println(
             s"warning: selector 'tag:$t' matches no models (nothing to do)")
         matched
+      } else if (core.startsWith("exposure:")) {
+        // dbt's exposure method ([dbt]/graph/selector_methods.py
+        // ExposureSelectorMethod). The exposure node itself is not
+        // runnable, so the core selects its DIRECT parents ("build what
+        // the dashboard reads"); the `+` affix / upstream flag then adds
+        // full ancestry — making `+exposure:x` select the same runnable
+        // set dbt's does.
+        exposure(core.stripPrefix("exposure:")).dependsOn
       } else if (core == "state:modified" || core == "state:new") {
         // dbt's state method ([dbt]/graph/selector_methods.py): `new` =
         // absent from the old manifest; `modified` = new OR fingerprint

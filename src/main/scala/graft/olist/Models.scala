@@ -107,6 +107,13 @@ object Models {
         d => fctOrders(d("stg_olist_orders"), d("stg_olist_customers"),
           d("stg_items")),
         tags = Set("mart")))
-    new Catalog(spark, wh, models)
+    // the reference's two Power BI dashboards read from the mart
+    // (reference: README.md dashboard_final.jpg / dashboard_sp_analysis.jpg)
+    val exposures = Seq(
+      Exposure("orders_dashboard", "dashboard", "analytics",
+        Seq("fct_orders"), maturity = "high"),
+      Exposure("sp_analysis_dashboard", "dashboard", "analytics",
+        Seq("fct_orders")))
+    new Catalog(spark, wh, models, exposures = exposures)
   }
 }
