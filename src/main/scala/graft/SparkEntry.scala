@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Sketches.ops ++
       operators.Events.ops ++
       olist.OlistOps.ops ++
+      sources.SourceOps.ops ++
       llm.LlmOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

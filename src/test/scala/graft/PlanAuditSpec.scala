@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpec {
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
         n == "q22_idle_balances" || n == "q11_important_parts" ||
-        n == "q15_top_supplier")
+        n == "q15_top_supplier" || n == "source_jsonl_ingest")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(erc).size >= 2, erc)
     // same audit for every query whose only BNLJ is a 1-row
     // global-aggregate scalar attached by crossJoin(broadcast(...))
-    Seq("q22_idle_balances", "q11_important_parts", "q15_top_supplier")
+    Seq("q22_idle_balances", "q11_important_parts", "q15_top_supplier",
+        "source_jsonl_ingest")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
