@@ -323,6 +323,52 @@ final class Warehouse(spark: SparkSession, val dir: String) extends TableStore {
     }
     if (f.exists(old)) f.delete(old, true)
   }
+
+  /** Small-file compaction — the OPTIMIZE every long-lived parquet
+    * warehouse needs: incremental/streaming appends and high-parallelism
+    * writes leave hundreds of KB-sized files per table, and at 100 TB the
+    * scan cost becomes footer-and-task overhead instead of IO (each file
+    * is a task + a footer read + an object-store request). Rewrites the
+    * stored bytes into ceil(storedBytes / targetFileBytes) output files
+    * via the crash-safe replace() swap — readers never observe a partial
+    * table.
+    *
+    * Partitioned tables repartition BY the partition columns, so each
+    * hive-partition directory consolidates to ~one file per value (a task
+    * holds whole partition values); unpartitioned tables use a plain
+    * round-robin repartition. Returns the output file count.
+    */
+  def compact(name: String, targetFileBytes: Long = 128L << 20,
+              partitionBy: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0)
+    val p = path(name)
+    val bytes = fs(p).getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = load(name)
+    val repartitioned =
+      if (partitionBy.nonEmpty)
+        df.repartition(n, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(n)
+    replace(name, repartitioned, partitionBy)
+    n
+  }
+
+  /** Data files currently backing a stored table (for compaction
+    * accounting and specs): everything under the table directory except
+    * checksums/_SUCCESS markers.
+    */
+  def dataFiles(name: String): Seq[String] = {
+    val p = path(name)
+    val it = fs(p).listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        !n.endsWith(".crc")) out += f.getPath.toString
+    }
+    out.toSeq
+  }
 }
 
 /** S4's literal mapping: `CREATE OR REPLACE TABLE ... AS` becomes
@@ -408,6 +454,35 @@ final class SessionCatalogWarehouse(spark: SparkSession) extends TableStore {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(sane(name))
   }
+
+  /** ANALYZE TABLE ... COMPUTE STATISTICS — the catalog-statistics pass a
+    * long-lived warehouse runs after materializing big tables. Table-level
+    * stats (sizeInBytes, rowCount) replace Spark's file-size guess in
+    * every join-strategy decision (a table whose compressed footprint
+    * belies its decompressed width stops being mis-broadcast), and the
+    * optional column-level pass (`forColumns`) feeds distinct counts /
+    * min/max/null counts to the cost-based optimizer for join reordering
+    * — which is exactly the information a 6-join mart query needs at
+    * 100 TB, where a wrong join order is a 100× shuffle. Stats are
+    * metadata-only: one scan to compute, no data rewritten.
+    */
+  def analyze(name: String, forColumns: Seq[String] = Nil): Unit = {
+    val t = sane(name)
+    if (forColumns.nonEmpty) {
+      forColumns.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+        s"unsafe column name: $c"))
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+        forColumns.mkString(", "))
+    } else spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+  }
+
+  /** The catalog's recorded statistics for a stored table (None until
+    * analyze() runs): (sizeInBytes, rowCount if computed).
+    */
+  def stats(name: String): Option[(BigInt, Option[BigInt])] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(sane(name)))
+      .stats.map(s => (s.sizeInBytes, s.rowCount))
 
   /** A crashed or restarted session can leave a managed-table LOCATION on
     * disk that the (restarted, in-memory) catalog no longer knows about;
