@@ -83,7 +83,24 @@ object StreamOps {
     * bounded at any throughput — instead of unbounded buffering.
     */
   def attributeClicks(impressions: DataFrame, clicks: DataFrame,
-                      within: String = "30 minutes"): DataFrame = {
+                      within: String = "30 minutes"): DataFrame =
+    attribution(impressions, clicks, within, "inner")
+
+  /** The OUTER half of attribution: every impression eventually emits —
+    * matched rows as soon as the click arrives, UNMATCHED impressions
+    * (null click columns) once the watermark passes impression_ts +
+    * within, i.e. once no future click can legally match. This is how a
+    * streaming pipeline computes click-through: the unmatched emission IS
+    * the "no conversion" record, produced exactly once, with state still
+    * bounded by the same watermark horizon as the inner join (Spark holds
+    * an impression only until its join window is provably closed).
+    */
+  def attributeClicksOuter(impressions: DataFrame, clicks: DataFrame,
+                           within: String = "30 minutes"): DataFrame =
+    attribution(impressions, clicks, within, "left_outer")
+
+  private def attribution(impressions: DataFrame, clicks: DataFrame,
+                          within: String, joinType: String): DataFrame = {
     val imp = impressions
       .select(col("impression_id"), col("user_id").as("imp_user"),
         col("ts").as("imp_ts"))
@@ -95,7 +112,8 @@ object StreamOps {
     imp.join(clk,
       col("imp_user") === col("clk_user") &&
         col("clk_ts") >= col("imp_ts") &&
-        col("clk_ts") <= col("imp_ts") + expr(s"INTERVAL $within"))
+        col("clk_ts") <= col("imp_ts") + expr(s"INTERVAL $within"),
+      joinType)
   }
 
   final case class SessionEvent(event_id: Long, user_id: Long, ts: Timestamp)

@@ -174,4 +174,38 @@ class PropertySpec extends SparkSpec {
       sizesOk && overlapsOk && reassembled == toks
     }, tests = 30)
   }
+
+  test("token budget is a prefix property: a larger budget keeps a " +
+       "superset of a smaller budget's documents, per-stratum totals " +
+       "overflow by at most the crossing document") {
+    val genDocs = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 60L)
+      src <- Gen.oneOf("a", "b")
+      n <- Gen.chooseNum(1, 9)
+    } yield (id, src, (1 to n).map(i => s"t$i").mkString(" ")))
+    val genBudgets = for {
+      lo <- Gen.chooseNum(2L, 15L)
+      hi <- Gen.chooseNum(16L, 60L)
+    } yield (lo, hi)
+    checkProp(Prop.forAll(genDocs, genBudgets) { (docs, budgets) =>
+      import spark.implicits._
+      val (lo, hi) = budgets
+      val df = docs.toDF("doc_id", "source", "text")
+        .groupBy("doc_id", "source").agg(first("text").as("text"))
+      def kept(b: Long) =
+        Mixing.tokenBudget(df, "doc_id", "text", "source", b).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val small = kept(lo)
+      val big = kept(hi)
+      val subsetOk = small.map(t => (t._1, t._2)).toSet
+        .subsetOf(big.map(t => (t._1, t._2)).toSet)
+      val boundOk = Seq(small -> lo, big -> hi).forall { case (rows, b) =>
+        rows.groupBy(_._2).forall { case (_, rs) =>
+          val total = rs.map(_._3).sum
+          total < b + rs.map(_._3).max
+        }
+      }
+      subsetOk && boundOk
+    }, tests = 15)
+  }
 }

@@ -189,6 +189,44 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((100L, 1L)))
   }
 
+  test("outer attribution: matched impressions emit with their click; " +
+       "unmatched ones emit with null click once the watermark closes " +
+       "their join window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.attributeClicksOuter(
+        imps.toDF().toDF("impression_id", "user_id", "ts"),
+        clks.toDF().toDF("click_id", "user_id", "ts"),
+        within = "30 minutes")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      imps.addData((100L, 7L, ts("2024-01-01 10:00:00")), // will match
+        (101L, 8L, ts("2024-01-01 10:00:00")))            // never clicks
+      clks.addData((1L, 7L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // late traffic on BOTH streams advances the global watermark past
+      // 10:30 + the 1h delay, provably closing impression 101's window...
+      imps.addData((200L, 99L, ts("2024-01-01 13:00:00")))
+      clks.addData((9L, 98L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // ...and the eviction lands in the NEXT trigger after the watermark
+      // update (watermarks are computed at batch end)
+      imps.addData((201L, 99L, ts("2024-01-01 13:01:00")))
+      clks.addData((10L, 98L, ts("2024-01-01 13:01:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attr_outer")
+      .select("impression_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    // 100 matched; 101 emitted unmatched exactly once; the 13:00+ traffic
+    // is still inside its own window, so it has not emitted yet
+    assert(out == Set((100L, Some(1L)), (101L, None)), out.toString)
+  }
+
   test("stream-static enrich matches the batch left join, dim-side " +
        "broadcast per micro-batch") {
     import spark.implicits._
