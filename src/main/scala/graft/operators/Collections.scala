@@ -87,6 +87,29 @@ object Collections {
             .as("p50"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
             .as("p95"))
+    },
+
+    // EXACT discrete percentiles: percentile_disc picks an actual element
+    // (the smallest value whose cumulative distribution reaches q) — no
+    // interpolation arithmetic, so unlike the continuous/approximate
+    // variants the result is a real input datum and hash-matches across
+    // engines (DuckDB's quantile_disc selects the same ceil(q*n)-th
+    // order statistic at these quantiles). The scalable shape is still
+    // the GK sketch above — exact per-group percentiles sort each group —
+    // but groups here are bounded (5 priorities), which is exactly when
+    // exact is affordable: per-group sort width is n/5, one shuffle.
+    Op("f_percentile_disc",
+       """SELECT o_orderpriority,
+         |       quantile_disc(o_totalprice, 0.5) AS p50,
+         |       quantile_disc(o_totalprice, 0.9) AS p90
+         |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90"))
     }
   )
 }
