@@ -85,3 +85,42 @@ object Jsonl {
         quarantine.agg(count(lit(1)).as("n_quarantined"))))
   }
 }
+
+/** CSV twin of [[Jsonl]] for delimited drops (exports, partner feeds —
+  * the other wire format operational data arrives in): same
+  * text + from_csv + in-schema corrupt column design, same exact
+  * quarantine split, for the same reasons (the csv reader shares the
+  * json reader's corrupt-only-column restriction, and bare PERMISSIVE
+  * from_csv also returns partial rows on mid-parse failure). A line
+  * exactly matching the declared header is dropped before parsing; a
+  * reordered or renamed header is NOT silently accepted — it fails to
+  * type and lands in quarantine, where a schema drift belongs.
+  */
+object Csv {
+
+  /** One pass, two frames: (typed clean rows, quarantined raw lines).
+    * A field-count mismatch or an untypeable value marks the line.
+    */
+  def readRows(spark: SparkSession, path: String, schema: StructType,
+               delimiter: String = ","): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(Jsonl.corruptCol),
+      s"schema must not declare ${Jsonl.corruptCol}")
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(Jsonl.corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val headerLine = schema.fieldNames.mkString(delimiter)
+    val opts = Map("delimiter" -> delimiter, "nullValue" -> "",
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Jsonl.corruptCol)
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0 && col("value") =!= headerLine)
+      .select(col("value"),
+        from_csv(col("value"), withCorrupt, opts).as("r"))
+    val bad = col("r").isNull ||
+      col("r").getField(Jsonl.corruptCol).isNotNull
+    val clean = parsed.filter(!bad)
+      .select(schema.fieldNames.map(f => col("r").getField(f).as(f)): _*)
+    val quarantine = parsed.filter(bad)
+      .select(col("value").as("raw_line"))
+    (clean, quarantine)
+  }
+}

@@ -54,6 +54,25 @@ class JsonlSpec extends SparkSpec {
       StructType(Seq(StructField("_corrupt_record", StringType)))))
   }
 
+  test("csv twin: typed clean rows, header dropped, short/untypeable " +
+       "rows quarantined") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("feed.csv"),
+      Seq("doc_id,text,source",            // header -> dropped
+        "1,hello world,src0",
+        "2,\"quoted, with comma\",src1",   // quoted delimiter survives
+        "oops,not a number,src0",          // untypeable doc_id
+        "3,short-row").mkString("", "\n", "\n"))
+    val (clean, quarantine) = Csv.readRows(spark, dir.toString, schema)
+    val rows = clean.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L), rows.toSeq)
+    assert(rows.find(_.getLong(0) == 2L).get.getString(1) ==
+      "quoted, with comma")
+    val q = quarantine.collect().map(_.getString(0))
+    assert(q.length == 2 && q.exists(_.startsWith("oops")) &&
+      q.contains("3,short-row"), q.mkString("|"))
+  }
+
   test("gzipped jsonl decodes transparently") {
     val dir = Files.createTempDirectory("graft_jsonlgz")
     val out = new java.util.zip.GZIPOutputStream(
