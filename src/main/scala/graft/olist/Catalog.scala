@@ -181,6 +181,40 @@ final case class Model(
     fullRefresh: Option[Boolean] = None,
     contract: Option[org.apache.spark.sql.types.StructType] = None)
 
+/** Consumer-side readers for SCD2 snapshot tables (the query layer dbt
+  * leaves to the analyst: "what did this table look like on date X?").
+  * Both are single map-side filters — no join against a calendar, no
+  * window — so they compose with any downstream plan and prune like any
+  * other predicate.
+  */
+object Snapshots {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def dropTombstones(df: DataFrame, includeDeleted: Boolean) =
+    if (includeDeleted || !df.columns.contains("dbt_is_deleted")) df
+    else df.filter(!col("dbt_is_deleted"))
+
+  /** The table as of `ts`: each key's version whose [valid_from,
+    * valid_to) interval contains ts (none for keys not yet born or
+    * invalidated before ts). Tombstone rows (hard_deletes=new_record)
+    * are excluded unless asked for — "deleted as of ts" is a real state,
+    * but most consumers want the live rows.
+    */
+  def asOf(snapshot: DataFrame, ts: java.sql.Timestamp,
+           includeDeleted: Boolean = false): DataFrame =
+    dropTombstones(
+      snapshot.filter(col("valid_from") <= lit(ts) &&
+        (col("valid_to").isNull || col("valid_to") > lit(ts))),
+      includeDeleted)
+
+  /** The current live state: open versions, tombstones excluded unless
+    * asked for.
+    */
+  def current(snapshot: DataFrame,
+              includeDeleted: Boolean = false): DataFrame =
+    dropTombstones(snapshot.filter(col("valid_to").isNull), includeDeleted)
+}
+
 /** dbt exposure (`exposures:` YAML, [dbt]/contracts/graph/nodes.py
   * Exposure; the reference's real-world instance is its two Power BI
   * dashboards — `dashboard_final.jpg` / `dashboard_sp_analysis.jpg` read

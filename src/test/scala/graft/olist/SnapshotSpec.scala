@@ -62,6 +62,49 @@ class SnapshotSpec extends SparkSpec {
     snap.unpersist()
   }
 
+  test("Snapshots.asOf reconstructs any past state; current() returns " +
+       "the live rows; tombstones excluded unless requested") {
+    var current = batch((1L, "a", t1), (2L, "b", t1))
+    val cat = snapshotCatalog(() => current)
+    cat.run(Seq("snap"))
+    current = batch((1L, "a2", t2), (2L, "b", t1), (3L, "c", t2))
+    cat.run(Seq("snap"))
+    val snap = cat.warehouse.load("snap")
+    def state(ts: Timestamp) = Snapshots.asOf(snap, ts).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    // between t1 and t2: the original payloads, key 3 not yet born
+    assert(state(Timestamp.valueOf("2024-01-15 00:00:00")) ==
+      Map(1L -> "a", 2L -> "b"))
+    // at/after t2: key 1's new version, key 3 exists
+    assert(state(t2) == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // before t1: nothing born yet
+    assert(state(Timestamp.valueOf("2023-12-31 00:00:00")) == Map.empty)
+    assert(Snapshots.current(snap).collect().map(_.getAs[Long]("id")).toSet
+      == Set(1L, 2L, 3L))
+    // with new_record hard deletes: deleted key excluded by default,
+    // visible when asked for
+    @volatile var now = t1
+    @volatile var src2 = checkBatch((1L, "x", "p"), (2L, "y", "p"))
+    val wh2 = Files.createTempDirectory("graft_snap_asof").toString
+    val cat2 = new Catalog(spark, new Warehouse(spark, wh2), Seq(
+      Model("snapc", Nil, Materialization.SnapshotCheck("id",
+        Seq("watched"), () => now,
+        hardDeletes = Materialization.HardDeletes.NewRecord),
+        (_: Map[String, DataFrame]) => src2)))
+    cat2.run(Seq("snapc"))
+    now = t2
+    src2 = checkBatch((1L, "x", "p")) // key 2 deleted
+    cat2.run(Seq("snapc"))
+    val snap2 = cat2.warehouse.load("snapc")
+    assert(Snapshots.current(snap2).collect().map(_.getAs[Long]("id")).toSet
+      == Set(1L))
+    assert(Snapshots.current(snap2, includeDeleted = true).collect()
+      .map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    // as-of before the deletion still sees key 2 alive
+    assert(Snapshots.asOf(snap2, Timestamp.valueOf("2024-01-15 00:00:00"))
+      .collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+  }
+
   test("re-running the same batch is a no-op (idempotent snapshot)") {
     val cat = snapshotCatalog(() => batch((1L, "a", t1)))
     cat.run(Seq("snap"))
