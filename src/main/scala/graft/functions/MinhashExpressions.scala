@@ -236,6 +236,56 @@ case class WindowsWithPos(child: Expression, n: Int)
   override def prettyName: String = "windows_with_pos"
 }
 
+/** `token_shingles(toks, n)` — the DISTINCT length-n token windows of the
+  * array in first-occurrence order, with the whole-doc fallback for short
+  * documents: a doc with fewer than n tokens yields the single shingle
+  * `concat_ws(" ", toks)` (so every non-null doc contributes at least one
+  * set element — Jaccard over an empty set is undefined). Byte-equal to
+  * the composed formulation it replaces:
+  *
+  *   array_distinct(when(size(toks) < n, array(concat_ws(" ", toks)))
+  *     .otherwise(transform(sequence(0, size(toks) - n),
+  *       i => concat_ws(" ", element_at(toks, i+1) .. element_at(toks, i+n)))))
+  *
+  * which is the same interpreted-HOF anti-pattern windows_with_pos killed
+  * (n per-index element_at calls per window, run by the lambda
+  * interpreter), except this one sat under EVERY shingle consumer:
+  * minhash signatures (evaluated once per LSH join side), the Jaccard
+  * verify joins (once per side again), simhash chunks, and the
+  * decontamination n-gram sides — the single hottest expression subtree
+  * in the dedup suite. Same single-buffer kernel as windows_with_pos:
+  * tokens joined once, each window an O(1) byte-range view, distinct
+  * collapsed in a local hash set. Map-only; shingle strings are
+  * byte-identical, so every DuckDB oracle replay is untouched.
+  */
+case class TokenShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, s"n must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be array<string>, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMd5.computeShingles(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashMd5.computeShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_shingles"
+}
+
 object MinhashMd5 {
 
   private val digests = new ThreadLocal[MessageDigest] {
@@ -462,6 +512,81 @@ object MinhashMd5 {
         val w = UTF8String.fromString(sb.toString)
         if (seen.putIfAbsent(w, p) == null)
           out.add(new GenericInternalRow(Array[Any](p, w)))
+        p += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** token_shingles kernel — see TokenShingles. Fast path (no null
+    * tokens): the same joined-buffer trick as computeWindowsWithPos —
+    * window at token p is the O(1) buffer view [start(p), end(p+n-1)),
+    * byte-equal to concat_ws(" ", ...) of that token run — with distinct
+    * collapsed via a local hash set in first-occurrence order (matching
+    * array_distinct). Short docs (< n tokens, incl. empty) fall back to
+    * the whole-doc join as the single shingle. The null-token slow path
+    * mirrors concat_ws's skip-nulls semantics.
+    */
+  def computeShingles(toks: ArrayData, n: Int): ArrayData = {
+    val L = toks.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < L && !hasNull) {
+      if (toks.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    def joinRange(from: Int, until: Int): UTF8String = {
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var j = from
+      while (j < until) {
+        if (!toks.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    if (L < n)
+      return new GenericArrayData(Array[Any](joinRange(0, L)))
+    val out = new java.util.ArrayList[AnyRef](L - n + 1)
+    val seen = new java.util.HashSet[UTF8String](
+      Math.max(8, (L - n + 1) * 2))
+    if (!hasNull) {
+      val tokBytes = new Array[Array[Byte]](L)
+      val starts = new Array[Int](L)
+      val ends = new Array[Int](L)
+      var off = 0
+      i = 0
+      while (i < L) {
+        val b = toks.getUTF8String(i).getBytes
+        tokBytes(i) = b
+        if (i > 0) off += 1 // separator slot
+        starts(i) = off
+        off += b.length
+        ends(i) = off
+        i += 1
+      }
+      val buf = new Array[Byte](off)
+      i = 0
+      while (i < L) {
+        if (i > 0) buf(starts(i) - 1) = ' '.toByte
+        System.arraycopy(tokBytes(i), 0, buf, starts(i), tokBytes(i).length)
+        i += 1
+      }
+      var p = 0
+      while (p <= L - n) {
+        val w = UTF8String.fromBytes(buf, starts(p), ends(p + n - 1) - starts(p))
+        if (seen.add(w)) out.add(w)
+        p += 1
+      }
+    } else {
+      var p = 0
+      while (p <= L - n) {
+        val w = joinRange(p, p + n)
+        if (seen.add(w)) out.add(w)
         p += 1
       }
     }

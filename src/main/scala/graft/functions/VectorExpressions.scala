@@ -425,6 +425,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WindowsWithPos].getName, "windows_with_pos"),
       (children: Seq[Expression]) => WindowsWithPos(children(0),
         children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
+      (children: Seq[Expression]) => TokenShingles(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_md5"),
       (children: Seq[Expression]) => SimhashSigs(children(0), portable = true)),
@@ -493,6 +497,9 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(window))
   def windowsWithPos(toks: Column, n: Int): Column =
     call_function("windows_with_pos", toks,
+      org.apache.spark.sql.functions.lit(n))
+  def tokenShingles(toks: Column, n: Int): Column =
+    call_function("token_shingles", toks,
       org.apache.spark.sql.functions.lit(n))
   def simhashMd5(tokens: Column): Column = call_function("simhash_md5", tokens)
   def simhashXx(tokens: Column): Column = call_function("simhash_xx", tokens)

@@ -33,27 +33,33 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("fp"), col("n_copies"))
 
-  /** Distinct token n-gram shingles from an ALREADY-MATERIALIZED token
-    * array column. The token column must be a physical attribute, not a
-    * tokenization expression: `toks` is referenced inside the per-shingle
-    * lambda, and an inlined expression would re-tokenize the document once
-    * per shingle (measured ~10x slowdown on the benchmark corpus).
+  /** Distinct token n-gram shingles (first-occurrence order), with the
+    * whole-doc fallback for documents shorter than n tokens. Computed by
+    * the NATIVE token_shingles kernel
+    * (functions/MinhashExpressions.scala): tokens joined into one byte
+    * buffer, each window an O(1) offset-range view, distinct collapsed in
+    * a local hash set — map-only, no interpreter. The composed
+    * array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * element_at(toks, i+1) ... element_at(toks, i+n)))) formulation this
+    * replaces ran n interpreted element_at calls per window (the measured
+    * text_top_bigrams anti-pattern) and sat under EVERY shingle consumer —
+    * both LSH join sides, both Jaccard verify sides. Shingle strings are
+    * byte-identical (parity asserted in DedupSpec), so every DuckDB
+    * oracle replay is untouched.
     */
   def shinglesOfTokens(toks: Column, n: Int = 3): Column =
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+    graft.functions.GraftFunctions.tokenShingles(toks, n)
 
-  /** (id, sh): distinct shingle array per doc, with the token array
-    * materialized in its own projection (see shinglesOfTokens).
+  /** (id, sh): distinct shingle array per doc. One projection: the
+    * token_shingles kernel references its input exactly once, so the
+    * tokenization expression can be inlined (the old lambda formulation
+    * needed the token array in its own projection — a HOF lambda
+    * re-evaluates its argument per element).
     */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame =
-    docs.select(col(idCol), TextFeatures.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), shinglesOfTokens(col("toks"), n).as("sh"))
+    docs.select(col(idCol),
+      shinglesOfTokens(TextFeatures.tokens(col(textCol)), n).as("sh"))
 
   /** k minhashes per doc: each shingle is string-hashed ONCE (XXH64),
     * and the k hash functions are splitmix64 remixes of the 8-byte base —

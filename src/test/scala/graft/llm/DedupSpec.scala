@@ -488,6 +488,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("token_shingles kernel: byte parity with the composed " +
+       "array_distinct(transform/element_at) formulation, incl. the " +
+       "short-doc whole-text fallback and element order") {
+    val d = docs(
+      1L -> s"${filler("x", 5)} $passage ${filler("y", 8)}",
+      2L -> s"$passage  again $passage",
+      3L -> "The  quick brown fox THE quick brown fox the quick",
+      4L -> "tiny doc", // shorter than n -> whole-doc fallback shingle
+      5L -> (1 to 30).map(i => s"t${i % 7}").mkString(" "), // heavy repeats
+      6L -> "") // empty text
+    for (n <- Seq(3, 10)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1))
+      val toks = TextFeatures.tokens(col("text"))
+      val kernel = rows(d.select(col("doc_id"),
+        Dedup.shinglesOfTokens(toks, n).as("sh")))
+      val composed = rows(d
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), array_distinct(
+          when(size(col("toks")) < n, array(concat_ws(" ", col("toks"))))
+            .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+              i => concat_ws(" ",
+                (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+          .as("sh")))
+      assert(kernel.toSeq == composed.toSeq, s"n=$n")
+    }
+  }
+
   test("windowsWithPos is map-only: no exchange in the window plan") {
     val d = docs(1L -> passage, 2L -> passage)
     val plan = Dedup.windowsWithPos(d, "doc_id", "text", 10)
