@@ -276,17 +276,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Release the block-manager blocks behind a localCheckpoint'ed
-    * DataFrame. `localCheckpoint` persists the query's internal RDD and
-    * wraps it in a LogicalRDD; without an explicit unpersist, every
-    * fixpoint round's blocks linger until the ContextCleaner happens to
-    * GC the RDD reference — on a 100 TB run that is rounds × label-table
-    * bytes of dead storage. (This touches an RDD only for storage
-    * bookkeeping — no data ever moves to the driver.) No-op for
+  /** Release the block-manager blocks behind every localCheckpoint'ed
+    * scan in the plan. `localCheckpoint` persists the query's internal
+    * RDD and wraps it in a LogicalRDD; without an explicit unpersist,
+    * every fixpoint round's blocks linger until the ContextCleaner
+    * happens to GC the RDD reference — on a 100 TB run that is rounds ×
+    * label-table bytes of dead storage. Traverses the plan (not just the
+    * root) so callers can pass a narrow projection over the checkpointed
+    * DF — componentMinLabels returns one. (This touches an RDD only for
+    * storage bookkeeping — no data ever moves to the driver.) No-op for
     * non-checkpointed plans.
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()
@@ -330,6 +332,7 @@ object Dedup {
       .select(col("src").as("node"),
         least(col("src"), col("m")).as("label"))
       .localCheckpoint()
+    var labelsCk = labels // the checkpointed DF whose blocks back `labels`
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -337,24 +340,25 @@ object Dedup {
       val prop = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      // carry the round's starting label as `olabel` so convergence is a
+      // flag scan over the checkpointed result — the old formulation
+      // re-joined `next` against `labels` (a full shuffle join per round)
+      // just to ask "did anything move".
       val pushed = labels.join(prop, col("node") === col("dst"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("olabel"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
       // pointer jumping: follow one's label's label (halves chain depth)
       val hop = pushed.select(col("node").as("lnode"), col("label").as("llabel"))
       val next = pushed.join(hop, col("label") === col("lnode"), "left")
-        .select(col("node"),
+        .select(col("node"), col("olabel"),
           least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.select(col("node").as("onode"), col("label").as("olabel")),
-          col("node") === col("onode"))
-        .filter(col("label") < col("olabel"))
-        .isEmpty
-      releaseCheckpoint(labels) // next is materialized; free the old round
-      labels = next
+      converged = next.filter(col("label") < col("olabel")).isEmpty
+      releaseCheckpoint(labelsCk) // next is materialized; free the old round
+      labelsCk = next
+      labels = next.select("node", "label")
       round += 1
     }
     releaseCheckpoint(edges)
