@@ -21,6 +21,8 @@ object SparkEntry {
       operators.Collections.ops ++
       operators.Sketches.ops ++
       operators.Events.ops ++
+      operators.Profiling.ops ++
+      operators.Linkage.ops ++
       olist.OlistOps.ops ++
       sources.SourceOps.ops ++
       llm.LlmOps.ops

@@ -287,6 +287,52 @@ object Analytics {
           |       count(*) AS n
           |FROM gs_orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    },
+
+    // Cohort retention — the product-analytics staple: customers grouped
+    // by first-purchase month, tracked by how many are still ordering k
+    // months later. Three keyed aggregates and two equi-joins, all on the
+    // cohort/customer keys — every stage partial-aggregates before its
+    // shuffle, and the final cohort×offset matrix is tiny at any corpus
+    // size. The retention ratio is ONE bigint/bigint division in double
+    // (IEEE-exact both engines); cohort months stay timestamps until the
+    // final 'yyyy-MM' format (DuckDB's date_trunc on a timestamp yields
+    // a DATE whose varchar form drops the time part, so a plain string
+    // cast would never match — format explicitly on both sides).
+    Op("f_cohort_retention",
+       """WITH m AS (
+         |  SELECT o_custkey, date_trunc('month', o_orderdate) AS mon
+         |  FROM orders),
+         |firsts AS (
+         |  SELECT o_custkey, min(mon) AS cohort FROM m GROUP BY 1),
+         |active AS (SELECT DISTINCT o_custkey, mon FROM m),
+         |counts AS (
+         |  SELECT cohort,
+         |         CAST((year(mon) - year(cohort)) * 12
+         |              + (month(mon) - month(cohort)) AS INTEGER)
+         |           AS month_offset,
+         |         count(*) AS n_active
+         |  FROM active JOIN firsts USING (o_custkey)
+         |  GROUP BY 1, 2)
+         |SELECT strftime(c.cohort, '%Y-%m') AS cohort_month, c.month_offset,
+         |       c.n_active,
+         |       CAST(c.n_active AS DOUBLE) / c0.n_active AS retention
+         |FROM counts c
+         |JOIN counts c0 ON c0.cohort = c.cohort AND c0.month_offset = 0""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d).select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      val firsts = m.groupBy("o_custkey").agg(min(col("mon")).as("cohort"))
+      val counts = m.distinct().join(firsts, "o_custkey")
+        .groupBy(col("cohort"),
+          ((year(col("mon")) - year(col("cohort"))) * 12 +
+            (month(col("mon")) - month(col("cohort")))).as("month_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val base = counts.filter(col("month_offset") === 0)
+        .select(col("cohort"), col("n_active").as("n0"))
+      counts.join(base, "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM").as("cohort_month"),
+          col("month_offset"), col("n_active"),
+          (col("n_active").cast("double") / col("n0")).as("retention"))
     }
   )
 }
