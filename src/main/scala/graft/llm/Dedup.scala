@@ -323,9 +323,15 @@ object Dedup {
   def componentMinLabels(pairs: DataFrame, idA: String = "id_a",
                          idB: String = "id_b",
                          maxRounds: Int = 50): DataFrame = {
-    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst")))
+    // Both edge directions from ONE evaluation of `pairs`: the union-of-
+    // two-selects formulation scanned the pair subtree twice, and `pairs`
+    // is typically the run's most expensive fragment (a banding join, a
+    // levenshtein block join) — doubling it cost more than the whole
+    // fixpoint on real inputs.
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
@@ -340,8 +346,8 @@ object Dedup {
       val prop = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      // carry the round's starting label as `olabel` so convergence is a
-      // flag scan over the checkpointed result — the old formulation
+      // carry the round's starting label as `olabel` so convergence can
+      // be measured inside the round itself — the old formulation
       // re-joined `next` against `labels` (a full shuffle join per round)
       // just to ask "did anything move".
       val pushed = labels.join(prop, col("node") === col("dst"), "left")
@@ -350,12 +356,21 @@ object Dedup {
             .as("label"))
       // pointer jumping: follow one's label's label (halves chain depth)
       val hop = pushed.select(col("node").as("lnode"), col("label").as("llabel"))
+      // Convergence rides the checkpoint job via observe(): CollectMetrics
+      // accumulates the moved-count during the SAME action that
+      // materializes the round (Dataset.localCheckpoint runs under
+      // withAction, so the observation completes with it) — the
+      // naive-loop shape of one extra convergence job per round is gone
+      // entirely. Per round this fixpoint now runs exactly ONE action.
+      val obs = org.apache.spark.sql.Observation(s"cc_moved_r$round")
       val next = pushed.join(hop, col("label") === col("lnode"), "left")
         .select(col("node"), col("olabel"),
           least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label"))
+        .observe(obs,
+          count(when(col("label") < col("olabel"), 1)).as("moved"))
         .localCheckpoint()
-      converged = next.filter(col("label") < col("olabel")).isEmpty
+      converged = obs.get("moved").asInstanceOf[Long] == 0L
       releaseCheckpoint(labelsCk) // next is materialized; free the old round
       labelsCk = next
       labels = next.select("node", "label")

@@ -322,6 +322,55 @@ object LlmOps {
       Dedup.jaccardNearDups(Tables.documents(s, d), threshold = 0.8)
     },
 
+    // MinHash recall self-evaluation: the LSH pair set measured against
+    // the exact-Jaccard ground truth (the lossless prefix-filtered join
+    // above) — n_true / n_lsh / n_missed in ONE row. This is the harness
+    // a pipeline runs on a sample before trusting banding parameters at
+    // full scale (recall = 1 - n_missed/n_true; b=8,r=4 at 0.8 recovers
+    // everything on this corpus, asserted bit-exactly by the oracle).
+    // Shape: tag both pair sets, one keyed max-aggregate, one global
+    // sum — no cross join, no scalar attachments.
+    Op("dedup_minhash_recall",
+       s"""WITH truth AS (
+          |  SELECT id_a, id_b FROM (
+          |    WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |    sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks)
+          |    SELECT id_a, id_b FROM (
+          |      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |    WHERE jaccard >= 0.8)),
+          |lsh AS (
+          |  SELECT id_a, id_b FROM (
+          |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8)
+               .linesIterator.mkString("\n    ")})),
+          |tagged AS (
+          |  SELECT id_a, id_b, max(t) AS t, max(l) AS l FROM (
+          |    SELECT id_a, id_b, 1 AS t, 0 AS l FROM truth
+          |    UNION ALL SELECT id_a, id_b, 0, 1 FROM lsh)
+          |  GROUP BY 1, 2)
+          |SELECT CAST(sum(t) AS BIGINT) AS n_true,
+          |       CAST(sum(l) AS BIGINT) AS n_lsh,
+          |       CAST(sum(CASE WHEN t = 1 AND l = 0 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_missed
+          |FROM tagged""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.jaccardNearDups(docs, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          lit(1).as("t"), lit(0).as("l"))
+      val lsh = Dedup.minHashNearDups(docs, bands = 8, rows = 4,
+          threshold = 0.8, portable = true)
+        .select(col("id_a"), col("id_b"),
+          lit(0).as("t"), lit(1).as("l"))
+      truth.unionByName(lsh)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("t")).as("t"), max(col("l")).as("l"))
+        .agg(sum(col("t")).as("n_true"), sum(col("l")).as("n_lsh"),
+          sum(when(col("t") === 1 && col("l") === 0, 1).otherwise(0))
+            .as("n_missed"))
+    },
+
     // End-to-end corpus cleaning: quality floor -> exact dedup -> near-dup
     // CONNECTED-COMPONENTS removal (one min-id survivor per duplicate
     // cluster), all portable pieces, so the WHOLE pipeline hash-checks. The
@@ -1121,6 +1170,56 @@ object LlmOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))
         .limit(20)
+    },
+
+    // TF-IDF top terms per document — the IR-standard salience score,
+    // and the keyword-extraction step of corpus exploration. Two keyed
+    // aggregates (term frequency per (doc, tok); document frequency per
+    // tok — both partial-aggregate before their shuffles), a broadcast
+    // 1-row corpus count, and a per-doc top-3 window. Float parity: the
+    // score is ONE double multiply of an exact bigint tf against
+    // ieee_ln(n_docs/df) — Spark's codegen log is StrictMath (1 ulp off
+    // DuckDB's ln), so ln routes through the ieee_ln kernel; both
+    // engines then sort bit-identical doubles, so the rank — and the
+    // hash — match exactly.
+    Op("text_tfidf",
+       s"""WITH occ AS (
+          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY 1, 2),
+          |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT doc_id, tok,
+          |         CAST(tf AS DOUBLE)
+          |           * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+          |           AS tfidf
+          |  FROM tf JOIN df USING (tok), n)
+          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tfidf FROM (
+          |  SELECT doc_id, tok, tfidf,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY tfidf DESC, tok) AS rank
+          |  FROM scored)
+          |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextFeatures.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          (col("tf").cast("double") *
+            graft.functions.GraftFunctions.ieeeLn(
+              col("n_docs").cast("double") / col("df").cast("double")))
+            .as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tfidf"))
     },
 
     // --- BPE tokenizer ---------------------------------------------------

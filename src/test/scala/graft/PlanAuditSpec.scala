@@ -48,13 +48,15 @@ class PlanAuditSpec extends SparkSpec {
     // rows broadcast against the code scan (flat PQ search IS a full scan
     // per query — the win is scanning codes, not floats).
     // q22's BNLJ is its 1-row global-average scalar, broadcast like
-    // text_perplexity's vocab attach; q11's global-total threshold and
-    // q15's max-revenue scalar are the same shape (verified 1-row below).
+    // text_perplexity's vocab attach; q11's global-total threshold,
+    // q15's max-revenue scalar, and text_tfidf's corpus-count scalar
+    // (the N in ln(N/df)) are the same shape (verified 1-row below).
     val audited = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
         n == "q22_idle_balances" || n == "q11_important_parts" ||
-        n == "q15_top_supplier" || n == "source_jsonl_ingest")
+        n == "q15_top_supplier" || n == "source_jsonl_ingest" ||
+        n == "text_tfidf")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -73,7 +75,7 @@ class PlanAuditSpec extends SparkSpec {
     // same audit for every query whose only BNLJ is a 1-row
     // global-aggregate scalar attached by crossJoin(broadcast(...))
     Seq("q22_idle_balances", "q11_important_parts", "q15_top_supplier",
-        "source_jsonl_ingest")
+        "source_jsonl_ingest", "text_tfidf")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
