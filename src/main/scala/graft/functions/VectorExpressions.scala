@@ -429,6 +429,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
       (children: Seq[Expression]) => TokenShingles(children(0),
         children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("zorder_rank"),
+      new ExpressionInfo(classOf[RankBucket].getName, "zorder_rank"),
+      (children: Seq[Expression]) => RankBucket(children(0),
+        children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray())),
     (FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_md5"),
       (children: Seq[Expression]) => SimhashSigs(children(0), portable = true)),
@@ -501,6 +507,9 @@ object GraftFunctions {
   def tokenShingles(toks: Column, n: Int): Column =
     call_function("token_shingles", toks,
       org.apache.spark.sql.functions.lit(n))
+  def rankBucket(c: Column, bounds: Seq[Double]): Column =
+    call_function("zorder_rank", c,
+      org.apache.spark.sql.functions.typedlit(bounds))
   def simhashMd5(tokens: Column): Column = call_function("simhash_md5", tokens)
   def simhashXx(tokens: Column): Column = call_function("simhash_xx", tokens)
   def bloomAgg(hashed: Column, estItems: Long, numBits: Long): Column =

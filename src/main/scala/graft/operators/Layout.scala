@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Z-order clustered layout — multi-dimensional data skipping, the
+  * storage-layout tool next to bucketing (equi-join locality),
+  * compaction (file sizing), and ANALYZE (optimizer stats).
+  *
+  * A single-column sort gives a reader perfect min/max pruning on ONE
+  * dimension and none on any other: sort lineitem by l_orderkey and
+  * every file's l_partkey span is the full domain, so a partkey
+  * predicate reads everything. Interleaving the bits of both keys'
+  * QUANTILE RANKS (Morton/Z-value over rank space) and clustering files
+  * along that curve bounds every file's span on BOTH dimensions — a 2-D
+  * predicate prunes to ~sqrt of the files instead of all of them
+  * (Morton 1966; the technique under Delta/Iceberg OPTIMIZE ZORDER).
+  *
+  * RANK space, not raw keys: interleaving raw values only tiles evenly
+  * when both domains are power-of-2 and uniform. Real keys are neither —
+  * measured on lineitem (orderkey max 150k, partkey max 20k), raw-bit
+  * interleave left mean per-file partkey spans at 0.83 of the domain
+  * because the equi-depth file cuts land mid-cell of the lopsided
+  * curve. Ranks are uniform on [0, 2^bits) BY CONSTRUCTION, so cells
+  * align with cuts at any skew — exactly why Delta's ZORDER interleaves
+  * range-partition ids.
+  *
+  * Two surfaces:
+  *   - `writeZOrdered`: the 100 TB path. Per column, ONE approx-quantile
+  *     pass (GK sketch, O(buckets) driver state) yields frozen rank
+  *     boundaries; the native zorder_rank expression binary-searches
+  *     them per row (codegen, no window, no extra shuffle); the z-value
+  *     of the interleaved ranks feeds `repartitionByRange` + an
+  *     in-partition sort — the same cost shape as a plain sorted write.
+  *   - the `layout_zorder` query op: the skipping STATISTICS themselves —
+  *     per z-run row counts and min/max key spans, i.e. the footer stats
+  *     a pruning reader consults. Ranks come from exact ntile windows
+  *     with unique tiebreaks (the deterministic test-scale mirror of the
+  *     sampled boundaries, which are not bit-reproducible across
+  *     engines), so the DuckDB oracle replays the whole curve verbatim.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of two non-negative
+    * bigint columns — a's bit i lands at position 2i, b's at 2i+1.
+    * Pure shift/mask/add expression tree: codegen'd, map-only.
+    */
+  def zvalue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def zvalueSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Write `df` clustered along the z-curve of (c1, c2) rank space into
+    * `numFiles` range partitions, sorted within each so row-group
+    * min/max stats are tight on both dimensions. `rankBits` bounds the
+    * quantile resolution (2^rankBits buckets per column).
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    rankBits: Int = 10, numFiles: Int = 16): Unit = {
+    val nb = 1 << rankBits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    def rank(c: String): Column = {
+      val bounds = df.stat.approxQuantile(c, probs, 1.0 / (4 * nb))
+      graft.functions.GraftFunctions.rankBucket(
+        col(c).cast("double"), bounds.toSeq)
+    }
+    df.withColumn("__z", zvalue(rank(c1), rank(c2), rankBits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  val ops: Seq[Op] = Seq(
+    // Per-z-run skipping stats over lineitem (l_orderkey × l_partkey):
+    // 64 equi-depth runs along the rank-space curve, each with its row
+    // count and both key spans — bounded spans on BOTH dims are the
+    // property that makes 2-D pruning work, and LayoutSpec asserts them
+    // against the single-dim-sort layout where the partkey span is the
+    // full domain.
+    Op("layout_zorder",
+       s"""WITH r AS (
+          |  SELECT l_orderkey, l_partkey, l_linenumber,
+          |         ntile(1024) OVER (ORDER BY l_orderkey, l_linenumber)
+          |           - 1 AS r1,
+          |         ntile(1024) OVER (ORDER BY l_partkey, l_orderkey,
+          |           l_linenumber) - 1 AS r2
+          |  FROM lineitem),
+          |z AS (
+          |  SELECT l_orderkey, l_partkey, l_linenumber,
+          |         ${zvalueSql("r1", "r2", 10)} AS zv
+          |  FROM r),
+          |runs AS (
+          |  SELECT l_orderkey, l_partkey,
+          |         ntile(64) OVER (ORDER BY zv, l_orderkey, l_linenumber)
+          |           AS zrun
+          |  FROM z)
+          |SELECT CAST(zrun AS INTEGER) AS zrun, count(*) AS n_rows,
+          |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+          |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+          |FROM runs GROUP BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val r = li.select(col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber"),
+        (ntile(1024).over(Window.orderBy(col("l_orderkey"),
+          col("l_linenumber"))) - 1).cast("long").as("r1"),
+        (ntile(1024).over(Window.orderBy(col("l_partkey"),
+          col("l_orderkey"), col("l_linenumber"))) - 1).cast("long")
+          .as("r2"))
+      val z = r.select(col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber"), zvalue(col("r1"), col("r2"), 10).as("zv"))
+      val w = Window.orderBy(col("zv"), col("l_orderkey"),
+        col("l_linenumber"))
+      z.select(col("l_orderkey"), col("l_partkey"),
+          ntile(64).over(w).as("zrun"))
+        .groupBy(col("zrun"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"),
+          max(col("l_partkey")).as("max_pk"))
+    })
+}

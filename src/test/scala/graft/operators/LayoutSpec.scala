@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("zvalue interleaves bits: a at even positions, b at odd") {
+    import spark.implicits._
+    val r = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zvalue(col("a"), col("b"), 3).as("z"))
+      .collect().head.getLong(0)
+    // a=101 -> bits 0,4 ; b=011 -> bits 1,3 : 1+2+8+16 = 27
+    assert(r == 27L)
+  }
+
+  /** Per-file (min,max) spans of both keys for every parquet file in
+    * `dir`, normalized by the global key ranges.
+    */
+  private def fileSpans(dir: String): Seq[(Double, Double)] = {
+    val files = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val global = spark.read.parquet(dir)
+      .agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).collect().head
+    val (okRange, pkRange) = (
+      (global.getLong(1) - global.getLong(0)).toDouble.max(1.0),
+      (global.getLong(3) - global.getLong(2)).toDouble.max(1.0))
+    files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey"),
+          min("l_partkey"), max("l_partkey")).collect().head
+      ((r.getLong(1) - r.getLong(0)) / okRange,
+        (r.getLong(3) - r.getLong(2)) / pkRange)
+    }
+  }
+
+  test("z-ordered layout bounds BOTH key spans per file; a single-column " +
+       "sort leaves the other dimension unprunable") {
+    val li = Tables.lineitem(spark, sf)
+    val zdir = Files.createTempDirectory("zorder").toString
+    val ldir = Files.createTempDirectory("linear").toString
+    Layout.writeZOrdered(li, zdir, "l_orderkey", "l_partkey",
+      rankBits = 10, numFiles = 16)
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(ldir)
+
+    val zs = fileSpans(zdir)
+    val ls = fileSpans(ldir)
+    def meanPk(xs: Seq[(Double, Double)]) = xs.map(_._2).sum / xs.size
+    // linear layout: every file's partkey span is ~the whole domain
+    assert(meanPk(ls) > 0.8, s"linear partkey spans: ${ls.map(_._2)}")
+    // z layout: partkey spans are bounded well below the domain, and
+    // orderkey spans stay bounded too (the curve trades a little of one
+    // dimension for a lot of the other)
+    assert(meanPk(zs) < 0.5 * meanPk(ls), s"z partkey spans: ${zs.map(_._2)}")
+    assert(zs.map(_._1).sum / zs.size < 0.6,
+      s"z orderkey spans: ${zs.map(_._1)}")
+
+    // File pruning on the NON-sort dimension: a partkey-selective,
+    // orderkey-wide predicate. The linear (orderkey-sorted) layout can
+    // never prune it — every file's partkey span is the domain — while
+    // the z layout confines each partkey range to a strip of the curve.
+    def overlapping(dir: String, pk: (Long, Long)) = {
+      val files = Files.list(java.nio.file.Paths.get(dir)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      (files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("l_partkey"), max("l_partkey")).collect().head
+        r.getLong(0) <= pk._2 && r.getLong(1) >= pk._1
+      }, files.length)
+    }
+    val (zHit, zn) = overlapping(zdir, (100L, 110L))
+    val (lHit, ln) = overlapping(ldir, (100L, 110L))
+    assert(lHit == ln, s"linear layout should never prune on partkey: " +
+      s"$lHit of $ln")
+    assert(zHit <= zn / 2, s"z layout should skip most files on a " +
+      s"partkey strip: hit $zHit of $zn")
+  }
+
+  test("z-ordered write preserves content exactly") {
+    val li = Tables.lineitem(spark, sf)
+    val dir = Files.createTempDirectory("zorder_content").toString
+    Layout.writeZOrdered(li, dir, "l_orderkey", "l_partkey")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    assert(back.unionByName(li).distinct().count() ==
+      li.distinct().count())
+    assert(back.columns.sorted.toSeq == li.columns.sorted.toSeq)
+  }
+}
