@@ -1019,6 +1019,47 @@ object LlmOps {
         nShards = 16)
     },
 
+    // Leakage-safe train/val/test split: the split draw hashes the
+    // near-dup CLUSTER label (minhash components, singletons = own id),
+    // so duplicates can never straddle the eval boundary. The oracle
+    // replays the banding candidates, the recursive-CTE component walk,
+    // and the md5 threshold CASE verbatim — per-document rows, so any
+    // cluster/split divergence hash-fails.
+    Op("mix_split_leakage_safe",
+       s"""WITH RECURSIVE pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8)
+                 .linesIterator.mkString("\n    ")})),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs),
+          |walk(node, reach) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |labels AS (
+          |  SELECT node, least(node, min(reach)) AS label
+          |  FROM walk GROUP BY node),
+          |clustered AS (
+          |  SELECT d.doc_id, d.source,
+          |         coalesce(l.label, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+          |SELECT doc_id, source, cluster,
+          |       CASE WHEN substr(md5(concat('split:',
+          |                    CAST(cluster AS VARCHAR))), 1, 4) < 'cccc'
+          |              THEN 'train'
+          |            WHEN substr(md5(concat('split:',
+          |                    CAST(cluster AS VARCHAR))), 1, 4) < 'e666'
+          |              THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM clustered""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, bands = 8, rows = 4,
+        threshold = 0.8, portable = true)
+      Mixing.leakageSafeSplit(docs.select(col("doc_id"), col("source")),
+        "doc_id", pairs, valFrac = 0.1, testFrac = 0.1)
+    },
+
     // PII redaction: the scrub every public-corpus pipeline runs before
     // training. Synthetic PII (email/IP/phone/SSN derived from doc_id) is
     // appended to every document so the replacement chain is exercised on

@@ -216,4 +216,41 @@ object Mixing {
         concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize)))
           .as("chunk_text"))
   }
+
+  /** Leakage-safe train/val/test split: the md5 draw is on the document's
+    * near-dup CLUSTER label, not the document id, so every member of a
+    * duplicate cluster lands in the SAME split. A per-document draw leaks
+    * evaluation data whenever a near-duplicate of a test document sits in
+    * train — the contamination path dedup exists to close, reopened at
+    * the split boundary. Fractions: train gets 1−valFrac−testFrac of the
+    * 16-bit hash space, then val, then test (cluster-weighted, so realized
+    * document fractions wobble with cluster sizes — inherent to any
+    * group-coherent split).
+    *
+    * `nearDupPairs` is any (id_a, id_b) pair relation — minhash bands,
+    * simhash, embedding near-dups; singletons (no pair) are their own
+    * cluster. Cost beyond the pair relation is one componentMinLabels
+    * fixpoint (O(log diameter) rounds) plus a broadcast-or-shuffle left
+    * join of labels onto docs and a map-side CASE — the same 100 TB shape
+    * as cleanCorpus, and the draw itself adds no shuffle.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+                       nearDupPairs: DataFrame,
+                       valFrac: Double, testFrac: Double): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      "valFrac and testFrac must be non-negative and sum below 1")
+    def thresh(r: Double) = f"${(r * 65536).toInt}%04x"
+    val labels = Dedup.componentMinLabels(nearDupPairs)
+      .select(col("node").as(idCol), col("label"))
+    val h = substring(
+      md5(concat(lit("split:"), col("cluster").cast("string"))), 1, 4)
+    docs
+      .join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .drop("label")
+      .withColumn("split",
+        when(h < lit(thresh(1.0 - valFrac - testFrac)), lit("train"))
+          .when(h < lit(thresh(1.0 - testFrac)), lit("val"))
+          .otherwise(lit("test")))
+  }
 }

@@ -186,4 +186,49 @@ class MixingSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(again == m.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("leakage-safe split: cluster members share a split even when their " +
+       "per-document draws disagree; singletons split ~80/10/10") {
+    import spark.implicits._
+    // 200 singletons plus planted pairs chosen so the PER-DOCUMENT md5
+    // draws of the two members land in different splits — the exact case
+    // a naive per-doc split leaks on.
+    def docSplit(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      if (h < "cccc") "train" else if (h < "e666") "val" else "test"
+    }
+    val leakyPairs = (1000L until 2000L)
+      .map(a => (a, a + 1000))
+      .filter { case (a, b) => docSplit(a) != docSplit(b) }
+      .take(20)
+    assert(leakyPairs.size == 20) // the planted hazard is non-vacuous
+    val ids = (0L until 200L) ++ leakyPairs.flatMap(p => Seq(p._1, p._2))
+    val docsDf = ids.toDF("doc_id").withColumn("source", lit("s"))
+    val pairsDf = leakyPairs.toDF("id_a", "id_b")
+    val out = Mixing.leakageSafeSplit(docsDf, "doc_id", pairsDf,
+      valFrac = 0.1, testFrac = 0.1)
+    val rows = out.select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every cluster maps to exactly one split
+    val perCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.values.forall(_.size == 1))
+    // each planted pair is co-located, on the cluster label's draw
+    leakyPairs.foreach { case (a, b) =>
+      val (sa, sb) = (rows.find(_._1 == a).get._3, rows.find(_._1 == b).get._3)
+      assert(sa == sb, s"pair ($a,$b) split across ($sa,$sb)")
+      assert(sa == docSplit(math.min(a, b)))
+    }
+    // singletons follow their own-id draw, ~80/10/10 over 200 docs
+    val single = rows.filter(_._1 < 200).map(t => t._3)
+    assert(single.count(_ == "train") > 140 && single.count(_ == "train") < 190)
+    assert(single.count(_ == "test") > 5)
+    // deterministic across partitionings
+    val again = Mixing.leakageSafeSplit(docsDf.repartition(7), "doc_id",
+        pairsDf.repartition(3), valFrac = 0.1, testFrac = 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == rows.map(t => (t._1, t._3)).toSet)
+  }
 }
