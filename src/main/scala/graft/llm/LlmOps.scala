@@ -1019,6 +1019,24 @@ object LlmOps {
         nShards = 16)
     },
 
+    // Contiguous global ids in md5-shuffled order — dense 0..n−1 without
+    // a global window: range partition on the key, rank per partition,
+    // broadcast cumulative offsets (the zipWithIndex-without-collect
+    // pattern; MixingSpec asserts the plan has no single-partition
+    // exchange on the data path). The oracle is the naive global
+    // row_number the plan provably equals.
+    Op("mix_assign_ids",
+       """SELECT doc_id, source,
+         |       CAST(row_number() OVER (
+         |         ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+         |         AS seq_id
+         |FROM documents""".stripMargin) { (s, d) =>
+      Mixing.assignContiguousIds(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          md5(col("doc_id").cast("string")))
+        .select(col("doc_id"), col("source"), col("seq_id"))
+    },
+
     // Leakage-safe train/val/test split: the split draw hashes the
     // near-dup CLUSTER label (minhash components, singletons = own id),
     // so duplicates can never straddle the eval boundary. The oracle

@@ -217,6 +217,45 @@ object Mixing {
           .as("chunk_text"))
   }
 
+  /** Contiguous global id assignment — dense ids 0..n−1 in `orderCol`
+    * order WITHOUT a global window (the zipWithIndex-without-collect
+    * idiom). A naive `row_number() OVER (ORDER BY k)` moves the whole
+    * table to ONE partition; this plan never does:
+    *
+    *   1. `repartitionByRange(orderCol)` — partition p holds a contiguous
+    *      key range, all below partition p+1's (sampled boundaries; ids
+    *      depend only on the global key order, not where cuts land).
+    *   2. `row_number()` PARTITIONED by `spark_partition_id()` — every
+    *      partition ranks its own rows in parallel.
+    *   3. Per-partition row counts (one tiny agg, ≤ #partitions rows) →
+    *      cumulative offsets on the driver-sized side → broadcast join;
+    *      id = offset + local rank − 1.
+    *
+    * `orderCol` must be a total order (break ties with the id) — with
+    * ties straddling a range boundary the per-partition ranks would be
+    * order-dependent. Deterministic under any input partitioning; equals
+    * the naive global row_number, which is what the oracle replays.
+    */
+  def assignContiguousIds(df: DataFrame, orderCol: Column,
+                          numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.withColumn("__k", orderCol)
+      .repartitionByRange(parts, col("__k"))
+      .withColumn("__pid", spark_partition_id())
+    val local = row_number()
+      .over(Window.partitionBy(col("__pid")).orderBy(col("__k")))
+    val offsets = ranged.groupBy(col("__pid")).count()
+      .select(col("__pid"),
+        (sum(col("count")).over(Window.orderBy(col("__pid"))
+           .rowsBetween(Window.unboundedPreceding, -1))).as("__off"))
+      .withColumn("__off", coalesce(col("__off"), lit(0L)))
+    ranged.withColumn("__local", local)
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("seq_id", col("__off") + col("__local") - 1)
+      .drop("__k", "__pid", "__local", "__off")
+  }
+
   /** Leakage-safe train/val/test split: the md5 draw is on the document's
     * near-dup CLUSTER label, not the document id, so every member of a
     * duplicate cluster lands in the SAME split. A per-document draw leaks

@@ -187,6 +187,36 @@ class MixingSpec extends SparkSpec {
     assert(again == m.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("assign ids: dense 0..n-1 in key order, stable across input " +
+       "partitionings, no single-partition exchange on the data path") {
+    val out = Mixing.assignContiguousIds(docs.select("doc_id"),
+      md5(col("doc_id").cast("string")))
+    val rows = out.select(col("doc_id"), col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.count()
+    assert(rows.map(_._2).sorted.toSeq == (0L until n))
+    // seq order == md5-key order
+    def key(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = rows.map(_._1).sortBy(key).zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.toSet
+    assert(rows.toSet == expect)
+    // stable when the input arrives differently partitioned
+    val again = Mixing.assignContiguousIds(
+        docs.select("doc_id").repartition(17),
+        md5(col("doc_id").cast("string")))
+      .select(col("doc_id"), col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.toSet)
+    // the DATA side never collapses to one partition: the only
+    // SinglePartition exchange feeds the <= #partitions-row offsets agg
+    // (driver-sized metadata), which arrives via BroadcastExchange
+    val plan = out.queryExecution.executedPlan.toString
+    val dataWindows = plan.linesIterator
+      .filter(_.contains("Window")).filterNot(_.contains("__off")).toSeq
+    assert(dataWindows.forall(_.contains("__pid")), plan)
+  }
+
   test("leakage-safe split: cluster members share a split even when their " +
        "per-document draws disagree; singletons split ~80/10/10") {
     import spark.implicits._
