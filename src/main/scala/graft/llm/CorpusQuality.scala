@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Repetition-based quality signals — the Gopher/MassiveText filter rules
@@ -125,6 +126,50 @@ object CorpusQuality {
           (acc, x) => acc + x.getField("lnp")).as("s"))
       .select(col(idCol), col("n_bigrams"),
         (-(col("s") / col("n_bigrams"))).as("log_ppl"))
+  }
+
+  /** Per-source robust length outliers — median/MAD, the scale- and
+    * outlier-resistant alternative to mean/stddev for flagging truncated
+    * or boilerplate-bloated documents (a mean-based z-score is dragged by
+    * the very outliers it is supposed to flag; the median/MAD pair has a
+    * 50% breakdown point).
+    *
+    * Medians are EXACT lower medians picked by integer rank (`row_number
+    * = (n+1) div 2`), not interpolated: the statistic is an actual data
+    * value, every comparison stays in integer arithmetic, and the outlier
+    * flag `|x − med| > k·max(mad, 1)` never touches a float — only the
+    * reported z-score does (one exact division at the end). Windows are
+    * PARTITIONED by source — parallel across strata like any keyed
+    * window, never a global sort; at 100 TB per-stratum sort-and-rank is
+    * the exact-median price, and a corpus with few huge strata would swap
+    * in approxQuantile at the same call sites.
+    */
+  def lengthOutliers(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     strataCol: String = "source",
+                     k: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol), col(strataCol),
+      length(col(textCol)).cast("long").as("n_chars"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(strataCol))
+            .orderBy(col(valueCol), col(idCol))))
+        .withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy(col(strataCol))))
+        .filter(col("__rn") === expr("(__cnt + 1) div 2"))
+        .select(col(strataCol), col(valueCol).as(out))
+    val med = lowerMedian(base, "n_chars", "med")
+    val dev = base.join(med, Seq(strataCol))
+      .select(col(idCol), col(strataCol),
+        abs(col("n_chars") - col("med")).as("dev"))
+    val mad = lowerMedian(dev, "dev", "mad")
+    base.join(med, Seq(strataCol)).join(mad, Seq(strataCol))
+      .select(col(idCol), col(strataCol), col("n_chars"), col("med"),
+        col("mad"),
+        ((col("n_chars") - col("med")).cast("double") /
+          greatest(col("mad"), lit(1L)).cast("double")).as("z"),
+        (abs(col("n_chars") - col("med")) >
+          lit(k.toLong) * greatest(col("mad"), lit(1L))).as("is_outlier"))
   }
 
   def commonness(docs: DataFrame, idCol: String = "doc_id",

@@ -795,6 +795,42 @@ object LlmOps {
 
     // --- text analysis ---------------------------------------------------
 
+    // Per-source robust length outliers: exact lower-median and MAD by
+    // integer rank (keyed windows, parallel across sources), flag by pure
+    // integer comparison, z-score as one exact division — the oracle
+    // replays every rank pick and the final arithmetic bit-for-bit.
+    Op("text_length_outliers",
+       """WITH base AS (
+         |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |med AS (
+         |  SELECT source, n_chars AS med FROM (
+         |    SELECT source, n_chars,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY n_chars, doc_id) AS rn,
+         |           count(*) OVER (PARTITION BY source) AS cnt
+         |    FROM base)
+         |  WHERE rn = (cnt + 1) // 2),
+         |dev AS (
+         |  SELECT b.doc_id, b.source, abs(b.n_chars - m.med) AS dev
+         |  FROM base b JOIN med m USING (source)),
+         |mad AS (
+         |  SELECT source, dev AS mad FROM (
+         |    SELECT source, dev,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY dev, doc_id) AS rn,
+         |           count(*) OVER (PARTITION BY source) AS cnt
+         |    FROM dev)
+         |  WHERE rn = (cnt + 1) // 2)
+         |SELECT b.doc_id, b.source, b.n_chars, m.med, d.mad,
+         |       CAST(b.n_chars - m.med AS DOUBLE)
+         |         / CAST(greatest(d.mad, 1) AS DOUBLE) AS z,
+         |       abs(b.n_chars - m.med) > 3 * greatest(d.mad, 1) AS is_outlier
+         |FROM base b JOIN med m USING (source) JOIN mad d USING (source)"""
+         .stripMargin) { (s, d) =>
+      CorpusQuality.lengthOutliers(Tables.documents(s, d))
+    },
+
     // Per-document token/char statistics; all doubles are single divisions
     // of exact ints -> bit-identical.
     Op("text_stats",

@@ -73,4 +73,30 @@ class CorpusQualitySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(re(1L) == nllNat && re(100L) == nllSal)
   }
+
+  test("length outliers: exact lower median/MAD, planted outlier flagged, " +
+       "median unmoved by the outlier (robustness), strata independent") {
+    import spark.implicits._
+    // src A: lengths 10,12,14,16,18 (med=14, devs 4,2,0,2,4 -> mad=2)
+    // plus one 1000-char doc: n=6, lower med still 14, devs sorted
+    // 0,2,2,4,4,986 -> mad (rank 3) = 2; outlier iff |x-14| > 6.
+    // src B: all length 7 -> mad=0 -> guard divides by 1, none flagged.
+    val docs = (
+      Seq(10, 12, 14, 16, 18, 1000).zipWithIndex.map { case (n, i) =>
+        (i.toLong, "A", "x" * n) } ++
+      Seq.tabulate(4)(i => (10L + i, "B", "y" * 7)))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusQuality.lengthOutliers(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+         r.getBoolean(6))).toMap
+    // the 1000-char doc did not drag the median or MAD
+    assert(out(5L)._2 == 14 && out(5L)._3 == 2)
+    assert(out(5L)._5 && out(5L)._4 == 493.0) // (1000-14)/2
+    // everyone else in A inside the fence
+    assert(Seq(0L, 1L, 2L, 3L, 4L).forall(!out(_)._5))
+    // zero-MAD stratum: guarded division, nothing flagged
+    assert(Seq(10L, 11L, 12L, 13L).forall { id =>
+      out(id)._3 == 0 && out(id)._4 == 0.0 && !out(id)._5 })
+  }
 }
