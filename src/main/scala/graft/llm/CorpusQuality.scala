@@ -172,6 +172,45 @@ object CorpusQuality {
           lit(k.toLong) * greatest(col("mad"), lit(1L))).as("is_outlier"))
   }
 
+  /** Cross-source contamination matrix — for every source pair, the
+    * count of distinct token shingles they share and the shingle-set
+    * Jaccard. The corpus-assembly diagnostic for "who copies whom":
+    * mirrored dumps, syndicated boilerplate, and benchmark bleed between
+    * web snapshots show up as off-diagonal mass long before per-document
+    * dedup finds the individual twins.
+    *
+    * Plan: distinct (source, shingle) — ONE keyed agg that collapses the
+    * corpus to its per-source vocabulary — then a shingle-keyed self-join
+    * whose per-key fanout is bounded by the SOURCE count (bounded catalog
+    * cardinality, not data volume), then per-pair counts. The per-source
+    * totals are a ≤ #sources-row side, broadcast back on. Integers until
+    * the final Jaccard division, so the oracle matches bit-for-bit.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text",
+                    strataCol: String = "source", n: Int = 3): DataFrame = {
+    val sh = docs.select(col(strataCol).as("src"),
+        explode(Dedup.shinglesOfTokens(
+          TextFeatures.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("src").as("src_a"), col("shingle"))
+      .join(sh.select(col("src").as("src_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(counts.select(col("src").as("src_a"),
+        col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("src").as("src_b"),
+        col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   def commonness(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
                  rareBelow: Long = 5L): DataFrame = {

@@ -831,6 +831,36 @@ object LlmOps {
       CorpusQuality.lengthOutliers(Tables.documents(s, d))
     },
 
+    // Cross-source contamination matrix: distinct shared shingles and
+    // shingle-set Jaccard per source pair. The per-key join fanout is
+    // bounded by the source count; integers until the final division.
+    Op("text_source_overlap",
+       s"""WITH toks AS (
+          |  SELECT source, $toksSql AS toks FROM documents),
+          |sh0 AS (
+          |  SELECT source,
+          |    unnest(CASE WHEN len(toks) < 3
+          |      THEN [array_to_string(toks, ' ')]
+          |      ELSE list_transform(range(0, len(toks) - 2),
+          |        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END)
+          |      AS shingle
+          |  FROM toks),
+          |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+          |counts AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT a.source AS src_a, b.source AS src_b,
+          |         count(*) AS n_shared
+          |  FROM sh a JOIN sh b
+          |    ON a.shingle = b.shingle AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+          |       CAST(n_shared AS DOUBLE)
+          |         / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE) AS jaccard
+          |FROM inter JOIN counts ca ON ca.source = src_a
+          |           JOIN counts cb ON cb.source = src_b""".stripMargin) {
+      (s, d) => CorpusQuality.sourceOverlap(Tables.documents(s, d))
+    },
+
     // Per-document token/char statistics; all doubles are single divisions
     // of exact ints -> bit-identical.
     Op("text_stats",

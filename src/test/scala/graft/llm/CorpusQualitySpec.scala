@@ -74,6 +74,22 @@ class CorpusQualitySpec extends SparkSpec {
     assert(re(1L) == nllNat && re(100L) == nllSal)
   }
 
+  test("source overlap: exact shared-shingle counts and Jaccard per pair, " +
+       "cross-doc distinct within a source, zero-overlap pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "X", "a b c d e"),   // shingles: "a b c","b c d","c d e"
+      (2L, "X", "a b c"),       // duplicate shingle within X -> no effect
+      (3L, "Y", "a b c x y"),   // shares only "a b c" with X
+      (4L, "Z", "p q r"))       // disjoint from both
+      .toDF("doc_id", "source", "text")
+    val out = CorpusQuality.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set(("X", "Y"))) // zero-overlap pairs not emitted
+    assert(out(("X", "Y")) == ((1L, 3L, 3L, 0.2))) // 1 / (3 + 3 - 1)
+  }
+
   test("length outliers: exact lower median/MAD, planted outlier flagged, " +
        "median unmoved by the outlier (robustness), strata independent") {
     import spark.implicits._
