@@ -276,6 +276,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT directional containment join: every ordered pair (a, b),
+    * a != b, with |Sa ∩ Sb| / |Sa| >= threshold — "a's shingles are
+    * mostly inside b". The asymmetric relation Jaccard is blind to: a
+    * paragraph quoted whole inside a long article has containment ~1.0
+    * and Jaccard ~|Sa|/|Sb| ~ 0, so a Jaccard join at any useful
+    * threshold misses it. This is the set-level counterpart of
+    * substringDups (which finds the shared PASSAGE; this ranks how much
+    * of a DOCUMENT is derivative).
+    *
+    * Prefix filter, containment form: under the same rare-first order as
+    * jaccardNearDups, overlap >= ceil(t·|Sa|) forces a shared element
+    * among a's first |Sa| − ceil(t·|Sa|) + 1 shingles (pigeonhole — if
+    * the whole prefix misses b, at most ceil(t·|Sa|) − 1 of a's shingles
+    * remain to overlap). Only the PROBE side is prefix-pruned; the index
+    * side must carry its full inverted list (the larger set's required
+    * overlap depends on its partner's size, so no self-sufficient prefix
+    * exists for it — the structural asymmetry of containment search, cf.
+    * LSH Ensemble, Zhu et al. VLDB'16). The join only touches index
+    * postings for PROBE-PREFIX shingles, which the rare-first order
+    * keeps low-df, so bucket fanout stays bounded where stopword
+    * n-grams would explode. Size filter |Sb| >= t·|Sa| prunes before
+    * the verify join; epsilon slack keeps float rounding admit-only.
+    */
+  def containmentDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 3,
+                      threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(docs, idCol, textCol, n)
+    val tok = sh.select(col(idCol), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfreq = tok.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
+    val index = tok.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+      col("s"))
+    val candidates = prefix.join(index, "s")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= col("sz_a") * threshold - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Release the block-manager blocks behind every localCheckpoint'ed
     * scan in the plan. `localCheckpoint` persists the query's internal
     * RDD and wraps it in a LogicalRDD; without an explicit unpersist,

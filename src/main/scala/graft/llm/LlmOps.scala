@@ -322,6 +322,23 @@ object LlmOps {
       Dedup.jaccardNearDups(Tables.documents(s, d), threshold = 0.8)
     },
 
+    // Directional containment join (quote/subset detection): ordered
+    // pairs with |Sa∩Sb|/|Sa| >= 0.9 — the asymmetric derivative-content
+    // relation Jaccard misses. Probe-prefix-filtered, exact; the oracle
+    // is the brute-force all-ordered-pairs replay, so a hash match
+    // proves the prefix filter lossless.
+    Op("dedup_containment",
+       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks)
+          |SELECT id_a, id_b, containment FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / len(a.sh) AS containment
+          |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id)
+          |WHERE containment >= 0.9""".stripMargin) { (s, d) =>
+      Dedup.containmentDups(Tables.documents(s, d), threshold = 0.9)
+    },
+
     // MinHash recall self-evaluation: the LSH pair set measured against
     // the exact-Jaccard ground truth (the lossless prefix-filtered join
     // above) — n_true / n_lsh / n_missed in ONE row. This is the harness

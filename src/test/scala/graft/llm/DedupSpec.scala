@@ -44,6 +44,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("containment: a quoted passage pairs directionally at ~1.0 where " +
+       "Jaccard sits near zero; lossless vs brute force; no self pairs") {
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val article = quote + " " + (1 to 80).map(i => s"body$i").mkString(" ")
+    val d = docs(1L -> quote, 2L -> article, 3L -> unrelated)
+    val out = Dedup.containmentDups(d, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // quote-in-article fires ONLY in the a->b direction
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(out.head._3 == 1.0) // all 8 of the quote's shingles inside
+    // the same pair is invisible to the Jaccard join at any useful t
+    assert(Dedup.jaccardNearDups(d, threshold = 0.5).count() == 0)
+    // losslessness on a corpus slice: prefix-filtered == brute force
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = Dedup.containmentDups(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.withShingles(corpus, "doc_id", "text")
+    val brute = sh.toDF("id_a", "sh_a")
+      .join(sh.toDF("id_b", "sh_b"), col("id_a") =!= col("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("double") / size(col("sh_a")) >= 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute && fast.nonEmpty)
+  }
+
   test("minhash plan contains no cartesian product") {
     val d = docs(1L -> base, 2L -> nearDup)
     val plan = Dedup.minHashNearDups(d).queryExecution.executedPlan.toString
