@@ -58,13 +58,16 @@ object Layout {
       s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
-  /** Write `df` clustered along the z-curve of (c1, c2) rank space into
-    * `numFiles` range partitions, sorted within each so row-group
-    * min/max stats are tight on both dimensions. `rankBits` bounds the
-    * quantile resolution (2^rankBits buckets per column).
+  /** The clustering transform behind [[writeZOrdered]]: rows ordered
+    * along the z-curve of (c1, c2) rank space, as `numFiles` range
+    * partitions each sorted within. Exposed separately so the plan is
+    * testable: one approx-quantile pass per column (GK sketch, driver
+    * holds O(2^rankBits) boundaries), then a purely map-side
+    * zorder_rank + interleave, one range shuffle, in-partition sort —
+    * NO window, no single-partition stage (LayoutSpec asserts this).
     */
-  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
-                    rankBits: Int = 10, numFiles: Int = 16): Unit = {
+  def zOrdered(df: DataFrame, c1: String, c2: String,
+               rankBits: Int = 10, numFiles: Int = 16): DataFrame = {
     val nb = 1 << rankBits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
@@ -77,8 +80,17 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` clustered along the z-curve of (c1, c2) rank space into
+    * `numFiles` range partitions, sorted within each so row-group
+    * min/max stats are tight on both dimensions. `rankBits` bounds the
+    * quantile resolution (2^rankBits buckets per column).
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    rankBits: Int = 10, numFiles: Int = 16): Unit =
+    zOrdered(df, c1, c2, rankBits, numFiles)
+      .write.mode("overwrite").parquet(path)
 
   val ops: Seq[Op] = Seq(
     // Per-z-run skipping stats over lineitem (l_orderkey × l_partkey):

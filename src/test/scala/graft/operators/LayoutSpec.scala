@@ -83,6 +83,17 @@ class LayoutSpec extends SparkSpec {
       s"partkey strip: hit $zHit of $zn")
   }
 
+  test("zOrdered plan is scale-shaped: no window, no single-partition " +
+       "exchange — one range shuffle plus map-side rank/interleave") {
+    val li = Tables.lineitem(spark, sf)
+    val plan = Layout.zOrdered(li, "l_orderkey", "l_partkey",
+      rankBits = 10, numFiles = 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("zorder_rank"), plan)
+  }
+
   test("z-ordered write preserves content exactly") {
     val li = Tables.lineitem(spark, sf)
     val dir = Files.createTempDirectory("zorder_content").toString
