@@ -46,6 +46,32 @@ object StreamOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Continuous vocabulary tracking over a document stream — the
+    * Misra-Gries heavy-hitters sketch as STREAMING STATE. The batch
+    * f_heavy_hitters takes top tokens off a static corpus; an ingest
+    * pipeline wants the same summary maintained incrementally as
+    * documents arrive (vocabulary drift, hot-token monitoring) without
+    * per-token state. An exact streaming groupBy(token).count() keeps
+    * one state row PER DISTINCT TOKEN — unbounded on an open stream;
+    * here the whole aggregation state is ONE (k−1)-counter sketch
+    * buffer (the Aggregator's TypedImperativeAggregate buffer lives in
+    * the state store and merges each micro-batch's map-side partials),
+    * so state is O(k) forever while keeping the n/k frequency
+    * guarantee over the full stream history. Complete output mode:
+    * each trigger re-emits the current top tokens.
+    */
+  def vocabTracker(docs: DataFrame, textCol: String = "text",
+                   k: Int = 20): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.operators.Sketches.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs
+      .select(explode(graft.llm.TextFeatures.tokens(col(textCol)))
+        .as("tok"))
+      .agg(mg(col("tok")).as("hitters"))
+      .select(explode(col("hitters")).as(Seq("tok", "est")))
+  }
+
   /** Native session windows: per-user sessions closed by a 30-minute
     * silence, aggregated incrementally (Spark merges adjacent session
     * windows as events arrive; the watermark closes and emits finished

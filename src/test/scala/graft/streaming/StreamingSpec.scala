@@ -41,6 +41,35 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("vocabTracker: the planted heavy token survives across trigger " +
+       "batches within the n/k undercount; state is ONE sketch row, not " +
+       "per-token") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = StreamOps.vocabTracker(stream.toDF().toDF("text"), k = 10)
+      .writeStream.format("memory").queryName("vocab")
+      .outputMode("complete").start()
+    try {
+      // batch 1: 60 tokens, "hot" is 20 of them (freq 1/3 >> n/k = 1/10)
+      stream.addData(Seq.fill(20)("hot noise1 noise2").mkString(" "))
+      q.processAllAvailable()
+      // batch 2: different filler, "hot" stays heavy over the HISTORY
+      stream.addData(Seq.tabulate(10)(i => s"hot fill$i").mkString(" "))
+      q.processAllAvailable()
+      val est = spark.table("vocab").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 30 true occurrences over n=80 tokens; MG undercount <= n/k = 8
+      assert(est.contains("hot"), est)
+      assert(est("hot") >= 30 - 8 && est("hot") <= 30, est)
+      // the aggregation state is one buffer row (the sketch), not one
+      // row per distinct token (13 distinct so far)
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal == 1,
+        state.map(_.numRowsTotal).mkString(","))
+    } finally q.stop()
+  }
+
   test("append mode: an event behind the watermark is dropped from its " +
        "already-closed window") {
     import spark.implicits._
