@@ -53,6 +53,54 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** The cluster deployment profile — every setting the 100 TB design
+    * notes scattered through this repo assume, codified so a deployment
+    * starts from the tuned profile instead of rediscovering it. Semantic
+    * settings (timezone, excluded rules, nanos) are shared with `local`
+    * via this map; `local` additionally pins shuffle partitions to the
+    * core count (on a cluster AQE coalescing owns that knob).
+    */
+  def clusterConf: Map[String, String] = Map(
+    // AQE family: runtime partition coalescing, skew-join splitting, and
+    // join-strategy demotion are the first line of defense at 100 TB.
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Start wide, let AQE coalesce down: at 100 TB a shuffle stage's
+    // pre-coalesce partition count must keep every task's input under
+    // executor memory; 64 MiB advisory size × 8192 initial partitions
+    // covers a ~0.5 TB shuffle per stage before AQE even splits skew.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "8192",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+    // Scan granularity: 256 MiB splits keep the task count of a 100 TB
+    // scan around 400k — large enough tasks to amortize scheduling,
+    // small enough to ride executor loss.
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    // Dims up to 64 MiB broadcast (region/nation/supplier-scale); the
+    // scaling fact tables never qualify, AQE can still demote.
+    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    // Semantic settings — MUST match `local`, or cluster results drift
+    // from the oracle-verified behavior.
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Builder for a cluster deployment: master/executor sizing stays with
+    * spark-submit; `checkpointDir` (durable storage, e.g. an s3a/hdfs
+    * path) makes the iterative fixpoints executor-loss-safe — pass it
+    * and run `componentMinLabels(reliable = true)` paths; without it
+    * they fall back to localCheckpoint (fast, not fault-tolerant).
+    */
+  def cluster(appName: String = "graft",
+              checkpointDir: Option[String] = None): SparkSession.Builder = {
+    val b = SparkSession.builder().appName(appName)
+      .withExtensions(new functions.GraftExtensions)
+    clusterConf.foreach { case (k, v) => b.config(k, v) }
+    checkpointDir.foreach(d => b.config("spark.checkpoint.dir", d))
+    b
+  }
 }
 
 /** Readers for the driver-generated TPC-H-ish parquet tables

@@ -365,31 +365,37 @@ object Dedup {
     * keyed anti-join emptiness check, the same protocol as any iterative
     * distributed graph algorithm short of GraphX.
     *
-    * Fault-tolerance caveat: localCheckpoint blocks are NOT recoverable —
-    * an executor loss mid-fixpoint fails the job. On a long cluster run,
-    * point `spark.checkpoint.dir` at durable storage and swap these for
-    * reliable checkpoints; the label table is small, so the extra write
-    * is cheap insurance. The local form is the right default for the
-    * single-node profile this library is benched under.
+    * Fault-tolerance: by default rounds cut lineage with localCheckpoint
+    * — fast, but its blocks are NOT recoverable, so an executor loss
+    * mid-fixpoint fails the job. `reliable = true` swaps every round's
+    * checkpoint for a RELIABLE one written to `spark.checkpoint.dir`
+    * (set it to durable storage — see Engine.cluster(checkpointDir));
+    * the label table is O(dup-graph nodes), so the extra write is cheap
+    * insurance on a 100 TB run. Enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` to reap old
+    * round files; the local form stays the default for the single-node
+    * bench profile.
     */
   def componentMinLabels(pairs: DataFrame, idA: String = "id_a",
                          idB: String = "id_b",
-                         maxRounds: Int = 50): DataFrame = {
+                         maxRounds: Int = 50,
+                         reliable: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // Both edge directions from ONE evaluation of `pairs`: the union-of-
     // two-selects formulation scanned the pair subtree twice, and `pairs`
     // is typically the run's most expensive fragment (a banding join, a
     // levenshtein block join) — doubling it cost more than the whole
     // fixpoint on real inputs.
-    val edges = pairs.select(explode(array(
+    val edges = cut(pairs.select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint()
-    var labels = edges.groupBy(col("src"))
+      .distinct())
+    var labels = cut(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("node"),
-        least(col("src"), col("m")).as("label"))
-      .localCheckpoint()
+        least(col("src"), col("m")).as("label")))
     var labelsCk = labels // the checkpointed DF whose blocks back `labels`
     var round = 0
     var converged = false
@@ -415,13 +421,12 @@ object Dedup {
       // naive-loop shape of one extra convergence job per round is gone
       // entirely. Per round this fixpoint now runs exactly ONE action.
       val obs = org.apache.spark.sql.Observation(s"cc_moved_r$round")
-      val next = pushed.join(hop, col("label") === col("lnode"), "left")
+      val next = cut(pushed.join(hop, col("label") === col("lnode"), "left")
         .select(col("node"), col("olabel"),
           least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label"))
         .observe(obs,
-          count(when(col("label") < col("olabel"), 1)).as("moved"))
-        .localCheckpoint()
+          count(when(col("label") < col("olabel"), 1)).as("moved")))
       converged = obs.get("moved").asInstanceOf[Long] == 0L
       releaseCheckpoint(labelsCk) // next is materialized; free the old round
       labelsCk = next
