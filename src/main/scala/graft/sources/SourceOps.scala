@@ -31,6 +31,54 @@ object SourceOps {
         java.nio.file.Paths.get(out, "part-corrupt.json"),
         "{\"doc_id\": oops}\n")
       Jsonl.ingestStats(s, out, docSchema, "text")
+    },
+
+    // ORC round trip: the documents table written as ORC and read back.
+    // The oracle is a plain SELECT against the PARQUET table — a hash
+    // match therefore proves value fidelity through the second columnar
+    // format end-to-end (types, nulls, unicode text), not just "rows
+    // came back". ORC ships in Spark's classpath; it is the interchange
+    // format a pipeline meets at warehouse boundaries.
+    Op("source_orc_roundtrip",
+       "SELECT doc_id, source, lang, text, n_chars FROM documents") {
+      (s, d) =>
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        val cols = Seq("doc_id", "source", "lang", "text", "n_chars")
+        Tables.documents(s, d).selectExpr(cols: _*)
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out).selectExpr(cols: _*)
+    },
+
+    // Schema evolution: two parquet batches whose schemas drifted (the
+    // second adds a `lang` column), read together with mergeSchema —
+    // exactly what years of accumulated corpus drops look like. The
+    // oracle recomputes the per-batch row and null-lang counts straight
+    // from the documents table, so the hash match pins the merged-read
+    // semantics: old rows surface with lang NULL, new rows keep theirs.
+    Op("source_schema_evolution",
+       """SELECT batch, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_null_lang
+         |FROM (
+         |  SELECT CAST(doc_id % 2 AS INTEGER) AS batch,
+         |         CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang
+         |  FROM documents)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$out/b0")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/b1")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b0", s"$out/b1")
+        .select((col("doc_id") % 2).cast("int").as("batch"), col("lang"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"))
     }
   )
 }
