@@ -23,6 +23,50 @@ object LlmOps {
   private val stopSql =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
 
+  /** Shared DuckDB replay of Mixing.dsirWeights (B = 512, target =
+    * lang='en'): CTEs through `agg(doc_id, n_grams, log_w)`. Both DSIR
+    * entries build on it so the weight definition cannot drift between
+    * them.
+    */
+  private val dsirAggSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang = 'en' AS is_target, $toksSql AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_target,
+       |         unnest(list_concat(toks,
+       |           list_transform(range(0, len(toks) - 1),
+       |             i -> concat_ws(' ', toks[i+1], toks[i+2])))) AS gram
+       |  FROM toks),
+       |occ AS (
+       |  SELECT doc_id, is_target,
+       |         CAST(CAST('0x' || substr(md5(gram), 1, 6) AS BIGINT) % 512
+       |              AS INT) AS bucket
+       |  FROM grams),
+       |dbuck AS (
+       |  SELECT doc_id, is_target, bucket, count(*) AS n
+       |  FROM occ GROUP BY 1, 2, 3),
+       |bstats AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN is_target THEN n ELSE 0 END) AS BIGINT)
+       |           AS ct,
+       |         CAST(sum(n) AS BIGINT) AS cr
+       |  FROM dbuck GROUP BY 1),
+       |tots AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |         CAST(sum(cr) AS BIGINT) AS tr FROM bstats),
+       |lam AS (
+       |  SELECT bucket,
+       |         CAST(round(ln(CAST((ct + 1) * (tr + 512) AS DOUBLE) /
+       |                       CAST((cr + 1) * (tt + 512) AS DOUBLE))
+       |                    * 1073741824.0) AS BIGINT) AS lam_fx
+       |  FROM bstats, tots),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+       |         CAST(CAST(sum(n * lam_fx) AS BIGINT) AS DOUBLE)
+       |           / 1073741824.0 AS log_w
+       |  FROM dbuck JOIN lam USING (bucket) GROUP BY 1)""".stripMargin
+
   /** DuckDB replay of the PORTABLE MinHash near-dup pipeline (md5 string
     * hashes — see Dedup.minhashSignaturesPortable). Generated, not
     * hand-written: the k signature expressions mirror the Spark builder
@@ -1100,6 +1144,43 @@ object LlmOps {
           |GROUP BY 1""".stripMargin) { (s, d) =>
       Mixing.shardManifest(Tables.documents(s, d), "doc_id", "text",
         nShards = 16)
+    },
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bag-of-buckets log-likelihood ratio between a target slice (here
+    // lang='en') and the whole pool. The oracle replays bucket hashing
+    // (24 md5 bits mod B) and the FIXED-POINT λ quantization — glibc's
+    // ln is not correctly rounded, so no JVM ln matches it on every
+    // operand; round(ln·2^30) absorbs the ulp and keeps the per-doc
+    // score in exact integer arithmetic (see Mixing.dsirWeights).
+    Op("mix_dsir_weights",
+       s"""$dsirAggSql
+          |SELECT doc_id, n_grams, log_w FROM agg""".stripMargin) { (s, d) =>
+      Mixing.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en", nBuckets = 512)
+    },
+
+    // Gumbel top-k resampling over the DSIR weights — without-replacement
+    // draws proportional to softmax(log_w) using only log-domain math
+    // (DuckDB's exp matches no JVM exp; the Gumbel noise -ln(-ln(u)) is
+    // quantized to 2^-20 so ln-ulp divergence can't reach the key, and
+    // the key sum of two dyadic rationals is exact). Spark plans the
+    // order-by+limit as TakeOrderedAndProject: per-partition top-k,
+    // k-row driver merge.
+    Op("mix_dsir_resample",
+       s"""$dsirAggSql
+          |SELECT doc_id, log_w,
+          |       log_w + CAST(round(-ln(-ln(
+          |         (CAST('0x' || substr(md5(concat('dsir:',
+          |            CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) + 0.5)
+          |         / 4294967296.0)) * 1048576.0) AS BIGINT) / 1048576.0
+          |         AS sel_key
+          |FROM agg ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Mixing.dsirResample(
+          Mixing.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+            targetPred = col("lang") === "en", nBuckets = 512),
+          "doc_id", k = 100)
     },
 
     // Contiguous global ids in md5-shuffled order — dense 0..n−1 without

@@ -256,6 +256,111 @@ object Mixing {
       .drop("__k", "__pid", "__local", "__off")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document in
+    * the raw pool by how much its hashed n-gram distribution looks like a
+    * TARGET corpus rather than the pool at large. Features are unigrams +
+    * bigrams hashed into `nBuckets` buckets; the per-bucket log-likelihood
+    * ratio under add-one-smoothed bag-of-buckets models is
+    *
+    *   lambda_b = ln( (ct_b + 1) / (tot_t + B)  /  ((cr_b + 1) / (tot_r + B)) )
+    *
+    * and a document's log importance weight is sum_b n_db * lambda_b.
+    *
+    * Shape at 100 TB: one explode -> ONE keyed aggregation to per-doc
+    * bucket counts (the only data-sized shuffle); bucket stats are a
+    * second aggregation over the ALREADY-REDUCED (doc x bucket) relation,
+    * and the resulting lambda table is exactly `nBuckets` rows — joined
+    * back by explicit broadcast, so scoring is map-side. No collect, no
+    * cartesian beyond a 1-row scalar attachment of the two totals.
+    *
+    * Oracle-parity: glibc's `ln` (DuckDB) is NOT correctly rounded — on
+    * some operands it disagrees with `java.lang.Math.log`, on others with
+    * `StrictMath.log`, so NO JVM ln can match it bit-for-bit across
+    * arbitrary operands (measured: one λ operand in this very corpus
+    * splits the three ways). Instead of betting on ulp luck, λ is
+    * QUANTIZED to fixed-point: lam_fx = round(ln(ratio) · 2^30) as a
+    * BIGINT. A 1-ulp ln disagreement (~1e-17 absolute) only changes the
+    * rounded integer when the true value sits within 1e-17 of a grid
+    * midpoint (~1e-8 per bucket — negligible), and everything downstream
+    * is EXACT integer arithmetic: the per-doc score Σ n_db · lam_fx is an
+    * order-independent integer sum (no sorted fold needed — cheaper at
+    * scale, too), and the reported log_w = Σ/2^30 is a dyadic rational
+    * that double division reproduces exactly on both engines. Precision
+    * lost to quantization is 2^-30 ≈ 1e-9 per λ — noise, next to the
+    * add-one smoothing already inside the estimator.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int = 512): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [2, 2^20], got $nBuckets")
+    val base = docs.select(col(idCol), targetPred.as("is_target"),
+      TextFeatures.tokens(col(textCol)).as("toks"))
+    // 6 hex chars = 24 bits of md5 — uniform over any nBuckets <= 2^20
+    val occ = base.select(col(idCol), col("is_target"),
+        explode(concat(col("toks"), TextFeatures.bigramsOfTokens(col("toks"))))
+          .as("gram"))
+      .select(col(idCol), col("is_target"),
+        pmod(conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).cast("int").as("bucket"))
+      // bucket is never null; the explicit filter mirrors the isnotnull
+      // the join constraint inserts on the scoring branch, so all three
+      // consumers of dbuck canonicalize to the SAME subplan and
+      // ReuseExchange collapses them to one scan+explode+shuffle (without
+      // it, bstats and tots each re-ran the explode from the scan)
+      .filter(col("bucket").isNotNull)
+    val dbuck = occ.groupBy(col(idCol), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val bstats = dbuck.groupBy(col("bucket"))
+      .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("ct"),
+        sum(col("n")).as("cr"))
+    val tots = bstats.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lam = bstats.crossJoin(broadcast(tots)) // 1-row scalar attachment
+      .select(col("bucket"),
+        round(graft.functions.GraftFunctions.ieeeLn(
+          ((col("ct") + 1L) * (col("tr") + nBuckets)).cast("double") /
+            ((col("cr") + 1L) * (col("tt") + nBuckets)).cast("double"))
+          * lit(1073741824.0)).cast("long").as("lam_fx"))
+    dbuck.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_grams"),
+        (sum(col("n") * col("lam_fx")).cast("double") / lit(1073741824.0))
+          .as("log_w"))
+  }
+
+  /** Gumbel top-k resampling over dsirWeights — sampling WITHOUT
+    * replacement proportional to softmax(log_w): key_d = log_w_d + g_d
+    * with g_d = -ln(-ln(u_d)) standard Gumbel noise from a deterministic
+    * md5 uniform draw, then the k largest keys. Never materializes a
+    * normalized probability (DuckDB's `exp` matches no JVM exp — the
+    * Gumbel trick needs only the log domain, which is the whole point of
+    * using it here).
+    *
+    * The noise is quantized to 2^-20 for the same reason dsirWeights
+    * quantizes λ (no JVM ln matches glibc's on every operand); a Gumbel
+    * draw blurred by 1e-6 is statistically indistinguishable, and the
+    * key sum log_w + g of two dyadic rationals (2^-30 and 2^-20 grids,
+    * both far under 2^53) is EXACT in double on both engines.
+    *
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject — a per-
+    * partition top-k plus a k-row merge on the driver, never a global
+    * sort; the one plan shape where a global order-by is 100 TB-safe.
+    */
+  def dsirResample(weights: DataFrame, idCol: String, k: Int,
+                   seed: String = "dsir"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") + 0.5) / lit(4294967296.0)
+    val gumbel = round(-graft.functions.GraftFunctions.ieeeLn(
+        -graft.functions.GraftFunctions.ieeeLn(u)) * lit(1048576.0))
+      .cast("long").cast("double") / lit(1048576.0)
+    weights.select(col(idCol), col("log_w"),
+        (col("log_w") + gumbel).as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Leakage-safe train/val/test split: the md5 draw is on the document's
     * near-dup CLUSTER label, not the document id, so every member of a
     * duplicate cluster lands in the SAME split. A per-document draw leaks

@@ -261,4 +261,48 @@ class MixingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == rows.map(t => (t._1, t._3)).toSet)
   }
+
+  test("dsir: weights separate the target slice and survive repartitioning") {
+    val w = Mixing.dsirWeights(docs, "doc_id", "text",
+      targetPred = col("lang") === "en", nBuckets = 512)
+    val rows = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "log_w").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == docs.count())
+    // the estimator's one job: target-looking docs score higher on average
+    val en = rows.filter(_._2 == "en").map(_._3)
+    val rest = rows.filter(_._2 != "en").map(_._3)
+    assert(en.sum / en.length > rest.sum / rest.length + 0.1,
+      s"en mean ${en.sum / en.length} vs rest ${rest.sum / rest.length}")
+    // hash-derived, not partitioning-dependent
+    val again = Mixing.dsirWeights(docs.repartition(13), "doc_id", "text",
+        targetPred = col("lang") === "en", nBuckets = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(again == rows.map(t => (t._1, t._3)).toSet)
+  }
+
+  test("dsir: gumbel top-k resample is deterministic and upweights the " +
+       "target slice") {
+    val w = Mixing.dsirWeights(docs, "doc_id", "text",
+      targetPred = col("lang") === "en", nBuckets = 512)
+    val sel = Mixing.dsirResample(w, "doc_id", k = 100)
+    val got = sel.join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 100)
+    assert(got.map(_._1).distinct.length == 100) // without replacement
+    // pool is ~44% en; softmax(log_w) sampling should pull the selected
+    // set visibly toward the target slice
+    val poolEnFrac = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    val selEnFrac = got.count(_._2 == "en") / 100.0
+    assert(selEnFrac > poolEnFrac + 0.1,
+      s"selected en frac $selEnFrac vs pool $poolEnFrac")
+    // same seed, same draw — across partitionings
+    val again = Mixing.dsirResample(
+      Mixing.dsirWeights(docs.repartition(7), "doc_id", "text",
+        targetPred = col("lang") === "en", nBuckets = 512),
+      "doc_id", k = 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.map(_._1).toSet)
+  }
 }
