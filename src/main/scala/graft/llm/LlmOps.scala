@@ -1146,6 +1146,23 @@ object LlmOps {
         nShards = 16)
     },
 
+    // Per-source cap: at most N docs per stratum in md5-draw order — the
+    // per-domain guard against boilerplate-heavy sources dominating the
+    // mixture. The oracle replays the draw hash and rank verbatim.
+    Op("mix_source_cap",
+       """SELECT doc_id, source, cap_rank FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY md5(concat('cap:', source, ':',
+         |                               CAST(doc_id AS VARCHAR))), doc_id)
+         |           AS BIGINT) AS cap_rank
+         |  FROM documents)
+         |WHERE cap_rank <= 15""".stripMargin) { (s, d) =>
+      Mixing.perSourceCap(Tables.documents(s, d), "doc_id", "source",
+          cap = 15)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+    },
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // bag-of-buckets log-likelihood ratio between a target slice (here
     // lang='en') and the whole pool. The oracle replays bucket hashing

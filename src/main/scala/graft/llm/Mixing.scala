@@ -256,6 +256,31 @@ object Mixing {
       .drop("__k", "__pid", "__local", "__off")
   }
 
+  /** Per-source document cap — the per-domain guard every web-corpus
+    * pipeline applies (Gopher/C4-style: a boilerplate-heavy domain must
+    * not dominate the mixture): keep at most `cap` documents per stratum,
+    * chosen in md5-derived pseudo-random order so the survivors are an
+    * unbiased sample of the stratum, reproducible across runs,
+    * partitionings, and engines. Emits `cap_rank` (1-based draw order)
+    * so callers can tighten the cap downstream without re-ranking.
+    *
+    * One keyed window per stratum — the tokenBudget scale shape: at
+    * 100 TB, cap within finer shards (domain x bucket) and divide the
+    * cap accordingly to bound per-partition sort size.
+    */
+  def perSourceCap(docs: DataFrame, idCol: String, strataCol: String,
+                   cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("draw"), col(idCol))
+    docs
+      .withColumn("draw", md5(concat(lit("cap:"), col(strataCol), lit(":"),
+        col(idCol).cast("string"))))
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+      .drop("draw")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document in
     * the raw pool by how much its hashed n-gram distribution looks like a

@@ -80,6 +80,37 @@ object Events {
           sum(col("is_new")).over(running).as("session_idx"))
     },
 
+    // First-order Markov transition matrix over the event stream: count
+    // and normalize (from_type -> to_type) steps per user timeline — the
+    // next-event model behind journey analysis and anomaly scoring. One
+    // keyed window on user_id (the sessionize shuffle shape), then an
+    // aggregate over the BOUNDED type-pair space; the per-row probability
+    // is one exact integer division, and the normalizing window runs over
+    // at most |types| partitions of |types| rows.
+    Op("e_transition_matrix",
+       """WITH steps AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS to_type
+         |  FROM events)
+         |SELECT from_type, to_type, count(*) AS n,
+         |       CAST(count(*) AS DOUBLE) /
+         |         CAST(sum(count(*)) OVER (PARTITION BY from_type)
+         |              AS BIGINT) AS p
+         |FROM steps WHERE to_type IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(byUser).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+    },
+
     // Semi-structured access: extract a JSON field from the props column
     // and bucket by it — the schema-on-read shape every event pipeline has.
     Op("e_json_extract",

@@ -97,6 +97,70 @@ object Sketches {
       ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` hash rows
+    * of `width` counters; every occurrence increments one counter per
+    * row, a point estimate is the MIN over rows. Estimates never
+    * undercount, and overcount by more than 2n/width with probability
+    * under (1/2)^depth.
+    *
+    * Unlike Misra-Gries, the merge is plain element-wise ADDITION — the
+    * summary is a linear sketch, so estimates are EXACTLY the same under
+    * any partitioning or merge tree, which is what makes an engine-
+    * portable oracle possible at all. Bucket choice is the engine's
+    * md5-replay idiom (first 24 bits of md5("row:item")); production at
+    * 100 TB would swap xxhash64 in reduce() exactly like the
+    * minhash_md5/minhash_xx pair — the shuffle shape (one depth×width
+    * long array per group per partition, never the token multiset) is
+    * the part that matters for scale.
+    */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1 and width >= 2, got ($depth, $width)")
+
+    def zero: Array[Long] = new Array[Long](depth * width)
+
+    def reduce(c: Array[Long], x: String): Array[Long] = {
+      var i = 0
+      while (i < depth) {
+        c(i * width + CountMin.bucket(i, x, width)) += 1
+        i += 1
+      }
+      c
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    def finish(b: Array[Long]): Array[Long] = b
+
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  object CountMin {
+    private val mdTL: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial(() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    /** First 24 bits of md5("row:item") mod width — bit-identical to the
+      * SQL `conv(substring(md5(concat(row, ':', item)), 1, 6), 16, 10) %
+      * width` both engines evaluate, so driver-side probe indexes and
+      * executor-side increments can never disagree.
+      */
+    def bucket(row: Int, item: String, width: Int): Int = {
+      val h = mdTL.get().digest(s"$row:$item".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)) % width
+    }
+  }
+
+  private val cmsDepth = 4
+  private val cmsWidth = 64
+  private val cmsProbes = Seq("spark", "data", "join", "stream", "table")
+
   val ops: Seq[Op] = Seq(
     // Per-source frequent tokens via the sketch, reduced to the top-5 by
     // estimate. Estimates are partition-order dependent by construction
@@ -115,6 +179,61 @@ object Sketches {
             .orderBy(col("est").desc, col("tok"))))
         .filter(col("rank") <= 5)
         .select(col("source"), col("tok"), col("rank"))
+    },
+
+    // Count-min point estimates for a fixed probe vocabulary, per source.
+    // The sketch is a linear summary (merge = vector add), so estimates
+    // are partitioning-invariant and the DuckDB oracle can replay them
+    // EXACTLY: per-(source, row, bucket) counts in SQL, probe buckets
+    // from the same md5 formula, min over rows. Probe indexes on the
+    // Spark side are LITERALS (driver-computed from the shared bucket
+    // function) — `least(element_at...)` over four constant positions,
+    // fully codegen'd, no lambda.
+    Op("f_cms_freq",
+       s"""WITH occ AS (
+          |  SELECT source,
+          |         unnest(string_split(regexp_replace(trim(lower(text)),
+          |           '\\s+', ' ', 'g'), ' ')) AS tok
+          |  FROM documents),
+          |rows_i AS (SELECT unnest(range($cmsDepth)) AS i),
+          |cells AS (
+          |  SELECT source, i,
+          |         CAST(CAST('0x' || substr(md5(concat(i, ':', tok)), 1, 6)
+          |              AS BIGINT) % $cmsWidth AS INT) AS bucket,
+          |         count(*) AS c
+          |  FROM occ, rows_i GROUP BY 1, 2, 3),
+          |probes AS (
+          |  SELECT unnest([${cmsProbes.map(p => s"'$p'").mkString(", ")}])
+          |    AS tok),
+          |pb AS (
+          |  SELECT p.tok, r.i,
+          |         CAST(CAST('0x' || substr(md5(concat(r.i, ':', p.tok)), 1, 6)
+          |              AS BIGINT) % $cmsWidth AS INT) AS bucket
+          |  FROM probes p, rows_i r),
+          |src AS (SELECT DISTINCT source FROM documents),
+          |est AS (
+          |  SELECT s.source, pb.tok, min(coalesce(c.c, 0)) AS est
+          |  FROM src s CROSS JOIN pb
+          |  LEFT JOIN cells c
+          |    ON c.source = s.source AND c.i = pb.i AND c.bucket = pb.bucket
+          |  GROUP BY 1, 2)
+          |SELECT source, tok, CAST(est AS BIGINT) AS est FROM est""".stripMargin) {
+      (s, d) =>
+        val cms = udaf(new CountMin(cmsDepth, cmsWidth), Encoders.STRING)
+        val sk = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.llm.TextFeatures.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"))
+          .agg(cms(col("tok")).as("sk"))
+        val estimates = cmsProbes.map { p =>
+          val cells = (0 until cmsDepth).map(i =>
+            element_at(col("sk"),
+              i * cmsWidth + CountMin.bucket(i, p, cmsWidth) + 1))
+          struct(lit(p).as("tok"),
+            (if (cells.size == 1) cells.head else least(cells: _*)).as("est"))
+        }
+        sk.select(col("source"), explode(array(estimates: _*)).as("e"))
+          .select(col("source"), col("e.tok").as("tok"), col("e.est").as("est"))
     }
   )
 }

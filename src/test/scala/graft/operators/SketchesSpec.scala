@@ -58,4 +58,35 @@ class SketchesSpec extends SparkSpec {
       assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
     }
   }
+
+  test("count-min: never undercounts, overcount within 2n/w, and the " +
+       "linear merge makes estimates partitioning-invariant") {
+    import spark.implicits._
+    val depth = 4
+    val width = 64
+    // 2000 tokens over a 40-word vocabulary + one heavy item
+    val items = (0 until 1700).map(i => s"w${i % 40}") ++
+      Seq.fill(300)("HEAVY")
+    val n = items.size
+    def run(parts: Int): Map[String, Long] = {
+      val cms = F.udaf(new Sketches.CountMin(depth, width), Encoders.STRING)
+      val sk: Array[Long] = items.toDF("tok").repartition(parts)
+        .agg(cms(F.col("tok")).as("sk"))
+        .collect()(0).getSeq[Long](0).toArray
+      (items.distinct.map { item =>
+        val est = (0 until depth).map(i =>
+          sk(i * width + Sketches.CountMin.bucket(i, item, width))).min
+        item -> est
+      }).toMap
+    }
+    val est = run(8)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (item, t) =>
+      assert(est(item) >= t, s"$item undercounted: ${est(item)} < $t")
+      assert(est(item) <= t + 2L * n / width,
+        s"$item overcount ${est(item)} vs $t + ${2L * n / width}")
+    }
+    assert(run(1) == est && run(17) == est,
+      "linear sketch must be exact-deterministic under any partitioning")
+  }
 }
