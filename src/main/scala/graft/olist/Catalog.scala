@@ -387,6 +387,24 @@ final class Warehouse(spark: SparkSession, val dir: String) extends TableStore {
     n
   }
 
+  /** Garbage-collect swap leftovers: `__tmp` (an interrupted write) and
+    * `__old` (a superseded copy staged aside) directories that a crash
+    * mid-`replace` can strand. Safe to run at ANY time, concurrent with
+    * readers: the swap protocol guarantees neither suffix is ever the
+    * live table directory, so vacuum only ever deletes bytes no current
+    * plan can be scanning. Returns the removed paths (dbt has no direct
+    * analog — warehouses GC internally; a file-warehouse must own it).
+    */
+  def vacuum(): Seq[String] = {
+    val d = new Path(dir)
+    val f = fs(d)
+    if (!f.exists(d)) return Nil
+    f.listStatus(d).toSeq
+      .filter(s => s.isDirectory && (s.getPath.getName.endsWith("__tmp") ||
+        s.getPath.getName.endsWith("__old")))
+      .map { s => f.delete(s.getPath, true); s.getPath.toString }
+  }
+
   /** Data files currently backing a stored table (for compaction
     * accounting and specs): everything under the table directory except
     * checksums/_SUCCESS markers.

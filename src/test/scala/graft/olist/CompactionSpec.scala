@@ -73,4 +73,25 @@ class CompactionSpec extends SparkSpec {
         wh.analyze(name, forColumns = Seq("id; drop table x")))
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  test("vacuum removes stranded __tmp/__old swap leftovers and nothing " +
+       "else") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_vac")
+    val wh = new Warehouse(spark, root.toString)
+    wh.save("t", (1L to 100L).toDF("id"))
+    val before = wh.load("t").orderBy("id").collect().toSeq
+    // strand the two crash artifacts the swap protocol can leave behind
+    Files.createDirectories(root.resolve("t__tmp"))
+    Files.createFile(root.resolve("t__tmp").resolve("part-0.parquet"))
+    Files.createDirectories(root.resolve("t__old"))
+    val removed = wh.vacuum()
+    assert(removed.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("t__tmp", "t__old"), removed.mkString(","))
+    assert(!Files.exists(root.resolve("t__tmp")))
+    assert(!Files.exists(root.resolve("t__old")))
+    // the live table is untouched, and a second vacuum is a no-op
+    assert(wh.load("t").orderBy("id").collect().toSeq == before)
+    assert(wh.vacuum().isEmpty)
+  }
 }
