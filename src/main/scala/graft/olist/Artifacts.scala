@@ -113,6 +113,13 @@ object Artifacts {
       val tags = n.putArray("tags")
       m.tags.toSeq.sorted.foreach(tags.add)
       n.put("fingerprint", fps(name))
+      // column-level lineage (one hop): output column -> dep.column roots
+      val cols = n.putObject("columns")
+      catalog.columnLineage(name).toSeq.sortBy(_._1).foreach {
+        case (cname, srcs) =>
+          val lin = cols.putObject(cname).putArray("lineage")
+          srcs.foreach(lin.add)
+      }
     }
     // exposures: leaf nodes with dependency edges only (dbt writes them
     // beside models under their own `exposures` key)

@@ -726,6 +726,20 @@ final class Catalog(
   def manifest(): Manifest =
     Manifest(byName.keys.map(n => n -> fingerprint(n)).toMap)
 
+  /** Column-level lineage of one model: each output column to the sorted
+    * `dep.column` roots that can influence it. Like `fingerprint`, the
+    * plan is built over schema-only placeholder deps (aliased with the
+    * dep's name — that alias is what roots the walk), so lineage is ONE
+    * HOP through the model graph; chase transitively by recursing over
+    * `model(dep).deps`. Structural only: no execution, no warehouse
+    * access.
+    */
+  def columnLineage(name: String): Map[String, Seq[String]] = {
+    val m = model(name)
+    Lineage.columnLineage(
+      m.build(placeholderDeps(m)).queryExecution.analyzed)
+  }
+
   /** Reachable-node collection for one direction pair. */
   private def reach(names: Seq[String], withUpstream: Boolean,
                     withDownstream: Boolean): Set[String] = {
