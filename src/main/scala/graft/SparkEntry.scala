@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Events.ops ++
       operators.Profiling.ops ++
       operators.Linkage.ops ++
+      operators.Graphs.ops ++
       operators.Layout.ops ++
       olist.OlistOps.ops ++
       sources.SourceOps.ops ++

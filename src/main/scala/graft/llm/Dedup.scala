@@ -339,7 +339,7 @@ object Dedup {
     * storage bookkeeping — no data ever moves to the driver.) No-op for
     * non-checkpointed plans.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.llm.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over entity graphs — PageRank (Brin & Page 1998) as a
+  * Pregel-style iterative fixpoint, the second member of the engine's
+  * iterative-operator family next to Dedup.componentMinLabels.
+  *
+  * The distinctive design choice: ALL rank arithmetic is FIXED-POINT
+  * INTEGER (ranks are BIGINTs at 2^40 scale; every division is a
+  * truncating integer division). Floating-point PageRank is
+  * partitioning-dependent (the contribution sum re-associates) and can
+  * never be hash-compared across engines; the integer formulation is
+  * EXACT — deterministic under any partitioning, any merge order, and
+  * bit-replayable by a DuckDB recursive CTE, which makes a converging
+  * iterative operator oracle-checkable end to end. Quantization error is
+  * bounded by one unit (2^-40) per division per round — noise far below
+  * ranking resolution — and every quantity stays well inside BIGINT
+  * (total mass <= scale + n*tele).
+  *
+  * Scale shape per round (the componentMinLabels recipe): one equi-join
+  * of ranks against the degree-annotated edge list (shuffle keyed on the
+  * node id), one keyed SUM aggregate on the destination — both
+  * partial-aggregated map-side. The edge list is checkpointed ONCE up
+  * front; each round's ranks are checkpointed (local by default,
+  * `reliable = true` for durable executor-loss-safe runs — pass
+  * Engine.cluster(checkpointDir)) and the previous round's blocks are
+  * released as soon as the next is materialized, so the fixpoint holds
+  * exactly two generations of O(nodes) state at any moment.
+  */
+object Graphs {
+
+  /** Run `iters` synchronous PageRank rounds over the UNDIRECTED graph
+    * spanned by `edges` (symmetrized + deduplicated here, so every node
+    * has in-degree >= 1 and the dangling-mass problem vanishes by
+    * construction). Returns (node, r) with r at `scale` fixed point:
+    *
+    *   r0      = scale div n
+    *   tele    = (scale * 15 div 100) div n
+    *   r'(v)   = tele + (85 * sum_u (r(u) div deg(u))) div 100
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iters: Int = 10,
+               scale: Long = 1L << 40,
+               reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(scale >= 1000, s"scale too small for meaningful ranks: $scale")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    // degree-annotated adjacency, materialized once — every round joins it
+    val adj = cut(sym.join(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    val n = adj.agg(count_distinct(col("src"))).head().getLong(0)
+    require(n > 0, "edge relation spans no nodes")
+    val tele = (scale * 15L / 100L) / n
+    var ranks = cut(adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale / n).as("r")))
+    var round = 0
+    while (round < iters) {
+      val contrib = adj
+        .join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = cut(contrib.select(col("dst").as("node"),
+        (lit(tele) + expr("(85 * s) div 100")).as("r")))
+      Dedup.releaseCheckpoint(ranks)
+      ranks = next
+      round += 1
+    }
+    Dedup.releaseCheckpoint(adj)
+    ranks
+  }
+
+  /** The customer–supplier trade graph: an edge for every distinct
+    * (customer, supplier) pair connected by an order line. Suppliers are
+    * offset into their own id namespace so the bipartite node sets stay
+    * disjoint.
+    */
+  def tradeGraph(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+
+  private val S = 1L << 40
+
+  val ops: Seq[Op] = Seq(
+    // Ten exact fixed-point rounds over the trade graph; the recursive
+    // CTE replays every truncating division bit-for-bit, so an ITERATIVE
+    // operator gets a full hash compare (r is BIGINT — no float anywhere).
+    Op("graph_pagerank",
+       s"""WITH RECURSIVE
+          |raw AS (
+          |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (
+          |  SELECT src, dst FROM raw WHERE src <> dst
+          |  UNION
+          |  SELECT dst, src FROM raw WHERE src <> dst),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |pr AS (
+          |  SELECT 0 AS iter, node, CAST($S // n AS BIGINT) AS r
+          |  FROM nodes, nn
+          |  UNION ALL
+          |  SELECT iter + 1, dst AS node,
+          |         CAST((SELECT ($S * 15 // 100) // n FROM nn)
+          |              + (85 * s) // 100 AS BIGINT) AS r
+          |  FROM (
+          |    SELECT p.iter AS iter, e.dst AS dst,
+          |           CAST(sum(p.r // d.deg) AS BIGINT) AS s
+          |    FROM pr p
+          |    JOIN edges e ON e.src = p.node
+          |    JOIN deg d ON d.src = p.node
+          |    WHERE p.iter < 10
+          |    GROUP BY 1, 2))
+          |SELECT node, r FROM pr WHERE iter = 10""".stripMargin) { (s, d) =>
+      pageRank(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+        iters = 10)
+    }
+  )
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: structural sanity on a known topology, exact
+  * determinism under repartitioning (the property the integer
+  * formulation buys), and bounded mass loss from truncation.
+  */
+class GraphsSpec extends SparkSpec {
+
+  test("star graph: the hub outranks the leaves; symmetric leaves tie " +
+       "exactly") {
+    import spark.implicits._
+    val star = (1L to 20L).map(i => (0L, i)).toDF("src", "dst")
+    val r = Graphs.pageRank(star, iters = 10).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r.size == 21)
+    val leafRanks = (1L to 20L).map(r)
+    assert(leafRanks.distinct.size == 1, "symmetric leaves must tie exactly")
+    assert(r(0L) > leafRanks.head * 5,
+      s"hub ${r(0L)} should dominate leaf ${leafRanks.head}")
+  }
+
+  test("exact determinism under repartitioning, and truncation-bounded " +
+       "total mass") {
+    val edges = Graphs.tradeGraph(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001"),
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    val a = Graphs.pageRank(edges, iters = 5).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val b = Graphs.pageRank(edges.repartition(13), iters = 5).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(a == b, "integer fixed-point must be partitioning-invariant")
+    // every truncating division loses < 1 unit: per round that is one
+    // per directed edge (r div deg splits) + two per node (damping and
+    // teleport rounding) — total loss is bounded by rounds*(2E + 2n)
+    val scale = 1L << 40
+    val n = a.size.toLong
+    val e2 = edges.selectExpr("src", "dst").distinct().count() * 2
+    val mass = a.values.sum
+    assert(mass <= scale + n, s"mass $mass above scale $scale")
+    assert(scale - mass <= 5L * (e2 + 2 * n) + n,
+      s"mass $mass lost more than truncation can explain " +
+        s"(bound ${5L * (e2 + 2 * n) + n})")
+  }
+}
