@@ -25,11 +25,11 @@ import org.apache.spark.sql.functions._
   * of ranks against the degree-annotated edge list (shuffle keyed on the
   * node id), one keyed SUM aggregate on the destination — both
   * partial-aggregated map-side. The edge list is checkpointed ONCE up
-  * front; each round's ranks are checkpointed (local by default,
-  * `reliable = true` for durable executor-loss-safe runs — pass
-  * Engine.cluster(checkpointDir)) and the previous round's blocks are
-  * released as soon as the next is materialized, so the fixpoint holds
-  * exactly two generations of O(nodes) state at any moment.
+  * front; ranks are checkpointed every `checkpointEvery` rounds (local
+  * by default, `reliable = true` for durable executor-loss-safe runs —
+  * pass Engine.cluster(checkpointDir)) and the previous generation's
+  * blocks are released as soon as the next is materialized, so the
+  * fixpoint holds at most two generations of O(nodes) state.
   */
 object Graphs {
 
@@ -45,9 +45,11 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 10,
                scale: Long = 1L << 40,
+               checkpointEvery: Int = 10,
                reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(scale >= 1000, s"scale too small for meaningful ranks: $scale")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val sym = edges.select(explode(array(
@@ -62,19 +64,37 @@ object Graphs {
     val n = adj.agg(count_distinct(col("src"))).head().getLong(0)
     require(n > 0, "edge relation spans no nodes")
     val tele = (scale * 15L / 100L) / n
-    var ranks = cut(adj.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(scale / n).as("r")))
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale / n).as("r"))
+    var ranksCk: Option[DataFrame] = None
     var round = 0
     while (round < iters) {
+      // shuffle-hash hint on the node-sized ranks side: sort-merge would
+      // re-SORT the edge list every round; hashing the per-partition
+      // slice of ranks streams the edges unsorted, and adj is already
+      // hash-partitioned on src from its build join (LogicalRDD
+      // preserves partitioning through the checkpoint)
       val contrib = adj
-        .join(ranks, adj("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = cut(contrib.select(col("dst").as("node"),
-        (lit(tele) + expr("(85 * s) div 100")).as("r")))
-      Dedup.releaseCheckpoint(ranks)
-      ranks = next
+      ranks = contrib.select(col("dst").as("node"),
+        (lit(tele) + expr("(85 * s) div 100")).as("r"))
       round += 1
+      // Unlike the CC fixpoint (which must materialize each round to
+      // read its convergence observation), the round count is FIXED — so
+      // checkpoints exist only to bound plan depth. Cutting every K
+      // rounds turns K join+agg rounds into ONE action whose stages
+      // pipeline under a single AQE run; per-action scheduling latency,
+      // not per-edge throughput, dominates a small-graph fixpoint
+      // (measured at sf0.1: 5.2s with K=1, 4.2s with K=5, 3.9s with
+      // K=10 — the remainder is the adjacency build and real edge work).
+      if (round % checkpointEvery == 0 || round == iters) {
+        val cutRanks = cut(ranks)
+        ranksCk.foreach(Dedup.releaseCheckpoint)
+        ranksCk = Some(cutRanks)
+        ranks = cutRanks
+      }
     }
     Dedup.releaseCheckpoint(adj)
     ranks
