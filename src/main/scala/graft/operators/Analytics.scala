@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -333,6 +334,72 @@ object Analytics {
         .select(date_format(col("cohort"), "yyyy-MM").as("cohort_month"),
           col("month_offset"), col("n_active"),
           (col("n_active").cast("double") / col("n0")).as("retention"))
+    },
+
+    // CDC-style table diff: classify every key as added / removed /
+    // changed between two versions of a table — the snapshot-delta
+    // primitive behind incremental replication and audit tooling. One
+    // full-outer join co-partitioned on the key; change detection
+    // compares an md5 over the tracked columns so wide rows ship one
+    // hash through the shuffle, not every column. The "new" version is
+    // derived deterministically from orders (drop keys %97=0, flip
+    // priority on %13=0, synthesize additions from %101=0) so the oracle
+    // replays the mutation and the classification byte-for-byte.
+    Op("cdc_table_diff",
+       """WITH old AS (
+         |  SELECT o_orderkey AS k,
+         |         md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS h
+         |  FROM orders),
+         |new AS (
+         |  SELECT o_orderkey AS k,
+         |         md5(concat_ws('|', o_orderstatus,
+         |           CASE WHEN o_orderkey % 13 = 0 THEN 'X-RECLASSIFIED'
+         |                ELSE o_orderpriority END)) AS h
+         |  FROM orders WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000 AS k,
+         |         md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS h
+         |  FROM orders WHERE o_orderkey % 101 = 0),
+         |joined AS (
+         |  SELECT coalesce(o.k, n.k) AS o_orderkey,
+         |         CASE WHEN o.h IS NULL THEN 'added'
+         |              WHEN n.h IS NULL THEN 'removed'
+         |              WHEN o.h <> n.h THEN 'changed'
+         |              ELSE 'unchanged' END AS change
+         |  FROM old o FULL OUTER JOIN new n ON o.k = n.k)
+         |SELECT o_orderkey, change FROM joined
+         |WHERE change <> 'unchanged'""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val newVersion = orders
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 13 === 0, lit("X-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      tableDiff(orders, newVersion, "o_orderkey",
+        Seq("o_orderstatus", "o_orderpriority"))
     }
   )
+
+  /** Generic snapshot diff: (key, change) for every key whose tracked
+    * columns differ between `old` and `neu` (change in {added, removed,
+    * changed}; unchanged keys are dropped). Both sides reduce to
+    * (key, md5) projections before the full-outer join, so the shuffle
+    * carries two slim columns regardless of table width.
+    */
+  def tableDiff(old: DataFrame, neu: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    def hashed(df: DataFrame, h: String) = df.select(col(key),
+      md5(concat_ws("|", compareCols.map(col): _*)).as(h))
+    hashed(old, "h_old")
+      .join(hashed(neu, "h_new"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
 }

@@ -58,7 +58,38 @@ object Linkage {
         coalesce(col("label"), col("customer_id")).as("entity_id"))
   }
 
-  private val linkOracle: String =
+  /** Survivorship — the step after linking that makes ER useful: collapse
+    * each entity cluster to ONE golden record by per-column rules, the
+    * classic MDM recipe (each rule is deliberately a different shape):
+    *   - `name`: oldest-record-wins (`min_by` on the lowest member key);
+    *   - `acctbal`: best-value-wins (max);
+    *   - `mktsegment`: most-frequent-wins, ties to the lexicographically
+    *     smallest (mode via a keyed count + row_number window).
+    * One keyed aggregate + one bounded window over (entity, segment)
+    * groups — nothing beyond the linking cost at 100 TB.
+    */
+  def goldenRecords(customers: DataFrame): DataFrame = {
+    val linked = customers.select(col("c_custkey").as("customer_id"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .join(linkCustomers(customers), Seq("customer_id"))
+    val base = linked.groupBy(col("entity_id")).agg(
+      count(lit(1)).as("n_records"),
+      min_by(col("c_name"), col("customer_id")).as("name"),
+      max(col("c_acctbal")).as("acctbal"))
+    val segMode = linked
+      .groupBy(col("entity_id"), col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("entity_id"))
+          .orderBy(col("cnt").desc, col("c_mktsegment"))))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("c_mktsegment").as("mktsegment"))
+    base.join(segMode, Seq("entity_id"))
+  }
+
+  /** Shared DuckDB replay of the blocking + verify + component walk,
+    * through `labels(node, label)` — both linkage oracles build on it.
+    */
+  private val linkCte: String =
     """WITH RECURSIVE pairs AS (
       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
       |  FROM customer a JOIN customer b
@@ -75,13 +106,43 @@ object Linkage {
       |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
       |labels AS (
       |  SELECT node, least(node, min(reach)) AS label
-      |  FROM walk GROUP BY node)
+      |  FROM walk GROUP BY node)""".stripMargin
+
+  private val linkOracle: String =
+    s"""$linkCte
       |SELECT c.c_custkey AS customer_id,
       |       coalesce(l.label, c.c_custkey) AS entity_id
       |FROM customer c LEFT JOIN labels l ON l.node = c.c_custkey""".stripMargin
 
+  private val goldenOracle: String =
+    s"""$linkCte,
+      |linked AS (
+      |  SELECT c.c_custkey AS customer_id,
+      |         coalesce(l.label, c.c_custkey) AS entity_id,
+      |         c.c_name, c.c_acctbal, c.c_mktsegment
+      |  FROM customer c LEFT JOIN labels l ON l.node = c.c_custkey),
+      |base AS (
+      |  SELECT entity_id, count(*) AS n_records,
+      |         min_by(c_name, customer_id) AS name,
+      |         max(c_acctbal) AS acctbal
+      |  FROM linked GROUP BY 1),
+      |segmode AS (
+      |  SELECT entity_id, mktsegment FROM (
+      |    SELECT entity_id, mktsegment,
+      |           row_number() OVER (PARTITION BY entity_id
+      |             ORDER BY cnt DESC, mktsegment) AS rn
+      |    FROM (SELECT entity_id, c_mktsegment AS mktsegment,
+      |                 count(*) AS cnt
+      |          FROM linked GROUP BY 1, 2))
+      |  WHERE rn = 1)
+      |SELECT b.entity_id, b.n_records, b.name, b.acctbal, s.mktsegment
+      |FROM base b JOIN segmode s USING (entity_id)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("er_link_entities", linkOracle) { (s, d) =>
       linkCustomers(Tables.customer(s, d))
+    },
+    Op("er_golden_record", goldenOracle) { (s, d) =>
+      goldenRecords(Tables.customer(s, d))
     })
 }

@@ -37,4 +37,30 @@ class LinkageSpec extends SparkSpec {
     val out = Linkage.linkCustomers(c).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 10L)))
   }
+
+  test("golden record: oldest name, best balance, one row per entity") {
+    val c = Seq(
+      (1L, "smith john", 7, "BUILDING", 10.0),
+      (2L, "smith jahn", 7, "BUILDING", 50.0), // links to 1
+      (3L, "smith jahm", 7, "BUILDING", 30.0), // links to 2 -> entity 1
+      (9L, "alone", 7, "MACHINERY", 5.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Linkage.goldenRecords(c).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4))).toMap
+    assert(out.keySet == Set(1L, 9L)) // one golden row per entity
+    assert(out(1L) == ((3L, "smith john", 50.0, "BUILDING")),
+      out(1L).toString) // oldest-record name, best balance
+    assert(out(9L) == ((1L, "alone", 5.0, "MACHINERY")))
+  }
+
+  test("tableDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val neu = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d"))
+      .toDF("k", "v")
+    val out = Analytics.tableDiff(old, neu, "k", Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
 }
