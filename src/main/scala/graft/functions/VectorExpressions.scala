@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for the vector hot path.
@@ -34,11 +34,18 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (fdlibm), which differs from `Math` by 1 ulp on some operands — e.g.
   * ln(0.03879310344827586) = -0x1.9ff00905ca688p1 (StrictMath) vs
   * -0x1.9ff00905ca687p1 (Math) — while DuckDB's `ln` matches `Math.log`
-  * bit-for-bit on this platform (measured over the perplexity operator's
-  * full operand range). Operators whose oracle replays transcendental math
-  * (text_perplexity) use this kernel so both engines evaluate the same
-  * function, keeping the driver's hash compare exact. Same preference-
-  * ladder case (b) as vec_cosine: trivial scalar codegen, no UDF.
+  * bit-for-bit over the perplexity/tfidf operand ranges (measured).
+  * Operators whose oracle replays transcendental math (text_perplexity)
+  * use this kernel so both engines evaluate the same function, keeping
+  * the driver's hash compare exact. Same preference-ladder case (b) as
+  * vec_cosine: trivial scalar codegen, no UDF.
+  *
+  * CAVEAT (measured in r7): glibc's ln is itself not correctly rounded,
+  * and on SOME operands it sides with StrictMath against Math — so no
+  * JVM pin can match DuckDB on arbitrary operands. ieee_ln remains
+  * correct for the existing fixed-seed operand sets; NEW operators
+  * should quantize ln output to fixed point instead of betting on ulp
+  * agreement (see Mixing.dsirWeights).
   *
   * There is deliberately NO ieee_exp twin: DuckDB's `exp` (glibc) was
   * measured 1 ulp off BOTH JVM exps at e.g. x = 0x1.aa32f29509925p1, so
@@ -63,6 +70,66 @@ case class IeeeLn(child: Expression)
   override def prettyName: String = "ieee_ln"
 }
 
+
+/** Shared deflate scratch state: one Deflater + one 8 KiB drain buffer
+  * per thread, reset between rows — a per-row `new Deflater()` allocates
+  * native zlib state and was the dominant cost in early profiling of
+  * per-document compression.
+  */
+object DeflateKernel {
+  private val deflaterTL: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION))
+  private val bufTL: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+
+  /** Deflated byte length of the UTF-8 input — the size, not the bytes:
+    * the quality signal only needs the ratio, so the compressed stream is
+    * drained into a reusable scratch buffer and only counted.
+    */
+  def lengthOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val d = deflaterTL.get()
+    val buf = bufTL.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
+/** `deflate_len(s)` — byte length of the zlib-deflated UTF-8 encoding of
+  * `s`: the COMPRESSION-RATIO quality signal (RedPajama-v2 / Dolma ship
+  * it per document — boilerplate and template spam deflate far below
+  * natural prose, near-random noise barely deflates at all).
+  * deflate_len(s) / octet_length(s) is the feature.
+  *
+  * Map-side scalar, whole-stage-codegen'd via a static kernel call; the
+  * per-thread Deflater is reused across rows. No oracle: the deflated
+  * size depends on the zlib build, so the driver check is rows-only with
+  * the monotonicity fixtures in VectorExpressionsSpec.
+  */
+case class DeflateLen(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"deflate_len needs string, got ${child.dataType}")
+  override def nullSafeEval(x: Any): Any =
+    DeflateKernel.lengthOf(
+      x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DeflateKernel.lengthOf($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
+    copy(c)
+  override def prettyName: String = "deflate_len"
+}
 
 /** Product-quantization kernels (`pq_encode`, `pq_adc_table`,
   * `pq_adc_score`) — the hot path of Similarity.pqKnn as three tight
@@ -396,6 +463,9 @@ object GraftFunctions {
     (FunctionIdentifier("ieee_ln"),
       new ExpressionInfo(classOf[IeeeLn].getName, "ieee_ln"),
       (children: Seq[Expression]) => IeeeLn(children(0))),
+    (FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children(0))),
     (FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (children: Seq[Expression]) => PqEncode(children(0),
@@ -484,6 +554,7 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
   def ieeeLn(x: Column): Column = call_function("ieee_ln", x)
+  def deflateLen(x: Column): Column = call_function("deflate_len", x)
   def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
     call_function("pq_encode", v,
       org.apache.spark.sql.functions.typedlit(books))

@@ -729,6 +729,22 @@ object LlmOps {
       CorpusQuality.perplexity(Tables.documents(s, d))
     },
 
+    // Compression-ratio quality signal (RedPajama-v2 / Dolma per-doc
+    // feature): deflated bytes / raw bytes — boilerplate deflates far
+    // below natural prose. Map-side native kernel (per-thread Deflater
+    // reuse), rows-only: the deflated size depends on the zlib build, so
+    // no engine-portable oracle exists; monotonicity is asserted in
+    // VectorExpressionsSpec.
+    Op.noOracle("text_compression_ratio") { (s, d) =>
+      val dl = graft.functions.GraftFunctions.deflateLen(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          dl.as("deflated_bytes"),
+          (dl.cast("double") / octet_length(col("text")))
+            .as("compression_ratio"))
+    },
+
     // Trained quality model (CCNet/DCLM shape): logistic regression over
     // the engineered text features, trained driver-side on a bounded
     // deterministic CONTRASTIVE sample (corpus docs vs their deterministic

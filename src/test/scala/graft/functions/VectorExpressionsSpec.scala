@@ -91,4 +91,37 @@ class VectorExpressionsSpec extends SparkSpec {
       df.select(GraftFunctions.vecCosine(col("a"), col("b"))).head()
     }
   }
+
+  test("deflate_len: repetitive text compresses far below shuffled text, " +
+       "ratio is deterministic, and SQL registration works") {
+    import spark.implicits._
+    val repeated = ("lorem ipsum " * 200).trim
+    // same characters, de-correlated: md5-shuffle the words
+    val shuffled = repeated.split(" ")
+      .zipWithIndex
+      .sortBy { case (w, i) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$w".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString }
+      .map(_._1).mkString(" ")
+    val df = Seq(("rep", repeated), ("shuf", shuffled), ("tiny", "abc"))
+      .toDF("k", "text")
+    val out = df.select(col("k"),
+        GraftFunctions.deflateLen(col("text")).as("dl"),
+        octet_length(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // 200 copies of one bigram deflate to a sliver of the original
+    assert(out("rep")._1 * 10 < out("rep")._2,
+      s"repetition should compress 10x+: ${out("rep")}")
+    assert(out("rep")._1 < out("shuf")._1,
+      "deflate must see repetition the shuffle destroyed")
+    // stable across evaluation (interpreted vs codegen paths agree too)
+    val again = df.selectExpr("deflate_len(text) AS dl").collect()
+      .map(_.getInt(0)).toSeq
+    assert(again == df.select(GraftFunctions.deflateLen(col("text")))
+      .collect().map(_.getInt(0)).toSeq)
+    // null propagates
+    assert(Seq((None: Option[String], 1)).toDF("text", "i")
+      .selectExpr("deflate_len(text)").head().isNullAt(0))
+  }
 }
