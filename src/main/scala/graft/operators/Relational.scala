@@ -230,6 +230,57 @@ object Relational {
       val open = o.filter(col("o_orderstatus") === "O")
         .select(lit("open").as("which"), col("o_orderkey").as("order_id"))
       urgent.unionByName(open)
+    },
+
+    // Incremental view maintenance for distributive aggregates: a stored
+    // partial-state table (sum/count per key) absorbs a new batch by
+    // unioning the batch's OWN partial states and re-summing — history is
+    // never rescanned, which is the whole point at 100 TB (the nightly
+    // delta is GB-scale; the stored aggregate is key-cardinality-scale).
+    // Partial sums stay DECIMAL until the output cast, so merge order
+    // can't perturb money math, and avg is DERIVED from (sum, count) —
+    // averages are not mergeable, their sufficient statistics are. The
+    // oracle is the full one-shot aggregate over everything: hash
+    // equality PROVES merge(old-partials, delta-partials) == re-agg.
+    Op("ivm_merge_agg",
+       """SELECT o_orderpriority,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS total_price,
+         |       count(*) AS n_orders,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         / count(*) AS avg_price
+         |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast(dec)).as("ps"),
+            count(lit(1)).as("pc"))
+      // "yesterday's" materialized state and "today's" batch
+      val stored = partial(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val delta = partial(orders.filter(col("o_orderkey") % 3 === 0))
+      mergeAggregate(stored, delta, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          col("ps").cast("double").as("total_price"),
+          col("pc").as("n_orders"),
+          (col("ps").cast("double") / col("pc")).as("avg_price"))
     }
   )
+
+  /** Merge partial-aggregate states: union the stored states with the
+    * delta's states and re-sum every non-key column. All state columns
+    * must be DISTRIBUTIVE partials (sums, counts; min/max would merge
+    * with min/max — extend per column as needed). Associative and
+    * commutative across any batch arrival order.
+    */
+  def mergeAggregate(stored: org.apache.spark.sql.DataFrame,
+                     delta: org.apache.spark.sql.DataFrame,
+                     keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val stateCols = stored.columns.filterNot(keys.contains)
+    require(stateCols.nonEmpty, "no state columns to merge")
+    stored.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(stateCols.head)).as(stateCols.head),
+        stateCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
 }
