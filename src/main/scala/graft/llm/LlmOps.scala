@@ -1380,6 +1380,24 @@ object LlmOps {
         Multimodal.imageHashes(media.union(twins)).toDF())
     },
 
+    // DCT perceptual hash dedup (pHash): same banding/verify path as the
+    // dHash entry but hashing the 8x8 low-frequency DCT block — the
+    // fingerprint that survives resampling (robustness asserted on a
+    // smooth gradient in MultimodalSpec; planted twins here are
+    // re-encoded copies, surfacing at hamming 0). Binary media — no
+    // DuckDB oracle.
+    Op.noOracle("multimodal_phash_dedup") { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      val twins = media
+        .filter(m => m.kind == "image" && m.media_id % 4 == 0)
+        .map(m => Multimodal.MediaRow(m.media_id + 1000000L, "image",
+          graft.llm.CompressedMedia.encodePng(
+            graft.llm.RawMedia.decodeImage(m.bytes).get)))
+      Multimodal.imageNearDups(
+        Multimodal.imageHashes(media.union(twins), Multimodal.pHash64).toDF())
+    },
+
     // REAL PCM decode (javax.sound) + RMS/peak per audio row; signal
     // values are engine-specific floats -> rows-only, exact RMS asserted
     // against a synthesized sine wave in MultimodalSpec.

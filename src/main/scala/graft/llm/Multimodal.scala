@@ -283,18 +283,99 @@ object Multimodal {
     h
   }
 
+  /** 64-bit DCT perceptual hash (pHash) — the frequency-domain
+    * fingerprint that survives RESAMPLING: average-pool the grayscale
+    * image onto a 32×32 grid, 2-D DCT-II (separable, precomputed cosine
+    * table), keep the 8×8 lowest-frequency block, one bit per
+    * coefficient vs the block's median. Because the low-frequency
+    * spectrum is what resampling preserves, a rescaled copy hashes
+    * within a few bits — the robustness dHash's local-gradient bits
+    * don't have (asserted in MultimodalSpec on a smooth gradient image).
+    * All double math is a fixed sequential loop — deterministic across
+    * partitionings; the hash compare downstream is pure integer.
+    *
+    * Same banding/dedup path as dHash: feed [[hammingNearDups]].
+    */
+  def pHash64(img: RawMedia.Image): Long = {
+    val N = 32
+    val g = Array.ofDim[Double](N, N)
+    var y = 0
+    while (y < N) {
+      val y0 = y * img.height / N
+      val y1 = math.max(y0 + 1, (y + 1) * img.height / N)
+      var x = 0
+      while (x < N) {
+        val x0 = x * img.width / N
+        val x1 = math.max(x0 + 1, (x + 1) * img.width / N)
+        var sum = 0L; var n = 0
+        var yy = y0
+        while (yy < y1 && yy < img.height) {
+          var xx = x0
+          while (xx < x1 && xx < img.width) {
+            val i = (yy * img.width + xx) * img.channels
+            val gray =
+              if (img.channels >= 3)
+                (299 * (img.pixels(i) & 0xff) +
+                  587 * (img.pixels(i + 1) & 0xff) +
+                  114 * (img.pixels(i + 2) & 0xff)) / 1000
+              else img.pixels(i) & 0xff
+            sum += gray; n += 1
+            xx += 1
+          }
+          yy += 1
+        }
+        g(y)(x) = sum.toDouble / n
+        x += 1
+      }
+      y += 1
+    }
+    // separable DCT-II restricted to the 8x8 output block
+    val cosT = Array.tabulate(8, N)((u, i) =>
+      math.cos((2 * i + 1) * u * math.Pi / (2 * N)))
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < N) {
+          var xx = 0
+          while (xx < N) {
+            acc += g(yy)(xx) * cosT(u)(yy) * cosT(v)(xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        coef(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coef.clone(); java.util.Arrays.sort(sorted)
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var h = 0L; var b = 0
+    while (b < 64) {
+      if (coef(b) > median) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
   /** Per-partition pixel decode + dHash of every image row (raw container
     * or any javax.imageio codec). Narrow map, no shuffle — the hash is
     * ~1e7x smaller than the pixels, so at 100 TB this is the projection
     * you run ONCE and store.
     */
-  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+  def imageHashes(media: Dataset[MediaRow],
+                  hashFn: RawMedia.Image => Long = dHash64)
+      : Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.filter(_.kind == "image").flatMap { r =>
         RawMedia.decodeImage(r.bytes).map(("raw", _))
           .orElse(CompressedMedia.decode(r.bytes).map(("compressed", _)))
-          .map { case (fmt, img) => ImageHash(r.media_id, fmt, dHash64(img)) }
+          .map { case (fmt, img) => ImageHash(r.media_id, fmt, hashFn(img)) }
       }
     }
   }

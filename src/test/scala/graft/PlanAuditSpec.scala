@@ -51,12 +51,16 @@ class PlanAuditSpec extends SparkSpec {
     // text_perplexity's vocab attach; q11's global-total threshold,
     // q15's max-revenue scalar, and text_tfidf's corpus-count scalar
     // (the N in ln(N/df)) are the same shape (verified 1-row below).
+    // mix_dsir_weights / mix_dsir_resample attach their 1-row totals
+    // aggregate (tt, tr) to the B-row bucket stats by crossJoin(broadcast)
+    // — the text_tfidf scalar shape (verified 1-row below).
     val audited = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
         n == "q22_idle_balances" || n == "q11_important_parts" ||
         n == "q15_top_supplier" || n == "source_jsonl_ingest" ||
-        n == "text_tfidf")
+        n == "text_tfidf" || n == "mix_dsir_weights" ||
+        n == "mix_dsir_resample")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -75,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     // same audit for every query whose only BNLJ is a 1-row
     // global-aggregate scalar attached by crossJoin(broadcast(...))
     Seq("q22_idle_balances", "q11_important_parts", "q15_top_supplier",
-        "source_jsonl_ingest", "text_tfidf")
+        "source_jsonl_ingest", "text_tfidf", "mix_dsir_weights",
+        "mix_dsir_resample")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

@@ -392,4 +392,43 @@ class MultimodalSpec extends SparkSpec {
       r.getLong(1) == r.getLong(0) + 1000000L).map(r => r.getInt(2))
     assert(twinPairs.length == nRaw && twinPairs.forall(_ == 0))
   }
+
+  test("pHash: survives resampling on smooth content (the dHash gap), " +
+       "identical pixels hash identically, distinct content stays far") {
+    def smooth(w: Int, h: Int): RawMedia.Image = {
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // smooth 2-D ramp + a broad diagonal wave: real low-frequency
+          // content, which is exactly what pHash fingerprints
+          val v = (96 + 64.0 * x / w + 48.0 * y / h +
+            32 * math.sin((x + 2.0 * y) / 17.0)).toInt.min(255).max(0)
+          px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      RawMedia.Image(w, h, 3, px)
+    }
+    val img = smooth(96, 64)
+    val hOrig = Multimodal.pHash64(img)
+    // nearest-neighbor downscale to 3/4 — a resample, not a re-encode
+    val hResized = Multimodal.pHash64(RawMedia.resizeNearest(img, 72, 48))
+    val d = java.lang.Long.bitCount(hOrig ^ hResized)
+    assert(d <= 6, s"pHash must survive resampling: hamming $d")
+    // identical pixels -> identical hash (PNG round trip)
+    assert(Multimodal.pHash64(
+      CompressedMedia.decode(CompressedMedia.encodePng(img)).get) == hOrig)
+    // genuinely different low-frequency content stays far away
+    val other = smooth(96, 64)
+    val px2 = other.pixels.clone()
+    var i = 0
+    while (i < px2.length) { px2(i) = (255 - (px2(i) & 0xff)).toByte; i += 1 }
+    val hInv = Multimodal.pHash64(RawMedia.Image(96, 64, 3, px2))
+    assert(java.lang.Long.bitCount(hOrig ^ hInv) >= 20,
+      "inverted ramp must not collide")
+  }
 }
