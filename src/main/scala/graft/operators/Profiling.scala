@@ -91,5 +91,33 @@ object Profiling {
   val ops: Seq[Op] = Seq(
     Op("profile_columns", profileOracle("orders", orderFields)) { (s, d) =>
       profile(Tables.orders(s, d), orderFields)
+    },
+
+    // Equi-width value histogram for profiling dashboards — INTEGER-exact
+    // binning: money goes to cents (exact decimal scale-up) before the
+    // truncating bin division, so no row can ever straddle a float bin
+    // edge and the oracle matches bit-for-bit. One partial+final
+    // aggregate over a bounded bin space; bin edges reported back in
+    // exact-decimal-to-double form.
+    Op("f_histogram",
+       """SELECT bin,
+         |       CAST(bin * 1000 AS DOUBLE) AS bin_lo,
+         |       CAST((bin + 1) * 1000 AS DOUBLE) AS bin_hi,
+         |       count(*) AS n
+         |FROM (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |         // 100000 AS bin
+         |  FROM orders)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        // `div`, not `/`: Spark's Divide on integers is DOUBLE division
+        .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT) div 100000").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"),
+          (col("bin") * 1000).cast("double").as("bin_lo"),
+          ((col("bin") + 1) * 1000).cast("double").as("bin_hi"),
+          col("n"))
     })
 }
