@@ -1162,6 +1162,28 @@ object LlmOps {
         nShards = 16)
     },
 
+    // Epoch upsampling: src0 at 2.5 epochs, src1 at 1.25, the rest
+    // subsampled at 0.75 — the >1x half of mixture weighting that
+    // rate-capped sampling defers to epoch counts. The oracle replays
+    // floor + fractional-draw + lateral range expansion verbatim.
+    Op("mix_epoch_upsample",
+       """SELECT doc_id, source,
+         |       CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 2
+         |         WHEN source = 'src1' THEN 1 ELSE 0 END
+         |    + CASE WHEN substr(md5(concat('epoch:', source, ':',
+         |          CAST(doc_id AS VARCHAR))), 1, 4) <
+         |        CASE WHEN source = 'src0' THEN '8000'
+         |             WHEN source = 'src1' THEN '4000' ELSE 'c000' END
+         |      THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents)""".stripMargin) { (s, d) =>
+      Mixing.epochUpsample(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 1.25), defaultEpochs = 0.75)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    },
+
     // Per-source cap: at most N docs per stratum in md5-draw order — the
     // per-domain guard against boilerplate-heavy sources dominating the
     // mixture. The oracle replays the draw hash and rank verbatim.

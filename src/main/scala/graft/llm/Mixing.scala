@@ -256,6 +256,50 @@ object Mixing {
       .drop("__k", "__pid", "__local", "__off")
   }
 
+  /** Epoch upsampling — the OTHER half of mixture weighting:
+    * temperatureSample can only keep a source at most once (rates cap
+    * below 1; its docstring defers "upsampling beyond 1x" to an
+    * epoch-count decision — this is that decision). Source s with epoch
+    * target e_s emits each document floor(e_s) times plus one more when
+    * the md5 draw falls below frac(e_s), so realized copies are unbiased
+    * for e_s per document and EXACT per source in expectation; e_s < 1
+    * degenerates to plain subsampling, so one operator covers the whole
+    * weight range. Each copy carries an `epoch` index (0-based) so
+    * downstream sharding can interleave epochs instead of concatenating
+    * them.
+    *
+    * Pure map-side: a CASE over the bounded source catalog + one
+    * per-row explode of a `sequence` — no shuffle, pipelines straight
+    * from scan to sink at any scale.
+    */
+  def epochUpsample(docs: DataFrame, idCol: String, strataCol: String,
+                    epochs: Map[String, Double],
+                    defaultEpochs: Double = 1.0): DataFrame = {
+    require((defaultEpochs +: epochs.values.toSeq).forall(e =>
+      e >= 0 && e < 100), "epoch targets must be in [0, 100)")
+    def floorOf(e: Double) = math.floor(e).toLong
+    def thresh(e: Double) = f"${((e - math.floor(e)) * 65536).toInt}%04x"
+    val floorE = epochs.toSeq.sortBy(_._1)
+      .foldRight(lit(floorOf(defaultEpochs))) { case ((s, e), els) =>
+        when(col(strataCol) === s, floorOf(e)).otherwise(els)
+      }
+    val fracT = epochs.toSeq.sortBy(_._1)
+      .foldRight(lit(thresh(defaultEpochs))) { case ((s, e), els) =>
+        when(col(strataCol) === s, thresh(e)).otherwise(els)
+      }
+    val h = substring(md5(concat(lit("epoch:"), col(strataCol), lit(":"),
+      col(idCol).cast("string"))), 1, 4)
+    docs
+      .withColumn("n_copies",
+        floorE + when(h < fracT, 1L).otherwise(0L))
+      // filter BEFORE the sequence: sequence(0, -1) would descend, not
+      // produce an empty array
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   /** Per-source document cap — the per-domain guard every web-corpus
     * pipeline applies (Gopher/C4-style: a boilerplate-heavy domain must
     * not dominate the mixture): keep at most `cap` documents per stratum,

@@ -100,10 +100,13 @@ object Graphs {
     ranks
   }
 
-  /** The customer–supplier trade graph: an edge for every distinct
-    * (customer, supplier) pair connected by an order line. Suppliers are
-    * offset into their own id namespace so the bipartite node sets stay
-    * disjoint.
+  /** The customer–supplier trade graph: an edge for every (customer,
+    * supplier) pair connected by an order line — emitted WITH duplicates
+    * (one per connecting line): pageRank's symmetrize step deduplicates
+    * anyway, so a distinct here would only add a full extra shuffle of
+    * the pair relation before the one that already happens. Suppliers
+    * are offset into their own id namespace so the bipartite node sets
+    * stay disjoint.
     */
   def tradeGraph(orders: DataFrame, lineitem: DataFrame): DataFrame =
     orders.select(col("o_orderkey"), col("o_custkey"))
@@ -111,7 +114,6 @@ object Graphs {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + 1000000L).as("dst"))
-      .distinct()
 
   private val S = 1L << 40
 

@@ -262,6 +262,35 @@ class MixingSpec extends SparkSpec {
     assert(again == rows.map(t => (t._1, t._3)).toSet)
   }
 
+  test("epoch upsampling: copy counts bracket the target, epochs are " +
+       "contiguous from 0, and the draw is partitioning-invariant") {
+    val out = Mixing.epochUpsample(docs, "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.25), defaultEpochs = 0.75)
+      .select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDoc = out.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3))
+    // every doc emits floor(e) or floor(e)+1 copies, epochs 0..k-1
+    perDoc.foreach { case ((_, src), epochs) =>
+      val k = epochs.length
+      val (lo, hi) = src match {
+        case "src0" => (2, 3)
+        case "src1" => (1, 2)
+        case _      => (0, 1)
+      }
+      assert(k >= math.max(1, lo) && k <= hi, s"$src emitted $k copies")
+      assert(epochs.sorted.toSeq == (0L until k).toSeq)
+    }
+    // realized totals track e_s * n_s (25 docs/source at sf0.01)
+    val bySource = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySource("src0") >= 55 && bySource("src0") <= 70, bySource)
+    assert(bySource("src1") >= 27 && bySource("src1") <= 40, bySource)
+    val again = Mixing.epochUpsample(docs.repartition(11), "doc_id",
+        "source", Map("src0" -> 2.5, "src1" -> 1.25), defaultEpochs = 0.75)
+      .select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == out.toSet)
+  }
+
   test("dsir: weights separate the target slice and survive repartitioning") {
     val w = Mixing.dsirWeights(docs, "doc_id", "text",
       targetPred = col("lang") === "en", nBuckets = 512)
