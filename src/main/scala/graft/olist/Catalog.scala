@@ -740,36 +740,69 @@ final class Catalog(
       m.build(placeholderDeps(m)).queryExecution.analyzed)
   }
 
-  /** Reachable-node collection for one direction pair. */
-  private def reach(names: Seq[String], withUpstream: Boolean,
-                    withDownstream: Boolean): Set[String] = {
+  /** Reachable-node collection for one direction pair, each direction
+    * bounded to a graph depth (Int.MaxValue = unlimited; 0 = none) —
+    * dbt's `n+`/`+n` degree syntax ([dbt]/graph/selector_spec.py,
+    * SELECTOR_GLOB's `max_depth`). A node reachable along both
+    * directions keeps the LARGER remaining budget per direction, so a
+    * diamond cannot truncate a longer path discovered later.
+    */
+  private def reach(names: Seq[String], upDepth: Int,
+                    downDepth: Int): Set[String] = {
     lazy val dependents: Map[String, Seq[String]] = byName.values.toSeq
       .flatMap(m => m.deps.map(_ -> m.name))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val wanted = scala.collection.mutable.Set[String]()
-    def visit(n: String): Unit = if (!wanted(n)) {
-      wanted += n
-      if (withUpstream) model(n).deps.foreach(visit)
-      if (withDownstream) dependents.getOrElse(n, Nil).foreach(visit)
-    }
-    names.foreach(visit)
-    wanted.toSet
+    val bestUp = scala.collection.mutable.Map[String, Int]()
+    val bestDown = scala.collection.mutable.Map[String, Int]()
+    def visitUp(n: String, budget: Int): Unit =
+      if (bestUp.getOrElse(n, -1) < budget) {
+        bestUp(n) = budget
+        if (budget > 0) model(n).deps
+          .foreach(visitUp(_, if (budget == Int.MaxValue) budget
+            else budget - 1))
+      }
+    def visitDown(n: String, budget: Int): Unit =
+      if (bestDown.getOrElse(n, -1) < budget) {
+        bestDown(n) = budget
+        if (budget > 0) dependents.getOrElse(n, Nil)
+          .foreach(visitDown(_, if (budget == Int.MaxValue) budget
+            else budget - 1))
+      }
+    names.foreach { n => visitUp(n, upDepth); visitDown(n, downDepth) }
+    bestUp.keySet.toSet ++ bestDown.keySet
   }
 
   /** Expand one dbt-style node selector (dbt's node-selection syntax,
     * [dbt]/graph/selector_spec.py): a model name, `tag:<t>` (every model
     * carrying the tag), with optional `+` affixes — `+sel` adds ancestors,
-    * `sel+` adds descendants, `+sel+` both. The method-wide
-    * upstream/downstream flags OR with the per-selector affixes, so
-    * `run(Seq("+fct_orders"))` and `run(Seq("fct_orders"), withUpstream =
-    * true)` select identically.
+    * `sel+` adds descendants, `+sel+` both; a DEGREE bounds either side
+    * (`2+sel` = two generations of parents, `sel+1` = direct children
+    * only, dbt's max_depth syntax). A comma is dbt's set INTERSECTION
+    * (`tag:a,tag:b` = models carrying both tags; each operand keeps its
+    * own affixes), while separate selectors in the list union. The
+    * method-wide upstream/downstream flags OR with the per-selector
+    * affixes, so `run(Seq("+fct_orders"))` and `run(Seq("fct_orders"),
+    * withUpstream = true)` select identically.
     */
   private def expandSelector(sel: String, withUpstream: Boolean,
                              withDownstream: Boolean,
                              state: Option[Manifest] = None): Set[String] = {
-    val up = withUpstream || sel.startsWith("+")
-    val down = withDownstream || sel.endsWith("+")
-    val core = sel.stripPrefix("+").stripSuffix("+")
+    if (sel.contains(","))
+      return sel.split(",").map(s =>
+        expandSelector(s, withUpstream, withDownstream, state))
+        .reduce(_ intersect _)
+    val upAffix = "^(\\d*)\\+".r.findFirstMatchIn(sel)
+    val downAffix = "\\+(\\d*)$".r.findFirstMatchIn(sel)
+    def depth(m: Option[scala.util.matching.Regex.Match],
+              flag: Boolean): Int = {
+      val affix = m.map(g => if (g.group(1).isEmpty) Int.MaxValue
+        else g.group(1).toInt).getOrElse(0)
+      math.max(affix, if (flag) Int.MaxValue else 0)
+    }
+    val up = depth(upAffix, withUpstream)
+    val down = depth(downAffix, withDownstream)
+    val core = sel.replaceFirst("^(\\d*)\\+", "")
+      .replaceFirst("\\+(\\d*)$", "")
     val bases =
       if (core.startsWith("tag:")) {
         val t = core.stripPrefix("tag:")

@@ -147,6 +147,36 @@ class OlistPipelineSpec extends SparkSpec {
       cat.topo(Seq("tag_typo_model"), withUpstream = false))
   }
 
+  test("degree-bounded affixes and comma intersection (dbt selector " +
+       "syntax: n+sel, sel+n, a,b)") {
+    // 1+fct_orders: the mart and its DIRECT parents only — no seeds
+    assert(cat.topo(Seq("1+fct_orders"), withUpstream = false).toSet ==
+      Set("fct_orders", "stg_olist_orders", "stg_olist_customers",
+        "stg_items"))
+    // 2+fct_orders adds the seeds those staging views read
+    val two = cat.topo(Seq("2+fct_orders"), withUpstream = false).toSet
+    assert(two.contains("olist_orders_dataset") &&
+      two.contains("olist_customers_dataset") &&
+      two.contains("olist_order_items_dataset"), two)
+    // unbounded affix == big-enough degree
+    assert(cat.topo(Seq("+fct_orders"), withUpstream = false).toSet ==
+      cat.topo(Seq("99+fct_orders"), withUpstream = false).toSet)
+    // bounded downstream: seeds' direct children are the staging views
+    assert(cat.topo(Seq("olist_orders_dataset+1"),
+      withUpstream = false).toSet ==
+      Set("olist_orders_dataset", "stg_olist_orders"))
+    // comma = intersection: staging models that are ALSO ancestors of
+    // the mart (all three), and an intersection that is empty
+    assert(cat.topo(Seq("tag:staging,+fct_orders"),
+      withUpstream = false).toSet ==
+      Set("stg_olist_orders", "stg_olist_customers", "stg_items"))
+    assert(cat.topo(Seq("tag:staging,tag:seed"),
+      withUpstream = false).isEmpty)
+    // union across separate selectors still works beside intersection
+    assert(cat.topo(Seq("stg_items", "tag:staging,tag:seed"),
+      withUpstream = false) == Seq("stg_items"))
+  }
+
   test("parallel run failure in one node aborts the run (dbt error gate)") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
