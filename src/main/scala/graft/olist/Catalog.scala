@@ -791,6 +791,16 @@ final class Catalog(
       return sel.split(",").map(s =>
         expandSelector(s, withUpstream, withDownstream, state))
         .reduce(_ intersect _)
+    if (sel.startsWith("@")) {
+      // dbt's at-operator ([dbt]/graph/selector_spec.py): the node, all
+      // its descendants, AND the full ancestry of those descendants —
+      // "everything needed to build what depends on this", the CI shape
+      // for rebuilding a changed shared model plus consumers whose OTHER
+      // parents must exist too.
+      val down = expandSelector(sel.stripPrefix("@") + "+",
+        withUpstream = false, withDownstream = false, state)
+      return reach(down.toSeq, Int.MaxValue, 0)
+    }
     val upAffix = "^(\\d*)\\+".r.findFirstMatchIn(sel)
     val downAffix = "\\+(\\d*)$".r.findFirstMatchIn(sel)
     def depth(m: Option[scala.util.matching.Regex.Match],

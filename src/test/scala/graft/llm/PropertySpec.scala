@@ -208,4 +208,40 @@ class PropertySpec extends SparkSpec {
       subsetOk && boundOk
     }, tests = 15)
   }
+
+  test("count-min property: estimates never undercount and respect the " +
+       "2n/w bound on arbitrary token streams") {
+    val genTokens = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"t$i"))
+    checkProp(org.scalacheck.Prop.forAll(genTokens) { toks =>
+      val cms = new graft.operators.Sketches.CountMin(4, 32)
+      val sk = toks.foldLeft(cms.zero)(cms.reduce)
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.forall { case (t, n) =>
+        val est = (0 until 4).map(i =>
+          sk(i * 32 + graft.operators.Sketches.CountMin.bucket(i, t, 32))).min
+        est >= n && est <= n + 2L * toks.size / 32
+      }
+    }, tests = 30)
+  }
+
+  test("pagerank property: ranks positive, mass within truncation loss, " +
+       "invariant under edge-list duplication (dedup by construction)") {
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 12L)
+      b <- Gen.chooseNum(0L, 12L)
+      if a != b
+    } yield (a, b))
+    checkProp(org.scalacheck.Prop.forAll(genEdges) { edges =>
+      import spark.implicits._
+      def run(es: Seq[(Long, Long)]) =
+        graft.operators.Graphs.pageRank(es.toDF("src", "dst"), iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val r = run(edges)
+      val scale = 1L << 40
+      // duplicated edge lists describe the same graph
+      r == run(edges ++ edges) &&
+        r.values.forall(_ > 0) &&
+        r.values.sum <= scale + r.size
+    }, tests = 5)
+  }
 }

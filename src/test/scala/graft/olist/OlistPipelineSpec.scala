@@ -175,6 +175,13 @@ class OlistPipelineSpec extends SparkSpec {
     // union across separate selectors still works beside intersection
     assert(cat.topo(Seq("stg_items", "tag:staging,tag:seed"),
       withUpstream = false) == Seq("stg_items"))
+    // @stg_items: itself + descendants (fct_orders) + the descendants'
+    // FULL ancestry (the other staging views and all their seeds)
+    val at = cat.topo(Seq("@stg_items"), withUpstream = false).toSet
+    assert(at.contains("fct_orders") && at.contains("stg_olist_orders") &&
+      at.contains("olist_orders_dataset") && at.contains("stg_items"), at)
+    assert(at == cat.topo(Seq("+fct_orders"), withUpstream = false).toSet,
+      "in this graph @stg_items equals fct_orders' full ancestry")
   }
 
   test("parallel run failure in one node aborts the run (dbt error gate)") {
