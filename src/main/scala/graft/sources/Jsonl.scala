@@ -86,6 +86,44 @@ object Jsonl {
   }
 }
 
+/** XML twin of [[Jsonl]] for element-per-line feeds (log streams and
+  * API exports that emit one `<record .../>` element per line — the XML
+  * shape that still arrives at ingest boundaries): same text + from_xml
+  * + quarantine split. Spark 4 ships the XML source natively; the
+  * element-per-line framing keeps the split exact and map-side like the
+  * JSONL/CSV twins (whole-document XML with a rowTag needs the file
+  * reader, whose corrupt-record capture has the same
+  * corrupt-only-column restriction — for trusted whole-document files
+  * use `spark.read.format("xml").option("rowTag", ...)` directly).
+  *
+  * from_xml differs from its json/csv siblings in HOW it reports
+  * failure: no in-schema corrupt column — an unparseable element yields
+  * a NULL struct, and a parseable element that fails to TYPE yields
+  * null fields. Quarantine = null struct OR every declared field null
+  * (a legitimate all-null record is indistinguishable from garbage at
+  * the wire level, and belongs in quarantine either way).
+  */
+object Xml {
+
+  def readRecords(spark: SparkSession, path: String,
+                  schema: StructType): (DataFrame, DataFrame) = {
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"),
+        from_xml(col("value"), schema,
+          new java.util.HashMap[String, String]()).as("r"))
+    val allNull = schema.fieldNames
+      .map(f => col("r").getField(f).isNull)
+      .reduce(_ && _)
+    val bad = col("r").isNull || allNull
+    val clean = parsed.filter(!bad)
+      .select(schema.fieldNames.map(f => col("r").getField(f).as(f)): _*)
+    val quarantine = parsed.filter(bad)
+      .select(col("value").as("raw_line"))
+    (clean, quarantine)
+  }
+}
+
 /** CSV twin of [[Jsonl]] for delimited drops (exports, partner feeds —
   * the other wire format operational data arrives in): same
   * text + from_csv + in-schema corrupt column design, same exact

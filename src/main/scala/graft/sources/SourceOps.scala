@@ -33,6 +33,30 @@ object SourceOps {
       Jsonl.ingestStats(s, out, docSchema, "text")
     },
 
+    // XML round trip with quarantine: documents rendered as one XML
+    // element per line (to_xml flattened to the line framing), one
+    // garbage line injected, read back through the from_xml quarantine
+    // split. The oracle is a plain SELECT against the parquet table — a
+    // hash match proves value fidelity through XML escaping/typing end
+    // to end AND that exactly the injected line was quarantined.
+    Op("source_xml_ingest",
+       "SELECT doc_id, source, lang, text, n_chars FROM documents") {
+      (s, d) =>
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        Tables.documents(s, d)
+          .select(regexp_replace(
+            to_xml(struct(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))),
+            "\\n\\s*", "").as("value"))
+          .write.mode("overwrite").text(out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "part-corrupt.txt"),
+          "<row><doc_id>not a number</doc_id></row>\n")
+        val (clean, _) = Xml.readRecords(s, out, docSchema)
+        clean.select("doc_id", "source", "lang", "text", "n_chars")
+    },
+
     // ORC round trip: the documents table written as ORC and read back.
     // The oracle is a plain SELECT against the PARQUET table — a hash
     // match therefore proves value fidelity through the second columnar

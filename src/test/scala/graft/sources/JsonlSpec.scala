@@ -83,4 +83,23 @@ class JsonlSpec extends SparkSpec {
     assert(clean.collect().map(_.getLong(0)).toSeq == Seq(7L))
     assert(quarantine.count() == 0)
   }
+
+  test("xml: clean rows typed with escapes unwound; garbage and all-null " +
+       "elements quarantined") {
+    val dir = Files.createTempDirectory("graft_xml")
+    Files.writeString(dir.resolve("part-0.xml"),
+      Seq(
+        "<row><doc_id>1</doc_id><text>a &lt;b&gt; &amp; c</text>" +
+          "<source>s1</source></row>",
+        "<row><doc_id>2</doc_id><text>plain</text><source>s2</source></row>",
+        "not xml at all",
+        "<row><other>field</other></row>" // parses, but no declared field
+      ).mkString("", "\n", "\n"))
+    val (clean, quarantine) = Xml.readRecords(spark, dir.toString, schema)
+    val rows = clean.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "a <b> & c", "s1"), (2L, "plain", "s2")))
+    assert(quarantine.collect().map(_.getString(0)).toSet ==
+      Set("not xml at all", "<row><other>field</other></row>"))
+  }
 }
