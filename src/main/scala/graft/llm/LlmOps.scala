@@ -1162,6 +1162,15 @@ object LlmOps {
         nShards = 16)
     },
 
+    // Best-fit-decreasing packing: the no-overflow guarantee streaming
+    // fill cannot give. Greedy bin state is not SQL-expressible ->
+    // rows-only; the guarantee and the fill advantage over streaming
+    // fill are asserted in MixingSpec.
+    Op.noOracle("mix_pack_tight") { (s, d) =>
+      Mixing.packSequencesTight(Tables.documents(s, d), "doc_id", "text",
+        "source", capacity = 512)
+    },
+
     // Epoch upsampling: src0 at 2.5 epochs, src1 at 1.25, the rest
     // subsampled at 0.75 — the >1x half of mixture weighting that
     // rate-capped sampling defers to epoch counts. The oracle replays

@@ -120,6 +120,72 @@ object Mixing {
       .drop("cum")
   }
 
+  /** Best-fit-decreasing sequence packing — the quality upgrade over
+    * [[packSequences]]' streaming fill: when every document fits
+    * `capacity`, NO pack overflows (a hard guarantee; streaming fill
+    * overflows by up to one document per pack), and the offline
+    * decreasing heuristics carry the classic 11/9·OPT + 6/9 bin bound.
+    * A document LARGER than capacity gets a pack of its own (its
+    * remaining capacity goes negative and is never offered again).
+    *
+    * Shape: repartition BY stratum, sort within partitions by
+    * (stratum, n_tokens desc, id), then ONE mapPartitions streaming each
+    * stratum group through a best-fit bin table (TreeMap keyed on
+    * remaining capacity; ties broken to the lowest pack id, so output is
+    * deterministic given the sort). Bin packing is inherently sequential
+    * PER STRATUM — this is the legitimate mapPartitions case: state is
+    * O(open bins), rows stream through, parallelism comes from strata
+    * (at 100 TB, pack within finer shards exactly like packSequences).
+    */
+  def packSequencesTight(docs: DataFrame, idCol: String, textCol: String,
+                         strataCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(col(strataCol).as("stratum"),
+        col(idCol).cast("long").as("id"),
+        size(TextFeatures.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartition(col("stratum"))
+      .sortWithinPartitions(col("stratum"), col("n_tokens").desc, col("id"))
+      .as[(String, Long, Long)]
+    val packed = sized.mapPartitions { rows =>
+      var stratum: String = null
+      // remaining capacity -> pack ids at that remainder (lowest first)
+      var bins: java.util.TreeMap[Long, java.util.TreeSet[Long]] = null
+      var remainingOf: scala.collection.mutable.Map[Long, Long] = null
+      var nextPack = 0L
+      def reset(): Unit = {
+        bins = new java.util.TreeMap()
+        remainingOf = scala.collection.mutable.Map()
+        nextPack = 0L
+      }
+      rows.map { case (s, id, n) =>
+        if (s != stratum) { stratum = s; reset() }
+        val fit = bins.ceilingEntry(n)
+        val pack =
+          if (fit == null) { // nothing fits: open a new pack
+            val p = nextPack; nextPack += 1
+            remainingOf(p) = capacity.toLong
+            p
+          } else {
+            val p = fit.getValue.first()
+            fit.getValue.remove(p)
+            if (fit.getValue.isEmpty) bins.remove(fit.getKey)
+            p
+          }
+        val rem = remainingOf(pack) - n
+        remainingOf(pack) = rem
+        if (rem > 0) // a full (or overfull oversized) pack never re-offers
+          bins.computeIfAbsent(rem, _ => new java.util.TreeSet[Long]())
+            .add(pack)
+        (s, id, n, pack)
+      }
+    }
+    packed.toDF("stratum", "id", "n_tokens", "pack_id")
+      .select(col("id").as(idCol), col("stratum").as(strataCol),
+        col("n_tokens"), col("pack_id"))
+  }
+
   /** Per-source token budget — the "assemble a corpus of N tokens at these
     * source weights" cut every training-data mixture ends with: within each
     * stratum, documents are drawn in md5-derived pseudo-random order (an

@@ -262,6 +262,48 @@ class MixingSpec extends SparkSpec {
     assert(again == rows.map(t => (t._1, t._3)).toSet)
   }
 
+  test("tight packing: hard no-overflow guarantee, at least as few packs " +
+       "as streaming fill, oversized docs isolated, deterministic") {
+    import org.apache.spark.sql.functions.{col, sum, max, countDistinct}
+    val cap = 512
+    val tight = Mixing.packSequencesTight(docs, "doc_id", "text",
+      "source", cap)
+    val perPack = tight.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok")).collect()
+    // every doc fits cap in this corpus -> NO pack may exceed it, ever
+    assert(tight.agg(max("n_tokens")).head().getLong(0) <= cap)
+    assert(perPack.forall(_.getLong(2) <= cap),
+      perPack.filter(_.getLong(2) > cap).mkString(";"))
+    // within the BFD bound of the volume lower bound, per stratum (NOT
+    // comparable to packSequences' pack count — streaming fill OVERFLOWS
+    // capacity, which is exactly the defect this operator removes)
+    val byStratum = tight.groupBy("source")
+      .agg(sum("n_tokens").as("tok"), countDistinct("pack_id").as("packs"))
+      .collect()
+    byStratum.foreach { r =>
+      val lb = (r.getLong(1) + cap - 1) / cap
+      assert(r.getLong(2) <= (11 * lb) / 9 + 1,
+        s"${r.getString(0)}: ${r.getLong(2)} packs vs LB $lb")
+    }
+    // same doc set, each exactly once
+    assert(tight.select("doc_id").distinct().count() == docs.count())
+    // deterministic under input partitioning
+    val again = Mixing.packSequencesTight(docs.repartition(13), "doc_id",
+        "text", "source", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == tight.collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet)
+    // an oversized doc gets a pack of its own
+    import spark.implicits._
+    val over = Seq((1L, "s", ("w " * 600).trim), (2L, "s", "a b c"),
+      (3L, "s", "d e"))
+      .toDF("doc_id", "source", "text")
+    val packs = Mixing.packSequencesTight(over, "doc_id", "text",
+        "source", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(packs(2L) == packs(3L) && packs(1L) != packs(2L), packs.toString)
+  }
+
   test("epoch upsampling: copy counts bracket the target, epochs are " +
        "contiguous from 0, and the draw is partitioning-invariant") {
     val out = Mixing.epochUpsample(docs, "doc_id", "source",
