@@ -104,4 +104,32 @@ class LayoutSpec extends SparkSpec {
       li.distinct().count())
     assert(back.columns.sorted.toSeq == li.columns.sorted.toSeq)
   }
+
+  test("RUNTIME read volume: a partkey-strip scan over the z layout " +
+       "reads a fraction of the rows the linear layout must read") {
+    // footer spans (above) promise skipping; task input metrics prove the
+    // reader actually skipped — the difference between a pretty layout
+    // and a fast one
+    val li = Tables.lineitem(spark, sf)
+    val zdir = Files.createTempDirectory("zorder_rt").toString
+    val ldir = Files.createTempDirectory("linear_rt").toString
+    Layout.writeZOrdered(li, zdir, "l_orderkey", "l_partkey",
+      rankBits = 10, numFiles = 16)
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(ldir)
+    def readRows(dir: String): Long = {
+      val (_, m) = graft.Instrumentation.measure(spark) {
+        spark.read.parquet(dir)
+          .filter(col("l_partkey").between(100L, 110L)).count()
+      }
+      m.inputRecords
+    }
+    val zRead = readRows(zdir)
+    val lRead = readRows(ldir)
+    assert(lRead >= li.count(),
+      s"linear layout cannot skip on partkey: read $lRead")
+    assert(zRead * 2 < lRead,
+      s"z layout should skip most row groups: read $zRead vs $lRead")
+  }
 }
