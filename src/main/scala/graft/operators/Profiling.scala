@@ -99,6 +99,67 @@ object Profiling {
     // edge and the oracle matches bit-for-bit. One partial+final
     // aggregate over a bounded bin space; bin edges reported back in
     // exact-decimal-to-double form.
+    // Population-stability-index drift monitor — THE production metric
+    // for "did this feed's distribution move": per histogram bin,
+    // term_b = (p_b - q_b) * ln(p_b / q_b) with add-one smoothing over
+    // the union of observed bins; drift = sum of terms. Here the two
+    // populations are a deterministic split of orders (even/odd key) so
+    // the oracle replays the whole computation: integer-cent binning
+    // (f_histogram's trick), exact-division probabilities, the ln
+    // QUANTIZED to 2^-30 fixed point (glibc ln is not correctly rounded
+    // — the dsirWeights recipe), and the final per-bin term as plain
+    // deterministic double arithmetic. Two keyed aggregates over a
+    // bounded bin space + a 1-row totals attach — scales like any
+    // profile query.
+    Op("profile_drift_psi",
+       """WITH binned AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           // 2000000 AS bin,
+         |         o_orderkey % 2 = 0 AS in_a
+         |  FROM orders),
+         |counts AS (
+         |  SELECT bin,
+         |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM binned GROUP BY 1),
+         |tots AS (
+         |  SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |         CAST(sum(cb) AS BIGINT) AS tb,
+         |         CAST(count(*) AS BIGINT) AS nb FROM counts)
+         |SELECT bin,
+         |       CAST(ca + 1 AS DOUBLE) / (ta + nb) AS p_a,
+         |       CAST(cb + 1 AS DOUBLE) / (tb + nb) AS p_b,
+         |       (CAST(ca + 1 AS DOUBLE) / (ta + nb)
+         |        - CAST(cb + 1 AS DOUBLE) / (tb + nb))
+         |       * (CAST(round(ln(CAST((ca + 1) * (tb + nb) AS DOUBLE) /
+         |                        CAST((cb + 1) * (ta + nb) AS DOUBLE))
+         |                     * 1073741824.0) AS BIGINT) / 1073741824.0)
+         |         AS psi_term
+         |FROM counts, tots""".stripMargin) { (s, d) =>
+      val binned = Tables.orders(s, d)
+        .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT) div 2000000").as("bin"),
+          (col("o_orderkey") % 2 === 0).as("in_a"))
+      val counts = binned.groupBy(col("bin"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+      val tots = counts.agg(sum(col("ca")).as("ta"),
+        sum(col("cb")).as("tb"), count(lit(1)).as("nb"))
+      val lamFx = round(graft.functions.GraftFunctions.ieeeLn(
+          ((col("ca") + 1) * (col("tb") + col("nb"))).cast("double") /
+            ((col("cb") + 1) * (col("ta") + col("nb"))).cast("double"))
+          * lit(1073741824.0)).cast("long")
+      counts.crossJoin(broadcast(tots)) // 1-row totals attach
+        .select(col("bin"),
+          ((col("ca") + 1).cast("double") / (col("ta") + col("nb")))
+            .as("p_a"),
+          ((col("cb") + 1).cast("double") / (col("tb") + col("nb")))
+            .as("p_b"),
+          (((col("ca") + 1).cast("double") / (col("ta") + col("nb")) -
+            (col("cb") + 1).cast("double") / (col("tb") + col("nb"))) *
+            (lamFx.cast("double") / lit(1073741824.0))).as("psi_term"))
+    },
+
     Op("f_histogram",
        """SELECT bin,
          |       CAST(bin * 1000 AS DOUBLE) AS bin_lo,

@@ -60,7 +60,7 @@ class PlanAuditSpec extends SparkSpec {
         n == "q22_idle_balances" || n == "q11_important_parts" ||
         n == "q15_top_supplier" || n == "source_jsonl_ingest" ||
         n == "text_tfidf" || n == "mix_dsir_weights" ||
-        n == "mix_dsir_resample")
+        n == "mix_dsir_resample" || n == "profile_drift_psi")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -80,7 +80,7 @@ class PlanAuditSpec extends SparkSpec {
     // global-aggregate scalar attached by crossJoin(broadcast(...))
     Seq("q22_idle_balances", "q11_important_parts", "q15_top_supplier",
         "source_jsonl_ingest", "text_tfidf", "mix_dsir_weights",
-        "mix_dsir_resample")
+        "mix_dsir_resample", "profile_drift_psi")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
