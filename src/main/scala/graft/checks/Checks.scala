@@ -120,6 +120,25 @@ object Checks {
       .drop("__prev_max_upper")
   }
 
+  /** dbt_utils.sequential_values: within each group, the column ordered
+    * by itself must step by EXACTLY `interval` — the gap/duplicate
+    * detector for sequence ids, invoice numbers, daily partitions.
+    * Returns the violating rows (value + its predecessor). One keyed
+    * window (lag), no self-join — a single shuffle at any scale.
+    */
+  def sequentialValues(df: DataFrame, valueCol: String,
+                       interval: Long = 1L,
+                       partitionBy: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (if (partitionBy.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(partitionBy.map(col): _*))
+      .orderBy(col(valueCol))
+    df.withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        col(valueCol) =!= col("__prev") + interval)
+      .withColumnRenamed("__prev", "prev_value")
+  }
+
   /** The dbt count harness as a one-row DataFrame — the distributed form
     * (reference: tests/helpers.sql:5-14's `select count(*) as failures,
     * count(*) != 0 as should_error`). `evaluate` below is the driver-side

@@ -137,6 +137,25 @@ object QualityGates {
           col("o_orderdate").as("lower"),
           (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("upper")),
         "lower", "upper", Seq("o_custkey"))
+    },
+
+    // sequential_values (dbt_utils): l_linenumber must step by exactly 1
+    // within each order. Dropping every line number 2 plants a
+    // deterministic gap in every multi-line order; the op returns the
+    // violating (order, line, predecessor) rows the test would report.
+    Op("t_sequential_values",
+       """SELECT l_orderkey, l_linenumber, prev_value FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |         lag(l_linenumber) OVER (PARTITION BY l_orderkey
+         |           ORDER BY l_linenumber) AS prev_value
+         |  FROM lineitem WHERE l_linenumber <> 2)
+         |WHERE prev_value IS NOT NULL
+         |  AND l_linenumber <> prev_value + 1""".stripMargin) { (s, d) =>
+      Checks.sequentialValues(
+        Tables.lineitem(s, d).filter(col("l_linenumber") =!= 2)
+          .select(col("l_orderkey"), col("l_linenumber")),
+        "l_linenumber", interval = 1L, partitionBy = Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("prev_value"))
     }
   )
 }
