@@ -1372,6 +1372,23 @@ object LlmOps {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), n = 4).toDF()
     },
 
+    // Video near-dup dedup: byte-identical twins planted for every 4th
+    // video row; position-wise frame-hash banding surfaces each twin
+    // pair with all sampled slots matching at hamming 0, while the
+    // slot-keyed join keeps re-cut/reversed videos apart (asserted in
+    // MultimodalSpec). Binary media — no DuckDB oracle.
+    Op.noOracle("multimodal_video_dedup") { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      // video rows are the id%4==2 residue; twin every other one (the
+      // %8==2 half — the REAL animated GIFs)
+      val twins = media.filter(m => m.kind == "video" && m.media_id % 8 == 2)
+        .map(m => Multimodal.MediaRow(m.media_id + 1000000L, "video",
+          m.bytes))
+      Multimodal.videoNearDups(
+        Multimodal.videoFrameHashes(media.union(twins), n = 4).toDF())
+    },
+
     // Amplitude-invariant audio dedup: every decodable audio row gets a
     // HALF-VOLUME twin (same samples scaled 0.5, re-encoded WAV); the
     // loudness-envelope hash is built on comparisons, so each twin pair

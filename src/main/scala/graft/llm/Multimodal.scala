@@ -188,6 +188,74 @@ object Multimodal {
     }
   }
 
+  final case class FrameHash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-slot perceptual hashes of `n` container-spread frames of every
+    * video row (raw GRVD frame slices and per-frame-decoded animated
+    * GIFs — the same two real container families sampleFrames walks).
+    * `frame_idx` is the SAMPLE SLOT (0..n-1), not the container frame
+    * number, so videos of different lengths compare position-wise.
+    * Narrow per-partition map, no shuffle.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow], n: Int = 4)
+      : Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      def sampleIdx(nFrames: Int): Seq[Int] =
+        (0 until n).map(i => (i.toLong * nFrames / n).toInt).distinct
+      RawMedia.decodeVideoInfo(r.bytes) match {
+        case Some(v) =>
+          sampleIdx(v.nFrames).zipWithIndex.map { case (fi, slot) =>
+            val off = v.frameOffset(fi).toInt
+            val img = RawMedia.Image(v.width, v.height, v.channels,
+              java.util.Arrays.copyOfRange(r.bytes, off, off + v.frameBytes))
+            FrameHash(r.media_id, slot, dHash64(img))
+          }
+        case None => CompressedMedia.gifFrameRanges(r.bytes) match {
+          case Some(ranges) if ranges.nonEmpty =>
+            sampleIdx(ranges.size).zipWithIndex.flatMap { case (fi, slot) =>
+              CompressedMedia.decodeFrame(r.bytes, fi)
+                .map(img => FrameHash(r.media_id, slot, dHash64(img)))
+            }
+          case _ => Seq.empty
+        }
+      }
+    }
+  }
+
+  /** Video near-dup detection: per SAMPLE SLOT the image pigeonhole
+    * banding (hamming <= 7 over 64 bits must agree on one byte chunk),
+    * candidates equi-joined on (slot, band, chunk) — position-wise, so a
+    * re-cut / reversed video does NOT collide — then a pair survives
+    * when at least `minMatching` slots verify within `maxHamming`. Same
+    * no-all-pairs shape as every other dedup here; the per-slot join
+    * adds one key column, nothing else.
+    */
+  def videoNearDups(frameHashes: DataFrame, maxHamming: Int = 6,
+                    minMatching: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      "pigeonhole banding over 8 chunks guarantees recall only below 8")
+    require(minMatching >= 1)
+    val chunks = frameHashes.select(col("media_id"), col("frame_idx"),
+      col("dhash"),
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("band"),
+          shiftright(col("dhash"), c * 8).bitwiseAND(lit(255L)).as("sig")))
+        : _*)).as("bc"))
+      .select(col("media_id"), col("frame_idx"), col("dhash"),
+        col("bc.band").as("band"), col("bc.sig").as("sig"))
+    val slotPairs = chunks
+      .toDF("id_a", "frame_idx", "h_a", "band", "sig")
+      .join(chunks.toDF("id_b", "frame_idx", "h_b", "band", "sig"),
+        Seq("frame_idx", "band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame_idx", "h_a", "h_b").distinct()
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+    slotPairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matching"))
+      .filter(col("n_matching") >= minMatching)
+  }
+
   final case class AudioFeatures(
       media_id: Long, format: String, frames: Int, channels: Int,
       sample_rate: Float, duration_ms: Double,

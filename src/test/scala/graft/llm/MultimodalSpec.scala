@@ -393,6 +393,47 @@ class MultimodalSpec extends SparkSpec {
     assert(twinPairs.length == nRaw && twinPairs.forall(_ == 0))
   }
 
+  test("video dedup: byte twins match on every sampled slot; a REVERSED " +
+       "cut does not survive the position-wise join") {
+    import spark.implicits._
+    def frame(seed: Int): RawMedia.Image = {
+      // distinct smooth frames: a ramp whose slope direction flips with
+      // the seed, so frame hashes differ strongly across the sequence
+      val (w, h) = (32, 32)
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = seed match {
+            case 0 => 255 * x / w
+            case 1 => 255 * y / h
+            case 2 => 255 - 255 * x / w
+            case _ => 255 - 255 * y / h
+          }
+          px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      RawMedia.Image(w, h, 3, px)
+    }
+    val frames = (0 until 4).map(frame)
+    val fwd = CompressedMedia.encodeGifAnimation(frames)
+    val fwdCopy = CompressedMedia.encodeGifAnimation(frames)
+    val rev = CompressedMedia.encodeGifAnimation(frames.reverse)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", fwd),
+      Multimodal.MediaRow(2L, "video", fwdCopy),
+      Multimodal.MediaRow(3L, "video", rev)).toDS()
+    val pairs = Multimodal.videoNearDups(
+        Multimodal.videoFrameHashes(media, n = 4).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 4L)),
+      s"only the same-order pair may survive: ${pairs.mkString(",")}")
+  }
+
   test("pHash: survives resampling on smooth content (the dHash gap), " +
        "identical pixels hash identically, distinct content stays far") {
     def smooth(w: Int, h: Int): RawMedia.Image = {
