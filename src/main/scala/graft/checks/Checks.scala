@@ -120,6 +120,22 @@ object Checks {
       .drop("__prev_max_upper")
   }
 
+  /** dbt_utils.accepted_range: rows whose column falls outside
+    * [min, max] (either bound optional, inclusive like dbt_utils'
+    * default). A pure map-side filter — the predicate pushes into the
+    * scan.
+    */
+  def acceptedRange(df: DataFrame, valueCol: String,
+                    minValue: Option[Double] = None,
+                    maxValue: Option[Double] = None): DataFrame = {
+    require(minValue.nonEmpty || maxValue.nonEmpty,
+      "accepted_range needs at least one bound")
+    val violations = Seq(
+      minValue.map(m => col(valueCol) < m),
+      maxValue.map(m => col(valueCol) > m)).flatten.reduce(_ || _)
+    df.filter(col(valueCol).isNotNull && violations)
+  }
+
   /** dbt_utils.sequential_values: within each group, the column ordered
     * by itself must step by EXACTLY `interval` — the gap/duplicate
     * detector for sequence ids, invoice numbers, daily partitions.

@@ -213,6 +213,20 @@ object Snapshots {
   def current(snapshot: DataFrame,
               includeDeleted: Boolean = false): DataFrame =
     dropTombstones(snapshot.filter(col("valid_to").isNull), includeDeleted)
+
+  /** What changed between two moments — the audit question an SCD2 table
+    * exists to answer, as one relation: (key, change) for every key
+    * added, removed, or changed between the `t1` state and the `t2`
+    * state, via the engine's CDC diff over the two as-of reads. Cost is
+    * two map-side validity filters + the slim (key, md5) full-outer join
+    * — no history scan beyond the snapshot itself.
+    */
+  def changedBetween(snapshot: DataFrame, key: String,
+                     compareCols: Seq[String],
+                     t1: java.sql.Timestamp,
+                     t2: java.sql.Timestamp): DataFrame =
+    graft.operators.Analytics.tableDiff(
+      asOf(snapshot, t1), asOf(snapshot, t2), key, compareCols)
 }
 
 /** dbt exposure (`exposures:` YAML, [dbt]/contracts/graph/nodes.py

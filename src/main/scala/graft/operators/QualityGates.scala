@@ -139,6 +139,27 @@ object QualityGates {
         "lower", "upper", Seq("o_custkey"))
     },
 
+    // accepted_range (dbt_utils): discounts must sit in [0, 0.1] —
+    // planted violations via a deterministic +0.2 bump on ~every 199th
+    // line (prime modulus — a multiple of 10 would never hit: linenumber
+    // is 1..7), so the gate returns exactly those rows.
+    Op("t_accepted_range",
+       """SELECT l_orderkey, l_linenumber, l_discount FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |         CASE WHEN (l_orderkey * 10 + l_linenumber) % 199 = 0
+         |              THEN l_discount + 0.2 ELSE l_discount END AS l_discount
+         |  FROM lineitem)
+         |WHERE l_discount IS NOT NULL
+         |  AND (l_discount < 0.0 OR l_discount > 0.1)""".stripMargin) {
+      (s, d) =>
+        Checks.acceptedRange(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            when((col("l_orderkey") * 10 + col("l_linenumber")) % 199 === 0,
+              col("l_discount") + 0.2).otherwise(col("l_discount"))
+              .as("l_discount")),
+          "l_discount", minValue = Some(0.0), maxValue = Some(0.1))
+    },
+
     // sequential_values (dbt_utils): l_linenumber must step by exactly 1
     // within each order. Dropping every line number 2 plants a
     // deterministic gap in every multi-line order; the op returns the

@@ -103,6 +103,13 @@ class SnapshotSpec extends SparkSpec {
     // as-of before the deletion still sees key 2 alive
     assert(Snapshots.asOf(snap2, Timestamp.valueOf("2024-01-15 00:00:00"))
       .collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+
+    // changedBetween: the CDC diff of the two as-of states — key 1
+    // changed payload, key 3 was added, key 2 untouched (absent)
+    val diff = Snapshots.changedBetween(snap, "id", Seq("payload"),
+        Timestamp.valueOf("2024-01-15 00:00:00"), t2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "changed", 3L -> "added"), diff.toString)
   }
 
   test("re-running the same batch is a no-op (idempotent snapshot)") {
