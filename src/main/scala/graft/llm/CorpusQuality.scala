@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,66 @@ object CorpusQuality {
           (acc, x) => acc + x.getField("lnp")).as("s"))
       .select(col(idCol), col("n_bigrams"),
         (-(col("s") / col("n_bigrams"))).as("log_ppl"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions — corpus cartography: which sources speak the same
+    * language/register (near 0) and which are foreign to each other
+    * (near ln 2). Tokens hash into `nBuckets` md5 buckets (the DSIR
+    * feature space); for each ordered source pair (a < b),
+    *
+    *   JS = 1/2 Σ_k [ p_k ln(2 p_k / (p_k+q_k)) + q_k ln(2 q_k / (p_k+q_k)) ]
+    *
+    * with add-one smoothing over the bucket space so every term is
+    * finite. Oracle-parity by the engine's fixed-point recipe: each ln
+    * is quantized to 2^-30 (glibc's ln is not correctly rounded — no
+    * JVM ln matches it operand-for-operand), probabilities are single
+    * exact divisions of integers, and the per-pair sum folds in bucket
+    * order on both sides.
+    *
+    * Scale: one (source, bucket) aggregate — |sources| × nBuckets rows,
+    * catalog-bounded — then a bucket-keyed self-join of that SUMMARY
+    * (never the corpus) and a fold over ≤ nBuckets terms per pair.
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String = "text",
+                       strataCol: String = "source",
+                       nBuckets: Int = 256): DataFrame = {
+    val B = nBuckets
+    val occ = docs.select(col(strataCol).as("src"),
+        explode(TextFeatures.tokens(col(textCol))).as("tok"))
+      .select(col("src"),
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
+          lit(B.toLong)).cast("int").as("bucket"))
+    val counts = occ.groupBy(col("src"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tots = counts.groupBy(col("src")).agg(sum(col("n")).as("t"))
+    // densify over the WHOLE bucket space 0..B-1 (explode of a sequence,
+    // not a cross join): smoothing gives every bucket mass, and a bucket
+    // one source lacks must still contribute to the divergence
+    val full = tots
+      .select(col("src"), col("t"),
+        explode(sequence(lit(0), lit(B - 1))).as("bucket"))
+      .join(counts, Seq("src", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val a = full.select(col("src").as("src_a"), col("bucket"),
+      col("n").as("na"), col("t").as("ta"))
+    val b = full.select(col("src").as("src_b"), col("bucket"),
+      col("n").as("nb"), col("t").as("tb"))
+    // smoothed probabilities: single exact divisions of integers
+    val pa = (col("na") + 1).cast("double") / (col("ta") + B)
+    val pb = (col("nb") + 1).cast("double") / (col("tb") + B)
+    def lnFx(x: Column): Column =
+      round(graft.functions.GraftFunctions.ieeeLn(x) * lit(1073741824.0))
+        .cast("long").cast("double") / lit(1073741824.0)
+    val terms = a.join(b, Seq("bucket"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("bucket"),
+        ((pa * lnFx(lit(2.0) * pa / (pa + pb)) +
+          pb * lnFx(lit(2.0) * pb / (pa + pb))) / 2).as("term"))
+    terms.groupBy(col("src_a"), col("src_b"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("bucket"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("js"))
   }
 
   /** Per-source robust length outliers — median/MAD, the scale- and

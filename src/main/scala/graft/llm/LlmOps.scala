@@ -729,6 +729,48 @@ object LlmOps {
       CorpusQuality.perplexity(Tables.documents(s, d))
     },
 
+    // Pairwise Jensen–Shannon divergence between source token
+    // distributions (corpus cartography). The oracle replays the md5
+    // bucket space, the range-densified smoothed probabilities, the
+    // 2^-30-quantized lns, and the bucket-order fold.
+    Op("text_source_divergence",
+       s"""WITH occ AS (
+          |  SELECT source AS src,
+          |         CAST(CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 256
+          |              AS INT) AS bucket
+          |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+          |counts AS (
+          |  SELECT src, bucket, count(*) AS n FROM occ GROUP BY 1, 2),
+          |tots AS (
+          |  SELECT src, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1),
+          |fullv AS (
+          |  SELECT s.src, s.t, r.bucket, coalesce(c.n, 0) AS n
+          |  FROM tots s
+          |  CROSS JOIN (SELECT CAST(unnest(range(256)) AS INT) AS bucket) r
+          |  LEFT JOIN counts c ON c.src = s.src AND c.bucket = r.bucket),
+          |terms AS (
+          |  SELECT a.src AS src_a, b.src AS src_b, a.bucket,
+          |         (CAST(a.n + 1 AS DOUBLE) / (a.t + 256)
+          |            * (CAST(round(ln(2.0 * (CAST(a.n + 1 AS DOUBLE) / (a.t + 256))
+          |                / (CAST(a.n + 1 AS DOUBLE) / (a.t + 256)
+          |                   + CAST(b.n + 1 AS DOUBLE) / (b.t + 256)))
+          |                * 1073741824.0) AS BIGINT) / 1073741824.0)
+          |          + CAST(b.n + 1 AS DOUBLE) / (b.t + 256)
+          |            * (CAST(round(ln(2.0 * (CAST(b.n + 1 AS DOUBLE) / (b.t + 256))
+          |                / (CAST(a.n + 1 AS DOUBLE) / (a.t + 256)
+          |                   + CAST(b.n + 1 AS DOUBLE) / (b.t + 256)))
+          |                * 1073741824.0) AS BIGINT) / 1073741824.0)) / 2
+          |           AS term
+          |  FROM fullv a JOIN fullv b
+          |    ON a.bucket = b.bucket AND a.src < b.src)
+          |SELECT src_a, src_b,
+          |       list_reduce(list_prepend(0.0, list(term ORDER BY bucket)),
+          |                   (x, y) -> x + y) AS js
+          |FROM terms GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      CorpusQuality.sourceDivergence(Tables.documents(s, d),
+        "text", "source", nBuckets = 256)
+    },
+
     // Compression-ratio quality signal (RedPajama-v2 / Dolma per-doc
     // feature): deflated bytes / raw bytes — boilerplate deflates far
     // below natural prose. Map-side native kernel (per-thread Deflater

@@ -115,4 +115,28 @@ class CorpusQualitySpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L, 13L).forall { id =>
       out(id)._3 == 0 && out(id)._4 == 0.0 && !out(id)._5 })
   }
+
+  test("source divergence: identical sources score ~0, disjoint " +
+       "vocabularies approach ln 2, values bounded") {
+    import spark.implicits._
+    // enough token mass that add-one smoothing (64 pseudo-counts per
+    // source) does not flatten the distributions
+    val wordsA = ("alpha beta gamma delta " * 200).trim
+    val wordsC = ("omega psi chi phi " * 200).trim
+    val docs = Seq(
+      (1L, wordsA, "sA"),
+      (2L, wordsA, "sB"),   // identical to sA
+      (3L, wordsC, "sC"))   // disjoint vocabulary
+      .toDF("doc_id", "text", "source")
+    val js = CorpusQuality.sourceDivergence(docs, "text", "source",
+        nBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val same = js(("sA", "sB"))
+    val far = js(("sA", "sC"))
+    assert(math.abs(same) < 1e-9, s"identical sources: $same")
+    assert(far > 0.1 && far > same + 0.1, s"disjoint sources: $far")
+    js.values.foreach(v =>
+      assert(v >= -1e-6 && v <= math.log(2) + 1e-6, v.toString))
+  }
 }
