@@ -593,6 +593,9 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.install(extensions)
+    // materialized-aggregate routing (no-op while its registry is empty)
+    extensions.injectOptimizerRule(s => new graft.plans.SummaryRouting(s))
+  }
 }
