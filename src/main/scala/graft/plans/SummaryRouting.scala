@@ -124,24 +124,27 @@ class SummaryRouting(spark: SparkSession) extends Rule[LogicalPlan] {
             val summaryPlan =
               spark.read.parquet(summary.summaryLocation)
                 .queryExecution.analyzed
-            def summaryAttr(n: String): Attribute =
-              summaryPlan.output.find(_.name == n).getOrElse(
-                return agg) // summary schema drifted: leave untouched
-            val newGroup = groupNames.map(summaryAttr)
-            val newAggs: Seq[NamedExpression] = outs.map {
-              case GroupOut(n, out) =>
-                Alias(summaryAttr(n), out.name)(exprId = out.exprId)
-              case SumOut(sc, out) =>
-                // re-sum the partial state; cast back in case the
-                // partial's storage type widened (sum(int) stores long)
-                val reSum = AggregateExpression(
-                  Sum(summaryAttr(sc)), Complete, isDistinct = false)
-                val cast = if (reSum.dataType == out.dataType) reSum
-                  else org.apache.spark.sql.catalyst.expressions.Cast(
-                    reSum, out.dataType)
-                Alias(cast, out.name)(exprId = out.exprId)
+            val byName: Map[String, Attribute] =
+              summaryPlan.output.map(a => a.name -> a).toMap
+            val needed = groupNames ++ outs.collect { case SumOut(sc, _) => sc }
+            if (!needed.forall(byName.contains)) agg // summary schema drifted: leave untouched
+            else {
+              val newGroup = groupNames.map(byName)
+              val newAggs: Seq[NamedExpression] = outs.map {
+                case GroupOut(n, out) =>
+                  Alias(byName(n), out.name)(exprId = out.exprId)
+                case SumOut(sc, out) =>
+                  // re-sum the partial state; cast back in case the
+                  // partial's storage type widened (sum(int) stores long)
+                  val reSum = AggregateExpression(
+                    Sum(byName(sc)), Complete, isDistinct = false)
+                  val cast = if (reSum.dataType == out.dataType) reSum
+                    else org.apache.spark.sql.catalyst.expressions.Cast(
+                      reSum, out.dataType)
+                  Alias(cast, out.name)(exprId = out.exprId)
+              }
+              Aggregate(newGroup, newAggs, summaryPlan)
             }
-            Aggregate(newGroup, newAggs, summaryPlan)
         }
     }
   }
