@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Layout.ops ++
       olist.OlistOps.ops ++
       sources.SourceOps.ops ++
-      llm.LlmOps.ops
+      llm.LlmOps.ops ++
+      llm.Retrieval.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_orders shape (agg + left join + derived total) — the reference's

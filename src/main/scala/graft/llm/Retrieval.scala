@@ -1,0 +1,133 @@
+package graft.llm
+
+import graft.{Op, Tables}
+import graft.functions.GraftFunctions.ieeeLn
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over a document corpus — Okapi BM25 (Robertson &
+  * Zaragoza 2009), the scoring function behind Lucene/Elasticsearch and
+  * the standard sparse half of hybrid (BM25 + dense kNN) retrieval
+  * pipelines. Complements the dense side the engine already ships
+  * (Similarity.bruteForceKnn / lshKnn / ivfKnn): a training-data
+  * pipeline uses exactly this pair for contamination audits ("which
+  * corpus docs answer this benchmark question either lexically or
+  * semantically?") and for RAG-corpus curation.
+  *
+  * Scale shape at 100 TB: the query-term `isin` filter runs MAP-SIDE
+  * directly behind the scan, so only postings of the query's terms ever
+  * enter a shuffle — the classic inverted-index access path expressed
+  * declaratively (the full corpus is never re-keyed). Document length
+  * and corpus stats ride along as (a) a grouping column and (b) one
+  * broadcast 1-row aggregate; per-term document frequencies are a
+  * |terms|-row broadcast. The final top-k is TakeOrderedAndProject —
+  * per-partition heaps, no global sort — and the row_number window runs
+  * AFTER the limit, over k rows.
+  *
+  * Hash-compare contract (see Verify gotchas): ln routes through the
+  * `ieee_ln` kernel; the per-document score folds the per-term partial
+  * scores in TOKEN order on both engines (a plain sum(double) is
+  * partitioning-dependent); constants that are not exactly
+  * representable (k1 = 1.2) are combined in the DOUBLE domain on both
+  * sides — `lit(k1) + lit(1.0)` here, `CAST(1.2 AS DOUBLE) + 1.0` in
+  * the oracle — because folding them in Scala (`lit(k1 + 1.0)`) and in
+  * DuckDB's exact DECIMAL domain (`1.2 + 1.0`) yields different bits.
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 score for one bag-of-terms query.
+    * Returns (doc_id, rank, score) — rank 1 = best, ties broken by id.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol),
+      TextFeatures.tokens(col(textCol)).as("toks"))
+    val lens = toks.select(col(idCol), size(col("toks")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    // postings of the query terms ONLY — the isin filter sits behind the
+    // explode, so non-matching tokens die map-side before any shuffle
+    val tf = toks
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl: Column =
+      col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf: Column = ieeeLn(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfWeight: Column =
+      (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("dl").cast("double") / avgdl)))
+    val perTerm = tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats)) // 1-row scalar attachment
+      .select(col(idCol), col("tok"), (idf * tfWeight).as("s"))
+    val scored = perTerm.groupBy(col(idCol))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("tok"), col("s")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score"))
+    // TakeOrderedAndProject does the distributed top-k; the window only
+    // ranks the k survivors
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("score"))
+  }
+
+  // The bench/oracle query: three corpus-vocabulary terms of differing
+  // document frequency, k = 10.
+  private val Terms = Seq("spark", "vector", "hash")
+  private val termsSql = Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  val ops: Seq[Op] = Seq(
+    Op("text_bm25_topk",
+       s"""WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |stats AS (
+          |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
+          |  FROM toks),
+          |tf AS (
+          |  SELECT doc_id, dl, tok, count(*) AS tf
+          |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+          |  WHERE list_contains($termsSql, tok)
+          |  GROUP BY 1, 2, 3),
+          |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          |per_term AS (
+          |  SELECT doc_id,
+          |         tok,
+          |         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+          |                  / (CAST(df AS DOUBLE) + 0.5))
+          |         * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+          |            / (CAST(tf AS DOUBLE)
+          |               + 1.2 * (1.0 - 0.75
+          |                        + 0.75 * (CAST(dl AS DOUBLE)
+          |                                  / (CAST(total_len AS DOUBLE)
+          |                                     / CAST(n_docs AS DOUBLE))))))
+          |           AS s
+          |  FROM tf JOIN dfreq USING (tok), stats),
+          |scored AS (
+          |  SELECT doc_id,
+          |         list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
+          |                     (a, b) -> a + b) AS score
+          |  FROM per_term GROUP BY doc_id)
+          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, score FROM (
+          |  SELECT doc_id, score,
+          |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          |  FROM scored)
+          |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      bm25TopK(Tables.documents(s, d), Terms, k = 10)
+    }
+  )
+}
