@@ -84,50 +84,142 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("score"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR'09)
+    * of a lexical BM25 list and a dense cosine-kNN list for one query:
+    *
+    *   rrf(d) = Σ_lists 1 / (c + rank_list(d)),   c = 60
+    *
+    * the standard way production search fuses sparse and dense scores
+    * without calibrating their incomparable scales. The dense query is a
+    * corpus vector (`queryVecId`); documents and vectors correlate by
+    * id. Both candidate lists are top-`kCand`; a document missing from a
+    * list contributes 0 from it. RRF works on RANKS (integers), so the
+    * fused double is a sum of two exactly-determined terms — no
+    * accumulation-order hazard, bit-replayable in DuckDB.
+    *
+    * Scale shape: each side is its own already-scale-shaped operator
+    * (BM25's map-side postings filter; a 1-row broadcast of the query
+    * vector against the embedding table — at production scale the dense
+    * side swaps in lshKnn/ivfKnn for the same (id, rank) contract); the
+    * fusion join is kCand × kCand rows — driver-negligible.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+                queryVecId: Long, kCand: Int = 20, k: Int = 10,
+                c: Double = 60.0,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.GraftFunctions.vecCosine
+    val lex = bm25TopK(docs, terms, kCand, idCol = idCol, textCol = textCol)
+      .select(col(idCol), col("rank").as("r_lex"))
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val dense = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv)) // 1-row query-vector attachment
+      .select(col("vec_id"),
+        vecCosine(col("embedding").cast("array<double>"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(kCand)
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as(idCol), col("r_dense"))
+    lex.join(dense, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(c) + col("r_lex").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_dense").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("rrf"))
+  }
+
   // The bench/oracle query: three corpus-vocabulary terms of differing
   // document frequency, k = 10.
   private val Terms = Seq("spark", "vector", "hash")
   private val termsSql = Terms.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** BM25 ranking CTEs (DuckDB dialect), shared by both oracle entries so
+    * the scoring definition cannot drift between them. Yields a relation
+    * `lexranked(doc_id, score, rank)` over all matching docs.
+    */
+  private def bm25Cte: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
+       |  FROM toks),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+       |  WHERE list_contains($termsSql, tok)
+       |  GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |per_term AS (
+       |  SELECT doc_id,
+       |         tok,
+       |         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+       |                  / (CAST(df AS DOUBLE) + 0.5))
+       |         * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |            / (CAST(tf AS DOUBLE)
+       |               + 1.2 * (1.0 - 0.75
+       |                        + 0.75 * (CAST(dl AS DOUBLE)
+       |                                  / (CAST(total_len AS DOUBLE)
+       |                                     / CAST(n_docs AS DOUBLE))))))
+       |           AS s
+       |  FROM tf JOIN dfreq USING (tok), stats),
+       |scored AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
+       |                     (a, b) -> a + b) AS score
+       |  FROM per_term GROUP BY doc_id),
+       |lexranked AS (
+       |  SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_bm25_topk",
-       s"""WITH toks AS (
-          |  SELECT doc_id,
-          |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
-          |  FROM documents),
-          |stats AS (
-          |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
-          |  FROM toks),
-          |tf AS (
-          |  SELECT doc_id, dl, tok, count(*) AS tf
-          |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
-          |  WHERE list_contains($termsSql, tok)
-          |  GROUP BY 1, 2, 3),
-          |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-          |per_term AS (
-          |  SELECT doc_id,
-          |         tok,
-          |         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
-          |                  / (CAST(df AS DOUBLE) + 0.5))
-          |         * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-          |            / (CAST(tf AS DOUBLE)
-          |               + 1.2 * (1.0 - 0.75
-          |                        + 0.75 * (CAST(dl AS DOUBLE)
-          |                                  / (CAST(total_len AS DOUBLE)
-          |                                     / CAST(n_docs AS DOUBLE))))))
-          |           AS s
-          |  FROM tf JOIN dfreq USING (tok), stats),
-          |scored AS (
-          |  SELECT doc_id,
-          |         list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
-          |                     (a, b) -> a + b) AS score
-          |  FROM per_term GROUP BY doc_id)
-          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, score FROM (
-          |  SELECT doc_id, score,
-          |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-          |  FROM scored)
-          |WHERE rank <= 10""".stripMargin) { (s, d) =>
+       s"""WITH $bm25Cte
+          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, score
+          |FROM lexranked WHERE rank <= 10""".stripMargin) { (s, d) =>
       bm25TopK(Tables.documents(s, d), Terms, k = 10)
+    },
+
+    // Sparse+dense fusion for one query: BM25 list (the terms above) and
+    // cosine-kNN list around corpus vector 0, RRF with c = 60. Ranks are
+    // integers and each RRF term is one exact division, so the fused
+    // score hash-compares; the cosine replays as the same sequential
+    // fold knn_cosine proved bit-exact.
+    Op("hybrid_rrf",
+       s"""WITH $bm25Cte,
+          |lex AS (SELECT doc_id, rank AS r_lex FROM lexranked WHERE rank <= 20),
+          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |dense AS (
+          |  SELECT doc_id, r_dense FROM (
+          |    SELECT vec_id AS doc_id,
+          |           row_number() OVER (ORDER BY cos DESC, vec_id) AS r_dense
+          |    FROM (
+          |      SELECT c.vec_id,
+          |             list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+          |               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+          |             / (sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+          |              * sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+          |                  i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))) AS cos
+          |      FROM embeddings c, q WHERE c.vec_id <> 0))
+          |  WHERE r_dense <= 20),
+          |fused AS (
+          |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+          |         coalesce(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+          |         + coalesce(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) AS rrf
+          |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, rrf FROM (
+          |  SELECT doc_id, rrf,
+          |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+          |  FROM fused)
+          |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        Terms, queryVecId = 0L, kCand = 20, k = 10)
     }
   )
 }

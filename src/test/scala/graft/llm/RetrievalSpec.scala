@@ -61,6 +61,42 @@ class RetrievalSpec extends SparkSpec {
       "bit-exact scores regardless of partitioning")
   }
 
+  test("rrf fusion: doc on both lists beats docs on a single list") {
+    import spark.implicits._
+    // doc 1: matches the term AND is the nearest vector; docs 2/3 each
+    // appear on only one list
+    val d = docs(
+      1L -> "cat x y z",
+      2L -> "cat cat cat z", // lexically stronger than doc 1
+      3L -> "p q r s")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // the query vector
+      (1L, Array(0.9f, 0.1f), 0),  // near the query
+      (2L, Array(-1.0f, 0.0f), 0), // opposite
+      (3L, Array(0.8f, 0.2f), 0)   // near-ish
+    ).toDF("vec_id", "embedding", "label")
+    val got = Retrieval.hybridRrf(d, emb, Seq("cat"), queryVecId = 0L,
+      kCand = 3, k = 3).collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    // doc 1: lex rank 2 + dense rank 1 = 1/62 + 1/61 ≈ 0.0325 beats
+    // doc 2: lex rank 1 + dense rank 3 = 1/61 + 1/63 ≈ 0.0323 —
+    // presence near the top of BOTH lists outweighs one first place
+    assert(got.head == ((1L, 1)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("rrf score is exactly the sum of the two reciprocal terms") {
+    import spark.implicits._
+    val d = docs(1L -> "cat a b", 2L -> "x y z")
+    val emb = Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Retrieval.hybridRrf(d, emb, Seq("cat"), 0L, kCand = 5, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1: lex rank 1 + dense rank 1 (exactly parallel vector);
+    // doc 2: dense rank 2 only
+    assert(got(1L) == 1.0 / 61.0 + 1.0 / 61.0)
+    assert(got(2L) == 1.0 / 62.0)
+  }
+
   test("plan: distributed top-k, no global sort of the corpus") {
     val d = docs((1L to 30L).map(i => i -> s"cat x$i y z"): _*)
     val plan = Retrieval.bm25TopK(d, Seq("cat"), k = 5)
