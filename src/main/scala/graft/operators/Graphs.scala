@@ -58,9 +58,16 @@ object Graphs {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    // degree-annotated adjacency, materialized once — every round joins it
-    val adj = cut(sym.join(
-      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    // degree-annotated adjacency, materialized once — every round joins
+    // it. Degree comes from a count window over src rather than a
+    // groupBy+join-back: that turns three full-edge shuffles (distinct,
+    // degree agg, join) into two, and WindowExec buffers one node's
+    // edges at a time WITH sort-spill — safe on hub nodes where a
+    // collect_set-based one-shuffle variant would hold the whole
+    // neighbor set on the heap.
+    val adj = cut(sym.withColumn("deg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")))))
     val n = adj.agg(count_distinct(col("src"))).head().getLong(0)
     require(n > 0, "edge relation spans no nodes")
     val tele = (scale * 15L / 100L) / n
