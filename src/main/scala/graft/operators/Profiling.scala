@@ -160,6 +160,48 @@ object Profiling {
             (lamFx.cast("double") / lit(1073741824.0))).as("psi_term"))
     },
 
+    // Equi-depth (equal-frequency) histogram — the OTHER profiling
+    // histogram: bucket boundaries follow the data's quantiles instead
+    // of a fixed grid, so skewed distributions get resolution where the
+    // mass is. EXACT and integer-ranked: values go to cents (BIGINT),
+    // ranks come from Mixing.assignContiguousIds (range-partition +
+    // per-partition row_number + broadcast offsets — NO global window),
+    // bucket = seq*k div n, so bucket populations differ by at most 1
+    // and the whole thing replays as row_number in the oracle. The only
+    // corpus-wide movement is the range repartition; the rank join is a
+    // broadcast of #partitions rows.
+    Op("f_equidepth_hist",
+       """WITH cents AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |         o_orderkey AS k
+         |  FROM orders),
+         |nn AS (SELECT count(*) AS n FROM cents),
+         |ranked AS (
+         |  SELECT c, (row_number() OVER (ORDER BY c, k) - 1) AS seq
+         |  FROM cents)
+         |SELECT CAST(seq * 8 // n AS INTEGER) AS bucket,
+         |       count(*) AS n_rows,
+         |       CAST(min(c) AS DOUBLE) / 100.0 AS lo,
+         |       CAST(max(c) AS DOUBLE) / 100.0 AS hi
+         |FROM ranked, nn
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val buckets = 8
+      val cents = Tables.orders(s, d).select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("c"),
+        col("o_orderkey").as("k"))
+      val n = cents.agg(count(lit(1)).as("n"))
+      graft.llm.Mixing.assignContiguousIds(cents,
+          struct(col("c"), col("k")))
+        .crossJoin(broadcast(n)) // 1-row total attach
+        .select(col("c"),
+          expr(s"CAST((seq_id * $buckets) div n AS INT)").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          (min(col("c")).cast("double") / lit(100.0)).as("lo"),
+          (max(col("c")).cast("double") / lit(100.0)).as("hi"))
+    },
+
     Op("f_histogram",
        """SELECT bin,
          |       CAST(bin * 1000 AS DOUBLE) AS bin_lo,
