@@ -36,10 +36,10 @@ object Engine {
       // skips during execution anyway.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      // The events table stores TIMESTAMP(NANOS), which the vectorized
-      // parquet reader rejects; session-wide legacy nanos-as-long lets
-      // Tables.events rebuild microsecond timestamps without any reader
-      // mutating shared session state mid-query.
+      // Older testdata layouts stored events.ts as TIMESTAMP(NANOS), which
+      // the vectorized parquet reader rejects; session-wide legacy
+      // nanos-as-long keeps those files readable (Tables.events branches on
+      // the scanned type) without any reader mutating session state.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed tables (SessionCatalogWarehouse) land in tmp, not the cwd;
       // per-process dir so a previous JVM's orphaned managed-table
@@ -119,18 +119,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. The nanos-as-long legacy
-    * flag is set once in Engine.local (not here — a reader must not mutate
-    * session state); rebuild a microsecond timestamp with INTEGER division:
-    * epoch-nanos (~1.5e18) exceed 2^53, so a double round-trip would lose up
-    * to ~256 ns and shift some rows by 1 µs. `div` is exact for all longs
-    * and bit-compatible with the DuckDB oracle's microsecond TIMESTAMP.
+  /** Schema-adaptive reader for the events table — the generator has shipped
+    * `ts` as both parquet TIMESTAMP(NANOS) and TIMESTAMP_NTZ(MICROS) across
+    * testdata revisions, so the reader branches on the scanned type instead
+    * of assuming one layout:
+    *   - LongType: nanos surfaced as BIGINT via the nanos-as-long legacy flag
+    *     (set once in Engine.local — a reader must not mutate session state).
+    *     Rebuild microseconds with INTEGER division: epoch-nanos (~1.5e18)
+    *     exceed 2^53, so a double round-trip would lose up to ~256 ns and
+    *     shift some rows by 1 µs; `ts div 1000` is exact for all longs.
+    *   - TIMESTAMP_NTZ / TIMESTAMP: already microseconds; normalize to
+    *     session-zoned TimestampType (identity under the pinned UTC session
+    *     timezone) so every downstream consumer — windows, watermarks, as-of
+    *     joins — sees one stable type regardless of the file layout.
+    * Both branches are bit-compatible with the DuckDB oracle's microsecond
+    * TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
