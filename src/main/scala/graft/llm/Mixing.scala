@@ -301,6 +301,18 @@ object Mixing {
     * ties straddling a range boundary the per-partition ranks would be
     * order-dependent. Deterministic under any input partitioning; equals
     * the naive global row_number, which is what the oracle replays.
+    *
+    * The ranged frame is materialized ONCE (localCheckpoint) before the
+    * offsets aggregate and the rank join are derived from it. Without
+    * that, the two plan subtrees each re-execute the range exchange
+    * independently; `repartitionByRange` samples its boundaries per
+    * execution, so the broadcast offsets could be computed against a
+    * partitioning the data rows never actually got — off-by-a-partition
+    * ids whose probability GROWS with partition count and AQE activity
+    * (observed as overlapping equi-depth buckets at sf0.01). Same
+    * materialize-the-fixpoint pattern as Dedup.componentMinLabels; on a
+    * cluster with `spark.checkpoint.dir` set, swap for reliable
+    * checkpoint to survive executor loss.
     */
   def assignContiguousIds(df: DataFrame, orderCol: Column,
                           numParts: Int = 0): DataFrame = {
@@ -309,6 +321,7 @@ object Mixing {
     val ranged = df.withColumn("__k", orderCol)
       .repartitionByRange(parts, col("__k"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = row_number()
       .over(Window.partitionBy(col("__pid")).orderBy(col("__k")))
     val offsets = ranged.groupBy(col("__pid")).count()

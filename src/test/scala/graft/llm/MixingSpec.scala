@@ -217,6 +217,40 @@ class MixingSpec extends SparkSpec {
     assert(dataWindows.forall(_.contains("__pid")), plan)
   }
 
+  test("assign ids: deterministic under re-execution — identical output " +
+       "twice and exactly-once equi-depth buckets at several partition " +
+       "counts, AQE on and off") {
+    // Regression guard for the double-executed range exchange: before the
+    // ranged frame was materialized once, the offsets aggregate and the
+    // rank join each re-ran `repartitionByRange` with independently
+    // sampled boundaries, so broadcast offsets could disagree with the
+    // partitioning the data rows actually got — observed as equi-depth
+    // buckets of 1539..2292 rows where every bucket must hold n/k ± 1.
+    val input = docs.select("doc_id")
+    val n = input.count()
+    val k = 8
+    for (aqe <- Seq("true", "false"); parts <- Seq(4, 17, 32)) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      try {
+        def run() = Mixing.assignContiguousIds(input,
+            md5(col("doc_id").cast("string")), numParts = parts)
+          .select(col("doc_id"), col("seq_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val a = run()
+        val b = run()
+        assert(a == b, s"nondeterministic at parts=$parts aqe=$aqe")
+        assert(a.map(_._2) == (0L until n).toSet,
+          s"ids not dense at parts=$parts aqe=$aqe")
+        // equi-depth buckets derived from the ids: seq*k div n gives
+        // populations that differ by at most 1 when ids are exactly-once
+        val buckets = a.groupBy { case (_, seq) => seq * k / n }
+          .view.mapValues(_.size).values.toSeq
+        assert(buckets.size == k && buckets.max - buckets.min <= 1,
+          s"buckets=$buckets at parts=$parts aqe=$aqe")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("leakage-safe split: cluster members share a split even when their " +
        "per-document draws disagree; singletons split ~80/10/10") {
     import spark.implicits._
