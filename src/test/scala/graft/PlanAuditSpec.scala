@@ -54,13 +54,24 @@ class PlanAuditSpec extends SparkSpec {
     // mix_dsir_weights / mix_dsir_resample attach their 1-row totals
     // aggregate (tt, tr) to the B-row bucket stats by crossJoin(broadcast)
     // — the text_tfidf scalar shape (verified 1-row below).
+    // text_bm25_topk attaches its 1-row corpus-stats aggregate
+    // (n_docs, total_len) the same way; hybrid_rrf contains that BM25
+    // subplan plus a broadcast of the single vec_id=0 query vector
+    // (1 row by key uniqueness — the EqualTo pushdown is asserted below).
+    // knn_ivf_recall / knn_pq_recall embed bruteForceKnn's intended
+    // brute-force BNLJ (the knn_cosine shape: bounded 20-query broadcast
+    // against the corpus scan) as their ground-truth side; no cartesian
+    // (asserted below).
     val audited = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
+      n == "knn_ivf_recall" || n == "knn_pq_recall" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
         n == "q22_idle_balances" || n == "q11_important_parts" ||
         n == "q15_top_supplier" || n == "source_jsonl_ingest" ||
         n == "text_tfidf" || n == "mix_dsir_weights" ||
-        n == "mix_dsir_resample" || n == "profile_drift_psi")
+        n == "mix_dsir_resample" || n == "profile_drift_psi" ||
+        n == "text_bm25_topk" || n == "hybrid_rrf" ||
+        n == "f_equidepth_hist")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -80,13 +91,29 @@ class PlanAuditSpec extends SparkSpec {
     // global-aggregate scalar attached by crossJoin(broadcast(...))
     Seq("q22_idle_balances", "q11_important_parts", "q15_top_supplier",
         "source_jsonl_ingest", "text_tfidf", "mix_dsir_weights",
-        "mix_dsir_resample", "profile_drift_psi")
+        "mix_dsir_resample", "profile_drift_psi", "text_bm25_topk",
+        // f_equidepth_hist: the 1-row corpus count attached to the ranked
+        // rows (bucket = seq*k div n)
+        "f_equidepth_hist")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
         // the broadcast side is a keyless global aggregate -> one row
         assert(p.contains("HashAggregate(keys=[]"), s"$name:\n$p")
       }
+    // hybrid_rrf: BM25's keyless stats aggregate PLUS the dense side's
+    // query-vector attach — 1 row because vec_id is the table key and the
+    // EqualTo filter reaches the scan
+    val rrf = plan("hybrid_rrf")
+    assert(!rrf.contains("CartesianProduct"), rrf)
+    assert(rrf.contains("HashAggregate(keys=[]"), rrf)
+    assert(rrf.contains("EqualTo(vec_id,0)"), rrf)
+    // the recall entries: BNLJ allowed (bounded-query brute-force truth
+    // side), cartesian still forbidden
+    Seq("knn_ivf_recall", "knn_pq_recall").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
   }
 
   test("ANN candidate generation is join-based: no per-bucket collect " +
