@@ -38,13 +38,18 @@ object Bpe {
   /** Learn `numMerges` merges from a (word -> count) histogram.
     * Returns merges in learned order (rank = index).
     *
+    * `symbolize` maps a histogram key to its initial symbol sequence —
+    * char-level + sentinel by default, UTF-8 byte alphabet in
+    * byte-level mode (`ByteLevel.symbols`).
+    *
     * Driver-side by design — the histogram is bounded (top-V types) and
     * each round touches only words containing the merged pair, indexed so
     * rounds are near-O(affected words).
     */
-  def train(wordCounts: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+  def train(wordCounts: Map[String, Long], numMerges: Int,
+            symbolize: String => Vector[String] = symbols): Seq[(String, String)] = {
     // working state: each word as a mutable symbol vector + its count
-    val words = wordCounts.toArray.map { case (w, c) => (symbols(w), c) }
+    val words = wordCounts.toArray.map { case (w, c) => (symbolize(w), c) }
     val seqs = words.map(_._1.to(mutable.ArrayBuffer))
     val counts = words.map(_._2)
 
@@ -107,8 +112,15 @@ object Bpe {
     * apply the lowest-rank applicable merge — the standard greedy BPE
     * encoder, a pure function suitable for a broadcast closure.
     */
-  def encode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var s = symbols(word)
+  def encode(word: String, ranks: Map[(String, String), Int]): Vector[String] =
+    mergeGreedy(symbols(word), ranks)
+
+  /** Greedy lowest-rank merge loop shared by the char-level and byte-level
+    * encoders — a pure function suitable for a broadcast closure.
+    */
+  private def mergeGreedy(initial: Vector[String],
+                          ranks: Map[(String, String), Int]): Vector[String] = {
+    var s = initial
     var done = false
     while (!done && s.length > 1) {
       var bestRank = Int.MaxValue
@@ -186,5 +198,124 @@ object Bpe {
       .groupBy("bpe_token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bpe_token"))
       .limit(k)
+  }
+
+  /** Byte-level BPE — the GPT-2/tiktoken lineage (Radford et al. 2019,
+    * "Language Models are Unsupervised Multitask Learners", released
+    * encoder.py): the alphabet is the 256 UTF-8 BYTES, not characters, so
+    * ANY string — accents, CJK, emoji, binary junk — tokenizes without an
+    * unknown-symbol escape hatch, and a regex pre-tokenizer splits text
+    * into merge-bounded pretokens (leading-space words, number runs,
+    * contraction suffixes) instead of the whitespace+sentinel convention.
+    *
+    * Bytes are carried as printable unicode chars via the published
+    * reversible byte↔char table (printable latin stays itself; the 68
+    * control/space bytes shift to 256+n) so a learned symbol is still a
+    * plain String and the whole word-histogram sufficient-statistic
+    * training path is reused unchanged. `decode` inverts the table and
+    * re-assembles UTF-8 — round-trips are byte-exact by construction.
+    *
+    * Same scale shape as char-level: pre-tokenization is one
+    * `regexp_extract_all` behind the scan (codegen'd, map-side), the
+    * histogram is the only shuffle, and only the bounded (pretoken, count)
+    * table reaches the driver.
+    */
+  object ByteLevel {
+
+    /** GPT-2's reversible byte -> printable-char table: bytes that are
+      * printable in latin-1 ('!'..'~', '¡'..'¬', '®'..'ÿ') map to
+      * themselves; the remaining 68 map to 256, 257, … in byte order.
+      */
+    val byteToChar: Array[Char] = {
+      val printable = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+      val out = new Array[Char](256)
+      var shifted = 0
+      for (b <- 0 until 256) {
+        if (printable(b)) out(b) = b.toChar
+        else { out(b) = (256 + shifted).toChar; shifted += 1 }
+      }
+      out
+    }
+    private val charToByte: Map[Char, Byte] =
+      byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+    /** GPT-2's pre-tokenization pattern: contraction suffixes, then
+      * optionally-space-prefixed letter runs / digit runs / punctuation
+      * runs, then trailing whitespace (kept separate from the space that
+      * prefixes the next word via the lookahead).
+      */
+    val PretokenPattern: String =
+      """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    private val pretokenRe = PretokenPattern.r
+
+    def preTokenize(text: String): Seq[String] =
+      pretokenRe.findAllIn(text).toSeq
+
+    /** Initial symbol sequence of a pretoken: one mapped char per UTF-8
+      * byte, NO sentinel (the leading-space convention owns boundaries).
+      */
+    def symbols(pretoken: String): Vector[String] =
+      pretoken.getBytes("UTF-8").toVector
+        .map(b => byteToChar(b & 0xff).toString)
+
+    /** Invert a token sequence back to the exact original string. */
+    def decode(tokens: Seq[String]): String = {
+      val bytes = tokens.flatMap(_.map(charToByte)).toArray
+      new String(bytes, "UTF-8")
+    }
+
+    def train(pretokenCounts: Map[String, Long],
+              numMerges: Int): Seq[(String, String)] =
+      Bpe.train(pretokenCounts, numMerges, symbols)
+
+    def encode(pretoken: String,
+               ranks: Map[(String, String), Int]): Vector[String] =
+      mergeGreedy(symbols(pretoken), ranks)
+
+    /** Full-text encode: pre-tokenize, encode each pretoken. Concatenating
+      * `decode` over the result reproduces the input byte-exactly.
+      */
+    def encodeText(text: String,
+                   ranks: Map[(String, String), Int]): Vector[String] =
+      preTokenize(text).iterator.flatMap(encode(_, ranks)).toVector
+
+    /** Distributed pretoken histogram cut to the top `vocabWords` types.
+      * The GPT-2 split regex runs as `regexp_extract_all` directly behind
+      * the scan — map-side, codegen'd, no UDF.
+      */
+    def pretokenHistogram(docs: DataFrame, textCol: String,
+                          vocabWords: Int): DataFrame =
+      docs.select(explode(
+          regexp_extract_all(col(textCol), lit(PretokenPattern), lit(0)))
+          .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(vocabWords)
+
+    def trainOnCorpus(docs: DataFrame, textCol: String = "text",
+                      numMerges: Int = 200,
+                      vocabWords: Int = 10000): Seq[(String, String)] = {
+      val hist = pretokenHistogram(docs, textCol, vocabWords)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Bpe.train(hist, numMerges, symbols)
+    }
+
+    /** Per-document byte-level token count next to the raw byte count —
+      * the context-window statistic for a real model's tokenizer. Map-only;
+      * merge ranks ride the encode closure.
+      */
+    def tokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ranks = merges.zipWithIndex.toMap
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, text.getBytes("UTF-8").length.toLong,
+            encodeText(text, ranks).length.toLong)
+        }.toDF(idCol, "n_bytes", "n_byte_bpe_tokens")
+    }
   }
 }

@@ -60,4 +60,75 @@ class BpeSpec extends SparkSpec {
     val vocab = Bpe.topVocab(docs, m1, k = 10).collect()
     assert(vocab.length == 10 && vocab.forall(_.getLong(1) > 0))
   }
+
+  test("byte-level: the byte<->char table is the published GPT-2 one and " +
+       "is a bijection") {
+    val t = Bpe.ByteLevel.byteToChar
+    assert(t.length == 256 && t.toSet.size == 256)
+    // printable latin-1 maps to itself
+    assert(t('A'.toInt) == 'A' && t('~'.toInt) == '~' && t(0xff) == 'ÿ')
+    // the 68 non-printable bytes shift to 256+n in byte order:
+    // byte 0 is the first shifted, space (0x20) is the 33rd
+    assert(t(0) == 256.toChar)
+    assert(t(' '.toInt) == (256 + 32).toChar) // 'Ġ' in GPT-2's table
+    assert(t(' '.toInt) == 'Ġ')
+  }
+
+  test("byte-level: GPT-2 pre-tokenization splits contractions, keeps " +
+       "leading spaces on words, separates digit and punct runs") {
+    assert(Bpe.ByteLevel.preTokenize("I'll say 42 things!") ==
+      Seq("I", "'ll", " say", " 42", " things", "!"))
+    // splits are a partition of the input: concat recovers it exactly
+    val s = "  mixed\ttext, 3.14 élève 中文 😀!"
+    assert(Bpe.ByteLevel.preTokenize(s).mkString == s)
+  }
+
+  test("byte-level: encode/decode round-trips accents, CJK, and emoji " +
+       "byte-exactly, with and without merges") {
+    val texts = Seq(
+      "plain ascii text",
+      "élève naïve résumé",            // accents
+      "中文测试文本",                   // CJK
+      "emoji 😀🎉 and ☃",              // emoji + BMP symbol
+      "tabs\tnewlines\nand  spaces")
+    val noMerges = Map.empty[(String, String), Int]
+    val trained = Bpe.ByteLevel.train(
+      texts.flatMap(Bpe.ByteLevel.preTokenize)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap,
+      numMerges = 30).zipWithIndex.toMap
+    for (t <- texts; ranks <- Seq(noMerges, trained)) {
+      val enc = Bpe.ByteLevel.encodeText(t, ranks)
+      assert(Bpe.ByteLevel.decode(enc) == t, s"$t -> $enc")
+      // merges compress or preserve, never expand
+      assert(enc.length <= t.getBytes("UTF-8").length)
+    }
+  }
+
+  test("byte-level: reproduces the published Sennrich et al. (2016) merge " +
+       "sequence prefix on the paper's histogram") {
+    // The paper's worked example {low:5, lower:2, newest:6, widest:3}.
+    // Byte-level has no </w> sentinel, so the published char-level prefix
+    // (e,s), (es,t), (est,</w>), (l,o), (lo,w) loses its sentinel step:
+    // (e,s) 9, (es,t) 9 -> lexicographic tie-break; then (l,o) 7 ties
+    // (o,w) 7 -> (l,o); then (lo,w) 7.
+    val hist = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.ByteLevel.train(hist, numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("byte-level: corpus training is deterministic across partitionings " +
+       "and token counts bound bytes from below") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m1 = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 50,
+      vocabWords = 1000)
+    val m2 = Bpe.ByteLevel.trainOnCorpus(docs.repartition(7), numMerges = 50,
+      vocabWords = 1000)
+    assert(m1 == m2)
+    val counts = Bpe.ByteLevel.tokenCounts(docs, m1).collect()
+    assert(counts.length == docs.count())
+    for (r <- counts) {
+      assert(r.getLong(2) <= r.getLong(1), r.toString)  // merged <= bytes
+      assert(r.getLong(2) > 0, r.toString)
+    }
+  }
 }
