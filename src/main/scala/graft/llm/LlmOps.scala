@@ -218,6 +218,156 @@ object LlmOps {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** DuckDB replay of the PINNED-CENTROID IVF pipeline plus its recall
+    * measurement against the exact cosine top-k. Centroids are the first
+    * `nCents` corpus vectors (vec-id order = list index — see
+    * Similarity.ivfKnn centroidVecIds), so coarse assignment is an
+    * argmin-of-squared-L2 against named rows: plain SQL, no k-means.
+    * Distances are the same sequential i-order folds as the pq_encode /
+    * pq_adc_table kernels; list ties break to the lowest list index on
+    * both sides (strict `<` argmin there, `ORDER BY d, list_id` here).
+    */
+  private def ivfRecallOracleSql(nCents: Int, nprobe: Int, k: Int,
+                                 nQueries: Int, dim: Int): String = {
+    val sqDist =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
+        s"i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))" +
+        s" * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))," +
+        s" 'sum')"
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+       |         embedding AS ce
+       |  FROM embeddings WHERE vec_id < $nCents),
+       |dist AS (
+       |  SELECT v.vec_id, c.list_id, $sqDist AS d
+       |  FROM embeddings v, cents c),
+       |assigned AS (
+       |  SELECT vec_id, list_id AS list FROM (
+       |    SELECT vec_id, list_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY d, list_id) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT vec_id AS query_id, list_id AS list FROM (
+       |    SELECT vec_id, list_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY d, list_id) AS rn
+       |    FROM dist WHERE vec_id < $nQueries)
+       |  WHERE rn <= $nprobe),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.vid AS neighbor_id,
+       |           row_number() OVER (PARTITION BY s.query_id
+       |                              ORDER BY s.sim DESC, s.vid) AS rank
+       |    FROM (
+       |      SELECT p.query_id, n.vec_id AS vid, ${cosineSql(dim)} AS sim
+       |      FROM probed p
+       |      JOIN assigned n ON n.list = p.list AND n.vec_id <> p.query_id
+       |      JOIN embeddings a ON a.vec_id = p.query_id
+       |      JOIN embeddings b ON b.vec_id = n.vec_id) s)
+       |  WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |                              ORDER BY ${cosineSql(dim)} DESC,
+       |                                       b.vec_id) AS rank
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id)
+       |  WHERE rank <= $k),
+       |tagged AS (
+       |  SELECT query_id, neighbor_id, max(t) AS t, max(f) AS f FROM (
+       |    SELECT query_id, neighbor_id, 1 AS t, 0 AS f FROM truth
+       |    UNION ALL SELECT query_id, neighbor_id, 0, 1 FROM ivf)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(sum(t) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_found,
+       |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+       |            AS DOUBLE)
+       |         / CAST(sum(t) AS DOUBLE) AS recall
+       |FROM tagged""".stripMargin
+  }
+
+  /** DuckDB replay of the PINNED-CODEBOOK PQ-ADC pipeline plus its recall
+    * measurement against the exact squared-L2 top-k (PQ's native metric).
+    * Subspace j's codewords are the j-th subvectors of corpus vectors
+    * [cwLo, cwHi) in vec-id order (Similarity.pqKnn codebookVecIds), so
+    * encoding is an argmin of sequential-fold squared L2 per subspace and
+    * the ADC score is a j-ORDERED fold of table lookups — both mirror the
+    * pq_encode/pq_adc_table/pq_adc_score kernels' accumulation order
+    * bit-for-bit; codeword ties break to the lowest index on both sides.
+    */
+  private def pqRecallOracleSql(cwLo: Int, cwHi: Int, m: Int, k: Int,
+                                nQueries: Int, dim: Int): String = {
+    val dsub = dim / m
+    val subDist =
+      s"list_aggregate(list_transform(range(1, ${dsub + 1}), " +
+        s"i -> (CAST(v.embedding[s.j * $dsub + i] AS DOUBLE)" +
+        s" - CAST(c.ce[s.j * $dsub + i] AS DOUBLE))" +
+        s" * (CAST(v.embedding[s.j * $dsub + i] AS DOUBLE)" +
+        s" - CAST(c.ce[s.j * $dsub + i] AS DOUBLE))), 'sum')"
+    val exactSq =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
+        s"i -> (CAST(a.embedding[i] AS DOUBLE)" +
+        s" - CAST(b.embedding[i] AS DOUBLE))" +
+        s" * (CAST(a.embedding[i] AS DOUBLE)" +
+        s" - CAST(b.embedding[i] AS DOUBLE))), 'sum')"
+    s"""WITH cw AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw,
+       |         embedding AS ce
+       |  FROM embeddings WHERE vec_id >= $cwLo AND vec_id < $cwHi),
+       |sub AS (SELECT j FROM range(0, $m) t(j)),
+       |subdist AS (
+       |  SELECT v.vec_id, s.j, c.cw, $subDist AS d
+       |  FROM embeddings v, sub s, cw c),
+       |codes AS (
+       |  SELECT vec_id, j, cw AS code FROM (
+       |    SELECT vec_id, j, cw,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY d, cw) AS rn
+       |    FROM subdist)
+       |  WHERE rn = 1),
+       |qtab AS (
+       |  SELECT vec_id AS query_id, j, cw, d
+       |  FROM subdist WHERE vec_id < $nQueries),
+       |adc AS (
+       |  SELECT q.query_id, c.vec_id AS vid,
+       |         list_reduce(list_prepend(0.0, list(q.d ORDER BY q.j)),
+       |                     (a, b) -> a + b) AS d
+       |  FROM codes c JOIN qtab q ON q.j = c.j AND q.cw = c.code
+       |  WHERE c.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |pq AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, vid AS neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY d ASC, vid) AS rank
+       |    FROM adc)
+       |  WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |                              ORDER BY $exactSq ASC, b.vec_id) AS rank
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id)
+       |  WHERE rank <= $k),
+       |tagged AS (
+       |  SELECT query_id, neighbor_id, max(t) AS t, max(f) AS f FROM (
+       |    SELECT query_id, neighbor_id, 1 AS t, 0 AS f FROM truth
+       |    UNION ALL SELECT query_id, neighbor_id, 0, 1 FROM pq)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(sum(t) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_found,
+       |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+       |            AS DOUBLE)
+       |         / CAST(sum(t) AS DOUBLE) AS recall
+       |FROM tagged""".stripMargin
+  }
+
   /** DuckDB replay of the PORTABLE SimHash near-dup pipeline (md5 nibble
     * bits, 8x8-bit chunk signature — see Dedup.simhashChunksPortable).
     */
@@ -867,6 +1017,73 @@ object LlmOps {
     // exact L2 and the compression contract asserted in SimilaritySpec.
     Op.noOracle("knn_pq") { (s, d) =>
       Similarity.pqKnn(Tables.embeddings(s, d))
+    },
+
+    // IVF recall, ORACLE-MEASURED: the pinned-centroid IVF variant
+    // (centroids = corpus vectors 0..15, no k-means — the same pinning
+    // trick as knn_lsh's planes=7) searched for the 20 knn_cosine query
+    // vectors, scored against the exact cosine top-10 ground truth. One
+    // row: (n_true, n_found, recall), hash-matched — DuckDB replays
+    // coarse assignment, probing, candidate scoring, ranking, AND the
+    // truth list, so the recall number itself is verified, not
+    // self-reported. The production (k-means-trained) path stays knn_ivf;
+    // both quantizers' recall floors are asserted in SimilaritySpec.
+    Op("knn_ivf_recall", ivfRecallOracleSql(nCents = 16, nprobe = 4,
+        k = 10, nQueries = 20, dim = 64)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceKnn(emb)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(1).as("t"), lit(0).as("f"))
+      val ivf = Similarity.ivfKnn(emb, nprobe = 4, k = 10,
+          centroidVecIds = 0L until 16L, nQueries = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0).as("t"), lit(1).as("f"))
+      truth.unionByName(ivf)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("t")).as("t"), max(col("f")).as("f"))
+        .agg(sum(col("t")).as("n_true"),
+          sum(when(col("t") === 1 && col("f") === 1, 1).otherwise(0))
+            .as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    },
+
+    // PQ recall, ORACLE-MEASURED: pinned-codebook PQ-ADC (subspace
+    // codewords = subvectors of corpus vectors 20..51, no k-means)
+    // searched for the 20 query vectors, scored against the exact
+    // squared-L2 top-10 (PQ's native metric). Same verified-recall
+    // contract as knn_ivf_recall; the trained-codebook production path
+    // stays knn_pq with its SimilaritySpec recall floor.
+    Op("knn_pq_recall", pqRecallOracleSql(cwLo = 20, cwHi = 52, m = 16,
+        k = 10, nQueries = 20, dim = 64)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val vecs = emb.select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = vecs.filter(col("vid") < 20).toDF("query_id", "qv")
+      // exact squared L2 as the same sequential fold the oracle replays;
+      // negated so TopK's descending order yields nearest-first
+      val sq = aggregate(
+        zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      val truth = Similarity.topKPerGroup(
+          vecs.join(broadcast(queries), col("vid") =!= col("query_id"))
+            .select(col("query_id"), col("vid"), (-sq).as("sim")),
+          "query_id", "vid", "sim", 10)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(1).as("t"), lit(0).as("f"))
+      val found = Similarity.pqKnn(emb, codebookVecIds = 20L until 52L)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0).as("t"), lit(1).as("f"))
+      truth.unionByName(found)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("t")).as("t"), max(col("f")).as("f"))
+        .agg(sum(col("t")).as("n_true"),
+          sum(when(col("t") === 1 && col("f") === 1, 1).otherwise(0))
+            .as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
     },
 
     // Embedding-cosine near-dup pairs via random-hyperplane buckets
@@ -1607,6 +1824,20 @@ object LlmOps {
       val merges = Bpe.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.tokenCounts(docs, merges)
+    },
+
+    // Byte-level (GPT-2/tiktoken lineage) BPE: UTF-8 byte alphabet +
+    // regexp pre-tokenization, trained on the corpus pretoken histogram,
+    // applied map-side — the context-window statistic for a REAL model's
+    // tokenizer (any string tokenizes; no unknown-symbol escape). Rows-
+    // only like the char-level entries (a greedy merge sequence is not one
+    // SQL statement); byte-exact round-trips, the published Sennrich merge
+    // prefix, and cross-partitioning determinism are asserted in BpeSpec.
+    Op.noOracle("llm_bpe_byte_counts") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
+        vocabWords = 5000)
+      Bpe.ByteLevel.tokenCounts(docs, merges)
     }
   )
 }

@@ -258,20 +258,38 @@ object Similarity {
     */
   def ivfKnn(embeddings: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding",
-             nlist: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
+             nlist: Int = 16, nprobe: Int = 4, k: Int = 10,
+             centroidVecIds: Seq[Long] = Nil,
+             nQueries: Int = 0): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    // Coarse quantizer: driver-side Lloyd's on a bounded deterministic
-    // sample (the maxSample smallest (hash, vid) keys — one distributed
-    // top-k, O(1) driver state at any corpus size). Same trainer as
-    // pqKnn's codebooks: no MLlib fit jobs, and — unlike a sampled
-    // random-init fit — the centroids, list assignment, and results are
-    // partitioning-invariant.
-    val sampleRows = vecs
-      .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
-      .limit(2048)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val centroids = localKMeans(sampleRows, nlist, iters = 10)
+    // Coarse quantizer, two modes:
+    //   - default: driver-side Lloyd's on a bounded deterministic sample
+    //     (the maxSample smallest (hash, vid) keys — one distributed
+    //     top-k, O(1) driver state at any corpus size). Same trainer as
+    //     pqKnn's codebooks: no MLlib fit jobs, and — unlike a sampled
+    //     random-init fit — the centroids, list assignment, and results
+    //     are partitioning-invariant.
+    //   - `centroidVecIds` nonempty: the centroids ARE those corpus
+    //     vectors (in vec-id order, list index = rank) with no k-means at
+    //     all — the oracle-replayable pinning (the knn_lsh planes=7
+    //     trick): argmin-of-squared-L2 against named corpus rows is
+    //     plain SQL, so the whole pipeline replays in DuckDB
+    //     (knn_ivf_recall). Quantization is weaker than trained
+    //     centroids; the production path stays the trained one.
+    val centroids =
+      if (centroidVecIds.nonEmpty)
+        vecs.filter(col("vid").isin(centroidVecIds: _*))
+          .orderBy(col("vid"))
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+      else {
+        val sampleRows = vecs
+          .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
+          .limit(2048)
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        localKMeans(sampleRows, nlist, iters = 10)
+      }
+    val nLists = centroids.length
     val book: Seq[Seq[Seq[Double]]] = Seq(centroids.map(_.toSeq).toSeq)
 
     // Centroid distances via the PQ kernels with a single subspace (m=1,
@@ -284,10 +302,12 @@ object Similarity {
       graft.functions.GraftFunctions.pqAdcTable(col("v"), book), 1)
     // corpus side: nearest list only; query side: nprobe nearest lists
     val assigned = vecs.select(col("vid"), col("v"), nearest.as("list"))
-    val probed = vecs.select(col("vid"), col("v"),
+    val querySide = if (nQueries > 0) vecs.filter(col("vid") < nQueries)
+      else vecs
+    val probed = querySide.select(col("vid"), col("v"),
       explode(slice(array_sort(
         zip_with(distRow,
-          sequence(lit(0), lit(nlist - 1)),
+          sequence(lit(0), lit(nLists - 1)),
           (d, i) => struct(d.as("d"), i.as("list")))), 1, nprobe))
         .as("probe"))
       .select(col("vid").as("query_id"), col("v").as("qv"),
@@ -326,27 +346,43 @@ object Similarity {
   def pqKnn(embeddings: DataFrame, idCol: String = "vec_id",
             vecCol: String = "embedding",
             m: Int = 16, ksub: Int = 32, k: Int = 10,
-            nQueries: Int = 20, dim: Int = 64): DataFrame = {
+            nQueries: Int = 20, dim: Int = 64,
+            codebookVecIds: Seq[Long] = Nil): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
     val vecs = embeddings
       .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
-    // Bounded deterministic sample: the maxSample smallest (hash, vid)
-    // keys — a distributed top-k, O(1) driver state at any corpus size,
-    // identical under any partitioning. Codebooks train DRIVER-SIDE
-    // (plain Lloyd's on <= maxSample tiny subvectors — microseconds),
-    // which, unlike MLlib's sampled init, makes the codebooks — and
-    // therefore every code and every query result — partitioning-
-    // invariant (asserted in SimilaritySpec).
-    val maxSample = 2048
-    val sampleRows = vecs
-      .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
-      .limit(maxSample)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val books: Seq[Array[Array[Double]]] = (0 until m).map { j =>
-      localKMeans(sampleRows.map(_.slice(j * dsub, (j + 1) * dsub)),
-        ksub, iters = 10)
-    }
+    // Codebooks, two modes (mirrors ivfKnn's centroid pinning):
+    //   - default: bounded deterministic sample — the maxSample smallest
+    //     (hash, vid) keys, a distributed top-k, O(1) driver state at any
+    //     corpus size, identical under any partitioning. Codebooks train
+    //     DRIVER-SIDE (plain Lloyd's on <= maxSample tiny subvectors —
+    //     microseconds), which, unlike MLlib's sampled init, makes the
+    //     codebooks — and therefore every code and every query result —
+    //     partitioning-invariant (asserted in SimilaritySpec).
+    //   - `codebookVecIds` nonempty: subspace j's codewords are those
+    //     corpus vectors' j-th subvectors (vec-id order = codeword index),
+    //     no k-means — argmin against named rows is plain SQL, so the
+    //     whole encode/ADC/rank pipeline replays in DuckDB
+    //     (knn_pq_recall). Coarser quantization than trained books; the
+    //     production path stays the trained one.
+    val books: Seq[Array[Array[Double]]] =
+      if (codebookVecIds.nonEmpty) {
+        val pinned = vecs.filter(col("vid").isin(codebookVecIds: _*))
+          .orderBy(col("vid"))
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        (0 until m).map(j => pinned.map(_.slice(j * dsub, (j + 1) * dsub)))
+      } else {
+        val maxSample = 2048
+        val sampleRows = vecs
+          .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
+          .limit(maxSample)
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        (0 until m).map { j =>
+          localKMeans(sampleRows.map(_.slice(j * dsub, (j + 1) * dsub)),
+            ksub, iters = 10)
+        }
+      }
     // Native kernels (pq_encode / pq_adc_table / pq_adc_score,
     // functions.PqKernels): the composed centroid-literal formulation
     // built a ~4 MiB interpreted-HOF plan that cost 4.2s at sf0.1; the

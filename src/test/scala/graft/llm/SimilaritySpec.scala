@@ -106,6 +106,30 @@ class SimilaritySpec extends SparkSpec {
     assert(run(d.repartition(11)) == base)
   }
 
+  test("pinned-centroid ivfKnn (the oracle-replayable variant) is " +
+       "deterministic and the trained quantizer matches or beats it") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceKnn(d, nQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(res: Set[(Long, Long)]) =
+      (brute & res).size.toDouble / brute.size
+    def pinned(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfKnn(df, nprobe = 4, k = 5,
+          centroidVecIds = 0L until 16L, nQueries = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = pinned(d)
+    assert(pinned(d.repartition(11)) == p)
+    // both quantizers must beat the 4/16 probed-list fraction baseline
+    // (no trained-vs-pinned ordering assert: at 50 vectors the 16 pinned
+    // corpus points cover a third of the space and can WIN — the ordering
+    // only emerges at scale, where pinned points stop being dense)
+    val trained = Similarity.ivfKnn(d, nlist = 16, nprobe = 4, k = 5)
+      .filter(col("query_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recallOf(trained) > 0.25, s"trained recall=${recallOf(trained)}")
+    assert(recallOf(p) > 0.25, s"pinned recall=${recallOf(p)}")
+  }
+
   test("pqKnn recall vs exact L2 beats chance decisively on uniform " +
        "vectors; deterministic across partitionings") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
