@@ -1129,6 +1129,28 @@ object LlmOps {
         planes = 8, tables = 4, threshold = 0.4)
     },
 
+    // Semantic decontamination: corpus vectors embedding-close to any
+    // benchmark vector (vec_id % 97 = 0 — the same held-out convention as
+    // llm_decontaminate's n-gram path). EXACT brute force against a
+    // broadcast of the small bench side — deliberately not LSH-bucketed:
+    // at cos ~0.3 hyperplane-banding recall collapses, and a missed
+    // contamination is a benchmark leak. Corpus scanned map-side, never
+    // shuffled; only above-threshold hits reach the keyed aggregate.
+    // max() and count() are order-independent-exact, so the row hashes.
+    Op("embed_decontaminate",
+       s"""WITH pairs AS (
+          |  SELECT a.vec_id AS bench_id, b.vec_id AS vec_id,
+          |         ${cosineSql(64)} AS cos
+          |  FROM embeddings a, embeddings b
+          |  WHERE a.vec_id % 97 = 0 AND b.vec_id % 97 <> 0)
+          |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+          |       max(cos) AS max_cos
+          |FROM pairs WHERE cos >= 0.3
+          |GROUP BY 1""".stripMargin) { (s, d) =>
+      Similarity.semanticDecontaminate(Tables.embeddings(s, d),
+        benchPred = col("vec_id") % 97 === 0, threshold = 0.3)
+    },
+
     // --- text analysis ---------------------------------------------------
 
     // Per-source robust length outliers: exact lower-median and MAD by

@@ -475,6 +475,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Semantic decontamination — the embedding-space analog of the n-gram
+    * decontaminate: corpus vectors semantically close to ANY benchmark
+    * vector (`benchPred` marks the benchmark rows). Returns one row per
+    * CONTAMINATED corpus vector: (idCol, n_bench_hits, max_cos).
+    *
+    * Scale shape: the benchmark side of a decontamination pass is SMALL
+    * (an eval set — thousands of rows against a 100 TB corpus), so the
+    * right plan is EXACT brute force against a broadcast of the benchmark
+    * vectors: the corpus is scanned map-side and never shuffled; only the
+    * (tiny) above-threshold hit set enters the final keyed aggregate.
+    * Deliberately NOT the LSH-bucketed candidate join the near-dup ops
+    * use: at decontamination thresholds well below near-dup cosine,
+    * hyperplane-banding recall collapses, and a missed contamination is a
+    * benchmark leak into training data — exactness is the point.
+    */
+  def semanticDecontaminate(embeddings: DataFrame, benchPred: Column,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val marked = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"), benchPred.as("is_bench"))
+    val bench = marked.filter(col("is_bench"))
+      .select(col("vid").as("bench_id"), col("v").as("bv"))
+    marked.filter(!col("is_bench"))
+      .crossJoin(broadcast(bench))
+      .select(col("vid"), cosine(col("v"), col("bv")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("max_cos"))
+      .withColumnRenamed("vid", idCol)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): treat
     * embedding-cosine near-duplicate pairs as edges of a duplicate graph,
     * take connected components, and keep ONE canonical survivor (the

@@ -61,10 +61,14 @@ class PlanAuditSpec extends SparkSpec {
     // knn_ivf_recall / knn_pq_recall embed bruteForceKnn's intended
     // brute-force BNLJ (the knn_cosine shape: bounded 20-query broadcast
     // against the corpus scan) as their ground-truth side; no cartesian
-    // (asserted below).
+    // (asserted below). embed_decontaminate broadcasts the small BENCH
+    // side against the map-side corpus scan — deliberately exact (LSH
+    // recall collapses at decontamination thresholds; a miss is a
+    // benchmark leak), same bounded-broadcast shape.
     val audited = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
       n == "knn_ivf_recall" || n == "knn_pq_recall" ||
+      n == "embed_decontaminate" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
         n == "q22_idle_balances" || n == "q11_important_parts" ||
         n == "q15_top_supplier" || n == "source_jsonl_ingest" ||
@@ -108,12 +112,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rrf.contains("CartesianProduct"), rrf)
     assert(rrf.contains("HashAggregate(keys=[]"), rrf)
     assert(rrf.contains("EqualTo(vec_id,0)"), rrf)
-    // the recall entries: BNLJ allowed (bounded-query brute-force truth
-    // side), cartesian still forbidden
-    Seq("knn_ivf_recall", "knn_pq_recall").foreach { name =>
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
-    }
+    // the recall entries + semantic decontamination: BNLJ allowed
+    // (bounded bench/query broadcast), cartesian still forbidden
+    Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      }
   }
 
   test("ANN candidate generation is join-based: no per-bucket collect " +

@@ -208,6 +208,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semanticDecontaminate flags planted bench twins exactly, never " +
+       "leaks a bench row into the output, and is exact (no LSH miss)") {
+    import spark.implicits._
+    // bench vectors: ids 0 and 1 (orthogonal directions). Corpus: id 10 =
+    // exact copy of bench 0 (cos 1), id 11 = copy of bench 1, id 12 =
+    // near-copy of bench 0 (cos ~0.995), id 13 = orthogonal to both.
+    def vec(i: Int): Array[Float] = {
+      val v = new Array[Float](64); v(i) = 1f; v
+    }
+    def mix(a: Array[Float], b: Array[Float], w: Float) =
+      a.zip(b).map { case (x, y) => x + w * y }
+    val rows = Seq(
+      (0L, vec(0)), (1L, vec(1)),
+      (10L, vec(0)), (11L, vec(1)),
+      (12L, mix(vec(0), vec(2), 0.1f)), (13L, vec(3)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(df,
+        benchPred = col("vec_id") < 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L), out.mkString(";"))
+    assert(out.forall(_._2 == 1L)) // each hits exactly one bench vector
+    assert(out.find(_._1 == 10L).get._3 == 1.0)
+    // the near-copy is caught — the exactness guarantee an LSH-bucketed
+    // candidate join could not make at this threshold
+    assert(out.find(_._1 == 12L).get._3 > 0.99)
+  }
+
   test("semanticDedup keeps one min-id survivor per component, counts drops") {
     // Component {0,1,2} chained by direction (0~1, 1~2 — NOT 0~2 direct if
     // buckets split them; components must still collapse the chain), plus
