@@ -300,6 +300,58 @@ object Bpe {
       Bpe.train(hist, numMerges, symbols)
     }
 
+    /** GPT-2-style vocabulary over a learned merge table: ids 0..255 are
+      * the byte alphabet (in byte order, via the byteToChar mapping),
+      * merge products take 256 + rank. Two different merges can in
+      * principle produce the same surface string (e.g. (a,bc) and (ab,c)
+      * both yield "abc" when both segmentations survive in different
+      * words); the FIRST id wins, which keeps encode→id→decode byte-exact
+      * because equal strings decode equally.
+      */
+    def vocabulary(merges: Seq[(String, String)]): Map[String, Int] = {
+      val base = (0 until 256).map(b => byteToChar(b).toString -> b)
+      val learned = merges.zipWithIndex
+        .map { case ((a, b), r) => (a + b) -> (256 + r) }
+      (base ++ learned).foldLeft(Map.empty[String, Int]) {
+        case (acc, (tok, id)) =>
+          if (acc.contains(tok)) acc else acc + (tok -> id)
+      }
+    }
+
+    /** Invert a vocabulary for decoding (first-id-wins is already applied
+      * by `vocabulary`, so this is a bijection on the retained ids).
+      */
+    def inverse(vocab: Map[String, Int]): Map[Int, String] =
+      vocab.map(_.swap)
+
+    def encodeTextToIds(text: String, ranks: Map[(String, String), Int],
+                        vocab: Map[String, Int]): Vector[Int] =
+      encodeText(text, ranks).map(vocab)
+
+    def decodeIds(ids: Seq[Int], inv: Map[Int, String]): String =
+      decode(ids.map(inv))
+
+    /** Per-document token-id sequences under a FROZEN vocabulary — the
+      * artifact a training pipeline actually ships (production tokenizers
+      * train once, freeze, and apply to every new batch; retraining per
+      * batch would silently shift every id). Map-only; the merge ranks and
+      * vocabulary ride the encode closure.
+      */
+    def encodeToIds(docs: DataFrame, merges: Seq[(String, String)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ranks = merges.zipWithIndex.toMap
+      val vocab = vocabulary(merges)
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ids = encodeTextToIds(text, ranks, vocab)
+          (id, ids.length.toLong, ids)
+        }.toDF(idCol, "n_tokens", "token_ids")
+    }
+
     /** Per-document byte-level token count next to the raw byte count —
       * the context-window statistic for a real model's tokenizer. Map-only;
       * merge ranks ride the encode closure.

@@ -1860,6 +1860,17 @@ object LlmOps {
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.tokenCounts(docs, merges)
+    },
+
+    // Token-id sequences under a frozen GPT-2-style vocabulary (bytes
+    // 0..255 + merge products at 256+rank) — the artifact a training
+    // pipeline ships. Map-only application; byte-exact id round-trips
+    // asserted in BpeSpec.
+    Op.noOracle("llm_bpe_encode") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
+        vocabWords = 5000)
+      Bpe.ByteLevel.encodeToIds(docs, merges)
     }
   )
 }

@@ -116,6 +116,52 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
   }
 
+  test("byte-level: frozen vocabulary assigns bytes 0..255 then merges at " +
+       "256+rank, and token-id sequences round-trip byte-exactly") {
+    val texts = Seq("the thermal theory", "élève 中文 😀", "  spaced  out ")
+    val hist = texts.flatMap(Bpe.ByteLevel.preTokenize)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val merges = Bpe.ByteLevel.train(hist, numMerges = 20)
+    val vocab = Bpe.ByteLevel.vocabulary(merges)
+    val inv = Bpe.ByteLevel.inverse(vocab)
+    // base alphabet ids are the raw byte values
+    assert(vocab(Bpe.ByteLevel.byteToChar('a'.toInt).toString) == 'a'.toInt)
+    assert(vocab("Ġ") == ' '.toInt)
+    // merge products sit at 256+rank (no collisions in this corpus)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      assert(vocab(a + b) == 256 + r, s"${a + b}")
+    }
+    val ranks = merges.zipWithIndex.toMap
+    for (t <- texts) {
+      val ids = Bpe.ByteLevel.encodeTextToIds(t, ranks, vocab)
+      assert(ids.forall(i => i >= 0 && i < 256 + merges.length))
+      assert(Bpe.ByteLevel.decodeIds(ids, inv) == t, s"$t -> $ids")
+    }
+    // duplicate-string merges keep the first id: a synthetic vocab where
+    // two merges yield the same surface form stays a function
+    val dupVocab = Bpe.ByteLevel.vocabulary(
+      Seq(("a", "bc"), ("ab", "c"), ("x", "y")))
+    assert(dupVocab("abc") == 256) // first wins
+    assert(dupVocab("xy") == 258)  // later ranks keep their slots
+  }
+
+  test("byte-level: corpus encodeToIds is deterministic and id sequences " +
+       "decode to the original documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 50,
+      vocabWords = 1000)
+    val inv = Bpe.ByteLevel.inverse(Bpe.ByteLevel.vocabulary(merges))
+    val out = Bpe.ByteLevel.encodeToIds(docs, merges).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == texts.size)
+    for (r <- out) {
+      val ids = r.getSeq[Int](2)
+      assert(r.getLong(1) == ids.length.toLong)
+      assert(Bpe.ByteLevel.decodeIds(ids, inv) == texts(r.getLong(0)))
+    }
+  }
+
   test("byte-level: corpus training is deterministic across partitionings " +
        "and token counts bound bytes from below") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
