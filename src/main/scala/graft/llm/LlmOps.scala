@@ -1757,6 +1757,72 @@ object LlmOps {
         .limit(20)
     },
 
+    // PMI collocation mining (Church & Hanks 1990; the scoring behind
+    // word2vec-style phrase detection): bigrams whose co-occurrence beats
+    // the unigram-independence expectation,
+    //   pmi = ln( (c12/Nb) / ((c1/N)(c2/N)) ),
+    // min-count-filtered (rare pairs otherwise dominate PMI), top-25 by
+    // (pmi desc, bigram). Two keyed counts (partial-aggregated), two
+    // 1-row totals broadcast, a vocab-keyed join per side, and a
+    // distributed top-k. Hash parity: every factor is an exact BIGINT
+    // cast to double, the multiply/divide sequence is written identically
+    // on both engines, and ln routes through ieee_ln.
+    Op("text_pmi_collocations",
+       s"""WITH toks AS (SELECT $toksSql AS toks FROM documents),
+          |uni AS (
+          |  SELECT tok, count(*) AS c FROM (
+          |    SELECT unnest(toks) AS tok FROM toks)
+          |  GROUP BY tok),
+          |bg AS (
+          |  SELECT bigram, count(*) AS c12 FROM (
+          |    SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+          |      ELSE list_transform(range(0, len(toks) - 1),
+          |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS bigram
+          |    FROM toks)
+          |  GROUP BY bigram),
+          |stats AS (
+          |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n,
+          |         (SELECT CAST(sum(c12) AS BIGINT) FROM bg) AS nb)
+          |SELECT bigram, c12, pmi FROM (
+          |  SELECT b.bigram, b.c12,
+          |         ln((CAST(b.c12 AS DOUBLE) * CAST(s.n AS DOUBLE)
+          |             * CAST(s.n AS DOUBLE))
+          |            / (CAST(s.nb AS DOUBLE) * CAST(u1.c AS DOUBLE)
+          |               * CAST(u2.c AS DOUBLE))) AS pmi
+          |  FROM bg b
+          |  JOIN uni u1 ON u1.tok = split_part(b.bigram, ' ', 1)
+          |  JOIN uni u2 ON u2.tok = split_part(b.bigram, ' ', 2)
+          |  CROSS JOIN stats s
+          |  WHERE b.c12 >= 5)
+          |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.ieeeLn
+      val toks = Tables.documents(s, d)
+        .select(TextFeatures.tokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bg = toks
+        .select(explode(TextFeatures.bigramsOfTokens(col("toks")))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      val stats = uni.agg(sum(col("c")).as("n"))
+        .crossJoin(bg.agg(sum(col("c12")).as("nb")))
+      val u1 = uni.toDF("w1", "c1")
+      val u2 = uni.toDF("w2", "c2")
+      bg.filter(col("c12") >= 5)
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+        .join(u1, Seq("w1"))
+        .join(u2, Seq("w2"))
+        .crossJoin(broadcast(stats)) // 1-row totals attach
+        .select(col("bigram"), col("c12"),
+          ieeeLn((col("c12").cast("double") * col("n").cast("double")
+              * col("n").cast("double"))
+            / (col("nb").cast("double") * col("c1").cast("double")
+              * col("c2").cast("double"))).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(25)
+    },
+
     // Global top-20 tokens by frequency: explode -> count -> distributed
     // top-k (TakeOrderedAndProject — no global sort). Deterministic via the
     // (count desc, token asc) tie-break, so it oracle-checks exactly.

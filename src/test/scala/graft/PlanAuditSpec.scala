@@ -75,7 +75,7 @@ class PlanAuditSpec extends SparkSpec {
         n == "text_tfidf" || n == "mix_dsir_weights" ||
         n == "mix_dsir_resample" || n == "profile_drift_psi" ||
         n == "text_bm25_topk" || n == "hybrid_rrf" ||
-        n == "f_equidepth_hist")
+        n == "f_equidepth_hist" || n == "text_pmi_collocations")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -97,8 +97,9 @@ class PlanAuditSpec extends SparkSpec {
         "source_jsonl_ingest", "text_tfidf", "mix_dsir_weights",
         "mix_dsir_resample", "profile_drift_psi", "text_bm25_topk",
         // f_equidepth_hist: the 1-row corpus count attached to the ranked
-        // rows (bucket = seq*k div n)
-        "f_equidepth_hist")
+        // rows (bucket = seq*k div n); text_pmi_collocations: the 1-row
+        // (N, Nb) totals attach
+        "f_equidepth_hist", "text_pmi_collocations")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
