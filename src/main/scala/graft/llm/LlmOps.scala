@@ -1129,6 +1129,29 @@ object LlmOps {
         planes = 8, tables = 4, threshold = 0.4)
     },
 
+    // Hard-negative mining (DPR/SimCSE-style contrastive data prep):
+    // per anchor, top-5 most-similar vectors inside cos [0.2, 0.9) —
+    // hard enough to teach, below the near-dup ceiling so unlabeled
+    // positives are excluded. knn_cosine's exact broadcast shape with a
+    // window filter; ranks replay bit-for-bit like knn_cosine.
+    Op("embed_hard_negatives",
+       s"""SELECT query_id, neighbor_id, rank, cos FROM (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(row_number() OVER (
+          |           PARTITION BY query_id
+          |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+          |         cos
+          |  FROM (
+          |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |           ${cosineSql(64)} AS cos
+          |    FROM embeddings a, embeddings b
+          |    WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id)
+          |  WHERE cos >= 0.2 AND cos < 0.9)
+          |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d),
+        nAnchors = 20, k = 5, floor = 0.2, ceiling = 0.9)
+    },
+
     // Semantic decontamination: corpus vectors embedding-close to any
     // benchmark vector (vec_id % 97 = 0 — the same held-out convention as
     // llm_decontaminate's n-gram path). EXACT brute force against a

@@ -475,6 +475,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Hard-negative mining for contrastive embedding training (the data
+    * prep behind DPR/SimCSE-style training sets): for each anchor, the
+    * top-k most-similar vectors INSIDE a cosine window [floor, ceiling) —
+    * above the floor so the negative is actually hard (random negatives
+    * teach nothing), below the ceiling so near-duplicates of the anchor
+    * (likely unlabeled positives) are excluded. Returns (query_id,
+    * neighbor_id, rank, cos).
+    *
+    * Scale shape: anchors are a bounded training-batch-sized set, so this
+    * is the knn_cosine plan — anchors broadcast, corpus scanned map-side
+    * (never shuffled), TopK partial aggregate bounding the shuffle to
+    * k rows per anchor per partition.
+    */
+  def hardNegatives(embeddings: DataFrame, nAnchors: Int = 20, k: Int = 5,
+                    floor: Double = 0.2, ceiling: Double = 0.9,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(floor < ceiling, s"empty cosine window [$floor, $ceiling)")
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val anchors = vecs.filter(col("vid") < nAnchors).toDF("query_id", "qv")
+    val scored = vecs.join(broadcast(anchors), col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .filter(col("cos") >= floor && col("cos") < ceiling)
+    topKPerGroup(scored, "query_id", "vid", "cos", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score").as("cos"))
+  }
+
   /** Semantic decontamination — the embedding-space analog of the n-gram
     * decontaminate: corpus vectors semantically close to ANY benchmark
     * vector (`benchPred` marks the benchmark rows). Returns one row per

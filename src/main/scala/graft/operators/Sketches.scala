@@ -157,6 +157,57 @@ object Sketches {
     }
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002; mergeable per Agarwal et al. PODS'12): keep the k smallest
+    * DISTINCT hash values; with the k-th smallest normalized to
+    * u = h_(k)/2^60, the estimate (k-1)/u is unbiased-to-first-order.
+    * The union of two sketches is the k smallest of their union, so the
+    * partial-aggregate merge tree computes EXACTLY the sketch of the
+    * whole multiset — estimates are partitioning-invariant, which is
+    * what lets a DuckDB oracle replay the estimate bit-for-bit (the HLL
+    * behind approx_count_distinct is engine-specific; this sketch is
+    * portable by construction, the same md5-replay idiom as CountMin).
+    *
+    * Scale shape: the shuffle carries one <= k-entry sorted array per
+    * group per partition, never the value multiset — the bounded-state
+    * contract every sketch in this file shares.
+    */
+  final class Kmv(k: Int)
+      extends Aggregator[Long, java.util.TreeSet[java.lang.Long], Seq[Long]] {
+    require(k >= 2, s"k must be at least 2, got $k")
+
+    def zero: java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    def reduce(b: java.util.TreeSet[java.lang.Long],
+               x: Long): java.util.TreeSet[java.lang.Long] = {
+      // TreeSet dedups identical hashes (KMV is over DISTINCT values);
+      // bounded insert: reject anything not below the current k-th once
+      // full, so the hot path is one comparison for most rows
+      if (b.size < k) b.add(x)
+      else if (x < b.last()) { b.add(x); if (b.size > k) b.pollLast() }
+      b
+    }
+
+    def merge(a: java.util.TreeSet[java.lang.Long],
+              b: java.util.TreeSet[java.lang.Long])
+        : java.util.TreeSet[java.lang.Long] = {
+      a.addAll(b)
+      while (a.size > k) a.pollLast()
+      a
+    }
+
+    def finish(b: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+      val out = Vector.newBuilder[Long]
+      b.forEach(v => out += v.longValue())
+      out.result()
+    }
+
+    def bufferEncoder: Encoder[java.util.TreeSet[java.lang.Long]] =
+      Encoders.kryo[java.util.TreeSet[java.lang.Long]]
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   private val cmsDepth = 4
   private val cmsWidth = 64
   private val cmsProbes = Seq("spark", "data", "join", "stream", "table")
@@ -234,6 +285,59 @@ object Sketches {
         }
         sk.select(col("source"), explode(array(estimates: _*)).as("e"))
           .select(col("source"), col("e.tok").as("tok"), col("e.est").as("est"))
+    },
+
+    // KMV distinct estimate per group next to the exact count — the
+    // portable alternative to approx_count_distinct's engine-specific
+    // HLL. The hash is the shared md5-prefix idiom (60 bits via
+    // conv/'0x'-cast), the k-th smallest distinct hash replays as a
+    // row_number pick, and the estimate is two IEEE double ops in the
+    // same order on both engines — so sketch content AND estimate
+    // hash-match exactly.
+    Op("f_kmv_distinct", {
+      val k = 256
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS hv
+         |  FROM lineitem),
+         |d AS (SELECT DISTINCT l_returnflag, hv FROM h),
+         |r AS (
+         |  SELECT l_returnflag, hv,
+         |         row_number() OVER (PARTITION BY l_returnflag
+         |                            ORDER BY hv) AS rn,
+         |         count(*) OVER (PARTITION BY l_returnflag) AS nd
+         |  FROM d),
+         |ex AS (
+         |  SELECT l_returnflag,
+         |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT r.l_returnflag, ex.n_exact,
+         |       CAST(r.hv AS BIGINT) AS kmv_kth,
+         |       CASE WHEN r.nd < $k THEN CAST(r.nd AS DOUBLE)
+         |            ELSE ${k - 1}.0
+         |                 / (CAST(r.hv AS DOUBLE) / 1152921504606846976.0)
+         |       END AS kmv_estimate
+         |FROM r JOIN ex ON ex.l_returnflag = r.l_returnflag
+         |WHERE r.rn = CASE WHEN r.nd < $k THEN r.nd ELSE $k END""".stripMargin
+    }) { (s, d) =>
+      val k = 256
+      val kmv = udaf(new Kmv(k), Encoders.scalaLong)
+      val hv = expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"), hv.as("hv"))
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(col("hv")).as("sk"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          element_at(col("sk"), size(col("sk"))).as("kmv_kth"),
+          when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("sk"), k).cast("double")
+                / lit(1152921504606846976.0)))
+            .as("kmv_estimate"))
     }
   )
 }

@@ -68,7 +68,7 @@ class PlanAuditSpec extends SparkSpec {
     val audited = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
       n == "knn_ivf_recall" || n == "knn_pq_recall" ||
-      n == "embed_decontaminate" ||
+      n == "embed_decontaminate" || n == "embed_hard_negatives" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
         n == "q22_idle_balances" || n == "q11_important_parts" ||
         n == "q15_top_supplier" || n == "source_jsonl_ingest" ||
@@ -115,7 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(rrf.contains("EqualTo(vec_id,0)"), rrf)
     // the recall entries + semantic decontamination: BNLJ allowed
     // (bounded bench/query broadcast), cartesian still forbidden
-    Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate")
+    Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate",
+        "embed_hard_negatives")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

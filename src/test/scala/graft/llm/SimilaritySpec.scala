@@ -208,6 +208,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("hardNegatives honors the cosine window: near-dups excluded above " +
+       "the ceiling, easy negatives below the floor, rest ranked by cos") {
+    import spark.implicits._
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    // anchor 0 = e0. Candidates: 10 = near-dup (cos ~0.995, above ceiling),
+    // 11 = hard (cos ~0.71), 12 = harder (cos ~0.89), 13 = orthogonal
+    // (cos 0, below floor).
+    val rows = Seq(
+      (0L, v(0 -> 1f)),
+      (10L, v(0 -> 1f, 1 -> 0.1f)),
+      (11L, v(0 -> 1f, 1 -> 1f)),
+      (12L, v(0 -> 1f, 1 -> 0.5f)),
+      (13L, v(1 -> 1f)))
+    val out = Similarity.hardNegatives(rows.toDF("vec_id", "embedding"),
+        nAnchors = 1, k = 5, floor = 0.2, ceiling = 0.9)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(12L, 11L), out.mkString(";"))
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(rows.toDF("vec_id", "embedding"),
+        floor = 0.9, ceiling = 0.2))
+  }
+
   test("semanticDecontaminate flags planted bench twins exactly, never " +
        "leaks a bench row into the output, and is exact (no LSH miss)") {
     import spark.implicits._

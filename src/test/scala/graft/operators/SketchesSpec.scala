@@ -89,4 +89,36 @@ class SketchesSpec extends SparkSpec {
     assert(run(1) == est && run(17) == est,
       "linear sketch must be exact-deterministic under any partitioning")
   }
+
+  test("kmv: exact below k, estimate within theory error above k, sketch " +
+       "identical under any partitioning, duplicates ignored") {
+    import spark.implicits._
+    val k = 64
+    def sketch(values: Seq[Long], parts: Int): Seq[Long] = {
+      val kmv = F.udaf(new Sketches.Kmv(k), Encoders.scalaLong)
+      values.toDF("v").repartition(parts)
+        // the same md5-prefix hash the driver entry uses
+        .select(F.expr("CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT)").as("hv"))
+        .agg(kmv(F.col("hv")).as("sk"))
+        .head().getSeq[Long](0)
+    }
+    // below k: the sketch IS the distinct hash set (duplicates ignored)
+    val small = Seq(1L, 2L, 3L, 2L, 1L, 4L)
+    val smallSk = sketch(small, 3)
+    assert(smallSk.length == 4)
+    assert(smallSk == smallSk.sorted)
+    // above k: bounded at k, partitioning-invariant, estimate near truth
+    val n = 5000
+    val big = (0L until n).map(identity)
+    val sk8 = sketch(big, 8)
+    assert(sk8.length == k)
+    assert(sketch(big, 1) == sk8 && sketch(big, 17) == sk8,
+      "kmv union-merge must be exact under any merge tree")
+    val u = sk8.last.toDouble / 1152921504606846976.0
+    val est = (k - 1).toDouble / u
+    // standard error ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    assert(math.abs(est - n) < 4 * n / math.sqrt(k - 2.0),
+      s"estimate $est vs true $n")
+  }
 }
