@@ -338,6 +338,29 @@ object Sketches {
               (element_at(col("sk"), k).cast("double")
                 / lit(1152921504606846976.0)))
             .as("kmv_estimate"))
+    },
+
+    // The PRODUCTION kmv path: xxhash64 instead of the md5-portable hash
+    // (same fast/portable pairing as dedup_minhash_fast) — one codegen'd
+    // long hash per row instead of an md5 hex string + conv. Shifted to
+    // 60 unsigned bits so the same (k-1)/u estimator applies. Hash-family
+    // -specific values -> rows-only; the sketch semantics are the
+    // oracle-checked f_kmv_distinct's, asserted shared in SketchesSpec.
+    Op.noOracle("f_kmv_distinct_fast") { (s, d) =>
+      val k = 256
+      val kmv = udaf(new Kmv(k), Encoders.scalaLong)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"),
+          shiftrightunsigned(xxhash64(col("l_partkey")), 4).as("hv"))
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(col("hv")).as("sk"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("sk"), k).cast("double")
+                / lit(1152921504606846976.0)))
+            .as("kmv_estimate"))
     }
   )
 }

@@ -72,6 +72,36 @@ object StreamOps {
       .select(explode(col("hitters")).as(Seq("tok", "est")))
   }
 
+  /** Streaming distinct-count tracking — the cardinality twin of
+    * vocabTracker: a KMV sketch AS the streaming aggregation state, so
+    * the state is O(k) forever regardless of how many distinct values the
+    * stream has carried (the exact alternative — streaming
+    * count(distinct) — is unsupported precisely because its state is
+    * cardinality-sized). Because KMV's union-merge computes exactly the
+    * sketch of everything seen, the per-source estimate after N batches
+    * equals the batch-mode estimate over the concatenated input — no
+    * drift from incremental maintenance (asserted in StreamingSpec).
+    */
+  def distinctTracker(docs: DataFrame, valueCol: String,
+                      strataCol: String = "source",
+                      k: Int = 256): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.operators.Sketches.Kmv(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs
+      .select(col(strataCol).as("stratum"),
+        expr(s"CAST(conv(substring(md5(CAST($valueCol AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT)").as("hv"))
+      .groupBy(col("stratum"))
+      .agg(kmv(col("hv")).as("sk"))
+      .select(col("stratum"),
+        when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("sk"), k).cast("double")
+              / lit(1152921504606846976.0)))
+          .as("distinct_est"))
+  }
+
   /** Native session windows: per-user sessions closed by a 30-minute
     * silence, aggregated incrementally (Spark merges adjacent session
     * windows as events arrive; the watermark closes and emits finished

@@ -70,6 +70,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctTracker: incremental KMV estimate equals the batch " +
+       "estimate over the concatenated history; state stays O(k)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamOps.distinctTracker(
+        stream.toDF().toDF("source", "doc_id"), "doc_id", "source", k = 64)
+      .writeStream.format("memory").queryName("dcount")
+      .outputMode("complete").start()
+    try {
+      // two batches with OVERLAPPING ids: true distinct for s0 is 600
+      stream.addData((0L until 400L).map(i => ("s0", i)))
+      q.processAllAvailable()
+      stream.addData((200L until 600L).map(i => ("s0", i)))
+      q.processAllAvailable()
+      val est = spark.table("dcount").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // exact same estimate as running the sketch over the full history
+      // in one batch — union-merge has no incremental drift
+      val batch = StreamOps.distinctTracker(
+          ((0L until 400L) ++ (200L until 600L)).map(("s0", _))
+            .toDF("source", "doc_id"),
+          "doc_id", "source", k = 64)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(est == batch, s"stream=$est batch=$batch")
+      // within KMV theory error of the true 600 (4 sigma)
+      assert(math.abs(est("s0") - 600) < 4 * 600 / math.sqrt(62.0), est)
+      // state is one sketch row per stratum, not one row per distinct id
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal == 1,
+        state.map(_.numRowsTotal).mkString(","))
+    } finally q.stop()
+  }
+
   test("append mode: an event behind the watermark is dropped from its " +
        "already-closed window") {
     import spark.implicits._
