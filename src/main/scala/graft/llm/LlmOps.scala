@@ -1152,6 +1152,46 @@ object LlmOps {
         nAnchors = 20, k = 5, floor = 0.2, ceiling = 0.9)
     },
 
+    // Fused contamination report — the audit a pipeline actually files:
+    // BOTH detection modalities per document, n-gram (lexical overlap
+    // with the benchmark split) and embedding-cosine (semantic overlap,
+    // catching paraphrases the n-grams miss), full-outer-joined on the
+    // doc/vec id correspondence. Each side is its own oracle-verified
+    // operator; the fusion is one join over two hit-sized (not
+    // corpus-sized) inputs.
+    Op("llm_contamination_report",
+       s"""WITH ngram AS (
+          |  ${decontaminateOracleSql.linesIterator.mkString("\n  ")}),
+          |sem AS (
+          |  SELECT a.vec_id AS bench_id, b.vec_id AS vec_id,
+          |         ${cosineSql(64)} AS cos
+          |  FROM embeddings a, embeddings b
+          |  WHERE a.vec_id % 97 = 0 AND b.vec_id % 97 <> 0),
+          |semhits AS (
+          |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_semantic,
+          |         max(cos) AS max_cos
+          |  FROM sem WHERE cos >= 0.3 GROUP BY 1)
+          |SELECT coalesce(n.doc_id, s.vec_id) AS doc_id,
+          |       CAST(coalesce(n.n_contaminated, 0) AS BIGINT) AS n_ngram,
+          |       CAST(coalesce(s.n_semantic, 0) AS BIGINT) AS n_semantic,
+          |       s.max_cos
+          |FROM ngram n FULL OUTER JOIN semhits s ON n.doc_id = s.vec_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val ngram = Dedup.decontaminate(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), n = 4)
+          .select(col("doc_id"), col("n_contaminated"))
+        val sem = Similarity.semanticDecontaminate(Tables.embeddings(s, d),
+            benchPred = col("vec_id") % 97 === 0, threshold = 0.3)
+          .select(col("vec_id"), col("n_bench_hits"), col("max_cos"))
+        ngram.join(sem, col("doc_id") === col("vec_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_ngram"),
+            coalesce(col("n_bench_hits"), lit(0L)).as("n_semantic"),
+            col("max_cos"))
+    },
+
     // Semantic decontamination: corpus vectors embedding-close to any
     // benchmark vector (vec_id % 97 = 0 — the same held-out convention as
     // llm_decontaminate's n-gram path). EXACT brute force against a
