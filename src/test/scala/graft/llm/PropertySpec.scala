@@ -244,4 +244,30 @@ class PropertySpec extends SparkSpec {
         r.values.sum <= scale + r.size
     }, tests = 5)
   }
+
+  test("byte-level BPE round-trips ARBITRARY unicode byte-exactly: " +
+       "pretokens partition the input; ids always decode back") {
+    // plain driver-side property (the encode closure is the same object
+    // the distributed path broadcasts): any string — control chars,
+    // surrogate pairs, zalgo, whitespace runs — must survive
+    // pretokenize -> byte-encode -> merge -> id -> decode unchanged.
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", "\t", "\n", "  "),
+      Gen.oneOf("é", "中", "😀", "ß", "'ll", "3.14", "☃", " "),
+      Gen.asciiPrintableStr.map(_.take(5))
+    )).map(_.mkString)
+    val hist = Map("the" -> 50L, " the" -> 40L, "ing" -> 30L, " a" -> 20L)
+    val merges = Bpe.ByteLevel.train(hist, numMerges = 15)
+    val ranks = merges.zipWithIndex.toMap
+    val vocab = Bpe.ByteLevel.vocabulary(merges)
+    val inv = Bpe.ByteLevel.inverse(vocab)
+    checkProp(Prop.forAll(genText) { t =>
+      val pre = Bpe.ByteLevel.preTokenize(t)
+      val ids = Bpe.ByteLevel.encodeTextToIds(t, ranks, vocab)
+      pre.mkString == t &&
+        Bpe.ByteLevel.decodeIds(ids, inv) == t &&
+        ids.forall(i => i >= 0 && i < 256 + merges.length)
+    }, tests = 200)
+  }
 }
