@@ -62,27 +62,30 @@ class TestdataCanarySpec extends SparkSpec {
       "vec_id" -> Set("bigint"), "embedding" -> Set("array<float>"),
       "label" -> Set("int")))
 
-  test("every testdata table matches the engine's expected schema " +
-       "(drift produces a named table.column diff, not a vanished query)") {
+  test("every testdata table matches the engine's expected schema at " +
+       "every scale factor (drift produces a named table.column diff, " +
+       "not a vanished query)") {
     val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((tbl, cols) <- expected.toSeq.sortBy(_._1)) {
-      val actual = spark.read.parquet(s"$dir/$tbl.parquet").schema
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1");
+         (tbl, cols) <- expected.toSeq.sortBy(_._1)) {
+      val actual = spark.read
+        .parquet(s"/root/testdata/$sf/$tbl.parquet").schema
         .map(f => f.name -> f.dataType.simpleString)
       val actualMap = actual.toMap
       for ((name, accepted) <- cols) {
         actualMap.get(name) match {
           case None =>
-            diffs += s"$tbl.$name: MISSING (table has: " +
+            diffs += s"$sf/$tbl.$name: MISSING (table has: " +
               actual.map(_._1).mkString(", ") + ")"
           case Some(t) if !accepted(t) =>
-            diffs += s"$tbl.$name: got $t, engine accepts " +
+            diffs += s"$sf/$tbl.$name: got $t, engine accepts " +
               accepted.mkString("{", ", ", "}")
           case _ => ()
         }
       }
       val unexpected = actual.map(_._1).filterNot(cols.map(_._1).toSet)
       if (unexpected.nonEmpty)
-        diffs += s"$tbl: NEW columns " + unexpected.mkString(", ")
+        diffs += s"$sf/$tbl: NEW columns " + unexpected.mkString(", ")
     }
     assert(diffs.isEmpty, "\nTESTDATA DRIFT:\n  " + diffs.mkString("\n  "))
   }
