@@ -84,6 +84,69 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("score"))
   }
 
+  /** BATCH BM25 — the production shape: retrieval runs thousands of
+    * queries (a benchmark suite, a contamination audit), not one. One
+    * corpus pass serves the whole batch: the map-side postings filter
+    * admits the UNION of all query terms, document frequencies are
+    * computed once per term, and a broadcast (query_id, term) table fans
+    * each posting out to the queries that want it — so corpus cost is
+    * O(matched postings), independent of how many queries share a term.
+    * Per-(query, doc) scores fold in token order (the single-query
+    * hash-parity contract); ranking is a query-partitioned window, k
+    * rows surviving per query.
+    */
+  def bm25TopKBatch(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val queryTerms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val toks = docs.select(col(idCol),
+      TextFeatures.tokens(col(textCol)).as("toks"))
+    val lens = toks.select(col(idCol), size(col("toks")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val tf = toks
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(allTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl: Column =
+      col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf: Column = ieeeLn(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfWeight: Column =
+      (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("dl").cast("double") / avgdl)))
+    val perTerm = tf.join(broadcast(dfreq), "tok")
+      .join(broadcast(queryTerms), "tok")
+      .crossJoin(broadcast(stats)) // 1-row scalar attachment
+      .select(col("query_id"), col(idCol), col("tok"),
+        (idf * tfWeight).as("s"))
+    val scored = perTerm.groupBy(col("query_id"), col(idCol))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("tok"), col("s")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("score"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR'09)
     * of a lexical BM25 list and a dense cosine-kNN list for one query:
     *
@@ -136,6 +199,13 @@ object Retrieval {
   private val Terms = Seq("spark", "vector", "hash")
   private val termsSql = Terms.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  // The batch-oracle query set: three queries over corpus vocabulary,
+  // overlapping terms so the shared-postings path is exercised.
+  private val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "vector", "hash"),
+    1L -> Seq("data", "table", "join"),
+    2L -> Seq("stream", "batch", "spark"))
+
   /** BM25 ranking CTEs (DuckDB dialect), shared by both oracle entries so
     * the scoring definition cannot drift between them. Yields a relation
     * `lexranked(doc_id, score, rank)` over all matching docs.
@@ -183,6 +253,59 @@ object Retrieval {
           |SELECT doc_id, CAST(rank AS INTEGER) AS rank, score
           |FROM lexranked WHERE rank <= 10""".stripMargin) { (s, d) =>
       bm25TopK(Tables.documents(s, d), Terms, k = 10)
+    },
+
+    // Batch BM25 for a 3-query set with overlapping terms: one corpus
+    // pass serves all queries. The oracle recomputes the same union-term
+    // postings, per-term scores, (query_id, term) fan-out, token-ordered
+    // fold, and per-query ranking.
+    Op("text_bm25_batch", {
+      val allTerms = BatchQueries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString("[", ", ", "]")
+      val qvals = BatchQueries
+        .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
+         |  FROM toks),
+         |qt(query_id, tok) AS (VALUES $qvals),
+         |tf AS (
+         |  SELECT doc_id, dl, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+         |  WHERE list_contains($allTerms, tok)
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |per_term AS (
+         |  SELECT q.query_id, t.doc_id, t.tok,
+         |         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+         |                  / (CAST(df AS DOUBLE) + 0.5))
+         |         * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |            / (CAST(tf AS DOUBLE)
+         |               + 1.2 * (1.0 - 0.75
+         |                        + 0.75 * (CAST(dl AS DOUBLE)
+         |                                  / (CAST(total_len AS DOUBLE)
+         |                                     / CAST(n_docs AS DOUBLE))))))
+         |           AS s
+         |  FROM tf t JOIN dfreq USING (tok) JOIN qt q USING (tok), stats),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |         list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
+         |                     (a, b) -> a + b) AS score
+         |  FROM per_term GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |       CAST(rank AS INTEGER) AS rank, score
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    }) { (s, d) =>
+      bm25TopKBatch(Tables.documents(s, d), BatchQueries, k = 10)
     },
 
     // Sparse+dense fusion for one query: BM25 list (the terms above) and

@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
         n == "text_tfidf" || n == "mix_dsir_weights" ||
         n == "mix_dsir_resample" || n == "profile_drift_psi" ||
         n == "text_bm25_topk" || n == "hybrid_rrf" ||
-        n == "f_equidepth_hist" || n == "text_pmi_collocations")
+        n == "f_equidepth_hist" || n == "text_pmi_collocations" ||
+        n == "text_bm25_batch")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -100,7 +101,7 @@ class PlanAuditSpec extends SparkSpec {
         // f_equidepth_hist: the 1-row corpus count attached to the ranked
         // rows (bucket = seq*k div n); text_pmi_collocations: the 1-row
         // (N, Nb) totals attach
-        "f_equidepth_hist", "text_pmi_collocations")
+        "f_equidepth_hist", "text_pmi_collocations", "text_bm25_batch")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

@@ -104,4 +104,26 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected a TakeOrderedAndProject top-k, got:\n$plan")
   }
+
+  test("batch BM25: each query's list equals the single-query operator's, " +
+       "bit-for-bit, including when queries share terms") {
+    val d = docs(
+      1L -> "cat dog fish", 2L -> "cat cat dog", 3L -> "dog dog dog",
+      4L -> "fish fish cat", 5L -> "bird bird bird cat", 6L -> "dog fish")
+    val queries = Seq(0L -> Seq("cat", "dog"), 1L -> Seq("dog", "fish"),
+      2L -> Seq("bird"))
+    val batch = Retrieval.bm25TopKBatch(d, queries, k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for ((qid, terms) <- queries) {
+      val single = Retrieval.bm25TopK(d, terms, k = 4)
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(batch(qid).toSet == single,
+        s"q$qid: batch=${batch(qid).toSet} single=$single")
+    }
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopKBatch(d, Seq(0L -> Seq.empty)))
+  }
 }
