@@ -194,6 +194,58 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("rrf"))
   }
 
+  /** BATCH hybrid retrieval: RRF fusion for a whole query set — the
+    * lexical lists come from ONE bm25TopKBatch corpus pass, the dense
+    * lists from ONE broadcast of all query vectors against the embedding
+    * scan (the knn_cosine shape batched), and the fusion joins two
+    * |queries|×kCand-sized lists on (query_id, doc_id). Queries correlate
+    * to their dense vector by id (`queryVec` maps query_id -> vec_id).
+    * Same rank-integer exactness contract as the single-query operator.
+    */
+  def hybridRrfBatch(docs: DataFrame, embeddings: DataFrame,
+                     queries: Seq[(Long, Seq[String])],
+                     queryVec: Map[Long, Long],
+                     kCand: Int = 20, k: Int = 10,
+                     c: Double = 60.0,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(queries.forall(q => queryVec.contains(q._1)),
+      "every query needs a dense vector id")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = bm25TopKBatch(docs, queries, kCand,
+        idCol = idCol, textCol = textCol)
+      .select(col("query_id"), col(idCol), col("rank").as("r_lex"))
+    val vecByQuery = queryVec.toSeq.toDF("query_id", "qvec_id")
+    val qv = embeddings
+      .join(broadcast(vecByQuery), col("vec_id") === col("qvec_id"))
+      .select(col("query_id"), col("qvec_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    // TopK partial aggregate, not a raw window: the shuffle after scoring
+    // carries kCand rows per query per partition, not the whole scored
+    // corpus (the bruteForceKnn scale contract, batched)
+    val denseScored = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(qv), col("vec_id") =!= col("qvec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.vecCosine(col("v"), col("qv"))
+          .as("cos"))
+    val dense = Similarity.topKPerGroup(denseScored,
+        "query_id", "vec_id", "cos", kCand)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("rank").as("r_dense"))
+    lex.join(dense, Seq("query_id", idCol), "full_outer")
+      .select(col("query_id"), col(idCol),
+        (coalesce(lit(1.0) / (lit(c) + col("r_lex").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_dense").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("rrf"))
+  }
+
   // The bench/oracle query: three corpus-vocabulary terms of differing
   // document frequency, k = 10.
   private val Terms = Seq("spark", "vector", "hash")
@@ -306,6 +358,89 @@ object Retrieval {
          |WHERE rank <= 10""".stripMargin
     }) { (s, d) =>
       bm25TopKBatch(Tables.documents(s, d), BatchQueries, k = 10)
+    },
+
+    // Batch hybrid: RRF for the 3-query set — lexical lists from the
+    // batch BM25 pass, dense lists from one broadcast of query vectors
+    // 0..2 (query_id == vec_id here), fusion per (query, doc). The
+    // oracle recomputes every stage for all queries at once.
+    Op("hybrid_rrf_batch", {
+      val allTerms = BatchQueries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString("[", ", ", "]")
+      val qvals = BatchQueries
+        .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      val qids = BatchQueries.map(_._1).mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
+         |  FROM toks),
+         |qt(query_id, tok) AS (VALUES $qvals),
+         |tf AS (
+         |  SELECT doc_id, dl, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+         |  WHERE list_contains($allTerms, tok)
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |per_term AS (
+         |  SELECT q.query_id, t.doc_id, t.tok,
+         |         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+         |                  / (CAST(df AS DOUBLE) + 0.5))
+         |         * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |            / (CAST(tf AS DOUBLE)
+         |               + 1.2 * (1.0 - 0.75
+         |                        + 0.75 * (CAST(dl AS DOUBLE)
+         |                                  / (CAST(total_len AS DOUBLE)
+         |                                     / CAST(n_docs AS DOUBLE))))))
+         |           AS s
+         |  FROM tf t JOIN dfreq USING (tok) JOIN qt q USING (tok), stats),
+         |lex AS (
+         |  SELECT query_id, doc_id, rank AS r_lex FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, doc_id) AS rank
+         |    FROM (
+         |      SELECT query_id, doc_id,
+         |             list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
+         |                         (a, b) -> a + b) AS score
+         |      FROM per_term GROUP BY 1, 2))
+         |  WHERE rank <= 20),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id IN ($qids)),
+         |dense AS (
+         |  SELECT query_id, doc_id, r_dense FROM (
+         |    SELECT q.query_id, c.vec_id AS doc_id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+         |               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+         |             / (sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+         |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))
+         |              * sqrt(list_aggregate(list_transform(range(1, len(qe) + 1),
+         |                  i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')))
+         |             DESC, c.vec_id) AS r_dense
+         |    FROM embeddings c, qv q WHERE c.vec_id <> q.query_id)
+         |  WHERE r_dense <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |         coalesce(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+         |         + coalesce(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |       CAST(rank AS INTEGER) AS rank, rrf FROM (
+         |  SELECT query_id, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10""".stripMargin
+    }) { (s, d) =>
+      hybridRrfBatch(Tables.documents(s, d), Tables.embeddings(s, d),
+        BatchQueries, queryVec = BatchQueries.map(q => q._1 -> q._1).toMap,
+        kCand = 20, k = 10)
     },
 
     // Sparse+dense fusion for one query: BM25 list (the terms above) and

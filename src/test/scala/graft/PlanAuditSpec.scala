@@ -69,7 +69,7 @@ class PlanAuditSpec extends SparkSpec {
       n.startsWith("olist_") || n == "knn_cosine" || n == "knn_pq" ||
       n == "knn_ivf_recall" || n == "knn_pq_recall" ||
       n == "embed_decontaminate" || n == "embed_hard_negatives" ||
-      n == "llm_contamination_report" ||
+      n == "llm_contamination_report" || n == "hybrid_rrf_batch" ||
         n == "text_perplexity" || n == "t_equal_rowcount" ||
         n == "q22_idle_balances" || n == "q11_important_parts" ||
         n == "q15_top_supplier" || n == "source_jsonl_ingest" ||
@@ -118,7 +118,8 @@ class PlanAuditSpec extends SparkSpec {
     // the recall entries + semantic decontamination: BNLJ allowed
     // (bounded bench/query broadcast), cartesian still forbidden
     Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate",
-        "embed_hard_negatives", "llm_contamination_report")
+        "embed_hard_negatives", "llm_contamination_report",
+        "hybrid_rrf_batch")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

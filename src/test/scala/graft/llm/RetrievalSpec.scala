@@ -126,4 +126,24 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.bm25TopKBatch(d, Seq(0L -> Seq.empty)))
   }
+
+  test("batch hybrid RRF: a batch query's fused list equals the " +
+       "single-query hybrid operator's, bit-for-bit") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val terms = Seq("spark", "vector", "hash")
+    val single = Retrieval.hybridRrf(d, e, terms, queryVecId = 0L,
+        kCand = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val batch = Retrieval.hybridRrfBatch(d, e,
+        Seq(0L -> terms, 1L -> Seq("data", "table")),
+        queryVec = Map(0L -> 0L, 1L -> 1L), kCand = 10, k = 5)
+      .collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(batch == single, s"batch=$batch single=$single")
+    intercept[IllegalArgumentException](
+      Retrieval.hybridRrfBatch(d, e, Seq(0L -> terms),
+        queryVec = Map.empty))
+  }
 }
