@@ -2000,6 +2000,32 @@ object LlmOps {
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.encodeToIds(docs, merges)
+    },
+
+    // Tokenizer fertility report — the curve a team reads to pick vocab
+    // size: bytes-per-token per language at several merge counts (more
+    // merges -> fewer tokens per byte, at diminishing returns; languages
+    // whose scripts the merges underserve stand out as high-fertility
+    // rows). One training per vocab size (bounded driver merge loop on
+    // the shared pretoken histogram), one map-only encode pass each;
+    // the per-language aggregate is exact integer sums with one final
+    // division. Rows-only like every BPE entry.
+    Op.noOracle("llm_bpe_fertility") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = Bpe.ByteLevel.pretokenHistogram(docs, "text", 5000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq(50, 200).map { m =>
+        val merges = Bpe.train(hist, m, Bpe.ByteLevel.symbols)
+        Bpe.ByteLevel.tokenCounts(docs, merges)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_bytes")).as("bytes"),
+            sum(col("n_byte_bpe_tokens")).as("toks"))
+          .select(lit(m).as("n_merges"), col("lang"),
+            col("bytes"), col("toks"),
+            (col("bytes").cast("double") / col("toks").cast("double"))
+              .as("bytes_per_token"))
+      }.reduce(_ unionByName _)
     }
   )
 }

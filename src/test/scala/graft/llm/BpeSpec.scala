@@ -162,6 +162,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-level: a larger merge table never tokenizes a document into " +
+       "MORE tokens (merge tables are prefixes, extra merges only merge)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = Bpe.ByteLevel.pretokenHistogram(docs, "text", 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m50 = Bpe.train(hist, 50, Bpe.ByteLevel.symbols)
+    val m150 = Bpe.train(hist, 150, Bpe.ByteLevel.symbols)
+    assert(m150.take(50) == m50) // learned order is a prefix property
+    def counts(m: Seq[(String, String)]) =
+      Bpe.ByteLevel.tokenCounts(docs, m).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val c50 = counts(m50); val c150 = counts(m150)
+    assert(c50.keySet == c150.keySet)
+    c50.foreach { case (id, n) =>
+      assert(c150(id) <= n, s"doc $id grew: ${c150(id)} > $n")
+    }
+  }
+
   test("byte-level: corpus training is deterministic across partitionings " +
        "and token counts bound bytes from below") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
