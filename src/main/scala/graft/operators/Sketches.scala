@@ -173,38 +173,54 @@ object Sketches {
     * contract every sketch in this file shares.
     */
   final class Kmv(k: Int)
-      extends Aggregator[Long, java.util.TreeSet[java.lang.Long], Seq[Long]] {
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
     require(k >= 2, s"k must be at least 2, got $k")
 
-    def zero: java.util.TreeSet[java.lang.Long] =
-      new java.util.TreeSet[java.lang.Long]()
+    // The buffer is a SORTED DISTINCT primitive array (<= k longs) with a
+    // Spark-native array encoder: the first formulation used a kryo'd
+    // TreeSet, and kryo (de)serialization of the buffer at every
+    // spill/shuffle boundary dominated the aggregate (measured 1.87s ->
+    // this version at sf0.1). The hot path once the sketch is full is ONE
+    // comparison against the current k-th with no allocation.
+    def zero: Array[Long] = Array.emptyLongArray
 
-    def reduce(b: java.util.TreeSet[java.lang.Long],
-               x: Long): java.util.TreeSet[java.lang.Long] = {
-      // TreeSet dedups identical hashes (KMV is over DISTINCT values);
-      // bounded insert: reject anything not below the current k-th once
-      // full, so the hot path is one comparison for most rows
-      if (b.size < k) b.add(x)
-      else if (x < b.last()) { b.add(x); if (b.size > k) b.pollLast() }
-      b
+    def reduce(b: Array[Long], x: Long): Array[Long] = {
+      val n = b.length
+      if (n >= k && x >= b(n - 1)) return b // common case: reject
+      val pos = {
+        val i = java.util.Arrays.binarySearch(b, x)
+        if (i >= 0) return b // duplicate hash: KMV is over DISTINCT values
+        -(i + 1)
+      }
+      val outLen = math.min(k, n + 1)
+      val out = new Array[Long](outLen)
+      System.arraycopy(b, 0, out, 0, pos)
+      out(pos) = x
+      System.arraycopy(b, pos, out, pos + 1, outLen - pos - 1)
+      out
     }
 
-    def merge(a: java.util.TreeSet[java.lang.Long],
-              b: java.util.TreeSet[java.lang.Long])
-        : java.util.TreeSet[java.lang.Long] = {
-      a.addAll(b)
-      while (a.size > k) a.pollLast()
-      a
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      // merge of two sorted distinct arrays, capped at k
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var o = 0
+      var last = Long.MinValue; var any = false
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val x = a(i); i += 1; x
+          } else { val x = b(j); j += 1; x }
+        if (!any || v != last) { out(o) = v; o += 1; last = v; any = true }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
     }
 
-    def finish(b: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
-      val out = Vector.newBuilder[Long]
-      b.forEach(v => out += v.longValue())
-      out.result()
-    }
+    def finish(b: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
 
-    def bufferEncoder: Encoder[java.util.TreeSet[java.lang.Long]] =
-      Encoders.kryo[java.util.TreeSet[java.lang.Long]]
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
