@@ -61,4 +61,38 @@ class GraphsSpec extends SparkSpec {
     // mid-run cuts (every=2) must not change the fixed-point arithmetic
     assert(ranks(reliable = true, every = 2) == local)
   }
+
+  test("triangles: K4 counts each node in 3 triangles; duplicate and " +
+       "reversed edges collapse; a path closes nothing") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (2L, 1L), (4L, 3L)) // dup + reversed noise rows
+      .toDF("src", "dst")
+    val tri = Graphs.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(path).isEmpty)
+  }
+
+  test("triangles: hub-plus-rim (wheel) matches the closed form under " +
+       "the degree ordering's worst case") {
+    import spark.implicits._
+    // wheel W8: hub 0 joined to rim 1..8, rim a cycle — hub degree 8,
+    // rim degree 3; every rim edge closes exactly one triangle with the
+    // hub, so hub tri = 8, each rim node tri = 2 (its two rim edges).
+    val rim = (1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1L))
+    val spokes = (1L to 8L).map(i => (0L, i))
+    val tri = Graphs.triangleCounts((rim ++ spokes).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri(0L) == 8L)
+    (1L to 8L).foreach(i => assert(tri(i) == 2L, s"rim node $i"))
+  }
+
+  test("triangles: the bipartite trade graph is triangle-free") {
+    val edges = Graphs.tradeGraph(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001"),
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    assert(Graphs.triangleCounts(edges).isEmpty)
+  }
 }
