@@ -879,6 +879,41 @@ object LlmOps {
       CorpusQuality.perplexity(Tables.documents(s, d))
     },
 
+    // Interpolated Kneser-Ney bigram perplexity: with D = 3/4 the whole
+    // smoothed probability is one exact integer ratio, so the oracle
+    // replays the discount, the continuation back-off, the ieee ln, and
+    // the position-ordered fold bit-for-bit (see CorpusQuality
+    // .perplexityKN for the factoring).
+    Op("text_perplexity_kn",
+       s"""WITH toks AS (
+          |  SELECT doc_id, $toksSql AS toks FROM documents),
+          |occ AS (
+          |  SELECT doc_id, i, toks[i+1] AS w1, toks[i+2] AS w2,
+          |         concat_ws(' ', toks[i+1], toks[i+2]) AS bigram
+          |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+          |        FROM toks WHERE len(toks) >= 2)),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM occ GROUP BY 1),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+          |types AS (SELECT DISTINCT bigram, w1, w2 FROM occ),
+          |nf1 AS (SELECT w1, count(*) AS nf1 FROM types GROUP BY 1),
+          |np2 AS (SELECT w2, count(*) AS np2 FROM types GROUP BY 1),
+          |b AS (SELECT count(*) AS bb FROM types),
+          |scored AS (
+          |  SELECT occ.doc_id, occ.i,
+          |         ln(CAST((4 * c12 - 3) * bb + 3 * nf1 * np2 AS DOUBLE)
+          |            / CAST(4 * c1 * bb AS DOUBLE)) AS lnp
+          |  FROM occ JOIN c12 USING (bigram) JOIN c1 USING (w1)
+          |           JOIN nf1 USING (w1) JOIN np2 USING (w2), b),
+          |agg AS (
+          |  SELECT doc_id, count(*) AS n_bigrams,
+          |         list_reduce(list_prepend(0.0, list(lnp ORDER BY i)),
+          |                     (a, b) -> a + b) AS s
+          |  FROM scored GROUP BY doc_id)
+          |SELECT doc_id, n_bigrams, -(s / n_bigrams) AS log_ppl
+          |FROM agg""".stripMargin) { (s, d) =>
+      CorpusQuality.perplexityKN(Tables.documents(s, d))
+    },
+
     // Pairwise Jensen–Shannon divergence between source token
     // distributions (corpus cartography). The oracle replays the md5
     // bucket space, the range-densified smoothed probabilities, the

@@ -74,6 +74,31 @@ class CorpusQualitySpec extends SparkSpec {
     assert(re(1L) == nllNat && re(100L) == nllSal)
   }
 
+  test("Kneser-Ney perplexity: salad still scores high, hand-computed " +
+       "two-bigram corpus matches the closed form exactly") {
+    import spark.implicits._
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val salad = "dog the over quick lazy jumps fox brown the"
+    val docs = ((1L to 20L).map(i => (i, sent)) :+ (100L, salad) :+
+      (101L, "solo")).toDF("doc_id", "text")
+    val out = CorpusQuality.perplexityKN(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(101L))
+    assert(out(100L)._2 > out(1L)._2 + math.log(5),
+      s"natural=${out(1L)._2} salad=${out(100L)._2}")
+    // closed form on a corpus of one doc "a b a": bigrams "a b","b a",
+    // each c12=1; c1(a)=c1(b)=1; nf1(a)=nf1(b)=1; np2(a)=np2(b)=1; B=2.
+    // P = ((4-3)*2 + 3*1*1) / (4*1*2) = 5/8 for both transitions.
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val row = CorpusQuality.perplexityKN(tiny).collect().head
+    assert(row.getLong(1) == 2)
+    assert(math.abs(row.getDouble(2) - (-math.log(5.0 / 8.0))) < 1e-12)
+    // determinism across partitionings (the sequential-fold guarantee)
+    val re = CorpusQuality.perplexityKN(docs.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re(1L) == out(1L)._2 && re(100L) == out(100L)._2)
+  }
+
   test("source overlap: exact shared-shingle counts and Jaccard per pair, " +
        "cross-doc distinct within a source, zero-overlap pairs absent") {
     import spark.implicits._
