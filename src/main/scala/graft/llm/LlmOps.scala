@@ -227,6 +227,67 @@ object LlmOps {
     * pq_adc_table kernels; list ties break to the lowest list index on
     * both sides (strict `<` argmin there, `ORDER BY d, list_id` here).
     */
+  /** DuckDB replay of the int8-quantization recall harness: quantized
+    * codes per quantizeInt8's exact recipe, exact integer-dot top-k on
+    * the codes, exact cosine top-k as truth, recall of the overlap.
+    */
+  private def int8RecallOracleSql(k: Int, nQueries: Int, dim: Int): String = {
+    val int8Dot =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), " +
+        s"i -> a.qv[i] * b.qv[i]), 'sum')"
+    s"""WITH v0 AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
+       |  FROM (SELECT vec_id, v0,
+       |               sqrt(list_aggregate(
+       |                 list_transform(range(1, ${dim + 1}),
+       |                                i -> v0[i] * v0[i]), 'sum')) AS nrm
+       |        FROM v0)),
+       |q AS (
+       |  SELECT vec_id, s,
+       |         list_transform(range(0, len(v)), i ->
+       |           CASE WHEN s = 0 THEN 0
+       |                ELSE GREATEST(-127, LEAST(127,
+       |                       CAST(floor(v[i+1] * 127.0 / s + 0.5) AS INT)))
+       |           END) AS qv
+       |  FROM (SELECT vec_id, v,
+       |               list_max(list_transform(v, x -> abs(x))) AS s FROM v)),
+       |int8 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |                              ORDER BY (CAST($int8Dot AS DOUBLE)
+       |                                        * a.s) * b.s DESC, b.vec_id)
+       |             AS rank
+       |    FROM q a, q b
+       |    WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id)
+       |  WHERE rank <= $k),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |                              ORDER BY ${cosineSql(dim)} DESC,
+       |                                       b.vec_id) AS rank
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id)
+       |  WHERE rank <= $k),
+       |tagged AS (
+       |  SELECT query_id, neighbor_id, max(t) AS t, max(f) AS f FROM (
+       |    SELECT query_id, neighbor_id, 1 AS t, 0 AS f FROM truth
+       |    UNION ALL SELECT query_id, neighbor_id, 0, 1 FROM int8)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(sum(t) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_found,
+       |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+       |            AS DOUBLE)
+       |         / CAST(sum(t) AS DOUBLE) AS recall
+       |FROM tagged""".stripMargin
+  }
+
   private def ivfRecallOracleSql(nCents: Int, nprobe: Int, k: Int,
                                  nQueries: Int, dim: Int): String = {
     val sqDist =
@@ -1162,6 +1223,55 @@ object LlmOps {
           |WHERE l.node IS NULL OR l.label = e.vec_id""".stripMargin) { (s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d),
         planes = 8, tables = 4, threshold = 0.4)
+    },
+
+    // Symmetric int8 quantization codes, exploded to (vec_id, i, q) so
+    // the integer codes hash-compare exactly. The round is floor(x + 1/2)
+    // on both sides — a plain `round` is bankers' in one engine and
+    // half-away in the other.
+    Op("embed_quantize_int8",
+       """WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) AS s FROM v),
+         |occ AS (
+         |  SELECT vec_id, v, s, unnest(range(0, len(v))) AS i FROM sv)
+         |SELECT vec_id, CAST(i AS INT) AS i,
+         |       CASE WHEN s = 0 THEN 0
+         |            ELSE GREATEST(-127, LEAST(127,
+         |                   CAST(floor(v[i+1] * 127.0 / s + 0.5) AS INT)))
+         |       END AS q
+         |FROM occ""".stripMargin) { (s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), posexplode(col("qv")))
+        .select(col("vec_id"), col("pos").as("i"), col("col").as("q"))
+    },
+
+    // Int8 recall, ORACLE-MEASURED like knn_ivf_recall: exact top-10
+    // under the integer dot product of the quantized codes, scored
+    // against the exact float cosine top-10 for the same 20 queries.
+    // Every ranking and the recall ratio replay in SQL.
+    Op("embed_quantize_recall", int8RecallOracleSql(k = 10, nQueries = 20,
+        dim = 64)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceKnn(emb)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(1).as("t"), lit(0).as("f"))
+      val found = Similarity.int8Knn(emb)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0).as("t"), lit(1).as("f"))
+      truth.unionByName(found)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("t")).as("t"), max(col("f")).as("f"))
+        .agg(sum(col("t")).as("n_true"),
+          sum(when(col("t") === 1 && col("f") === 1, 1).otherwise(0))
+            .as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
     },
 
     // Hard-negative mining (DPR/SimCSE-style contrastive data prep):

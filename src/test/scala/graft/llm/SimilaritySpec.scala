@@ -286,6 +286,45 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 0L))
   }
 
+  test("quantizeInt8: codes clamp to ±127, the max-|v| element saturates, " +
+       "zero vectors code to zeros, dequantization error within half a step") {
+    val d = vecs(
+      0L -> Seq(0.5, -1.0, 0.25, 0.0),
+      1L -> Seq(0.0, 0.0, 0.0, 0.0),
+      2L -> Seq(2.0, 1.0, -0.5, 0.001))
+    val out = Similarity.quantizeInt8(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(out(1L)._2 == Seq(0, 0, 0, 0)) // zero scale -> zero codes
+    assert(out(0L) == ((1.0, Seq(64, -127, 32, 0))))
+    assert(out(2L)._1 == 2.0 && out(2L)._2.head == 127)
+    out.values.foreach { case (s, qs) =>
+      assert(qs.forall(q => q >= -127 && q <= 127))
+      if (s > 0) assert(qs.exists(q => math.abs(q) == 127),
+        "the max-|v| element must saturate the code range")
+    }
+    // |q·s/127 − v| ≤ s/254 (half a quantization step) for every element
+    val d0 = Seq(0.5, -1.0, 0.25, 0.0)
+    d0.zip(out(0L)._2).foreach { case (v, q) =>
+      assert(math.abs(q * out(0L)._1 / 127.0 - v) <= out(0L)._1 / 254.0 + 1e-12)
+    }
+  }
+
+  test("int8Knn: dequantized-dot ranking tracks cosine truth (recall ≥ " +
+       "0.85 at sf0.001) and is deterministic across partitionings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val truth = Similarity.bruteForceKnn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Similarity.int8Knn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.85, s"int8 recall $recall below floor")
+    val re = Similarity.int8Knn(emb.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = Similarity.int8Knn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(re == base)
+  }
+
   test("brute-force plan: corpus is not shuffled before the TopK aggregate") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForceKnn(d).queryExecution.executedPlan.toString
