@@ -1225,6 +1225,33 @@ object LlmOps {
         planes = 8, tables = 4, threshold = 0.4)
     },
 
+    // JL random projection 64 -> 16 on 2^20-quantized inputs: every
+    // output component is a pure BIGINT sum against a ±1 literal matrix,
+    // and the oracle embeds the SAME driver-generated literals, so the
+    // projection is hash-exact end to end.
+    Op("embed_random_projection", {
+      val rows = (0 until 16).map { j =>
+        val s = (0 until 64).map(i => Similarity.rpSign(j, i))
+          .mkString("[", ", ", "]")
+        s"($j, $s)"
+      }.mkString(",\n       |    ")
+      s"""WITH xq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+         |                AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |m(j, s) AS (VALUES
+         |    $rows)
+         |SELECT vec_id, CAST(j AS INT) AS j,
+         |       CAST(list_aggregate(
+         |              list_transform(range(1, 65), i -> xq[i] * s[i]),
+         |              'sum') AS BIGINT) AS y
+         |FROM xq, m""".stripMargin
+    }) { (s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d))
+    },
+
     // Symmetric int8 quantization codes, exploded to (vec_id, i, q) so
     // the integer codes hash-compare exactly. The round is floor(x + 1/2)
     // on both sides — a plain `round` is bankers' in one engine and

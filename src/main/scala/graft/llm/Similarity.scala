@@ -599,6 +599,51 @@ object Similarity {
               floor(x * lit(127.0) / col("s") + lit(0.5)).cast("int")))))
           .as("qv"))
 
+  /** Deterministic ±1 sign for the (outDim j, inDim i) cell of the random
+    * projection matrix: splitmix64 of the cell index, low bit. Driver-side
+    * like [[hyperplane]]; the oracle embeds the SAME literals, so the two
+    * sides cannot disagree on the matrix.
+    */
+  def rpSign(j: Int, i: Int): Long = {
+    var z = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL +
+      0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+    * dense ±1 sign matrix (Achlioptas 2003 shows signs lose nothing vs
+    * Gaussians) — the dimensionality-reduction lever in front of every
+    * downstream ANN/clustering pass: at 100 TB, shrinking 64 floats to 16
+    * integers before an LSH or k-means stage cuts that stage's shuffle
+    * and memory footprint 4× while JL bounds pairwise-distance distortion
+    * by O(1/√outDim).
+    *
+    * Exactness recipe: inputs are quantized to integers at 2^20 (floor(x·2^20
+    * + ½) — exact), so each output component y_j = Σ_i xq_i·s_ji is a pure
+    * BIGINT sum — order-independent under any partitioning, bit-replayable
+    * in SQL, no float fold anywhere. |y| ≤ dim·2^20·max|x|, far inside
+    * BIGINT. Entirely map-side: literal matrix, no shuffle, no state.
+    *
+    * Returns (idCol, j, y) exploded — integer rows, hash-comparable.
+    */
+  def randomProject(embeddings: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", outDim: Int = 16,
+                    dim: Int = 64): DataFrame = {
+    val xq = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1048576.0) + lit(0.5)).cast("long"))
+    val comps = (0 until outDim).map { j =>
+      val signs = typedlit((0 until dim).map(i => rpSign(j, i)))
+      aggregate(zip_with(col("xq"), signs, (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    }
+    embeddings.select(col(idCol), xq.as("xq"))
+      .select(col(idCol), posexplode(array(comps: _*)))
+      .select(col(idCol), col("pos").as("j"), col("col").as("y"))
+  }
+
   /** Exact top-k under the int8 integer dot product — the search half of
     * [[quantizeInt8]]: queries are the vectors with id < nQueries, scores
     * are Σ qa_i·qb_i (pure integer, order-independent, ≤ dim·127² so far

@@ -325,6 +325,33 @@ class SimilaritySpec extends SparkSpec {
     assert(re == base)
   }
 
+  test("randomProject: JL distance preservation within the k=16 " +
+       "concentration band, exact determinism, and a shuffle-free plan") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val proj = Similarity.randomProject(emb)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "projection must be map-only")
+    val p = proj.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val v = emb.selectExpr("vec_id", "cast(embedding as array<double>)")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = v.keys.toSeq.sorted.take(12)
+    for (a <- ids; b <- ids if a < b) {
+      val dOrig = v(a).zip(v(b)).map { case (x, y) =>
+        val d = x - y; d * d }.sum
+      val dProj = (0 until 16).map { j =>
+        val d = (p((a, j)) - p((b, j))).toDouble / (1L << 20); d * d }.sum
+      val ratio = dProj / 16.0 / dOrig
+      assert(ratio > 0.2 && ratio < 3.0,
+        s"JL distortion $ratio out of band for pair ($a,$b)")
+    }
+    // exact integer determinism under repartitioning
+    val re = Similarity.randomProject(emb.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(re == p)
+  }
+
   test("brute-force plan: corpus is not shuffled before the TopK aggregate") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForceKnn(d).queryExecution.executedPlan.toString
