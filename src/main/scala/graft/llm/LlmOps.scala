@@ -227,6 +227,41 @@ object LlmOps {
     * pq_adc_table kernels; list ties break to the lowest list index on
     * both sides (strict `<` argmin there, `ORDER BY d, list_id` here).
     */
+  /** Shared DuckDB replay of Similarity.kmeansCore (k=8, iters=5, dim=64):
+    * the recursive state is (iter, k, i, ci) at dimension granularity; the
+    * recursive term joins the corpus once, ranks centroids per vector by
+    * (distance, k) with window functions, and aggregates the winning
+    * members' integer mean per (k, i) with an any_value carry for empty
+    * clusters. Inputs are shifted +2^20 so `//` (floor) and the JVM's
+    * truncating division agree on every operand.
+    */
+  private val kmeansCte: String =
+    """WITH RECURSIVE dims AS (SELECT CAST(unnest(range(64)) AS INT) AS i),
+      |xq AS (
+      |  SELECT vec_id, i,
+      |         CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576.0 + 0.5)
+      |              AS BIGINT) + 1048576 AS xi
+      |  FROM embeddings, dims),
+      |km(iter, k, i, ci) AS (
+      |  SELECT 0, CAST(vec_id AS INT) AS k, i, xi FROM xq WHERE vec_id < 8
+      |  UNION ALL
+      |  SELECT iter + 1, k, i,
+      |         CASE WHEN count(CASE WHEN rnk = 1 THEN 1 END) > 0
+      |              THEN CAST(sum(CASE WHEN rnk = 1 THEN xi END) AS BIGINT)
+      |                   // count(CASE WHEN rnk = 1 THEN 1 END)
+      |              ELSE any_value(ci) END
+      |  FROM (
+      |    SELECT p.iter, p.k, p.i, p.ci, p.xi,
+      |           row_number() OVER (PARTITION BY p.vec_id, p.i
+      |                              ORDER BY p.d, p.k) AS rnk
+      |    FROM (
+      |      SELECT km.iter, km.k, km.i, km.ci, x.vec_id, x.xi,
+      |             sum((x.xi - km.ci) * (x.xi - km.ci))
+      |               OVER (PARTITION BY x.vec_id, km.k) AS d
+      |      FROM km JOIN xq x USING (i)
+      |      WHERE km.iter < 5) p)
+      |  GROUP BY iter, k, i)""".stripMargin
+
   /** DuckDB replay of the int8-quantization recall harness: quantized
     * codes per quantizeInt8's exact recipe, exact integer-dot top-k on
     * the codes, exact cosine top-k as truth, recall of the overlap.
@@ -1223,6 +1258,31 @@ object LlmOps {
           |WHERE l.node IS NULL OR l.label = e.vec_id""".stripMargin) { (s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d),
         planes = 8, tables = 4, threshold = 0.4)
+    },
+
+    // Fixed-point distributed k-means (k=8, 5 Lloyd rounds, seeds =
+    // vectors 0..7): the recursive CTE replays init, every assignment
+    // round (ties to lowest k), every integer centroid update, and the
+    // empty-cluster carry — an oracle-checked CLUSTERING TRAINER.
+    Op("embed_kmeans", kmeansCte + """
+       |SELECT k, i, ci - 1048576 AS c FROM km WHERE iter = 5""".stripMargin) {
+      (s, d) => Similarity.kmeansCentroids(Tables.embeddings(s, d))
+    },
+
+    // The distributed half of the same model: final hard assignment of
+    // every vector to its nearest trained centroid.
+    Op("embed_kmeans_assign", kmeansCte + """,
+       |fin AS (SELECT k, i, ci FROM km WHERE iter = 5),
+       |dist AS (
+       |  SELECT x.vec_id, f.k,
+       |         sum((x.xi - f.ci) * (x.xi - f.ci)) AS d
+       |  FROM xq x JOIN fin f USING (i) GROUP BY 1, 2)
+       |SELECT vec_id, k FROM (
+       |  SELECT vec_id, k,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+       |  FROM dist)
+       |WHERE rn = 1""".stripMargin) { (s, d) =>
+      Similarity.kmeansAssignments(Tables.embeddings(s, d))
     },
 
     // JL random projection 64 -> 16 on 2^20-quantized inputs: every

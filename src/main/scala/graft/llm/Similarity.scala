@@ -599,6 +599,96 @@ object Similarity {
               floor(x * lit(127.0) / col("s") + lit(0.5)).cast("int")))))
           .as("qv"))
 
+  /** Distributed Lloyd's k-means over the embedding column in FIXED-POINT
+    * INTEGER arithmetic — the third member of the engine's exact-iterative
+    * family next to pageRank and componentMinLabels, and the trainer
+    * behind every IVF/PQ-style index at scale. Floating-point k-means can
+    * never be compared across engines (the centroid mean re-associates);
+    * here inputs are quantized to 2^20 fixed point, shifted non-negative
+    * (valid while |x| ≤ 1) so truncating and floor division agree, and
+    * every centroid component is an exact integer sum followed by one
+    * integer division — deterministic under any partitioning and
+    * bit-replayable by a DuckDB recursive CTE, making a clustering
+    * algorithm oracle-checkable END TO END (init, every assignment
+    * round, every update, empty-cluster carry).
+    *
+    * Per iteration: one map-side assignment against BROADCAST-LITERAL
+    * centroids (k·dim distance folds per row, no shuffle), one keyed
+    * (k, dim) integer aggregate (partial+final), and a k·dim-row collect
+    * — the model is driver-bounded like the BPE vocab, the corpus never
+    * leaves the executors. Assignment ties break to the lowest k; empty
+    * clusters keep their previous centroid.
+    */
+  private def kmeansCore(embeddings: DataFrame, idCol: String,
+                         vecCol: String, k: Int, iters: Int)
+      : (Array[Array[Long]], DataFrame) = {
+    val SHIFT = 1048576L
+    val xq = embeddings.select(col(idCol).as("vid"),
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * lit(1048576.0) + lit(0.5)).cast("long") +
+            lit(SHIFT)).as("xq"))
+      .localCheckpoint() // scanned every round: materialize once
+    var cents: Array[Array[Long]] = xq.filter(col("vid") < k)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"need vectors with $idCol 0..${k - 1} as seeds")
+    var it = 0
+    while (it < iters) {
+      val stats = assignTo(xq, cents)
+        .select(col("k"), posexplode(col("xq")))
+        .groupBy(col("k"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters carry the old value
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+    (cents, xq)
+  }
+
+  /** Map-side argmin assignment against literal centroids: one struct
+    * array per row, array_min's lexicographic (distance, k) order IS the
+    * tie-break-to-lowest-k rule.
+    */
+  private def assignTo(xq: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val dists = cents.indices.map { kk =>
+      struct(
+        aggregate(zip_with(col("xq"), typedlit(cents(kk).toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d"),
+        lit(kk).as("k"))
+    }
+    xq.select(col("vid"), col("xq"),
+      array_min(array(dists: _*)).getField("k").as("k"))
+  }
+
+  /** Final centroids as (k, i, c) rows in the UNSHIFTED fixed-point space
+    * — the exact model the oracle's recursive CTE reproduces.
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", k: Int = 8,
+                      iters: Int = 5): DataFrame = {
+    val (cents, xq) = kmeansCore(embeddings, idCol, vecCol, k, iters)
+    Dedup.releaseCheckpoint(xq)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    cents.indices.flatMap { kk =>
+      cents(kk).indices.map(i => (kk, i, cents(kk)(i) - 1048576L))
+    }.toDF("k", "i", "c")
+  }
+
+  /** Final hard assignment (vec_id, k) against the trained centroids —
+    * the distributed half of the model, one map-side pass.
+    */
+  def kmeansAssignments(embeddings: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding", k: Int = 8,
+                        iters: Int = 5): DataFrame = {
+    val (cents, xq) = kmeansCore(embeddings, idCol, vecCol, k, iters)
+    assignTo(xq, cents).select(col("vid").as(idCol), col("k"))
+  }
+
   /** Deterministic ±1 sign for the (outDim j, inDim i) cell of the random
     * projection matrix: splitmix64 of the cell index, low bit. Driver-side
     * like [[hyperplane]]; the oracle embeds the SAME literals, so the two

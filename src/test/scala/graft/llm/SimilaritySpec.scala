@@ -352,6 +352,45 @@ class SimilaritySpec extends SparkSpec {
     assert(re == p)
   }
 
+  test("kmeans: planted tight clusters separate perfectly; assignments " +
+       "and centroids deterministic across partitionings") {
+    import spark.implicits._
+    // two tight blobs around (0,0,..) and (0.9,0.9,..); seeds 0 and 1 land
+    // one in each blob
+    val rows = (0 until 20).map { n =>
+      val base = if (n % 2 == 0) 0.0 else 0.9
+      (n.toLong, Seq.tabulate(4)(i => base + 0.001 * ((n * 7 + i) % 5)))
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansAssignments(d, k = 2, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val evens = (0 until 20 by 2).map(n => assign(n.toLong)).toSet
+    val odds = (1 until 20 by 2).map(n => assign(n.toLong)).toSet
+    assert(evens.size == 1 && odds.size == 1 && evens != odds,
+      s"blobs must separate: $assign")
+    val c1 = Similarity.kmeansCentroids(d, k = 2, iters = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val c2 = Similarity.kmeansCentroids(d.repartition(7), k = 2, iters = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(c1 == c2, "integer k-means must be partitioning-invariant")
+  }
+
+  test("kmeans: identical seeds make one cluster empty — it carries its " +
+       "centroid unchanged (ties assign to the lowest k)") {
+    import spark.implicits._
+    val d = ((0L, Seq(0.5, 0.5)) +: (1L to 10L).map(n =>
+      (n, Seq(0.5, 0.5)))).toDF("vec_id", "embedding")
+    // seeds 0 and 1 are the same point -> every vector ties -> all to k=0
+    val assign = Similarity.kmeansAssignments(d, k = 2, iters = 3).collect()
+      .map(r => r.getInt(1)).toSet
+    assert(assign == Set(0))
+    val cents = Similarity.kmeansCentroids(d, k = 2, iters = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // cluster 1 never gained members: its centroid is still the seed
+    val seed = math.floor(0.5 * 1048576.0 + 0.5).toLong
+    assert(cents((1, 0)) == seed && cents((1, 1)) == seed)
+  }
+
   test("brute-force plan: corpus is not shuffled before the TopK aggregate") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForceKnn(d).queryExecution.executedPlan.toString
