@@ -86,6 +86,88 @@ object Linkage {
     base.join(segMode, Seq("entity_id"))
   }
 
+  // Fellegi–Sunter model parameters: m = P(agree | match), u = P(agree |
+  // non-match) per comparison field — in production these come from EM
+  // (the Splink recipe); here they are pinned literals so the scorer
+  // itself is verifiable. The log-odds weights are computed ONCE here and
+  // embedded as double literals in BOTH the Spark plan and the oracle SQL
+  // (Double.toString round-trips, so the engines parse the same IEEE
+  // value) — no runtime transcendentals, every score is a fixed-order sum
+  // of three literal doubles, hence hash-exact.
+  private val fsParams = Seq(
+    ("name", 0.95, 0.001), // banded levenshtein <= 1
+    ("bal", 0.7, 0.02),    // |acctbal diff| <= 100
+    ("sign", 0.9, 0.5))    // same acctbal sign
+  private val fsW: Map[String, (Double, Double)] = fsParams.map {
+    case (f, m, u) => f -> (math.log(m / u), math.log((1 - m) / (1 - u)))
+  }.toMap
+  private val fsThreshold = 1.0
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969;
+    * the model behind Splink/RecordLinkage): per candidate pair, each
+    * comparison field contributes its agreement or disagreement log-odds
+    * weight; the summed match weight ranks pair quality and thresholds at
+    * log prior odds. Complements [[linkCustomers]]'s boolean verify with
+    * GRADED evidence — a pair can miss on name and still surface on
+    * strong agreement elsewhere.
+    *
+    * Same blocking scale shape as linkCustomers: candidate enumeration
+    * is per-(nation, segment) block, the quadratic term never leaves a
+    * block, and scoring is a map-side fixed-order sum of literals over
+    * the pair stream — no extra shuffle beyond the block join.
+    */
+  def fellegiSunterPairs(customers: DataFrame): DataFrame = {
+    val a = customers.select(col("c_custkey").as("id_a"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_name").as("name_a"), col("c_acctbal").as("bal_a"))
+      .repartition(col("nk"), col("seg"))
+    val b = customers.select(col("c_custkey").as("id_b"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_name").as("name_b"), col("c_acctbal").as("bal_b"))
+    val gName = levenshtein(col("name_a"), col("name_b"), 1) =!= -1
+    val gBal = abs(col("bal_a") - col("bal_b")) <= 100.0
+    val gSign = (col("bal_a") >= 0.0) === (col("bal_b") >= 0.0)
+    def w(field: String, agree: org.apache.spark.sql.Column) =
+      when(agree, lit(fsW(field)._1)).otherwise(lit(fsW(field)._2))
+    a.join(b, Seq("nk", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        gName.cast("int").as("gamma_name"),
+        gBal.cast("int").as("gamma_bal"),
+        gSign.cast("int").as("gamma_sign"),
+        (w("name", gName) + w("bal", gBal) + w("sign", gSign)).as("score"))
+      .filter(col("score") >= fsThreshold)
+  }
+
+  private val fsOracle: String = {
+    def c(field: String) = {
+      val (wa, wd) = fsW(field)
+      val cond = field match {
+        case "name" => "levenshtein(a.c_name, b.c_name) <= 1"
+        case "bal"  => "abs(a.c_acctbal - b.c_acctbal) <= 100.0"
+        case "sign" => "(a.c_acctbal >= 0.0) = (b.c_acctbal >= 0.0)"
+      }
+      // STRING-cast, not a bare numeric literal: DuckDB types a decimal
+      // literal as DECIMAL and reaches DOUBLE via a lossy decimal hop
+      // (verified 2 ulp off on these weights); CAST('…' AS DOUBLE)
+      // parses straight to the same IEEE value Double.toString encoded.
+      (cond, s"CASE WHEN $cond THEN CAST('$wa' AS DOUBLE) " +
+        s"ELSE CAST('$wd' AS DOUBLE) END")
+    }
+    val (nc, nw) = c("name"); val (bc, bw) = c("bal"); val (sc, sw) = c("sign")
+    s"""SELECT * FROM (
+       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |         CAST($nc AS INT) AS gamma_name,
+       |         CAST($bc AS INT) AS gamma_bal,
+       |         CAST($sc AS INT) AS gamma_sign,
+       |         $nw + $bw + $sw AS score
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey
+       |   AND a.c_mktsegment = b.c_mktsegment
+       |   AND a.c_custkey < b.c_custkey)
+       |WHERE score >= $fsThreshold""".stripMargin
+  }
+
   /** Shared DuckDB replay of the blocking + verify + component walk,
     * through `labels(node, label)` — both linkage oracles build on it.
     */
@@ -144,5 +226,8 @@ object Linkage {
     },
     Op("er_golden_record", goldenOracle) { (s, d) =>
       goldenRecords(Tables.customer(s, d))
+    },
+    Op("er_fellegi_sunter", fsOracle) { (s, d) =>
+      fellegiSunterPairs(Tables.customer(s, d))
     })
 }

@@ -54,6 +54,29 @@ class LinkageSpec extends SparkSpec {
     assert(out(9L) == ((1L, "alone", 5.0, "MACHINERY")))
   }
 
+  test("Fellegi-Sunter: weights sum per agreement pattern, graded " +
+       "evidence surfaces a name-miss pair, sub-threshold pairs absent") {
+    val c = Seq(
+      (1L, "ann lee", 7, "BUILDING", 500.0),
+      (2L, "ann lep", 7, "BUILDING", 450.0),   // name~, bal close, same sign
+      (3L, "bo carver", 7, "BUILDING", 460.0), // name miss, bal close to 2
+      (4L, "cy quartz", 7, "BUILDING", -9000.0)) // nothing close
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Linkage.fellegiSunterPairs(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5))).toMap
+    def w(m: Double, u: Double, agree: Boolean) =
+      if (agree) math.log(m / u) else math.log((1 - m) / (1 - u))
+    def score(gn: Boolean, gb: Boolean, gs: Boolean) =
+      w(0.95, 0.001, gn) + w(0.7, 0.02, gb) + w(0.9, 0.5, gs)
+    // (1,2): full agreement; (2,3) and (1,3): name miss but bal+sign agree
+    assert(out((1L, 2L)) == ((1, 1, 1, score(gn = true, gb = true, gs = true))))
+    assert(out((2L, 3L)) == ((0, 1, 1, score(gn = false, gb = true, gs = true))))
+    assert(out((1L, 3L)) == ((0, 1, 1, score(gn = false, gb = true, gs = true))))
+    // every pair with 4 fails the threshold (wrong sign, far balance)
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("tableDiff classifies added/removed/changed and drops unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("k", "v")
