@@ -194,6 +194,56 @@ object Graphs {
       .select(col("sa").as("src"), col("sb").as("dst"))
   }
 
+  /** k-core decomposition by synchronous peeling (Batagelj–Zaveršnik
+    * semantics, Pregel-style rounds): repeatedly delete every node whose
+    * CURRENT degree is below `k` — deletions cascade — until stable; the
+    * k-core is what survives. The quality filter of web-graph pipelines
+    * (spam and orphan pages fall out of low cores) and the standard
+    * community-scaffold preprocessing step.
+    *
+    * Per round: degree via two count windows over the symmetric edge
+    * list (src side and dst side — keyed, sort-spilled, hub-safe) and a
+    * filter; each round materializes ONCE with the removed-edge count
+    * observed on the same action (the componentMinLabels recipe — no
+    * separate convergence job). Rounds cap at `maxRounds`; peeling is
+    * idempotent at the fixpoint, so a converged run equals the oracle's
+    * fixed-round replay exactly.
+    *
+    * Returns (node, deg): the k-core members with their in-core degrees.
+    */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+            dstCol: String = "dst", maxRounds: Int = 20,
+            reliable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val W = org.apache.spark.sql.expressions.Window
+    var cur = cut(edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val obs = org.apache.spark.sql.Observation(s"kcore_removed_r$round")
+      val next = cut(cur
+        .withColumn("ds", count(lit(1)).over(W.partitionBy(col("src"))))
+        .withColumn("dd", count(lit(1)).over(W.partitionBy(col("dst"))))
+        .observe(obs,
+          count(when(col("ds") < k || col("dd") < k, 1)).as("removed"))
+        .filter(col("ds") >= k && col("dd") >= k)
+        .select(col("src"), col("dst")))
+      converged = obs.get("removed").asInstanceOf[Long] == 0L
+      Dedup.releaseCheckpoint(cur)
+      cur = next
+      round += 1
+    }
+    cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   /** The customer–supplier trade graph: an edge for every (customer,
     * supplier) pair connected by an order line — emitted WITH duplicates
     * (one per connecting line): pageRank's symmetrize step deduplicates
@@ -210,6 +260,17 @@ object Graphs {
         (col("l_suppkey") + 1000000L).as("dst"))
 
   private val S = 1L << 40
+
+  /** Shared DuckDB replay of coSupplierEdges(minShared = 6) — the
+    * triangle and k-core oracles both build on it.
+    */
+  private val coSupplierCte: String =
+    """pairs AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      |e0 AS (
+      |  SELECT p1.s AS a, p2.s AS b
+      |  FROM pairs p1 JOIN pairs p2 ON p1.ok = p2.ok AND p1.s < p2.s
+      |  GROUP BY 1, 2 HAVING count(*) >= 6)""".stripMargin
 
   val ops: Seq[Op] = Seq(
     // Ten exact fixed-point rounds over the trade graph; the recursive
@@ -253,12 +314,7 @@ object Graphs {
     // verified: a mis-oriented edge double- or zero-counts a triangle
     // and the integer hash compare catches it.
     Op("graph_triangles",
-       """WITH pairs AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-         |e0 AS (
-         |  SELECT p1.s AS a, p2.s AS b
-         |  FROM pairs p1 JOIN pairs p2 ON p1.ok = p2.ok AND p1.s < p2.s
-         |  GROUP BY 1, 2 HAVING count(*) >= 6),
+       s"""WITH $coSupplierCte,
          |deg AS (
          |  SELECT node, count(*) AS deg FROM (
          |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
@@ -283,6 +339,30 @@ object Graphs {
          |  UNION ALL SELECT w FROM tri)
          |GROUP BY 1""".stripMargin) { (s, d) =>
       triangleCounts(coSupplierEdges(Tables.lineitem(s, d)))
+    },
+
+    // 12-core of the supplier co-order graph. The recursive CTE replays
+    // 20 synchronous peel rounds; at sf0.001 the whole graph cascades to
+    // empty (K10 has degree 9), at sf0.01 the complete K100 is a stable
+    // fixpoint, at sf0.1 the low-degree fringe peels — all three regimes
+    // hash-compare, converged rounds being no-ops on both sides.
+    Op("graph_kcore",
+       s"""WITH RECURSIVE $coSupplierCte,
+         |ed AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |kc(iter, src, dst) AS (
+         |  SELECT 0, src, dst FROM ed
+         |  UNION ALL
+         |  SELECT iter + 1, src, dst FROM (
+         |    SELECT iter, src, dst,
+         |           count(*) OVER (PARTITION BY iter, src) AS ds,
+         |           count(*) OVER (PARTITION BY iter, dst) AS dd
+         |    FROM kc WHERE iter < 20)
+         |  WHERE ds >= 12 AND dd >= 12)
+         |SELECT src AS node, count(*) AS deg
+         |FROM kc WHERE iter = 20 GROUP BY 1""".stripMargin) { (s, d) =>
+      kCore(coSupplierEdges(Tables.lineitem(s, d)), k = 12)
     }
   )
 }

@@ -89,6 +89,28 @@ class GraphsSpec extends SparkSpec {
     (1L to 8L).foreach(i => assert(tri(i) == 2L, s"rim node $i"))
   }
 
+  test("kCore: a pendant chain cascades away round by round, the clique " +
+       "survives with in-core degrees; k above the clique empties it") {
+    import spark.implicits._
+    // triangle {1,2,3} with a 4-node tail 3-4-5-6-7: the 2-core is the
+    // triangle alone, and the tail must peel ITERATIVELY (7, then 6, then
+    // 5, then 4 — each deletion exposes the next), proving the cascade.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val core2 = Graphs.kCore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(Graphs.kCore(g, k = 3).isEmpty) // no 3-core anywhere
+    // a star peels to empty for k >= 2 (leaves first, then the hub)
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graphs.kCore(star, k = 2).isEmpty)
+    // determinism across partitionings
+    val re = Graphs.kCore(g.repartition(5), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == core2)
+  }
+
   test("triangles: the bipartite trade graph is triangle-free") {
     val edges = Graphs.tradeGraph(
       graft.Tables.orders(spark, "/root/testdata/sf0.001"),
