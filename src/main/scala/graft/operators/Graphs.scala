@@ -128,30 +128,31 @@ object Graphs {
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame = {
-    // canonical undirected edge set: a < b, deduplicated
-    // Materialized: und feeds deg AND the annotate join (deg itself twice),
-    // so without the cut the upstream edge construction executes 3x.
-    val und = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
+    val W = org.apache.spark.sql.expressions.Window
+    // Degrees via two count windows over the BOTH-DIRECTIONS edge list
+    // (every incident edge appears under src once and under dst once, so
+    // each window reads a full degree) — the pageRank recipe. This keeps
+    // the whole annotate step in ONE plan chain; the groupBy+join-back
+    // formulation fed the edge build into three subtrees and needed a
+    // second checkpoint to stop re-execution.
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("a"), col(dstCol).as("b")),
+        struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val ann = und
-      .join(deg.toDF("a", "dega"), "a")
-      .join(deg.toDF("b", "degb"), "b")
-    val aFirst = col("dega") < col("degb") ||
-      (col("dega") === col("degb") && col("a") < col("b"))
+      .withColumn("da", count(lit(1)).over(W.partitionBy(col("a"))))
+      .withColumn("db", count(lit(1)).over(W.partitionBy(col("b"))))
+      .filter(col("a") < col("b")) // back to one row per undirected edge
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
     // Materialized ONCE: the oriented edge list feeds THREE subtrees
-    // (both wedge sides and the closing join) — without the cuts here and
-    // on und, the whole co-occurrence build re-executes per subtree
-    // (measured 21s → 2.4s at sf0.1 for the two cuts + map-side pair
-    // generation). Same pattern as Mixing.assignContiguousIds.
-    val oriented = ann.select(
+    // (both wedge sides and the closing join) — without this cut the
+    // whole co-occurrence build re-executes per subtree (measured 21s
+    // uncut at sf0.1). Same pattern as Mixing.assignContiguousIds.
+    val oriented = sym.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-      when(aFirst, col("degb")).otherwise(col("dega")).as("dd"))
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
       .localCheckpoint()
     val o1 = oriented.toDF("u", "v", "dv")
     val o2 = oriented.toDF("u", "w", "dw")
