@@ -107,6 +107,64 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank (Haveliwala 2002): identical fixed-point
+    * machinery to [[pageRank]], but ALL teleport mass restarts at the
+    * SEED set — rank becomes proximity-to-seeds, the primitive behind
+    * graph-based data selection (expand a trusted seed corpus along a
+    * similarity/link graph) and related-entity retrieval. `seedPred` is
+    * a predicate on the node id column; r0 = scale div |S| on seeds and
+    * 0 elsewhere, tele lands only on seeds. Same per-round shape (one
+    * keyed join + one keyed aggregate), same BIGINT-exact arithmetic, so
+    * a recursive CTE replays every round bit-for-bit.
+    */
+  def personalizedPageRank(edges: DataFrame,
+                           seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           iters: Int = 10, scale: Long = 1L << 40,
+                           checkpointEvery: Int = 10,
+                           reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val adj = cut(sym.withColumn("deg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")))))
+    val nS = adj.select(col("src")).distinct()
+      .filter(seedPred(col("src"))).count()
+    require(nS > 0, "seed predicate selects no graph nodes")
+    val teleS = (scale * 15L / 100L) / nS
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(seedPred(col("node")), lit(scale / nS)).otherwise(lit(0L))
+          .as("r"))
+    var ranksCk: Option[DataFrame] = None
+    var round = 0
+    while (round < iters) {
+      val contrib = adj
+        .join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = contrib.select(col("dst").as("node"),
+        (when(seedPred(col("dst")), lit(teleS)).otherwise(lit(0L)) +
+          expr("(85 * s) div 100")).as("r"))
+      round += 1
+      if (round % checkpointEvery == 0 || round == iters) {
+        val cutRanks = cut(ranks)
+        ranksCk.foreach(Dedup.releaseCheckpoint)
+        ranksCk = Some(cutRanks)
+        ranks = cutRanks
+      }
+    }
+    Dedup.releaseCheckpoint(adj)
+    ranks
+  }
+
   /** Per-node exact triangle counts via the degree-ordered FORWARD
     * algorithm (Schank & Wagner 2005) — the formulation that survives
     * scale-free degree distributions. Every undirected edge is oriented
@@ -340,6 +398,49 @@ object Graphs {
          |  UNION ALL SELECT w FROM tri)
          |GROUP BY 1""".stripMargin) { (s, d) =>
       triangleCounts(coSupplierEdges(Tables.lineitem(s, d)))
+    },
+
+    // Personalized PageRank from the seed set {customer nodes < 100} on
+    // the trade graph: all teleport restarts at seeds, so rank is
+    // proximity-to-seeds. Ten exact fixed-point rounds, replayed by the
+    // same recursive-CTE idiom as graph_pagerank.
+    Op("graph_ppr", {
+      val seed = "node < 100"
+      s"""WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION
+         |  SELECT dst, src FROM raw WHERE src <> dst),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |ns AS (SELECT count(*) AS n FROM nodes WHERE $seed),
+         |pr AS (
+         |  SELECT 0 AS iter, node,
+         |         CAST(CASE WHEN $seed THEN $S // n ELSE 0 END AS BIGINT)
+         |           AS r
+         |  FROM nodes, ns
+         |  UNION ALL
+         |  SELECT iter + 1, node,
+         |         CAST(CASE WHEN node < 100
+         |                   THEN (SELECT ($S * 15 // 100) // n FROM ns)
+         |                   ELSE 0 END
+         |              + (85 * s) // 100 AS BIGINT) AS r
+         |  FROM (
+         |    SELECT p.iter AS iter, e.dst AS node,
+         |           CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |    FROM pr p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN deg d ON d.src = p.node
+         |    WHERE p.iter < 10
+         |    GROUP BY 1, 2))
+         |SELECT node, r FROM pr WHERE iter = 10""".stripMargin
+    }) { (s, d) =>
+      personalizedPageRank(
+        tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+        seedPred = _ < 100)
     },
 
     // 12-core of the supplier co-order graph. The recursive CTE replays

@@ -356,6 +356,60 @@ object Sketches {
             .as("kmv_estimate"))
     },
 
+    // Incremental distinct-count maintenance: "yesterday's" stored KMV
+    // states absorb a delta batch by EXPLODING the survivor hashes back
+    // through the same aggregator — KMV(stored survivors ∪ delta hashes)
+    // is definitionally KMV(full multiset) because dropped hashes can
+    // never re-enter the k smallest. The oracle is the one-shot sketch of
+    // EVERYTHING: hash equality PROVES merge(state, delta) == re-sketch,
+    // the sketch analog of ivm_merge_agg. At 100 TB the state is k longs
+    // per group — the only thing the nightly merge ever shuffles.
+    Op("ivm_merge_distinct", {
+      val k = 256
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS hv
+         |  FROM lineitem),
+         |d AS (SELECT DISTINCT l_returnflag, hv FROM h),
+         |r AS (
+         |  SELECT l_returnflag, hv,
+         |         row_number() OVER (PARTITION BY l_returnflag
+         |                            ORDER BY hv) AS rn,
+         |         count(*) OVER (PARTITION BY l_returnflag) AS nd
+         |  FROM d)
+         |SELECT l_returnflag,
+         |       CAST(hv AS BIGINT) AS kmv_kth,
+         |       CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+         |            ELSE ${k - 1}.0
+         |                 / (CAST(hv AS DOUBLE) / 1152921504606846976.0)
+         |       END AS kmv_estimate
+         |FROM r
+         |WHERE rn = CASE WHEN nd < $k THEN nd ELSE $k END""".stripMargin
+    }) { (s, d) =>
+      val k = 256
+      val kmv = udaf(new Kmv(k), Encoders.scalaLong)
+      val hv = expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), hv.as("hv"))
+      val stored = li.filter(col("l_orderkey") % 4 =!= 0)
+        .groupBy(col("l_returnflag")).agg(kmv(col("hv")).as("sk"))
+      val deltaHashes = li.filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_returnflag"), col("hv"))
+      stored.select(col("l_returnflag"), explode(col("sk")).as("hv"))
+        .unionByName(deltaHashes)
+        .groupBy(col("l_returnflag")).agg(kmv(col("hv")).as("sk"))
+        .select(col("l_returnflag"),
+          element_at(col("sk"), size(col("sk"))).as("kmv_kth"),
+          when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("sk"), k).cast("double")
+                / lit(1152921504606846976.0)))
+            .as("kmv_estimate"))
+    },
+
     // The PRODUCTION kmv path: xxhash64 instead of the md5-portable hash
     // (same fast/portable pairing as dedup_minhash_fast) — one codegen'd
     // long hash per row instead of an md5 hex string + conv. Shifted to

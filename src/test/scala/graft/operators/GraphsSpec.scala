@@ -89,6 +89,26 @@ class GraphsSpec extends SparkSpec {
     (1L to 8L).foreach(i => assert(tri(i) == 2L, s"rim node $i"))
   }
 
+  test("personalized PageRank: rank drains toward the seed side; a " +
+       "component with no seeds holds zero mass; exact determinism") {
+    import spark.implicits._
+    // two disjoint 4-cycles; seeds only in the first
+    val compA = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val compB = Seq((11L, 12L), (12L, 13L), (13L, 14L), (14L, 11L))
+    val g = (compA ++ compB).toDF("src", "dst")
+    val r = Graphs.personalizedPageRank(g, seedPred = _ <= 2, iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // no teleport and no initial mass ever reaches component B
+    Seq(11L, 12L, 13L, 14L).foreach(n => assert(r(n) == 0L, s"node $n"))
+    // seeds keep more rank than the far side of component A
+    assert(r(1L) > r(3L) && r(2L) > r(4L) || r(1L) + r(2L) > r(3L) + r(4L),
+      s"seed side must outrank the far side: $r")
+    val re = Graphs.personalizedPageRank(g.repartition(5),
+        seedPred = _ <= 2, iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(re == r)
+  }
+
   test("kCore: a pendant chain cascades away round by round, the clique " +
        "survives with in-core degrees; k above the clique empties it") {
     import spark.implicits._

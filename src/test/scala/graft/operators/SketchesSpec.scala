@@ -90,6 +90,23 @@ class SketchesSpec extends SparkSpec {
       "linear sketch must be exact-deterministic under any partitioning")
   }
 
+  test("kmv state merge: exploding stored survivors through the " +
+       "aggregator with any delta equals the one-shot sketch of the union") {
+    import spark.implicits._
+    val k = 32
+    val kmv = F.udaf(new Sketches.Kmv(k), Encoders.scalaLong)
+    val all = (0L until 500L).map(v => v * 2654435761L % 100003L)
+    def oneShot(vs: Seq[Long]): Seq[Long] =
+      vs.toDF("hv").agg(kmv(F.col("hv")).as("sk")).head().getSeq[Long](0)
+    // three arbitrary uneven "days" of arrivals
+    val days = Seq(all.take(50), all.slice(50, 320), all.drop(320))
+    val merged = days.foldLeft(Seq.empty[Long]) { (state, day) =>
+      oneShot(state ++ day)
+    }
+    assert(merged == oneShot(all),
+      "incremental state+delta merge must equal the full re-sketch")
+  }
+
   test("kmv: exact below k, estimate within theory error above k, sketch " +
        "identical under any partitioning, duplicates ignored") {
     import spark.implicits._
