@@ -77,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
         n == "mix_dsir_resample" || n == "profile_drift_psi" ||
         n == "text_bm25_topk" || n == "hybrid_rrf" ||
         n == "f_equidepth_hist" || n == "text_pmi_collocations" ||
-        n == "text_bm25_batch")
+        n == "text_bm25_batch" || n == "text_perplexity_kn" ||
+        n == "embed_quantize_recall")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -101,7 +102,10 @@ class PlanAuditSpec extends SparkSpec {
         // f_equidepth_hist: the 1-row corpus count attached to the ranked
         // rows (bucket = seq*k div n); text_pmi_collocations: the 1-row
         // (N, Nb) totals attach
-        "f_equidepth_hist", "text_pmi_collocations", "text_bm25_batch")
+        // text_perplexity_kn: the 1-row bigram-type count B attaches the
+        // same way as text_perplexity's vocab scalar
+        "f_equidepth_hist", "text_pmi_collocations", "text_bm25_batch",
+        "text_perplexity_kn")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
@@ -119,7 +123,7 @@ class PlanAuditSpec extends SparkSpec {
     // (bounded bench/query broadcast), cartesian still forbidden
     Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate",
         "embed_hard_negatives", "llm_contamination_report",
-        "hybrid_rrf_batch")
+        "hybrid_rrf_batch", "embed_quantize_recall")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
