@@ -128,6 +128,52 @@ object CorpusQuality {
         (-(col("s") / col("n_bigrams"))).as("log_ppl"))
   }
 
+  /** The Gopher quality-filter rule set (Rae et al. 2021, table A1) with
+    * the PUBLISHED thresholds, restricted to the token-level rules (the
+    * line-level rules degenerate on a single-line corpus, as with
+    * [[repetitionStats]]):
+    *
+    *   - g_wc:    50 ≤ word count ≤ 100,000
+    *   - g_mwl:   3 ≤ mean word length ≤ 10
+    *   - g_sym:   symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1
+    *   - g_alpha: ≥ 80% of words contain an alphabetic character
+    *   - g_stop:  ≥ 2 occurrences of Gopher's stop-word octet
+    *
+    * Every ratio threshold is CROSS-MULTIPLIED into an integer
+    * comparison (3n ≤ Σlen ≤ 10n, 10·sym ≤ n, 5·alpha ≥ 4·n) — no float
+    * exists anywhere in the operator, so the flags are hash-exact by
+    * construction rather than by IEEE-order discipline. One map-side
+    * pass; `gopher_pass` is the conjunction a 100 TB pre-filter would
+    * push in front of model scoring.
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val stopOct = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = TextFeatures.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("long")
+    val hashCnt = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("long")
+    val dotRuns = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("long")
+    val sym = hashCnt + dotRuns
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(toks, t => t.isin(stopOct: _*))).cast("long")
+    val gWc = n >= 50L && n <= 100000L
+    val gMwl = sumLen >= lit(3L) * n && sumLen <= lit(10L) * n
+    val gSym = lit(10L) * sym <= n
+    val gAlpha = lit(5L) * alphaWords >= lit(4L) * n
+    val gStop = stopHits >= 2L
+    docs.select(col(idCol),
+      gWc.cast("int").as("g_wc"),
+      gMwl.cast("int").as("g_mwl"),
+      gSym.cast("int").as("g_sym"),
+      gAlpha.cast("int").as("g_alpha"),
+      gStop.cast("int").as("g_stop"),
+      (gWc && gMwl && gSym && gAlpha && gStop).cast("int").as("gopher_pass"))
+  }
+
   /** Interpolated Kneser–Ney bigram perplexity — the smoothing that
     * actually ships in production n-gram LMs (Chen & Goodman 1999 show
     * it dominates add-one everywhere), as a second, sharper quality

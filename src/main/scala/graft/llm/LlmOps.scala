@@ -975,6 +975,42 @@ object LlmOps {
       CorpusQuality.perplexity(Tables.documents(s, d))
     },
 
+    // Gopher filter rules at the published thresholds; every ratio is an
+    // integer cross-multiplication, so there is NO float to keep in IEEE
+    // lockstep — the cheapest kind of oracle-exact operator.
+    Op("text_gopher_rules",
+       s"""WITH t AS (
+          |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(toks) AS BIGINT) AS n,
+          |    CAST(list_aggregate(list_transform(toks, x -> length(x)),
+          |                        'sum') AS BIGINT) AS sumlen,
+          |    CAST(length(text) - length(replace(text, '#', ''))
+          |         AS BIGINT)
+          |      + CAST((length(text) - length(replace(text, '...', '')))
+          |             // 3 AS BIGINT) AS sym,
+          |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          |         AS BIGINT) AS alpha,
+          |    CAST(len(list_filter(toks, x -> list_contains(
+          |      ['the','be','to','of','and','that','have','with'], x)))
+          |         AS BIGINT) AS stops
+          |  FROM t)
+          |SELECT doc_id,
+          |  CAST(n >= 50 AND n <= 100000 AS INT) AS g_wc,
+          |  CAST(sumlen >= 3 * n AND sumlen <= 10 * n AS INT) AS g_mwl,
+          |  CAST(10 * sym <= n AS INT) AS g_sym,
+          |  CAST(5 * alpha >= 4 * n AS INT) AS g_alpha,
+          |  CAST(stops >= 2 AS INT) AS g_stop,
+          |  CAST(n >= 50 AND n <= 100000
+          |       AND sumlen >= 3 * n AND sumlen <= 10 * n
+          |       AND 10 * sym <= n
+          |       AND 5 * alpha >= 4 * n
+          |       AND stops >= 2 AS INT) AS gopher_pass
+          |FROM m""".stripMargin) { (s, d) =>
+      CorpusQuality.gopherRules(Tables.documents(s, d))
+    },
+
     // Interpolated Kneser-Ney bigram perplexity: with D = 3/4 the whole
     // smoothed probability is one exact integer ratio, so the oracle
     // replays the discount, the continuation back-off, the ieee ln, and

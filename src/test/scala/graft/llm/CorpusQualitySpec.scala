@@ -99,6 +99,30 @@ class CorpusQualitySpec extends SparkSpec {
     assert(re(1L) == out(1L)._2 && re(100L) == out(100L)._2)
   }
 
+  test("Gopher rules: each crafted violation trips exactly its own flag") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps with haste and vigor over " +
+      "that lazy dog of mine to have fun ") * 3).trim // 54 words, stops, clean
+    val docs = Seq(
+      1L -> good,
+      2L -> "too short to have the girth", // < 50 words
+      3L -> good.replaceAll("\\bthe\\b|\\bwith\\b|\\bthat\\b|\\bhave\\b|\\bto\\b|\\band\\b|\\bof\\b", "xx"), // no stopwords
+      4L -> (good + " " + Seq.fill(20)("####### ......... #####").mkString(" ")), // symbol spam
+      5L -> (good + " " + Seq.fill(60)("12345").mkString(" ")), // digit words kill alpha
+      6L -> (good + " " + Seq.fill(20)("pneumonoultramicroscopicsilicovolcanoconiosis").mkString(" ")) // mwl > 10
+    ).toDF("doc_id", "text")
+    val out = CorpusQuality.gopherRules(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getInt(6))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1, 1)), s"good doc: ${out(1L)}")
+    assert(out(2L)._1 == 0 && out(2L)._6 == 0) // word count
+    assert(out(3L)._5 == 0 && out(3L)._6 == 0) // stopwords
+    assert(out(4L)._3 == 0 && out(4L)._6 == 0) // symbols
+    assert(out(5L)._4 == 0 && out(5L)._6 == 0) // alpha fraction
+    assert(out(6L)._2 == 0 && out(6L)._6 == 0) // mean word length
+  }
+
   test("source overlap: exact shared-shingle counts and Jaccard per pair, " +
        "cross-doc distinct within a source, zero-overlap pairs absent") {
     import spark.implicits._
