@@ -2236,6 +2236,30 @@ object LlmOps {
       Bpe.topVocab(docs, merges, k = 20)
     },
 
+    // Unigram-LM (SentencePiece-family) tokenizer: EM-trained piece
+    // vocabulary with log-probs, Viterbi segmentation — the OTHER
+    // production tokenizer lineage next to BPE, same bounded word-
+    // histogram sufficient statistic. Rows-only (EM is not one SQL
+    // statement); optimality/round-trip/determinism in UnigramSpec.
+    Op.noOracle("llm_unigram_vocab") { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val model = Unigram.trainOnCorpus(Tables.documents(s, d),
+        vocabSize = 256, topWords = 4096)
+      model.toSeq.filter(_._1.length > 1)
+        .sortBy { case (p, lp) => (-lp, p) }.take(30)
+        .toDF("piece", "logprob")
+    },
+
+    // Per-document unigram piece counts + model log-prob — the fertility
+    // statistic next to llm_bpe_token_counts, from the competing family.
+    Op.noOracle("llm_unigram_token_counts") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = Unigram.trainOnCorpus(docs, vocabSize = 256,
+        topWords = 4096)
+      Unigram.tokenCounts(docs, model)
+    },
+
     // Per-document whitespace-vs-BPE token counts — the length statistic
     // a packing/budget pass consumes.
     Op.noOracle("llm_bpe_token_counts") { (s, d) =>

@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Unigram-LM tokenizer (Kudo 2018) — the OTHER production tokenizer
+  * family next to BPE (SentencePiece's default): instead of a learned
+  * merge sequence, a piece VOCABULARY with log-probabilities, trained by
+  * EM, applied by per-word Viterbi segmentation. Reference implementations
+  * tokenize to maximize Σ log P(piece); sampling variants (subword
+  * regularization) derive from the same lattice.
+  *
+  * Scale shape — identical to [[Bpe]]: the corpus word histogram is a
+  * sufficient statistic for every count EM consults, so the distributed
+  * work is one explode→groupBy→count aggregate; training runs driver-side
+  * over the bounded (word, count) table, and the trained (piece, logprob)
+  * table broadcasts back inside the encode closure for embarrassingly
+  * map-side application. The corpus text is never collected.
+  *
+  * Determinism: EM is arithmetic over a sorted word list; Viterbi ties
+  * break toward FEWER pieces, then lexicographically smaller first piece;
+  * pruning ties break lexicographically. The result is a pure function of
+  * the histogram under any partitioning.
+  */
+object Unigram {
+
+  /** A trained model: piece -> ln P(piece), normalized over the vocab. */
+  type Model = Map[String, Double]
+
+  /** Seed vocabulary: every substring of length ≤ `maxPieceLen` of every
+    * histogram word, scored by occurrence-weighted count, cut to
+    * `seedSize` (single chars always kept — the fallback alphabet that
+    * makes every word segmentable).
+    */
+  def seedVocab(wordCounts: Map[String, Long], seedSize: Int,
+                maxPieceLen: Int = 6): Map[String, Long] = {
+    val subCount = mutable.HashMap.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var len = 1
+        while (len <= maxPieceLen && i + len <= w.length) {
+          subCount.updateWith(w.substring(i, i + len)) { prev =>
+            Some(prev.getOrElse(0L) + c)
+          }
+          len += 1
+        }
+        i += 1
+      }
+    }
+    val chars = subCount.filter(_._1.length == 1)
+    val multi = subCount.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedSize - chars.size))
+    (chars ++ multi).toMap
+  }
+
+  /** Viterbi-best segmentation of `word` under the model: maximizes the
+    * summed log-prob; ties prefer fewer pieces, then the lexicographically
+    * smaller piece ending at each position (fixed tie policy = fixed
+    * output). Returns Nil only if some character is not in the model —
+    * impossible for models built by [[train]], which keeps the alphabet.
+    */
+  def viterbi(word: String, model: Model, maxPieceLen: Int = 6)
+      : List[String] = {
+    val n = word.length
+    // best(i) = (score, pieces, lastPiece) for word[0, i)
+    val score = Array.fill(n + 1)(Double.NegativeInfinity)
+    val nPieces = Array.fill(n + 1)(Int.MaxValue)
+    val back = Array.fill(n + 1)("")
+    score(0) = 0.0
+    nPieces(0) = 0
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      while (len <= maxPieceLen && len <= i) {
+        val piece = word.substring(i - len, i)
+        model.get(piece).foreach { lp =>
+          val s = score(i - len) + lp
+          val k = nPieces(i - len) + 1
+          val better = s > score(i) ||
+            (s == score(i) && (k < nPieces(i) ||
+              (k == nPieces(i) && piece < back(i))))
+          if (better) { score(i) = s; nPieces(i) = k; back(i) = piece }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    if (score(n).isNegInfinity) return Nil
+    var out = List.empty[String]
+    var pos = n
+    while (pos > 0) { out = back(pos) :: out; pos -= back(pos).length }
+    out
+  }
+
+  /** EM training over the word histogram: `emRounds` rounds of
+    * Viterbi-E-step piece counting and M-step re-normalization (hard EM —
+    * the standard SentencePiece simplification at small vocab), then a
+    * prune to `vocabSize` by expected count (alphabet always kept),
+    * then one final re-estimation over the surviving vocab.
+    */
+  def train(wordCounts: Map[String, Long], vocabSize: Int,
+            emRounds: Int = 3, maxPieceLen: Int = 6): Model = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val words = wordCounts.toSeq.sortBy(_._1) // fixed iteration order
+    var probs: Model = {
+      val seed = seedVocab(wordCounts, seedSize = vocabSize * 4, maxPieceLen)
+      val total = seed.values.sum.toDouble
+      seed.map { case (p, c) => p -> math.log(c / total) }
+    }
+    def estep(model: Model): Map[String, Double] = {
+      val counts = mutable.HashMap.empty[String, Double]
+      words.foreach { case (w, c) =>
+        viterbi(w, model, maxPieceLen).foreach { piece =>
+          counts.updateWith(piece)(prev => Some(prev.getOrElse(0.0) + c.toDouble))
+        }
+      }
+      counts.toMap
+    }
+    def renorm(counts: Map[String, Double], keep: Set[String]): Model = {
+      val kept = counts.filter { case (p, c) => keep(p) && c > 0 }
+      // smoothing floor so alphabet pieces never vanish from the model
+      val withAlpha = keep.map(p => p -> math.max(kept.getOrElse(p, 0.0), 0.5))
+        .toMap
+      val total = withAlpha.values.sum
+      withAlpha.map { case (p, c) => p -> math.log(c / total) }
+    }
+    val alphabet = probs.keySet.filter(_.length == 1)
+    var r = 0
+    while (r < emRounds) {
+      probs = renorm(estep(probs), probs.keySet)
+      r += 1
+    }
+    // prune: keep the alphabet plus the top multi-char pieces by count
+    val counts = estep(probs)
+    val keepMulti = counts.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - alphabet.size))
+      .map(_._1)
+    val keep = alphabet ++ keepMulti
+    renorm(estep(probs), keep)
+  }
+
+  /** Corpus-level training: word histogram (the same whitespace normal
+    * form as every text operator) → driver EM. `topWords` bounds the
+    * histogram like Bpe.trainOnCorpus.
+    */
+  def trainOnCorpus(docs: DataFrame, textCol: String = "text",
+                    vocabSize: Int = 512, topWords: Int = 4096,
+                    emRounds: Int = 3): Model = {
+    val hist = docs
+      .select(explode(TextFeatures.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(topWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    train(hist, vocabSize, emRounds)
+  }
+
+  /** Map-side encode: per-document piece count + summed piece log-prob
+    * under the broadcast model (out-of-vocab characters fall back to one
+    * piece each at the model's floor probability — counted, not dropped).
+    */
+  def tokenCounts(docs: DataFrame, model: Model, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val floor = model.values.min
+    val enc = udf { text: String =>
+      val m = bc.value
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      var n = 0
+      var lp = 0.0
+      toks.foreach { w =>
+        val pieces = viterbi(w, m)
+        if (pieces.isEmpty) { n += w.length; lp += floor * w.length }
+        else { n += pieces.size; lp += pieces.map(m).sum }
+      }
+      (n, lp)
+    }
+    docs.select(col(idCol), enc(col(textCol)).as("e"))
+      .select(col(idCol), col("e._1").as("n_pieces"), col("e._2").as("log_prob"))
+  }
+}
