@@ -2236,6 +2236,18 @@ object LlmOps {
       Bpe.topVocab(docs, merges, k = 20)
     },
 
+    // Content-defined chunking (FastCDC gear hash): storage-level dedup,
+    // the fourth dedup family (token-shingle / bit-sampling / suffix-
+    // window / CHUNK). Rows-only (a rolling-hash boundary scan is not one
+    // SQL statement); the shift-resistance property, coverage, and
+    // determinism are asserted in ContentChunksSpec.
+    Op.noOracle("llm_cdc_chunks") { (s, d) =>
+      ContentChunks.chunks(Tables.documents(s, d))
+    },
+    Op.noOracle("llm_cdc_dedup") { (s, d) =>
+      ContentChunks.dedupStats(Tables.documents(s, d))
+    },
+
     // Unigram-LM (SentencePiece-family) tokenizer: EM-trained piece
     // vocabulary with log-probs, Viterbi segmentation — the OTHER
     // production tokenizer lineage next to BPE, same bounded word-
