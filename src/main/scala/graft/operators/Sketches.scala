@@ -431,6 +431,106 @@ object Sketches {
               (element_at(col("sk"), k).cast("double")
                 / lit(1152921504606846976.0)))
             .as("kmv_estimate"))
+    },
+
+    // KMV SET OPERATIONS (Beyer et al., SIGMOD'07 "On synopses for
+    // distinct-value estimation under multiset operations"): the k
+    // smallest of SA ∪ SB is a valid k-sketch of A ∪ B (any hash below
+    // the combined k-th must be in one of the input sketches), and the
+    // fraction ρ of those union survivors present in BOTH input sketches
+    // estimates Jaccard, so |A∩B| ≈ ρ · |A∪B|. This is how a 100 TB
+    // pipeline measures cross-corpus overlap WITHOUT a distinct-join:
+    // each side ships one k-long array, the comparison is driver-trivial.
+    // Everything is deterministic given the md5 hash — the oracle replays
+    // sketch contents AND all three estimates bit-for-bit (the division /
+    // multiplication order is pinned identically on both engines). The
+    // under-k branch degenerates to EXACT values by construction (the
+    // sketches then hold every distinct hash).
+    Op("f_kmv_jaccard", {
+      val k = 256
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS s,
+         |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS hv
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         |d AS (SELECT DISTINCT s, hv FROM h),
+         |r AS (
+         |  SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn
+         |  FROM d),
+         |ska AS (SELECT hv FROM r WHERE s = 'R' AND rn <= $k),
+         |skb AS (SELECT hv FROM r WHERE s = 'A' AND rn <= $k),
+         |u AS (
+         |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+         |  FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+         |  QUALIFY rn <= $k),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS kk,
+         |         max(u.hv) AS kth,
+         |         CAST(count(*) FILTER (
+         |           WHERE u.hv IN (SELECT hv FROM ska)
+         |             AND u.hv IN (SELECT hv FROM skb)) AS BIGINT) AS inb
+         |  FROM u),
+         |ex AS (
+         |  SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_union_exact,
+         |         CAST(count(DISTINCT CASE WHEN rf = 3 THEN l_partkey END)
+         |              AS BIGINT) AS n_inter_exact
+         |  FROM (SELECT l_partkey,
+         |               sum(DISTINCT CASE l_returnflag
+         |                   WHEN 'R' THEN 1 WHEN 'A' THEN 2 END) AS rf
+         |        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+         |        GROUP BY 1))
+         |SELECT ex.n_union_exact, ex.n_inter_exact, m.kth AS kmv_kth,
+         |       CASE WHEN m.kk < $k THEN CAST(m.kk AS DOUBLE)
+         |            ELSE ${k - 1}.0
+         |                 / (CAST(m.kth AS DOUBLE) / 1152921504606846976.0)
+         |       END AS union_est,
+         |       CAST(m.inb AS DOUBLE) / CAST(m.kk AS DOUBLE) AS jaccard_est,
+         |       (CAST(m.inb AS DOUBLE) / CAST(m.kk AS DOUBLE))
+         |       * (CASE WHEN m.kk < $k THEN CAST(m.kk AS DOUBLE)
+         |               ELSE ${k - 1}.0
+         |                    / (CAST(m.kth AS DOUBLE) / 1152921504606846976.0)
+         |          END) AS inter_est
+         |FROM m, ex""".stripMargin
+    }) { (s, d) =>
+      val k = 256
+      val kmv = udaf(new Kmv(k), Encoders.scalaLong)
+      val hv = expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("s"), col("l_partkey"), hv.as("hv"))
+      // The sketches: one keyed aggregate, two rows, pivoted to one with a
+      // trivially-bounded final agg (each cell is a <= k-long array).
+      val perSet = li.groupBy(col("s")).agg(kmv(col("hv")).as("sk"))
+      val wide = perSet.agg(
+        first(when(col("s") === "R", col("sk")), ignoreNulls = true).as("ska"),
+        first(when(col("s") === "A", col("sk")), ignoreNulls = true).as("skb"))
+      // Ground truth next to the estimate, as distributed aggregates (a
+      // per-key set-membership bitmask, never a collected key array):
+      // union = every distinct key, intersection = keys tagged by both.
+      val exact = li.select(col("l_partkey"),
+          when(col("s") === "R", 1).otherwise(2).as("tag"))
+        .groupBy(col("l_partkey"))
+        .agg(sum_distinct(col("tag")).as("rf"))
+        .agg(count(lit(1)).as("n_union_exact"),
+          count(when(col("rf") === 3, 1)).as("n_inter_exact"))
+      // k smallest of the merged sketches = the union's k-sketch.
+      val unionK = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+      val kk = size(col("u")).cast("long")
+      val kth = element_at(col("u"), size(col("u")))
+      val inb = size(filter(col("u"), h =>
+        array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+        .cast("long")
+      val unionEst = when(kk < k, kk.cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (kth.cast("double") / lit(1152921504606846976.0)))
+      val jacEst = inb.cast("double") / kk.cast("double")
+      wide.select(col("ska"), col("skb"), unionK.as("u"))
+        .crossJoin(broadcast(exact))
+        .select(col("n_union_exact"), col("n_inter_exact"),
+          kth.as("kmv_kth"), unionEst.as("union_est"),
+          jacEst.as("jaccard_est"), (jacEst * unionEst).as("inter_est"))
     }
   )
 }

@@ -138,4 +138,44 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) < 4 * n / math.sqrt(k - 2.0),
       s"estimate $est vs true $n")
   }
+
+  test("kmv jaccard: union survivors estimate overlap within theory " +
+       "error; driver entry's exact columns match ground truth") {
+    import spark.implicits._
+    val k = 64
+    def sketch(values: Seq[Long]): Seq[Long] = {
+      val kmv = F.udaf(new Sketches.Kmv(k), Encoders.scalaLong)
+      values.toDF("v").repartition(5)
+        .select(F.expr("CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT)").as("hv"))
+        .agg(kmv(F.col("hv")).as("sk"))
+        .head().getSeq[Long](0)
+    }
+    // |A|=|B|=4000, |A∩B|=2000, |A∪B|=6000, J=1/3
+    val a = (0L until 4000L)
+    val b = (2000L until 6000L)
+    val (ska, skb) = (sketch(a), sketch(b))
+    val unionK = (ska ++ skb).distinct.sorted.take(k)
+    val inb = unionK.count(h => ska.contains(h) && skb.contains(h))
+    val unionEst = (k - 1).toDouble /
+      (unionK.last.toDouble / 1152921504606846976.0)
+    val jac = inb.toDouble / k
+    assert(math.abs(unionEst - 6000) < 4 * 6000 / math.sqrt(k - 2.0),
+      s"union estimate $unionEst vs 6000")
+    // sd of the ρ fraction is sqrt(J(1-J)/k) ~ 5.9%; allow 4 sigma
+    assert(math.abs(jac - 1.0 / 3) < 4 * math.sqrt(jac * (1 - jac) / k) + 0.04,
+      s"jaccard estimate $jac vs 1/3")
+    // the driver entry's ground-truth columns on real testdata
+    val sf = "/root/testdata/sf0.001"
+    val row = graft.SparkEntry.queries("f_kmv_jaccard")(spark, sf).head()
+    val li = graft.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_partkey").as[(String, Long)].collect()
+    val setR = li.collect { case ("R", p) => p }.toSet
+    val setA = li.collect { case ("A", p) => p }.toSet
+    assert(row.getAs[Long]("n_union_exact") == (setR ++ setA).size)
+    assert(row.getAs[Long]("n_inter_exact") == (setR & setA).size)
+    val trueJ = (setR & setA).size.toDouble / (setR ++ setA).size
+    assert(math.abs(row.getAs[Double]("jaccard_est") - trueJ) < 0.25,
+      "sf0.001 jaccard estimate should be in the truth's neighborhood")
+  }
 }
