@@ -303,6 +303,65 @@ object Graphs {
       .select(col("src").as("node"), col("deg"))
   }
 
+  /** Synchronous label propagation for community detection (Raghavan et
+    * al. 2007), made DETERMINISTIC: every node starts labeled with its own
+    * id, and each round adopts the label most frequent among its
+    * neighbors, ties broken toward the SMALLEST label — no random node
+    * order, no random tie coin, so a fixed round count replays exactly on
+    * any engine and any partitioning. A self-loop per node makes the
+    * node's own current label vote, which damps the two-coloring
+    * oscillation synchronous LPA exhibits on bipartite structure
+    * (Raghavan et al. §3 note the asynchronous schedule exists for the
+    * same reason; a fixed self-vote keeps determinism where a schedule
+    * draw would not).
+    *
+    * Scale shape per round, the pageRank recipe: one equi-join of labels
+    * against the checkpointed edge list (shuffle-hash hinted — never
+    * re-sorts the edges) and TWO keyed aggregates — (dst,label) vote
+    * counts with map-side partials, then an argmax per dst as
+    * max(struct(votes, -label)), which is itself partially aggregable.
+    * Labels are one row per node; plan depth is bounded by
+    * `checkpointEvery` cuts. No windows, no driver state.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", iters: Int = 5,
+                       checkpointEvery: Int = 10,
+                       reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val adj = cut(sym.unionByName(
+      sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))))
+    var labels = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var labelsCk: Option[DataFrame] = None
+    var round = 0
+    while (round < iters) {
+      val votes = adj
+        .join(labels.hint("shuffle_hash"), adj("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      labels = votes.groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+      round += 1
+      if (round % checkpointEvery == 0 || round == iters) {
+        val cutLabels = cut(labels)
+        labelsCk.foreach(Dedup.releaseCheckpoint)
+        labelsCk = Some(cutLabels)
+        labels = cutLabels
+      }
+    }
+    Dedup.releaseCheckpoint(adj)
+    labels
+  }
+
   /** The customer–supplier trade graph: an edge for every (customer,
     * supplier) pair connected by an order line — emitted WITH duplicates
     * (one per connecting line): pageRank's symmetrize step deduplicates
@@ -315,6 +374,24 @@ object Graphs {
     orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+
+  /** [[tradeGraph]] restricted to REPEAT relationships: pairs connected
+    * by at least `minLines` order lines. The threshold is the community
+    * dial — the unthresholded bipartite graph is dense enough that any
+    * label process collapses it to one block; >= 3 connecting lines keeps
+    * the repeat-trade backbone where mesoscale structure lives (same
+    * rationale as coSupplierEdges' minShared).
+    */
+  def tradeGraphWeighted(orders: DataFrame, lineitem: DataFrame,
+                         minLines: Int = 3): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minLines)
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + 1000000L).as("dst"))
 
@@ -441,6 +518,43 @@ object Graphs {
       personalizedPageRank(
         tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
         seedPred = _ < 100)
+    },
+
+    // Five deterministic label-propagation rounds over the repeat-trade
+    // graph. The recursive CTE replays the per-round vote count and the
+    // (votes DESC, label ASC) argmax exactly — all-integer, full hash
+    // compare on every node's final community label. The three scale
+    // factors land in three regimes (one block / 77 communities / a
+    // shattered fringe) and all replay.
+    Op("graph_label_prop",
+       """WITH RECURSIVE raw AS (
+         |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst
+         |  UNION SELECT node, node FROM (
+         |    SELECT DISTINCT src AS node FROM (
+         |      SELECT src FROM raw UNION ALL SELECT dst FROM raw))),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |lp(iter, node, label) AS (
+         |  SELECT 0, node, node FROM nodes
+         |  UNION ALL
+         |  SELECT iter + 1, node, label FROM (
+         |    SELECT l.iter AS iter, e.dst AS node, l.label AS label,
+         |           row_number() OVER (PARTITION BY l.iter, e.dst
+         |                              ORDER BY count(*) DESC, l.label)
+         |             AS rn
+         |    FROM lp l JOIN edges e ON e.src = l.node
+         |    WHERE l.iter < 5
+         |    GROUP BY l.iter, e.dst, l.label)
+         |  WHERE rn = 1)
+         |SELECT node, label FROM lp WHERE iter = 5""".stripMargin) {
+      (s, d) =>
+        labelPropagation(
+          tradeGraphWeighted(Tables.orders(s, d), Tables.lineitem(s, d)),
+          iters = 5)
     },
 
     // 12-core of the supplier co-order graph. The recursive CTE replays

@@ -131,6 +131,38 @@ class GraphsSpec extends SparkSpec {
     assert(re == core2)
   }
 
+  test("label propagation: two cliques joined by one bridge edge resolve " +
+       "to two communities labeled by their minima; deterministic under " +
+       "partitioning") {
+    import spark.implicits._
+    // K5 on {0..4}, K5 on {10..14}, bridge 4-10
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("src", "dst")
+    def run(parts: Int): Map[Long, Long] =
+      Graphs.labelPropagation(edges.repartition(parts), iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lab = run(3)
+    assert((0L to 4L).forall(lab(_) == 0L),
+      s"clique A must converge to label 0: $lab")
+    assert((10L to 14L).forall(lab(_) == 10L),
+      s"clique B must keep its own minimum 10 across the bridge: $lab")
+    assert(run(1) == lab && run(7) == lab,
+      "labels must be partitioning-invariant")
+  }
+
+  test("label propagation: an isolated edge pair and a triangle settle " +
+       "to per-component minima after one round and stay fixed") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (5L, 6L), (6L, 7L), (5L, 7L)).toDF("src", "dst")
+    val one = Graphs.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val five = Graphs.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(five == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+    assert(one == five, "tiny components reach the fixpoint in one round")
+  }
+
   test("triangles: the bipartite trade graph is triangle-free") {
     val edges = Graphs.tradeGraph(
       graft.Tables.orders(spark, "/root/testdata/sf0.001"),
