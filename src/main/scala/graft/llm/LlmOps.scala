@@ -1877,6 +1877,38 @@ object LlmOps {
         .select(col("doc_id"), col("source"), col("seq_id"))
     },
 
+    // Competence-based curriculum: rank by token-count difficulty, gate
+    // behind sqrt competence (integer cross-multiplied), shuffle within
+    // unlock cohorts by an md5 draw. The oracle replays both global
+    // ranks, the gate arithmetic, and the cohort shuffle exactly — so
+    // the distributed two-pass rank assignment is hash-proven equal to
+    // the naive global row_number formulation.
+    Op("mix_curriculum",
+       s"""WITH t AS (
+          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS difficulty,
+          |         md5(CAST(doc_id AS VARCHAR)) AS tb
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, difficulty,
+          |         CAST(row_number() OVER (ORDER BY difficulty, tb, doc_id)
+          |              AS BIGINT) AS diff_rank,
+          |         CAST(count(*) OVER () AS BIGINT) AS n
+          |  FROM t),
+          |u AS (
+          |  SELECT doc_id, difficulty, diff_rank,
+          |         CAST((100 * diff_rank * diff_rank + n * n - 1) // (n * n)
+          |              AS BIGINT) AS unlock_step,
+          |         md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS sk
+          |  FROM r)
+          |SELECT doc_id, difficulty, diff_rank, unlock_step,
+          |       CAST(row_number() OVER (ORDER BY unlock_step, sk, doc_id)
+          |            AS BIGINT) AS train_pos
+          |FROM u""".stripMargin) { (s, d) =>
+      Mixing.curriculum(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("difficulty"), col("diff_rank"),
+          col("unlock_step"), col("train_pos"))
+    },
+
     // Leakage-safe train/val/test split: the split draw hashes the
     // near-dup CLUSTER label (minhash components, singletons = own id),
     // so duplicates can never straddle the eval boundary. The oracle

@@ -335,6 +335,60 @@ object Mixing {
       .drop("__k", "__pid", "__local", "__off")
   }
 
+  /** Competence-based curriculum ordering (Bengio et al. 2009 "Curriculum
+    * learning"; Platanios et al. 2019 "Competence-based curriculum
+    * learning for NMT"): rank documents by a difficulty signal, then gate
+    * each document behind the first training step whose model competence
+    * covers its difficulty percentile. With sqrt competence
+    * c(t) = sqrt(t/T), document at difficulty percentile p = rank/n
+    * unlocks at step ceil(T·p²) — integer-exact as
+    * (T·rank² + n² − 1) div n². The emitted training order sorts by
+    * (unlock_step, md5 shuffle key): easy-first across cohorts, uniformly
+    * shuffled WITHIN each cohort — the schedule a data loader replays by
+    * reading `train_pos` sequentially.
+    *
+    * Difficulty here is token count (length is the canonical text
+    * curriculum signal); any column expression works — the rank, not the
+    * raw value, drives the gate. Ties break by (md5(id), id) so the rank
+    * is a total order (the assignContiguousIds contract).
+    *
+    * Scale shape: two assignContiguousIds passes over an id+rank-sized
+    * projection (range exchange + per-partition rank + broadcast offsets;
+    * the corpus text is read once for the difficulty map) and one
+    * broadcast scalar attach for n. 64-bit envelope: T·rank² must fit a
+    * BIGINT — rank ≤ 9.6·10⁸ at T = 100, guarded by a require; past that
+    * (a >10⁹-document corpus) lift the gate arithmetic to DECIMAL or use
+    * linear competence c(t) = t/T, whose T·rank product never overflows.
+    */
+  def curriculum(docs: DataFrame, idCol: String, textCol: String,
+                 totalSteps: Long = 100L): DataFrame = {
+    require(totalSteps >= 1, s"totalSteps must be positive: $totalSteps")
+    val diff = size(TextFeatures.tokens(col(textCol))).cast("long")
+    val ranked = assignContiguousIds(
+        docs.select(col(idCol), diff.as("difficulty"),
+          md5(col(idCol).cast("string")).as("__tb")),
+        struct(col("difficulty"), col("__tb"), col(idCol)))
+      .withColumn("diff_rank", col("seq_id") + 1L)
+      .drop("seq_id", "__tb")
+    val total = docs.select(count(lit(1)).as("__n"))
+    // the CASE arm fails loudly if T·rank² ever wraps negative (outside
+    // the documented envelope) instead of silently corrupting the gate
+    val gated = ranked.crossJoin(broadcast(total))
+      .withColumn("unlock_step",
+        expr(s"""CASE WHEN $totalSteps * diff_rank * diff_rank < 0
+                 |THEN CAST(raise_error(
+                 |  'curriculum: T*rank^2 overflows BIGINT') AS BIGINT)
+                 |ELSE ($totalSteps * diff_rank * diff_rank + __n * __n - 1)
+                 |     div (__n * __n) END""".stripMargin))
+      .drop("__n")
+    assignContiguousIds(
+        gated.withColumn("__sk", md5(concat(col(idCol).cast("string"),
+          lit(":curriculum")))),
+        struct(col("unlock_step"), col("__sk"), col(idCol)))
+      .withColumn("train_pos", col("seq_id") + 1L)
+      .drop("seq_id", "__sk")
+  }
+
   /** Epoch upsampling — the OTHER half of mixture weighting:
     * temperatureSample can only keep a source at most once (rates cap
     * below 1; its docstring defers "upsampling beyond 1x" to an

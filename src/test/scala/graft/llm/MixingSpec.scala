@@ -251,6 +251,44 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("curriculum: gate is monotone in difficulty rank, cohorts unlock " +
+       "sqrt-fast, train order is a shuffled permutation, deterministic " +
+       "under partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixing.curriculum(df, "doc_id", "text")
+        .select("doc_id", "difficulty", "diff_rank", "unlock_step",
+          "train_pos")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val rows = run(docs)
+    val n = rows.length.toLong
+    // both ranks are permutations of 1..n
+    assert(rows.map(_._3).sorted.toSeq == (1L to n))
+    assert(rows.map(_._5).sorted.toSeq == (1L to n))
+    val byRank = rows.sortBy(_._3)
+    // difficulty nondecreasing in rank; gate nondecreasing; gate within
+    // [1, 100]; exact sqrt-competence arithmetic
+    assert(byRank.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(byRank.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= 100))
+    assert(rows.forall(r =>
+      r._4 == (100L * r._3 * r._3 + n * n - 1) / (n * n)))
+    // sqrt pacing: the first half of training steps unlocks ~sqrt(1/2) ~
+    // 71% of the corpus
+    val early = rows.count(_._4 <= 50)
+    assert(math.abs(early - 0.707 * n) < 0.02 * n + 3, s"early=$early n=$n")
+    // within a cohort the train order is md5-shuffled, i.e. NOT the rank
+    // order (some inversion exists)
+    val trainSorted = rows.sortBy(_._5)
+    assert(trainSorted.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+      "train order must respect cohort boundaries")
+    assert(trainSorted.sliding(2).exists(p =>
+      p(0)._4 == p(1)._4 && p(0)._3 > p(1)._3),
+      "within-cohort order must be shuffled, not difficulty-sorted")
+    assert(run(docs.repartition(17)).toSet == rows.toSet)
+  }
+
   test("leakage-safe split: cluster members share a split even when their " +
        "per-document draws disagree; singletons split ~80/10/10") {
     import spark.implicits._
