@@ -1150,6 +1150,64 @@ object LlmOps {
       Similarity.bruteForceKnn(Tables.embeddings(s, d))
     },
 
+    // MMR diversified re-ranking over each query's top-20 cosine
+    // candidates (lam=0.7, mu=0.3 as literals on both engines). The
+    // recursive CTE's working table carries one row per query per step
+    // with the selected-set list; the correlated max-pair-sim subquery
+    // and the (score DESC, vid) argmax replay the greedy exactly, so the
+    // whole diversity trade-off — not just the candidate stage — is
+    // hash-compared.
+    Op("knn_mmr", {
+      val cos = (a: String, b: String) =>
+        s"""(list_aggregate(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
+           |  / (sqrt(list_aggregate(list_transform(range(1, len($a) + 1),
+           |       i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))
+           |   * sqrt(list_aggregate(list_transform(range(1, len($b) + 1),
+           |       i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum'))))"""
+          .stripMargin
+      s"""WITH RECURSIVE
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, vec_id AS vid, ${cos("qe", "embedding")} AS sim,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY ${cos("qe", "embedding")} DESC, vec_id) AS rn
+         |  FROM embeddings JOIN q ON vec_id <> qid),
+         |cand AS (SELECT qid, vid, sim FROM scored WHERE rn <= 20),
+         |pairs AS (
+         |  SELECT c1.qid, c1.vid AS a, c2.vid AS b,
+         |         ${cos("va.embedding", "vb.embedding")} AS psim
+         |  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.vid <> c2.vid
+         |  JOIN embeddings va ON va.vec_id = c1.vid
+         |  JOIN embeddings vb ON vb.vec_id = c2.vid),
+         |mmr(step, qid, vid, score, sel) AS (
+         |  SELECT 1, qid, vid, 0.7 * sim, [vid] FROM (
+         |    SELECT qid, vid, sim, row_number() OVER (PARTITION BY qid
+         |             ORDER BY sim DESC, vid) AS rn
+         |    FROM cand) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT step + 1, qid, vid, 0.7 * sim - 0.3 * ms,
+         |         list_append(sel, vid) FROM (
+         |    SELECT m.step AS step, m.qid AS qid, c.vid AS vid,
+         |           c.sim AS sim, m.sel AS sel,
+         |           (SELECT max(p.psim) FROM pairs p
+         |            WHERE p.qid = m.qid AND p.a = c.vid
+         |              AND list_contains(m.sel, p.b)) AS ms,
+         |           row_number() OVER (PARTITION BY m.qid ORDER BY
+         |             0.7 * c.sim - 0.3 * (SELECT max(p.psim) FROM pairs p
+         |               WHERE p.qid = m.qid AND p.a = c.vid
+         |                 AND list_contains(m.sel, p.b)) DESC, c.vid) AS rn
+         |    FROM mmr m JOIN cand c
+         |      ON c.qid = m.qid AND NOT list_contains(m.sel, c.vid)
+         |    WHERE m.step < 8) WHERE rn = 1)
+         |SELECT qid AS query_id, step AS rank, vid AS neighbor_id,
+         |       score AS mmr_score
+         |FROM mmr""".stripMargin
+    }) { (s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d))
+    },
+
     // LSH-bucketed ANN: sublinear scale path. Planes pinned (7 — what
     // planesFor picks at the sf0.1 bench corpus) so the static oracle can
     // embed the identical hyperplane literals and replay buckets,

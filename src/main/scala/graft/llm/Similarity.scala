@@ -130,6 +130,82 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  final case class MmrCand(vid: Long, sim: Double, v: Seq[Double])
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): from each query's top-`nCand` cosine candidates, greedily pick
+    * `k` results maximizing  lam·sim(q,d) − mu·max_{s∈S} sim(d,s)  — the
+    * relevance/diversity trade-off every retrieval stack applies after
+    * ANN. The first pick scores lam·sim (empty-set diversity term = 0);
+    * ties break toward the smaller id, so the greedy is a total order and
+    * replays exactly on any engine. lam and mu are SEPARATE parameters
+    * (not mu = 1−lam) so both stay literal doubles — 1−0.7 is not IEEE
+    * 0.3, and the oracle writes literals.
+    *
+    * Scale shape: candidate generation is the bruteForceKnn broadcast
+    * shape (corpus never shuffled, TopK partial-aggregated); the greedy
+    * runs per query over ≤ nCand candidates via collect_list — state
+    * bounded by nCand·dim, the bounded-by-k exception the plan audit
+    * allows, never corpus-sized. Pairwise sims among candidates are
+    * recomputed in the same sequential-fold order as the native kernel,
+    * so scores hash-match the DuckDB replay.
+    */
+  def mmrRerank(embeddings: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding", nQueries: Int = 10,
+                nCand: Int = 20, k: Int = 8, lam: Double = 0.7,
+                mu: Double = 0.3): DataFrame = {
+    require(k <= nCand, s"k=$k must not exceed nCand=$nCand")
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val queries = vecs.filter(col("vid") < nQueries).toDF("qid", "qv")
+    val scored = vecs.join(broadcast(queries), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qv"), col("v")).as("sim"))
+    val cands = topKPerGroup(scored, "qid", "vid", "sim", nCand)
+      .select(col("qid"), col("neighbor_id").as("vid"),
+        col("score").as("sim"))
+      .join(vecs, "vid") // nQueries·nCand rows re-acquire their vectors
+    def cosJvm(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cands
+      .select(col("qid"),
+        struct(col("vid"), col("sim"), col("v")).as("c"))
+      .groupBy(col("qid")).agg(collect_list(col("c")).as("cs"))
+      .as[(Long, Seq[MmrCand])]
+      .flatMap { case (qid, cs) =>
+        val pool = scala.collection.mutable.ArrayBuffer(cs.sortBy(_.vid): _*)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= k && pool.nonEmpty) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var idx = 0
+          while (idx < pool.length) {
+            val c = pool(idx)
+            val ms = if (sel.isEmpty) 0.0
+              else sel.iterator.map(s => cosJvm(c.v, s.v)).max
+            val score = lam * c.sim - mu * ms
+            // pool is vid-ascending, so strict > keeps the smallest vid
+            if (score > bestScore) { bestScore = score; bestIdx = idx }
+            idx += 1
+          }
+          val picked = pool.remove(bestIdx)
+          sel += picked
+          out += ((qid, rank, picked.vid, bestScore))
+          rank += 1
+        }
+        out
+      }
+      .toDF("query_id", "rank", "neighbor_id", "mmr_score")
+  }
+
   // --- LSH path ----------------------------------------------------------
 
   /** Deterministic pseudo-random hyperplane for (table, plane): components

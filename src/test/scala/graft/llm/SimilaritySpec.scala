@@ -32,6 +32,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_.getLong(1)).contains(0L))
   }
 
+  test("mmr: first pick is the relevance top-1; a redundant twin is " +
+       "demoted behind a diverse alternative; lam=1 degenerates to pure " +
+       "relevance; deterministic under partitioning") {
+    // query 0 along x; candidates: 1 and 2 near-identical high-relevance
+    // directions (cos ≈ 0.99994 apart), 3 less relevant but far from both
+    // — at lam=mu=0.5 the twin's marginal score is negative while the
+    // diverse candidate keeps a +0.035 margin
+    val d = vecs(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0),
+      2L -> Seq(0.9, 0.11, 0.0),
+      3L -> Seq(0.8, -0.6, 0.0))
+    def run(df: org.apache.spark.sql.DataFrame, lam: Double, mu: Double) =
+      Similarity.mmrRerank(df, nQueries = 1, nCand = 3, k = 3,
+          lam = lam, mu = mu)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(1), r.getLong(2)))
+    val mmr = run(d, 0.5, 0.5)
+    assert(mmr.head == (1, 1L), "rank 1 must be the cosine top-1")
+    assert(mmr(1) == (2, 3L),
+      s"diversity must promote the orthogonal candidate: ${mmr.toSeq}")
+    assert(mmr(2) == (3, 2L))
+    val pure = run(d, 1.0, 0.0)
+    assert(pure.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      "mu=0 must reproduce the relevance order")
+    import spark.implicits._
+    val big = (0L until 60L)
+      .map(i => (i, Seq.tabulate(8)(j => math.sin(i * 7 + j).abs + 0.1)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.mmrRerank(big, nQueries = 3, nCand = 12, k = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.mmrRerank(big.repartition(11), nQueries = 3,
+        nCand = 12, k = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "greedy must be partitioning-invariant")
+    assert(a.size == 18, "3 queries x 6 ranks")
+  }
+
   test("LSH buckets identical vectors together; knn finds exact twins") {
     val twin = Seq.tabulate(8)(i => math.sin(i + 1))
     val d = vecs(
