@@ -174,6 +174,56 @@ object CorpusQuality {
       (gWc && gMwl && gSym && gAlpha && gStop).cast("int").as("gopher_pass"))
   }
 
+  /** The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    * limits of transfer learning...", §2.2) — the other canonical
+    * published filter set next to [[gopherRules]]:
+    *
+    *   - line retention: a line survives iff it ends in terminal
+    *     punctuation (`.` `!` `?` `"`) AND has ≥ 5 whitespace words
+    *   - c4_min_sent: ≥ 3 sentences on the page (terminal-mark count)
+    *   - c4_no_lorem: no "lorem ipsum" in the lowercased text
+    *   - c4_no_brace: no `{` (the code-page tell)
+    *   - c4_no_js: no "javascript" token
+    *   - c4_pass: ≥ 1 retained line AND every page-level flag
+    *
+    * Two C4 steps are deliberately NOT here: the three-sentence-span
+    * dedup is its own corpus-wide operator (substringDups — C4 does it
+    * across pages, not per page), and the "Dirty/Naughty" word list is an
+    * external artifact — callers AND with their own list via
+    * [[gopherRules]]-style token membership. Counts are integers and
+    * every flag is a string-membership test — no float anywhere, so the
+    * oracle is exact by construction. One map-side pass; on the
+    * single-line unpunctuated synthetic corpus the line rules land in
+    * their degenerate regime (0 kept lines), exactly as the Gopher
+    * line-level rules do — the spec exercises both branches on real
+    * multi-line text.
+    */
+  def c4Rules(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val lt = lower(text)
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      substring(trim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(trim(l), " "), w => w =!= "")) >= 5)
+    def marks(ch: String) =
+      (length(text) - length(regexp_replace(text, s"\\$ch", ""))).cast("long")
+    val sents = marks(".") + marks("!") + marks("?")
+    val noLorem = !lt.contains("lorem ipsum")
+    val noBrace = !text.contains("{")
+    val noJs = !array_contains(TextFeatures.tokens(text), "javascript")
+    docs.select(col(idCol),
+      size(kept).cast("long").as("c4_kept_lines"),
+      size(lines).cast("long").as("c4_total_lines"),
+      sents.as("c4_sentences"),
+      (sents >= 3L).cast("int").as("c4_min_sent"),
+      noLorem.cast("int").as("c4_no_lorem"),
+      noBrace.cast("int").as("c4_no_brace"),
+      noJs.cast("int").as("c4_no_js"),
+      (size(kept) >= 1 && sents >= 3L && noLorem && noBrace && noJs)
+        .cast("int").as("c4_pass"))
+  }
+
   /** Interpolated Kneser–Ney bigram perplexity — the smoothing that
     * actually ships in production n-gram LMs (Chen & Goodman 1999 show
     * it dominates add-one everywhere), as a second, sharper quality

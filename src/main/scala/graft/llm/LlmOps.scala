@@ -1011,6 +1011,40 @@ object LlmOps {
       CorpusQuality.gopherRules(Tables.documents(s, d))
     },
 
+    // C4 cleaning rules (Raffel et al. 2020 §2.2): line retention +
+    // page flags, all integer counts and string membership — the same
+    // oracle-exact-by-construction class as text_gopher_rules.
+    Op("text_c4_rules",
+       s"""WITH m AS (
+          |  SELECT doc_id, text, lower(text) AS lt,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      right(trim(l), 1) IN ('.', '!', '?', '"')
+          |      AND len(list_filter(string_split(trim(l), ' '),
+          |              w -> w <> '')) >= 5) AS kept,
+          |    len(string_split(text, chr(10))) AS total_lines,
+          |    CAST(length(text) - length(replace(text, '.', ''))
+          |       + length(text) - length(replace(text, '!', ''))
+          |       + length(text) - length(replace(text, '?', ''))
+          |       AS BIGINT) AS sents
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(kept) AS BIGINT) AS c4_kept_lines,
+          |  CAST(total_lines AS BIGINT) AS c4_total_lines,
+          |  sents AS c4_sentences,
+          |  CAST(sents >= 3 AS INT) AS c4_min_sent,
+          |  CAST(NOT contains(lt, 'lorem ipsum') AS INT) AS c4_no_lorem,
+          |  CAST(NOT contains(text, '{') AS INT) AS c4_no_brace,
+          |  CAST(NOT list_contains($toksSql, 'javascript') AS INT)
+          |    AS c4_no_js,
+          |  CAST(len(kept) >= 1 AND sents >= 3
+          |       AND NOT contains(lt, 'lorem ipsum')
+          |       AND NOT contains(text, '{')
+          |       AND NOT list_contains($toksSql, 'javascript') AS INT)
+          |    AS c4_pass
+          |FROM m""".stripMargin) { (s, d) =>
+      CorpusQuality.c4Rules(Tables.documents(s, d))
+    },
+
     // Interpolated Kneser-Ney bigram perplexity: with D = 3/4 the whole
     // smoothed probability is one exact integer ratio, so the oracle
     // replays the discount, the continuation back-off, the ieee ln, and

@@ -123,6 +123,39 @@ class CorpusQualitySpec extends SparkSpec {
     assert(out(6L)._2 == 0 && out(6L)._6 == 0) // mean word length
   }
 
+  test("C4 rules: line retention needs terminal punctuation AND five " +
+       "words; each page flag trips on exactly its own violation") {
+    import spark.implicits._
+    val goodLine = "this sentence has more than five words in it."
+    val good = Seq(goodLine, "short one.", // < 5 words: dropped
+      "five words but no terminal mark", // no punct: dropped
+      goodLine.replace(".", "!"), goodLine.replace(".", "?")).mkString("\n")
+    val docs = Seq(
+      1L -> good, // 3 kept of 5 lines, 5 sentences
+      2L -> (good + "\nplease ignore this Lorem Ipsum boilerplate line."),
+      3L -> (good + "\nvar f = function() { return 1; } and some words."),
+      4L -> (good + "\nenable javascript to view this page properly now."),
+      5L -> goodLine // one line, one sentence: fails min_sent
+    ).toDF("doc_id", "text")
+    val out = CorpusQuality.c4Rules(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8)))
+      .toMap
+    assert(out(1L) == ((3L, 5L, 4L, 1, 1, 1, 1, 1)), s"good: ${out(1L)}")
+    assert(out(2L)._5 == 0 && out(2L)._8 == 0, s"lorem: ${out(2L)}")
+    assert(out(3L)._6 == 0 && out(3L)._8 == 0, s"brace: ${out(3L)}")
+    assert(out(4L)._7 == 0 && out(4L)._8 == 0, s"js: ${out(4L)}")
+    assert(out(5L)._3 == 1L && out(5L)._4 == 0 && out(5L)._8 == 0,
+      s"min_sent: ${out(5L)}")
+    // the synthetic corpus sits in the documented degenerate regime:
+    // zero kept lines (no punctuation), all pages fail
+    val corpus = CorpusQuality.c4Rules(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    import org.apache.spark.sql.functions.{col, sum}
+    assert(corpus.agg(sum(col("c4_kept_lines")), sum(col("c4_pass")))
+      .head().toSeq == Seq(0L, 0L))
+  }
+
   test("source overlap: exact shared-shingle counts and Jaccard per pair, " +
        "cross-doc distinct within a source, zero-overlap pairs absent") {
     import spark.implicits._
