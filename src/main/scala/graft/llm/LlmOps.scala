@@ -1440,6 +1440,16 @@ object LlmOps {
       Similarity.randomProject(Tables.embeddings(s, d))
     },
 
+    // PCA whitening: distributed one-pass covariance, driver-side Jacobi
+    // on the d×d matrix, broadcast matmul applied map-side. Eigensolving
+    // is not SQL-expressible and the moment sums are partition-order
+    // float accumulations -> rows-only; the whitening identity (output
+    // covariance == I), the canonical basis, and anisotropy removal are
+    // asserted to tight tolerances in SimilaritySpec.
+    Op.noOracle("embed_pca_whiten") { (s, d) =>
+      Similarity.pcaWhiten(Tables.embeddings(s, d))
+    },
+
     // Symmetric int8 quantization codes, exploded to (vec_id, i, q) so
     // the integer codes hash-compare exactly. The round is floor(x + 1/2)
     // on both sides — a plain `round` is bankers' in one engine and

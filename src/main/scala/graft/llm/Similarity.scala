@@ -525,6 +525,184 @@ object Similarity {
     cents
   }
 
+  // --- PCA whitening -----------------------------------------------------
+
+  /** One-pass moment accumulator for mean + covariance: the buffer is the
+    * fixed-size array [n, Σx (d entries), upper-triangle Σxxᵀ (d(d+1)/2
+    * entries)] — 2 KB at d = 64 — merged elementwise. The shuffle carries
+    * one such array per partition, never a row: the only covariance shape
+    * that survives a 100 TB corpus (the explode-(i,j) formulation
+    * multiplies the corpus by d² before aggregating). Single-pass
+    * E[xxᵀ] − μμᵀ is fine here numerically: embedding components are
+    * O(1) and means are near zero, so no catastrophic cancellation;
+    * accumulation order varies with partitioning in final ulps, which is
+    * why the PCA operators are rows-only with tolerance-based specs
+    * rather than hash-compared.
+    */
+  final class CovAcc(d: Int)
+      extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
+    private val len = 1 + d + d * (d + 1) / 2
+    def zero: Array[Double] = new Array[Double](len)
+    def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
+      b(0) += 1.0
+      var i = 0
+      while (i < d) { b(1 + i) += v(i); i += 1 }
+      var idx = 1 + d
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { b(idx) += v(i) * v(j); idx += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Double]): Array[Double] = b
+    def bufferEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (Golub & Van Loan
+    * §8.5): sweep the upper triangle in fixed (p,q) order, rotating until
+    * the off-diagonal norm vanishes. Deterministic — fixed sweep order,
+    * no pivot search ties — and O(d³) per sweep on a d×d DRIVER-side
+    * matrix (d = embedding dim, never corpus-sized; the localKMeans
+    * precedent for bounded driver math). Returns (eigenvalues,
+    * eigenvector columns), unsorted.
+    */
+  private[llm] def jacobiEigen(cov: Array[Array[Double]],
+                               maxSweeps: Int = 50)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = cov.length
+    val a = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0; var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm > 1e-13) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // sign(0) must be +1 here: equal diagonals need the full 45°
+            // rotation, not the identity
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** PCA whitening — the standard embedding post-processing step before
+    * quantization or indexing (centers, rotates to the eigenbasis, and
+    * equalizes per-direction variance; e.g. the OPQ/whitened-PQ
+    * pipelines): x' = Λ^(−1/2) Vᵀ (x − μ). Covariance via ONE distributed
+    * pass of [[CovAcc]]; eigendecomposition via [[jacobiEigen]] on the
+    * d×d driver matrix; the transform is a broadcast d×d matmul applied
+    * map-side — the corpus is read once and never shuffled. Components
+    * are sorted by descending eigenvalue and sign-fixed (largest-|entry|
+    * coordinate made positive) so the basis is canonical; directions
+    * whose eigenvalue falls below `eps` are kept at zero scale instead of
+    * exploding (rank-deficient corpora).
+    */
+  def pcaWhiten(embeddings: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding", dim: Int = 64,
+                eps: Double = 1e-9): DataFrame = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val covUdaf = udaf(new CovAcc(dim), ExpressionEncoder[Seq[Double]]())
+    val st = vecs.agg(covUdaf(col("v")).as("m")).head().getSeq[Double](0)
+    val n = st(0)
+    require(n > 0, "pcaWhiten: empty corpus")
+    val mu = Array.tabulate(dim)(i => st(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = st(idx) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val (evalsRaw, evecs) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(k => (-evalsRaw(k), k))
+    val w = Array.ofDim[Double](dim, dim) // row k = v_k^T / sqrt(λ_k)
+    order.zipWithIndex.foreach { case (k, row) =>
+      val lam = evalsRaw(k)
+      val scale = if (lam > eps) 1.0 / math.sqrt(lam) else 0.0
+      val colK = Array.tabulate(dim)(r => evecs(r)(k))
+      // canonical sign: the largest-|entry| coordinate (first on ties)
+      // points positive
+      var best = 0
+      var bi = 1
+      while (bi < dim) {
+        if (math.abs(colK(bi)) > math.abs(colK(best))) best = bi
+        bi += 1
+      }
+      val sgn = if (colK(best) < 0) -1.0 else 1.0
+      var r = 0
+      while (r < dim) { w(row)(r) = sgn * scale * colK(r); r += 1 }
+    }
+    vecs.as[(Long, Seq[Double])].map { case (vid, xs) =>
+      val centered = Array.tabulate(dim)(r => xs(r) - mu(r))
+      val out = Array.tabulate(dim) { row =>
+        var s = 0.0; var r = 0
+        while (r < dim) { s += w(row)(r) * centered(r); r += 1 }
+        s
+      }
+      (vid, out.toSeq)
+    }.toDF(idCol, "white")
+  }
+
   /** Embedding-cosine near-duplicates: same-bucket pairs with cosine above
     * `threshold` — the embedding-space analog of MinHash dedup. Same
     * self-equi-join candidate formulation and corpus-scaled bucket space as

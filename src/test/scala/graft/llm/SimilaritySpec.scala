@@ -234,6 +234,66 @@ class SimilaritySpec extends SparkSpec {
       s"plan construction ran ${after - before} eager job(s)")
   }
 
+  test("jacobiEigen: hand-computable 2x2 and orthonormal basis on a " +
+       "random symmetric 8x8") {
+    val (ev, v) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(ev.sorted.zip(Seq(1.0, 3.0)).forall(p =>
+      math.abs(p._1 - p._2) < 1e-12), ev.toSeq.toString)
+    // eigenvector for λ=3 is (1,1)/√2 up to sign
+    val k3 = if (math.abs(ev(0) - 3.0) < 1e-9) 0 else 1
+    assert(math.abs(math.abs(v(0)(k3)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(v(0)(k3) - v(1)(k3)) < 1e-12)
+    // random symmetric: V columns orthonormal, A V = V Λ
+    val rnd = new scala.util.Random(7)
+    val d = 8
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextGaussian(); m(i)(j) = x; m(j)(i) = x
+    }
+    val (ev8, v8) = Similarity.jacobiEigen(m)
+    for (a <- 0 until d; b <- 0 until d) {
+      val dot = (0 until d).map(r => v8(r)(a) * v8(r)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10)
+      val av = (0 until d).map(r => m(a)(r) * v8(r)(b)).sum
+      assert(math.abs(av - ev8(b) * v8(a)(b)) < 1e-9)
+    }
+  }
+
+  test("pcaWhiten: output covariance is the identity, planted anisotropy " +
+       "is removed, stable across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = 6
+    // anisotropic cloud: dim 0 stretched 10x, dim 1 shifted
+    val data = (0L until 400L).map { i =>
+      (i, Seq.tabulate(d)(j => rnd.nextGaussian() *
+        (if (j == 0) 10.0 else 1.0) + (if (j == 1) 5.0 else 0.0)))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val out = Similarity.pcaWhiten(df, dim = d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 400)
+    val n = out.size.toDouble
+    val vecs = out.values.toArray
+    for (a <- 0 until d) {
+      val mean = vecs.map(_(a)).sum / n
+      assert(math.abs(mean) < 1e-9, s"whitened dim $a must be centered")
+      for (b <- a until d) {
+        val cov = vecs.map(v => v(a) * v(b)).sum / n
+        val want = if (a == b) 1.0 else 0.0
+        assert(math.abs(cov - want) < 1e-6,
+          s"whitened cov($a,$b)=$cov must be $want")
+      }
+    }
+    val again = Similarity.pcaWhiten(df.repartition(13), dim = d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val maxDiff = out.keys.map(k =>
+      out(k).zip(again(k)).map(p => math.abs(p._1 - p._2)).max).max
+    assert(maxDiff < 1e-6,
+      s"whitening must be stable across partitionings (maxDiff=$maxDiff)")
+  }
+
   test("cosineNearDups finds planted duplicate directions only") {
     val a = Seq.tabulate(8)(i => math.sin(i * 2 + 1))
     val d = vecs(
