@@ -1979,6 +1979,34 @@ object LlmOps {
         .select(col("doc_id"), col("source"), col("seq_id"))
     },
 
+    // Stride-interleaved mixture schedule: src1 upweighted 3x, src2
+    // halved, everything else at 1. The oracle replays the within-source
+    // md5 shuffle ranks, the (rank + 1/2)/w virtual times (one IEEE
+    // division), and the global order — the full data-loader schedule
+    // hash-compared row by row.
+    Op("mix_interleave",
+       """WITH r AS (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'),
+         |                      doc_id) - 1 AS BIGINT) AS src_rank
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, source, src_rank,
+         |         (CAST(src_rank AS DOUBLE) + 0.5) /
+         |         (CASE source WHEN 'src1' THEN 3.0 WHEN 'src2' THEN 0.5
+         |               ELSE 1.0 END) AS vt
+         |  FROM r)
+         |SELECT doc_id, source, src_rank, vt,
+         |       CAST(row_number() OVER (ORDER BY vt, source, src_rank) - 1
+         |            AS BIGINT) AS train_pos
+         |FROM v""".stripMargin) { (s, d) =>
+      Mixing.strideInterleave(Tables.documents(s, d), "doc_id", "source",
+          Map("src1" -> 3.0, "src2" -> 0.5))
+        .select(col("doc_id"), col("source"), col("src_rank"), col("vt"),
+          col("train_pos"))
+    },
+
     // Competence-based curriculum: rank by token-count difficulty, gate
     // behind sqrt competence (integer cross-multiplied), shuffle within
     // unlock cohorts by an md5 draw. The oracle replays both global

@@ -389,6 +389,48 @@ object Mixing {
       .drop("seq_id", "__sk")
   }
 
+  /** Deterministic stride interleaving — the data-loader SCHEDULE that
+    * realizes a mixture weight vector (the sampling step of GLaM/PaLM
+    * -style trained mixtures, stride scheduling in the Waldspurger &
+    * Weihl 1995 sense): source s with weight w_s emits its r-th document
+    * at virtual time (r + 1/2) / w_s, and the training order is the
+    * global virtual-time sort. Every prefix of the emitted stream then
+    * carries each source in proportion w_s ± 1 — no RNG, no epoch
+    * boundary artifacts, and byte-stable across runs (within-source order
+    * is an md5 shuffle). Ties in virtual time (commensurable weights)
+    * break by (source, rank), so the order is total.
+    *
+    * Scale shape: two [[assignContiguousIds]] passes (within-source rank
+    * via a (source, key) range sort minus per-source broadcast minima;
+    * final order on virtual time) over an id-sized projection — no
+    * per-source single-partition window anywhere. The virtual-time
+    * division is one IEEE op on both engines, so the whole schedule
+    * hash-replays.
+    */
+  def strideInterleave(docs: DataFrame, idCol: String, strataCol: String,
+                       weights: Map[String, Double],
+                       defaultWeight: Double = 1.0): DataFrame = {
+    require(defaultWeight > 0 && weights.values.forall(_ > 0),
+      "stride weights must be positive")
+    val sk = md5(concat(col(idCol).cast("string"), lit(":mix")))
+    val g = assignContiguousIds(
+      docs.select(col(idCol), col(strataCol), sk.as("__sk")),
+      struct(col(strataCol), col("__sk"), col(idCol)))
+    val base = g.groupBy(col(strataCol))
+      .agg(min(col("seq_id")).as("__base"))
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, ws)) =>
+      when(col(strataCol) === s, lit(ws)).otherwise(acc)
+    }
+    val ranked = g.join(broadcast(base), strataCol)
+      .withColumn("src_rank", col("seq_id") - col("__base"))
+      .withColumn("vt", (col("src_rank").cast("double") + lit(0.5)) / w)
+      .drop("seq_id", "__base", "__sk")
+    assignContiguousIds(ranked,
+        struct(col("vt"), col(strataCol), col("src_rank")))
+      .withColumn("train_pos", col("seq_id"))
+      .drop("seq_id")
+  }
+
   /** Epoch upsampling — the OTHER half of mixture weighting:
     * temperatureSample can only keep a source at most once (rates cap
     * below 1; its docstring defers "upsampling beyond 1x" to an

@@ -251,6 +251,38 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("stride interleave: every prefix carries sources in weight " +
+       "proportion (exact stride arithmetic), train_pos is a " +
+       "permutation, deterministic under partitioning") {
+    val weights = Map("src1" -> 3.0, "src2" -> 0.5)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixing.strideInterleave(df, "doc_id", "source", weights)
+        .select("doc_id", "source", "src_rank", "train_pos").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rows = run(docs)
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (0L until n))
+    // sf0.01: 25 docs per source. Up to virtual time 8 every source is
+    // still active, and the stride law fixes the exact prefix census:
+    // src1 (w=3) emits 24, src2 (w=0.5) emits 4, the 18 unit sources 8
+    // each -> prefix length 24 + 4 + 18*8 = 172
+    val unitSources = rows.map(_._2).distinct.filterNot(weights.contains)
+    val expected = Map("src1" -> 24, "src2" -> 4) ++
+      unitSources.map(_ -> 8).toMap
+    val prefixLen = expected.values.sum
+    val census = rows.filter(_._4 < prefixLen).groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    assert(census == expected,
+      s"prefix $prefixLen census $census != $expected")
+    // within each source the emission order is the src_rank order
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_._4).map(_._3)
+      assert(byPos.sorted.sameElements(byPos),
+        "a source's docs must appear in stride-rank order")
+    }
+    assert(run(docs.repartition(19)).toSet == rows.toSet)
+  }
+
   test("curriculum: gate is monotone in difficulty rank, cohorts unlock " +
        "sqrt-fast, train order is a shuffled permutation, deterministic " +
        "under partitioning") {
