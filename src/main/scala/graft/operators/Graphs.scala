@@ -395,6 +395,50 @@ object Graphs {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + 1000000L).as("dst"))
 
+  /** Link-prediction scores for same-side node pairs of a bipartite
+    * graph (Liben-Nowell & Kleinberg 2003): for every pair of left nodes
+    * sharing ≥ `minCommon` right neighbors, the three classic features —
+    * common-neighbor count, Jaccard overlap cn/(da+db−cn), and
+    * Adamic–Adar Σ_z 1/ln(deg z), which discounts promiscuous shared
+    * neighbors. The trade-graph reading: "customers predicted to share a
+    * future supplier", the collaborative-filtering primitive.
+    *
+    * Plan shape: degrees via count windows over the edge list (hub-safe
+    * sort-spill, the triangleCounts recipe), one wedge equi-join keyed on
+    * the shared right node — never all-pairs; the pair relation is
+    * Σ_z deg(z)² bounded and the threshold prunes it before any further
+    * work. The Adamic–Adar sum folds in sorted neighbor order through the
+    * ieee_ln kernel, so even the float feature hash-replays; cn and the
+    * Jaccard operands are integers.
+    */
+  def linkPredict(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst", minCommon: Int = 2): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .withColumn("cd", count(lit(1)).over(W.partitionBy(col("src"))))
+      .withColumn("dd", count(lit(1)).over(W.partitionBy(col("dst"))))
+    val a = e.select(col("src").as("cust_a"), col("dst"),
+      col("cd").as("da"), col("dd"))
+    val b = e.select(col("src").as("cust_b"), col("dst").as("dst"),
+      col("cd").as("db"))
+    val term = lit(1.0) /
+      graft.functions.GraftFunctions.ieeeLn(col("dd").cast("double"))
+    a.join(b, "dst").filter(col("cust_a") < col("cust_b"))
+      .select(col("cust_a"), col("cust_b"), col("da"), col("db"),
+        col("dst"), term.as("term"))
+      .groupBy(col("cust_a"), col("cust_b"), col("da"), col("db"))
+      .agg(count(lit(1)).as("cn"),
+        aggregate(
+          sort_array(collect_list(struct(col("dst"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("aa"))
+      .filter(col("cn") >= minCommon)
+      .select(col("cust_a"), col("cust_b"), col("cn"),
+        (col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double")).as("jaccard"),
+        col("aa"))
+  }
+
   private val S = 1L << 40
 
   /** Shared DuckDB replay of coSupplierEdges(minShared = 6) — the
@@ -555,6 +599,42 @@ object Graphs {
         labelPropagation(
           tradeGraphWeighted(Tables.orders(s, d), Tables.lineitem(s, d)),
           iters = 5)
+    },
+
+    // Common-neighbor / Jaccard / Adamic-Adar link features for customer
+    // pairs of the repeat-trade bipartite graph. cn and the Jaccard
+    // operands are integers; the Adamic-Adar fold is sorted-order
+    // sequential through ieee_ln on both engines — all three features
+    // hash-compare.
+    Op("graph_link_predict",
+       """WITH e AS (
+         |  SELECT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |cd AS (SELECT src, count(*) AS cd FROM e GROUP BY 1),
+         |dd AS (SELECT dst, count(*) AS dd FROM e GROUP BY 1),
+         |p AS (
+         |  SELECT e1.src AS cust_a, e2.src AS cust_b, e1.dst AS dst, dd.dd
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         |  JOIN dd ON dd.dst = e1.dst),
+         |g AS (
+         |  SELECT cust_a, cust_b, CAST(count(*) AS BIGINT) AS cn,
+         |         list_reduce(list_prepend(0.0,
+         |             list(1.0 / ln(CAST(dd AS DOUBLE)) ORDER BY dst)),
+         |           (a, b) -> a + b) AS aa
+         |  FROM p GROUP BY 1, 2),
+         |j AS (
+         |  SELECT g.cust_a, g.cust_b, g.cn, g.aa,
+         |         ca.cd AS da, cb.cd AS db
+         |  FROM g JOIN cd ca ON ca.src = g.cust_a
+         |  JOIN cd cb ON cb.src = g.cust_b)
+         |SELECT cust_a, cust_b, cn,
+         |       CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE)
+         |         AS jaccard,
+         |       aa
+         |FROM j WHERE cn >= 2""".stripMargin) { (s, d) =>
+      linkPredict(tradeGraphWeighted(Tables.orders(s, d),
+        Tables.lineitem(s, d)))
     },
 
     // 12-core of the supplier co-order graph. The recursive CTE replays

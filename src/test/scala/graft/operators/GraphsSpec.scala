@@ -163,6 +163,27 @@ class GraphsSpec extends SparkSpec {
     assert(one == five, "tiny components reach the fixpoint in one round")
   }
 
+  test("link prediction: closed-form scores on a crafted bipartite graph; " +
+       "threshold prunes single-neighbor pairs; partitioning-invariant") {
+    import spark.implicits._
+    // customers 1,2 share items 10,11; customer 3 shares only item 10;
+    // item 10 has degree 3, item 11 degree 2
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),
+      (3L, 12L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graphs.linkPredict(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val got = run(edges)
+    // only (1,2) survives minCommon=2: cn=2, deg1=deg2=2 -> jaccard =
+    // 2/(2+2-2)=1, aa = 1/ln(3) + 1/ln(2)
+    assert(got.keySet == Set((1L, 2L)))
+    val (cn, jac, aa) = got((1L, 2L))
+    assert(cn == 2L && jac == 1.0)
+    assert(math.abs(aa - (1.0 / math.log(3) + 1.0 / math.log(2))) < 1e-12)
+    assert(run(edges.repartition(5)) == got)
+  }
+
   test("triangles: the bipartite trade graph is triangle-free") {
     val edges = Graphs.tradeGraph(
       graft.Tables.orders(spark, "/root/testdata/sf0.001"),
