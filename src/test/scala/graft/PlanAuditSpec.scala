@@ -78,7 +78,11 @@ class PlanAuditSpec extends SparkSpec {
         n == "text_bm25_topk" || n == "hybrid_rrf" ||
         n == "f_equidepth_hist" || n == "text_pmi_collocations" ||
         n == "text_bm25_batch" || n == "text_perplexity_kn" ||
-        n == "embed_quantize_recall")
+        n == "embed_quantize_recall" ||
+        // f_kmv_jaccard / mix_curriculum: 1-row scalar attaches
+        // (verified below); knn_mmr: the knn_cosine intended brute shape
+        // (bounded query broadcast feeding candidate generation)
+        n == "f_kmv_jaccard" || n == "mix_curriculum" || n == "knn_mmr")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -105,7 +109,9 @@ class PlanAuditSpec extends SparkSpec {
         // text_perplexity_kn: the 1-row bigram-type count B attaches the
         // same way as text_perplexity's vocab scalar
         "f_equidepth_hist", "text_pmi_collocations", "text_bm25_batch",
-        "text_perplexity_kn")
+        // f_kmv_jaccard: the 1-row exact union/intersection aggregate
+        // attaches to the 1-row pivoted sketch pair
+        "text_perplexity_kn", "f_kmv_jaccard")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
@@ -120,10 +126,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(rrf.contains("HashAggregate(keys=[]"), rrf)
     assert(rrf.contains("EqualTo(vec_id,0)"), rrf)
     // the recall entries + semantic decontamination: BNLJ allowed
-    // (bounded bench/query broadcast), cartesian still forbidden
+    // (bounded bench/query broadcast), cartesian still forbidden.
+    // mix_curriculum sits here because its 1-row corpus-count attach
+    // happens BEFORE the assignContiguousIds localCheckpoint — the final
+    // plan is truncated at the checkpoint, so the keyless-aggregate
+    // evidence is invisible to this audit (the shape itself is the
+    // f_equidepth_hist scalar attach; MixingSpec verifies the output).
     Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate",
         "embed_hard_negatives", "llm_contamination_report",
-        "hybrid_rrf_batch", "embed_quantize_recall")
+        "hybrid_rrf_batch", "embed_quantize_recall", "knn_mmr",
+        "mix_curriculum")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
