@@ -336,6 +336,60 @@ object Analytics {
           (col("n_active").cast("double") / col("n0")).as("retention"))
     },
 
+    // RFM segmentation (Hughes 1994 — the canonical CRM scoring): per
+    // customer recency/frequency/monetary, each quintile-scored 1-5 by
+    // GLOBAL rank. Ranks come from Mixing.assignContiguousIds (three
+    // range-partitioned passes over the customer-sized aggregate, no
+    // global window), quintile = rank*5 div n + 1 — the f_equidepth_hist
+    // integer arithmetic, so populations per score differ by at most one
+    // and everything replays as row_number in the oracle. Monetary sums
+    // in exact DECIMAL cents (a double sum is partition-order dependent
+    // and would flip rank ties).
+    Op("m_rfm_segments",
+       """WITH base AS (
+         |  SELECT o_custkey AS c_custkey, max(o_orderdate) AS recency,
+         |         CAST(count(*) AS BIGINT) AS frequency,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+         |              AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM base),
+         |r AS (
+         |  SELECT base.*,
+         |    row_number() OVER (ORDER BY recency, c_custkey) - 1 AS rr,
+         |    row_number() OVER (ORDER BY frequency, c_custkey) - 1 AS fr,
+         |    row_number() OVER (ORDER BY cents, c_custkey) - 1 AS mr
+         |  FROM base)
+         |SELECT c_custkey, recency, frequency,
+         |       CAST(cents AS DOUBLE) / 100.0 AS monetary,
+         |       CAST(rr * 5 // n + 1 AS INT) AS r_score,
+         |       CAST(fr * 5 // n + 1 AS INT) AS f_score,
+         |       CAST(mr * 5 // n + 1 AS INT) AS m_score,
+         |       CAST(rr * 5 // n + 1 AS VARCHAR)
+         |         || CAST(fr * 5 // n + 1 AS VARCHAR)
+         |         || CAST(mr * 5 // n + 1 AS VARCHAR) AS rfm_cell
+         |FROM r, nn""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("recency"),
+          count(lit(1)).as("frequency"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)" +
+            " AS BIGINT)").as("cents"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val n = base.agg(count(lit(1)).as("n"))
+      def score(df: DataFrame, metric: String, out: String): DataFrame =
+        graft.llm.Mixing.assignContiguousIds(df,
+            struct(col(metric), col("c_custkey")))
+          .withColumn(out, expr("CAST((seq_id * 5) div n + 1 AS INT)"))
+          .drop("seq_id")
+      val scored = score(score(score(
+          base.crossJoin(broadcast(n)), // 1-row total attach
+          "recency", "r_score"), "frequency", "f_score"), "cents", "m_score")
+      scored.select(col("c_custkey"), col("recency"), col("frequency"),
+        (col("cents").cast("double") / lit(100.0)).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("rfm_cell"))
+    },
+
     // CDC-style table diff: classify every key as added / removed /
     // changed between two versions of a table — the snapshot-delta
     // primitive behind incremental replication and audit tooling. One

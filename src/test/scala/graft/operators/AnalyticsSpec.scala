@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RFM segmentation invariants (the window ops in Analytics are covered by
+  * the driver oracle; RFM gets structural assertions on top because its
+  * quintile arithmetic rides the distributed rank assigner).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("rfm: quintile populations balanced within 1, scores rank the " +
+       "metrics monotonically, deterministic under partitioning") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("m_rfm_segments")(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0),
+      r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6),
+      r.getString(7)))
+    val n = rows.length
+    assert(n > 100)
+    // equi-depth guarantee per dimension
+    val dims = Seq("r" -> rows.map(_._4), "f" -> rows.map(_._5),
+      "m" -> rows.map(_._6))
+    for ((name, scores) <- dims) {
+      val pops = scores.groupBy(identity).view.mapValues(_.length).toMap
+      assert(pops.keySet == (1 to 5).toSet, s"$name scores: $pops")
+      assert(pops.values.max - pops.values.min <= 1,
+        s"$name quintiles must be balanced: $pops")
+    }
+    // monetary quintiles order the metric: every member of m_score=k+1
+    // spent at least as much as every member of m_score=k
+    val byM = rows.groupBy(_._6).view.mapValues(_.map(_._3)).toMap
+    for (k <- 1 to 4)
+      assert(byM(k).max <= byM(k + 1).min + 1e-9,
+        s"m_score $k max ${byM(k).max} vs ${k + 1} min ${byM(k + 1).min}")
+    // frequency likewise
+    val byF = rows.groupBy(_._5).view.mapValues(_.map(_._2)).toMap
+    for (k <- 1 to 4) assert(byF(k).max <= byF(k + 1).min)
+    // rfm_cell is the concatenation of the three scores
+    assert(rows.forall(r => r._7 == s"${r._4}${r._5}${r._6}"))
+  }
+}
