@@ -2250,6 +2250,62 @@ object LlmOps {
         .limit(20)
     },
 
+    // TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over the
+    // adjacent-token co-occurrence graph — a direct composition of the
+    // tokenizer with the fixed-point integer pageRank operator, string
+    // nodes and all. Ten exact rounds; the recursive CTE replays every
+    // truncating division, so corpus-level keyword salience is a fully
+    // hash-compared iterative computation.
+    Op("text_textrank",
+       s"""WITH RECURSIVE t AS (
+          |  SELECT $toksSql AS toks FROM documents),
+          |raw AS (
+          |  SELECT DISTINCT toks[i+1] AS src, toks[i+2] AS dst
+          |  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+          |        FROM t WHERE len(toks) >= 2)
+          |  WHERE toks[i+1] <> toks[i+2]),
+          |edges AS (
+          |  -- explicit DISTINCT over UNION ALL: inside WITH RECURSIVE,
+          |  -- DuckDB 1.0 fails to deduplicate a plain `a UNION b` CTE
+          |  -- (the word graph has reciprocal bigram pairs, unlike the
+          |  -- bipartite trade-graph oracles where the branches are
+          |  -- disjoint and the quirk is invisible)
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM raw
+          |    UNION ALL
+          |    SELECT dst, src FROM raw)),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |pr AS (
+          |  SELECT 0 AS iter, node, CAST(${1L << 40} // n AS BIGINT) AS r
+          |  FROM nodes, nn
+          |  UNION ALL
+          |  SELECT iter + 1, dst AS node,
+          |         CAST((SELECT (${1L << 40} * 15 // 100) // n FROM nn)
+          |              + (85 * s) // 100 AS BIGINT) AS r
+          |  FROM (
+          |    SELECT p.iter AS iter, e.dst AS dst,
+          |           CAST(sum(p.r // d.deg) AS BIGINT) AS s
+          |    FROM pr p
+          |    JOIN edges e ON e.src = p.node
+          |    JOIN deg d ON d.src = p.node
+          |    WHERE p.iter < 10
+          |    GROUP BY 1, 2))
+          |SELECT node AS word, r FROM pr WHERE iter = 10""".stripMargin) {
+      (s, d) =>
+        val toks = Tables.documents(s, d)
+          .select(TextFeatures.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val edges = toks.select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        graft.operators.Graphs.pageRank(edges, iters = 10)
+          .select(col("node").as("word"), col("r"))
+    },
+
     // PMI collocation mining (Church & Hanks 1990; the scoring behind
     // word2vec-style phrase detection): bigrams whose co-occurrence beats
     // the unigram-independence expectation,
