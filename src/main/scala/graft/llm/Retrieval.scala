@@ -147,6 +147,48 @@ object Retrieval {
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 lineage;
+    * the RM-style loop every Lucene/Terrier stack ships): run the query,
+    * treat the top `fbDocs` documents as relevant, mine `fbTerms`
+    * expansion terms from them, and re-run the widened query. Term
+    * selection is INTEGER-exact — candidate score (ff << 20) div df, a
+    * fixed-point feedback-tf-idf — so the expansion set (and therefore
+    * the whole second round, which is the proven BM25 replay) is
+    * deterministic and oracle-comparable; candidates are scored by
+    * feedback frequency damped by corpus document frequency, ties to the
+    * lexicographically first term.
+    *
+    * Scale shape: round 1 is bm25TopK (map-side postings filter); the
+    * feedback set is `fbDocs` rows broadcast; candidate df is a keyed
+    * aggregate over postings pre-filtered by the broadcast feedback
+    * vocabulary; the expansion collect is bounded by `fbTerms` (the
+    * bounded-by-k exception). Round 2 reuses bm25TopK with the widened
+    * literal term set.
+    */
+  def bm25Prf(docs: DataFrame, terms: Seq[String], fbDocs: Int = 5,
+              fbTerms: Int = 3, k: Int = 10, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "feedback sizes must be positive")
+    val toks = docs.select(col(idCol),
+      TextFeatures.tokens(col(textCol)).as("toks"))
+    val fb = bm25TopK(docs, terms, k = fbDocs, idCol = idCol,
+      textCol = textCol).select(col(idCol))
+    val fbVocab = toks.join(broadcast(fb), idCol)
+      .select(explode(col("toks")).as("tok"))
+      .filter(!col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ff"))
+    val candDf = toks
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .join(broadcast(fbVocab.select(col("tok"))), "tok")
+      .distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val expansion = fbVocab.join(candDf, "tok")
+      .select(col("tok"), expr("(ff * 1048576) div df").as("cs"))
+      .orderBy(col("cs").desc, col("tok")).limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, terms ++ expansion, k, idCol = idCol, textCol = textCol)
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR'09)
     * of a lexical BM25 list and a dense cosine-kNN list for one query:
     *
@@ -258,25 +300,20 @@ object Retrieval {
     1L -> Seq("data", "table", "join"),
     2L -> Seq("stream", "batch", "spark"))
 
-  /** BM25 ranking CTEs (DuckDB dialect), shared by both oracle entries so
-    * the scoring definition cannot drift between them. Yields a relation
-    * `lexranked(doc_id, score, rank)` over all matching docs.
+  /** BM25 scoring CTE chain (tf/dfreq/per_term/scored, optionally
+    * suffixed) with a pluggable postings filter — ONE definition of the
+    * scoring text shared by every oracle entry (single-query, batch
+    * fan-out differs, and the PRF second round) so the formula cannot
+    * drift between them.
     */
-  private def bm25Cte: String =
-    s"""toks AS (
-       |  SELECT doc_id,
-       |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
-       |  FROM documents),
-       |stats AS (
-       |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
-       |  FROM toks),
-       |tf AS (
+  private def bm25ScoreCtes(sfx: String, tfFilter: String): String =
+    s"""tf$sfx AS (
        |  SELECT doc_id, dl, tok, count(*) AS tf
        |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
-       |  WHERE list_contains($termsSql, tok)
+       |  WHERE $tfFilter
        |  GROUP BY 1, 2, 3),
-       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-       |per_term AS (
+       |dfreq$sfx AS (SELECT tok, count(*) AS df FROM tf$sfx GROUP BY 1),
+       |per_term$sfx AS (
        |  SELECT doc_id,
        |         tok,
        |         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
@@ -288,12 +325,25 @@ object Retrieval {
        |                                  / (CAST(total_len AS DOUBLE)
        |                                     / CAST(n_docs AS DOUBLE))))))
        |           AS s
-       |  FROM tf JOIN dfreq USING (tok), stats),
-       |scored AS (
+       |  FROM tf$sfx JOIN dfreq$sfx USING (tok), stats),
+       |scored$sfx AS (
        |  SELECT doc_id,
        |         list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
        |                     (a, b) -> a + b) AS score
-       |  FROM per_term GROUP BY doc_id),
+       |  FROM per_term$sfx GROUP BY doc_id)""".stripMargin
+
+  /** BM25 ranking CTEs (DuckDB dialect) for the pinned query set. Yields
+    * a relation `lexranked(doc_id, score, rank)` over all matching docs.
+    */
+  private def bm25Cte: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
+       |  FROM toks),
+       |${bm25ScoreCtes("", s"list_contains($termsSql, tok)")},
        |lexranked AS (
        |  SELECT doc_id, score,
        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -305,6 +355,40 @@ object Retrieval {
           |SELECT doc_id, CAST(rank AS INTEGER) AS rank, score
           |FROM lexranked WHERE rank <= 10""".stripMargin) { (s, d) =>
       bm25TopK(Tables.documents(s, d), Terms, k = 10)
+    },
+
+    // PRF query expansion: round-1 BM25 -> integer-exact expansion-term
+    // mining from the top-5 feedback docs -> round-2 BM25 over the
+    // widened term set. The oracle replays the feedback ranking, the
+    // (ff << 20) div df candidate scores, the top-3 selection, and the
+    // full second scoring round — both retrieval rounds AND the term
+    // mining hash-compare.
+    Op("text_bm25_prf",
+       s"""WITH $bm25Cte,
+          |fb AS (SELECT doc_id FROM lexranked WHERE rank <= 5),
+          |fbtok AS (
+          |  SELECT tok, count(*) AS ff FROM (
+          |    SELECT unnest(toks) AS tok FROM toks JOIN fb USING (doc_id))
+          |  WHERE NOT list_contains($termsSql, tok) GROUP BY 1),
+          |canddf AS (
+          |  SELECT tok, count(*) AS df FROM (
+          |    SELECT DISTINCT doc_id, tok FROM (
+          |      SELECT doc_id, unnest(toks) AS tok FROM toks)
+          |    WHERE tok IN (SELECT tok FROM fbtok))
+          |  GROUP BY 1),
+          |expt AS (
+          |  SELECT f.tok FROM fbtok f JOIN canddf c USING (tok)
+          |  ORDER BY (f.ff * 1048576) // c.df DESC, f.tok LIMIT 3),
+          |t2 AS (SELECT unnest($termsSql) AS tok
+          |       UNION ALL SELECT tok FROM expt),
+          |${bm25ScoreCtes("2", "tok IN (SELECT tok FROM t2)")}
+          |SELECT doc_id,
+          |       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          |            AS INTEGER) AS rank,
+          |       score
+          |FROM scored2
+          |QUALIFY rank <= 10""".stripMargin) { (s, d) =>
+      bm25Prf(Tables.documents(s, d), Terms)
     },
 
     // Batch BM25 for a 3-query set with overlapping terms: one corpus

@@ -82,7 +82,10 @@ class PlanAuditSpec extends SparkSpec {
         // f_kmv_jaccard / mix_curriculum: 1-row scalar attaches
         // (verified below); knn_mmr: the knn_cosine intended brute shape
         // (bounded query broadcast feeding candidate generation)
-        n == "f_kmv_jaccard" || n == "mix_curriculum" || n == "knn_mmr")
+        n == "f_kmv_jaccard" || n == "mix_curriculum" || n == "knn_mmr" ||
+        // text_bm25_prf returns the round-2 bm25TopK plan — the
+        // text_bm25_topk 1-row stats-attach shape (verified below)
+        n == "text_bm25_prf")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -111,7 +114,7 @@ class PlanAuditSpec extends SparkSpec {
         "f_equidepth_hist", "text_pmi_collocations", "text_bm25_batch",
         // f_kmv_jaccard: the 1-row exact union/intersection aggregate
         // attaches to the 1-row pivoted sketch pair
-        "text_perplexity_kn", "f_kmv_jaccard")
+        "text_perplexity_kn", "f_kmv_jaccard", "text_bm25_prf")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

@@ -146,4 +146,28 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.hybridRrfBatch(d, e, Seq(0L -> terms),
         queryVec = Map.empty))
   }
+
+  test("prf: expansion surfaces the term co-occurring with the query in " +
+       "feedback docs and promotes a doc round 1 could not see") {
+    // 'cat' query; feedback docs pair cat with 'felid'; doc 6 mentions
+    // only 'felid' so round 1 cannot rank it, PRF can
+    val d = docs(
+      1L -> "cat felid cat felid",
+      2L -> "cat felid fish",
+      3L -> "cat felid bird",
+      4L -> "dog dog dog",
+      5L -> "bird fish bird",
+      6L -> "felid felid felid")
+    val plain = Retrieval.bm25TopK(d, Seq("cat"), k = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(6L))
+    val prf = Retrieval.bm25Prf(d, Seq("cat"), fbDocs = 3, fbTerms = 1,
+      k = 6).collect().map(_.getLong(0)).toSet
+    assert(prf.contains(6L),
+      s"expansion must surface the felid-only doc: $prf")
+    // deterministic under partitioning
+    val again = Retrieval.bm25Prf(d.repartition(7), Seq("cat"),
+      fbDocs = 3, fbTerms = 1, k = 6).collect().map(_.getLong(0)).toSet
+    assert(again == prf)
+  }
 }
