@@ -160,6 +160,61 @@ object Profiling {
             (lamFx.cast("double") / lit(1073741824.0))).as("psi_term"))
     },
 
+    // Functional-dependency profiling (Papenbrock et al., VLDB'15
+    // territory): for pinned candidate FDs lhs→rhs, the distinct-lhs
+    // census, how many lhs groups see >1 rhs (violations), and the g3'
+    // support — the fraction of rows kept by the best row-removal repair
+    // (sum of each group's majority-rhs count over total rows). All
+    // integers plus ONE exact division. Plan per FD: one (lhs, rhs)
+    // keyed aggregate then one lhs-keyed aggregate, branches scheduled
+    // concurrently — the profile shape that discovers "orderkey does NOT
+    // determine suppkey" before a dedup or merge keys on it.
+    Op("profile_fd", {
+      def fdSql(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd,
+           |       CAST(count(*) AS BIGINT) AS n_lhs,
+           |       CAST(count(*) FILTER (WHERE nrhs > 1) AS BIGINT)
+           |         AS n_violating,
+           |       CAST(sum(maxc) AS BIGINT) AS kept_rows,
+           |       CAST(sum(rows) AS BIGINT) AS n_rows,
+           |       CAST(sum(maxc) AS DOUBLE) / CAST(sum(rows) AS DOUBLE)
+           |         AS support
+           |FROM (
+           |  SELECT count(*) AS nrhs, max(c) AS maxc, sum(c) AS rows
+           |  FROM (SELECT $lhs, $rhs, count(*) AS c FROM $table
+           |        GROUP BY 1, 2)
+           |  GROUP BY $lhs)""".stripMargin
+      Seq(fdSql("orderkey->suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+        fdSql("partkey->returnflag", "lineitem", "l_partkey",
+          "l_returnflag"),
+        fdSql("custkey->nationkey", "customer", "c_custkey", "c_nationkey"),
+        fdSql("nationkey->regionkey", "nation", "n_nationkey",
+          "n_regionkey")).mkString("\nUNION ALL\n")
+    }) { (s, d) =>
+      def fd(name: String, df: DataFrame, lhs: String,
+             rhs: String): DataFrame =
+        df.groupBy(col(lhs), col(rhs)).agg(count(lit(1)).as("c"))
+          .groupBy(col(lhs))
+          .agg(count(lit(1)).as("nrhs"), max(col("c")).as("maxc"),
+            sum(col("c")).as("rows"))
+          .agg(count(lit(1)).as("n_lhs"),
+            count(when(col("nrhs") > 1, 1)).as("n_violating"),
+            sum(col("maxc")).as("kept_rows"),
+            sum(col("rows")).as("n_rows"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+            col("kept_rows"), col("n_rows"),
+            (col("kept_rows").cast("double") /
+              col("n_rows").cast("double")).as("support"))
+      fd("orderkey->suppkey", Tables.lineitem(s, d), "l_orderkey",
+          "l_suppkey")
+        .unionByName(fd("partkey->returnflag", Tables.lineitem(s, d),
+          "l_partkey", "l_returnflag"))
+        .unionByName(fd("custkey->nationkey", Tables.customer(s, d),
+          "c_custkey", "c_nationkey"))
+        .unionByName(fd("nationkey->regionkey", Tables.nation(s, d),
+          "n_nationkey", "n_regionkey"))
+    },
+
     // Equi-depth (equal-frequency) histogram — the OTHER profiling
     // histogram: bucket boundaries follow the data's quantiles instead
     // of a fixed grid, so skewed distributions get resolution where the
