@@ -2454,6 +2454,22 @@ object LlmOps {
       Bpe.topVocab(docs, merges, k = 20)
     },
 
+    // WordPiece (BERT family): likelihood-gain merges (exact BigInt
+    // rational argmax), longest-match-first encode with [UNK] word
+    // degradation — the third tokenizer family beside BPE and Unigram.
+    // Rows-only like its siblings; score-vs-frequency divergence,
+    // round-trips, and UNK behavior in WordpieceSpec.
+    Op.noOracle("llm_wordpiece_vocab") { (s, d) =>
+      Wordpiece.vocabReport(Tables.documents(s, d), numMerges = 100)
+    },
+
+    Op.noOracle("llm_wordpiece_token_counts") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, vocab) = Wordpiece.trainOnCorpus(docs, numMerges = 100,
+        vocabWords = 5000)
+      Wordpiece.tokenCounts(docs, vocab)
+    },
+
     // Content-defined chunking (FastCDC gear hash): storage-level dedup,
     // the fourth dedup family (token-shingle / bit-sampling / suffix-
     // window / CHUNK). Rows-only (a rolling-hash boundary scan is not one
