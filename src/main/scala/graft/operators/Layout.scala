@@ -92,6 +92,32 @@ object Layout {
     zOrdered(df, c1, c2, rankBits, numFiles)
       .write.mode("overwrite").parquet(path)
 
+  /** Hilbert d-index of a 2-D rank cell (Hilbert 1891 via the standard
+    * Warren "Hacker's Delight" xy→d fold): per level, quadrant digit
+    * (3·rx)⊕ry weighted s², then the flip+swap rotation that keeps the
+    * curve CONTINUOUS — every consecutive pair of d values is an
+    * edge-adjacent cell, which Morton loses at every power-of-2 seam
+    * (the z-curve's diagonal jumps are why Hilbert clustering gives
+    * tighter per-file spans at the same rank resolution). Pure integer
+    * loop, bounded by `bits` iterations — map-only on the JVM side and
+    * replayed level-by-level by a recursive CTE in the oracle.
+    */
+  def hilbertIndex(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   val ops: Seq[Op] = Seq(
     // Per-z-run skipping stats over lineitem (l_orderkey × l_partkey):
     // 64 equi-depth runs along the rank-space curve, each with its row
@@ -135,6 +161,73 @@ object Layout {
       z.select(col("l_orderkey"), col("l_partkey"),
           ntile(64).over(w).as("zrun"))
         .groupBy(col("zrun"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"),
+          max(col("l_partkey")).as("max_pk"))
+    },
+
+    // Hilbert-clustered skipping stats — same rank space, same 64
+    // equi-depth runs, but along the CONTINUOUS curve. The oracle's
+    // recursive CTE replays all ten flip+swap levels of the xy->d fold
+    // per row, so the curve arithmetic itself — not just the final
+    // spans — is hash-compared.
+    Op("layout_hilbert",
+       """WITH RECURSIVE r AS (
+         |  SELECT l_orderkey, l_partkey, l_linenumber,
+         |         CAST(ntile(1024) OVER (ORDER BY l_orderkey, l_linenumber)
+         |           - 1 AS BIGINT) AS r1,
+         |         CAST(ntile(1024) OVER (ORDER BY l_partkey, l_orderkey,
+         |           l_linenumber) - 1 AS BIGINT) AS r2
+         |  FROM lineitem),
+         |hil AS (
+         |  SELECT l_orderkey, l_partkey, l_linenumber, r1 AS x, r2 AS y,
+         |         CAST(512 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+         |  FROM r
+         |  UNION ALL
+         |  SELECT l_orderkey, l_partkey, l_linenumber,
+         |    CASE WHEN ry = 1 THEN x
+         |         ELSE (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) END,
+         |    CASE WHEN ry = 1 THEN y
+         |         ELSE (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) END,
+         |    s // 2,
+         |    d + s * s * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |                      WHEN rx = 0 THEN 1
+         |                      WHEN ry = 1 THEN 2 ELSE 3 END)
+         |  FROM (SELECT l_orderkey, l_partkey, l_linenumber, x, y, s, d,
+         |               CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+         |               CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM hil WHERE s >= 1)),
+         |runs AS (
+         |  SELECT l_orderkey, l_partkey,
+         |         ntile(64) OVER (ORDER BY d, l_orderkey, l_linenumber)
+         |           AS hrun
+         |  FROM hil WHERE s = 0)
+         |SELECT CAST(hrun AS INTEGER) AS hrun, count(*) AS n_rows,
+         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         |FROM runs GROUP BY 1""".stripMargin) { (s, d) =>
+      val sess = s
+      import sess.implicits._
+      val li = Tables.lineitem(s, d)
+      val r = li.select(col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber").cast("long"),
+        (ntile(1024).over(Window.orderBy(col("l_orderkey"),
+          col("l_linenumber"))) - 1).cast("long").as("r1"),
+        (ntile(1024).over(Window.orderBy(col("l_partkey"),
+          col("l_orderkey"), col("l_linenumber"))) - 1).cast("long")
+          .as("r2"))
+      val h = r.as[(Long, Long, Long, Long, Long)]
+        .map { case (ok, pk, ln, r1, r2) =>
+          (ok, pk, ln, hilbertIndex(r1, r2, 10))
+        }
+        .toDF("l_orderkey", "l_partkey", "l_linenumber", "hv")
+      val w = Window.orderBy(col("hv"), col("l_orderkey"),
+        col("l_linenumber"))
+      h.select(col("l_orderkey"), col("l_partkey"),
+          ntile(64).over(w).as("hrun"))
+        .groupBy(col("hrun"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_orderkey")).as("min_ok"),
           max(col("l_orderkey")).as("max_ok"),

@@ -132,4 +132,31 @@ class LayoutSpec extends SparkSpec {
     assert(zRead * 2 < lRead,
       s"z layout should skip most row groups: read $zRead vs $lRead")
   }
+
+  test("hilbertIndex: bijective over the grid and CONTINUOUS — every " +
+       "consecutive pair of d values is an edge-adjacent cell (the " +
+       "property Morton lacks)") {
+    val bits = 5
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (Layout.hilbertIndex(x, y, bits), (x, y))
+    val ds = cells.map(_._1)
+    assert(ds.distinct.size == n * n, "d must be a bijection on the grid")
+    assert(ds.min == 0L && ds.max == (n * n - 1))
+    val byD = cells.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve must step to an adjacent cell: ($x1,$y1)->($x2,$y2)")
+    }
+    // the first quadrant walk of the unit curve
+    assert(Seq((0, 0), (0, 1), (1, 1), (1, 0))
+      .map { case (x, y) => Layout.hilbertIndex(x, y, 1) } ==
+      Seq(0L, 1L, 2L, 3L))
+    // Morton breaks continuity at the very first seam (cell 1 -> 2 jumps
+    // diagonally), proving the fixture distinguishes the curves
+    val mortonJump = Seq((0, 0), (1, 0), (0, 1), (1, 1))
+    assert(mortonJump.sliding(2).exists { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    })
+  }
 }
