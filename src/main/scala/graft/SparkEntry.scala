@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Collections.ops ++
       operators.Sketches.ops ++
       operators.Events.ops ++
+      operators.Timeseries.ops ++
       operators.Profiling.ops ++
       operators.Linkage.ops ++
       operators.Graphs.ops ++

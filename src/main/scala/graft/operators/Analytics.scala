@@ -433,6 +433,34 @@ object Analytics {
           .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
       tableDiff(orders, newVersion, "o_orderkey",
         Seq("o_orderstatus", "o_orderpriority"))
+    },
+
+    // Pareto frontier (skyline): parts where no other part is both cheaper
+    // and larger — minimize retail price, maximize size. The naive form is
+    // an all-pairs NOT EXISTS (the oracle replays it — affordable there);
+    // the distributed form never compares pairs: a row survives iff its
+    // size strictly exceeds the max size over all STRICTLY cheaper rows
+    // and ties the max within its own price point. Price is exact cents
+    // (decimal-domain) so "strictly cheaper" is integer comparison.
+    Op("f_pareto_frontier",
+       """WITH p AS (
+         |  SELECT p_partkey,
+         |         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |           AS cents,
+         |         CAST(p_size AS BIGINT) AS size
+         |  FROM part)
+         |SELECT p_partkey, cents, size FROM p a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM p b
+         |  WHERE b.cents <= a.cents AND b.size >= a.size
+         |    AND (b.cents < a.cents OR b.size > a.size))""".stripMargin) {
+      (s, d) =>
+        skylineMinMax(
+          Tables.part(s, d).select(col("p_partkey"),
+            (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+              .cast("long").as("cents"),
+            col("p_size").cast("long").as("size")),
+          "cents", "size")
     }
   )
 
@@ -455,5 +483,55 @@ object Analytics {
           .when(col("h_old") =!= col("h_new"), lit("changed"))
           .otherwise(lit("unchanged")).as("change"))
       .filter(col("change") =!= "unchanged")
+  }
+
+  /** Two-dimensional skyline (minimize `minCol`, maximize `maxCol`)
+    * WITHOUT the quadratic self-join and WITHOUT a single-partition global
+    * window. A row is dominated iff some row has minCol strictly smaller
+    * with maxCol >= its own, or minCol equal with maxCol strictly larger;
+    * both conditions reduce to prefix maxima under the minCol ordering:
+    *
+    *   1. `repartitionByRange(minCol)` — partition p holds a contiguous
+    *      value range; equal values never straddle partitions. Materialized
+    *      ONCE (localCheckpoint) before the two derived subtrees, the
+    *      assignContiguousIds lesson: a re-executed range exchange may
+    *      sample different boundaries per subtree.
+    *   2. Within-partition strict-prefix max via a range frame ending at
+    *      -1 — rows with strictly smaller minCol only.
+    *   3. Cross-partition carry: per-partition max (<= #partitions rows)
+    *      -> running max over preceding partitions, broadcast back. The
+    *      global sort the window form would need never happens.
+    *
+    * Survivors: maxCol > prefix max over strictly-cheaper rows (or no such
+    * rows), and maxCol equal to the max at its own minCol point (ties on
+    * both dimensions all survive — none strictly dominates another).
+    */
+  def skylineMinMax(df: DataFrame, minCol: String, maxCol: String,
+                    numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, col(minCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val byPrice = Window.partitionBy(col("__pid")).orderBy(col(minCol))
+    val strictPrefix = byPrice.rangeBetween(Window.unboundedPreceding, -1)
+    val inclPrefix = byPrice.rangeBetween(Window.unboundedPreceding, 0)
+    val carry = ranged.groupBy(col("__pid"))
+      .agg(max(col(maxCol)).as("__pmax"))
+      .select(col("__pid"),
+        max(col("__pmax")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)).as("__prev"))
+    // Both frames share one (partition, order) spec -> a single WindowExec
+    // pass. Survive iff maxCol beats every strictly-cheaper row's max AND
+    // equals the inclusive prefix max (which, given the first condition,
+    // is exactly the max at its own price point — ties all survive).
+    ranged
+      .withColumn("__local", max(col(maxCol)).over(strictPrefix))
+      .withColumn("__incl", max(col(maxCol)).over(inclPrefix))
+      .join(broadcast(carry), Seq("__pid"))
+      .withColumn("__before", greatest(col("__local"), col("__prev")))
+      .filter((col("__before").isNull || col(maxCol) > col("__before")) &&
+        col(maxCol) === greatest(col("__incl"), col("__prev")))
+      .drop("__pid", "__local", "__incl", "__prev", "__before")
   }
 }

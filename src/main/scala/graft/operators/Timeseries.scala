@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series shapes over the `events` table: calendar gap-fill with
+  * last-observation-carried-forward, seasonal-profile anomaly flags, and
+  * cumulative-distinct growth curves — the daily-report layer a telemetry
+  * warehouse serves (the reference's Power BI dashboards consume exactly
+  * these shapes downstream of fct_orders; reference: README.md:64 "date
+  * dimension derived from order timestamp").
+  *
+  * Scale notes: every op aggregates the raw stream FIRST (events →
+  * user-day / type-day-hour cells), so the expensive shuffle is keyed by
+  * high-cardinality uniform keys and everything after it runs on the
+  * bounded cell table (|users|·|days|, |types|·24·|days|). Calendar
+  * explosion is map-side (`sequence` + `explode`, no shuffle); LOCF is one
+  * keyed window over the already-aggregated frame. Days are epoch-day
+  * BIGINTs end-to-end — the only date representation that hashes
+  * identically across engines.
+  */
+object Timeseries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Epoch-day of an event timestamp, as BIGINT (DuckDB date_diff parity). */
+  private val day: org.apache.spark.sql.Column =
+    unix_date(to_date(col("ts"))).cast("long")
+
+  val ops: Seq[Op] = Seq(
+
+    // Per-user daily spend, gap-filled over each user's own [first, last]
+    // day span with LOCF: missing days carry the previous observed daily
+    // total (the balance-sheet reading). Sums stay in the decimal domain
+    // through the carry; the double cast happens once at presentation, so
+    // the filled value hashes exactly. The first day of every span is
+    // observed by construction, so LOCF never emits NULL.
+    Op("ts_gapfill_locf",
+       """WITH daily AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         sum(CAST(value AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+         |         FROM daily GROUP BY 1),
+         |cal AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+         |        FROM span),
+         |j AS (SELECT c.user_id, c.day, d.v FROM cal c LEFT JOIN daily d
+         |      ON d.user_id = c.user_id AND d.day = c.day)
+         |SELECT user_id, day,
+         |       CAST(last_value(v IGNORE NULLS) OVER (
+         |         PARTITION BY user_id ORDER BY day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS DOUBLE) AS value_filled,
+         |       v IS NOT NULL AS observed
+         |FROM j""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(sum(col("value").cast(dec)).as("v"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("v"), ignoreNulls = true).over(locf)
+            .cast("double").as("value_filled"),
+          col("v").isNotNull.as("observed"))
+    },
+
+    // Seasonal-profile anomaly cells: an (event_type, day, hour) count is
+    // anomalous when it exceeds 2x that type's mean count for the same
+    // hour-of-day across the whole history. The comparison is the integer
+    // cross-multiplication n·nd > 2·tot — no division, no float, so the
+    // flag replays bit-for-bit. Baseline statistics come from a window
+    // over the bounded cell table (|types|·24 groups), not the raw stream.
+    Op("ts_anomaly_hours",
+       """WITH cells AS (
+         |  SELECT event_type,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT event_type, day, hr, n,
+         |       count(*) OVER (PARTITION BY event_type, hr) AS nd,
+         |       CAST(sum(n) OVER (PARTITION BY event_type, hr) AS BIGINT) AS tot
+         |FROM cells QUALIFY n * nd > 2 * tot""".stripMargin) { (s, d) =>
+      val profile = Window.partitionBy(col("event_type"), col("hr"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), day.as("day"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nd", count(lit(1)).over(profile))
+        .withColumn("tot", sum(col("n")).over(profile))
+        .filter(col("n") * col("nd") > lit(2) * col("tot"))
+    },
+
+    // Cumulative-distinct growth: how many distinct users each event type
+    // has ever seen, by day. Running COUNT(DISTINCT) has no direct window
+    // form in either engine; the exact decomposition is first-seen day per
+    // (type, user) -> new-user counts per day -> running sum, which turns
+    // a quadratic rescan into two keyed aggregates and a window over the
+    // bounded (type, day) table.
+    Op("ts_cum_distinct_users",
+       """WITH firsts AS (
+         |  SELECT event_type, user_id,
+         |         min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+         |           AS day
+         |  FROM events GROUP BY 1, 2),
+         |news AS (SELECT event_type, day, count(*) AS new_users
+         |         FROM firsts GROUP BY 1, 2)
+         |SELECT event_type, day, new_users,
+         |       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS BIGINT) AS cum_users
+         |FROM news""".stripMargin) { (s, d) =>
+      val running = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(day).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(running))
+    }
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Timeseries ops + the skyline helper: hand-built fixtures where the
+  * expected output is computable on paper, plus brute-force and
+  * partitioning-invariance properties for the distributed skyline.
+  */
+class TimeseriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("gap-fill: every user's span is dense, LOCF never emits null, " +
+       "observed days carry their own value") {
+    val out = graft.SparkEntry.queries("ts_gapfill_locf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      assert(days.head + days.length - 1 == days.last,
+        s"user $u span has holes: ${days.mkString(",")}")
+      assert(days.distinct.length == days.length, s"user $u duplicate days")
+    }
+    // a filled (unobserved) day equals the closest observed day before it
+    byUser.foreach { case (u, rows) =>
+      val sortedRows = rows.sortBy(_._2)
+      var lastObserved = Double.NaN
+      sortedRows.foreach { case (_, d, v, obs) =>
+        if (obs) lastObserved = v
+        else assert(v == lastObserved,
+          s"user $u day $d carried $v, expected $lastObserved")
+      }
+    }
+  }
+
+  test("anomaly cells all exceed twice their (type, hour) mean; the flag " +
+       "is a strict subset of the cell table") {
+    val cells = graft.SparkEntry.queries("ts_anomaly_hours")(spark, sf)
+      .collect()
+    assert(cells.nonEmpty, "sf0.001 should still surface spikes")
+    cells.foreach { r =>
+      val (n, nd, tot) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n * nd > 2 * tot, s"flagged cell violates its own rule: $r")
+      assert(n <= tot && nd >= 1)
+    }
+  }
+
+  test("cumulative distinct users: final value per type equals the exact " +
+       "count(distinct), curve is strictly increasing") {
+    val rows = graft.SparkEntry.queries("ts_cum_distinct_users")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val truth = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (t, curve) =>
+      val sortedCurve = curve.sortBy(_._2)
+      assert(sortedCurve.last._4 == truth(t),
+        s"type $t curve ends at ${sortedCurve.last._4}, truth ${truth(t)}")
+      assert(sortedCurve.map(_._4).sliding(2).forall(p => p(0) < p(1)),
+        s"type $t curve not strictly increasing")
+      assert(sortedCurve.map(_._3).sum == truth(t))
+    }
+  }
+
+  test("skyline matches the brute-force dominance check and is invariant " +
+       "under partitioning and partition count") {
+    import spark.implicits._
+    // adversarial fixture: duplicated (price, size) points, price ties
+    // with distinct sizes, and a strictly dominated chain
+    val pts = Seq(
+      (1L, 100L, 5L), (2L, 100L, 9L), (3L, 100L, 9L), (4L, 120L, 9L),
+      (5L, 150L, 12L), (6L, 150L, 11L), (7L, 200L, 12L), (8L, 90L, 2L),
+      (9L, 300L, 20L), (10L, 310L, 19L), (11L, 90L, 2L), (12L, 85L, 1L))
+    val df = pts.toDF("id", "cents", "size")
+    val brute = pts.filter { case (_, c, s) =>
+      !pts.exists { case (_, c2, s2) =>
+        c2 <= c && s2 >= s && (c2 < c || s2 > s) }
+    }.map(_._1).toSet
+    val got = Analytics.skylineMinMax(df, "cents", "size")
+      .select("id").as[Long].collect().toSet
+    assert(got == brute, s"skyline $got != brute $brute")
+    for (parts <- Seq(1, 3, 16)) {
+      val again = Analytics
+        .skylineMinMax(df.repartition(7), "cents", "size", numParts = parts)
+        .select("id").as[Long].collect().toSet
+      assert(again == brute, s"parts=$parts gave $again")
+    }
+  }
+
+  test("skyline on sf0.001 part equals the quadratic reference") {
+    import spark.implicits._
+    val p = graft.Tables.part(spark, sf).select(col("p_partkey").as("id"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"),
+      col("p_size").cast("long").as("size"))
+    val pts = p.as[(Long, Long, Long)].collect()
+    val brute = pts.filter { case (_, c, s) =>
+      !pts.exists { case (_, c2, s2) =>
+        c2 <= c && s2 >= s && (c2 < c || s2 > s) }
+    }.map(_._1).toSet
+    val got = Analytics.skylineMinMax(p, "cents", "size")
+      .select("id").as[Long].collect().toSet
+    assert(got == brute)
+  }
+}
