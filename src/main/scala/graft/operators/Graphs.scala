@@ -439,6 +439,124 @@ object Graphs {
         col("aa"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on a DIRECTED graph, in the
+    * family's fixed-point integer arithmetic: each half-step pushes scores
+    * across the edges (hubs -> authority raw scores, then authorities ->
+    * hub raw scores) and renormalizes to total mass `scale` with one
+    * truncating division per node — the integer analog of L1
+    * normalization, which keeps every value in [0, scale] and the whole
+    * run BIGINT-exact, so a recursive CTE replays all 2·iters half-steps
+    * bit-for-bit (the power iteration itself, not just its output shape,
+    * is oracle-verified).
+    *
+    * Per half-step: one equi-join of the current side's scores against
+    * the direction-flagged edge list + one keyed sum (both
+    * partial-aggregated), then a broadcast of the 1-row total — no
+    * driver-side action inside the loop; the normalizer rides the plan as
+    * a broadcast nested loop of one row. State is one generation of
+    * O(nodes) rows, checkpointed every `checkpointEvery` half-steps.
+    * Headroom: raw scores are bounded by max-degree·scale, so the default
+    * 2^20 scale leaves ~2^23 max-degree headroom inside BIGINT after the
+    * scale multiply; lower `scale` for hub-ier graphs.
+    *
+    * Returns (kind, node, v): kind 'hub' for source-side nodes after the
+    * final backward half-step, 'auth' for destination-side nodes after
+    * the final forward half-step.
+    */
+  def hits(edges: DataFrame, srcCol: String = "src",
+           dstCol: String = "dst", iters: Int = 4,
+           scale: Long = 1L << 20, checkpointEvery: Int = 8,
+           reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
+    val hubs = e.select(col("src").as("node")).distinct()
+    val nh = hubs.count()
+    require(nh > 0, "edge relation spans no hub nodes")
+    var state = hubs.select(col("node"), lit(scale / nh).as("v"))
+    var prev = state
+    var stateCk: Option[DataFrame] = None
+    var half = 0
+    while (half < 2 * iters) {
+      val forward = half % 2 == 0 // hubs feed authorities
+      val dir =
+        if (forward) e.select(col("src").as("s"), col("dst").as("d"))
+        else e.select(col("dst").as("s"), col("src").as("d"))
+      val raw = dir.join(state.hint("shuffle_hash"), col("s") === col("node"))
+        .groupBy(col("d")).agg(sum(col("v")).as("raw_v"))
+      val tot = raw.agg(sum(col("raw_v")).as("S"))
+      prev = state
+      state = raw.crossJoin(broadcast(tot))
+        .select(col("d").as("node"),
+          expr(s"($scale * raw_v) div S").as("v"))
+      half += 1
+      if (half % checkpointEvery == 0 && half < 2 * iters) {
+        val cutState = cut(state)
+        stateCk.foreach(Dedup.releaseCheckpoint)
+        stateCk = Some(cutState)
+        state = cutState
+      }
+    }
+    // materialize the output BEFORE releasing the edge checkpoint —
+    // prev (the authorities side) is still lazy over e until this cut
+    val out = cut(
+      prev.select(lit("auth").as("kind"), col("node"), col("v"))
+        .unionByName(
+          state.select(lit("hub").as("kind"), col("node"), col("v"))))
+    stateCk.foreach(Dedup.releaseCheckpoint)
+    Dedup.releaseCheckpoint(e)
+    out
+  }
+
+  /** Multi-source BFS: exact shortest hop distance from the seed set,
+    * bounded to `iters` rounds, over the symmetrized edge relation. The
+    * relaxation dist'(v) = min over in-steps (dist(u) + w) uses an edge
+    * relation augmented with 0-weight self-loops, which folds "keep your
+    * current distance" into the SAME keyed min-aggregate — one join + one
+    * aggregate per round, and a form a single-reference recursive CTE
+    * replays directly. Distances are integers; the whole run is exact.
+    * Unreached nodes are absent from the output (no sentinel).
+    */
+  def shortestHops(edges: DataFrame,
+                   seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   iters: Int = 6, checkpointEvery: Int = 6,
+                   reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val step = cut(sym.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(nodes.select(col("node").as("src"),
+        col("node").as("dst"), lit(0L).as("w"))))
+    var d = nodes.filter(seedPred(col("node")))
+      .select(col("node"), lit(0L).as("dist"))
+    var dCk: Option[DataFrame] = None
+    var round = 0
+    while (round < iters) {
+      d = step.join(d.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("dist"))
+        .withColumnRenamed("dst", "node")
+      round += 1
+      if (round % checkpointEvery == 0 || round == iters) {
+        val cutD = cut(d)
+        dCk.foreach(Dedup.releaseCheckpoint)
+        dCk = Some(cutD)
+        d = cutD
+      }
+    }
+    Dedup.releaseCheckpoint(step)
+    d
+  }
+
   private val S = 1L << 40
 
   /** Shared DuckDB replay of coSupplierEdges(minShared = 6) — the
@@ -659,6 +777,74 @@ object Graphs {
          |SELECT src AS node, count(*) AS deg
          |FROM kc WHERE iter = 20 GROUP BY 1""".stripMargin) { (s, d) =>
       kCore(coSupplierEdges(Tables.lineitem(s, d)), k = 12)
+    },
+
+    // HITS on the directed customer->supplier trade graph: 4 full power
+    // iterations = 8 alternating half-steps, each renormalized to 2^20
+    // total mass in integer arithmetic. The recursive CTE replays every
+    // half-step (odd iters = authorities, even = hubs), including the
+    // window-sum normalizer — the division order is pinned, so scores
+    // hash-compare exactly.
+    Op("graph_hits",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |dir AS (
+         |  SELECT src AS s, dst AS d, 0 AS par FROM raw
+         |  UNION ALL SELECT dst, src, 1 FROM raw),
+         |hub0 AS (SELECT DISTINCT src AS node FROM raw),
+         |state AS (
+         |  SELECT 0 AS iter, node,
+         |         CAST((1::BIGINT << 20) // (SELECT count(*) FROM hub0)
+         |              AS BIGINT) AS v
+         |  FROM hub0
+         |  UNION ALL
+         |  SELECT iter, node,
+         |         CAST(((1::BIGINT << 20) * raw_v) //
+         |              (CAST(sum(raw_v) OVER () AS BIGINT)) AS BIGINT)
+         |  FROM (
+         |    SELECT st.iter + 1 AS iter, di.d AS node,
+         |           CAST(sum(st.v) AS BIGINT) AS raw_v
+         |    FROM state st JOIN dir di
+         |      ON di.s = st.node AND di.par = st.iter % 2
+         |    WHERE st.iter < 8
+         |    GROUP BY 1, 2))
+         |SELECT CASE WHEN iter = 7 THEN 'auth' ELSE 'hub' END AS kind,
+         |       node, v
+         |FROM state WHERE iter IN (7, 8)""".stripMargin) { (s, d) =>
+      hits(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+        iters = 4)
+    },
+
+    // Exact hop distances from the seed customers {node < 100} in six
+    // BFS rounds over the symmetrized trade graph. The 0-weight
+    // self-loop trick makes each round a single join + min-aggregate,
+    // which is also the only shape a single-reference recursive CTE can
+    // express — the oracle replays the relaxation itself.
+    Op("graph_bfs",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |step AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+         |  UNION ALL SELECT node, node, 0 FROM nodes),
+         |d AS (
+         |  SELECT 0 AS iter, node, CAST(0 AS BIGINT) AS dist
+         |  FROM nodes WHERE node < 100
+         |  UNION ALL
+         |  SELECT d.iter + 1, s.dst AS node, min(d.dist + s.w) AS dist
+         |  FROM d JOIN step s ON s.src = d.node
+         |  WHERE d.iter < 6
+         |  GROUP BY 1, 2)
+         |SELECT node, dist FROM d WHERE iter = 6""".stripMargin) { (s, d) =>
+      shortestHops(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+        node => node < 100, iters = 6)
     }
   )
 }

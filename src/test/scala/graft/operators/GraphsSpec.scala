@@ -190,4 +190,49 @@ class GraphsSpec extends SparkSpec {
       graft.Tables.lineitem(spark, "/root/testdata/sf0.001"))
     assert(Graphs.triangleCounts(edges).isEmpty)
   }
+
+  test("HITS: the broad hub dominates hub scores, its targets dominate " +
+       "authority scores; mass normalized; partitioning-invariant") {
+    import spark.implicits._
+    // hub 1 cites authorities 10..14; hubs 2,3 cite only authority 10
+    val edges = (Seq((2L, 10L), (3L, 10L)) ++
+      (10L to 14L).map(a => (1L, a))).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graphs.hits(df, iters = 4).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = run(edges)
+    val hubScores = got.collect { case (("hub", n), v) => n -> v }
+    val authScores = got.collect { case (("auth", n), v) => n -> v }
+    assert(hubScores.keySet == Set(1L, 2L, 3L))
+    assert(authScores.keySet == (10L to 14L).toSet)
+    assert(hubScores(1L) > hubScores(2L) && hubScores(2L) == hubScores(3L))
+    // authority 10 gets all three hubs' mass, 11..14 only hub 1's
+    assert(authScores(10L) > authScores(11L))
+    assert((11L to 14L).map(authScores).toSeq.distinct.size == 1)
+    // L1-normalized halves: each side sums to scale minus truncation
+    val scale = 1L << 20
+    Seq(hubScores, authScores).foreach { side =>
+      val mass = side.values.sum
+      assert(mass <= scale && scale - mass <= side.size,
+        s"mass $mass vs scale $scale")
+    }
+    assert(run(edges.repartition(7)) == got)
+  }
+
+  test("BFS: exact hop distances on a path graph, round bound truncates " +
+       "the frontier, unreached nodes absent, partitioning-invariant") {
+    import spark.implicits._
+    // path 0-1-2-...-9 plus disconnected pair 100-101
+    val edges = ((0L to 8L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("src", "dst")
+    def run(iters: Int, df: org.apache.spark.sql.DataFrame =
+        edges) =
+      Graphs.shortestHops(df, n => n === 0L, iters = iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(6)
+    assert(got == (0L to 6L).map(i => i -> i).toMap,
+      s"6-round BFS from 0 over a path must reach exactly 0..6: $got")
+    assert(run(9) == (0L to 9L).map(i => i -> i).toMap)
+    assert(run(6, edges.repartition(5)) == got)
+  }
 }
