@@ -29,7 +29,8 @@ object SparkEntry {
       olist.OlistOps.ops ++
       sources.SourceOps.ops ++
       llm.LlmOps.ops ++
-      llm.Retrieval.ops
+      llm.Retrieval.ops ++
+      llm.Classify.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_orders shape (agg + left join + derived total) — the reference's

@@ -562,6 +562,98 @@ object Retrieval {
           |WHERE rank <= 10""".stripMargin) { (s, d) =>
       hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
         Terms, queryVecId = 0L, kCand = 20, k = 10)
+    },
+
+    // Dirichlet-smoothed query-likelihood retrieval (mu = 2000) for the
+    // pinned query: the language-modeling alternative to BM25's
+    // probabilistic-relevance scoring. Scores stay in the log domain
+    // (the exp gotcha), the per-term smoothed probabilities replay via
+    // ln on both engines, and the fold is token-ordered — the whole
+    // ranking hash-compares.
+    Op("text_qld_topk",
+       s"""WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |stats AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total FROM toks),
+          |post AS (
+          |  SELECT doc_id, dl, tok, count(*) AS tf
+          |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+          |  WHERE list_contains($termsSql, tok)
+          |  GROUP BY 1, 2, 3),
+          |cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY 1),
+          |cand AS (SELECT DISTINCT doc_id, dl FROM post),
+          |qt AS (SELECT unnest($termsSql) AS tok),
+          |sterm AS (
+          |  SELECT p.doc_id, p.tok,
+          |         ln((CAST(coalesce(po.tf, 0) AS DOUBLE)
+          |             + 2000.0 * (CAST(cf.cf AS DOUBLE)
+          |                         / CAST(s.total AS DOUBLE)))
+          |            / (CAST(p.dl AS DOUBLE) + 2000.0)) AS sc
+          |  FROM (SELECT c.doc_id, c.dl, q.tok FROM cand c CROSS JOIN qt q) p
+          |  LEFT JOIN post po ON po.doc_id = p.doc_id AND po.tok = p.tok
+          |  JOIN cf ON cf.tok = p.tok, stats s),
+          |scored AS (
+          |  SELECT doc_id,
+          |         list_reduce(list_prepend(0.0, list(sc ORDER BY tok)),
+          |                     (a, b) -> a + b) AS score
+          |  FROM sterm GROUP BY 1)
+          |SELECT doc_id,
+          |       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          |            AS INTEGER) AS rank,
+          |       score
+          |FROM scored QUALIFY rank <= 10""".stripMargin) { (s, d) =>
+      qldTopK(Tables.documents(s, d), Terms, k = 10)
     }
   )
+
+  /** Top-k documents under the Dirichlet-smoothed query-likelihood model
+    * (Zhai & Lafferty 2001): score(q, d) = sum_t ln((tf + mu*cf_t/|C|) /
+    * (dl + mu)) over the query terms, tf = 0 terms included via the
+    * collection background. Candidates are docs matching >= 1 term (the
+    * background-only tail is rank-irrelevant and pruned map-side, same
+    * postings access path as BM25); each candidate is fanned out to the
+    * FULL term set by a broadcast cross join so absent terms contribute
+    * their smoothed background probability. Collection frequencies are a
+    * |terms|-row broadcast; |C| a 1-row broadcast. Log domain throughout.
+    */
+  def qldTopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+              mu: Double = 2000.0, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    require(k >= 1 && mu > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol),
+      TextFeatures.tokens(col(textCol)).as("toks"))
+    val stats = toks.agg(sum(size(col("toks"))).cast("long").as("total"))
+    val post = toks
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = post.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    val cand = post.select(col(idCol), col("dl")).distinct()
+    val pairs = cand.crossJoin(broadcast(terms.toDF("tok")))
+    val bg = lit(mu) *
+      (col("cf").cast("double") / col("total").cast("double"))
+    val sc = ieeeLn(
+      (coalesce(col("tf"), lit(0L)).cast("double") + bg) /
+        (col("dl").cast("double") + lit(mu)))
+    val scored = pairs
+      .join(post.withColumnRenamed("dl", "__pdl"),
+        Seq(idCol, "tok"), "left")
+      .join(broadcast(cf), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("tok"), sc.as("sc"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("tok"), col("sc")))),
+        lit(0.0), (acc, x) => acc + x.getField("sc")).as("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("score"))
+  }
 }

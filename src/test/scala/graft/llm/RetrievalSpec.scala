@@ -170,4 +170,37 @@ class RetrievalSpec extends SparkSpec {
       fbDocs = 3, fbTerms = 1, k = 6).collect().map(_.getLong(0)).toSet
     assert(again == prf)
   }
+
+  test("QLD: higher tf wins at equal length, shorter doc wins at equal " +
+       "tf, zero-match docs pruned, scores negative log-likelihoods") {
+    val d = docs(
+      1L -> "cat dog bird fish",
+      2L -> "cat cat cat fish",
+      3L -> "dog bird fish frog",
+      4L -> "cat dog bird fish frog newt toad hen ox ant bee fly")
+    val got = Retrieval.qldTopK(d, Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val ids = got.map(_._1).toList
+    assert(!ids.contains(3L), "doc without the term must be pruned")
+    assert(ids.head == 2L, s"tf=3 doc must rank first: $ids")
+    assert(ids.indexOf(1L) < ids.indexOf(4L),
+      "same tf=1: the 4-token doc must beat the 12-token doc")
+    assert(got.forall(_._3 < 0.0), "log-likelihoods must be negative")
+  }
+
+  test("QLD: a missing query term contributes background mass, not " +
+       "exclusion; deterministic under partitioning") {
+    val d = docs(
+      1L -> "cat dog",
+      2L -> "cat frog",
+      3L -> "frog newt")
+    // doc 1 matches both terms, doc 2 one; both are candidates and doc 1
+    // must outrank doc 2 via the second term's foreground mass
+    val got = Retrieval.qldTopK(d, Seq("cat", "dog"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toList
+    assert(got.map(_._1).take(2) == List(1L, 2L), s"got $got")
+    val again = Retrieval.qldTopK(d.repartition(5), Seq("cat", "dog"),
+      k = 10).collect().map(r => r.getLong(0) -> r.getInt(1)).toList
+    assert(again == got)
+  }
 }
