@@ -143,6 +143,37 @@ object Events {
         .filter(col("t_view") < col("t_click") &&
           col("t_click") < col("t_purchase"))
         .agg(count(lit(1)).as("n_converted"))
+    },
+
+    // Top-20 three-step event paths across all user timelines — the
+    // sequence-mining primitive behind journey dashboards ("what do
+    // users do around an error?"). Two leads on the sessionize window
+    // shape (one shuffle, one sorted run per user), then an aggregate
+    // over the |types|^3-bounded path space; the top-k is
+    // TakeOrderedAndProject with a full lexical tiebreak, so the cutoff
+    // set is deterministic under count ties.
+    Op("e_top_paths",
+       """WITH steps AS (
+         |  SELECT event_type AS t1,
+         |         lead(event_type, 1) OVER w AS t2,
+         |         lead(event_type, 2) OVER w AS t3
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT t1, t2, t3, count(*) AS n
+         |FROM steps WHERE t3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |QUALIFY row_number() OVER (ORDER BY n DESC, t1, t2, t3) <= 20""".stripMargin) {
+      (s, d) =>
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_type").as("t1"),
+            lead(col("event_type"), 1).over(byUser).as("t2"),
+            lead(col("event_type"), 2).over(byUser).as("t3"))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("t1"), col("t2"), col("t3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+          .limit(20)
     }
   )
 }

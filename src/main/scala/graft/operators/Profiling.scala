@@ -277,5 +277,34 @@ object Profiling {
           (col("bin") * 1000).cast("double").as("bin_lo"),
           ((col("bin") + 1) * 1000).cast("double").as("bin_hi"),
           col("n"))
+    },
+
+    // Benford first-digit profile of order totals — the forensic
+    // data-quality screen (fabricated or truncated numeric feeds skew
+    // the leading-digit distribution). The digit comes from the EXACT
+    // decimal rendering (double formatting differs across engines;
+    // DECIMAL(12,2) strings match bit-for-bit), the share is one exact
+    // integer division per digit. Map-side project + 9-group aggregate;
+    // TPC-H totalprice is range-bounded, so its profile visibly deviates
+    // from Benford — which is the point of the screen.
+    Op("f_benford",
+       """WITH d AS (
+         |  SELECT regexp_extract(
+         |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+         |           '[1-9]') AS digit
+         |  FROM orders)
+         |SELECT digit, count(*) AS n,
+         |       CAST(count(*) AS DOUBLE) /
+         |         CAST(sum(count(*)) OVER () AS BIGINT) AS share
+         |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(regexp_extract(
+          col("o_totalprice").cast("decimal(12,2)").cast("string"),
+          "[1-9]", 0).as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
     })
 }

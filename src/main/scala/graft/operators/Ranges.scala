@@ -78,5 +78,69 @@ object Ranges {
       rangeJoin(graft.Tables.lineitem(s, d), "l_extendedprice",
           bands, "lo", "hi", binWidth = 2000)
         .select(col("l_orderkey"), col("l_linenumber"), col("band"))
+    },
+
+    // Coalesce overlapping shipment windows [shipdate, shipdate +
+    // quantity days] per (supplier, part) into busy-period islands —
+    // classic gaps-and-islands with the new-island flag from a strict
+    // prefix max over interval ends. One shuffle keyed by the group;
+    // both windows share its (partition, order) spec, so Spark plans a
+    // single sort. Days are epoch-day BIGINTs; the flag, island ids,
+    // and bounds are all integer-exact.
+    graft.Op("r_interval_merge",
+      """WITH iv AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS lo,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |           + CAST(l_quantity AS BIGINT) AS hi,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lo > max(hi) OVER (PARTITION BY l_suppkey, l_partkey
+        |              ORDER BY lo, hi, l_orderkey, l_linenumber
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |islands AS (
+        |  SELECT *, CAST(sum(new_island) OVER (PARTITION BY l_suppkey, l_partkey
+        |            ORDER BY lo, hi, l_orderkey, l_linenumber
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM flagged)
+        |SELECT l_suppkey, l_partkey, min(lo) AS start_day,
+        |       max(hi) AS end_day, count(*) AS n_lines
+        |FROM islands GROUP BY l_suppkey, l_partkey, island""".stripMargin) {
+      (s, d) =>
+        val iv = graft.Tables.lineitem(s, d).select(
+          col("l_suppkey"), col("l_partkey"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("lo"),
+          (unix_date(to_date(col("l_shipdate"))).cast("long") +
+            col("l_quantity").cast("long")).as("hi"),
+          col("l_orderkey"), col("l_linenumber"))
+        mergeIntervals(iv, Seq("l_suppkey", "l_partkey"), "lo", "hi",
+          Seq("l_orderkey", "l_linenumber"))
     })
+
+  /** Gaps-and-islands interval coalescing: merge overlapping (or
+    * touching — `lo <= prev hi`) intervals within each group into
+    * islands, returning one row per island with its bounds and member
+    * count. `tiebreak` must complete a total order so the running flag
+    * sum replays identically on any engine. Both windows share one
+    * (partition, order) spec — a single shuffle + sort.
+    */
+  def mergeIntervals(iv: DataFrame, groupCols: Seq[String],
+                     loCol: String, hiCol: String,
+                     tiebreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (Seq(loCol, hiCol) ++ tiebreak).map(col)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    val prevHi = max(col(hiCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("__new", when(col(loCol) > prevHi, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(running))
+      .groupBy((groupCols.map(col) :+ col("__island")): _*)
+      .agg(min(col(loCol)).as("start_day"), max(col(hiCol)).as("end_day"),
+        count(lit(1)).as("n_lines"))
+      .drop("__island")
+  }
 }

@@ -67,4 +67,43 @@ class RangesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("interval merge: overlap and touch coalesce, strict gaps split, " +
+       "islands carry exact bounds and counts; partitioning-invariant") {
+    import spark.implicits._
+    val iv = Seq(
+      // group g1: [0,10] overlaps [5,12]; [12,15] touches (lo == prev
+      // hi -> same island); [17,20] strictly after -> new island
+      ("g1", 0L, 10L, 1L), ("g1", 5L, 12L, 2L), ("g1", 12L, 15L, 3L),
+      ("g1", 17L, 20L, 4L),
+      // group g2: containment [0,100] swallows [10,20]; far singleton
+      ("g2", 0L, 100L, 5L), ("g2", 10L, 20L, 6L), ("g2", 200L, 201L, 7L))
+      .toDF("g", "lo", "hi", "id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ranges.mergeIntervals(df, Seq("g"), "lo", "hi", Seq("id"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val got = run(iv)
+    assert(got == Set(
+      ("g1", 0L, 15L, 3L), ("g1", 17L, 20L, 1L),
+      ("g2", 0L, 100L, 2L), ("g2", 200L, 201L, 1L)), got)
+    assert(run(iv.repartition(5)) == got)
+  }
+
+  test("top paths and benford driver entries: bounded output, exact " +
+       "share/count invariants") {
+    val sf = "/root/testdata/sf0.001"
+    val paths = graft.SparkEntry.queries("e_top_paths")(spark, sf).collect()
+    assert(paths.length <= 20 && paths.nonEmpty)
+    // counts are non-increasing in rank order (the orderBy before limit)
+    val ns = paths.map(_.getLong(3))
+    assert(ns.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val ben = graft.SparkEntry.queries("f_benford")(spark, sf).collect()
+    assert(ben.map(_.getString(0)).toSet.subsetOf(
+      (1 to 9).map(_.toString).toSet))
+    assert(math.abs(ben.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(ben.map(_.getLong(1)).sum ==
+      graft.Tables.orders(spark, sf).count())
+  }
 }
