@@ -174,6 +174,88 @@ object Events {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
           .limit(20)
+    },
+
+    // Windowed conversion funnel: viewers whose first purchase AFTER
+    // their first view lands within 7 days — the time-bounded form of
+    // e_funnel (real funnels expire). Epoch-second integers everywhere;
+    // the viewer base and the conversion set are two keyed aggregates
+    // plus one broadcast-scalar attach.
+    Op("e_funnel_windowed",
+       """WITH tv AS (
+         |  SELECT user_id, CAST(min(epoch(ts)) AS BIGINT) AS t_view
+         |  FROM events WHERE event_type = 'view' GROUP BY 1),
+         |conv AS (
+         |  SELECT t.user_id, t.t_view,
+         |         min(CAST(epoch(e.ts) AS BIGINT)) AS t_conv
+         |  FROM tv t JOIN events e ON e.user_id = t.user_id
+         |  WHERE e.event_type = 'purchase'
+         |    AND CAST(epoch(e.ts) AS BIGINT) > t.t_view
+         |  GROUP BY 1, 2)
+         |SELECT (SELECT count(*) FROM tv) AS n_viewers,
+         |       count(*) FILTER (t_conv - t_view <= 604800)
+         |         AS n_converted_7d
+         |FROM conv""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("t_view"))
+      val nViewers = tv.agg(count(lit(1)).as("n_viewers"))
+      val conv = tv
+        .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), unix_timestamp(col("ts")).as("tp")),
+          "user_id")
+        .filter(col("tp") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("tp")).as("t_conv"))
+      conv.agg(sum(when(col("t_conv") - col("t_view") <= 604800L, 1L)
+          .otherwise(0L)).as("n_converted_7d"))
+        .crossJoin(broadcast(nViewers))
+        .select(col("n_viewers"), col("n_converted_7d"))
+    },
+
+    // Run-length encoding of each user's event stream: consecutive
+    // same-type runs (the repetition/liveness signal — "how long do
+    // error bursts last?"). The run flag is lag-based on the sessionize
+    // window shape; per-type run census output is |types| rows.
+    Op("e_event_runs",
+       """WITH flagged AS (
+         |  SELECT event_type, user_id, ts, event_id,
+         |         CASE WHEN event_type IS DISTINCT FROM
+         |              lag(event_type) OVER (PARTITION BY user_id
+         |                ORDER BY ts, event_id)
+         |         THEN 1 ELSE 0 END AS new_run
+         |  FROM events),
+         |runid AS (
+         |  SELECT event_type, user_id,
+         |         CAST(sum(new_run) OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS rid
+         |  FROM flagged),
+         |runs AS (
+         |  SELECT event_type, count(*) AS len
+         |  FROM runid GROUP BY event_type, user_id, rid)
+         |SELECT event_type, count(*) AS n_runs, max(len) AS max_run,
+         |       CAST(sum(len) AS BIGINT) AS n_events
+         |FROM runs GROUP BY 1""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val newRun = when(not(col("event_type") <=>
+        lag(col("event_type"), 1).over(byUser)), 1).otherwise(0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+        .withColumn("new_run", newRun)
+        .select(col("event_type"), col("user_id"),
+          sum(col("new_run")).over(running).as("rid"))
+        .groupBy(col("event_type"), col("user_id"), col("rid"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_run"),
+          sum(col("len")).as("n_events"))
     }
   )
 }

@@ -306,5 +306,122 @@ object Profiling {
         .withColumn("share", col("n").cast("double") /
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
             .partitionBy()))
+    },
+
+    // Chi-square independence screen over the (lang, source) contingency
+    // table: per-cell observed count and chi-square term, computed as
+    // (O*N - rt*ct)^2 / (N*rt*ct) — integer numerator and denominator,
+    // ONE double division per cell, so the statistic replays exactly.
+    // The contingency table is bounded (|langs| x |sources|); margins
+    // are two tiny aggregates broadcast back onto it.
+    Op("f_chi_square",
+       """WITH o AS (
+         |  SELECT lang, source, count(*) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+         |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT o.lang, o.source, o.o,
+         |       CAST((o.o * n.n - rt.rt * ct.ct)
+         |            * (o.o * n.n - rt.rt * ct.ct) AS DOUBLE)
+         |         / CAST(n.n * rt.rt * ct.ct AS DOUBLE) AS chi_term
+         |FROM o JOIN rt USING (lang) JOIN ct USING (source), nn n""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val o = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rt = o.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+        val ct = o.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+        val nn = docs.agg(count(lit(1)).as("n"))
+        val dev = col("o") * col("n") - col("rt") * col("ct")
+        o.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+          .crossJoin(broadcast(nn))
+          .select(col("lang"), col("source"), col("o"),
+            ((dev * dev).cast("double") /
+              (col("n") * col("rt") * col("ct")).cast("double"))
+              .as("chi_term"))
+    },
+
+    // Join-key skew census: the top-10 heaviest supplier keys with their
+    // integer parts-per-million share — the profile that decides whether
+    // a downstream join needs salting (Skew.saltedJoin) or AQE skew
+    // handling. One keyed count, a 2-value broadcast, TakeOrdered top-k.
+    Op("profile_key_skew",
+       """WITH k AS (
+         |  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys
+         |      FROM k)
+         |SELECT key, n, (n * 1000000) // t.total AS ppm, t.n_keys
+         |FROM k, t ORDER BY n DESC, key LIMIT 10""".stripMargin) { (s, d) =>
+      val k = Tables.lineitem(s, d).groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val t = k.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+      k.crossJoin(broadcast(t))
+        .select(col("key"), col("n"),
+          expr("(n * 1000000) div total").as("ppm"), col("n_keys"))
+        .orderBy(col("n").desc, col("key")).limit(10)
+    },
+
+    // Winsorized mean of extended price per return flag: exact p5/p95
+    // bounds from integer rank arithmetic (r = ceil(p*n/100) over the
+    // cents ordering — replayed identically, no engine percentile
+    // definitional drift), then clamp-and-sum in exact cents with ONE
+    // double division per group. Two windows share one (partition,
+    // order) spec; bounds re-attach by the group key (a |groups|-row
+    // broadcast).
+    Op("f_winsorize",
+       """WITH c AS (
+         |  SELECT l_returnflag AS flag,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents,
+         |         l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |ranked AS (
+         |  SELECT flag, cents,
+         |         row_number() OVER (PARTITION BY flag
+         |           ORDER BY cents, l_orderkey, l_linenumber) AS r,
+         |         count(*) OVER (PARTITION BY flag) AS n
+         |  FROM c),
+         |bounds AS (
+         |  SELECT flag,
+         |         max(CASE WHEN r = (5 * n + 99) // 100 THEN cents END) AS lo,
+         |         max(CASE WHEN r = (95 * n + 99) // 100 THEN cents END) AS hi,
+         |         max(n) AS n
+         |  FROM ranked GROUP BY 1)
+         |SELECT b.flag, b.n, CAST(b.lo AS DOUBLE) / 100.0 AS p5,
+         |       CAST(b.hi AS DOUBLE) / 100.0 AS p95,
+         |       CAST(sum(least(greatest(r.cents, b.lo), b.hi)) AS DOUBLE)
+         |         / (CAST(b.n AS DOUBLE) * 100.0) AS winsorized_mean
+         |FROM ranked r JOIN bounds b ON b.flag = r.flag
+         |GROUP BY b.flag, b.n, b.lo, b.hi""".stripMargin) { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val byFlag = W.partitionBy(col("flag"))
+      val c = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ranked = c
+        .withColumn("r", row_number().over(byFlag
+          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      val bounds = ranked.groupBy(col("flag"))
+        .agg(
+          max(when(col("r") === expr("(5 * n + 99) div 100"),
+            col("cents"))).as("lo"),
+          max(when(col("r") === expr("(95 * n + 99) div 100"),
+            col("cents"))).as("hi"),
+          max(col("n")).as("n"))
+      ranked.select(col("flag"), col("cents"))
+        .join(broadcast(bounds), "flag")
+        .groupBy(col("flag"), col("n"), col("lo"), col("hi"))
+        .agg(sum(least(greatest(col("cents"), col("lo")), col("hi")))
+          .as("csum"))
+        .select(col("flag"), col("n"),
+          (col("lo").cast("double") / 100.0).as("p5"),
+          (col("hi").cast("double") / 100.0).as("p95"),
+          (col("csum").cast("double") /
+            (col("n").cast("double") * lit(100.0)))
+            .as("winsorized_mean"))
     })
 }

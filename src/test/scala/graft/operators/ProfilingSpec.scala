@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the census/robust-stats ops added alongside the column
+  * profiler: chi-square margins, skew ppm arithmetic, winsorized bounds,
+  * run-length accounting, and the windowed funnel's subset relation.
+  */
+class ProfilingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("chi-square: terms are non-negative, observed cells sum to N, " +
+       "and a uniform synthetic table yields exactly zero") {
+    val cells = graft.SparkEntry.queries("f_chi_square")(spark, sf)
+      .collect()
+    assert(cells.nonEmpty)
+    assert(cells.forall(_.getDouble(3) >= 0.0))
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(cells.map(_.getLong(2)).sum == n)
+    // perfectly independent 2x2 table: O*N == rt*ct in every cell
+    import spark.implicits._
+    val uni = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("lang", "source")
+    val o = uni.groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val rt = o.groupBy($"lang").agg(sum($"o").as("rt"))
+    val ct = o.groupBy($"source").agg(sum($"o").as("ct"))
+    val terms = o.join(rt, "lang").join(ct, "source")
+      .crossJoin(uni.agg(count(lit(1)).as("n")))
+      .select((($"o" * $"n" - $"rt" * $"ct") *
+        ($"o" * $"n" - $"rt" * $"ct")).cast("double").as("num"))
+      .collect().map(_.getDouble(0))
+    assert(terms.forall(_ == 0.0))
+  }
+
+  test("key skew: ppm is the exact integer share, rows ordered by " +
+       "weight, n_keys constant") {
+    val rows = graft.SparkEntry.queries("profile_key_skew")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    val total = graft.Tables.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / total)
+    }
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.map(_.getLong(3)).distinct.length == 1)
+  }
+
+  test("winsorize: bounds are exact empirical percentiles, the " +
+       "winsorized mean is pulled inside [p5, p95] and differs from the " +
+       "raw mean when outliers exist") {
+    import spark.implicits._
+    // one group: 98 values of 100 cents, one 1-cent low, one 1e9 high
+    val vals = (Seq(0.01, 10000000.00) ++ Seq.fill(98)(1.00))
+      .zipWithIndex.map { case (v, i) => (i.toLong, 1, v, "G") }
+    val df = vals.toDF("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_returnflag")
+    // drive through the registered query by writing a temp parquet dir
+    val dir = java.nio.file.Files.createTempDirectory("win").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.SparkEntry.queries("f_winsorize")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (n, p5, p95, m) = (r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4))
+    assert(n == 100)
+    // rank ceil(5*100/100)=5 -> 5th smallest = 1.00 (after the 1-cent
+    // low); rank 95 -> 1.00 as well: both extremes clipped
+    assert(p5 == 1.0 && p95 == 1.0)
+    assert(m == 1.0, s"fully-clipped mean must be exactly 1.00: $m")
+  }
+
+  test("event runs: per-type totals reconcile with raw counts; runs " +
+       "bound between 1 and event count") {
+    val runs = graft.SparkEntry.queries("e_event_runs")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val truth = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(runs.keySet == truth.keySet)
+    runs.foreach { case (t, (nRuns, maxRun, nEvents)) =>
+      assert(nEvents == truth(t), s"$t events $nEvents != ${truth(t)}")
+      assert(nRuns >= 1 && nRuns <= nEvents)
+      assert(maxRun >= 1 && maxRun <= nEvents - nRuns + 1)
+    }
+  }
+
+  test("windowed funnel: converted-within-7d is bounded by viewers and " +
+       "by the unwindowed view->purchase population") {
+    val r = graft.SparkEntry.queries("e_funnel_windowed")(spark, sf)
+      .collect().head
+    val (viewers, conv) = (r.getLong(0), r.getLong(1))
+    assert(conv >= 0 && conv <= viewers)
+    val ev = graft.Tables.events(spark, sf)
+    val unwindowed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("tp")), "user_id")
+      .filter(col("tp") > col("tv"))
+      .select(col("user_id")).distinct().count()
+    assert(conv <= unwindowed)
+  }
+}
