@@ -30,7 +30,8 @@ object SparkEntry {
       sources.SourceOps.ops ++
       llm.LlmOps.ops ++
       llm.Retrieval.ops ++
-      llm.Classify.ops
+      llm.Classify.ops ++
+      llm.Moderation.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_orders shape (agg + left join + derived total) — the reference's

@@ -423,5 +423,67 @@ object Profiling {
           (col("csum").cast("double") /
             (col("n").cast("double") * lit(100.0)))
             .as("winsorized_mean"))
+    },
+
+    // Referential-integrity census across every declared FK edge of the
+    // star schema in one report — the profiling companion to the
+    // per-test relationships check (J3): child row count and orphan
+    // count per edge. Each branch is one left join keyed on the parent
+    // key + a 2-value aggregate; branches are independent subtrees that
+    // schedule concurrently.
+    Op("profile_fk_orphans",
+       """SELECT 'orders.custkey' AS fk, count(*) AS n_child,
+         |       count(*) FILTER (c.c_custkey IS NULL) AS n_orphans
+         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         |UNION ALL
+         |SELECT 'lineitem.orderkey', count(*),
+         |       count(*) FILTER (o.o_orderkey IS NULL)
+         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |UNION ALL
+         |SELECT 'lineitem.partkey', count(*),
+         |       count(*) FILTER (p.p_partkey IS NULL)
+         |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         |UNION ALL
+         |SELECT 'lineitem.suppkey', count(*),
+         |       count(*) FILTER (s.s_suppkey IS NULL)
+         |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |UNION ALL
+         |SELECT 'customer.nationkey', count(*),
+         |       count(*) FILTER (n.n_nationkey IS NULL)
+         |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |UNION ALL
+         |SELECT 'nation.regionkey', count(*),
+         |       count(*) FILTER (r.r_regionkey IS NULL)
+         |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin) {
+      (s, d) =>
+        val edges = Seq(
+          ("orders.custkey", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"),
+          ("lineitem.orderkey", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"),
+          ("lineitem.partkey", Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey"),
+          ("lineitem.suppkey", Tables.lineitem(s, d), "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey"),
+          ("customer.nationkey", Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey"),
+          ("nation.regionkey", Tables.nation(s, d), "n_regionkey",
+            Tables.region(s, d), "r_regionkey"))
+        edges.map { case (name, child, ck, parent, pk) =>
+          fkOrphans(name, child, ck, parent, pk)
+        }.reduce(_ unionByName _)
     })
+
+  /** One FK-edge orphan count: child rows whose key finds no parent.
+    * A left join (distinct parent keys, so no fanout) + one aggregate;
+    * the parent side reduces to its key column before the shuffle.
+    */
+  def fkOrphans(name: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
 }
