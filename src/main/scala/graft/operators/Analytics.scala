@@ -461,6 +461,50 @@ object Analytics {
               .cast("long").as("cents"),
             col("p_size").cast("long").as("size")),
           "cents", "size")
+    },
+
+    // Market-basket association rules over order contents: part pairs
+    // co-ordered >= 2 times with support, confidence and lift. The pair
+    // relation is a self-join keyed on the order — bounded by per-order
+    // basket size (the per-key fanout is |basket|^2, never all-pairs
+    // over the catalog); supports attach as a broadcast; confidence is
+    // ONE exact division and lift one more over integer cross-products.
+    Op("m_basket_rules",
+       """WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+         |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS s
+         |         FROM items GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS sab
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT pa, pb, sab, sa.s AS sa, sb.s AS sb,
+         |       CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+         |       CAST(sab * n.n AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE)
+         |         AS lift
+         |FROM pairs JOIN supp sa ON sa.p = pa
+         |JOIN supp sb ON sb.p = pb, nn n""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val nn = items.agg(count_distinct(col("ok")).as("n"))
+      val supp = items.groupBy(col("p")).agg(count(lit(1)).as("s"))
+      val a = items.select(col("ok"), col("p").as("pa"))
+      val b = items.select(col("ok"), col("p").as("pb"))
+      a.join(b, "ok").filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sab"))
+        .filter(col("sab") >= 2)
+        .join(broadcast(supp.select(col("p").as("pa"), col("s").as("sa"))),
+          "pa")
+        .join(broadcast(supp.select(col("p").as("pb"), col("s").as("sb"))),
+          "pb")
+        .crossJoin(broadcast(nn))
+        .select(col("pa"), col("pb"), col("sab"), col("sa"), col("sb"),
+          (col("sab").cast("double") / col("sa").cast("double"))
+            .as("confidence"),
+          ((col("sab") * col("n")).cast("double") /
+            (col("sa") * col("sb")).cast("double")).as("lift"))
     }
   )
 

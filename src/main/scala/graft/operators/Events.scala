@@ -256,6 +256,58 @@ object Events {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_run"),
           sum(col("len")).as("n_events"))
+    },
+
+    // Two-proportion A/B read-out: users split by id parity, conversion
+    // = more purchases than clicks (scale-free, so both sf gates split).
+    // The pooled z^2 statistic is assembled from INTEGER cross-products
+    // — (c0*n1 - c1*n0)^2 * (n0+n1) over n0*n1*(c0+c1)*(n-c...) — with
+    // exactly one double division, so the test statistic itself
+    // hash-compares. One keyed aggregate + a 4-value pivot.
+    Op("e_ab_test",
+       """WITH u AS (
+         |  SELECT user_id, user_id % 2 AS variant,
+         |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |                           THEN 1 ELSE 0 END)
+         |              > sum(CASE WHEN event_type = 'click'
+         |                         THEN 1 ELSE 0 END)
+         |         THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1, 2),
+         |v AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(conv) AS BIGINT) AS c
+         |  FROM u GROUP BY 1),
+         |w AS (
+         |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         |         max(CASE WHEN variant = 0 THEN c END) AS c0,
+         |         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         |         max(CASE WHEN variant = 1 THEN c END) AS c1
+         |  FROM v)
+         |SELECT n0, c0, n1, c1,
+         |       CAST((c0 * n1 - c1 * n0) * (c0 * n1 - c1 * n0)
+         |            * (n0 + n1) AS DOUBLE)
+         |         / CAST(n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1)
+         |                AS DOUBLE) AS z2
+         |FROM w""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(when(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)) >
+            sum(when(col("event_type") === "click", 1).otherwise(0)),
+          1).otherwise(0).as("conv"))
+      val v = u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val w = v.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("c"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("c"))).as("c1"))
+      val dev = col("c0") * col("n1") - col("c1") * col("n0")
+      w.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        ((dev * dev * (col("n0") + col("n1"))).cast("double") /
+          (col("n0") * col("n1") * (col("c0") + col("c1")) *
+            (col("n0") + col("n1") - col("c0") - col("c1")))
+            .cast("double")).as("z2"))
     }
   )
 }

@@ -125,6 +125,52 @@ object Timeseries {
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("new_users"))
         .withColumn("cum_users", sum(col("new_users")).over(running))
+    },
+
+    // Time-weighted average value per (user, day) — the TWAP/VWAP shape:
+    // each observation weighs by its holding time until the next one,
+    // single-observation days (zero span) excluded. Value goes to exact
+    // cents BEFORE weighting, so the weighted sum is a BIGINT and the
+    // one double division per group replays; the lead and the aggregate
+    // run on one keyed sort.
+    Op("ts_twap",
+       """WITH e AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         epoch_us(ts) AS t,
+         |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |         event_id
+         |  FROM events),
+         |stepped AS (
+         |  SELECT user_id, day, cents, t,
+         |         lead(t) OVER (PARTITION BY user_id, day
+         |           ORDER BY t, event_id) AS tn
+         |  FROM e),
+         |agg AS (
+         |  SELECT user_id, day,
+         |         CAST(sum(cents * (tn - t)) AS BIGINT) AS wsum,
+         |         CAST(max(t) - min(t) AS BIGINT) AS span
+         |  FROM stepped GROUP BY 1, 2)
+         |SELECT user_id, day,
+         |       CAST(wsum AS DOUBLE) / (CAST(span AS DOUBLE) * 100.0)
+         |         AS twap
+         |FROM agg WHERE span > 0""".stripMargin) { (s, d) =>
+      val byDay = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), day.as("day"),
+          unix_micros(col("ts")).as("t"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          col("event_id"))
+        .withColumn("tn", lead(col("t"), 1).over(byDay))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents") * (col("tn") - col("t"))).as("wsum"),
+          (max(col("t")) - min(col("t"))).as("span"))
+        .filter(col("span") > 0)
+        .select(col("user_id"), col("day"),
+          (col("wsum").cast("double") /
+            (col("span").cast("double") * lit(100.0))).as("twap"))
     }
   )
 }

@@ -39,4 +39,31 @@ class AnalyticsSpec extends SparkSpec {
     // rfm_cell is the concatenation of the three scores
     assert(rows.forall(r => r._7 == s"${r._4}${r._5}${r._6}"))
   }
+
+  test("basket rules: closed-form support/confidence/lift on crafted " +
+       "baskets; duplicate lines collapse; threshold prunes") {
+    import spark.implicits._
+    // baskets: {1,2} x3, {1,3} x1, {2,3} x1, {1} x1 -> N=6 orders
+    // pair (1,2): sab=3, s1=5, s2=4 -> conf 0.6, lift 3*6/20=0.9
+    val lines = Seq(
+      (101L, 1L), (101L, 2L), (101L, 2L), // dup line must not inflate
+      (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 2L),
+      (104L, 1L), (104L, 3L),
+      (105L, 2L), (105L, 3L),
+      (106L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("basket").toString
+    lines.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("m_basket_rules")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // only (1,2) reaches support 2; (1,3) and (2,3) have 1 each
+    assert(got.keySet == Set((1L, 2L)), got.keySet)
+    val (sab, sa, sb, conf, lift) = got((1L, 2L))
+    assert(sab == 3 && sa == 5 && sb == 4)
+    assert(conf == 3.0 / 5.0 && lift == 18.0 / 20.0)
+  }
 }

@@ -92,6 +92,36 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("twap: closed-form weights on a crafted day; zero-span days " +
+       "excluded; exact micros arithmetic") {
+    import spark.implicits._
+    // user 1 day 0: value 10.00 held 30s, then 20.00 held 10s, then a
+    // final observation (zero weight) -> twap = (10*30 + 20*10)/40 = 12.5
+    // user 2: single observation -> zero span -> excluded
+    val base = 86400L * 1000000L // stay inside day 1 (epoch-day 1)
+    val ev = Seq(
+      (1L, 1L, base + 0L, 10.00, "view"),
+      (2L, 1L, base + 30L * 1000000L, 20.00, "view"),
+      (3L, 1L, base + 40L * 1000000L, 99.00, "view"),
+      (4L, 2L, base + 5L * 1000000L, 50.00, "view"))
+      .toDF("event_id", "user_id", "us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val dir = java.nio.file.Files.createTempDirectory("twap").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("ts_twap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 12.5)), got.toSeq)
+  }
+
+  test("ab test: statistic is non-negative and finite, counts bounded") {
+    val r = graft.SparkEntry.queries("e_ab_test")(spark,
+      "/root/testdata/sf0.001").collect().head
+    val (n0, c0, n1, c1, z2) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))
+    assert(c0 >= 0 && c0 <= n0 && c1 >= 0 && c1 <= n1)
+    assert(z2 >= 0.0 && !z2.isNaN && !z2.isInfinite)
+  }
+
   test("skyline on sf0.001 part equals the quadratic reference") {
     import spark.implicits._
     val p = graft.Tables.part(spark, sf).select(col("p_partkey").as("id"),
