@@ -85,7 +85,20 @@ class PlanAuditSpec extends SparkSpec {
         n == "f_kmv_jaccard" || n == "mix_curriculum" || n == "knn_mmr" ||
         // text_bm25_prf returns the round-2 bm25TopK plan — the
         // text_bm25_topk 1-row stats-attach shape (verified below)
-        n == "text_bm25_prf")
+        n == "text_bm25_prf" ||
+        // e_funnel_windowed / m_basket_rules / profile_key_skew /
+        // f_chi_square: 1-row global-aggregate scalar attaches
+        // (verified below); text_qld_topk / text_blocklist: the bounded
+        // LITERAL query-term/phrase array broadcast against candidates —
+        // the intended fan-out (verified no-cartesian below)
+        n == "e_funnel_windowed" || n == "m_basket_rules" ||
+        n == "profile_key_skew" || n == "f_chi_square" ||
+        n == "text_qld_topk" || n == "text_blocklist" ||
+        // text_naive_bayes: the |classes| x |vocab| model table is built
+        // by crossing two BOUNDED sides (top-V vocab, class list) plus
+        // 1-row V/N scalar attaches, then broadcast — the intended
+        // bounded-model shape (verified below)
+        n == "text_naive_bayes")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -114,13 +127,26 @@ class PlanAuditSpec extends SparkSpec {
         "f_equidepth_hist", "text_pmi_collocations", "text_bm25_batch",
         // f_kmv_jaccard: the 1-row exact union/intersection aggregate
         // attaches to the 1-row pivoted sketch pair
-        "text_perplexity_kn", "f_kmv_jaccard", "text_bm25_prf")
+        "text_perplexity_kn", "f_kmv_jaccard", "text_bm25_prf",
+        // e_funnel_windowed: the 1-row viewer-count attach;
+        // m_basket_rules: the 1-row order-count attach; profile_key_skew:
+        // the 1-row (total, n_keys) attach; f_chi_square: the 1-row N
+        // attach onto the bounded contingency table; text_qld_topk: the
+        // 1-row corpus-length stats attach (its terms fan-out audited
+        // with the literal-broadcast group below)
+        "e_funnel_windowed", "m_basket_rules", "profile_key_skew",
+        "f_chi_square", "text_qld_topk", "text_naive_bayes")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
         // the broadcast side is a keyless global aggregate -> one row
         assert(p.contains("HashAggregate(keys=[]"), s"$name:\n$p")
       }
+    // text_blocklist: the only non-equi broadcast is the literal phrase
+    // array (LocalTableScan, bounded by the blocklist size)
+    val bl = plan("text_blocklist")
+    assert(!bl.contains("CartesianProduct"), bl)
+    assert(bl.contains("LocalTableScan"), bl)
     // hybrid_rrf: BM25's keyless stats aggregate PLUS the dense side's
     // query-vector attach — 1 row because vec_id is the table key and the
     // EqualTo filter reaches the scan
