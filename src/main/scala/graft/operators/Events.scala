@@ -308,6 +308,31 @@ object Events {
           (col("n0") * col("n1") * (col("c0") + col("c1")) *
             (col("n0") + col("n1") - col("c0") - col("c1")))
             .cast("double")).as("z2"))
+    },
+
+    // Gap-based debounce: drop an event arriving within 6 hours of the
+    // PREVIOUS event of the same (user, type) — the telemetry throttle
+    // (duplicate beacon suppression), expressed as the sessionize lag
+    // shape with exact microsecond gaps. Suppression chains extend
+    // (gap measures to the previous RAW event, as in gap-based
+    // sessionization, not to the last kept one — the latter is a
+    // sequential scan no keyed window expresses).
+    Op("e_debounce",
+       """SELECT user_id, event_type, event_id FROM (
+         |  SELECT user_id, event_type, event_id,
+         |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |           PARTITION BY user_id, event_type
+         |           ORDER BY ts, event_id) AS gap
+         |  FROM events) WHERE gap IS NULL OR gap > 21600000000""".stripMargin) {
+      (s, d) =>
+        val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            (unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(byKey)).as("gap"))
+          .filter(col("gap").isNull || col("gap") > 21600000000L)
+          .drop("gap")
     }
   )
 }

@@ -171,6 +171,87 @@ object Timeseries {
         .select(col("user_id"), col("day"),
           (col("wsum").cast("double") /
             (col("span").cast("double") * lit(100.0))).as("twap"))
+    },
+
+    // Exponential smoothing of each user's daily-spend series with
+    // alpha = 1/2, kept INTEGER: ema' = (ema + x) >> 1 — an arithmetic
+    // shift is floor division by 2, so the recurrence replays exactly on
+    // both engines (a float EMA never hash-compares). The fold runs over
+    // the day-sorted list per user — sequential by definition (each step
+    // needs the previous), parallel across users; group size is bounded
+    // by the calendar, not the corpus.
+    Op("ts_ema",
+       """WITH daily AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1, 2)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+         |       list_reduce(list(cents ORDER BY day),
+         |                   (a, b) -> (a + b) >> 1) AS ema
+         |FROM daily GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("cents"))))
+            .as("arr"))
+        .select(col("user_id"), col("n_days"),
+          aggregate(
+            slice(col("arr"), lit(2), size(col("arr")) - 1),
+            element_at(col("arr"), 1).getField("cents"),
+            (acc, x) => shiftright(acc + x.getField("cents"), 1))
+            .as("ema"))
+    },
+
+    // CUSUM change-point: for each event type, the day where the
+    // cumulative deviation of daily spend from the series mean peaks in
+    // magnitude. The deviation is SCALED — cents*D - T — so no division
+    // ever happens and the whole statistic is BIGINT-exact; the peak
+    // picks the earliest day on magnitude ties. Runs entirely on the
+    // bounded (type, day) cell table.
+    Op("ts_cusum_changepoint",
+       """WITH daily AS (
+         |  SELECT event_type,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(sum(cents) AS BIGINT) AS t,
+         |         CAST(count(*) AS BIGINT) AS d
+         |  FROM daily GROUP BY 1),
+         |cs AS (
+         |  SELECT daily.event_type, day,
+         |         CAST(sum(cents * d - t) OVER (PARTITION BY daily.event_type
+         |              ORDER BY day
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS cusum
+         |  FROM daily JOIN tot USING (event_type))
+         |SELECT event_type, day, cusum FROM (
+         |  SELECT event_type, day, cusum,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY abs(cusum) DESC, day) AS rn
+         |  FROM cs) WHERE rn = 1""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("t"), count(lit(1)).as("d"))
+      val running = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("day"),
+          sum(col("cents") * col("d") - col("t")).over(running).as("cusum"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("cusum")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .drop("rn")
     }
   )
 }

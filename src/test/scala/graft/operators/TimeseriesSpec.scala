@@ -122,6 +122,53 @@ class TimeseriesSpec extends SparkSpec {
     assert(z2 >= 0.0 && !z2.isNaN && !z2.isInfinite)
   }
 
+  test("ema, debounce, cusum: closed forms on crafted event streams") {
+    import spark.implicits._
+    val base = 86400L * 1000000L
+    def ev(rows: (Long, Long, Long, Double, String)*) = {
+      val dir = java.nio.file.Files.createTempDirectory("ts").toString
+      rows.toDF("event_id", "user_id", "us", "value", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // EMA over daily cents 1000, 2000, 3000:
+    // (1000+2000)>>1 = 1500; (1500+3000)>>1 = 2250
+    val emaDir = ev(
+      (1L, 1L, base, 10.00, "view"),
+      (2L, 1L, base + 86400L * 1000000L, 20.00, "view"),
+      (3L, 1L, base + 2 * 86400L * 1000000L, 30.00, "view"))
+    val ema = graft.SparkEntry.queries("ts_ema")(spark, emaDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ema.toSeq == Seq((1L, 3L, 2250L)), ema.toSeq)
+
+    // debounce: events at t0, t0+1h, t0+7h for one (user, type):
+    // the +1h event is suppressed (gap 1h <= 6h), the +7h event
+    // survives (gap to PREVIOUS RAW event = 6h1m > 6h)
+    val debDir = ev(
+      (1L, 1L, base, 1.0, "click"),
+      (2L, 1L, base + 3600L * 1000000L, 1.0, "click"),
+      (3L, 1L, base + (7 * 3600L + 60L) * 1000000L, 1.0, "click"),
+      (4L, 2L, base, 1.0, "click")) // other user unaffected
+    val kept = graft.SparkEntry.queries("e_debounce")(spark, debDir)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept == Set(1L, 3L, 4L), kept)
+
+    // cusum: flat series with a level shift on the last 2 of 4 days
+    // peaks (in magnitude) at the last pre-shift day
+    val csDir = ev(
+      (1L, 1L, base, 10.0, "view"),
+      (2L, 1L, base + 86400L * 1000000L, 10.0, "view"),
+      (3L, 1L, base + 2 * 86400L * 1000000L, 50.0, "view"),
+      (4L, 1L, base + 3 * 86400L * 1000000L, 50.0, "view"))
+    val cp = graft.SparkEntry.queries("ts_cusum_changepoint")(spark, csDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // daily cents 1000,1000,5000,5000; T=12000, D=4
+    // dev*D-T: 4000-12000=-8000 each flat day -> cusum -8000,-16000,
+    // then +8000 each shifted day -> -8000, 0; peak |.| at day 2
+    assert(cp.toSeq == Seq(("view", 2L, -16000L)), cp.toSeq)
+  }
+
   test("skyline on sf0.001 part equals the quadratic reference") {
     import spark.implicits._
     val p = graft.Tables.part(spark, sf).select(col("p_partkey").as("id"),
