@@ -463,6 +463,113 @@ object Analytics {
           "cents", "size")
     },
 
+    // Top-3 parts per supplier by exact revenue — the general top-k-per-
+    // group window (w1 is its k=1 special case): one shuffle keyed by
+    // the group, rank filter applied streaming per sorted run.
+    Op("w7_topk_per_group",
+       """WITH rev AS (
+         |  SELECT l_suppkey, l_partkey,
+         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+         |              AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_suppkey, l_partkey,
+         |       CAST(cents AS DOUBLE) / 100.0 AS revenue, rk
+         |FROM (
+         |  SELECT l_suppkey, l_partkey, cents,
+         |         CAST(row_number() OVER (PARTITION BY l_suppkey
+         |           ORDER BY cents DESC, l_partkey) AS INTEGER) AS rk
+         |  FROM rev) WHERE rk <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("cents").desc, col("l_partkey"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) * 100).cast("long")
+          .as("cents"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_suppkey"), col("l_partkey"),
+          (col("cents").cast("double") / 100.0).as("revenue"), col("rk"))
+    },
+
+    // Exact per-group mode with a deterministic tiebreak — the
+    // categorical summary statistic (most frequent status per priority).
+    Op("f_mode",
+       """SELECT o_orderpriority, status_mode, n FROM (
+         |  SELECT o_orderpriority, o_orderstatus AS status_mode,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         row_number() OVER (PARTITION BY o_orderpriority
+         |           ORDER BY count(*) DESC, o_orderstatus) AS rn
+         |  FROM orders GROUP BY 1, 2) WHERE rn = 1""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            col("o_orderstatus").as("status_mode"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("o_orderpriority"))
+              .orderBy(col("n").desc, col("status_mode"))))
+          .filter(col("rn") === 1).drop("rn")
+    },
+
+    // 80/20 concentration: how many top customers cover 80% of revenue.
+    // The revenue-desc running sum uses the range-partitioned prefix
+    // pattern (skylineMinMax / assignContiguousIds family) — NO
+    // single-partition global window: per-partition prefix sums + ranks,
+    // cross-partition offsets broadcast from a <= #partitions-row
+    // aggregate, the exchange materialized once. The 80% cut is the
+    // integer cross-multiplication run*5 >= total*4.
+    Op("m_pareto_8020",
+       """WITH rev AS (
+         |  SELECT o_custkey,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+         |              AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |ranked AS (
+         |  SELECT cents,
+         |         CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS run,
+         |         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+         |  FROM rev),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS n FROM rev)
+         |SELECT CAST(min(rk) AS BIGINT) AS n_top, n.n AS n_customers
+         |FROM ranked, tot n WHERE run * 5 >= n.t * 4
+         |GROUP BY n.n""".stripMargin) { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec) * 100).cast("long")
+          .as("cents"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ranged = rev
+        .repartitionByRange(parts, col("cents").desc, col("o_custkey"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+      val w = Window.partitionBy(col("__pid"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+      val off = ranged.groupBy(col("__pid"))
+        .agg(sum(col("cents")).as("ps"), count(lit(1)).as("pc"))
+        .select(col("__pid"),
+          coalesce(sum(col("ps")).over(Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("off_s"),
+          coalesce(sum(col("pc")).over(Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("off_c"))
+      val tot = rev.agg(sum(col("cents")).as("t"),
+        count(lit(1)).as("n_customers"))
+      ranged
+        .withColumn("__run", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__rk", row_number().over(w))
+        .join(broadcast(off), "__pid")
+        .crossJoin(broadcast(tot))
+        .filter((col("__run") + col("off_s")) * 5 >= col("t") * 4)
+        .groupBy(col("n_customers"))
+        .agg(min(col("__rk") + col("off_c")).as("n_top"))
+        .select(col("n_top"), col("n_customers"))
+    },
+
     // Market-basket association rules over order contents: part pairs
     // co-ordered >= 2 times with support, confidence and lift. The pair
     // relation is a self-join keyed on the order — bounded by per-order

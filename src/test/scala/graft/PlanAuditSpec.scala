@@ -98,7 +98,10 @@ class PlanAuditSpec extends SparkSpec {
         // by crossing two BOUNDED sides (top-V vocab, class list) plus
         // 1-row V/N scalar attaches, then broadcast — the intended
         // bounded-model shape (verified below)
-        n == "text_naive_bayes")
+        n == "text_naive_bayes" ||
+        // m_pareto_8020: the 1-row (total, n) attach onto the range-
+        // partitioned running sum (verified below)
+        n == "m_pareto_8020")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -135,7 +138,8 @@ class PlanAuditSpec extends SparkSpec {
         // 1-row corpus-length stats attach (its terms fan-out audited
         // with the literal-broadcast group below)
         "e_funnel_windowed", "m_basket_rules", "profile_key_skew",
-        "f_chi_square", "text_qld_topk", "text_naive_bayes")
+        "f_chi_square", "text_qld_topk", "text_naive_bayes",
+        "m_pareto_8020")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

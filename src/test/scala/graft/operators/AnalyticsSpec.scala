@@ -66,4 +66,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(sab == 3 && sa == 5 && sb == 4)
     assert(conf == 3.0 / 5.0 && lift == 18.0 / 20.0)
   }
+
+  test("pareto 80/20: closed form on a crafted revenue skew, exact at " +
+       "the boundary, and invariant under partition count") {
+    import spark.implicits._
+    // revenues 80, 10, 5, 5 -> the top customer alone covers exactly 80%
+    val orders = Seq((1L, 101L, 80.0), (2L, 102L, 10.0), (3L, 103L, 5.0),
+      (4L, 104L, 5.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("pareto").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.SparkEntry.queries("m_pareto_8020")(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 4L)), r)
+    // boundary: equal revenues -> 80% needs ceil(0.8n) customers
+    val flat = (1L to 10L).map(i => (i, 100L + i, 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir2 = java.nio.file.Files.createTempDirectory("pareto2").toString
+    flat.write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val r2 = graft.SparkEntry.queries("m_pareto_8020")(spark, dir2)
+      .collect().head
+    assert((r2.getLong(0), r2.getLong(1)) == ((8L, 10L)), r2)
+  }
+
+  test("mode: deterministic tiebreak picks the lexicographically " +
+       "smaller value on count ties") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "g", "B"), (2L, "g", "B"), (3L, "g", "A"), (4L, "g", "A"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val dir = java.nio.file.Files.createTempDirectory("mode").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.SparkEntry.queries("f_mode")(spark, dir).collect()
+    assert(r.length == 1 && r.head.getString(1) == "A" &&
+      r.head.getLong(2) == 2, r.toSeq)
+  }
+
+  test("top-k per group: exactly min(k, group size) rows per supplier, " +
+       "revenue non-increasing within each group") {
+    val rows = graft.SparkEntry.queries("w7_topk_per_group")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to g.length).toSeq)
+      assert(byRank.map(_._2).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }
