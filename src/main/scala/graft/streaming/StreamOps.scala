@@ -209,6 +209,45 @@ object StreamOps {
         })
   }
 
+  final case class BeaconEvent(event_id: Long, user_id: Long,
+                               event_type: String, ts: Timestamp)
+  final case class KeptEvent(event_id: Long, user_id: Long,
+                             event_type: String)
+  final case class DebounceState(lastKeptMillis: Long)
+
+  /** TRUE stateful debounce: an event is kept iff it arrives more than
+    * `windowMillis` after the last KEPT event of its (user, type) — the
+    * clock resets only on kept events, which no keyed batch window can
+    * express (the batch `e_debounce` measures gaps to the previous RAW
+    * event; the two diverge on chains like 0h, 5h, 9h with a 6h window —
+    * this keeps {0h, 9h}, the gap form keeps {0h}). State is one long per
+    * live (user, type) key; events inside a trigger batch sort by
+    * (ts, event_id) before the state walk so replay order is pinned.
+    */
+  def debounce(events: Dataset[BeaconEvent],
+               windowMillis: Long = 21600000L): Dataset[KeptEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (Long, String), batch: Iterator[BeaconEvent],
+         state: GroupState[DebounceState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(DebounceState(Long.MinValue))
+          val out = sorted.flatMap { e =>
+            val t = e.ts.getTime
+            if (st.lastKeptMillis == Long.MinValue ||
+                t - st.lastKeptMillis > windowMillis) {
+              st = DebounceState(t)
+              Some(KeptEvent(e.event_id, key._1, key._2))
+            } else None
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Continuous corpus ingest with near-dup rejection — the streaming form
     * of [[graft.llm.Dedup.incrementalNearDups]]. Each micro-batch of new
     * documents is (1) deduplicated WITHIN the batch (MinHash pairs →

@@ -428,4 +428,42 @@ class StreamingSpec extends SparkSpec {
       .select("ingest_batch").distinct().count()
     assert(batchesBefore == 1 && batchesAfter == 2)
   }
+
+  test("stateful debounce resets only on KEPT events and carries state " +
+       "across trigger batches — diverging from the batch gap form " +
+       "exactly where the semantics differ") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000L
+    def ev(id: Long, user: Long, tpe: String, millis: Long) =
+      StreamOps.BeaconEvent(id, user, tpe, new Timestamp(millis))
+    val stream = MemoryStream[StreamOps.BeaconEvent]
+    val q = StreamOps.debounce(stream.toDS(), windowMillis = 6 * h)
+      .writeStream.format("memory").queryName("deb")
+      .outputMode("append").start()
+    try {
+      // batch 1: 0h kept; 5h within 6h of KEPT 0h -> dropped; 9h is 9h
+      // after the kept 0h -> KEPT (the raw-gap batch op would drop it:
+      // 9h-5h = 4h). Other user independent.
+      stream.addData(ev(1, 1, "click", 0), ev(2, 1, "click", 5 * h),
+        ev(3, 1, "click", 9 * h), ev(4, 2, "click", 5 * h))
+      q.processAllAvailable()
+      // batch 2: state carries — 13h is 4h after kept 9h -> dropped;
+      // 16h is 7h after kept 9h -> kept
+      stream.addData(ev(5, 1, "click", 13 * h), ev(6, 1, "click", 16 * h))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("deb").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 6L), kept)
+    // the sequential reference over the merged stream agrees
+    val all = Seq((1L, 0L), (2L, 5 * h), (3L, 9 * h), (5L, 13 * h),
+      (6L, 16 * h))
+    var last = Long.MinValue
+    val ref = all.flatMap { case (id, t) =>
+      if (last == Long.MinValue || t - last > 6 * h) { last = t; Some(id) }
+      else None
+    }.toSet + 4L
+    assert(kept == ref)
+  }
 }
