@@ -1184,6 +1184,33 @@ object LlmOps {
       Similarity.bruteForceKnn(Tables.embeddings(s, d))
     },
 
+    // Metadata-FILTERED exact kNN: neighbors must share the query's
+    // label (the vector-DB tenant/metadata predicate). The label
+    // equality makes the broadcast a HASH join — candidates are pruned
+    // before any dot product — and the oracle replays the same
+    // restricted candidate set, so pre-filter semantics (not
+    // post-filter truncation) are what hash-compares.
+    Op("knn_filtered",
+       """SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY q.vec_id
+         |           ORDER BY list_aggregate(
+         |             list_transform(range(1, len(c.embedding) + 1),
+         |               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+         |             'sum')
+         |           / (sqrt(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+         |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))
+         |            * sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+         |                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')))
+         |           DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+         |    AND c.label = q.label)
+         |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      Similarity.filteredKnn(Tables.embeddings(s, d))
+    },
+
     // MMR diversified re-ranking over each query's top-20 cosine
     // candidates (lam=0.7, mu=0.3 as literals on both engines). The
     // recursive CTE's working table carries one row per query per step

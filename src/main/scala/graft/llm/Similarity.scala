@@ -130,6 +130,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Metadata-filtered exact kNN — the vector-DB "filtered search"
+    * pattern (tenant / language / source predicates applied BEFORE
+    * similarity): neighbors restricted to candidates sharing the query's
+    * label. The label equality turns the broadcast from a pure nested
+    * loop into a HASH join keyed on the label, so the filter prunes
+    * candidates before any dot product is evaluated — pre-filtering, not
+    * the post-filter-then-hope-k-survive shape naive stacks use.
+    */
+  def filteredKnn(embeddings: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding", labelCol: String = "label",
+                  nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"),
+      col(labelCol).as("lbl"))
+    val queries = vecs.filter(col("vid") < nQueries)
+      .toDF("query_id", "qv", "qlbl")
+    val scored = vecs.join(broadcast(queries),
+        col("lbl") === col("qlbl") && col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid"),
+        cosine(col("qv"), col("v")).as("sim"))
+    topKPerGroup(scored, "query_id", "vid", "sim", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   final case class MmrCand(vid: Long, sim: Double, v: Seq[Double])
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR

@@ -497,4 +497,30 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("filtered kNN: neighbors share the query's label; reduces to " +
+       "plain kNN on a single-label corpus; label equality plans a hash " +
+       "join, not a nested loop") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(0.9, 0.1), 0),
+      (2L, Seq(0.99, 0.01), 1), // closest overall, but other label
+      (3L, Seq(0.0, 1.0), 0), (4L, Seq(0.1, 0.9), 1))
+    val df = rows.map { case (i, v, l) => (i, v.map(_.toFloat), l) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.filteredKnn(df, nQueries = 1, k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    // query 0 (label 0): only 1 and 3 are eligible; 2 is excluded
+    assert(got.toSeq == Seq((1L, 1), (3L, 2)), got.toSeq)
+    val single = df.withColumn("label", org.apache.spark.sql.functions.lit(7))
+    val a = Similarity.filteredKnn(single, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Similarity.bruteForceKnn(single, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    val plan = Similarity.filteredKnn(df).queryExecution.executedPlan
+      .toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
