@@ -2006,6 +2006,26 @@ object LlmOps {
         .select(col("doc_id"), col("source"), col("seq_id"))
     },
 
+    // Systematic sampling: every 25th document of the md5-shuffled
+    // order — the fixed-interval design (evenly spaced coverage of the
+    // shuffle order, one draw decides the whole sample). Built on the
+    // same rangepartition+offset id assignment as mix_assign_ids, so no
+    // global window; the oracle replays the naive ranked filter the
+    // distributed form provably equals.
+    Op("mix_systematic_sample",
+       """WITH ranked AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+         |  FROM documents)
+         |SELECT doc_id, CAST(r AS BIGINT) AS r
+         |FROM ranked WHERE (r - 1) % 25 = 0""".stripMargin) { (s, d) =>
+      Mixing.assignContiguousIds(
+          Tables.documents(s, d).select(col("doc_id")),
+          struct(md5(col("doc_id").cast("string")), col("doc_id")))
+        .filter(col("seq_id") % 25 === 0)
+        .select(col("doc_id"), (col("seq_id") + 1).as("r"))
+    },
+
     // Stride-interleaved mixture schedule: src1 upweighted 3x, src2
     // halved, everything else at 1. The oracle replays the within-source
     // md5 shuffle ranks, the (rank + 1/2)/w virtual times (one IEEE

@@ -570,6 +570,41 @@ object Analytics {
         .select(col("n_top"), col("n_customers"))
     },
 
+    // Week-over-week revenue growth in integer parts-per-million — the
+    // period-over-period readout every dashboard carries, kept exact:
+    // weekly cents via the decimal domain, growth as (cur-prev)*1e6 div
+    // prev. The first week (no predecessor) is excluded so the growth
+    // column stays BIGINT on both engines. The weekly table is bounded
+    // by the calendar, so the lag window over it is trivially cheap.
+    Op("m_wow_growth",
+       """WITH weekly AS (
+         |  SELECT date_diff('day', DATE '1970-01-01',
+         |           CAST(o_orderdate AS DATE)) // 7 AS wk,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+         |              AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1)
+         |SELECT wk, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |       growth_ppm
+         |FROM (
+         |  SELECT wk, cents,
+         |         ((cents - lag(cents) OVER (ORDER BY wk)) * 1000000)
+         |           // lag(cents) OVER (ORDER BY wk) AS growth_ppm
+         |  FROM weekly)
+         |WHERE growth_ppm IS NOT NULL""".stripMargin) { (s, d) =>
+      val weekly = Tables.orders(s, d)
+        .groupBy(expr("unix_date(to_date(o_orderdate)) div 7").as("wk"))
+        .agg(sum(col("o_totalprice").cast(dec) * 100).cast("long")
+          .as("cents"))
+      weekly
+        .withColumn("growth_ppm",
+          expr("((cents - lag(cents) OVER (ORDER BY wk)) * 1000000)" +
+            " div lag(cents) OVER (ORDER BY wk)"))
+        .filter(col("growth_ppm").isNotNull)
+        .select(col("wk"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          col("growth_ppm"))
+    },
+
     // Market-basket association rules over order contents: part pairs
     // co-ordered >= 2 times with support, confidence and lift. The pair
     // relation is a self-join keyed on the order — bounded by per-order

@@ -465,7 +465,7 @@ object Graphs {
     */
   def hits(edges: DataFrame, srcCol: String = "src",
            dstCol: String = "dst", iters: Int = 4,
-           scale: Long = 1L << 20, checkpointEvery: Int = 8,
+           scale: Long = 1L << 20, checkpointEvery: Int = 1,
            reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
@@ -492,7 +492,17 @@ object Graphs {
         .select(col("d").as("node"),
           expr(s"($scale * raw_v) div S").as("v"))
       half += 1
+      // Cut EVERY `checkpointEvery` half-steps, default 1 — unlike the
+      // single-lineage pageRank (where deeper uncut plans are cheaper),
+      // each half-step here references its own raw aggregate TWICE (the
+      // rows and the broadcast normalizer built from them), so an uncut
+      // chain re-executes the prefix 2^steps times (measured: 34s vs
+      // ~1s for 8 half-steps at sf0.1). The normalizer makes per-step
+      // materialization the correct trade.
       if (half % checkpointEvery == 0 && half < 2 * iters) {
+        // cut materializes the new generation BEFORE the old is
+        // released, and `prev` is only ever consumed as the LAST cut
+        // frame (reassigned each iteration), so two generations suffice
         val cutState = cut(state)
         stateCk.foreach(Dedup.releaseCheckpoint)
         stateCk = Some(cutState)

@@ -88,7 +88,7 @@ object Profiling {
     "o_orderdate" -> AsString,
     "o_orderpriority" -> Identity)
 
-  val ops: Seq[Op] = Seq(
+  val ops: Seq[Op] = Seq(entropyOp) ++ Seq(
     Op("profile_columns", profileOracle("orders", orderFields)) { (s, d) =>
       profile(Tables.orders(s, d), orderFields)
     },
@@ -473,6 +473,46 @@ object Profiling {
           fkOrphans(name, child, ck, parent, pk)
         }.reduce(_ unionByName _)
     })
+
+  /** Shannon entropy of each source's language distribution — the
+    * class-balance profile (a source emitting one language scores 0; a
+    * uniform 5-language source scores ln 5). Runs on the bounded
+    * (source, lang) cell table; the sum folds per-cell terms
+    * n·(ln N − ln n) in lang order through ieee_ln, with ONE double
+    * division per source, so the float statistic hash-compares.
+    */
+  def entropyOp: Op =
+    Op("f_entropy",
+       """WITH cells AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |tots AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt
+         |         FROM cells GROUP BY 1)
+         |SELECT c.source, t.nt AS n_docs,
+         |       list_reduce(list_prepend(0.0,
+         |           list(CAST(c.n AS DOUBLE) *
+         |                (ln(CAST(t.nt AS DOUBLE)) - ln(CAST(c.n AS DOUBLE)))
+         |                ORDER BY c.lang)),
+         |         (a, b) -> a + b) / CAST(t.nt AS DOUBLE) AS entropy
+         |FROM cells c JOIN tots t USING (source)
+         |GROUP BY c.source, t.nt""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.ieeeLn
+      val cells = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val tots = cells.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+      cells.join(broadcast(tots), "source")
+        .select(col("source"), col("nt"), col("lang"),
+          (col("n").cast("double") *
+            (ieeeLn(col("nt").cast("double")) -
+              ieeeLn(col("n").cast("double")))).as("term"))
+        .groupBy(col("source"), col("nt"))
+        .agg((aggregate(
+          sort_array(collect_list(struct(col("lang"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")) /
+          col("nt").cast("double")).as("entropy"))
+        .select(col("source"), col("nt").as("n_docs"), col("entropy"))
+    }
 
   /** One FK-edge orphan count: child rows whose key finds no parent.
     * A left join (distinct parent keys, so no fanout) + one aggregate;

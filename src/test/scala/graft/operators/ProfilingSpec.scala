@@ -88,6 +88,52 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("entropy: uniform distribution hits ln k, single-class hits 0, " +
+       "bounded by ln of the class count") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(8)(i => (i.toLong, s"s${i % 2}",
+      if (i % 2 == 0) Seq("a", "b", "c", "d")(i / 2) else "only")))
+      .map { case (id, s, l) => (id, s, l, "x") }
+      .toDF("doc_id", "source", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ent").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("f_entropy")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // s0: 4 docs uniform over 4 langs -> ln 4; s1: all one lang -> 0
+    assert(got("s0")._1 == 4 &&
+      math.abs(got("s0")._2 - math.log(4)) < 1e-12)
+    assert(got("s1")._2 == 0.0)
+    val real = graft.SparkEntry.queries("f_entropy")(spark,
+      "/root/testdata/sf0.001").collect()
+    real.foreach(r => assert(r.getDouble(2) >= 0 &&
+      r.getDouble(2) <= math.log(5) + 1e-12))
+  }
+
+  test("systematic sample: ranks are exactly 25 apart starting at 1, " +
+       "size is ceil(n/25)") {
+    val rows = graft.SparkEntry.queries("mix_systematic_sample")(spark,
+      "/root/testdata/sf0.001").collect().map(_.getLong(1)).sorted
+    val n = graft.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.length == (n + 24) / 25)
+    assert(rows.toSeq == rows.indices.map(i => i * 25L + 1).toSeq)
+  }
+
+  test("wow growth: exact ppm arithmetic against a recomputed lag") {
+    val rows = graft.SparkEntry.queries("m_wow_growth")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((_, prevRev, _), (_, curRev, ppm)) =>
+        val prevC = math.round(prevRev * 100)
+        val curC = math.round(curRev * 100)
+        // both engines TRUNCATE integer division (Spark div, DuckDB //)
+        assert(ppm == (curC - prevC) * 1000000L / prevC)
+      case _ =>
+    }
+  }
+
   test("windowed funnel: converted-within-7d is bounded by viewers and " +
        "by the unwindowed view->purchase population") {
     val r = graft.SparkEntry.queries("e_funnel_windowed")(spark, sf)
