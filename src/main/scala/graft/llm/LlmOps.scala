@@ -2437,6 +2437,38 @@ object LlmOps {
         .limit(20)
     },
 
+    // Zipf rank-frequency readout: the top-50 tokens with rank and the
+    // n*rank product whose flatness IS the Zipf diagnostic (natural text
+    // holds it near-constant; word salad or boilerplate floods break
+    // it). Ranks come from one orderBy-limit (TakeOrderedAndProject);
+    // the window ranks only the k survivors. n*rank is one exact double
+    // product per row.
+    Op("text_zipf",
+       s"""SELECT tok, n,
+          |       CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+          |         AS rank,
+          |       CAST(n AS DOUBLE) *
+          |         CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)
+          |         AS zipf_product
+          |FROM (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+          |    SELECT unnest($toksSql) AS tok FROM documents)
+          |  GROUP BY tok)
+          |QUALIFY rank <= 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(TextFeatures.tokens(col("text")).as("toks"))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)
+        .withColumn("rank", row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("tok"))).cast("long"))
+        .withColumn("zipf_product",
+          col("n").cast("double") * col("rank").cast("double"))
+    },
+
     // TF-IDF top terms per document — the IR-standard salience score,
     // and the keyword-extraction step of corpus exploration. Two keyed
     // aggregates (term frequency per (doc, tok); document frequency per

@@ -310,6 +310,50 @@ object Events {
             .cast("double")).as("z2"))
     },
 
+    // Per-session aggregates on top of the sessionize assignment:
+    // length, wall duration, conversion flag — the session-level fact
+    // table a product-analytics warehouse materializes. Reuses the one
+    // (user, ts) sorted window pass; the session aggregate is keyed by
+    // (user, session) — no second sort.
+    Op("e_session_stats",
+       """WITH s AS (
+         |  SELECT event_id, user_id, ts, event_type,
+         |         CAST(sum(CASE WHEN prev IS NULL OR
+         |                  date_diff('second', prev, ts) > 1800
+         |                  THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS session_idx
+         |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS prev
+         |        FROM events))
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+         |         AS duration_s,
+         |       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |                END) AS BIGINT) AS converted
+         |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts"), 1).over(byUser)
+      val isNew = when(prevTs.isNull, 1)
+        .when(unix_timestamp(col("ts")) - unix_timestamp(prevTs) >
+          sessionGapMinutes * 60, 1).otherwise(0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), isNew.as("is_new"))
+        .select(col("user_id"), col("ts"), col("event_type"),
+          sum(col("is_new")).over(running).as("session_idx"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) -
+            unix_timestamp(min(col("ts")))).as("duration_s"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+    },
+
     // Gap-based debounce: drop an event arriving within 6 hours of the
     // PREVIOUS event of the same (user, type) — the telemetry throttle
     // (duplicate beacon suppression), expressed as the sessionize lag

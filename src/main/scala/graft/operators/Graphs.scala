@@ -827,6 +827,31 @@ object Graphs {
         iters = 4)
     },
 
+    // Degree distribution of the symmetrized trade graph — the shape
+    // diagnostic (power-law vs uniform) that picks between salting, AQE
+    // skew handling, and plain hash joins downstream. Two keyed
+    // aggregates, output bounded by the distinct-degree count.
+    Op("graph_degree_dist",
+       """WITH raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT src, dst FROM raw WHERE src <> dst
+         |          UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |         FROM edges GROUP BY 1)
+         |SELECT deg, count(*) AS n_nodes FROM degs GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        val raw = tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d))
+        raw.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    },
+
     // Exact hop distances from the seed customers {node < 100} in six
     // BFS rounds over the symmetrized trade graph. The 0-weight
     // self-loop trick makes each round a single join + min-aggregate,

@@ -207,6 +207,49 @@ object Timeseries {
             .as("ema"))
     },
 
+    // Lag-1 autocorrelation of total daily spend — the persistence
+    // diagnostic (is today's revenue predictive of tomorrow's?). All
+    // deviations use the TRUNCATED mean (cents - t div d): products of
+    // full-scaled deviations (cents*D - T) would brush the BIGINT
+    // ceiling at sf1, truncated ones leave ~4 decimal orders of
+    // headroom; the statistic stays division-free until the ONE double
+    // ratio. Runs on the calendar-bounded daily table.
+    Op("ts_autocorr",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS d FROM daily),
+         |dev AS (
+         |  SELECT day, cents - (t // d) AS dv,
+         |         lead(cents - (t // d)) OVER (ORDER BY day) AS dvn
+         |  FROM daily, tot)
+         |SELECT CAST(sum(CASE WHEN dvn IS NOT NULL THEN dv * dvn END)
+         |            AS BIGINT) AS num,
+         |       CAST(sum(dv * dv) AS BIGINT) AS den,
+         |       CAST(sum(CASE WHEN dvn IS NOT NULL THEN dv * dvn END)
+         |            AS DOUBLE) / CAST(sum(dv * dv) AS DOUBLE) AS r1
+         |FROM dev""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val tot = daily.agg(sum(col("cents")).as("t"),
+        count(lit(1)).as("d"))
+      val dv = col("cents") - expr("t div d")
+      val dev = daily.crossJoin(broadcast(tot))
+        .select(col("day"), dv.as("dv"))
+        .withColumn("dvn", lead(col("dv"), 1)
+          .over(Window.orderBy(col("day"))))
+      dev.agg(
+        sum(when(col("dvn").isNotNull, col("dv") * col("dvn"))).as("num"),
+        sum(col("dv") * col("dv")).as("den"))
+        .select(col("num"), col("den"),
+          (col("num").cast("double") / col("den").cast("double")).as("r1"))
+    },
+
     // CUSUM change-point: for each event type, the day where the
     // cumulative deviation of daily spend from the series mean peaks in
     // magnitude. The deviation is SCALED — cents*D - T — so no division

@@ -169,6 +169,40 @@ class TimeseriesSpec extends SparkSpec {
     assert(cp.toSeq == Seq(("view", 2L, -16000L)), cp.toSeq)
   }
 
+  test("autocorr: perfect alternation scores r1 = -1 exactly under the " +
+       "truncated mean; |r1| <= 1 on real data; session stats reconcile") {
+    import spark.implicits._
+    val base = 86400L * 1000000L
+    // daily cents alternate 1000, 3000 over 4 days; truncated mean 2000
+    // -> dv = -1000, +1000, ... ; num = -3e6, den = 4e6?? no:
+    // dv: -1000,1000,-1000,1000; products dv*dvn = -1e6 x3 -> num=-3e6
+    // den = 4e6 -> r1 = -0.75 exactly
+    val ev = (0 until 4).map { i =>
+      ((i + 1).toLong, 1L, base + i * 86400L * 1000000L,
+        if (i % 2 == 0) 10.00 else 30.00, "view")
+    }.toDF("event_id", "user_id", "us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val dir = java.nio.file.Files.createTempDirectory("ac").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.SparkEntry.queries("ts_autocorr")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == -3000000L && r.getLong(1) == 4000000L &&
+      r.getDouble(2) == -0.75, r)
+    val real = graft.SparkEntry.queries("ts_autocorr")(spark,
+      "/root/testdata/sf0.001").collect().head.getDouble(2)
+    assert(math.abs(real) <= 1.0)
+    // session stats reconcile with sessionize: same session count and
+    // total events per user
+    val sf = "/root/testdata/sf0.001"
+    val stats = graft.SparkEntry.queries("e_session_stats")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sess = graft.SparkEntry.queries("e_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._3).sum == sess.length)
+    assert(stats.map(s => (s._1, s._2)).toSet ==
+      sess.map(s => (s._1, s._2)).toSet)
+  }
+
   test("skyline on sf0.001 part equals the quadratic reference") {
     import spark.implicits._
     val p = graft.Tables.part(spark, sf).select(col("p_partkey").as("id"),
