@@ -88,7 +88,7 @@ object Profiling {
     "o_orderdate" -> AsString,
     "o_orderpriority" -> Identity)
 
-  val ops: Seq[Op] = Seq(entropyOp) ++ Seq(
+  val ops: Seq[Op] = Seq(entropyOp, corrMatrixOp) ++ Seq(
     Op("profile_columns", profileOracle("orders", orderFields)) { (s, d) =>
       profile(Tables.orders(s, d), orderFields)
     },
@@ -513,6 +513,79 @@ object Profiling {
           col("nt").cast("double")).as("entropy"))
         .select(col("source"), col("nt").as("n_docs"), col("entropy"))
     }
+
+  /** Pairwise Pearson correlations among lineitem's numeric columns —
+    * the profiling matrix that flags redundant features and surprising
+    * couplings before a model sees the data. Every representation is an
+    * EXACT integral: quantity as-is, price in whole currency units via
+    * cents div 100 (cents are an exact scale-2 product; the direct
+    * DECIMAL->BIGINT cast is forbidden here — DuckDB rounds it, Spark
+    * truncates), discount in basis points (scale-4 x 10^4, integral by
+    * construction). Deviations use truncated means; numerators and the
+    * two second moments are BIGINT sums; r needs two IEEE sqrts and one
+    * division — both correctly rounded, so the matrix hash-compares.
+    * One corpus pass computes all three deviation columns; each pair is
+    * a keyless aggregate over it.
+    */
+  def corrMatrixOp: Op = {
+    val pairs = Seq(("q_p", "dq", "dp"), ("q_disc", "dq", "dd"),
+      ("p_disc", "dp", "dd"))
+    // zero-variance columns have no defined correlation: emit NULL
+    // explicitly on BOTH engines (Spark ANSI throws on double /0,
+    // DuckDB would yield inf/nan — neither is the honest answer)
+    val oracleArms = pairs.map { case (nm, a, b) =>
+      s"""SELECT '$nm' AS pair, CAST(sum($a * $b) AS BIGINT) AS num,
+         |       CAST(sum($a * $a) AS BIGINT) AS den_a,
+         |       CAST(sum($b * $b) AS BIGINT) AS den_b,
+         |       CASE WHEN sum($a * $a) = 0 OR sum($b * $b) = 0 THEN NULL
+         |            ELSE CAST(sum($a * $b) AS DOUBLE) /
+         |                 (sqrt(CAST(sum($a * $a) AS DOUBLE)) *
+         |                  sqrt(CAST(sum($b * $b) AS DOUBLE))) END AS r
+         |FROM d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Op("profile_corr_matrix",
+       s"""WITH c AS (
+          |  SELECT CAST(l_quantity AS BIGINT) AS q,
+          |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+          |              AS BIGINT) // 100 AS p,
+          |         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+          |              AS BIGINT) AS disc
+          |  FROM lineitem),
+          |t AS (SELECT CAST(sum(q) AS BIGINT) AS tq,
+          |             CAST(sum(p) AS BIGINT) AS tp,
+          |             CAST(sum(disc) AS BIGINT) AS td,
+          |             CAST(count(*) AS BIGINT) AS n FROM c),
+          |d AS (
+          |  SELECT q - (t.tq // t.n) AS dq, p - (t.tp // t.n) AS dp,
+          |         disc - (t.td // t.n) AS dd
+          |  FROM c, t)
+          |$oracleArms""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " div 100").as("p"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("disc"))
+      val t = c.agg(sum(col("q")).as("tq"), sum(col("p")).as("tp"),
+        sum(col("disc")).as("td"), count(lit(1)).as("n"))
+      val dev = c.crossJoin(broadcast(t)).select(
+        (col("q") - expr("tq div n")).as("dq"),
+        (col("p") - expr("tp div n")).as("dp"),
+        (col("disc") - expr("td div n")).as("dd"))
+      val arms = pairs.map { case (nm, a, b) =>
+        dev.agg(sum(col(a) * col(b)).as("num"),
+            sum(col(a) * col(a)).as("den_a"),
+            sum(col(b) * col(b)).as("den_b"))
+          .select(lit(nm).as("pair"), col("num"), col("den_a"),
+            col("den_b"),
+            when(col("den_a") === 0 || col("den_b") === 0, lit(null))
+              .otherwise(col("num").cast("double") /
+                (sqrt(col("den_a").cast("double")) *
+                  sqrt(col("den_b").cast("double")))).as("r"))
+      }
+      arms.reduce(_ unionByName _)
+    }
+  }
 
   /** One FK-edge orphan count: child rows whose key finds no parent.
     * A left join (distinct parent keys, so no fanout) + one aggregate;

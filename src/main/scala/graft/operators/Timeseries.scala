@@ -250,6 +250,48 @@ object Timeseries {
           (col("num").cast("double") / col("den").cast("double")).as("r1"))
     },
 
+    // DAU / WAU / MAU actives — THE product-analytics metric family.
+    // Sliding-window distinct counts don't decompose into running sums,
+    // so the exact form joins the bounded (user, day) cell table to the
+    // day calendar over a trailing range — cells x window fanout, then a
+    // distinct per reference day. Everything after the first aggregate
+    // runs on |users|·|days| cells, never raw events.
+    Op("ts_active_users",
+       """WITH cells AS (
+         |  SELECT DISTINCT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM cells),
+         |wau AS (
+         |  SELECT d.day, count(DISTINCT c.user_id) AS wau
+         |  FROM days d JOIN cells c ON c.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1),
+         |mau AS (
+         |  SELECT d.day, count(DISTINCT c.user_id) AS mau
+         |  FROM days d JOIN cells c ON c.day BETWEEN d.day - 29 AND d.day
+         |  GROUP BY 1),
+         |dau AS (SELECT day, count(*) AS dau FROM cells GROUP BY 1)
+         |SELECT dau.day, dau.dau, wau.wau, mau.mau
+         |FROM dau JOIN wau USING (day) JOIN mau USING (day)""".stripMargin) {
+      (s, d) =>
+        val cells = Tables.events(s, d)
+          .select(col("user_id"), day.as("day")).distinct()
+        // trailing windows via map-side sequence fanout (each cell
+        // covers the w reference days it contributes to) + one keyed
+        // distinct aggregate — an equi shape, NOT the tempting
+        // calendar-range join that plans a nested loop. The inner join
+        // back to dau prunes fanned-out refs past the observed calendar,
+        // matching the oracle's days restriction.
+        def trailing(w: Int, name: String) = cells
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + (w - 1))).as("day"))
+          .groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as(name))
+        val dau = cells.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        dau.join(trailing(7, "wau"), "day")
+          .join(trailing(30, "mau"), "day")
+    },
+
     // CUSUM change-point: for each event type, the day where the
     // cumulative deviation of daily spend from the series mean peaks in
     // magnitude. The deviation is SCALED — cents*D - T — so no division

@@ -102,7 +102,10 @@ class PlanAuditSpec extends SparkSpec {
         // m_pareto_8020: the 1-row (total, n) attach onto the range-
         // partitioned running sum; ts_autocorr: the 1-row (t, d) mean
         // attach onto the calendar-bounded daily table (verified below)
-        n == "m_pareto_8020" || n == "ts_autocorr")
+        n == "m_pareto_8020" || n == "ts_autocorr" ||
+        // profile_corr_matrix: the 1-row column-totals attach feeding
+        // the deviation projection (verified below)
+        n == "profile_corr_matrix")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -140,7 +143,7 @@ class PlanAuditSpec extends SparkSpec {
         // with the literal-broadcast group below)
         "e_funnel_windowed", "m_basket_rules", "profile_key_skew",
         "f_chi_square", "text_qld_topk", "text_naive_bayes",
-        "m_pareto_8020", "ts_autocorr")
+        "m_pareto_8020", "ts_autocorr", "profile_corr_matrix")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

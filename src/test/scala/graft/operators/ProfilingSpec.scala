@@ -134,6 +134,62 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("corr matrix: perfectly linear columns score r ~ 1, bounds hold " +
+       "on real data") {
+    import spark.implicits._
+    // quantities 1..9 each 7 times: INTEGER mean 5 — the truncated-mean
+    // deviation preserves exact proportionality only then
+    val li = (0 until 63).map(i => (i.toLong, 1, (i % 9 + 1).toDouble,
+      (i % 9 + 1) * 200.0, 0.05, "N"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag")
+    val dir = java.nio.file.Files.createTempDirectory("corr").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("profile_corr_matrix")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // price = 200 * quantity exactly -> r(q, p) ~ 1; discount constant
+    // -> zero variance -> correlation undefined -> NULL
+    assert(math.abs(got("q_p").get - 1.0) < 1e-12, got)
+    assert(got("q_disc").isEmpty && got("p_disc").isEmpty)
+    val real = graft.SparkEntry.queries("profile_corr_matrix")(spark,
+      "/root/testdata/sf0.001").collect().map(_.getDouble(4))
+    real.foreach(r => assert(math.abs(r) <= 1.0))
+  }
+
+  test("active users: DAU <= WAU <= MAU per day, WAU/MAU bounded by the " +
+       "user base, exact on a crafted two-user calendar") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("ts_active_users")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val users = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    rows.foreach { case (_, dau, wau, mau) =>
+      assert(dau <= wau && wau <= mau && mau <= users)
+    }
+    // crafted: user 1 active days 1 and 9; user 2 active day 3.
+    // day 3: dau=1 (u2), wau (days -3..3) sees u1@1 + u2@3 = 2
+    val base = 86400L * 1000000L
+    val ev = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 1L, 9L))
+      .map { case (id, u, dy) => (id, u, dy * base, 1.0, "view") }
+      .toDF("event_id", "user_id", "us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val dir = java.nio.file.Files.createTempDirectory("au").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("ts_active_users")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // day 9's trailing month sees all three cells but only TWO distinct
+    // users (u1 appears on days 1 and 9)
+    assert(got == Map(
+      1L -> ((1L, 1L, 1L)), 3L -> ((1L, 2L, 2L)), 9L -> ((1L, 2L, 2L))),
+      got)
+  }
+
   test("windowed funnel: converted-within-7d is bounded by viewers and " +
        "by the unwindowed view->purchase population") {
     val r = graft.SparkEntry.queries("e_funnel_windowed")(spark, sf)
