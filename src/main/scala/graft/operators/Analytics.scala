@@ -570,6 +570,55 @@ object Analytics {
         .select(col("n_top"), col("n_customers"))
     },
 
+    // Cohort LTV triangle: cumulative revenue per signup cohort (month
+    // of first order) by months-of-age — the money companion to
+    // f_cohort_retention's count triangle, and the payback-period input
+    // finance reads. Month index is the integer year*12+month-1 (no date
+    // arithmetic ambiguity); revenue stays in exact cents through the
+    // running sum, one presentation division per cell. The cumulative
+    // window runs over the bounded (cohort, age) cell table.
+    Op("m_cohort_ltv",
+       """WITH firsts AS (
+         |  SELECT o_custkey,
+         |         min((year(o_orderdate) * 12 + month(o_orderdate)) - 1)
+         |           AS cohort
+         |  FROM orders GROUP BY 1),
+         |facts AS (
+         |  SELECT f.cohort,
+         |         ((year(o.o_orderdate) * 12 + month(o.o_orderdate)) - 1)
+         |           - f.cohort AS age,
+         |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+         |              AS BIGINT) AS cents
+         |  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey),
+         |cells AS (
+         |  SELECT cohort, age, CAST(sum(cents) AS BIGINT) AS rev
+         |  FROM facts GROUP BY 1, 2)
+         |SELECT cohort, age,
+         |       CAST(rev AS DOUBLE) / 100.0 AS revenue,
+         |       CAST(CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS BIGINT) AS DOUBLE) / 100.0 AS cum_revenue
+         |FROM cells""".stripMargin) { (s, d) =>
+      val monthIdx = (c: org.apache.spark.sql.Column) =>
+        year(c) * 12 + month(c) - 1
+      val orders = Tables.orders(s, d)
+      val firsts = orders.groupBy(col("o_custkey"))
+        .agg(min(monthIdx(col("o_orderdate"))).as("cohort"))
+      val cells = orders.join(firsts, "o_custkey")
+        .select(col("cohort"),
+          (monthIdx(col("o_orderdate")) - col("cohort")).as("age"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy(col("cohort"), col("age"))
+        .agg(sum(col("cents")).as("rev"))
+      val running = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.select(col("cohort"), col("age"),
+        (col("rev").cast("double") / 100.0).as("revenue"),
+        (sum(col("rev")).over(running).cast("double") / 100.0)
+          .as("cum_revenue"))
+    },
+
     // Week-over-week revenue growth in integer parts-per-million — the
     // period-over-period readout every dashboard carries, kept exact:
     // weekly cents via the decimal domain, growth as (cur-prev)*1e6 div

@@ -101,6 +101,27 @@ class AnalyticsSpec extends SparkSpec {
       r.head.getLong(2) == 2, r.toSeq)
   }
 
+  test("cohort ltv: cumulative revenue is non-decreasing per cohort, " +
+       "age 0 exists for every cohort, totals reconcile") {
+    val rows = graft.SparkEntry.queries("m_cohort_ltv")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val byAge = cells.sortBy(_._2)
+      assert(byAge.head._2 == 0, "first-order month IS age 0")
+      assert(byAge.map(_._4).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1)))
+      // the running column reconciles with the per-cell revenues
+      assert(math.abs(byAge.map(_._3).sum - byAge.last._4) < 1e-6)
+    }
+    val total = rows.map(_._3).sum
+    val truth = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(total - truth) < 1e-4, s"$total vs $truth")
+  }
+
   test("top-k per group: exactly min(k, group size) rows per supplier, " +
        "revenue non-increasing within each group") {
     val rows = graft.SparkEntry.queries("w7_topk_per_group")(spark,
