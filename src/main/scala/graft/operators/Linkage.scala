@@ -220,7 +220,58 @@ object Linkage {
       |SELECT b.entity_id, b.n_records, b.name, b.acctbal, s.mktsegment
       |FROM base b JOIN segmode s USING (entity_id)""".stripMargin
 
+  /** Blocking-FREE edit-distance self-join via deletion-neighborhood
+    * signatures (the FastSS / SymSpell candidate scheme; Bocek et al.
+    * 2007 "Fast similarity search in large dictionaries"): for
+    * threshold 1, dist(s,t) <= 1 implies D(s) ∩ D(t) ≠ ∅ where
+    * D(x) = {x} ∪ {x with one character deleted} — so candidates come
+    * from an EQUI-join on exploded signatures, and the banded
+    * levenshtein verify removes the distance-2 false positives the
+    * triangle inequality allows.
+    *
+    * This is the complement of [[linkCustomers]]'s blocked join: when no
+    * clean blocking key exists (free-text names, IDs with typos), the
+    * per-block quadratic term is unavailable, but signatures keep the
+    * pipeline at O(n·L) generated rows plus a hash join on the
+    * signature — no cross product at any scale, and signature group
+    * sizes are bounded by how many strings share a deletion variant
+    * (skewed groups split under AQE like any hot hash key). At 100 TB
+    * the explode factor L+1 (~19 here) is the knob: it trades shuffle
+    * volume for zero blocking assumptions.
+    */
+  def editJoinBySignature(customers: DataFrame): DataFrame = {
+    val c = customers.select(col("c_custkey").as("id"),
+      col("c_name").as("name"))
+    // i = 0..len-1 deletes character i+1; i = len is the identity
+    // variant, so s itself participates (catches exact dups and the
+    // insert/delete direction).
+    val sigs = c.select(col("id"), col("name"),
+      explode(expr(
+        "transform(sequence(0, length(name))," +
+          " i -> concat(substring(name, 1, i), substring(name, i + 2)))"))
+        .as("sig"))
+      .distinct()
+    val a = sigs.select(col("id").as("id_a"), col("name").as("name_a"),
+      col("sig"))
+    val b = sigs.select(col("id").as("id_b"), col("name").as("name_b"),
+      col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b"), 1) =!= -1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("er_edit_join_sig",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) {
+      (s, d) => editJoinBySignature(Tables.customer(s, d))
+    },
     Op("er_link_entities", linkOracle) { (s, d) =>
       linkCustomers(Tables.customer(s, d))
     },

@@ -228,6 +228,16 @@ object Sketches {
   private val cmsWidth = 64
   private val cmsProbes = Seq("spark", "data", "join", "stream", "table")
 
+  /** alpha_4096 * 4096^2 * 2^49 — the HLL estimate numerator, computed
+    * once here (BEFORE `ops`, which interpolates it into the oracle at
+    * object init) and embedded in both plans as the same printed literal
+    * (Double.toString round-trips to the identical IEEE value).
+    */
+  private val hllNumerator: Double = {
+    val m = 4096.0
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * 562949953421312.0
+  }
+
   val ops: Seq[Op] = Seq(
     // Per-source frequent tokens via the sketch, reduced to the top-5 by
     // estimate. Estimates are partition-order dependent by construction
@@ -531,6 +541,86 @@ object Sketches {
         .select(col("n_union_exact"), col("n_inter_exact"),
           kth.as("kmv_kth"), unionEst.as("union_est"),
           jacEst.as("jaccard_est"), (jacEst * unionEst).as("inter_est"))
+    },
+
+    // HYPERLOGLOG (Flajolet et al. 2007; the stochastic-averaging
+    // counter behind every engine's approx_count_distinct): m = 2^12
+    // registers per group; the first 12 hash bits pick a register, the
+    // register keeps the MAX rank (leading-zero run + 1) of the
+    // remaining 48 bits, and the estimate is alpha_m * m^2 over the
+    // harmonic sum of 2^-register.
+    //
+    // Versus KMV (k sorted hashes) the state is FIXED at m bytes-ish
+    // per group and the merge is an elementwise register max — the
+    // shuffle after the map-side partial carries <= m rows per group
+    // per partition, never the key multiset, and register maxima are
+    // partitioning-independent, so the summary is exactly reproducible
+    // on any cluster layout. That is the 100 TB contract: per-source
+    // cardinality off a full corpus for the price of one keyed agg.
+    //
+    // Exactness protocol: ranks are <= 49, so the harmonic sum is kept
+    // as the INTEGER S' = sum_j 2^(49 - M_j) (empty registers
+    // contribute 2^49 each; max total 2^61 fits BIGINT) — both engines
+    // compare S' bit-for-bit, and the float estimate is one literal /
+    // cast division (alpha*m^2*2^49 as a Scala-printed literal, parsed
+    // to the same IEEE double by both engines — the fsOracle idiom).
+    // The small-range linear-counting branch needs ln so it stays OUT
+    // of compared columns (the ieee_ln caveat); SketchesSpec applies it
+    // from the emitted components and checks accuracy against n_exact.
+    Op("f_hll_distinct", {
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS hv
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, hv >> 48 AS bucket,
+         |         max(CASE WHEN (hv & 281474976710655) = 0 THEN 49
+         |                  ELSE 49 - length(bin(hv & 281474976710655)) END)
+         |           AS m
+         |  FROM h GROUP BY 1, 2),
+         |a AS (
+         |  SELECT l_returnflag,
+         |         CAST(sum(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT)
+         |           AS s_used,
+         |         CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM r GROUP BY 1),
+         |ex AS (
+         |  SELECT l_returnflag,
+         |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT a.l_returnflag, ex.n_exact, a.n_buckets,
+         |       a.s_used + (4096 - a.n_buckets) * 562949953421312
+         |         AS hll_sum_scaled,
+         |       CAST('$hllNumerator' AS DOUBLE)
+         |       / CAST(a.s_used + (4096 - a.n_buckets) * 562949953421312
+         |              AS DOUBLE) AS hll_estimate
+         |FROM a JOIN ex USING (l_returnflag)""".stripMargin
+    }) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val hv = expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)")
+      val rem = col("hv").bitwiseAND(lit(281474976710655L))
+      val rank = when(rem === 0L, 49)
+        .otherwise(lit(49) - length(bin(rem)))
+      val regs = li.select(col("l_returnflag"), hv.as("hv"))
+        .select(col("l_returnflag"),
+          shiftrightunsigned(col("hv"), 48).as("bucket"), rank.as("m"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      val agg = regs.groupBy(col("l_returnflag"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).as("s_used"),
+          count(lit(1)).as("n_buckets"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      val sScaled = col("s_used") +
+        (lit(4096L) - col("n_buckets")) * lit(562949953421312L)
+      agg.join(broadcast(exact), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("n_buckets"),
+          sScaled.as("hll_sum_scaled"),
+          (lit(hllNumerator) / sScaled.cast("double")).as("hll_estimate"))
     }
   )
+
 }

@@ -337,6 +337,75 @@ object Timeseries {
             .orderBy(abs(col("cusum")).desc, col("day"))))
         .filter(col("rn") === 1)
         .drop("rn")
+    },
+
+    // Holt's linear-trend smoothing (Holt 1957; the two-state big
+    // sibling of ts_ema) per user, alpha = beta = 1/2 kept INTEGER so
+    // the coupled recurrence replays exactly on both engines:
+    //   l' = (y + l + b) >> 1;  b' = (l' - l + b) >> 1
+    // (arithmetic shift = floor division, identical for negatives —
+    // trends go negative — on the JVM and DuckDB, both verified).
+    // Init l = first observation, b = 0; forecasts are the linear
+    // extrapolation l + h*b in cents.
+    //
+    // Scale shape: the raw stream collapses to the calendar-bounded
+    // (user, day) cell table first, then ONE fold per user over its
+    // day-sorted series — sequential by definition (each step needs the
+    // last state), parallel across users, group size bounded by the
+    // calendar. The oracle replays the same recurrence as a recursive
+    // CTE keyed by row number (the graph_pagerank replay pattern —
+    // NOT a DuckDB list_reduce fold: struct-accumulator folds
+    // mis-evaluate under 1.0.0's lambda CSE, measured here, so the
+    // recurrence is re-run row-by-row instead).
+    Op("ts_holt_forecast",
+       """WITH RECURSIVE daily AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1, 2),
+         |s AS (
+         |  SELECT user_id, cents,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+         |  FROM daily),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+         |      FROM daily GROUP BY 1),
+         |holt(user_id, rn, l, b) AS (
+         |  SELECT user_id, 1::BIGINT, cents, 0::BIGINT FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, h.rn + 1,
+         |         (s.cents + h.l + h.b) >> 1,
+         |         (((s.cents + h.l + h.b) >> 1) - h.l + h.b) >> 1
+         |  FROM holt h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+         |SELECT h.user_id, n.n_days, h.l AS level, h.b AS trend,
+         |       h.l + h.b AS fc1, h.l + 7 * h.b AS fc7
+         |FROM holt h JOIN n USING (user_id) WHERE h.rn = n.n_days""".stripMargin) {
+      (s, d) =>
+        val arr = sort_array(collect_list(struct(col("day"), col("cents"))))
+        val st = Tables.events(s, d)
+          .groupBy(col("user_id"), day.as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_days"), arr.as("arr"))
+          .select(col("user_id"), col("n_days"),
+            aggregate(
+              slice(col("arr"), lit(2), size(col("arr")) - 1),
+              struct(element_at(col("arr"), 1).getField("cents").as("l"),
+                lit(0L).as("b")),
+              (acc, x) => {
+                val l2 = shiftright(
+                  x.getField("cents") + acc.getField("l") + acc.getField("b"), 1)
+                struct(l2.as("l"),
+                  shiftright(l2 - acc.getField("l") + acc.getField("b"), 1)
+                    .as("b"))
+              }).as("st"))
+        st.select(col("user_id"), col("n_days"),
+          col("st").getField("l").as("level"),
+          col("st").getField("b").as("trend"),
+          (col("st").getField("l") + col("st").getField("b")).as("fc1"),
+          (col("st").getField("l") + lit(7L) * col("st").getField("b"))
+            .as("fc7"))
     }
   )
 }

@@ -86,4 +86,36 @@ class LinkageSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
+
+  test("deletion-neighborhood signatures find EVERY distance<=1 pair " +
+       "across lengths (sub, insert, delete, exact dup), no block key") {
+    val c = Seq(
+      (1L, "abcd", 0, "X"), (2L, "abed", 1, "Y"),   // substitution
+      (3L, "abd", 2, "Z"), (4L, "abcde", 3, "W"),   // delete / insert
+      (5L, "abcd", 4, "V"),                         // exact duplicate
+      (6L, "zzzz", 5, "U"), (7L, "wxyz", 6, "T"))   // far strings
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val got = Linkage.editJoinBySignature(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference over all pairs — the oracle shape
+    val names = Seq(1L -> "abcd", 2L -> "abed", 3L -> "abd",
+      4L -> "abcde", 5L -> "abcd", 6L -> "zzzz", 7L -> "wxyz")
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names if ia < ib
+      d = levenshteinRef(na, nb) if d <= 1
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) &&
+      brute.contains((1L, 4L)) && brute.contains((1L, 5L)))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
 }

@@ -178,4 +178,30 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("jaccard_est") - trueJ) < 0.25,
       "sf0.001 jaccard estimate should be in the truth's neighborhood")
   }
+
+  test("HLL: register sum replays under any partitioning, and the " +
+       "linear-counting-corrected estimate tracks the exact count") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = graft.SparkEntry.queries("f_hll_distinct")(spark, sf)
+      .collect().map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("hll_sum_scaled"), r.getAs[Double]("hll_estimate")))
+      .sortBy(_._1)
+    val a = run()
+    // register maxima are a partitioning-independent function of the key
+    // set, so a re-run (fresh shuffles, AQE re-decisions) is identical
+    assert(a.sameElements(run()))
+    val m = 4096.0
+    a.foreach { case (_, exact, nBuckets, _, raw) =>
+      val zeros = m - nBuckets
+      // the small-range branch the compared columns deliberately omit
+      // (ln must stay out of hash-compared output): apply it here and
+      // demand real accuracy against the exact count
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"corrected HLL $est vs exact $exact")
+    }
+  }
+
 }

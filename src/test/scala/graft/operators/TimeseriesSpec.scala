@@ -218,4 +218,30 @@ class TimeseriesSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == brute)
   }
+
+  test("Holt fold equals the reference recurrence run per user in plain " +
+       "Scala on sf0.001") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy($"user_id", unix_date(to_date($"ts")).cast("long").as("day"))
+      .agg(sum($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    def holt(ys: List[Long]): (Long, Long) =
+      ys.tail.foldLeft((ys.head, 0L)) { case ((l, b), y) =>
+        val l2 = (y + l + b) >> 1
+        (l2, (l2 - l + b) >> 1)
+      }
+    val got = graft.SparkEntry.queries("ts_holt_forecast")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("level"), r.getAs[Long]("trend"),
+          r.getAs[Long]("fc7")))).toMap
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (u, ys) =>
+      val (l, b) = holt(ys)
+      assert(got(u) == ((l, b, l + 7 * b)), s"user $u")
+    }
+  }
+
 }
