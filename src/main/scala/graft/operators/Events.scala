@@ -377,6 +377,57 @@ object Events {
               lag(unix_micros(col("ts")), 1).over(byKey)).as("gap"))
           .filter(col("gap").isNull || col("gap") > 21600000000L)
           .drop("gap")
+    },
+
+    // Sequential-pattern support census (the GSP/PrefixSpan counting
+    // primitive, Srikant & Agrawal 1996): for EVERY ordered type triple
+    // (t1, t2, t3), how many users' timelines contain some t1 event,
+    // then a LATER t2 event, then a LATER t3 event — gaps allowed,
+    // strict timestamp order. Unlike e_top_paths (contiguous windows)
+    // this is subsequence containment, the support notion sequence
+    // miners actually use.
+    //
+    // The scalable reduction instead of a per-user triple self-join:
+    // a triple is contained iff the earliest t2 event AFTER the user's
+    // first t1 (call it t_ab) is itself before the user's LAST t3 —
+    // so support needs only (first, last) per (user, type) plus one
+    // conditional-min join of the event stream against the firsts.
+    // Everything is events x |types| rows at worst (linear in the
+    // corpus, |types| is an enum), keyed joins and aggs only; the
+    // quadratic witness search never materializes. The oracle replays
+    // the same reduction; correctness of the reduction itself (vs a
+    // brute exists-ordered-triple scan) is EventsSpec's job.
+    Op("e_seq_patterns",
+       """WITH f AS (
+         |  SELECT user_id, event_type AS a, min(ts) AS first_ts
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT user_id, event_type AS c, max(ts) AS last_ts
+         |  FROM events GROUP BY 1, 2),
+         |tab AS (
+         |  SELECT e.user_id, f.a, e.event_type AS b, min(e.ts) AS t_ab
+         |  FROM events e JOIN f
+         |    ON f.user_id = e.user_id AND e.ts > f.first_ts
+         |  GROUP BY 1, 2, 3)
+         |SELECT tab.a AS t1, tab.b AS t2, l.c AS t3,
+         |       CAST(count(*) AS BIGINT) AS n_users
+         |FROM tab JOIN l
+         |  ON l.user_id = tab.user_id AND l.last_ts > tab.t_ab
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val firsts = ev.groupBy(col("user_id"), col("event_type").as("a"))
+        .agg(min(col("ts")).as("first_ts"))
+      val lasts = ev.groupBy(col("user_id"), col("event_type").as("c"))
+        .agg(max(col("ts")).as("last_ts"))
+      val tab = ev.join(firsts, Seq("user_id"))
+        .filter(col("ts") > col("first_ts"))
+        .groupBy(col("user_id"), col("a"), col("event_type").as("b"))
+        .agg(min(col("ts")).as("t_ab"))
+      tab.join(lasts, Seq("user_id"))
+        .filter(col("last_ts") > col("t_ab"))
+        .groupBy(col("a").as("t1"), col("b").as("t2"), col("c").as("t3"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 }

@@ -880,6 +880,122 @@ object Graphs {
          |SELECT node, dist FROM d WHERE iter = 6""".stripMargin) { (s, d) =>
       shortestHops(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
         node => node < 100, iters = 6)
+    },
+
+    // Newman modularity of the label-propagation partition — the
+    // standard "was that community structure real?" readout (Newman &
+    // Girvan 2004). Q = sum_c [ e_c/m - (d_c/2m)^2 ] over the SIMPLE
+    // undirected graph (label_prop's stability self-loops excluded from
+    // the edge statistics). Kept INTEGER end to end by clearing
+    // denominators: Q * 4m^2 = sum_c (4m*e_c - d_c^2), so both engines
+    // hash-compare q_num/q_den exactly and the float Q is one division.
+    // d_c <= 2m bounds every term by 4m^2 — BIGINT-safe far past sf100.
+    //
+    // Scale shape: degrees and d_c are keyed aggs on the edge list;
+    // e_c is the edge list joined twice against the (node, label) map
+    // (shuffle keyed on node id, the PageRank round shape); the
+    // per-community table is |labels|-bounded and the final reduce is
+    // one row. Nothing beyond the label_prop cost it audits.
+    Op("graph_modularity",
+       """WITH RECURSIVE raw AS (
+         |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst
+         |  UNION SELECT node, node FROM (
+         |    SELECT DISTINCT src AS node FROM (
+         |      SELECT src FROM raw UNION ALL SELECT dst FROM raw))),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |lp(iter, node, label) AS (
+         |  SELECT 0, node, node FROM nodes
+         |  UNION ALL
+         |  SELECT iter + 1, node, label FROM (
+         |    SELECT l.iter AS iter, e.dst AS node, l.label AS label,
+         |           row_number() OVER (PARTITION BY l.iter, e.dst
+         |                              ORDER BY count(*) DESC, l.label)
+         |             AS rn
+         |    FROM lp l JOIN edges e ON e.src = l.node
+         |    WHERE l.iter < 5
+         |    GROUP BY l.iter, e.dst, l.label)
+         |  WHERE rn = 1),
+         |lab AS (SELECT node, label FROM lp WHERE iter = 5),
+         |sym AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |canon AS (SELECT src, dst FROM sym WHERE src < dst),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |intra AS (
+         |  SELECT la.label, CAST(count(*) AS BIGINT) AS ec
+         |  FROM canon c
+         |  JOIN lab la ON la.node = c.src
+         |  JOIN lab lb ON lb.node = c.dst AND lb.label = la.label
+         |  GROUP BY 1),
+         |degc AS (
+         |  SELECT la.label, CAST(sum(d.deg) AS BIGINT) AS dc
+         |  FROM deg d JOIN lab la ON la.node = d.node GROUP BY 1),
+         |per AS (
+         |  SELECT degc.label, coalesce(intra.ec, 0) AS ec, degc.dc
+         |  FROM degc LEFT JOIN intra USING (label))
+         |SELECT mm.m AS m_edges, CAST(count(*) AS BIGINT) AS n_comms,
+         |       CAST(sum(4 * mm.m * per.ec - per.dc * per.dc) AS BIGINT)
+         |         AS q_num,
+         |       4 * mm.m * mm.m AS q_den,
+         |       CAST(sum(4 * mm.m * per.ec - per.dc * per.dc) AS DOUBLE)
+         |         / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+         |FROM per, mm GROUP BY mm.m""".stripMargin) { (s, d) =>
+      val edges = tradeGraphWeighted(Tables.orders(s, d), Tables.lineitem(s, d))
+      modularity(edges, labelPropagation(edges, iters = 5))
     }
   )
+
+  /** Newman modularity of a node partition over the simple undirected
+    * graph spanned by `edges` (see the graph_modularity op above for the
+    * integer protocol and scale notes). `labels` is (node, label) as
+    * produced by [[labelPropagation]]; every non-isolated node must
+    * carry a label.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      // one materialization feeding degree, canonical-edge, and m
+      // subtrees — the assignContiguousIds lesson (content here is
+      // deterministic either way, but three re-executions of the
+      // distinct would triple the dominant shuffle)
+      .localCheckpoint()
+    val canon = sym.filter(col("src") < col("dst"))
+    val mDf = canon.agg(count(lit(1)).as("m"))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val lab = labels.select(col("node"), col("label"))
+    val intra = canon
+      .join(lab.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
+    val degc = deg.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
+    val per = degc.join(intra, Seq("label"), "left")
+      .select(col("label"), coalesce(col("ec"), lit(0L)).as("ec"),
+        col("dc"))
+    per.crossJoin(broadcast(mDf))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_comms"),
+        sum(lit(4) * col("m") * col("ec") - col("dc") * col("dc"))
+          .as("q_num"))
+      .select(col("m").as("m_edges"), col("n_comms"),
+        col("q_num"),
+        (lit(4) * col("m") * col("m")).as("q_den"),
+        (col("q_num").cast("double") /
+          (lit(4) * col("m") * col("m")).cast("double")).as("modularity"))
+  }
 }

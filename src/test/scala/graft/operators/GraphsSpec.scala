@@ -235,4 +235,27 @@ class GraphsSpec extends SparkSpec {
     assert(run(9) == (0L to 9L).map(i => i -> i).toMap)
     assert(run(6, edges.repartition(5)) == got)
   }
+
+  test("modularity: two disjoint cliques under the perfect partition " +
+       "score exactly 1/2; one merged community scores exactly 0") {
+    import spark.implicits._
+    // two K4s: 6 intra edges each, m = 12, every node degree 3
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB).toDF("src", "dst")
+    val perfect = ((0L to 3L).map(_ -> 0L) ++ (10L to 13L).map(_ -> 1L))
+      .toDF("node", "label")
+    val q = Graphs.modularity(edges, perfect).head()
+    assert(q.getAs[Long]("m_edges") == 12L)
+    assert(q.getAs[Long]("n_comms") == 2L)
+    // per community: e_c = 6, d_c = 12 -> 4*12*6 - 144 = 144; x2 = 288
+    assert(q.getAs[Long]("q_num") == 288L)
+    assert(q.getAs[Long]("q_den") == 576L)
+    assert(q.getAs[Double]("modularity") == 0.5)
+    val merged = ((0L to 3L) ++ (10L to 13L)).map(_ -> 0L)
+      .toDF("node", "label")
+    val q1 = Graphs.modularity(edges, merged).head()
+    assert(q1.getAs[Long]("q_num") == 0L)
+    assert(q1.getAs[Double]("modularity") == 0.0)
+  }
 }
