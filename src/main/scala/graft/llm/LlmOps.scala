@@ -1988,6 +1988,24 @@ object LlmOps {
           "doc_id", k = 100)
     },
 
+    // Length-proportional sample without replacement (Efraimidis-
+    // Spirakis exponential keys, quantized like the Gumbel resample):
+    // 200 documents drawn with probability proportional to n_chars, one
+    // map-side pass + TakeOrderedAndProject. See Mixing.weightedSample.
+    Op("mix_weighted_sample",
+       """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |       CAST(round(ln(
+         |           (CAST('0x' || substr(md5(concat('wsample:',
+         |              CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) + 0.5)
+         |           / 4294967296.0)
+         |         / CAST(n_chars AS DOUBLE) * 1048576.0) AS BIGINT)
+         |         / 1048576.0 AS sel_key
+         |FROM documents ORDER BY sel_key DESC, doc_id LIMIT 200""".stripMargin) {
+      (s, d) =>
+        Mixing.weightedSample(Tables.documents(s, d), "doc_id",
+          col("n_chars"), k = 200)
+    },
+
     // Contiguous global ids in md5-shuffled order — dense 0..n−1 without
     // a global window: range partition on the key, rank per partition,
     // broadcast cumulative offsets (the zipWithIndex-without-collect

@@ -605,6 +605,38 @@ object Mixing {
       .limit(k)
   }
 
+  /** Weighted sampling WITHOUT replacement, probability proportional to
+    * `weightCol` (Efraimidis & Spirakis 2006): each item draws
+    * u ~ U(0,1) and the k largest u^(1/w) are the sample — expressed in
+    * the log domain as key = ln(u)/w (ln u < 0, so a heavier w pulls the
+    * key toward 0 and the item toward selection). This is the one-pass,
+    * shuffle-free way to take "200 documents, long ones proportionally
+    * more often" off a 100 TB corpus: the draw is a map-side md5 replay
+    * (the dsirResample idiom) and the top-k plans as
+    * TakeOrderedAndProject — per-partition heads plus a k-row driver
+    * merge, never a global sort or a prefix-sum over weights (the
+    * textbook cumulative-weight method needs exactly that global scan).
+    *
+    * Keys are quantized to 2^-20 like the Gumbel draw (no JVM ln
+    * matches glibc on every operand; a selection key blurred by 1e-6 is
+    * statistically indistinguishable) so both engines rank identical
+    * doubles.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, seed: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") + 0.5) / lit(4294967296.0)
+    val key = round(graft.functions.GraftFunctions.ieeeLn(u) /
+        weightCol.cast("double") * lit(1048576.0))
+      .cast("long").cast("double") / lit(1048576.0)
+    df.select(col(idCol), weightCol.cast("long").as("w"),
+        key.as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Leakage-safe train/val/test split: the md5 draw is on the document's
     * near-dup CLUSTER label, not the document id, so every member of a
     * duplicate cluster lands in the SAME split. A per-document draw leaks

@@ -16,7 +16,82 @@ object Analytics {
 
   private val dec = DecimalType(18, 2)
 
+  /** Cumulative Poisson(1) CDF cutoffs scaled to the 32-bit md5 hash
+    * space: a draw hv in [0, 2^32) maps to the replicate weight
+    * w = |{j : cutoff_j <= hv}| — the inverse-CDF sample done entirely
+    * in BIGINT comparisons (the doubles appear only here, once, at
+    * constant-fold time; both engines compare the same integers).
+    */
+  private val poissonCuts: Seq[Long] = {
+    val eInv = math.exp(-1.0)
+    var cum = 0.0
+    var fact = 1.0
+    (0 to 5).map { j =>
+      if (j > 0) fact *= j
+      cum += eInv / fact
+      (cum * 4294967296.0).toLong
+    }
+  }
+
   val ops: Seq[Op] = Seq(
+
+    // Poisson bootstrap CI machinery (the resampling scheme that works
+    // in one pass on distributed data — Chamandy et al. 2012,
+    // "Estimating uncertainty for massive data streams": true
+    // bootstrap resampling needs n draws WITH replacement, i.e. a
+    // global shuffle per replicate; weighting each row by an
+    // independent Poisson(1) per replicate is asymptotically the same
+    // multinomial and needs only a map-side fanout). 32 replicates of
+    // the mean order value: each (row, b) pair draws its weight by
+    // md5-inverse-CDF (integer cutoff compares, no float in the draw),
+    // partial sums collapse map-side to <= 32 rows per partition, and
+    // the replicate means come out as one exact integer pair plus a
+    // single division. The spread of the 32 means IS the standard
+    // error; AnalyticsSpec turns them into a CI and checks coverage.
+    Op("f_bootstrap_ci", {
+      val cutSql = poissonCuts.zipWithIndex
+        .map { case (c, j) => s"WHEN hv < $c THEN $j" }
+        .mkString(" ")
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders),
+         |fan AS (
+         |  SELECT b, cents,
+         |         CAST('0x' || substr(md5(concat('boot:', CAST(b AS VARCHAR),
+         |             ':', CAST(o_orderkey AS VARCHAR))), 1, 8) AS BIGINT)
+         |           AS hv
+         |  FROM o, range(32) r(b)),
+         |w AS (SELECT b, cents, CASE $cutSql ELSE 6 END AS w FROM fan)
+         |SELECT CAST(b AS INT) AS b,
+         |       CAST(sum(w) AS BIGINT) AS n_eff,
+         |       CAST(sum(w * cents) AS BIGINT) AS num,
+         |       CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         |         AS mean_cents
+         |FROM w GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val fan = o.select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("b"), col("cents"),
+          expr("CAST(conv(substring(md5(concat('boot:', CAST(b AS STRING)," +
+            " ':', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+            .as("hv"))
+      val w = poissonCuts.zipWithIndex.reverse
+        .foldLeft(lit(6): org.apache.spark.sql.Column) {
+          case (acc, (c, j)) => when(col("hv") < c, lit(j)).otherwise(acc)
+        }
+      fan.select(col("b"), col("cents"), w.cast("long").as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("num"))
+        .select(col("b").cast("int").as("b"), col("n_eff"), col("num"),
+          (col("num").cast("double") / col("n_eff").cast("double"))
+            .as("mean_cents"))
+    },
 
     // Ranking window: top-1 order per customer. Spark plans a single shuffle
     // on the partition key; the rank filter is applied streaming per group.

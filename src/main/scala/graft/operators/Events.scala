@@ -428,6 +428,58 @@ object Events {
         .filter(col("last_ts") > col("t_ab"))
         .groupBy(col("a").as("t1"), col("b").as("t2"), col("c").as("t3"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // Linear multi-touch attribution: every purchase splits one unit of
+    // credit EQUALLY over the same user's view/click touches in the 7
+    // days before it, and credit rolls up per touch type — the
+    // marketing-analytics counterpart of the funnel ops. Credit is kept
+    // INTEGER as parts-per-million with truncating division (1000000
+    // div n per touch; the sub-ppm remainder is deliberately dropped,
+    // identically on both engines — a float 1/n share never
+    // hash-compares). Touch count per purchase n is also emitted via
+    // the purchase-side totals so the truncation is auditable.
+    //
+    // Scale shape: one interval join keyed on user_id (touches x
+    // purchases only ever meet within a user and a 7-day window — the
+    // same bounded fanout as e_funnel_windowed), one count per
+    // purchase, one broadcast-back of n, then a map-side div and a
+    // |types|-bounded rollup.
+    Op("e_attribution_linear",
+       """WITH p AS (
+         |  SELECT user_id, event_id AS pid, epoch_us(ts) AS tp
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS tt
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |touches AS (
+         |  SELECT p.pid, t.event_type
+         |  FROM p JOIN t ON t.user_id = p.user_id
+         |    AND t.tt < p.tp AND p.tp - t.tt <= 604800000000),
+         |n AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_touch
+         |      FROM touches GROUP BY 1)
+         |SELECT touches.event_type,
+         |       CAST(count(*) AS BIGINT) AS n_credited,
+         |       CAST(sum(1000000 // n.n_touch) AS BIGINT) AS credit_ppm
+         |FROM touches JOIN n USING (pid)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_micros(col("ts")).as("tp"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tt"))
+      val touches = p.join(t, Seq("user_id"))
+        .filter(col("tt") < col("tp") &&
+          col("tp") - col("tt") <= 604800000000L)
+        .select(col("pid"), col("event_type"))
+      val n = touches.groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_touch"))
+      touches.join(n, Seq("pid"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_credited"),
+          sum(expr("1000000 div n_touch")).as("credit_ppm"))
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -263,6 +264,47 @@ object Relational {
           col("ps").cast("double").as("total_price"),
           col("pc").as("n_orders"),
           (col("ps").cast("double") / col("pc")).as("avg_price"))
+    },
+
+    // Incremental view maintenance for a per-group TOP-K: unlike sums,
+    // a top-k of per-row values is a mergeable monoid — the k largest
+    // of (k-largest(stored) ∪ k-largest(delta)) equal the k largest of
+    // everything, because any row outside a side's own top-k is
+    // dominated by k rows on that same side. (A top-k BY AGGREGATED
+    // measure is deliberately NOT offered this way: a key outside the
+    // stored top-k can rise into it on new data, so its sufficient
+    // state is the full keyed aggregate, i.e. ivm_merge_agg feeding a
+    // rank.) The nightly merge re-ranks <= 2k rows per group — state is
+    // k rows per group forever, history never rescanned. Hash equality
+    // with the one-shot oracle PROVES merge == re-rank, same contract
+    // as ivm_merge_agg/ivm_merge_distinct. Full tiebreak on
+    // (price DESC, orderkey, linenumber) keeps the cut deterministic.
+    Op("ivm_merge_topk",
+       """SELECT l_returnflag, rk, l_orderkey, l_linenumber,
+         |       l_extendedprice AS price
+         |FROM (
+         |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         |         CAST(row_number() OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+         |           AS INTEGER) AS rk
+         |  FROM lineitem) WHERE rk <= 10""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      def topk(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .drop("rk")
+      // "yesterday's" materialized top-k state and "today's" batch
+      val stored = topk(li.filter(col("l_orderkey") % 3 =!= 0))
+      val delta = topk(li.filter(col("l_orderkey") % 3 === 0))
+      stored.unionByName(delta)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("price"))
     }
   )
 

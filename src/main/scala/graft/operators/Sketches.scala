@@ -620,6 +620,72 @@ object Sketches {
         .select(col("l_returnflag"), col("n_exact"), col("n_buckets"),
           sScaled.as("hll_sum_scaled"),
           (lit(hllNumerator) / sScaled.cast("double")).as("hll_estimate"))
+    },
+
+    // HLL UNION — the reason HLL beats KMV for fleet-wide rollups: the
+    // union sketch is the elementwise register MAX, a lossless merge
+    // (max commutes with max), so per-source sketches built on
+    // different days/clusters combine into exact union registers
+    // without touching raw data. The engine builds the R and A flag
+    // sketches SEPARATELY and merges them; the oracle sketches the
+    // union stream directly — hash equality PROVES
+    // merge(sk_R, sk_A) == sketch(R ∪ A), the sketch-algebra analog of
+    // ivm_merge_distinct. Same integer S' protocol as f_hll_distinct.
+    Op("f_hll_union", {
+      s"""WITH h AS (
+         |  SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS hv
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         |r AS (
+         |  SELECT hv >> 48 AS bucket,
+         |         max(CASE WHEN (hv & 281474976710655) = 0 THEN 49
+         |                  ELSE 49 - length(bin(hv & 281474976710655)) END)
+         |           AS m
+         |  FROM h GROUP BY 1),
+         |a AS (
+         |  SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT)
+         |           AS s_used,
+         |         CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM r),
+         |ex AS (
+         |  SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_union_exact
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'A'))
+         |SELECT ex.n_union_exact, a.n_buckets,
+         |       a.s_used + (4096 - a.n_buckets) * 562949953421312
+         |         AS hll_sum_scaled,
+         |       CAST('$hllNumerator' AS DOUBLE)
+         |       / CAST(a.s_used + (4096 - a.n_buckets) * 562949953421312
+         |              AS DOUBLE) AS hll_estimate
+         |FROM a, ex""".stripMargin
+    }) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "A"))
+      val hv = expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)")
+      val rem = col("hv").bitwiseAND(lit(281474976710655L))
+      val rank = when(rem === 0L, 49)
+        .otherwise(lit(49) - length(bin(rem)))
+      // per-FLAG registers first, then the elementwise-max merge — the
+      // step the op exists to prove; the oracle skips straight to the
+      // union stream
+      val perFlag = li.select(col("l_returnflag"), hv.as("hv"))
+        .select(col("l_returnflag"),
+          shiftrightunsigned(col("hv"), 48).as("bucket"), rank.as("m"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      val merged = perFlag.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+      val agg = merged.agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).as("s_used"),
+        count(lit(1)).as("n_buckets"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("n_union_exact"))
+      val sScaled = col("s_used") +
+        (lit(4096L) - col("n_buckets")) * lit(562949953421312L)
+      agg.crossJoin(broadcast(exact))
+        .select(col("n_union_exact"), col("n_buckets"),
+          sScaled.as("hll_sum_scaled"),
+          (lit(hllNumerator) / sScaled.cast("double")).as("hll_estimate"))
     }
   )
 

@@ -480,4 +480,24 @@ class MixingSpec extends SparkSpec {
       "doc_id", k = 100).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == got.map(_._1).toSet)
   }
+
+  test("weighted sample: length-biased draw prefers long documents and " +
+       "replays deterministically") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sf)
+    val got = graft.llm.Mixing.weightedSample(docs, "doc_id",
+      org.apache.spark.sql.functions.col("n_chars"), k = 200)
+    val rows = got.collect()
+    assert(rows.length == 200)
+    assert(rows.sameElements(graft.llm.Mixing.weightedSample(docs, "doc_id",
+      org.apache.spark.sql.functions.col("n_chars"), k = 200).collect()))
+    val sampleMean = rows.map(_.getAs[Long]("w")).sum.toDouble / 200
+    val corpusMean = docs.agg(org.apache.spark.sql.functions
+        .avg(org.apache.spark.sql.functions.col("n_chars")))
+      .head().getDouble(0)
+    // size-biased expectation is E[X^2]/E[X] > E[X]; demand a clear gap
+    assert(sampleMean > corpusMean * 1.05,
+      s"length bias: sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
 }

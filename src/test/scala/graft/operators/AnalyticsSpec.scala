@@ -135,4 +135,30 @@ class AnalyticsSpec extends SparkSpec {
         .forall(p => p.length < 2 || p(0) >= p(1)))
     }
   }
+
+  test("Poisson bootstrap: replicate means bracket the true mean and " +
+       "n_eff concentrates around n") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("f_bootstrap_ci")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("n_eff"),
+        r.getAs[Double]("mean_cents")))
+    assert(rows.length == 32)
+    val n = graft.Tables.orders(spark, sf).count()
+    val trueMean = graft.Tables.orders(spark, sf)
+      .agg(sum($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .head().getLong(0).toDouble / n
+    // Poisson(1) weights: total resample size within 4 sigma of n
+    rows.foreach { case (ne, _) =>
+      assert(math.abs(ne - n) < 4 * math.sqrt(n.toDouble), s"n_eff $ne vs $n")
+    }
+    // the percentile interval of replicate means must cover the truth
+    val means = rows.map(_._2).sorted
+    assert(means.head <= trueMean && trueMean <= means.last,
+      s"CI [${means.head}, ${means.last}] vs $trueMean")
+    // and the replicate spread is a plausible standard error (nonzero,
+    // same order as sigma/sqrt(n))
+    assert(means.last > means.head)
+  }
+
 }

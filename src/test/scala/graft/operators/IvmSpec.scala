@@ -31,4 +31,32 @@ class IvmSpec extends SparkSpec {
       Seq(("b", 2L)).toDF("k", "v"))
     assert(mergeAll(disjoint) == Set(("a", 1L, 1L), ("b", 2L, 1L)))
   }
+
+  test("top-k merge: k-largest of per-batch k-largests equals the " +
+       "one-shot top-k even when the cut interleaves batches") {
+    import spark.implicits._
+    // values chosen so each batch's own top-3 contributes a different
+    // number of survivors to the global top-3
+    val batchA = Seq(("g", 100L, 1L), ("g", 90L, 2L), ("g", 10L, 3L),
+      ("g", 9L, 4L))
+    val batchB = Seq(("g", 95L, 5L), ("g", 8L, 6L), ("g", 7L, 7L))
+    val all = batchA ++ batchB
+    def topk(rows: Seq[(String, Long, Long)], k: Int) =
+      rows.sortBy { case (_, v, id) => (-v, id) }.take(k)
+    val k = 3
+    val merged = topk(topk(batchA, k) ++ topk(batchB, k), k)
+    assert(merged == topk(all, k),
+      "monoid property must hold for the interleaved cut")
+    // and via the DataFrame shape the op uses
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy($"v".desc, $"id")
+    def dfTopk(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("g", "v", "id").withColumn("rk", row_number().over(w))
+        .filter($"rk" <= k).drop("rk")
+    val got = dfTopk(batchA).unionByName(dfTopk(batchB))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .select($"g", $"v", $"id").as[(String, Long, Long)].collect().toSeq
+    assert(got.sortBy(t => (-t._2, t._3)) == topk(all, k))
+  }
+
 }
