@@ -118,7 +118,69 @@ object Layout {
     d
   }
 
+  /** Hash-clustered parquet write with an optional split-block bloom
+    * filter on `keyCol`. The layout half of the point-lookup story:
+    * `repartition(numFiles, key)` sends ALL rows of a key to one file,
+    * but hash order leaves every file's min/max spanning the whole
+    * domain — min/max pruning (the zorder/hilbert mechanism) is blind
+    * here, which is exactly when the bloom filter earns its bytes: an
+    * equality probe skips every row group whose filter rejects the
+    * value. Dictionary encoding is disabled for the write so the reader
+    * can't fall back on dictionary-page filtering — the measured skip
+    * is the bloom's alone (with dictionaries on, parquet would skip via
+    * the dictionary too and the A/B would show nothing).
+    */
+  def writeHashClustered(df: DataFrame, dir: String, keyCol: String,
+                         numFiles: Int, bloom: Boolean): Unit = {
+    val base = df.repartition(numFiles, col(keyCol))
+      .write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false")
+    val w = if (bloom)
+      base.option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$keyCol", "200000")
+    else base
+    w.parquet(dir)
+  }
+
   val ops: Seq[Op] = Seq(
+    // RUNTIME bloom-vs-plain A/B on a point lookup over the hash
+    // layout: same files, same predicate, only the bloom differs; the
+    // emitted row carries task-level input-record counts for both
+    // reads. No SQL oracle (the measurement is physical); LayoutSpec
+    // asserts the skip ratio and that the probe's answer is identical.
+    // At 100 TB this is the needle-in-haystack path: O(files) bloom
+    // probes in footers instead of a full-column scan.
+    Op.noOracle("layout_bloom_skip") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val bdir = java.nio.file.Files.createTempDirectory("bloomskip_b")
+        .toString
+      val pdir = java.nio.file.Files.createTempDirectory("bloomskip_p")
+        .toString
+      val nFiles = 16
+      writeHashClustered(li, bdir, "l_orderkey", nFiles, bloom = true)
+      writeHashClustered(li, pdir, "l_orderkey", nFiles, bloom = false)
+      // one existing key, driver-bounded (a single scalar). The MEDIAN,
+      // deliberately: every file's hash-random [min, max] covers a
+      // mid-domain value, so row-group STATS can never prune the probe
+      // (an extreme key would be stats-pruned everywhere and the A/B
+      // would measure min/max, not the bloom)
+      val probe = li.agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_orderkey)" +
+          " AS BIGINT)")).head().getLong(0)
+      def readCount(dir: String): (Long, Long) = {
+        val (n, m) = graft.Instrumentation.measure(s) {
+          s.read.parquet(dir).filter(col("l_orderkey") === probe).count()
+        }
+        (n, m.inputRecords)
+      }
+      val (nB, readB) = readCount(bdir)
+      val (nP, readP) = readCount(pdir)
+      import s.implicits._
+      Seq((nFiles.toLong, probe, nB, nP, readB, readP))
+        .toDF("n_files", "probe_key", "n_match_bloom", "n_match_plain",
+          "rows_read_bloom", "rows_read_plain")
+    },
+
     // Per-z-run skipping stats over lineitem (l_orderkey × l_partkey):
     // 64 equi-depth runs along the rank-space curve, each with its row
     // count and both key spans — bounded spans on BOTH dims are the

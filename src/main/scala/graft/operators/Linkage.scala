@@ -272,6 +272,68 @@ object Linkage {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) {
       (s, d) => editJoinBySignature(Tables.customer(s, d))
     },
+    // Blocking-quality evaluation (Christen 2012's two standard
+    // metrics): PAIRS COMPLETENESS — what fraction of the true
+    // edit-distance-1 matches land inside the nation x segment blocks
+    // linkCustomers trusts — and REDUCTION RATIO — what fraction of the
+    // n^2/2 comparison space the blocking discards. The truth set comes
+    // from the blocking-free signature join, so the evaluation never
+    // assumes what it is measuring. This is the census an ER pipeline
+    // runs before committing to a blocking key at 100 TB: completeness
+    // says what recall the key costs, reduction says what compute it
+    // buys; both counts are keyed aggregates (the candidate-pair count
+    // is per-block n*(n-1)/2 summed, never materialized pairs).
+    Op("er_blocking_quality",
+       """WITH truth AS (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |         CAST(a.c_nationkey = b.c_nationkey
+         |              AND a.c_mktsegment = b.c_mktsegment AS INT) AS blocked
+         |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |             CAST(sum(blocked) AS BIGINT) AS n_caught FROM truth),
+         |bl AS (
+         |  SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_blocked
+         |  FROM (SELECT count(*) AS cnt FROM customer
+         |        GROUP BY c_nationkey, c_mktsegment)),
+         |nn AS (
+         |  SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+         |           AS n_possible
+         |  FROM customer)
+         |SELECT t.n_true, t.n_caught, bl.n_blocked, nn.n_possible,
+         |       CAST(t.n_caught AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+         |         AS completeness,
+         |       1.0 - CAST(bl.n_blocked AS DOUBLE)
+         |             / CAST(nn.n_possible AS DOUBLE) AS reduction
+         |FROM t, bl, nn""".stripMargin) { (s, d) =>
+      val customers = Tables.customer(s, d)
+      val attrs = customers.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"))
+      val truth = editJoinBySignature(customers)
+        .join(attrs.select(col("c_custkey").as("id_a"),
+          col("c_nationkey").as("nk_a"), col("c_mktsegment").as("seg_a")),
+          Seq("id_a"))
+        .join(attrs.select(col("c_custkey").as("id_b"),
+          col("c_nationkey").as("nk_b"), col("c_mktsegment").as("seg_b")),
+          Seq("id_b"))
+      val t = truth.agg(count(lit(1)).as("n_true"),
+        sum((col("nk_a") === col("nk_b") &&
+          col("seg_a") === col("seg_b")).cast("long")).as("n_caught"))
+      val bl = customers.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n_blocked"))
+      val nn = customers.agg(
+        expr("CAST(count(1) * (count(1) - 1) div 2 AS BIGINT)")
+          .as("n_possible"))
+      t.crossJoin(broadcast(bl)).crossJoin(broadcast(nn))
+        .select(col("n_true"), col("n_caught"), col("n_blocked"),
+          col("n_possible"),
+          (col("n_caught").cast("double") / col("n_true").cast("double"))
+            .as("completeness"),
+          (lit(1.0) - col("n_blocked").cast("double") /
+            col("n_possible").cast("double")).as("reduction"))
+    },
+
     Op("er_link_entities", linkOracle) { (s, d) =>
       linkCustomers(Tables.customer(s, d))
     },

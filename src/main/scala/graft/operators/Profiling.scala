@@ -160,6 +160,58 @@ object Profiling {
             (lamFx.cast("double") / lit(1073741824.0))).as("psi_term"))
     },
 
+    // Mutual information between two categorical columns — the
+    // dependency screen that catches what Pearson (profile_corr_matrix)
+    // can't: nonlinear/categorical association, in nats. Each cell's
+    // pointwise log-ratio ln(n_ij*N / (n_i*n_j)) goes through ieee_ln
+    // and is quantized to 2^-30 fixed point (the PSI/dsirWeights
+    // protocol), so MI*N*2^30 = sum n_ij*lam_fx is an exact BIGINT on
+    // both engines and the nats value is two pinned divisions.
+    //
+    // Scale shape: one keyed agg to the |A|x|B|-bounded cell table,
+    // margins as two tiny aggs joined back broadcast, map-side terms —
+    // the raw table is scanned once.
+    Op("profile_mutual_info",
+       """WITH cells AS (
+         |  SELECT o_orderpriority AS p, o_orderstatus AS st,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |rm AS (SELECT p, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY 1),
+         |cm AS (SELECT st, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+         |terms AS (
+         |  SELECT n,
+         |         CAST(round(ln(CAST(n * nt AS DOUBLE)
+         |                       / CAST(np * ns AS DOUBLE))
+         |                    * 1073741824.0) AS BIGINT) AS lam
+         |  FROM cells JOIN rm USING (p) JOIN cm USING (st), tt)
+         |SELECT tt.nt AS n_total,
+         |       CAST(sum(n * lam) AS BIGINT) AS mi_scaled,
+         |       CAST(sum(n * lam) AS DOUBLE) / CAST(tt.nt AS DOUBLE)
+         |         / 1073741824.0 AS mi_nats
+         |FROM terms, tt GROUP BY tt.nt""".stripMargin) { (s, d) =>
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("p"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"))
+      val rm = cells.groupBy(col("p")).agg(sum(col("n")).as("np"))
+      val cm = cells.groupBy(col("st")).agg(sum(col("n")).as("ns"))
+      val tt = cells.agg(sum(col("n")).as("nt"))
+      val lam = round(graft.functions.GraftFunctions.ieeeLn(
+          (col("n") * col("nt")).cast("double") /
+            (col("np") * col("ns")).cast("double")) * lit(1073741824.0))
+        .cast("long")
+      cells.join(broadcast(rm), Seq("p"))
+        .join(broadcast(cm), Seq("st"))
+        .crossJoin(broadcast(tt))
+        .select(col("n"), col("nt"), lam.as("lam"))
+        .groupBy(col("nt"))
+        .agg(sum(col("n") * col("lam")).as("mi_scaled"))
+        .select(col("nt").as("n_total"), col("mi_scaled"),
+          (col("mi_scaled").cast("double") / col("nt").cast("double") /
+            lit(1073741824.0)).as("mi_nats"))
+    },
+
     // Functional-dependency profiling (Papenbrock et al., VLDB'15
     // territory): for pinned candidate FDs lhs→rhs, the distinct-lhs
     // census, how many lhs groups see >1 rhs (violations), and the g3'

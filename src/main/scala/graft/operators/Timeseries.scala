@@ -406,6 +406,48 @@ object Timeseries {
           (col("st").getField("l") + col("st").getField("b")).as("fc1"),
           (col("st").getField("l") + lit(7L) * col("st").getField("b"))
             .as("fc7"))
+    },
+
+    // Robust outlier days by median absolute deviation — the
+    // breakdown-resistant alternative to ts_anomaly_hours' mean-based
+    // profile (one wild day corrupts a mean threshold but moves a
+    // median by one rank). Everything is INTEGER order statistics:
+    // percentile_disc medians over the calendar-bounded daily table,
+    // absolute deviations in cents, the 3x fence in exact arithmetic —
+    // no float enters until never. Two scalar attaches (median, then
+    // MAD) are broadcast single rows, the ts_autocorr shape.
+    Op("ts_mad_outliers",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |med AS (SELECT quantile_disc(cents, 0.5) AS med FROM daily),
+         |mad AS (
+         |  SELECT quantile_disc(abs(cents - med), 0.5) AS mad
+         |  FROM daily, med)
+         |SELECT day, cents, cents - med AS dev
+         |FROM daily, med, mad
+         |WHERE abs(cents - med) > 3 * mad""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      // percentile_disc picks an actual input datum but Spark TYPES it
+      // DOUBLE; the cast back to long is lossless (cents are the data)
+      // and keeps the comparison/output columns integer like DuckDB's
+      // type-preserving quantile_disc
+      val med = daily.agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)" +
+          " AS BIGINT)").as("med"))
+      val withMed = daily.crossJoin(broadcast(med))
+      val mad = withMed.agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
+          " (ORDER BY abs(cents - med)) AS BIGINT)").as("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .filter(abs(col("cents") - col("med")) > lit(3L) * col("mad"))
+        .select(col("day"), col("cents"),
+          (col("cents") - col("med")).as("dev"))
     }
   )
 }

@@ -159,4 +159,18 @@ class LayoutSpec extends SparkSpec {
       math.abs(x1 - x2) + math.abs(y1 - y2) > 1
     })
   }
+
+  test("RUNTIME bloom skipping: the point lookup reads a fraction of " +
+       "the plain layout's rows and returns the identical answer") {
+    val row = graft.SparkEntry.queries("layout_bloom_skip")(spark, sf)
+      .head()
+    val (nb, np) = (row.getAs[Long]("n_match_bloom"),
+      row.getAs[Long]("n_match_plain"))
+    assert(nb == np, "bloom filtering must never change the answer")
+    assert(nb > 0, "the probe key must exist")
+    val (rb, rp) = (row.getAs[Long]("rows_read_bloom"),
+      row.getAs[Long]("rows_read_plain"))
+    assert(rb * 4 < rp,
+      s"bloom should skip most row groups: read $rb vs plain $rp")
+  }
 }
