@@ -882,6 +882,52 @@ object Graphs {
         node => node < 100, iters = 6)
     },
 
+    // Degree assortativity (Newman 2002): the Pearson correlation of
+    // endpoint degrees over the symmetrized edge list — do hubs attach
+    // to hubs (r > 0, social nets) or to leaves (r < 0, bipartite/
+    // infrastructure nets, which this customer-supplier graph is)? All
+    // five moments are exact BIGINT sums over edges; the final formula
+    // is pinned-order arithmetic whose only irrationals are two sqrt
+    // calls — and IEEE-754 sqrt is CORRECTLY ROUNDED on every operand
+    // (unlike ln/exp), so the double hash-compares without quantization.
+    // Moment magnitudes: sum(dx*dy) <= m*degmax^2 — BIGINT-safe through
+    // sf100 for this graph family; a web-scale hub graph would center
+    // first (the profile_corr_matrix route).
+    //
+    // Scale shape: degree via count window keyed on the endpoint (the
+    // triangleCounts hub-safe recipe), one map-side moment fold, one
+    // single-row reduce. No join beyond the degree attach.
+    Op("graph_assortativity",
+       """WITH raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |e AS (
+         |  SELECT da.deg AS dx, db.deg AS dy
+         |  FROM sym JOIN deg da ON da.node = sym.src
+         |           JOIN deg db ON db.node = sym.dst),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(dx) AS BIGINT) AS sx,
+         |         CAST(sum(dy) AS BIGINT) AS sy,
+         |         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         |         CAST(sum(dy * dy) AS BIGINT) AS syy
+         |  FROM e)
+         |SELECT m, sxy, sx,
+         |       CAST(m * sxy - sx * sy AS DOUBLE)
+         |       / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+         |          * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+         |         AS assortativity
+         |FROM s""".stripMargin) { (s, d) =>
+      assortativity(
+        tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)).distinct())
+    },
+
     // Newman modularity of the label-propagation partition — the
     // standard "was that community structure real?" readout (Newman &
     // Girvan 2004). Q = sum_c [ e_c/m - (d_c/2m)^2 ] over the SIMPLE
@@ -951,6 +997,38 @@ object Graphs {
       modularity(edges, labelPropagation(edges, iters = 5))
     }
   )
+
+  /** Degree assortativity of the undirected simple graph spanned by
+    * `edges` (see the graph_assortativity op for protocol and scale
+    * notes). Returns one row (m, sxy, sx, assortativity).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val e = sym
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    e.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("m"), col("sxy"), col("sx"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("assortativity"))
+  }
 
   /** Newman modularity of a node partition over the simple undirected
     * graph spanned by `edges` (see the graph_modularity op above for the

@@ -448,6 +448,144 @@ object Timeseries {
         .filter(abs(col("cents") - col("med")) > lit(3L) * col("mad"))
         .select(col("day"), col("cents"),
           (col("cents") - col("med")).as("dev"))
+    },
+
+    // Day-of-week seasonality index — mean spend per weekday over the
+    // grand mean, the multiplicative seasonal profile a forecaster
+    // divides out before trend fitting. The index is integer
+    // PARTS-PER-MILLION by truncating division (sum_dow * d_all * 1e6
+    // div (n_dow * tot) — one exact BIGINT expression per weekday), so
+    // the seasonal profile itself hash-compares; the float index is
+    // the same ratio in two pinned divisions. dow 0 = Thursday
+    // (1970-01-01); label arithmetic, not locale calendars, on both
+    // engines.
+    Op("ts_dow_seasonality",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS d FROM daily)
+         |SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+         |       CAST(sum(cents) AS BIGINT) AS cents,
+         |       CAST(sum(cents) AS BIGINT) * tot.d * 1000000
+         |         // (CAST(count(*) AS BIGINT) * tot.t) AS index_ppm,
+         |       (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |       / (CAST(tot.t AS DOUBLE) / CAST(tot.d AS DOUBLE)) AS index
+         |FROM daily, tot GROUP BY 1, tot.t, tot.d""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val tot = daily.agg(sum(col("cents")).as("t"),
+        count(lit(1)).as("d"))
+      daily.crossJoin(broadcast(tot))
+        .groupBy((col("day") % 7).as("dow"), col("t"), col("d"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
+        .select(col("dow"), col("n_days"), col("cents"),
+          expr("cents * d * 1000000 div (n_days * t)").as("index_ppm"),
+          ((col("cents").cast("double") / col("n_days").cast("double")) /
+            (col("t").cast("double") / col("d").cast("double")))
+            .as("index"))
+    },
+
+    // Kaplan-Meier survival over view-to-purchase conversion lag (the
+    // product-limit estimator, Kaplan & Meier 1958): subjects are users
+    // with a view; the event is their first purchase AFTER that view;
+    // users who never convert are right-CENSORED at the stream horizon
+    // — the estimand "how long do users take to convert" is exactly
+    // what a naive average-of-converters gets wrong by discarding the
+    // censored mass. Risk sets come from one cumulative window over the
+    // per-day (events, censored) table (n_risk(t) = N - prior exits);
+    // the survival curve stays in the LOG domain as a cumulative sum of
+    // per-day ln((n-d)/n) quantized to 2^-30 fixed point — sums of
+    // integers, hash-exact, with the one division at presentation
+    // (exp stays out of compared columns per the ieee_ln caveat; the
+    // curve is monotone in either domain). Days with n = d can only be
+    // the terminal risk set, so the n > d filter truncates, never
+    // punctures, the curve.
+    Op("ts_kaplan_meier",
+       """WITH tv AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS t_view
+         |  FROM events WHERE event_type = 'view' GROUP BY 1),
+         |conv AS (
+         |  SELECT tv.user_id, tv.t_view, min(epoch_us(e.ts)) AS t_conv
+         |  FROM tv JOIN events e ON e.user_id = tv.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > tv.t_view
+         |  GROUP BY 1, 2),
+         |horizon AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+         |subj AS (
+         |  SELECT tv.user_id,
+         |         CASE WHEN c.t_conv IS NOT NULL
+         |              THEN (c.t_conv - tv.t_view) // 86400000000
+         |              ELSE (h.t_max - tv.t_view) // 86400000000 END AS dur,
+         |         CASE WHEN c.t_conv IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM tv LEFT JOIN conv c ON c.user_id = tv.user_id, horizon h),
+         |days AS (
+         |  SELECT dur AS t_days,
+         |         CAST(sum(ev) AS BIGINT) AS d_events,
+         |         CAST(sum(1 - ev) AS BIGINT) AS c_censored
+         |  FROM subj GROUP BY 1),
+         |risk AS (
+         |  SELECT t_days, d_events, c_censored,
+         |         CAST((SELECT count(*) FROM subj)
+         |           - coalesce(sum(d_events + c_censored) OVER (
+         |               ORDER BY t_days
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS n_risk
+         |  FROM days),
+         |km AS (
+         |  SELECT t_days, n_risk, d_events, c_censored,
+         |         CAST(sum(CAST(round(ln(CAST(n_risk - d_events AS DOUBLE)
+         |                        / CAST(n_risk AS DOUBLE)) * 1073741824.0)
+         |               AS BIGINT)) OVER (ORDER BY t_days
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS log_surv_fx
+         |  FROM risk WHERE d_events > 0 AND n_risk > d_events)
+         |SELECT t_days, n_risk, d_events, c_censored, log_surv_fx,
+         |       CAST(log_surv_fx AS DOUBLE) / 1073741824.0 AS log_surv
+         |FROM km""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t_view"))
+      val conv = tv.join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), unix_micros(col("ts")).as("tp")),
+          Seq("user_id"))
+        .filter(col("tp") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("tp")).as("t_conv"))
+      val horizon = ev.agg(max(unix_micros(col("ts"))).as("t_max"))
+      val subj = tv.join(conv.select(col("user_id"), col("t_conv")),
+          Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("t_conv").isNotNull,
+            expr("(t_conv - t_view) div 86400000000"))
+            .otherwise(expr("(t_max - t_view) div 86400000000")).as("dur"),
+          when(col("t_conv").isNotNull, 1L).otherwise(0L).as("ev"))
+      val days = subj.groupBy(col("dur").as("t_days"))
+        .agg(sum(col("ev")).as("d_events"),
+          sum(lit(1L) - col("ev")).as("c_censored"))
+      val nTotal = subj.agg(count(lit(1)).as("n_total"))
+      val before = Window.orderBy(col("t_days"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val upTo = Window.orderBy(col("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lamFx = round(graft.functions.GraftFunctions.ieeeLn(
+          (col("n_risk") - col("d_events")).cast("double") /
+            col("n_risk").cast("double")) * lit(1073741824.0)).cast("long")
+      days.crossJoin(broadcast(nTotal))
+        .withColumn("n_risk", col("n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(before),
+            lit(0L)))
+        .filter(col("d_events") > 0 && col("n_risk") > col("d_events"))
+        .withColumn("log_surv_fx", sum(lamFx).over(upTo))
+        .select(col("t_days"), col("n_risk"), col("d_events"),
+          col("c_censored"), col("log_surv_fx"),
+          (col("log_surv_fx").cast("double") / lit(1073741824.0))
+            .as("log_surv"))
     }
   )
 }

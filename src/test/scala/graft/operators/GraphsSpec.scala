@@ -258,4 +258,14 @@ class GraphsSpec extends SparkSpec {
     assert(q1.getAs[Long]("q_num") == 0L)
     assert(q1.getAs[Double]("modularity") == 0.0)
   }
+
+  test("assortativity: a star is perfectly disassortative (r = -1 " +
+       "exactly, sqrt being correctly rounded); a clique is degenerate") {
+    import spark.implicits._
+    val star = (1L to 5L).map(leaf => (0L, leaf)).toDF("src", "dst")
+    val r = Graphs.assortativity(star).head()
+    assert(r.getAs[Long]("m") == 10L, "5 undirected edges, symmetrized")
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
 }

@@ -244,4 +244,37 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+
+  test("Kaplan-Meier risk sets and event counts match an independent " +
+       "subject reconstruction on sf0.001") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+      .as[(Long, String, Long)].collect()
+    val tMax = ev.map(_._3).max
+    val subjects = ev.filter(_._2 == "view").groupBy(_._1).toSeq.map {
+      case (u, vs) =>
+        val tv = vs.map(_._3).min
+        val conv = ev.filter(e => e._1 == u && e._2 == "purchase" &&
+          e._3 > tv).map(_._3)
+        if (conv.nonEmpty) ((conv.min - tv) / 86400000000L, true)
+        else ((tMax - tv) / 86400000000L, false)
+    }
+    val got = graft.SparkEntry.queries("ts_kaplan_meier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    var logS = 0.0
+    got.foreach { case (t, nRisk, dEv) =>
+      val expectedRisk = subjects.count(_._1 >= t)
+      val expectedEv = subjects.count(s => s._1 == t && s._2)
+      assert(nRisk == expectedRisk, s"n_risk at day $t")
+      assert(dEv == expectedEv, s"d_events at day $t")
+    }
+    // survival curve is strictly decreasing in the log domain
+    val ls = graft.SparkEntry.queries("ts_kaplan_meier")(spark, sf)
+      .collect().map(_.getAs[Double]("log_surv"))
+    assert(ls.sorted.reverse.sameElements(ls) && ls.forall(_ < 0.0))
+  }
+
 }
