@@ -1681,6 +1681,40 @@ object LlmOps {
 
     // Per-document token/char statistics; all doubles are single divisions
     // of exact ints -> bit-identical.
+    // The dataset card's quantitative table (Gebru et al. 2021
+    // "Datasheets for datasets" brought to corpus ops): per source —
+    // document and character volume, whitespace-token volume, English
+    // share in truncating ppm, and distinct-text count (n_docs minus it
+    // is the exact-dup surplus a cleaning pass would remove). One keyed
+    // aggregate over one corpus scan; every column integer, so the
+    // whole card hash-compares. This is the first table a 100 TB
+    // ingest run publishes and the regression gate later runs diff
+    // against.
+    Op("llm_dataset_card",
+       s"""SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          |       CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+          |       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+          |       CAST(count(*) FILTER (lang = 'en') * 1000000 // count(*)
+          |            AS BIGINT) AS en_ppm,
+          |       CAST(count(DISTINCT md5(text)) AS BIGINT)
+          |         AS n_distinct_texts
+          |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(size(TextFeatures.tokens(col("text"))).cast("long"))
+            .as("n_tokens"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          col("n_tokens"), col("n_en"),
+          expr("n_en * 1000000 div n_docs").as("en_ppm"),
+          col("n_distinct_texts"))
+    },
+
     Op("text_stats",
        s"""SELECT doc_id,
           |       len($toksSql) AS n_tokens,

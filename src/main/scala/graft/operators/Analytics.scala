@@ -93,6 +93,27 @@ object Analytics {
             .as("mean_cents"))
     },
 
+    // Relative-position windows: percent_rank (min-max normalized rank)
+    // and cume_dist (empirical CDF value) per priority group — the two
+    // SQL-standard analytics w1-w7 don't cover. Both are RANK-derived,
+    // so ties get identical values on both engines (no row_number
+    // arbitrariness), and each is one pinned division; one shuffle on
+    // the group key like every window here.
+    Op("w8_percent_rank",
+       """SELECT o_orderkey AS order_id, o_orderpriority,
+         |       percent_rank() OVER w AS pr,
+         |       cume_dist() OVER w AS cd
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("order_id"), col("o_orderpriority"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+    },
+
     // Ranking window: top-1 order per customer. Spark plans a single shuffle
     // on the partition key; the rank filter is applied streaming per group.
     Op("w1_rank_per_group",

@@ -233,6 +233,30 @@ object Relational {
       urgent.unionByName(open)
     },
 
+    // Skew-salted dimension join, driver-checked: Skew.saltedJoin
+    // spreads each fact row over `buckets` shuffle partitions by a
+    // deterministic row-identity salt and replicates the dim side
+    // `buckets` times, so one hot supplier key can never pin a single
+    // reducer — the manual fallback when AQE skew splitting can't reach
+    // the join (cached/streamed subtrees, non-sort-merge joins). The
+    // oracle is the PLAIN join: hash equality proves the salting is
+    // row-invisible (SkewSpec additionally shows the salt spreading).
+    Op("j4_skew_salted_join",
+       """SELECT l_orderkey, l_linenumber, l_suppkey,
+         |       s_name, s_acctbal
+         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey""".stripMargin) {
+      (s, d) =>
+        val fact = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        val dim = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"),
+            col("s_acctbal"))
+        Skew.saltedJoin(fact, dim, "l_suppkey", buckets = 8,
+          saltBy = Seq("l_orderkey", "l_linenumber"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("s_name"), col("s_acctbal"))
+    },
+
     // Incremental view maintenance for distributive aggregates: a stored
     // partial-state table (sum/count per key) absorbs a new batch by
     // unioning the batch's OWN partial states and re-summing — history is

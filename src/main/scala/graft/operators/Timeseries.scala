@@ -490,6 +490,41 @@ object Timeseries {
             .as("index"))
     },
 
+    // Exponentially time-decayed engagement score per user with a
+    // 7-day half-life, kept EXACTLY integer: the decay factor
+    // 2^-(age/7 days) is an arithmetic right-shift by age div 7
+    // (capped at 62 — beyond that the contribution is provably 0 in
+    // 63-bit arithmetic), so the recency-weighted sum replays
+    // bit-for-bit where a pow(0.5, age/7.0) never would. This is the
+    // recency-weighted-LTV / trending-score primitive: one keyed agg
+    // over the (user, day) cell table with a broadcast horizon scalar,
+    // incrementally maintainable by shifting yesterday's score.
+    Op("ts_decayed_sum",
+       """WITH daily AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1, 2),
+         |h AS (SELECT max(day) AS today FROM daily)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+         |       CAST(sum(cents >> CAST(least((today - day) // 7, 62)
+         |                              AS INTEGER)) AS BIGINT)
+         |         AS decayed_cents
+         |FROM daily, h GROUP BY 1""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val h = daily.agg(max(col("day")).as("today"))
+      daily.crossJoin(broadcast(h))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(expr("shiftright(cents," +
+            " CAST(least((today - day) div 7, 62) AS INT))"))
+            .as("decayed_cents"))
+    },
+
     // Kaplan-Meier survival over view-to-purchase conversion lag (the
     // product-limit estimator, Kaplan & Meier 1958): subjects are users
     // with a view; the event is their first purchase AFTER that view;
