@@ -114,6 +114,43 @@ object Analytics {
             cume_dist().over(w).as("cd"))
     },
 
+    // Gini coefficient of order-value concentration — the scalar
+    // companion to m_pareto_8020's curve, computed EXACTLY from the
+    // rank formulation G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x))
+    // over ascending cents. The global dense rank comes from
+    // Mixing.assignContiguousIds (range-partition + per-partition
+    // row_number + broadcast offsets), so no single-partition window
+    // ever materializes — the same substrate f_equidepth_hist ranks on,
+    // which is what makes an "ORDER BY the whole fact table" statistic
+    // 100 TB-viable. Numerator and denominator are BIGINTs (headroom to
+    // ~sf10: rank*cents sums brush 2^63 around 10^9 rows x 10^7 cents —
+    // past that the cents would drop a digit of scale); the float is
+    // one division.
+    Op("m_gini",
+       """WITH o AS (
+         |  SELECT o_orderkey,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders),
+         |r AS (
+         |  SELECT cents,
+         |         CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+         |              AS BIGINT) AS rk
+         |  FROM o)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(cents) AS BIGINT) AS total_cents,
+         |       CAST(2 * sum(rk * cents)
+         |            - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num,
+         |       CAST(count(*) * sum(cents) AS BIGINT) AS gini_den,
+         |       CAST(2 * sum(rk * cents) - (count(*) + 1) * sum(cents)
+         |            AS DOUBLE)
+         |       / CAST(count(*) * sum(cents) AS DOUBLE) AS gini
+         |FROM r""".stripMargin) { (s, d) =>
+      giniStats(Tables.orders(s, d)
+        .select(col("o_orderkey").as("id"),
+          (col("o_totalprice").cast(dec) * 100).cast("long").as("cents")))
+    },
+
     // Ranking window: top-1 order per customer. Spark plans a single shuffle
     // on the partition key; the rank filter is applied streaming per group.
     Op("w1_rank_per_group",
@@ -864,5 +901,23 @@ object Analytics {
       .filter((col("__before").isNull || col(maxCol) > col("__before")) &&
         col(maxCol) === greatest(col("__incl"), col("__prev")))
       .drop("__pid", "__local", "__incl", "__prev", "__before")
+  }
+
+  /** Exact Gini statistics of `values` (columns: `id`, `cents`): one row
+    * (n, total_cents, gini_num, gini_den, gini) via the distributed
+    * contiguous rank (see the m_gini op above for protocol and scale
+    * notes). Ties order by id, which cannot change the sum.
+    */
+  def giniStats(values: DataFrame): DataFrame = {
+    val ranked = graft.llm.Mixing.assignContiguousIds(
+      values, struct(col("cents"), col("id")))
+    ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"),
+        sum((col("seq_id") + 1L) * col("cents")).as("rs"))
+      .select(col("n"), col("t").as("total_cents"),
+        (lit(2L) * col("rs") - (col("n") + 1L) * col("t")).as("gini_num"),
+        (col("n") * col("t")).as("gini_den"),
+        ((lit(2L) * col("rs") - (col("n") + 1L) * col("t"))
+          .cast("double") /
+          (col("n") * col("t")).cast("double")).as("gini"))
   }
 }

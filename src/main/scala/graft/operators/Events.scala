@@ -264,6 +264,85 @@ object Events {
     // — (c0*n1 - c1*n0)^2 * (n0+n1) over n0*n1*(c0+c1)*(n-c...) — with
     // exactly one double division, so the test statistic itself
     // hash-compares. One keyed aggregate + a 4-value pivot.
+    // Welch's unequal-variance t-test on CONTINUOUS per-user spend
+    // between the two md5-free cohorts (user_id parity) — the
+    // value-metric companion to e_ab_test's two-proportion z. Group
+    // moments (n, sum, sum-of-squares) are exact BIGINT cents; the
+    // statistic and Welch-Satterthwaite df are pinned-order +,-,*,/ and
+    // sqrt — every one correctly rounded IEEE-754, so unlike anything
+    // ln-shaped the doubles hash-compare with no quantization. Variance
+    // is the centered form (Q*n - S^2)/(n*(n-1)) evaluated in double
+    // AFTER the integer moments, never a per-row float sum (those are
+    // partitioning-dependent).
+    Op("e_ab_welch",
+       """WITH u AS (
+         |  SELECT user_id, user_id % 2 AS variant,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1, 2),
+         |g AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(cents) AS BIGINT) AS s,
+         |         CAST(sum(cents * cents) AS BIGINT) AS q
+         |  FROM u GROUP BY 1),
+         |w AS (
+         |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         |         max(CASE WHEN variant = 0 THEN s END) AS s0,
+         |         max(CASE WHEN variant = 0 THEN q END) AS q0,
+         |         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         |         max(CASE WHEN variant = 1 THEN s END) AS s1,
+         |         max(CASE WHEN variant = 1 THEN q END) AS q1
+         |  FROM g),
+         |v AS (
+         |  SELECT n0, s0, n1, s1,
+         |         (CAST(q0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+         |         / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |            * (CAST(n0 AS DOUBLE) - 1.0)) AS vm0,
+         |         (CAST(q1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+         |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |         / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+         |            * (CAST(n1 AS DOUBLE) - 1.0)) AS vm1
+         |  FROM w)
+         |SELECT n0, n1,
+         |       (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |       / sqrt(vm0 + vm1) AS t_stat,
+         |       (vm0 + vm1) * (vm0 + vm1)
+         |       / (vm0 * vm0 / (CAST(n0 AS DOUBLE) - 1.0)
+         |          + vm1 * vm1 / (CAST(n1 AS DOUBLE) - 1.0)) AS df
+         |FROM v""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val g = u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+      val w = g.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("s"))).as("s0"),
+        max(when(col("variant") === 0, col("q"))).as("q0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("s"))).as("s1"),
+        max(when(col("variant") === 1, col("q"))).as("q1"))
+      def vm(n: String, ss: String, q: String) =
+        (col(q).cast("double") * col(n).cast("double") -
+          col(ss).cast("double") * col(ss).cast("double")) /
+          (col(n).cast("double") * col(n).cast("double") *
+            (col(n).cast("double") - 1.0))
+      val v = w.select(col("n0"), col("s0"), col("n1"), col("s1"),
+        vm("n0", "s0", "q0").as("vm0"), vm("n1", "s1", "q1").as("vm1"))
+      v.select(col("n0"), col("n1"),
+        ((col("s0").cast("double") / col("n0").cast("double") -
+          col("s1").cast("double") / col("n1").cast("double")) /
+          sqrt(col("vm0") + col("vm1"))).as("t_stat"),
+        ((col("vm0") + col("vm1")) * (col("vm0") + col("vm1")) /
+          (col("vm0") * col("vm0") / (col("n0").cast("double") - 1.0) +
+            col("vm1") * col("vm1") / (col("n1").cast("double") - 1.0)))
+          .as("df"))
+    },
+
     Op("e_ab_test",
        """WITH u AS (
          |  SELECT user_id, user_id % 2 AS variant,

@@ -105,7 +105,18 @@ class PlanAuditSpec extends SparkSpec {
         n == "m_pareto_8020" || n == "ts_autocorr" ||
         // profile_corr_matrix: the 1-row column-totals attach feeding
         // the deviation projection (verified below)
-        n == "profile_corr_matrix")
+        n == "profile_corr_matrix" ||
+        // r8 additions, all the same 1-row keyless-aggregate attach
+        // shape (each verified below): median/MAD scalars
+        // (ts_mad_outliers), grand-total (ts_dow_seasonality), horizon +
+        // subject-count (ts_kaplan_meier), horizon (ts_decayed_sum),
+        // edge-count m (graph_modularity), exact-union + merged-sketch
+        // 1-rows (f_hll_union), N total (profile_mutual_info), and the
+        // three blocking-census aggregates (er_blocking_quality)
+        n == "ts_mad_outliers" || n == "ts_dow_seasonality" ||
+        n == "ts_kaplan_meier" || n == "ts_decayed_sum" ||
+        n == "graph_modularity" || n == "f_hll_union" ||
+        n == "profile_mutual_info" || n == "er_blocking_quality")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -143,7 +154,10 @@ class PlanAuditSpec extends SparkSpec {
         // with the literal-broadcast group below)
         "e_funnel_windowed", "m_basket_rules", "profile_key_skew",
         "f_chi_square", "text_qld_topk", "text_naive_bayes",
-        "m_pareto_8020", "ts_autocorr", "profile_corr_matrix")
+        "m_pareto_8020", "ts_autocorr", "profile_corr_matrix",
+        "ts_mad_outliers", "ts_dow_seasonality", "ts_kaplan_meier",
+        "ts_decayed_sum", "graph_modularity", "f_hll_union",
+        "profile_mutual_info", "er_blocking_quality")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

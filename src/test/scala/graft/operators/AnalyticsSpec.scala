@@ -161,4 +161,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(means.last > means.head)
   }
 
+
+  test("Gini closed forms: uniform values score 0; total concentration " +
+       "scores (n-1)/n; ranks never collapse on ties") {
+    import spark.implicits._
+    def gini(vals: Seq[Long]): (Long, Double) = {
+      val r = Analytics.giniStats(vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "cents")).head()
+      (r.getAs[Long]("n"), r.getAs[Double]("gini"))
+    }
+    val (n1, g1) = gini(Seq.fill(100)(7L))
+    assert(n1 == 100 && g1 == 0.0)
+    val (n2, g2) = gini(0L +: Seq.fill(99)(0L) :+ 1000L)
+    assert(n2 == 101 && math.abs(g2 - 100.0 / 101.0) < 1e-12)
+    // ascending integers: G = (n-1)/(3n) exactly for 1..n
+    val n = 200L
+    val (_, g3) = gini((1L to n))
+    assert(math.abs(g3 - (n - 1).toDouble / (3 * n)) < 1e-12, s"$g3")
+  }
 }
