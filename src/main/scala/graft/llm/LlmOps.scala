@@ -23,6 +23,26 @@ object LlmOps {
   private val stopSql =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
 
+  /** Shared DuckDB replay of TextFeatures.winnowFingerprints through
+    * `m(doc_id, fp, pos)` — both winnowing entries build on it so the
+    * selection rule cannot drift between them.
+    */
+  private val winnowCte: String =
+    s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, greatest(length(norm) - 6, 1)),
+       |           i -> md5(substr(norm, i, 8))) AS hs
+       |  FROM n),
+       |w AS (SELECT doc_id, hs, len(hs) AS ng FROM g WHERE len(hs) >= 4),
+       |f AS (SELECT doc_id, hs, unnest(range(1, ng - 2)) AS j FROM w),
+       |m AS (
+       |  SELECT doc_id,
+       |         list_aggregate(hs[j:j+3], 'min') AS fp,
+       |         j + 4 - list_position(list_reverse(hs[j:j+3]),
+       |             list_aggregate(hs[j:j+3], 'min')) AS pos
+       |  FROM f)""".stripMargin
+
   /** Shared DuckDB replay of Mixing.dsirWeights (B = 512, target =
     * lang='en'): CTEs through `agg(doc_id, n_grams, log_w)`. Both DSIR
     * entries build on it so the weight definition cannot drift between
@@ -1807,6 +1827,65 @@ object LlmOps {
           col("doc_id"),
           md5(col("norm")).as("fp"),
           TextFeatures.minWindowFingerprintOfNorm(col("norm")).as("minwin_fp"))
+    },
+
+    // FULL winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    // algorithm), upgrading text_fingerprint's single global min-hash
+    // to the guarantee-bearing fingerprint SET: k-gram hashes (k = 8
+    // chars over the normal form), then in every window of w = 4
+    // consecutive grams keep the minimum hash, rightmost on ties.
+    // Guarantees: any match of length >= w + k - 1 = 11 chars shares a
+    // fingerprint, and density is ~2/(w+1) of the grams — the knob that
+    // makes plagiarism/near-copy detection storage-bounded. Both the
+    // selection and the tie rule replay exactly: rightmost-min is
+    // j + w - position-in-reversed-window, the same expression on both
+    // engines.
+    //
+    // Scale shape: entirely MAP-SIDE per document (transform over the
+    // gram array; no shuffle until the consumer joins fingerprints),
+    // the same map-only contract as substring dedup's window kernel —
+    // at 100 TB the fingerprint relation is what ships, ~L/2.5 rows per
+    // doc instead of every gram.
+    Op("text_winnowing",
+       s"""$winnowCte
+          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+          |FROM m""".stripMargin) { (s, d) =>
+      TextFeatures.winnowFingerprints(Tables.documents(s, d), "doc_id",
+        "text")
+    },
+
+    // Near-copy pairs from the winnowed fingerprint relation — the MOSS
+    // overlap report: pairs of documents sharing >= 5 distinct
+    // fingerprints, via an equi-join ON the fingerprint (never
+    // all-pairs). Fingerprints appearing in > 50 documents are dropped
+    // first (boilerplate grams — the substringDups maxDocFreq rule):
+    // a hot fingerprint contributes pair-count quadratically while
+    // carrying no copy signal, and the cap bounds every join group. The
+    // hash match proves both the selection and the overlap census.
+    Op("text_winnow_dups",
+       s"""$winnowCte,
+          |fpset AS (SELECT DISTINCT doc_id, fp FROM m),
+          |df AS (SELECT fp, count(*) AS nd FROM fpset GROUP BY 1),
+          |keep AS (
+          |  SELECT fpset.doc_id, fpset.fp FROM fpset
+          |  JOIN df USING (fp) WHERE df.nd <= 50)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(count(*) AS BIGINT) AS n_shared
+          |FROM keep a JOIN keep b
+          |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin) { (s, d) =>
+      val fpset = TextFeatures.winnowFingerprints(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("fp")).distinct()
+      val df = fpset.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      val keep = fpset.join(df.filter(col("nd") <= 50), Seq("fp"))
+        .select(col("doc_id"), col("fp"))
+      keep.select(col("doc_id").as("id_a"), col("fp"))
+        .join(keep.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
     },
 
     // --- data mixing -----------------------------------------------------
