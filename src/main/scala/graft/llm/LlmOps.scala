@@ -2434,6 +2434,84 @@ object LlmOps {
     // nodes and all. Ten exact rounds; the recursive CTE replays every
     // truncating division, so corpus-level keyword salience is a fully
     // hash-compared iterative computation.
+    // RAKE keyword extraction (Rose et al. 2010 "Automatic keyword
+    // extraction from individual documents"): candidate phrases are the
+    // maximal stopword-free token runs (gaps-and-islands over token
+    // positions — the r_interval_merge shape per document), each word
+    // scores deg/freq where deg sums the lengths of every phrase the
+    // occurrence sits in, and a phrase scores the sum of its member
+    // word scores. The whole statistic is INTEGER: word scores are
+    // truncating fixed point (deg * 2^20 div freq), phrase scores exact
+    // sums of those — so the top-20 ranking (score desc, phrase asc)
+    // hash-compares with no transcendental anywhere, unlike TextRank's
+    // iterated float walk.
+    //
+    // Scale shape: tokens explode map-side; the island assignment is
+    // one keyed window per doc; word stats are a vocabulary-keyed agg;
+    // the score attach is an equi-join on the word; top-20 is
+    // TakeOrderedAndProject.
+    Op("text_rake",
+       s"""WITH t AS (
+          |  SELECT doc_id, tok, p
+          |  FROM (SELECT doc_id, unnest($toksSql) AS tok,
+          |               unnest(range(1, len($toksSql) + 1)) AS p
+          |        FROM documents)),
+          |ns AS (
+          |  SELECT doc_id, tok, p,
+          |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+          |           AS grp
+          |  FROM t WHERE NOT list_contains($stopSql, tok)),
+          |occ AS (
+          |  SELECT doc_id, tok, p, grp,
+          |         CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT)
+          |           AS plen
+          |  FROM ns),
+          |ws AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+          |         CAST(sum(plen) AS BIGINT) AS deg
+          |  FROM occ GROUP BY 1),
+          |sc AS (SELECT tok, deg * 1048576 // freq AS s_fx FROM ws),
+          |ph AS (
+          |  SELECT occ.doc_id, occ.grp,
+          |         string_agg(occ.tok, ' ' ORDER BY occ.p) AS phrase,
+          |         CAST(sum(sc.s_fx) AS BIGINT) AS score_fx
+          |  FROM occ JOIN sc USING (tok)
+          |  GROUP BY 1, 2)
+          |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+          |       max(score_fx) AS score_fx,
+          |       CAST(max(score_fx) AS DOUBLE) / 1048576.0 AS score
+          |FROM ph GROUP BY 1
+          |ORDER BY score_fx DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFeatures.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"),
+          col("col").as("tok"))
+      val ns = t.filter(!col("tok").isin(stop: _*))
+        .withColumn("grp", col("p") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      val occ = ns.withColumn("plen", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("grp"))).cast("long"))
+      val sc = occ.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("tok"), expr("deg * 1048576 div freq").as("s_fx"))
+      val ph = occ.join(sc, Seq("tok"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok"))).as("phrase"),
+          sum(col("s_fx")).as("score_fx"))
+      ph.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          max(col("score_fx")).as("score_fx"))
+        .select(col("phrase"), col("n_occurrences"), col("score_fx"),
+          (col("score_fx").cast("double") / lit(1048576.0)).as("score"))
+        .orderBy(col("score_fx").desc, col("phrase"))
+        .limit(20)
+    },
+
     Op("text_textrank",
        s"""WITH RECURSIVE t AS (
           |  SELECT $toksSql AS toks FROM documents),

@@ -111,6 +111,75 @@ object Events {
           sum(col("n")).over(Window.partitionBy(col("from_type"))))
     },
 
+    // Stationary distribution of the event-type Markov chain — where
+    // does a user's behavior settle if the observed transition matrix
+    // keeps acting? 10 synchronous power-iteration rounds in the
+    // PageRank integer protocol: transition probabilities are 2^20
+    // fixed point (n_ij * 2^20 div row_total, bounded by 2^20 so
+    // pi * p never leaves 2^60 at ANY corpus size), mass at 2^40, one
+    // truncating div per edge per round. The corpus-sized work is the
+    // transition count (one window + one keyed agg); the |T|^2 <= 25
+    // chain itself is driver-bounded state (the Lloyd's/QualityModel
+    // precedent), and the oracle replays every round as a recursive
+    // CTE. States that lose all incoming mass drop out — mirrored
+    // exactly on both engines.
+    Op("e_markov_stationary",
+       """WITH RECURSIVE steps AS (
+         |  SELECT event_type AS f,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS t
+         |  FROM events),
+         |pairs AS (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS n
+         |  FROM steps WHERE t IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT f, CAST(sum(n) AS BIGINT) AS r FROM pairs GROUP BY 1),
+         |e AS (
+         |  SELECT pairs.f, pairs.t, pairs.n * 1048576 // rt.r AS pfx
+         |  FROM pairs JOIN rt USING (f)),
+         |states AS (
+         |  SELECT DISTINCT st FROM (
+         |    SELECT f AS st FROM pairs UNION ALL SELECT t FROM pairs)),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS c FROM states),
+         |it(iter, st, pi) AS (
+         |  SELECT 0, st, 1099511627776 // c FROM states, ns
+         |  UNION ALL
+         |  SELECT iter + 1, e.t,
+         |         CAST(sum((it.pi * e.pfx) // 1048576) AS BIGINT)
+         |  FROM it JOIN e ON e.f = it.st
+         |  WHERE iter < 10 GROUP BY 1, 2)
+         |SELECT st AS state, pi AS pi_fx,
+         |       CAST(pi AS DOUBLE) / 1099511627776.0 AS pi
+         |FROM it WHERE iter = 10""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("event_type").as("f"),
+          lead(col("event_type"), 1).over(byUser).as("t"))
+        .filter(col("t").isNotNull)
+        .groupBy(col("f"), col("t"))
+        .agg(count(lit(1)).as("n"))
+      val rt = pairs.groupBy(col("f")).agg(sum(col("n")).as("r"))
+      // |event types|^2-bounded collect — the chain is driver state by
+      // construction; the corpus never leaves the cluster
+      val edges = pairs.join(rt, Seq("f"))
+        .select(col("f"), col("t"), expr("n * 1048576 div r").as("pfx"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val scale = 1099511627776L // 2^40
+      var pi: Map[String, Long] = states.map(_ -> scale / states.length).toMap
+      for (_ <- 1 to 10) {
+        pi = edges.groupBy(_._2).map { case (to, es) =>
+          to -> es.map { case (from, _, pfx) =>
+            pi.getOrElse(from, 0L) * pfx / 1048576L
+          }.sum
+        }
+      }
+      import s.implicits._
+      pi.toSeq.sortBy(_._1)
+        .map { case (st, p) => (st, p, p.toDouble / 1099511627776.0) }
+        .toDF("state", "pi_fx", "pi")
+    },
+
     // Semi-structured access: extract a JSON field from the props column
     // and bucket by it — the schema-on-read shape every event pipeline has.
     Op("e_json_extract",
