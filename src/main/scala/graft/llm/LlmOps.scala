@@ -1888,6 +1888,87 @@ object LlmOps {
         .filter(col("n_shared") >= 5)
     },
 
+    // T5-style span corruption (Raffel et al. 2020, the pretraining
+    // objective transform): ~15% of each document's tokens are masked by
+    // a deterministic md5 draw per (doc, position), adjacent masked
+    // positions merge into spans (gaps-and-islands over the masked
+    // stream), and the pair (input-with-sentinels, target-of-spans) is
+    // rebuilt as strings — <extra_id_k> replaces span k in the input
+    // and introduces it in the target, exactly the seq2seq example
+    // format a denoising trainer consumes. Every piece of the surgery
+    // (draws, span ids, both concatenations) is deterministic, so the
+    // whole corrupted corpus hash-compares.
+    //
+    // Scale shape: one posexplode + two keyed windows per document + one
+    // grouped rebuild — map-side except the per-doc sort, the
+    // sessionize shuffle shape; no span state leaves its document.
+    Op("llm_span_corruption",
+       s"""WITH t AS (
+          |  SELECT doc_id, tok, p,
+          |         CAST('0x' || substr(md5(concat('span:',
+          |             CAST(doc_id AS VARCHAR), ':', CAST(p AS VARCHAR))),
+          |             1, 4) AS BIGINT) < 9830 AS masked
+          |  FROM (SELECT doc_id, unnest($toksSql) AS tok,
+          |               unnest(range(1, len($toksSql) + 1)) AS p
+          |        FROM documents)),
+          |m AS (
+          |  SELECT doc_id, tok, p, masked,
+          |         CASE WHEN masked THEN p - row_number() OVER (
+          |             PARTITION BY doc_id, masked ORDER BY p) END AS grp
+          |  FROM t),
+          |sid AS (
+          |  SELECT doc_id, tok, p, masked, grp,
+          |         CASE WHEN masked THEN dense_rank() OVER (
+          |             PARTITION BY doc_id, masked ORDER BY grp) - 1 END
+          |           AS k,
+          |         masked AND (p = 1 OR NOT lag(masked) OVER (
+          |             PARTITION BY doc_id ORDER BY p)) AS is_start
+          |  FROM m)
+          |SELECT doc_id,
+          |       CAST(count(DISTINCT grp) AS BIGINT) AS n_spans,
+          |       coalesce(string_agg(CASE WHEN NOT masked THEN tok
+          |                       WHEN is_start
+          |                       THEN '<extra_id_' || k || '>' END,
+          |                  ' ' ORDER BY p), '') AS input_text,
+          |       coalesce(string_agg(CASE WHEN NOT masked THEN NULL
+          |                       WHEN is_start
+          |                       THEN '<extra_id_' || k || '> ' || tok
+          |                       ELSE tok END, ' ' ORDER BY p), '')
+          |         AS target_text
+          |FROM sid GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextFeatures.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("tok"))
+        .withColumn("masked", expr(
+          "CAST(conv(substring(md5(concat('span:', CAST(doc_id AS STRING)," +
+            " ':', CAST(p AS STRING))), 1, 4), 16, 10) AS BIGINT) < 9830"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val byMask = Window.partitionBy(col("doc_id"), col("masked"))
+        .orderBy(col("p"))
+      val m = t.withColumn("grp",
+        when(col("masked"), col("p") - row_number().over(byMask)))
+      val sid = m
+        .withColumn("k", when(col("masked"),
+          dense_rank().over(Window.partitionBy(col("doc_id"), col("masked"))
+            .orderBy(col("grp"))) - 1))
+        .withColumn("is_start", col("masked") &&
+          (col("p") === 1 || !lag(col("masked"), 1).over(byDoc)))
+      val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+      sid.groupBy(col("doc_id"))
+        .agg(count_distinct(col("grp")).as("n_spans"),
+          concat_ws(" ", transform(sort_array(collect_list(struct(col("p"),
+              when(!col("masked"), col("tok"))
+                .when(col("is_start"), sentinel).as("piece")))),
+            x => x.getField("piece"))).as("input_text"),
+          concat_ws(" ", transform(sort_array(collect_list(struct(col("p"),
+              when(!col("masked"), lit(null).cast("string"))
+                .when(col("is_start"), concat(sentinel, lit(" "), col("tok")))
+                .otherwise(col("tok")).as("piece")))),
+            x => x.getField("piece"))).as("target_text"))
+    },
+
     // --- data mixing -----------------------------------------------------
 
     // Deterministic stratified sampling (data mixing): per-source keep
