@@ -1969,6 +1969,60 @@ object LlmOps {
             x => x.getField("piece"))).as("target_text"))
     },
 
+    // Fill-in-the-middle transform (Bavarian et al. 2022 "Efficient
+    // training of language models to fill in the middle"): two
+    // deterministic md5 cut points split each document into
+    // prefix/middle/suffix and the example is re-serialized in PSM
+    // order — <PRE> prefix <SUF> suffix <MID> middle — teaching a
+    // causal LM to infill. Cuts are draws mod (n_tokens + 1), so empty
+    // segments occur at their natural rate and replay exactly; the
+    // whole transform is one map-side array-slice pass, the cheapest
+    // possible shape (no shuffle at all — only the parquet scan).
+    Op("llm_fim_transform",
+       s"""WITH t AS (
+          |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, toks, n,
+          |         CAST('0x' || substr(md5(concat('fim1:',
+          |             CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)
+          |           % (n + 1) AS c1,
+          |         CAST('0x' || substr(md5(concat('fim2:',
+          |             CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)
+          |           % (n + 1) AS c2
+          |  FROM t)
+          |SELECT doc_id,
+          |       CAST(least(c1, c2) AS BIGINT) AS cut_lo,
+          |       CAST(greatest(c1, c2) AS BIGINT) AS cut_hi,
+          |       array_to_string(
+          |         ['<PRE>'] || toks[1:least(c1, c2)]
+          |         || ['<SUF>'] || toks[greatest(c1, c2) + 1:n]
+          |         || ['<MID>']
+          |         || toks[least(c1, c2) + 1:greatest(c1, c2)], ' ')
+          |         AS fim_text
+          |FROM c""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("c1", expr(
+          "CAST(conv(substring(md5(concat('fim1:'," +
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % (n + 1)"))
+        .withColumn("c2", expr(
+          "CAST(conv(substring(md5(concat('fim2:'," +
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % (n + 1)"))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+      t.select(col("doc_id"), col("lo").as("cut_lo"), col("hi").as("cut_hi"),
+        concat_ws(" ", concat(
+          array(lit("<PRE>")),
+          expr("slice(toks, 1, CAST(lo AS INT))"),
+          array(lit("<SUF>")),
+          expr("slice(toks, CAST(hi AS INT) + 1, CAST(n - hi AS INT))"),
+          array(lit("<MID>")),
+          expr("slice(toks, CAST(lo AS INT) + 1, CAST(hi - lo AS INT))")))
+          .as("fim_text"))
+    },
+
     // --- data mixing -----------------------------------------------------
 
     // Deterministic stratified sampling (data mixing): per-source keep

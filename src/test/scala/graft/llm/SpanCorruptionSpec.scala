@@ -42,4 +42,34 @@ class SpanCorruptionSpec extends SparkSpec {
     val rate = masked.toDouble / tokens
     assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
   }
+
+  test("FIM: prefix + middle + suffix reassemble every document and " +
+       "segment boundaries match the emitted cuts") {
+    val sf = "/root/testdata/sf0.001"
+    val orig = graft.Tables.documents(spark, sf)
+      .select($"doc_id", TextFeatures.normalized($"text").as("norm"))
+      .as[(Long, String)].collect().toMap
+    val out = graft.SparkEntry.queries("llm_fim_transform")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == orig.size)
+    out.foreach { case (id, lo, hi, fim) =>
+      val toks = orig(id).split(" ", -1).toSeq
+      assert(0 <= lo && lo <= hi && hi <= toks.length, s"doc $id cuts")
+      val pre = fim.indexOf("<PRE>")
+      val suf = fim.indexOf("<SUF>")
+      val mid = fim.indexOf("<MID>")
+      assert(pre == 0 && suf > pre && mid > suf, s"doc $id sentinel order")
+      def seg(from: Int, until: Int) = {
+        val raw = fim.substring(from, until).trim
+        if (raw.isEmpty) Seq.empty[String] else raw.split(" ", -1).toSeq
+      }
+      val prefix = seg(pre + 5, suf)
+      val suffix = seg(suf + 5, mid)
+      val middle = seg(mid + 5, fim.length)
+      assert(prefix ++ middle ++ suffix == toks, s"doc $id reassembly")
+      assert(prefix.length == lo && middle.length == hi - lo,
+        s"doc $id segment lengths vs cuts")
+    }
+  }
 }
