@@ -1792,6 +1792,52 @@ object LlmOps {
         TextFeatures.qualityScore(t).as("quality"))
     },
 
+    // Language-ID evaluation: the confusion matrix of the n-gram
+    // heuristic against the gold `lang` column, with per-gold-label
+    // cell shares in truncating ppm — the accept/reject evidence a
+    // pipeline needs BEFORE trusting text_lang_quality's predictions as
+    // a filter. Same marker-hit argmax as the classifier itself (the
+    // hits CTE is copied verbatim so the definitions cannot drift);
+    // everything integer, one bounded |langs|^2 aggregate after one
+    // corpus scan.
+    Op("text_lang_confusion",
+       s"""WITH hits AS (
+          |  SELECT doc_id, lang, text,
+          |    len(list_filter($toksSql, t -> list_contains(['the','a','of','and','is'], t))) AS h_en,
+          |    len(list_filter($toksSql, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+          |    len(list_filter($toksSql, t -> list_contains(['le','la','les','et','est'], t))) AS h_fr,
+          |    len(list_filter($toksSql, t -> list_contains(['el','la','los','y','es'], t))) AS h_es
+          |  FROM documents),
+          |p AS (
+          |  SELECT lang AS lang_label,
+          |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+          |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+          |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+          |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+          |       ELSE 'und' END AS lang_pred
+          |  FROM hits),
+          |cells AS (
+          |  SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n
+          |  FROM p GROUP BY 1, 2),
+          |tot AS (SELECT lang_label, CAST(sum(n) AS BIGINT) AS n_label
+          |        FROM cells GROUP BY 1)
+          |SELECT c.lang_label, c.lang_pred, c.n, t.n_label,
+          |       c.n * 1000000 // t.n_label AS cell_ppm
+          |FROM cells c JOIN tot t USING (lang_label)""".stripMargin) {
+      (s, d) =>
+        val cells = Tables.documents(s, d)
+          .select(col("lang").as("lang_label"),
+            TextFeatures.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang_label"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.groupBy(col("lang_label"))
+          .agg(sum(col("n")).as("n_label"))
+        cells.join(broadcast(tot), Seq("lang_label"))
+          .select(col("lang_label"), col("lang_pred"), col("n"),
+            col("n_label"),
+            expr("n * 1000000 div n_label").as("cell_ppm"))
+    },
+
     // Per-source corpus rollup: counts and exact-int sums only (no
     // cross-partition double sums -> order-independent, oracle-exact).
     Op("text_source_rollup",
