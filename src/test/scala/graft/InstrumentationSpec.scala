@@ -57,4 +57,47 @@ class InstrumentationSpec extends SparkSpec {
     // write-side balance, read-side concentration — assert the read side
     assert(m.shuffleReadBytes >= m.shuffleWriteBytes, m.toString)
   }
+
+  test("Poisson bootstrap's 32x fanout collapses map-side: the shuffle " +
+       "carries replicate partials, not the fanned row stream") {
+    val sf = "/root/testdata/sf0.01"
+    val (rows, m) = Instrumentation.measure(spark) {
+      SparkEntry.queries("f_bootstrap_ci")(spark, sf).count()
+    }
+    assert(rows == 32L)
+    // input is ~15k orders -> 480k fanned rows; partial aggregation must
+    // reduce each partition to <= 32 rows before the exchange, so the
+    // shuffle is KBs where the fanned stream would be MBs
+    assert(m.inputRecords >= 15000, m.toString)
+    assert(m.shuffleWriteBytes < 200000,
+      s"bootstrap fanout leaked into the shuffle: $m")
+  }
+
+  test("FIM transform is runtime map-only: no shuffle at any size") {
+    val sf = "/root/testdata/sf0.01"
+    val (rows, m) = Instrumentation.measure(spark) {
+      SparkEntry.queries("llm_fim_transform")(spark, sf).count()
+    }
+    assert(rows > 0)
+    assert(m.shuffleWriteBytes < 10000,
+      s"FIM must not shuffle: $m")
+  }
+
+  test("winnowing's per-document windows shuffle the slim gram " +
+       "projection once, never the documents") {
+    val sf = "/root/testdata/sf0.01"
+    val totalChars = Tables.documents(spark, sf)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    val (rows, m) = Instrumentation.measure(spark) {
+      SparkEntry.queries("text_winnowing")(spark, sf).count()
+    }
+    assert(rows > 0)
+    assert(m.shuffleWriteBytes > 0, "the per-doc sort is a real shuffle")
+    // one gram row (id, pos, 32-hex hash) per character — ~42 B/char
+    // measured after lz4 (high-entropy hex barely compresses); a
+    // w-times blowup (re-shipping every window's 4-gram slice) would
+    // quadruple that and trip the bound
+    assert(m.shuffleWriteBytes < 100L * totalChars,
+      s"gram shuffle blew up: $m vs $totalChars chars")
+  }
 }
