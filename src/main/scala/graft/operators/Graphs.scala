@@ -649,6 +649,61 @@ object Graphs {
       triangleCounts(coSupplierEdges(Tables.lineitem(s, d)))
     },
 
+    // Local clustering coefficients (Watts & Strogatz 1998): per node,
+    // what fraction of its neighbor pairs are themselves connected —
+    // tri(v) over deg(v)-choose-2, in truncating ppm so the whole
+    // profile hash-compares. Reuses the degree-ordered triangle core
+    // (each triangle counted once, wedges never materialized beyond the
+    // oriented join) plus one degree aggregate and a left join for the
+    // triangle-free nodes; the expensive co-occurrence build is
+    // checkpointed once and feeds both.
+    Op("graph_clustering",
+       s"""WITH $coSupplierCte,
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |              THEN a ELSE b END AS src,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |              THEN b ELSE a END AS dst,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |              THEN db.deg ELSE da.deg END AS dd
+         |  FROM e0 JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+         |tri AS (
+         |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+         |  FROM o o1
+         |  JOIN o o2 ON o1.src = o2.src
+         |   AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+         |  JOIN o e ON e.src = o1.dst AND e.dst = o2.dst),
+         |tc AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri)
+         |  GROUP BY 1)
+         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+         |       coalesce(tc.tri, 0) AS tri,
+         |       CASE WHEN d.deg >= 2
+         |            THEN coalesce(tc.tri, 0) * 1000000
+         |                 // (d.deg * (d.deg - 1) // 2) END AS cc_ppm
+         |FROM deg d LEFT JOIN tc USING (node)""".stripMargin) { (s, d) =>
+      val edges = coSupplierEdges(Tables.lineitem(s, d)).localCheckpoint()
+      val deg = edges.select(explode(array(
+          struct(col("src").as("node")),
+          struct(col("dst").as("node")))).as("e"))
+        .select(col("e.node").as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val tri = triangleCounts(edges)
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg").cast("long").as("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          when(col("deg") >= 2,
+            expr("coalesce(tri, 0) * 1000000" +
+              " div (deg * (deg - 1) div 2)")).as("cc_ppm"))
+    },
+
     // Personalized PageRank from the seed set {customer nodes < 100} on
     // the trade graph: all teleport restarts at seeds, so rank is
     // proximity-to-seeds. Ten exact fixed-point rounds, replayed by the

@@ -525,6 +525,73 @@ object Timeseries {
             .as("decayed_cents"))
     },
 
+    // Wald-Wolfowitz runs test on the daily-revenue sign sequence: is
+    // the above/below-median pattern RANDOM, or does it trend/mean-
+    // revert? Runs are counted with one lag over the day-ordered
+    // calendar table (days at the exact discrete median are excluded,
+    // the standard treatment); the z-statistic's expectation and
+    // variance are rational in (n1, n2) and evaluate in pinned-order
+    // +,-,*,/ and one sqrt — all correctly rounded, so like e_ab_welch
+    // the double hash-compares unquantized.
+    Op("ts_runs_test",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |med AS (SELECT quantile_disc(cents, 0.5) AS med FROM daily),
+         |s AS (
+         |  SELECT day, cents > med AS up
+         |  FROM daily, med WHERE cents <> med),
+         |r AS (
+         |  SELECT up,
+         |         CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+         |                OR lag(up) OVER (ORDER BY day) <> up
+         |              THEN 1 ELSE 0 END AS newrun
+         |  FROM s),
+         |c AS (
+         |  SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |         CAST(sum(newrun) AS BIGINT) AS runs
+         |  FROM r)
+         |SELECT n1, n2, runs,
+         |       (CAST(runs AS DOUBLE)
+         |        - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |           / CAST(n1 + n2 AS DOUBLE) + 1.0))
+         |       / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                 - CAST(n1 + n2 AS DOUBLE))
+         |              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+         |                 * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS z
+         |FROM c""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val med = daily.agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)" +
+          " AS BIGINT)").as("med"))
+      val sgn = daily.crossJoin(broadcast(med))
+        .filter(col("cents") =!= col("med"))
+        .select(col("day"), (col("cents") > col("med")).as("up"))
+      val prev = lag(col("up"), 1).over(Window.orderBy(col("day")))
+      val c = sgn
+        .select(col("up"),
+          when(prev.isNull || prev =!= col("up"), 1).otherwise(0)
+            .as("newrun"))
+        .agg(sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("up"), 0L).otherwise(1L)).as("n2"),
+          sum(col("newrun")).as("runs"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val n = col("n1") + col("n2")
+      c.select(col("n1"), col("n2"), col("runs"),
+        ((d2(col("runs")) -
+          (lit(2.0) * d2(col("n1")) * d2(col("n2")) / d2(n) + 1.0)) /
+          sqrt(lit(2.0) * d2(col("n1")) * d2(col("n2")) *
+            (lit(2.0) * d2(col("n1")) * d2(col("n2")) - d2(n)) /
+            (d2(n) * d2(n) * (d2(n) - 1.0)))).as("z"))
+    },
+
     // Kaplan-Meier survival over view-to-purchase conversion lag (the
     // product-limit estimator, Kaplan & Meier 1958): subjects are users
     // with a view; the event is their first purchase AFTER that view;

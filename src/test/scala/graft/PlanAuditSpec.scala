@@ -116,7 +116,9 @@ class PlanAuditSpec extends SparkSpec {
         n == "ts_mad_outliers" || n == "ts_dow_seasonality" ||
         n == "ts_kaplan_meier" || n == "ts_decayed_sum" ||
         n == "graph_modularity" || n == "f_hll_union" ||
-        n == "profile_mutual_info" || n == "er_blocking_quality")
+        n == "profile_mutual_info" || n == "er_blocking_quality" ||
+        // runs test: the 1-row discrete-median attach (verified below)
+        n == "ts_runs_test")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -157,7 +159,7 @@ class PlanAuditSpec extends SparkSpec {
         "m_pareto_8020", "ts_autocorr", "profile_corr_matrix",
         "ts_mad_outliers", "ts_dow_seasonality", "ts_kaplan_meier",
         "ts_decayed_sum", "graph_modularity", "f_hll_union",
-        "profile_mutual_info", "er_blocking_quality")
+        "profile_mutual_info", "er_blocking_quality", "ts_runs_test")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
