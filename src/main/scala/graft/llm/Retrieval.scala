@@ -444,6 +444,109 @@ object Retrieval {
       bm25TopKBatch(Tables.documents(s, d), BatchQueries, k = 10)
     },
 
+    // Retrieval evaluation: the TREC metric suite (recall@10, MRR, AP,
+    // DCG@10, NDCG@10) for the 3-query batch ranking against
+    // conjunctive-term relevance judgments. The oracle replays the
+    // whole chain — batch BM25 ranking, qrels derivation, and every
+    // metric — with rank-ordered folds and ieee_ln'd log2, so the
+    // hash match proves the evaluation arithmetic end to end.
+    Op("retrieval_eval", {
+      val allTerms = BatchQueries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString("[", ", ", "]")
+      val qvals = BatchQueries
+        .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_len
+         |  FROM toks),
+         |qt(query_id, tok) AS (VALUES $qvals),
+         |tf AS (
+         |  SELECT doc_id, dl, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+         |  WHERE list_contains($allTerms, tok)
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |per_term AS (
+         |  SELECT q.query_id, t.doc_id, t.tok,
+         |         ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+         |                  / (CAST(df AS DOUBLE) + 0.5))
+         |         * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |            / (CAST(tf AS DOUBLE)
+         |               + 1.2 * (1.0 - 0.75
+         |                        + 0.75 * (CAST(dl AS DOUBLE)
+         |                                  / (CAST(total_len AS DOUBLE)
+         |                                     / CAST(n_docs AS DOUBLE))))))
+         |           AS s
+         |  FROM tf t JOIN dfreq USING (tok) JOIN qt q USING (tok), stats),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |         list_reduce(list_prepend(0.0, list(s ORDER BY tok)),
+         |                     (a, b) -> a + b) AS score
+         |  FROM per_term GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, doc_id) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 10),
+         |nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+         |qdt AS (
+         |  SELECT qt.query_id, dt.doc_id, count(DISTINCT dt.tok) AS nmatch
+         |  FROM (SELECT DISTINCT doc_id, tok FROM (
+         |          SELECT doc_id, unnest(toks) AS tok FROM toks)) dt
+         |  JOIN qt ON qt.tok = dt.tok
+         |  GROUP BY 1, 2),
+         |qrels AS (
+         |  SELECT q.query_id, q.doc_id FROM qdt q JOIN nq USING (query_id)
+         |  WHERE q.nmatch = n_terms),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |         FROM qrels GROUP BY 1),
+         |h AS (
+         |  SELECT r.query_id, r.rank,
+         |         row_number() OVER (PARTITION BY r.query_id
+         |                            ORDER BY r.rank) AS hit_idx
+         |  FROM ranked r JOIN qrels USING (query_id, doc_id)),
+         |perq AS (
+         |  SELECT query_id,
+         |         CAST(count(*) AS BIGINT) AS hits,
+         |         min(rank) AS first_rank,
+         |         list_reduce(list_prepend(0.0,
+         |             list(CAST(hit_idx AS DOUBLE) / CAST(rank AS DOUBLE)
+         |                  ORDER BY rank)),
+         |           (a, b) -> a + b) AS ap_num,
+         |         list_reduce(list_prepend(0.0,
+         |             list(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+         |                  ORDER BY rank)),
+         |           (a, b) -> a + b) AS dcg
+         |  FROM h GROUP BY 1),
+         |ideal AS (
+         |  SELECT n.query_id,
+         |         list_reduce(list_prepend(0.0,
+         |             list_transform(range(1, least(n.n_rel, 10) + 1),
+         |               r -> 1.0 / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0)))),
+         |           (a, b) -> a + b) AS idcg
+         |  FROM nrel n)
+         |SELECT CAST(n.query_id AS BIGINT) AS query_id, n.n_rel,
+         |       coalesce(p.hits, 0) AS hits,
+         |       coalesce(CAST(p.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE),
+         |                0.0) AS recall,
+         |       coalesce(1.0 / CAST(p.first_rank AS DOUBLE), 0.0) AS mrr,
+         |       coalesce(p.ap_num / CAST(n.n_rel AS DOUBLE), 0.0) AS ap,
+         |       coalesce(p.dcg, 0.0) AS dcg,
+         |       coalesce(p.dcg / i.idcg, 0.0) AS ndcg
+         |FROM nrel n LEFT JOIN perq p USING (query_id)
+         |JOIN ideal i ON i.query_id = n.query_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      evalRanking(bm25TopKBatch(docs, BatchQueries, k = 10),
+        conjunctiveQrels(docs, BatchQueries), k = 10)
+    },
+
     // Batch hybrid: RRF for the 3-query set — lexical lists from the
     // batch BM25 pass, dense lists from one broadcast of query vectors
     // 0..2 (query_id == vec_id here), fusion per (query, doc). The
@@ -606,6 +709,97 @@ object Retrieval {
       qldTopK(Tables.documents(s, d), Terms, k = 10)
     }
   )
+
+  /** Binary relevance judgments by term conjunction: document d is
+    * relevant to query q iff d's token set contains EVERY term of q —
+    * the deterministic qrels a synthetic-corpus evaluation needs (real
+    * pipelines join human/LLM judgment files with the same (query_id,
+    * doc_id) shape). Map-side explode + broadcast term join + keyed
+    * count-distinct: the corpus is scanned once, never re-keyed beyond
+    * the (query, doc) aggregate.
+    */
+  def conjunctiveQrels(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "tok")
+    val nq = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    docs
+      .select(col(idCol),
+        explode(array_distinct(TextFeatures.tokens(col(textCol)))).as("tok"))
+      .join(broadcast(qt), "tok")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(countDistinct(col("tok")).as("nmatch"))
+      .join(broadcast(nq), "query_id")
+      .filter(col("nmatch") === col("n_terms"))
+      .select(col("query_id"), col(idCol))
+  }
+
+  /** Ranking-quality evaluation — the TREC protocol metrics every
+    * retrieval stack reports (Manning, Raghavan & Schütze, IR ch. 8):
+    * per query, against a binary relevance set `qrels(query_id, doc_id)`:
+    *
+    *   recall@k   hits_k / n_rel
+    *   MRR        1 / rank of the first relevant hit
+    *   AP         (Σ_i  i / rank_i) / n_rel over hits i = 1.. in order
+    *   DCG@k      Σ_hits 1 / log2(rank + 1)
+    *   NDCG@k     DCG / IDCG,  IDCG = Σ_{r=1..min(n_rel,k)} 1/log2(r+1)
+    *
+    * Every metric hash-compares: AP terms are ratios of two BIGINTs
+    * (hit index / rank), DCG terms route log2 through ieee_ln
+    * (ln(r+1)/ln 2 — the Verify ln contract), and both sums fold in
+    * RANK order on both engines. Queries with no relevant hit in the
+    * top k report 0.0 (not NULL) so the metric row never vanishes.
+    *
+    * Scale shape: `rankings` is already ≤ k rows per query, so the
+    * whole evaluation is a qrels semi-join plus per-query aggregates
+    * over ≤ k-element lists — the only corpus-sized work is counting
+    * n_rel, one keyed aggregate over the judgment relation.
+    */
+  def evalRanking(rankings: DataFrame, qrels: DataFrame,
+                  k: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1)
+    val ln2 = ieeeLn(lit(2.0))
+    def dcgTerm(rank: Column): Column =
+      lit(1.0) / (ieeeLn(rank.cast("double") + lit(1.0)) / ln2)
+    val nrel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = rankings.filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col(idCol)),
+        Seq("query_id", idCol), "left_semi")
+      .withColumn("hit_idx", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+    val perq = hits.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"),
+        min(col("rank")).as("first_rank"),
+        aggregate(
+          sort_array(collect_list(struct(col("rank"), col("hit_idx")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("hit_idx").cast("double") /
+            x.getField("rank").cast("double")).as("ap_num"),
+        aggregate(
+          sort_array(collect_list(col("rank"))),
+          lit(0.0),
+          (acc, r) => acc + dcgTerm(r)).as("dcg"))
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+      lit(0.0), (acc, r) => acc + dcgTerm(r))
+    nrel.join(perq, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("hits").cast("double") / col("n_rel").cast("double"),
+          lit(0.0)).as("recall"),
+        coalesce(lit(1.0) / col("first_rank").cast("double"), lit(0.0))
+          .as("mrr"),
+        coalesce(col("ap_num") / col("n_rel").cast("double"), lit(0.0))
+          .as("ap"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        coalesce(col("dcg") / idcg, lit(0.0)).as("ndcg"))
+  }
 
   /** Top-k documents under the Dirichlet-smoothed query-likelihood model
     * (Zhai & Lafferty 2001): score(q, d) = sum_t ln((tf + mu*cf_t/|C|) /

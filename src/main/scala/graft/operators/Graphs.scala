@@ -704,6 +704,37 @@ object Graphs {
               " div (deg * (deg - 1) div 2)")).as("cc_ppm"))
     },
 
+    // Weakly connected components over the co-supplier graph — the
+    // standalone graph-clustering primitive (the same fixpoint the dedup
+    // pipeline runs over its near-dup pair graph, surfaced as a graph
+    // operator in its own right: community pre-segmentation, reachability
+    // audits, "is this network one economy or several"). Iterated
+    // min-label propagation WITH pointer jumping (label := label's
+    // label), so convergence is O(log diameter) keyed join/agg rounds —
+    // see Dedup.componentMinLabels for the per-round localCheckpoint /
+    // observe() convergence protocol (one action per round, state
+    // bounded by the node table, never the edge multiplicity). The
+    // oracle replays full transitive reachability with a recursive CTE
+    // and labels each node with the minimum id it can reach — equal to
+    // the fixpoint's min-label by definition, so the per-node component
+    // map hash-compares exactly.
+    Op("graph_wcc",
+       s"""WITH RECURSIVE $coSupplierCte,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |walk(node, reach) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT node, least(node, min(reach)) AS component
+         |FROM walk GROUP BY node""".stripMargin) { (s, d) =>
+      graft.llm.Dedup.componentMinLabels(
+          coSupplierEdges(Tables.lineitem(s, d))
+            .select(col("src").as("id_a"), col("dst").as("id_b")))
+        .select(col("node"), col("label").as("component"))
+    },
+
     // Personalized PageRank from the seed set {customer nodes < 100} on
     // the trade graph: all teleport restarts at seeds, so rank is
     // proximity-to-seeds. Ten exact fixed-point rounds, replayed by the

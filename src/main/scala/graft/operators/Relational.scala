@@ -233,6 +233,112 @@ object Relational {
       urgent.unionByName(open)
     },
 
+    // J5: FULL OUTER equi-join — the reconciliation shape (which
+    // customers have no orders, which orders have no surviving customer
+    // row). Null-extended on BOTH sides; the aggregate-by-join-status
+    // census makes the null extension itself the thing hash-compared.
+    // Scale: both sides shuffle on the key (SortMergeJoin — full outer
+    // can never broadcast its null-producing side); AQE sizes the
+    // exchange.
+    Op("j5_full_outer",
+       """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+         |            WHEN o_orderkey IS NULL THEN 'customer_only'
+         |            ELSE 'matched' END AS side,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+         |FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0) c
+         |FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+         |                 WHERE o_orderpriority = '1-URGENT') o
+         |  ON o_custkey = c_custkey
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      // a third of the customers are withheld and the order side is cut
+      // to urgent priority so ALL THREE join outcomes actually occur in
+      // the output (the unrestricted join matches every row on this
+      // data — a vacuous full-outer)
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+        .filter(col("c_custkey") % 3 =!= 0)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, lit("order_only"))
+            .when(col("o_orderkey").isNull, lit("customer_only"))
+            .otherwise(lit("matched")).as("side"),
+          col("o_orderkey"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), count(col("o_orderkey")).as("n_orders"))
+    },
+
+    // J6: LEFT SEMI join — "customers WITH at least one urgent order",
+    // the EXISTS(correlated subquery) plan shape. Semi joins carry no
+    // right-side columns, so the probe side never duplicates rows no
+    // matter how many orders match — the property that distinguishes it
+    // from an inner-join-then-distinct (which shuffles the multiplied
+    // rows first). Spark prunes the right side to the join key.
+    Op("j6_semi_join",
+       """SELECT c_custkey, c_mktsegment
+         |FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_orderpriority = '1-URGENT')""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    // P6: scalar subquery — filter facts against a single-row aggregate
+    // computed from the same table ("orders above the mean"). Spark
+    // plans the scalar as its own tiny job whose result is injected as
+    // a literal into the predicate (ReusedSubquery under AQE) — the
+    // filter still pushes to the scan, which is what makes the shape
+    // viable at 100 TB: one 1-row aggregate pass, one filtered pass,
+    // never a join.
+    Op("p6_scalar_subquery",
+       """SELECT o_orderkey AS order_id, o_totalprice AS total
+         |FROM orders
+         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)"""
+         .stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val mean = o.agg(avg(col("o_totalprice")).as("m"))
+      o.join(broadcast(mean)) // 1-row scalar attachment
+        .filter(col("o_totalprice") > lit(1.5) * col("m"))
+        .select(col("o_orderkey").as("order_id"),
+          col("o_totalprice").as("total"))
+    },
+
+    // U2: UNPIVOT (wide -> long) — the inverse of f_pivot: per-flag
+    // lineitem aggregates melt into (flag, measure, value) rows. Spark's
+    // unpivot/melt is a map-side transform (each input row emits its
+    // measure rows locally, no shuffle beyond the feeding aggregate);
+    // the oracle states the same thing as a stacked UNION ALL.
+    Op("u2_unpivot",
+       """WITH w AS (
+         |  SELECT l_returnflag,
+         |         CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+         |         CAST(count(*) AS DOUBLE) AS n_rows,
+         |         CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'n_rows', n_rows FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'max_price', max_price FROM w""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+            count(lit(1)).cast("double").as("n_rows"),
+            max(col("l_extendedprice")).cast("double").as("max_price"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("n_rows"), col("max_price")),
+            "measure", "value")
+    },
+
     // Skew-salted dimension join, driver-checked: Skew.saltedJoin
     // spreads each fact row over `buckets` shuffle partitions by a
     // deterministic row-identity salt and replicates the dim side

