@@ -33,6 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** The key-column inventory profile_inclusion_deps searches:
+    * (display id, table, column). ONE list drives both the Spark plan
+    * and the oracle SQL so the two can never disagree about scope.
+    * Integer key columns only — IND discovery over value sets needs a
+    * common comparable domain, and these are the columns a foreign-key
+    * proposal would ever involve.
+    */
+  private val IndColumns: Seq[(String, String, String)] = Seq(
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("supplier.s_suppkey", "supplier", "s_suppkey"),
+    ("supplier.s_nationkey", "supplier", "s_nationkey"),
+    ("nation.n_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey", "nation", "n_regionkey"),
+    ("region.r_regionkey", "region", "r_regionkey"))
+
   /** How a column renders to string for min_s / max_s / avg_len. */
   sealed trait Render { def apply(c: Column): Column; def sql(x: String): String }
   case object AsString extends Render {
@@ -524,6 +546,54 @@ object Profiling {
         edges.map { case (name, child, ck, parent, pk) =>
           fkOrphans(name, child, ck, parent, pk)
         }.reduce(_ unionByName _)
+    },
+
+    // Inclusion-dependency DISCOVERY (the SPIDER/BINDER family —
+    // Bauckmann et al. 2006; Papenbrock et al., VLDB 2015): which key
+    // columns' value sets are subsets of which others, across ALL
+    // declared columns at once — the profiling step that PROPOSES the
+    // foreign keys profile_fk_orphans then audits. One pass: every
+    // column's distinct values union into one (column, value) relation;
+    // grouping by value yields each value's column set; counting
+    // ordered column pairs inside those sets gives |A ∩ B| per pair,
+    // and A ⊆ B holds iff |A ∩ B| = |A|. Output: the discovered
+    // dependency list with the witness count.
+    //
+    // Scale shape: per-column distincts are keyed aggs behind the
+    // scans; the union shuffles once on the value; the pair fan-out is
+    // bounded by (columns per value)² ≤ 13² per distinct value, and
+    // the result table by |columns|² rows. No column is ever compared
+    // against another by a join of their full relations — the classic
+    // quadratic-INDs-in-one-pass trick.
+    Op("profile_inclusion_deps", {
+      val sqlSides = IndColumns.map { case (id, table, c) =>
+        s"SELECT DISTINCT '$id' AS c, CAST($c AS BIGINT) AS v FROM $table"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH vals AS (
+         |  $sqlSides),
+         |pairs AS (
+         |  SELECT a.c AS lhs, b.c AS rhs, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM vals a JOIN vals b USING (v) WHERE a.c <> b.c
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1)
+         |SELECT p.lhs, p.rhs, n.n AS n_values
+         |FROM pairs p JOIN nd n ON n.c = p.lhs
+         |WHERE p.n_shared = n.n""".stripMargin
+    }) { (s, d) =>
+      val vals = IndColumns.map { case (id, table, c) =>
+        Tables.table(s, d, table)
+          .select(lit(id).as("c"), col(c).cast("long").as("v"))
+          .distinct()
+      }.reduce(_ unionByName _)
+      val nd = vals.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      vals.groupBy(col("v")).agg(sort_array(collect_set(col("c"))).as("cs"))
+        .select(explode(col("cs")).as("lhs"), col("cs"))
+        .select(col("lhs"), explode(col("cs")).as("rhs"))
+        .filter(col("lhs") =!= col("rhs"))
+        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(nd), col("lhs") === col("c"))
+        .filter(col("n_shared") === col("n"))
+        .select(col("lhs"), col("rhs"), col("n").as("n_values"))
     })
 
   /** Shannon entropy of each source's language distribution — the

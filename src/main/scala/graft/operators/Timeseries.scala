@@ -760,6 +760,94 @@ object Timeseries {
         intercept.as("intercept_cents"),
         (intercept + slope * (col("last_day") + 7).cast("double"))
           .as("fc7_cents"))
+    },
+
+    // Holt-Winters additive seasonal smoothing (Winters 1960) of global
+    // daily revenue with a weekly (m = 7) cycle — the seasonal upgrade
+    // of ts_holt_forecast's level+trend smoother, and the classic
+    // operational forecaster for weekday-patterned series. Fixed-point
+    // α = β = γ = 1/2 (arithmetic shifts — DuckDB's >> and Spark's
+    // shiftright are both floor-division on negatives, the
+    // ts_holt_forecast contract), so every level/trend/seasonal state
+    // and all 7 forecasts are exact BIGINTs:
+    //
+    //   l_t = (y_t − s_{t−m} + l_{t−1} + b_{t−1}) >> 1
+    //   b_t = (l_t − l_{t−1} + b_{t−1}) >> 1
+    //   s_t = (y_t − l_t + s_{t−m}) >> 1
+    //   fc_h = l_n + h·b_n + s_{n+h−m}
+    //
+    // Init: l_m = Σ(y_1..y_m) div m, b_m = 0, s_i = y_i − l_m. The
+    // seasonal index runs on the day-ORDERED row sequence (the series
+    // is dense daily here; a gappy series would gap-fill first —
+    // ts_gapfill_locf is exactly that operator).
+    //
+    // Scale shape: the daily cell table is one keyed agg over events;
+    // the fold is inherently sequential (each state needs the previous)
+    // but runs over |days| rows — bounded by calendar time, not data
+    // volume, so a 100 TB year is still a 365-element fold. The oracle
+    // replays the recursion row-by-row with a recursive CTE carrying
+    // the 7-element seasonal list.
+    Op("ts_holt_winters",
+       """WITH RECURSIVE daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT cents,
+         |             row_number() OVER (ORDER BY day) AS rn
+         |      FROM daily),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+         |l0 AS (SELECT CAST(sum(cents) // 7 AS BIGINT) AS l
+         |       FROM s WHERE rn <= 7),
+         |init AS (
+         |  SELECT CAST(7 AS BIGINT) AS rn, l0.l AS l, CAST(0 AS BIGINT) AS b,
+         |         (SELECT list(cents - l0.l ORDER BY rn)
+         |          FROM s WHERE rn <= 7) AS ss
+         |  FROM l0),
+         |hw(rn, l, b, ss) AS (
+         |  SELECT rn, l, b, ss FROM init
+         |  UNION ALL
+         |  SELECT h.rn + 1,
+         |         (s.cents - h.ss[1] + h.l + h.b) >> 1,
+         |         (((s.cents - h.ss[1] + h.l + h.b) >> 1) - h.l + h.b) >> 1,
+         |         list_append(h.ss[2:7],
+         |           (s.cents - ((s.cents - h.ss[1] + h.l + h.b) >> 1)
+         |            + h.ss[1]) >> 1)
+         |  FROM hw h JOIN s ON s.rn = h.rn + 1)
+         |SELECT CAST(h AS BIGINT) AS h, hw.l AS level, hw.b AS trend,
+         |       hw.l + h * hw.b + hw.ss[h] AS fc_cents
+         |FROM hw, nn, unnest(range(1, 8)) AS u(h)
+         |WHERE hw.rn = nn.n""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+          .as("arr"))
+        .withColumn("l0",
+          expr("aggregate(slice(arr, 1, 7), CAST(0 AS BIGINT)," +
+            " (a, x) -> a + x.cents) div 7"))
+        .withColumn("st", expr(
+          """aggregate(slice(arr, 8, size(arr) - 7),
+            |  struct(l0 AS l, CAST(0 AS BIGINT) AS b,
+            |         transform(slice(arr, 1, 7), x -> x.cents - l0) AS ss),
+            |  (acc, x) -> struct(
+            |    shiftright(x.cents - element_at(acc.ss, 1) + acc.l + acc.b,
+            |               1) AS l,
+            |    shiftright(
+            |      shiftright(x.cents - element_at(acc.ss, 1) + acc.l + acc.b,
+            |                 1) - acc.l + acc.b, 1) AS b,
+            |    concat(slice(acc.ss, 2, 6), array(
+            |      shiftright(
+            |        x.cents
+            |        - shiftright(x.cents - element_at(acc.ss, 1)
+            |                     + acc.l + acc.b, 1)
+            |        + element_at(acc.ss, 1), 1))) AS ss))""".stripMargin))
+        .select(explode(sequence(lit(1L), lit(7L))).as("h"),
+          col("st.l").as("level"), col("st.b").as("trend"), col("st.ss"))
+        .select(col("h"), col("level"), col("trend"),
+          (col("level") + col("h") * col("trend") +
+            element_at(col("ss"), col("h").cast("int"))).as("fc_cents"))
     }
   )
 }

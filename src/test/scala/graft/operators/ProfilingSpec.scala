@@ -205,4 +205,32 @@ class ProfilingSpec extends SparkSpec {
       .select(col("user_id")).distinct().count()
     assert(conv <= unwindowed)
   }
+
+  test("inclusion deps: the schema's true FK edges are discovered, a " +
+       "cardinality-impossible direction is absent, and every held IND " +
+       "respects subset cardinality") {
+    val got = graft.SparkEntry.queries("profile_inclusion_deps")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val held = got.map(p => (p._1, p._2)).toSet
+    // the real FK edges of the star schema must all be proposed
+    Seq(
+      "orders.o_custkey" -> "customer.c_custkey",
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "lineitem.l_partkey" -> "part.p_partkey",
+      "lineitem.l_suppkey" -> "supplier.s_suppkey",
+      "customer.c_nationkey" -> "nation.n_nationkey",
+      "supplier.s_nationkey" -> "nation.n_nationkey",
+      "nation.n_regionkey" -> "region.r_regionkey"
+    ).foreach { e => assert(held.contains(e), s"missing true FK $e") }
+    // |custkey| >> |nationkey|: that direction cannot hold
+    assert(!held.contains("customer.c_custkey" -> "nation.n_nationkey"))
+    // n_values is the LHS distinct count: for a held IND it can never
+    // exceed the RHS's own distinct count (subset cardinality)
+    val nOf = got.groupBy(_._1).map { case (c, rs) => c -> rs.head._3 }
+    got.foreach { case (lhs, rhs, nLhs) =>
+      nOf.get(rhs).foreach { nRhs =>
+        assert(nLhs <= nRhs, s"$lhs ⊆ $rhs but $nLhs > $nRhs")
+      }
+    }
+  }
 }

@@ -305,4 +305,33 @@ class TimeseriesSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(intercept))
   }
 
+  test("holt-winters: the fixed-point recursion replayed in plain Scala " +
+       "reproduces level, trend, and all 7 forecasts exactly") {
+    val got = graft.SparkEntry.queries("ts_holt_winters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.length == 7)
+    val cents = graft.Tables.events(spark, sf)
+      .groupBy(unix_date(to_date(col("ts"))).cast("long").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    assert(cents.length >= 14, "need two weekly cycles")
+    var l = cents.take(7).sum / 7
+    var b = 0L
+    var ss = cents.take(7).map(_ - l)
+    cents.drop(7).foreach { y =>
+      val s0 = ss.head
+      val l2 = (y - s0 + l + b) >> 1
+      val b2 = (l2 - l + b) >> 1
+      val s2 = (y - l2 + s0) >> 1
+      l = l2; b = b2; ss = ss.tail :+ s2
+    }
+    got.foreach { case (h, level, trend, fc) =>
+      assert(level == l && trend == b, s"state at h=$h")
+      assert(fc == l + h * b + ss((h - 1).toInt), s"forecast h=$h")
+    }
+  }
+
 }
