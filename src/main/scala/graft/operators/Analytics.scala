@@ -93,6 +93,37 @@ object Analytics {
             .as("mean_cents"))
     },
 
+    // The 100 TB fast path of the same Poisson bootstrap: draws come
+    // from xxhash64 (one codegen'd long hash per (replicate, row) —
+    // no md5 string build, the dedup_minhash_fast convention) masked
+    // to the same 32-bit domain and cut by the same Poisson(1)
+    // inverse-CDF table, so the statistics are distributionally
+    // identical to f_bootstrap_ci's portable-md5 draws while the hash
+    // cost drops by ~an order of magnitude. No DuckDB xxhash64, so the
+    // entry is rows-only; AnalyticsSpec pins n_eff concentration and
+    // replicate-mean dispersion against the md5 path.
+    Op.noOracle("f_bootstrap_ci_fast") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val fan = o.select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("b"), col("cents"),
+          (xxhash64(lit("boot"), col("b"), col("o_orderkey"))
+            .bitwiseAND(lit(4294967295L))).as("hv"))
+      val w = poissonCuts.zipWithIndex.reverse
+        .foldLeft(lit(6): org.apache.spark.sql.Column) {
+          case (acc, (c, j)) => when(col("hv") < c, lit(j)).otherwise(acc)
+        }
+      fan.select(col("b"), col("cents"), w.cast("long").as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("num"))
+        .select(col("b").cast("int").as("b"), col("n_eff"), col("num"),
+          (col("num").cast("double") / col("n_eff").cast("double"))
+            .as("mean_cents"))
+    },
+
     // Relative-position windows: percent_rank (min-max normalized rank)
     // and cume_dist (empirical CDF value) per priority group — the two
     // SQL-standard analytics w1-w7 don't cover. Both are RANK-derived,

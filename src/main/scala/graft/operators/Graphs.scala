@@ -567,6 +567,109 @@ object Graphs {
     d
   }
 
+  /** Betweenness centrality from a sampled source set (Brandes 2001;
+    * the sampling estimator of Brandes & Pich 2007): for each seed s,
+    * a level-synchronous BFS counts shortest paths σ_s(v), then a
+    * backward sweep over the BFS DAG accumulates dependencies
+    *   δ_s(v) = Σ_{w : v ∈ preds(w)}  σ_s(v)/σ_s(w) · (1 + δ_s(w)),
+    * and bc(v) = Σ_s δ_s(v) over the sample. Exact Brandes runs one
+    * sweep per NODE — quadratic work no cluster survives on a big
+    * graph; the pinned-seed sample is the standard scalable estimator
+    * (scale by |V|/|S| for an unbiased total).
+    *
+    * Distribution: ALL sources advance together — state is keyed by
+    * (source, node), so one keyed join+agg per BFS level serves the
+    * whole sample (k sources cost k× state, not k× rounds). Forward:
+    * frontier ⋈ edges, σ summed per (s, node), anti-join against
+    * settled. Backward: per level L, the level-L rows join their
+    * predecessors through the edge list and the (s, v) contribution
+    * aggregate updates δ. Rounds are bounded by the diameter; every
+    * round cuts lineage with the componentMinLabels checkpoint/observe
+    * protocol (one action per round). σ are exact BIGINTs; δ is the
+    * one inherently rational quantity (σ ratios), carried as double —
+    * the entry is rows-only and GraphsSpec pins it against a plain
+    * Scala Brandes replay.
+    */
+  def betweenness(edges: DataFrame,
+                  seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  maxRounds: Int = 12,
+                  reliable: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = cut(edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .filter(seedPred(col("node")))
+    // forward: settled (s, node, dist, sigma); frontier = last level
+    var info = cut(seeds.select(col("node").as("s"), col("node"),
+      lit(0L).as("dist"), lit(1L).as("sigma")))
+    var frontier = info
+    var maxDist = 0L
+    var done = false
+    while (!done && maxDist < maxRounds) {
+      val cand = frontier
+        .join(sym.hint("shuffle_hash"), frontier("node") === sym("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("node"),
+          lit(maxDist + 1).as("dist"), col("sigma"))
+      val obs = org.apache.spark.sql.Observation(s"bc_fwd_$maxDist")
+      val newly = cut(cand
+        .join(info.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
+        .observe(obs, count(lit(1)).as("n")))
+      if (obs.get("n").asInstanceOf[Long] == 0L) {
+        graft.llm.Dedup.releaseCheckpoint(newly)
+        done = true
+      } else {
+        val grown = cut(info.unionByName(newly))
+        graft.llm.Dedup.releaseCheckpoint(info)
+        graft.llm.Dedup.releaseCheckpoint(frontier)
+        info = grown
+        frontier = newly
+        maxDist += 1
+      }
+    }
+    // backward: level-descending dependency accumulation
+    var state = cut(info.withColumn("delta", lit(0.0)))
+    graft.llm.Dedup.releaseCheckpoint(info)
+    var level = maxDist
+    while (level >= 1) {
+      val wside = state.filter(col("dist") === level)
+        .select(col("s"), col("node").as("wn"),
+          col("sigma").as("ws"), col("delta").as("wd"))
+      val contrib = wside
+        .join(sym, col("wn") === col("dst"))
+        .select(col("s"), col("src").as("vn"), col("ws"), col("wd"))
+        .join(state.filter(col("dist") === level - 1)
+            .select(col("s"), col("node").as("vn"), col("sigma").as("vs")),
+          Seq("s", "vn"))
+        .groupBy(col("s"), col("vn"))
+        .agg(sum(col("vs").cast("double") / col("ws").cast("double") *
+          (lit(1.0) + col("wd"))).as("c"))
+        .withColumnRenamed("vn", "node")
+      val next = cut(state.join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("dist"), col("sigma"),
+          (col("delta") + coalesce(col("c"), lit(0.0))).as("delta")))
+      graft.llm.Dedup.releaseCheckpoint(state)
+      state = next
+      level -= 1
+    }
+    val out = state.filter(col("dist") > 0) // δ_s(s) never counts
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc"),
+        count(lit(1)).as("n_sources_reaching"))
+      .localCheckpoint()
+    graft.llm.Dedup.releaseCheckpoint(state)
+    graft.llm.Dedup.releaseCheckpoint(sym)
+    out
+  }
+
   private val S = 1L << 40
 
   /** Shared DuckDB replay of coSupplierEdges(minShared = 6) — the
@@ -733,6 +836,15 @@ object Graphs {
           coSupplierEdges(Tables.lineitem(s, d))
             .select(col("src").as("id_a"), col("dst").as("id_b")))
         .select(col("node"), col("label").as("component"))
+    },
+
+    // Sampled-source betweenness centrality on the co-supplier graph:
+    // seeds = supplier nodes with id <= 10 (the pinned-sample
+    // convention of graph_bfs/graph_ppr). δ ratios are inherently
+    // rational, so no DuckDB hash oracle — GraphsSpec replays Brandes
+    // in plain Scala over the same seeds and pins every score.
+    Op.noOracle("graph_betweenness") { (s, d) =>
+      betweenness(coSupplierEdges(Tables.lineitem(s, d)), _ <= 10)
     },
 
     // Personalized PageRank from the seed set {customer nodes < 100} on

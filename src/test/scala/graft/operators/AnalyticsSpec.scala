@@ -161,6 +161,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(means.last > means.head)
   }
 
+  test("Poisson bootstrap fast path: xxhash64 draws give the same " +
+       "statistical behavior as the portable md5 path") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val fast = graft.SparkEntry.queries("f_bootstrap_ci_fast")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("n_eff"),
+        r.getAs[Double]("mean_cents")))
+    assert(fast.length == 32)
+    val n = graft.Tables.orders(spark, sf).count()
+    val trueMean = graft.Tables.orders(spark, sf)
+      .agg(sum($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .head().getLong(0).toDouble / n
+    fast.foreach { case (ne, _) =>
+      assert(math.abs(ne - n) < 4 * math.sqrt(n.toDouble), s"n_eff $ne vs $n")
+    }
+    val means = fast.map(_._2).sorted
+    assert(means.head <= trueMean && trueMean <= means.last)
+    // dispersion agrees with the md5 path within a factor of 2 (same
+    // estimator, different but equally-valid draws)
+    val md5 = graft.SparkEntry.queries("f_bootstrap_ci")(spark, sf)
+      .collect().map(_.getAs[Double]("mean_cents"))
+    def sd(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (sf1, sm1) = (sd(fast.map(_._2).toSeq), sd(md5.toSeq))
+    assert(sf1 > 0 && sm1 > 0 && sf1 / sm1 < 2.0 && sm1 / sf1 < 2.0,
+      s"se fast=$sf1 md5=$sm1")
+  }
+
 
   test("Gini closed forms: uniform values score 0; total concentration " +
        "scores (n-1)/n; ranks never collapse on ties") {

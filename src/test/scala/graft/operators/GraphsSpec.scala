@@ -268,6 +268,80 @@ class GraphsSpec extends SparkSpec {
     assert(r.getAs[Double]("assortativity") == -1.0)
   }
 
+  /** Reference Brandes (2001) on an undirected edge list: per seed, BFS
+    * with path counting, then dependency accumulation in reverse BFS
+    * order. Returns Σ_s δ_s(v) for v not a seed-row (v ≠ s).
+    */
+  private def bruteBrandes(edges: Seq[(Long, Long)],
+                           seeds: Seq[Long]): Map[Long, Double] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val bc = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      val sigma = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+      val order = scala.collection.mutable.ArrayBuffer[Long]()
+      var frontier = Seq(s)
+      while (frontier.nonEmpty) {
+        order ++= frontier
+        val next = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        frontier.foreach { v =>
+          adj.getOrElse(v, Nil).foreach { w =>
+            if (!dist.contains(w) || dist(w) == dist(v) + 1) {
+              if (!dist.contains(w)) dist(w) = dist(v) + 1
+              if (dist(w) == dist(v) + 1)
+                next(w) = next.getOrElse(w, 0L) + sigma(v)
+            }
+          }
+        }
+        // de-dup: a node may be reached from several frontier nodes
+        val fresh = next.keys.filterNot(order.contains).toSeq
+        fresh.foreach(w => sigma(w) = next(w))
+        frontier = fresh
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      order.reverse.foreach { w =>
+        adj.getOrElse(w, Nil).foreach { v =>
+          if (dist.contains(v) && dist(v) == dist(w) - 1)
+            delta(v) += sigma(v).toDouble / sigma(w).toDouble *
+              (1.0 + delta(w))
+        }
+      }
+      delta.foreach { case (v, dl) => if (v != s) bc(v) += dl }
+    }
+    bc.toMap
+  }
+
+  test("betweenness: distributed Brandes equals the plain Scala replay " +
+       "on a closed-form path graph and on the sf0.001 co-supplier graph") {
+    import spark.implicits._
+    // P4 path 1-2-3-4 from seed 1: delta(2) = 2, delta(3) = 1, delta(4)=0
+    val p4 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got4 = Graphs.betweenness(p4, _ <= 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got4(2L) == 2.0 && got4(3L) == 1.0 && got4(4L) == 0.0)
+    // the real entry vs brute force over the same seeds
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graphs.coSupplierEdges(graft.Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val seeds = nodes.filter(_ <= 10)
+    assert(seeds.nonEmpty, "pinned seed set must exist in the graph")
+    val want = bruteBrandes(edges, seeds)
+    val got = graft.SparkEntry.queries("graph_betweenness")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (node, bc, nReach) =>
+      assert(math.abs(bc - want.getOrElse(node, 0.0)) < 1e-9,
+        s"node $node: got $bc want ${want.getOrElse(node, 0.0)}")
+      assert(nReach >= 1 && nReach <= seeds.length)
+    }
+    // every node the replay scored appears in the distributed output
+    want.keys.foreach(n => assert(got.exists(_._1 == n), s"missing $n"))
+  }
+
   test("wcc: every co-supplier edge joins nodes of one component, the " +
        "label is the component's own minimum member, and the node set " +
        "is exactly the edge endpoints") {
