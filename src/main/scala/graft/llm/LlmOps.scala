@@ -1546,6 +1546,67 @@ object LlmOps {
             .as("recall"))
     },
 
+    // Matryoshka truncation recall (Kusupati et al. 2022, MRL): rank by
+    // cosine over only the FIRST 32 of 64 dimensions — the
+    // half-storage/half-FLOPs serving mode matryoshka-trained embedding
+    // models advertise — and measure top-10 recall against the
+    // full-dimension exact truth, same oracle-measured protocol as
+    // embed_quantize_recall / knn_ivf_recall. (These synthetic vectors
+    // are not MRL-trained, so the measured recall is the honest
+    // baseline a pipeline would see BEFORE adopting an MRL model — the
+    // eval harness is the operator.) Truncation is a map-side slice;
+    // both rankings are the broadcast nested-loop knn_cosine shape.
+    Op("embed_mrl_recall",
+       s"""WITH trunc AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY a.vec_id
+          |                              ORDER BY ${cosineSql(32)} DESC,
+          |                                       b.vec_id) AS rank
+          |    FROM embeddings a, embeddings b
+          |    WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id)
+          |  WHERE rank <= 10),
+          |truth AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY a.vec_id
+          |                              ORDER BY ${cosineSql(64)} DESC,
+          |                                       b.vec_id) AS rank
+          |    FROM embeddings a, embeddings b
+          |    WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id)
+          |  WHERE rank <= 10),
+          |tagged AS (
+          |  SELECT query_id, neighbor_id, max(t) AS t, max(f) AS f FROM (
+          |    SELECT query_id, neighbor_id, 1 AS t, 0 AS f FROM truth
+          |    UNION ALL SELECT query_id, neighbor_id, 0, 1 FROM trunc)
+          |  GROUP BY 1, 2)
+          |SELECT CAST(sum(t) AS BIGINT) AS n_true,
+          |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_found,
+          |       CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+          |            AS DOUBLE)
+          |         / CAST(sum(t) AS DOUBLE) AS recall
+          |FROM tagged""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val truncated = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"))
+      val truth = Similarity.bruteForceKnn(emb)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(1).as("t"), lit(0).as("f"))
+      val found = Similarity.bruteForceKnn(truncated)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0).as("t"), lit(1).as("f"))
+      truth.unionByName(found)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("t")).as("t"), max(col("f")).as("f"))
+        .agg(sum(col("t")).as("n_true"),
+          sum(when(col("t") === 1 && col("f") === 1, 1).otherwise(0))
+            .as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    },
+
     // Hard-negative mining (DPR/SimCSE-style contrastive data prep):
     // per anchor, top-5 most-similar vectors inside cos [0.2, 0.9) —
     // hard enough to teach, below the near-dup ceiling so unlabeled
@@ -2857,6 +2918,106 @@ object LlmOps {
             .orderBy(col("n").desc, col("tok"))).cast("long"))
         .withColumn("zipf_product",
           col("n").cast("double") * col("rank").cast("double"))
+    },
+
+    // Heaps' law (Herdan 1960; Heaps 1978) — vocabulary growth V(N) ≈
+    // K·N^β, text_zipf's dual and the statistic that predicts how a
+    // tokenizer's vocabulary saturates as a corpus grows (the answer to
+    // "how much new text until we see mostly known words?"). The curve
+    // is measured at GEOMETRIC checkpoints (doc ranks 1, 2, 4, … , n):
+    // that keeps the curve table log-sized no matter the corpus, which
+    // is the whole scale story — a per-doc cumulative curve would be a
+    // corpus-sized global window. β and ln K come from an OLS fit of
+    // ln V on ln N over the checkpoints, folded in checkpoint order
+    // through ieee_ln so the doubles hash-compare.
+    //
+    // Scale shape: doc ranks via the assignContiguousIds zipWithIndex
+    // idiom (range partition + per-partition rank, never one
+    // partition); first-occurrence rank per token is one keyed agg;
+    // each token/doc fans out to at most log2(n) checkpoints through a
+    // broadcast theta-join; the fit folds ~log2(n) points.
+    Op("text_heaps_law",
+       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |ranked AS (
+          |  SELECT row_number() OVER (ORDER BY doc_id) AS r, toks
+          |  FROM toks),
+          |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+          |cps AS (
+          |  SELECT DISTINCT least(CAST(1 << g AS BIGINT), n) AS cp
+          |  FROM range(0, 31) t(g), nd),
+          |firstocc AS (
+          |  SELECT tok, min(r) AS fr FROM (
+          |    SELECT r, unnest(toks) AS tok FROM ranked) GROUP BY 1),
+          |vcum AS (
+          |  SELECT cp, CAST(count(*) AS BIGINT) AS vocab
+          |  FROM firstocc, cps WHERE fr <= cp GROUP BY 1),
+          |ncum AS (
+          |  SELECT cp, CAST(sum(len(toks)) AS BIGINT) AS n_toks
+          |  FROM ranked, cps WHERE r <= cp GROUP BY 1),
+          |curve AS (SELECT cp, n_toks, vocab FROM vcum JOIN ncum USING (cp)),
+          |pts AS (
+          |  SELECT CAST(len(a) AS DOUBLE) AS k,
+          |         list_reduce(list_prepend(0.0,
+          |           list_transform(a, p -> p.x)), (u, v) -> u + v) AS sx,
+          |         list_reduce(list_prepend(0.0,
+          |           list_transform(a, p -> p.y)), (u, v) -> u + v) AS sy,
+          |         list_reduce(list_prepend(0.0,
+          |           list_transform(a, p -> p.x * p.y)), (u, v) -> u + v)
+          |           AS sxy,
+          |         list_reduce(list_prepend(0.0,
+          |           list_transform(a, p -> p.x * p.x)), (u, v) -> u + v)
+          |           AS sxx
+          |  FROM (SELECT list(struct_pack(
+          |                 x := ln(CAST(n_toks AS DOUBLE)),
+          |                 y := ln(CAST(vocab AS DOUBLE))) ORDER BY cp) AS a
+          |        FROM curve)),
+          |fit AS (
+          |  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta,
+          |         (sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+          |           / k AS ln_k
+          |  FROM pts)
+          |SELECT cp, n_toks, vocab, beta, ln_k FROM curve, fit""".stripMargin) {
+      (s, d) =>
+        val ranked = Mixing.assignContiguousIds(
+            Tables.documents(s, d).select(col("doc_id"),
+              TextFeatures.tokens(col("text")).as("toks")),
+            col("doc_id"))
+          .select((col("seq_id") + 1).as("r"), col("toks"))
+        val nd = ranked.agg(count(lit(1)).as("n"))
+        val cps = nd
+          .select(explode(sequence(lit(0), lit(30))).as("g"), col("n"))
+          .select(least(expr("shiftleft(CAST(1 AS BIGINT), g)"), col("n"))
+            .as("cp"))
+          .distinct()
+        val firstocc = ranked
+          .select(col("r"), explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(min(col("r")).as("fr"))
+        val vcum = firstocc.join(broadcast(cps), col("fr") <= col("cp"))
+          .groupBy(col("cp")).agg(count(lit(1)).as("vocab"))
+        val ncum = ranked
+          .select(col("r"), size(col("toks")).cast("long").as("nt"))
+          .join(broadcast(cps), col("r") <= col("cp"))
+          .groupBy(col("cp")).agg(sum(col("nt")).as("n_toks"))
+        val curve = vcum.join(ncum, "cp")
+        import graft.functions.GraftFunctions.ieeeLn
+        def xOf(p: org.apache.spark.sql.Column) = ieeeLn(p.getField("n_toks").cast("double"))
+        def yOf(p: org.apache.spark.sql.Column) = ieeeLn(p.getField("vocab").cast("double"))
+        def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          aggregate(col("a"), lit(0.0), (acc, p) => acc + f(p))
+        val sums = curve
+          .agg(sort_array(collect_list(
+            struct(col("cp"), col("n_toks"), col("vocab")))).as("a"))
+          .select(size(col("a")).cast("double").as("k"),
+            fold(xOf).as("sx"), fold(yOf).as("sy"),
+            fold(p => xOf(p) * yOf(p)).as("sxy"),
+            fold(p => xOf(p) * xOf(p)).as("sxx"))
+        val beta = (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))
+        val fit = sums.select(beta.as("beta"),
+          ((col("sy") - beta * col("sx")) / col("k")).as("ln_k"))
+        curve.crossJoin(broadcast(fit))
+          .select(col("cp"), col("n_toks"), col("vocab"),
+            col("beta"), col("ln_k"))
     },
 
     // TF-IDF top terms per document — the IR-standard salience score,

@@ -221,4 +221,32 @@ class CorpusQualitySpec extends SparkSpec {
     js.values.foreach(v =>
       assert(v >= -1e-6 && v <= math.log(2) + 1e-6, v.toString))
   }
+
+  test("heaps law: geometric checkpoints, monotone vocabulary growth " +
+       "bounded by token count, sublinear exponent on real text") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("text_heaps_law")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // checkpoints are the powers of two capped at n_docs
+    val cps = rows.map(_._1)
+    assert(cps.init.forall(c => (c & (c - 1)) == 0), s"cps $cps")
+    assert(cps.toSeq == cps.toSeq.sorted && cps.toSeq.distinct == cps.toSeq)
+    // both curves are strictly increasing; vocab never exceeds tokens
+    rows.sliding(2).foreach { case Array((_, n1, v1, _, _), (_, n2, v2, _, _)) =>
+      assert(n2 > n1 && v2 >= v1)
+    }
+    rows.foreach { case (_, nt, vc, _, _) => assert(vc <= nt) }
+    // one global fit, sublinear growth (0 < beta < 1) on natural-ish text
+    val betas = rows.map(_._4).distinct
+    assert(betas.length == 1)
+    assert(betas.head > 0.0 && betas.head < 1.0, s"beta ${betas.head}")
+    // the fit reproduces the curve within a factor: K * N^beta vs V at
+    // the final checkpoint within 2x (synthetic text is not perfectly
+    // Heaps-ian; this pins the fit orientation, not the law)
+    val (_, nt, vc, beta, lnk) = rows.last
+    val pred = math.exp(lnk + beta * math.log(nt.toDouble))
+    assert(pred / vc < 2 && vc / pred < 2, s"pred $pred vs $vc")
+  }
 }
