@@ -2085,6 +2085,59 @@ object LlmOps {
     // segments occur at their natural rate and replay exactly; the
     // whole transform is one map-side array-slice pass, the cheapest
     // possible shape (no shuffle at all — only the parquet scan).
+    // SFT chat-template rendering — the format surgery between a
+    // curated corpus and a supervised-finetuning trainer: each document
+    // becomes a ChatML-style example (system + user turn from the first
+    // 12 tokens, assistant turn from the remainder) with the ASSISTANT
+    // SPAN OFFSETS a trainer needs for loss masking (everything before
+    // `asst_start` is context, not target). Offsets are computed from
+    // the same concat that builds the string, so they cannot drift from
+    // the rendering; docs too short to split into a nonempty prompt and
+    // response are dropped (the production filter). Pure map-side
+    // string assembly — the oracle replays template, split, and both
+    // offsets byte-for-byte.
+    Op("llm_chat_render",
+       s"""WITH t AS (
+          |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n
+          |  FROM documents WHERE len($toksSql) > 12),
+          |p AS (
+          |  SELECT doc_id,
+          |         array_to_string(toks[1:12], ' ') AS instr,
+          |         array_to_string(toks[13:n], ' ') AS resp
+          |  FROM t),
+          |r AS (
+          |  SELECT doc_id,
+          |         '<|im_start|>system' || chr(10)
+          |           || 'You are a helpful assistant.<|im_end|>' || chr(10)
+          |           || '<|im_start|>user' || chr(10) || instr
+          |           || '<|im_end|>' || chr(10)
+          |           || '<|im_start|>assistant' || chr(10) AS prefix,
+          |         resp || '<|im_end|>' AS target
+          |  FROM p)
+          |SELECT doc_id, prefix || target AS rendered,
+          |       CAST(length(prefix) AS BIGINT) AS asst_start,
+          |       CAST(length(prefix || target) AS BIGINT) AS n_chars
+          |FROM r""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 12)
+      val p = t.select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, 12)).as("instr"),
+        concat_ws(" ", expr("slice(toks, 13, size(toks) - 12)")).as("resp"))
+      val r = p.select(col("doc_id"),
+        concat(lit("<|im_start|>system\n"),
+          lit("You are a helpful assistant.<|im_end|>\n"),
+          lit("<|im_start|>user\n"), col("instr"),
+          lit("<|im_end|>\n"),
+          lit("<|im_start|>assistant\n")).as("prefix"),
+        concat(col("resp"), lit("<|im_end|>")).as("target"))
+      r.select(col("doc_id"),
+        concat(col("prefix"), col("target")).as("rendered"),
+        length(col("prefix")).cast("long").as("asst_start"),
+        length(concat(col("prefix"), col("target"))).cast("long")
+          .as("n_chars"))
+    },
+
     Op("llm_fim_transform",
        s"""WITH t AS (
           |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n

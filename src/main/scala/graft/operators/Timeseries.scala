@@ -848,6 +848,87 @@ object Timeseries {
         .select(col("h"), col("level"), col("trend"),
           (col("level") + col("h") * col("trend") +
             element_at(col("ss"), col("h").cast("int"))).as("fc_cents"))
+    },
+
+    // Classical additive seasonal decomposition (the moving-average
+    // core of STL, Cleveland et al. 1990, without the loess smoothing):
+    // y = trend + seasonal + residual over daily revenue with a weekly
+    // cycle. Trend is the CENTERED 7-day moving average (defined only
+    // where the window is full — the standard interior truncation);
+    // seasonal is the per-day-of-week mean of the detrended series,
+    // recentered to sum to zero; the residual is what remains. All
+    // three components are EXACT fixed-point BIGINTs in the
+    // cents·2^20 domain: the moving average stays as a ×7 sum, means
+    // divide once with truncating `div` (identical toward-zero
+    // semantics in Spark and DuckDB, verified for negatives), so the
+    // whole decomposition hash-compares with no float anywhere —
+    // presentation doubles divide by the power-of-two scale, which is
+    // exact.
+    //
+    // Scale shape: the daily cell table is one keyed agg over events;
+    // the windows/means run on that calendar-bounded table (|days|
+    // rows — the shared Timeseries contract), seasonal means are a
+    // ≤7-row aggregate, attached back by a broadcast join.
+    Op("ts_stl_decompose",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |w AS (
+         |  SELECT day, cents,
+         |         row_number() OVER (ORDER BY day) AS rn,
+         |         CAST(sum(cents) OVER (ORDER BY day
+         |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+         |           AS t7
+         |  FROM daily),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         |interior AS (
+         |  SELECT day, cents, day % 7 AS dow, t7,
+         |         7 * cents - t7 AS d7
+         |  FROM w, nn WHERE rn >= 4 AND rn <= n - 3),
+         |seas AS (
+         |  SELECT dow,
+         |         (CAST(sum(d7) AS BIGINT) * 1048576)
+         |           // (7 * CAST(count(*) AS BIGINT)) AS s_fx
+         |  FROM interior GROUP BY 1),
+         |ctr AS (SELECT CAST(sum(s_fx) AS BIGINT) // 7 AS m_fx FROM seas)
+         |SELECT i.day, i.cents,
+         |       i.t7 * 1048576 // 7 AS trend_fx,
+         |       s.s_fx - c.m_fx AS seasonal_fx,
+         |       i.cents * 1048576 - i.t7 * 1048576 // 7
+         |         - (s.s_fx - c.m_fx) AS residual_fx,
+         |       CAST(i.t7 * 1048576 // 7 AS DOUBLE) / 1048576.0 AS trend,
+         |       CAST(s.s_fx - c.m_fx AS DOUBLE) / 1048576.0 AS seasonal
+         |FROM interior i JOIN seas s USING (dow), ctr c""".stripMargin) {
+      (s, d) =>
+        val daily = Tables.events(s, d)
+          .groupBy(day.as("day"))
+          .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
+        val byDay = Window.orderBy(col("day"))
+        val w = daily
+          .withColumn("rn", row_number().over(byDay))
+          .withColumn("t7", sum(col("cents"))
+            .over(byDay.rowsBetween(-3, 3)).cast("long"))
+        val nn = daily.agg(count(lit(1)).as("n"))
+        val interior = w.crossJoin(broadcast(nn))
+          .filter(col("rn") >= 4 && col("rn") <= col("n") - 3)
+          .select(col("day"), col("cents"), (col("day") % 7).as("dow"),
+            col("t7"), (lit(7) * col("cents") - col("t7")).as("d7"))
+        val seas = interior.groupBy(col("dow"))
+          .agg(expr("sum(d7) * 1048576 div (7 * count(*))").as("s_fx"))
+        val ctr = seas.agg(expr("sum(s_fx) div 7").as("m_fx"))
+        interior.join(broadcast(seas), "dow")
+          .crossJoin(broadcast(ctr))
+          .select(col("day"), col("cents"),
+            expr("t7 * 1048576 div 7").as("trend_fx"),
+            (col("s_fx") - col("m_fx")).as("seasonal_fx"),
+            (col("cents") * 1048576 - expr("t7 * 1048576 div 7") -
+              (col("s_fx") - col("m_fx"))).as("residual_fx"),
+            (expr("t7 * 1048576 div 7").cast("double") / 1048576.0)
+              .as("trend"),
+            ((col("s_fx") - col("m_fx")).cast("double") / 1048576.0)
+              .as("seasonal"))
     }
   )
 }

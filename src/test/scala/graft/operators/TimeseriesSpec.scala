@@ -334,4 +334,34 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonal decomposition: components sum back to the series " +
+       "exactly, the trend is the true centered average, and the " +
+       "seasonal profile is centered") {
+    val rows = graft.SparkEntry.queries("ts_stl_decompose")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // exact additive identity in the fixed-point domain
+    rows.foreach { case (day, cents, t, se, res) =>
+      assert(t + se + res == cents * 1048576L, s"identity at $day")
+    }
+    // trend equals an independent centered 7-day average
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(unix_date(to_date(col("ts"))).cast("long").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val byDay = daily.map(_._2)
+    val dayIdx = daily.map(_._1).zipWithIndex.toMap
+    rows.foreach { case (day, _, t, _, _) =>
+      val i = dayIdx(day)
+      val want = byDay.slice(i - 3, i + 4).sum * 1048576L / 7L
+      assert(t == want, s"trend at $day: $t vs $want")
+    }
+    // the 7 distinct seasonal values sum to ~0 (within div truncation)
+    val seas = rows.map(r => (r._1 % 7) -> r._4).distinct
+    assert(seas.length == 7)
+    assert(math.abs(seas.map(_._2).sum) <= 7L, s"seasonal sum ${seas.map(_._2).sum}")
+  }
+
 }
