@@ -46,6 +46,32 @@ object Events {
           sum(col("value").cast(dec)).cast("double").as("total_value"))
     },
 
+    // HOPPING (sliding) windows — 1-hour windows advancing every 15
+    // minutes via Spark's native window() TVF, the smoothed-trend
+    // reading of e_windowed_agg's tumbling hours (each event lands in
+    // exactly 3600/900 = 4 overlapping windows). The fan-out is
+    // MAP-SIDE (window() explodes before the shuffle, so the aggregate
+    // still partial-aggregates per window); the oracle replays Spark's
+    // epoch-aligned window arithmetic as an explicit k = 0..3 unnest.
+    Op("e_hopping_window",
+       """SELECT ws AS window_start, event_type,
+         |       count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS total_value
+         |FROM (
+         |  SELECT (epoch_us(ts) // 900000000) * 900 - k * 900 AS ws,
+         |         event_type, value
+         |  FROM events, unnest(range(0, 4)) t(k))
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+    },
+
     // Sessionization: a new session starts after a >30min silence; the
     // session index is the running count of session starts per user.
     Op("e_sessionize",

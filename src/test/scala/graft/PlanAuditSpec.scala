@@ -118,7 +118,17 @@ class PlanAuditSpec extends SparkSpec {
         n == "graph_modularity" || n == "f_hll_union" ||
         n == "profile_mutual_info" || n == "er_blocking_quality" ||
         // runs test: the 1-row discrete-median attach (verified below)
-        n == "ts_runs_test")
+        n == "ts_runs_test" ||
+        // r8 late additions: p6's 1-row mean attach, retrieval_eval's
+        // bm25-batch stats attach, stl's 1-row n / seasonal-center
+        // attaches (all verified 1-row below); embed_mrl_recall embeds
+        // bruteForceKnn's intended bounded-query BNLJ twice;
+        // text_heaps_law's non-equi broadcast is the <= 31-row geometric
+        // checkpoint table derived from a 1-row count (the log-sized
+        // fan-out IS the operator's scale story; verified below)
+        n == "p6_scalar_subquery" || n == "retrieval_eval" ||
+        n == "ts_stl_decompose" || n == "embed_mrl_recall" ||
+        n == "text_heaps_law")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -159,7 +169,10 @@ class PlanAuditSpec extends SparkSpec {
         "m_pareto_8020", "ts_autocorr", "profile_corr_matrix",
         "ts_mad_outliers", "ts_dow_seasonality", "ts_kaplan_meier",
         "ts_decayed_sum", "graph_modularity", "f_hll_union",
-        "profile_mutual_info", "er_blocking_quality", "ts_runs_test")
+        "profile_mutual_info", "er_blocking_quality", "ts_runs_test",
+        // r8 late additions (see the exemption comments above)
+        "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
+        "text_heaps_law")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
@@ -188,7 +201,7 @@ class PlanAuditSpec extends SparkSpec {
     Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate",
         "embed_hard_negatives", "llm_contamination_report",
         "hybrid_rrf_batch", "embed_quantize_recall", "knn_mmr",
-        "mix_curriculum")
+        "mix_curriculum", "embed_mrl_recall")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
