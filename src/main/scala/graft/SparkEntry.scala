@@ -31,7 +31,8 @@ object SparkEntry {
       llm.LlmOps.ops ++
       llm.Retrieval.ops ++
       llm.Classify.ops ++
-      llm.Moderation.ops
+      llm.Moderation.ops ++
+      llm.Topics.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_orders shape (agg + left join + derived total) — the reference's
