@@ -58,7 +58,94 @@ object Topics {
     // oracle replays init and both rounds bit-for-bit (all integer).
     Op("text_plsa_topics", plsaOracleSql(toksSql)) { (s, d) =>
       plsaTopics(Tables.documents(s, d))
+    },
+
+    // UMass coherence of the trained topics — the replay covers the
+    // whole chain: the EM rounds, the top-word selection, the pruned
+    // co-document census, and the rank-ordered coherence fold.
+    Op("text_topic_coherence",
+       s"""WITH ${plsaCtes(toksSql)},
+          |dw AS (
+          |  SELECT DISTINCT doc_id, tok FROM toks
+          |  WHERE tok IN (SELECT tok FROM topw)),
+          |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+          |          FROM dw GROUP BY 1),
+          |prs AS (
+          |  SELECT a.z, a.rank AS ri, a.tok AS wi, b.rank AS rj, b.tok AS wj
+          |  FROM topw a JOIN topw b ON a.z = b.z AND a.rank > b.rank),
+          |cod AS (
+          |  SELECT x.tok AS wi, y.tok AS wj, CAST(count(*) AS BIGINT) AS dij
+          |  FROM dw x JOIN dw y ON x.doc_id = y.doc_id AND x.tok <> y.tok
+          |  GROUP BY 1, 2),
+          |terms AS (
+          |  SELECT p.z, p.ri, p.rj,
+          |         ln(CAST(coalesce(c.dij, 0) + 1 AS DOUBLE)
+          |            / CAST(f.df AS DOUBLE)) AS t
+          |  FROM prs p
+          |  LEFT JOIN cod c ON c.wi = p.wi AND c.wj = p.wj
+          |  JOIN dfreq f ON f.tok = p.wj)
+          |SELECT z, CAST(count(*) AS BIGINT) AS n_pairs,
+          |       list_reduce(list_prepend(0.0, list(t ORDER BY ri, rj)),
+          |                   (a, b) -> a + b) AS coherence
+          |FROM terms GROUP BY 1""".stripMargin) { (s, d) =>
+      topicCoherence(Tables.documents(s, d))
     })
+
+  /** UMass topic coherence (Mimno et al., EMNLP 2011) of the PLSA
+    * topics — the standard intrinsic "are these topics real" score:
+    * for each topic's rank-ordered top words, sum over ordered pairs
+    * (m > l) of ln((D(w_m, w_l) + 1) / D(w_l)), where D counts
+    * co-occurring documents and the conditioning word w_l is the
+    * higher-ranked (more probable) one. Higher (less negative) =
+    * more coherent. The fold runs in (rank_m, rank_l) order through
+    * ieee_ln so the double hash-compares.
+    *
+    * Scale shape: document frequencies and co-document counts are
+    * computed ONLY for the ≤ k·topWords top words (a broadcast
+    * semi-join prunes the corpus scan map-side); the co-occurrence
+    * self-join fans out ≤ (k·topWords)² per document. The pair table
+    * is k·topWords²-sized — driver-negligible.
+    */
+  def topicCoherence(docs: DataFrame, k: Int = 3, vocabSize: Int = 50,
+                     rounds: Int = 2, topWords: Int = 10,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import graft.functions.GraftFunctions.ieeeLn
+    val topw = plsaTopics(docs, k, vocabSize, rounds, topWords,
+      idCol, textCol)
+    val words = topw.select(col("tok")).distinct()
+    val dw = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFeatures.tokens(col(textCol))))
+          .as("tok"))
+      .join(broadcast(words), "tok")
+      .localCheckpoint() // feeds dfreq AND both sides of the pair join
+    val dfreq = dw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prs = topw.select(col("z"), col("rank").as("ri"),
+        col("tok").as("wi"))
+      .join(topw.select(col("z"), col("rank").as("rj"),
+        col("tok").as("wj")), "z")
+      .filter(col("ri") > col("rj"))
+    val cod = dw.select(col("doc_id"), col("tok").as("wi"))
+      .join(dw.select(col("doc_id"), col("tok").as("wj")), "doc_id")
+      .filter(col("wi") =!= col("wj"))
+      .groupBy(col("wi"), col("wj")).agg(count(lit(1)).as("dij"))
+    val terms = prs
+      .join(cod, Seq("wi", "wj"), "left")
+      .join(dfreq.withColumnRenamed("tok", "wj"), "wj")
+      .select(col("z"), col("ri"), col("rj"),
+        ieeeLn((coalesce(col("dij"), lit(0L)) + 1).cast("double") /
+          col("df").cast("double")).as("t"))
+    val out = terms.groupBy(col("z"))
+      .agg(count(lit(1)).as("n_pairs"),
+        aggregate(
+          sort_array(collect_list(struct(col("ri"), col("rj"), col("t")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("coherence"))
+      .localCheckpoint()
+    Dedup.releaseCheckpoint(dw)
+    out
+  }
 
   /** PLSA via fixed-point EM. Returns the per-topic top-`topWords`
     * word table: (z, rank, tok, phi_fx).
@@ -167,11 +254,12 @@ object Topics {
        |        FROM c$o GROUP BY 1, 2))"""
       .stripMargin
 
-  /** DuckDB replay of plsaTopics(k = 3, vocabSize = 50, rounds = 2,
-    * topWords = 10) — init plus two unrolled EM rounds.
+  /** The shared CTE chain of the PLSA replay (through phi2/theta2) —
+    * plsaOracleSql and the coherence oracle both build on it so the EM
+    * text exists once.
     */
-  def plsaOracleSql(toksSql: String): String =
-    s"""WITH toks AS (
+  private def plsaCtes(toksSql: String): String =
+    s"""toks AS (
        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
        |occ0 AS (
        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
@@ -196,11 +284,20 @@ object Topics {
        |  SELECT doc_id, z, CAST($S // 3 AS BIGINT) AS theta
        |  FROM (SELECT DISTINCT doc_id FROM occ), zt),
        |${roundSql(0, 1)},
-       |${roundSql(1, 2)}
-       |SELECT z, CAST(rank AS BIGINT) AS rank, tok, phi AS phi_fx FROM (
-       |  SELECT z, tok, phi,
-       |         row_number() OVER (PARTITION BY z
-       |                            ORDER BY phi DESC, tok) AS rank
-       |  FROM phi2)
-       |WHERE rank <= 10""".stripMargin
+       |${roundSql(1, 2)},
+       |topw AS (
+       |  SELECT z, rank, tok, phi FROM (
+       |    SELECT z, tok, phi,
+       |           row_number() OVER (PARTITION BY z
+       |                              ORDER BY phi DESC, tok) AS rank
+       |    FROM phi2)
+       |  WHERE rank <= 10)""".stripMargin
+
+  /** DuckDB replay of plsaTopics(k = 3, vocabSize = 50, rounds = 2,
+    * topWords = 10) — init plus two unrolled EM rounds.
+    */
+  def plsaOracleSql(toksSql: String): String =
+    s"""WITH ${plsaCtes(toksSql)}
+       |SELECT z, CAST(rank AS BIGINT) AS rank, tok, phi AS phi_fx
+       |FROM topw""".stripMargin
 }

@@ -670,6 +670,51 @@ object Graphs {
     out
   }
 
+  /** Full core decomposition — coreness per node — by H-INDEX ITERATION
+    * (Lü et al., Nature Communications 2016): c_0(v) = deg(v), then
+    * c_{t+1}(v) = H(neighbor c_t values), where H is the Hirsch index
+    * (max h with ≥ h neighbors valued ≥ h). The sequence decreases
+    * monotonically to coreness — the whole decomposition in O(rounds)
+    * keyed windows, where the textbook peeling (graph_kcore's shape)
+    * answers only ONE k per run and needs a round per peel wave. The
+    * H-index per node is one count window: rank neighbor values
+    * descending, h = max(min(rank, value)) — tie order among equal
+    * values cannot change the result (the min is over the sorted value
+    * sequence). All integer; a fixed `rounds` replay hash-compares.
+    */
+  def coreness(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", rounds: Int = 10,
+               reliable: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = cut(edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var c = cut(sym.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumnRenamed("src", "node"))
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("c").desc)
+    var r = 0
+    while (r < rounds) {
+      val next = cut(sym.join(c.hint("shuffle_hash"),
+          sym("dst") === c("node"))
+        .select(sym("src").as("v"), col("c"))
+        .withColumn("rn", row_number().over(byV).cast("long"))
+        .groupBy(col("v"))
+        .agg(max(least(col("rn"), col("c"))).as("c"))
+        .withColumnRenamed("v", "node"))
+      graft.llm.Dedup.releaseCheckpoint(c)
+      c = next
+      r += 1
+    }
+    graft.llm.Dedup.releaseCheckpoint(sym)
+    c
+  }
+
   private val S = 1L << 40
 
   /** Shared DuckDB replay of coSupplierEdges(minShared = 6) — the
@@ -836,6 +881,31 @@ object Graphs {
           coSupplierEdges(Tables.lineitem(s, d))
             .select(col("src").as("id_a"), col("dst").as("id_b")))
         .select(col("node"), col("label").as("component"))
+    },
+
+    // Coreness of every co-supplier node by 10 h-index rounds; the
+    // recursive CTE replays each round's count window bit-for-bit
+    // (all integer), so the full decomposition hash-compares — and
+    // GraphsSpec cross-checks it against graph_kcore's peeling.
+    Op("graph_coreness",
+       s"""WITH RECURSIVE $coSupplierCte,
+         |e AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |h(it, node, c) AS (
+         |  SELECT 0, src, CAST(count(*) AS BIGINT) FROM e GROUP BY 2
+         |  UNION ALL
+         |  SELECT it + 1, v, max(least(CAST(rn AS BIGINT), c)) FROM (
+         |    SELECT h.it, e.src AS v, h.c,
+         |           row_number() OVER (PARTITION BY e.src
+         |                              ORDER BY h.c DESC) AS rn
+         |    FROM h JOIN e ON e.dst = h.node
+         |    WHERE h.it < 10)
+         |  GROUP BY 1, 2)
+         |SELECT node, c AS coreness FROM h WHERE it = 10""".stripMargin) {
+      (s, d) =>
+        coreness(coSupplierEdges(Tables.lineitem(s, d)))
+          .select(col("node"), col("c").as("coreness"))
     },
 
     // Sampled-source betweenness centrality on the co-supplier graph:

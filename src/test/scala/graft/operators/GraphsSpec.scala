@@ -342,6 +342,31 @@ class GraphsSpec extends SparkSpec {
     want.keys.foreach(n => assert(got.exists(_._1 == n), s"missing $n"))
   }
 
+  test("coreness: closed form on a triangle-with-tail, and the h-index " +
+       "fixpoint agrees with k-core peeling at every k on sf0.001") {
+    import spark.implicits._
+    // triangle 1-2-3 plus tail 3-4-5: triangle nodes have coreness 2,
+    // the tail nodes coreness 1
+    val fix = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graphs.coreness(fix).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graphs.coSupplierEdges(graft.Tables.lineitem(spark, sf))
+      .localCheckpoint()
+    val cor = Graphs.coreness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cor.nonEmpty)
+    val maxC = cor.values.max
+    (1L to maxC).foreach { k =>
+      val core = Graphs.kCore(edges, k.toInt).collect()
+        .map(_.getLong(0)).toSet
+      val byCoreness = cor.filter(_._2 >= k).keySet
+      assert(core == byCoreness, s"k=$k: peel=$core vs h-index=$byCoreness")
+    }
+  }
+
   test("wcc: every co-supplier edge joins nodes of one component, the " +
        "label is the component's own minimum member, and the node set " +
        "is exactly the edge endpoints") {
