@@ -686,6 +686,103 @@ object Sketches {
         .select(col("n_union_exact"), col("n_buckets"),
           sScaled.as("hll_sum_scaled"),
           (lit(hllNumerator) / sScaled.cast("double")).as("hll_estimate"))
+    },
+
+    // SLIDING-WINDOW HLL — the "sketch cube" pattern that makes
+    // rolling distinct-count dashboards affordable at 100 TB: distinct
+    // users per TRAILING 7-day window, per day, WITHOUT ever
+    // re-scanning raw events per window. Daily register sketches are
+    // built once (one keyed agg); each (day, bucket, m) row then fans
+    // out map-side to the <= 7 window-end days it serves (the
+    // e_hopping_window trick applied to sketch state), and the
+    // register-max merge per (window_end, bucket) is the lossless HLL
+    // union — so window cost is 7x the SKETCH size, not 7x the data.
+    // Exact trailing distinct counts ride along from the (user, day)
+    // distinct table through the same fan-out for the accuracy readout.
+    // Same integer S' protocol as f_hll_distinct.
+    Op("f_hll_sliding", {
+      s"""WITH days AS (
+         |  SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+         |                            CAST(ts AS DATE)) AS day
+         |  FROM events),
+         |h AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS day,
+         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |              AS BIGINT) AS hv
+         |  FROM events),
+         |r AS (
+         |  SELECT day, hv >> 48 AS bucket,
+         |         max(CASE WHEN (hv & 281474976710655) = 0 THEN 49
+         |                  ELSE 49 - length(bin(hv & 281474976710655)) END)
+         |           AS m
+         |  FROM h GROUP BY 1, 2),
+         |fan AS (
+         |  SELECT r.day + k AS wend, r.bucket, r.m
+         |  FROM r, unnest(range(0, 7)) t(k)),
+         |merged AS (
+         |  SELECT f.wend, f.bucket, max(f.m) AS m
+         |  FROM fan f JOIN days d ON d.day = f.wend
+         |  GROUP BY 1, 2),
+         |a AS (
+         |  SELECT wend,
+         |         CAST(sum(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT)
+         |           AS s_used,
+         |         CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM merged GROUP BY 1),
+         |ud AS (
+         |  SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+         |                            CAST(ts AS DATE)) AS day, user_id
+         |  FROM events),
+         |ex AS (
+         |  SELECT wend, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM (SELECT u.day + k AS wend, u.user_id
+         |        FROM ud u, unnest(range(0, 7)) t(k))
+         |  JOIN days d ON d.day = wend GROUP BY 1)
+         |SELECT a.wend AS day, ex.n_exact, a.n_buckets,
+         |       a.s_used + (4096 - a.n_buckets) * 562949953421312
+         |         AS hll_sum_scaled,
+         |       CAST('$hllNumerator' AS DOUBLE)
+         |       / CAST(a.s_used + (4096 - a.n_buckets) * 562949953421312
+         |              AS DOUBLE) AS hll_estimate
+         |FROM a JOIN ex ON ex.wend = a.wend""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val day = unix_date(to_date(col("ts"))).cast("long").as("day")
+      val days = ev.select(day).distinct()
+      val hv = expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)")
+      val rem = col("hv").bitwiseAND(lit(281474976710655L))
+      val rank = when(rem === 0L, 49)
+        .otherwise(lit(49) - length(bin(rem)))
+      val regs = ev.select(day, hv.as("hv"))
+        .select(col("day"),
+          shiftrightunsigned(col("hv"), 48).as("bucket"), rank.as("m"))
+        .groupBy(col("day"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      val merged = regs
+        .select(col("day"), col("bucket"), col("m"),
+          explode(sequence(lit(0L), lit(6L))).as("k"))
+        .select((col("day") + col("k")).as("wend"), col("bucket"), col("m"))
+        .join(broadcast(days.withColumnRenamed("day", "wend")), "wend")
+        .groupBy(col("wend"), col("bucket")).agg(max(col("m")).as("m"))
+      val agg = merged.groupBy(col("wend"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).as("s_used"),
+          count(lit(1)).as("n_buckets"))
+      val exact = ev.select(day, col("user_id")).distinct()
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0L), lit(6L))).as("k"))
+        .select((col("day") + col("k")).as("wend"), col("user_id"))
+        .join(broadcast(days.withColumnRenamed("day", "wend")), "wend")
+        .groupBy(col("wend"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val sScaled = col("s_used") +
+        (lit(4096L) - col("n_buckets")) * lit(562949953421312L)
+      agg.join(exact, "wend")
+        .select(col("wend").as("day"), col("n_exact"), col("n_buckets"),
+          sScaled.as("hll_sum_scaled"),
+          (lit(hllNumerator) / sScaled.cast("double")).as("hll_estimate"))
     }
   )
 
