@@ -20,6 +20,36 @@ object LlmOps {
   private val normSql =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split($normSql, ' ')"
+
+  /** Shared DuckDB replay of CorpusQuality.perplexity — the add-one
+    * bigram LM scored in the log domain; ends in
+    * `ppl(doc_id, n_bigrams, log_ppl)`. text_perplexity and
+    * llm_ppl_filter both build on it.
+    */
+  private val perplexityCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i, toks[i+1] AS w1,
+       |         concat_ws(' ', toks[i+1], toks[i+2]) AS bigram
+       |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+       |        FROM toks WHERE len(toks) >= 2)),
+       |c12 AS (SELECT bigram, count(*) AS c12 FROM occ GROUP BY 1),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |      FROM (SELECT unnest(toks) AS tok FROM toks)),
+       |scored AS (
+       |  SELECT occ.doc_id, occ.i,
+       |         ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS lnp
+       |  FROM occ JOIN c12 USING (bigram) JOIN c1 USING (w1), v),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         list_reduce(list_prepend(0.0, list(lnp ORDER BY i)),
+       |                     (a, b) -> a + b) AS s
+       |  FROM scored GROUP BY doc_id),
+       |ppl AS (
+       |  SELECT doc_id, n_bigrams, -(s / n_bigrams) AS log_ppl FROM agg)"""
+      .stripMargin
   private val stopSql =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
 
@@ -970,29 +1000,45 @@ object LlmOps {
     // sides (a plain double sum would be partitioning-dependent); the
     // score stays un-exp'd because DuckDB's exp matches no JVM exp.
     Op("text_perplexity",
-       s"""WITH toks AS (
-          |  SELECT doc_id, $toksSql AS toks FROM documents),
-          |occ AS (
-          |  SELECT doc_id, i, toks[i+1] AS w1,
-          |         concat_ws(' ', toks[i+1], toks[i+2]) AS bigram
-          |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
-          |        FROM toks WHERE len(toks) >= 2)),
-          |c12 AS (SELECT bigram, count(*) AS c12 FROM occ GROUP BY 1),
-          |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
-          |v AS (SELECT count(DISTINCT tok) AS v
-          |      FROM (SELECT unnest(toks) AS tok FROM toks)),
-          |scored AS (
-          |  SELECT occ.doc_id, occ.i,
-          |         ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS lnp
-          |  FROM occ JOIN c12 USING (bigram) JOIN c1 USING (w1), v),
-          |agg AS (
-          |  SELECT doc_id, count(*) AS n_bigrams,
-          |         list_reduce(list_prepend(0.0, list(lnp ORDER BY i)),
-          |                     (a, b) -> a + b) AS s
-          |  FROM scored GROUP BY doc_id)
-          |SELECT doc_id, n_bigrams, -(s / n_bigrams) AS log_ppl
-          |FROM agg""".stripMargin) { (s, d) =>
-      CorpusQuality.perplexity(Tables.documents(s, d))
+       s"""WITH $perplexityCtes
+          |SELECT doc_id, n_bigrams, log_ppl FROM ppl""".stripMargin) {
+      (s, d) => CorpusQuality.perplexity(Tables.documents(s, d))
+    },
+
+    // CCNet's perplexity-percentile language filter (Wenzek et al.
+    // 2020): rank every document by LM perplexity, cut the corpus into
+    // head/middle/tail thirds at the 33rd/67th percentiles, keep
+    // head+middle — the recipe behind most public web-corpus quality
+    // splits. The thresholds are DISCRETE percentiles (an existing
+    // log_ppl value, no interpolation), so bucketing replays exactly;
+    // log_ppl itself is the proven text_perplexity chain. The scored
+    // table is materialized once (localCheckpoint) before feeding both
+    // the 1-row threshold aggregate and the bucket projection.
+    Op("llm_ppl_filter",
+       s"""WITH $perplexityCtes,
+          |cuts AS (
+          |  SELECT quantile_disc(log_ppl, 0.33) AS p33,
+          |         quantile_disc(log_ppl, 0.67) AS p67
+          |  FROM ppl)
+          |SELECT p.doc_id, p.n_bigrams, p.log_ppl,
+          |       CASE WHEN p.log_ppl <= c.p33 THEN 'head'
+          |            WHEN p.log_ppl <= c.p67 THEN 'middle'
+          |            ELSE 'tail' END AS bucket,
+          |       p.log_ppl <= c.p67 AS kept
+          |FROM ppl p, cuts c""".stripMargin) { (s, d) =>
+      val ppl = CorpusQuality.perplexity(Tables.documents(s, d))
+        .localCheckpoint()
+      val cuts = ppl.agg(
+        expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY log_ppl)")
+          .as("p33"),
+        expr("percentile_disc(0.67) WITHIN GROUP (ORDER BY log_ppl)")
+          .as("p67"))
+      ppl.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_bigrams"), col("log_ppl"),
+          when(col("log_ppl") <= col("p33"), "head")
+            .when(col("log_ppl") <= col("p67"), "middle")
+            .otherwise("tail").as("bucket"),
+          (col("log_ppl") <= col("p67")).as("kept"))
     },
 
     // Gopher filter rules at the published thresholds; every ratio is an

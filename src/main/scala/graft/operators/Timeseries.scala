@@ -870,65 +870,123 @@ object Timeseries {
     // rows — the shared Timeseries contract), seasonal means are a
     // ≤7-row aggregate, attached back by a broadcast join.
     Op("ts_stl_decompose",
-       """WITH daily AS (
-         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
-         |           AS cents
-         |  FROM events GROUP BY 1),
-         |w AS (
-         |  SELECT day, cents,
-         |         row_number() OVER (ORDER BY day) AS rn,
-         |         CAST(sum(cents) OVER (ORDER BY day
-         |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
-         |           AS t7
-         |  FROM daily),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
-         |interior AS (
-         |  SELECT day, cents, day % 7 AS dow, t7,
-         |         7 * cents - t7 AS d7
-         |  FROM w, nn WHERE rn >= 4 AND rn <= n - 3),
-         |seas AS (
-         |  SELECT dow,
-         |         (CAST(sum(d7) AS BIGINT) * 1048576)
-         |           // (7 * CAST(count(*) AS BIGINT)) AS s_fx
-         |  FROM interior GROUP BY 1),
-         |ctr AS (SELECT CAST(sum(s_fx) AS BIGINT) // 7 AS m_fx FROM seas)
-         |SELECT i.day, i.cents,
-         |       i.t7 * 1048576 // 7 AS trend_fx,
-         |       s.s_fx - c.m_fx AS seasonal_fx,
-         |       i.cents * 1048576 - i.t7 * 1048576 // 7
-         |         - (s.s_fx - c.m_fx) AS residual_fx,
-         |       CAST(i.t7 * 1048576 // 7 AS DOUBLE) / 1048576.0 AS trend,
-         |       CAST(s.s_fx - c.m_fx AS DOUBLE) / 1048576.0 AS seasonal
-         |FROM interior i JOIN seas s USING (dow), ctr c""".stripMargin) {
+       s"""WITH $stlCtes
+         |SELECT day, cents, trend_fx, seasonal_fx, residual_fx,
+         |       CAST(trend_fx AS DOUBLE) / 1048576.0 AS trend,
+         |       CAST(seasonal_fx AS DOUBLE) / 1048576.0 AS seasonal
+         |FROM comp""".stripMargin) {
       (s, d) =>
-        val daily = Tables.events(s, d)
-          .groupBy(day.as("day"))
-          .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
-        val byDay = Window.orderBy(col("day"))
-        val w = daily
-          .withColumn("rn", row_number().over(byDay))
-          .withColumn("t7", sum(col("cents"))
-            .over(byDay.rowsBetween(-3, 3)).cast("long"))
-        val nn = daily.agg(count(lit(1)).as("n"))
-        val interior = w.crossJoin(broadcast(nn))
-          .filter(col("rn") >= 4 && col("rn") <= col("n") - 3)
-          .select(col("day"), col("cents"), (col("day") % 7).as("dow"),
-            col("t7"), (lit(7) * col("cents") - col("t7")).as("d7"))
-        val seas = interior.groupBy(col("dow"))
-          .agg(expr("sum(d7) * 1048576 div (7 * count(*))").as("s_fx"))
-        val ctr = seas.agg(expr("sum(s_fx) div 7").as("m_fx"))
-        interior.join(broadcast(seas), "dow")
-          .crossJoin(broadcast(ctr))
-          .select(col("day"), col("cents"),
-            expr("t7 * 1048576 div 7").as("trend_fx"),
-            (col("s_fx") - col("m_fx")).as("seasonal_fx"),
-            (col("cents") * 1048576 - expr("t7 * 1048576 div 7") -
-              (col("s_fx") - col("m_fx"))).as("residual_fx"),
-            (expr("t7 * 1048576 div 7").cast("double") / 1048576.0)
-              .as("trend"),
-            ((col("s_fx") - col("m_fx")).cast("double") / 1048576.0)
-              .as("seasonal"))
+        stlComponents(Tables.events(s, d))
+          .select(col("day"), col("cents"), col("trend_fx"),
+            col("seasonal_fx"), col("residual_fx"),
+            (col("trend_fx").cast("double") / 1048576.0).as("trend"),
+            (col("seasonal_fx").cast("double") / 1048576.0).as("seasonal"))
+    },
+
+    // Seasonally-adjusted anomaly detection: the STL residual run
+    // through the MAD fence (ts_mad_outliers' robust rule) — a spike
+    // that is merely "it's Saturday" has its seasonal component
+    // removed BEFORE the outlier test, which is the whole reason to
+    // decompose first. Median and MAD are integer order statistics on
+    // the fixed-point residual; the 3x fence stays in exact integer
+    // cross-multiplication. Every interior day is emitted with its
+    // flag so the fence itself is what hash-compares.
+    Op("ts_stl_anomalies",
+       s"""WITH $stlCtes,
+         |med AS (SELECT quantile_disc(residual_fx, 0.5) AS med_fx FROM comp),
+         |ad AS (
+         |  SELECT c.day, c.cents, c.residual_fx, m.med_fx,
+         |         abs(c.residual_fx - m.med_fx) AS adev
+         |  FROM comp c, med m),
+         |mad AS (SELECT quantile_disc(adev, 0.5) AS mad_fx FROM ad)
+         |SELECT a.day, a.cents, a.residual_fx, a.med_fx, d.mad_fx,
+         |       abs(a.residual_fx - a.med_fx) > 3 * d.mad_fx AS is_anomaly
+         |FROM ad a, mad d""".stripMargin) { (s, d) =>
+      val comp = stlComponents(Tables.events(s, d)).localCheckpoint()
+      val med = comp.agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
+          " (ORDER BY residual_fx) AS BIGINT)").as("med_fx"))
+      val ad = comp.crossJoin(broadcast(med))
+        .select(col("day"), col("cents"), col("residual_fx"),
+          col("med_fx"),
+          abs(col("residual_fx") - col("med_fx")).as("adev"))
+        .localCheckpoint()
+      val mad = ad.agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
+          " (ORDER BY adev) AS BIGINT)").as("mad_fx"))
+      ad.crossJoin(broadcast(mad))
+        .select(col("day"), col("cents"), col("residual_fx"),
+          col("med_fx"), col("mad_fx"),
+          (abs(col("residual_fx") - col("med_fx")) > lit(3) * col("mad_fx"))
+            .as("is_anomaly"))
     }
   )
+
+  /** The integer core of the additive decomposition (see
+    * ts_stl_decompose): (day, cents, trend_fx, seasonal_fx,
+    * residual_fx) over the interior days, all exact cents·2^20
+    * BIGINTs. Shared by the decomposition and the seasonally-adjusted
+    * anomaly fence.
+    */
+  private def stlComponents(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val daily = events
+      .groupBy(day.as("day"))
+      .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
+    val byDay = Window.orderBy(col("day"))
+    val w = daily
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("t7", sum(col("cents"))
+        .over(byDay.rowsBetween(-3, 3)).cast("long"))
+    val nn = daily.agg(count(lit(1)).as("n"))
+    val interior = w.crossJoin(broadcast(nn))
+      .filter(col("rn") >= 4 && col("rn") <= col("n") - 3)
+      .select(col("day"), col("cents"), (col("day") % 7).as("dow"),
+        col("t7"), (lit(7) * col("cents") - col("t7")).as("d7"))
+    val seas = interior.groupBy(col("dow"))
+      .agg(expr("sum(d7) * 1048576 div (7 * count(*))").as("s_fx"))
+    val ctr = seas.agg(expr("sum(s_fx) div 7").as("m_fx"))
+    interior.join(broadcast(seas), "dow")
+      .crossJoin(broadcast(ctr))
+      .select(col("day"), col("cents"),
+        expr("t7 * 1048576 div 7").as("trend_fx"),
+        (col("s_fx") - col("m_fx")).as("seasonal_fx"),
+        (col("cents") * 1048576 - expr("t7 * 1048576 div 7") -
+          (col("s_fx") - col("m_fx"))).as("residual_fx"))
+  }
+
+  /** Shared DuckDB replay of stlComponents — ends in
+    * `comp(day, cents, trend_fx, seasonal_fx, residual_fx)`.
+    */
+  private lazy val stlCtes: String =
+    """daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, cents,
+      |         row_number() OVER (ORDER BY day) AS rn,
+      |         CAST(sum(cents) OVER (ORDER BY day
+      |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+      |           AS t7
+      |  FROM daily),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      |interior AS (
+      |  SELECT day, cents, day % 7 AS dow, t7,
+      |         7 * cents - t7 AS d7
+      |  FROM w, nn WHERE rn >= 4 AND rn <= n - 3),
+      |seas AS (
+      |  SELECT dow,
+      |         (CAST(sum(d7) AS BIGINT) * 1048576)
+      |           // (7 * CAST(count(*) AS BIGINT)) AS s_fx
+      |  FROM interior GROUP BY 1),
+      |ctr AS (SELECT CAST(sum(s_fx) AS BIGINT) // 7 AS m_fx FROM seas),
+      |comp AS (
+      |  SELECT i.day, i.cents,
+      |         i.t7 * 1048576 // 7 AS trend_fx,
+      |         s.s_fx - c.m_fx AS seasonal_fx,
+      |         i.cents * 1048576 - i.t7 * 1048576 // 7
+      |           - (s.s_fx - c.m_fx) AS residual_fx
+      |  FROM interior i JOIN seas s USING (dow), ctr c)""".stripMargin
 }

@@ -128,7 +128,10 @@ class PlanAuditSpec extends SparkSpec {
         // fan-out IS the operator's scale story; verified below)
         n == "p6_scalar_subquery" || n == "retrieval_eval" ||
         n == "ts_stl_decompose" || n == "embed_mrl_recall" ||
-        n == "text_heaps_law")
+        n == "text_heaps_law" ||
+        // 1-row order-statistic / threshold attaches onto
+        // localCheckpoint'ed score tables (verified below)
+        n == "ts_stl_anomalies" || n == "llm_ppl_filter")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -172,7 +175,7 @@ class PlanAuditSpec extends SparkSpec {
         "profile_mutual_info", "er_blocking_quality", "ts_runs_test",
         // r8 late additions (see the exemption comments above)
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
-        "text_heaps_law")
+        "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
