@@ -654,6 +654,150 @@ object Events {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_credited"),
           sum(expr("1000000 div n_touch")).as("credit_ppm"))
+    },
+
+    // Markov removal-effect attribution (Anderl et al. 2014 "Mapping the
+    // customer journey" — THE data-driven attribution model): user
+    // timelines become journeys (a purchase closes one), journeys become
+    // a first-order chain START -> touches -> CONV/NULL, and a channel's
+    // credit is its REMOVAL EFFECT — how much absorbed conversion mass
+    // disappears when every transition into that channel is redirected
+    // to the NULL absorber. Everything is the e_markov_stationary
+    // integer protocol: transition probabilities at 2^20 fixed point,
+    // mass at 2^40, 30 synchronous rounds with truncating division, and
+    // absorbing states carried by explicit 2^20 self-loops so each round
+    // is a pure matrix multiply (ONE reference to the recursive table —
+    // what makes the oracle expressible). Removal effects and shares are
+    // each a single float division of exact integers at the very end.
+    //
+    // Scale shape: the corpus-sized work is journey segmentation (one
+    // running-count window), step extraction (one lead window), and the
+    // |T|^2-bounded pair count — the sessionize shuffle shape. The
+    // chain itself (<= 7 states here) is driver-bounded state, and the
+    // K+1 removal variants iterate over that driver copy; the corpus is
+    // read ONCE for all variants.
+    Op("e_attribution_markov",
+       """WITH RECURSIVE seq AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |         coalesce(sum(CASE WHEN event_type = 'purchase'
+         |                           THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                   AND 1 PRECEDING), 0) AS j
+         |  FROM events),
+         |steps AS (
+         |  SELECT event_type AS f,
+         |         lead(event_type) OVER (PARTITION BY user_id, j
+         |           ORDER BY ts, event_id) AS t,
+         |         row_number() OVER (PARTITION BY user_id, j
+         |           ORDER BY ts, event_id) AS rn
+         |  FROM seq),
+         |trans AS (
+         |  SELECT f,
+         |         CASE WHEN t = 'purchase' THEN 'CONV'
+         |              WHEN t IS NULL THEN 'NULL' ELSE t END AS t
+         |  FROM steps WHERE f <> 'purchase'
+         |  UNION ALL
+         |  SELECT 'START',
+         |         CASE WHEN f = 'purchase' THEN 'CONV' ELSE f END
+         |  FROM steps WHERE rn = 1),
+         |pairs AS (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS n
+         |  FROM trans GROUP BY 1, 2),
+         |rt AS (SELECT f, CAST(sum(n) AS BIGINT) AS r FROM pairs GROUP BY 1),
+         |e AS (
+         |  SELECT pairs.f, pairs.t, pairs.n * 1048576 // rt.r AS pfx
+         |  FROM pairs JOIN rt USING (f)
+         |  UNION ALL SELECT 'CONV', 'CONV', 1048576
+         |  UNION ALL SELECT 'NULL', 'NULL', 1048576),
+         |channels AS (
+         |  SELECT DISTINCT f AS ch FROM pairs WHERE f <> 'START'),
+         |vars AS (
+         |  SELECT 'FULL' AS removed UNION ALL SELECT ch FROM channels),
+         |ev AS (
+         |  SELECT v.removed, e.f,
+         |         CASE WHEN e.t = v.removed THEN 'NULL' ELSE e.t END AS t,
+         |         e.pfx
+         |  FROM e, vars v WHERE e.f <> v.removed),
+         |ab(removed, iter, st, m) AS (
+         |  SELECT removed, 0, 'START', CAST(1099511627776 AS BIGINT)
+         |  FROM vars
+         |  UNION ALL
+         |  SELECT ab.removed, ab.iter + 1, ev.t,
+         |         CAST(sum((ab.m * ev.pfx) // 1048576) AS BIGINT)
+         |  FROM ab JOIN ev ON ev.removed = ab.removed AND ev.f = ab.st
+         |  WHERE ab.iter < 30
+         |  GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT removed, CAST(sum(m) AS BIGINT) AS pconv
+         |  FROM ab WHERE iter = 30 AND st = 'CONV' GROUP BY 1),
+         |pf AS (SELECT pconv AS pfull FROM p WHERE removed = 'FULL'),
+         |rem AS (
+         |  SELECT p.removed AS channel, pf.pfull, p.pconv,
+         |         pf.pfull - p.pconv AS re_num
+         |  FROM p, pf WHERE p.removed <> 'FULL'),
+         |tot AS (SELECT CAST(sum(re_num) AS BIGINT) AS t FROM rem)
+         |SELECT channel, pfull AS p_full_fx, pconv AS p_removed_fx,
+         |       CAST(re_num AS DOUBLE) / pfull AS removal_effect,
+         |       CAST(re_num AS DOUBLE) / tot.t AS share
+         |FROM rem, tot""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byJourney = Window.partitionBy(col("user_id"), col("j"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"),
+          coalesce(sum(when(col("event_type") === "purchase", 1)
+              .otherwise(0))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0)).as("j"))
+      val steps = seq.select(col("event_type").as("f"),
+        lead(col("event_type"), 1).over(byJourney).as("t"),
+        row_number().over(byJourney).as("rn"))
+      val trans = steps.filter(col("f") =!= "purchase")
+        .select(col("f"),
+          when(col("t") === "purchase", "CONV")
+            .when(col("t").isNull, "NULL").otherwise(col("t")).as("t"))
+        .unionByName(steps.filter(col("rn") === 1)
+          .select(lit("START").as("f"),
+            when(col("f") === "purchase", "CONV").otherwise(col("f"))
+              .as("t")))
+      val pairs = trans.groupBy(col("f"), col("t"))
+        .agg(count(lit(1)).as("n"))
+      val rt = pairs.groupBy(col("f")).agg(sum(col("n")).as("r"))
+      // |states|^2-bounded collect — the chain is driver state by
+      // construction (the e_markov_stationary precedent)
+      val edges = pairs.join(rt, Seq("f"))
+        .select(col("f"), col("t"), expr("n * 1048576 div r").as("pfx"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq ++ Seq(("CONV", "CONV", 1048576L), ("NULL", "NULL", 1048576L))
+      val channels = edges.map(_._1).distinct
+        .filterNot(c => c == "START" || c == "CONV" || c == "NULL").sorted
+      val scale = 1099511627776L // 2^40
+      def absorbed(removed: String): Long = {
+        val ev = edges.filter(_._1 != removed).map { case (f, t, pfx) =>
+          (f, if (t == removed) "NULL" else t, pfx)
+        }
+        var m: Map[String, Long] = Map("START" -> scale)
+        for (_ <- 1 to 30) {
+          m = ev.flatMap { case (f, t, pfx) =>
+            m.get(f).map(mass => t -> mass * pfx / 1048576L)
+          }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+        }
+        m.getOrElse("CONV", 0L)
+      }
+      val pFull = absorbed("FULL") // no state named FULL: the intact chain
+      val rows = channels.map { ch =>
+        val pc = absorbed(ch)
+        (ch, pFull, pc, pFull - pc)
+      }
+      val reTot = rows.map(_._4).sum
+      import s.implicits._
+      rows.map { case (ch, pf, pc, re) =>
+        (ch, pf, pc, re.toDouble / pf, re.toDouble / reTot)
+      }.toDF("channel", "p_full_fx", "p_removed_fx", "removal_effect",
+        "share")
     }
   )
 }

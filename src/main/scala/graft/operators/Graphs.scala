@@ -231,13 +231,11 @@ object Graphs {
     * the repeat-collaboration structure and sheds the noise clique that
     * one shared order would induce.
     */
-  def coSupplierEdges(lineitem: DataFrame, minShared: Int = 6): DataFrame = {
-    // Pair generation is MAP-SIDE: one keyed combine collects each order's
-    // (tiny, bounded-by-lines-per-order) distinct supplier set, then the
-    // sa<sb combinations explode from the sorted array without ever
-    // joining the pair relation against itself — the self-join variant
-    // shuffles the d²-per-order pair relation TWICE (join + count), this
-    // shuffles it once, already pair-keyed for the weight count.
+  /** coSupplierEdges keeping the co-occurrence weight — the input for
+    * weight-aware algorithms (spanning forest, weighted communities).
+    */
+  def coSupplierWeightedEdges(lineitem: DataFrame,
+                              minShared: Int = 6): DataFrame = {
     val perOrder = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
@@ -250,8 +248,17 @@ object Graphs {
       .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= minShared)
-      .select(col("sa").as("src"), col("sb").as("dst"))
+      .select(col("sa").as("src"), col("sb").as("dst"), col("w"))
   }
+
+  def coSupplierEdges(lineitem: DataFrame, minShared: Int = 6): DataFrame =
+    // Pair generation is MAP-SIDE: one keyed combine collects each order's
+    // (tiny, bounded-by-lines-per-order) distinct supplier set, then the
+    // sa<sb combinations explode from the sorted array without ever
+    // joining the pair relation against itself — the self-join variant
+    // shuffles the d²-per-order pair relation TWICE (join + count), this
+    // shuffles it once, already pair-keyed for the weight count.
+    coSupplierWeightedEdges(lineitem, minShared).select(col("src"), col("dst"))
 
   /** k-core decomposition by synchronous peeling (Batagelj–Zaveršnik
     * semantics, Pregel-style rounds): repeatedly delete every node whose
@@ -301,6 +308,95 @@ object Graphs {
     }
     cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
+  }
+
+  /** k-truss decomposition (Cohen 2008 "Trusses: cohesive subgraphs for
+    * social network analysis") by synchronous support peeling: repeatedly
+    * delete every edge whose CURRENT triangle support is below k−2 —
+    * deletions cascade — until stable. The k-truss is the edge analog of
+    * the k-core and a strictly stronger cohesion filter: every edge of a
+    * k-truss lies in ≥ k−2 triangles INSIDE the surviving subgraph, so
+    * bridges and barely-attached spokes that survive coreness fall out.
+    *
+    * Per round, the triangleCounts recipe lifted to edges: degree-ordered
+    * FORWARD orientation (out-degrees bounded O(√m) on any degree
+    * distribution), one wedge self-equi-join keyed on the pivot, one
+    * closing equi-join keyed on (v,w), then each triangle credits its
+    * THREE canonical edges via a 3-way explode and a keyed count — all
+    * keyed shuffles with map-side partials, no cartesian. Each round
+    * materializes ONCE with the removed-edge count observed on the same
+    * action (the kCore recipe); the oriented edge list inside a round is
+    * checkpointed because it feeds three subtrees. Peeling is idempotent
+    * at the fixpoint, so a converged run equals a fixed-round replay —
+    * which is exactly what the unrolled DuckDB oracle does.
+    *
+    * Returns (src, dst, support): the k-truss edge set (src < dst) with
+    * each edge's in-truss triangle support. A run that hits `maxRounds`
+    * before converging returns the current frontier with the supports
+    * measured before the last peel (the caller's depth bound, mirroring
+    * kCore's contract).
+    */
+  def kTruss(edges: DataFrame, k: Int, srcCol: String = "src",
+             dstCol: String = "dst", maxRounds: Int = 30,
+             reliable: Boolean = false): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val W = org.apache.spark.sql.expressions.Window
+    var cur = cut(edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var out: DataFrame = null
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val sym = cur.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .withColumn("da", count(lit(1)).over(W.partitionBy(col("a"))))
+        .withColumn("db", count(lit(1)).over(W.partitionBy(col("b"))))
+        .filter(col("a") < col("b"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = cut(sym.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd")))
+      val o1 = oriented.toDF("u", "v", "dv")
+      val o2 = oriented.toDF("u", "w", "dw")
+      val tri = o1.join(o2, Seq("u"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .select(col("u"), col("v"), col("w"))
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+      val sup = tri.select(explode(array(
+          struct(least(col("u"), col("v")).as("a"),
+                 greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"),
+                 greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"),
+                 greatest(col("v"), col("w")).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      val obs = org.apache.spark.sql.Observation(s"ktruss_removed_r$round")
+      val kept = cut(cur.join(sup, Seq("a", "b"), "left")
+        .withColumn("support", coalesce(col("support"), lit(0L)))
+        .observe(obs,
+          count(when(col("support") < k - 2, 1)).as("removed"))
+        .filter(col("support") >= k - 2))
+      Dedup.releaseCheckpoint(oriented)
+      Dedup.releaseCheckpoint(cur)
+      converged = obs.get("removed").asInstanceOf[Long] == 0L
+      out = kept
+      cur = kept.select(col("a"), col("b"))
+      round += 1
+    }
+    if (out == null) cur.select(col("a").as("src"), col("b").as("dst"),
+      lit(0L).as("support")).filter(lit(false))
+    else out.select(col("a").as("src"), col("b").as("dst"), col("support"))
   }
 
   /** Synchronous label propagation for community detection (Raghavan et
@@ -670,6 +766,88 @@ object Graphs {
     out
   }
 
+  /** MAXIMUM spanning forest by distributed Borůvka (Borůvka 1926; the
+    * only spanning-tree algorithm whose rounds are data-parallel): each
+    * round every component picks its best incident cross edge — here
+    * the HIGHEST weight (backbone extraction: the strongest skeleton of
+    * a collaboration graph), ties broken by (src, dst) so the edge
+    * order is total and the forest UNIQUE — then components linked by
+    * chosen edges merge. O(log n) rounds; per round one label attach
+    * (two keyed joins), one per-component min-struct aggregate, and a
+    * component merge on the CONTRACTED label graph (≤ #components
+    * rows) via componentMinLabels. Edge list is never mutated — only
+    * the node→component map changes, so the big relation stays put
+    * while the shrinking label table does the work. The forest is
+    * unique by total edge order, so GraphsSpec pins it edge-for-edge
+    * against a sequential Kruskal replay.
+    */
+  def maxSpanningForest(edges: DataFrame, srcCol: String = "src",
+                        dstCol: String = "dst", wCol: String = "w",
+                        maxRounds: Int = 20,
+                        reliable: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val base = cut(edges.select(
+        least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"), col(wCol).as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w")))
+    var comp = cut(base.select(explode(array(
+        col("src"), col("dst"))).as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
+    var chosen: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val obs = org.apache.spark.sql.Observation(s"msf_cross_$round")
+      val lab = cut(base
+        .join(comp.select(col("node").as("src"), col("label").as("ca")),
+          "src")
+        .join(comp.select(col("node").as("dst"), col("label").as("cb")),
+          "dst")
+        .filter(col("ca") =!= col("cb"))
+        .observe(obs, count(lit(1)).as("n")))
+      if (obs.get("n").asInstanceOf[Long] == 0L) {
+        graft.llm.Dedup.releaseCheckpoint(lab)
+        done = true
+      } else {
+        val pick = lab.select(
+            explode(array(col("ca"), col("cb"))).as("c"),
+            struct((-col("w")).as("nw"), col("src"), col("dst"),
+              col("ca"), col("cb")).as("e"))
+          .groupBy(col("c")).agg(min(col("e")).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            (-col("e.nw")).as("w"), col("e.ca").as("ca"),
+            col("e.cb").as("cb"))
+          .distinct() // both endpoints' components may pick the same edge
+        val picked = cut(pick)
+        graft.llm.Dedup.releaseCheckpoint(lab)
+        val grown =
+          if (chosen == null) cut(picked.select("src", "dst", "w"))
+          else cut(chosen.unionByName(picked.select("src", "dst", "w")))
+        if (chosen != null) graft.llm.Dedup.releaseCheckpoint(chosen)
+        chosen = grown
+        // merge on the CONTRACTED graph: labels linked by chosen edges
+        val merged = graft.llm.Dedup.componentMinLabels(
+          picked.select(col("ca").as("id_a"), col("cb").as("id_b")))
+        val nextComp = cut(comp
+          .join(merged.select(col("node").as("label"),
+            col("label").as("nlabel")), Seq("label"), "left")
+          .select(col("node"),
+            coalesce(col("nlabel"), col("label")).as("label")))
+        graft.llm.Dedup.releaseCheckpoint(comp)
+        graft.llm.Dedup.releaseCheckpoint(picked)
+        graft.llm.Dedup.releaseCheckpoint(merged)
+        comp = nextComp
+        round += 1
+      }
+    }
+    graft.llm.Dedup.releaseCheckpoint(base)
+    if (chosen == null)
+      base.filter(lit(false)).select(col("src"), col("dst"), col("w"))
+    else chosen.distinct()
+  }
+
   /** Full core decomposition — coreness per node — by H-INDEX ITERATION
     * (Lü et al., Nature Communications 2016): c_0(v) = deg(v), then
     * c_{t+1}(v) = H(neighbor c_t values), where H is the Hirsch index
@@ -727,6 +905,53 @@ object Graphs {
       |  SELECT p1.s AS a, p2.s AS b
       |  FROM pairs p1 JOIN pairs p2 ON p1.ok = p2.ok AND p1.s < p2.s
       |  GROUP BY 1, 2 HAVING count(*) >= 6)""".stripMargin
+
+  /** Unrolled k-truss oracle: `rounds` support-then-peel rounds as PLAIN
+    * (non-recursive) CTE chains over e0. A recursive CTE cannot express
+    * the peel — each round's support join references the working table
+    * three times, and recursive SQL allows one — but the round body is
+    * ordinary SQL, so a fixed unroll replays the whole peel and the
+    * final (src, dst, support) relation hash-compares. Peeling is
+    * idempotent at the fixpoint; the engine converges-and-stops while
+    * the oracle runs all `rounds`, so equality holds whenever the data
+    * converges within `rounds` (asserted by the KTrussSpec round census).
+    */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    // Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs as
+    // subqueries, and each round references the previous round's edge
+    // set three times — an inlined unroll expands 3^rounds scans of
+    // lineitem (observed as fd exhaustion at rounds = 8).
+    val sb = new StringBuilder(s"WITH $coSupplierCte")
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT a AS u, b AS v FROM e$i
+        |        UNION ALL SELECT b AS u, a AS v FROM e$i),
+        |s$i AS MATERIALIZED (
+        |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e$i e
+        |  JOIN d$i x ON x.u = e.a
+        |  JOIN d$i y ON y.u = e.b AND y.v = x.v
+        |  GROUP BY 1, 2),
+        |e${i + 1} AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e$i e
+        |  LEFT JOIN s$i s ON s.a = e.a AND s.b = e.b
+        |  WHERE coalesce(s.sup, 0) >= ${k - 2})""".stripMargin)
+    }
+    val r = rounds
+    sb.append(s""",
+      |dF AS MATERIALIZED (SELECT a AS u, b AS v FROM e$r
+      |       UNION ALL SELECT b AS u, a AS v FROM e$r),
+      |sF AS MATERIALIZED (
+      |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+      |  FROM e$r e
+      |  JOIN dF x ON x.u = e.a
+      |  JOIN dF y ON y.u = e.b AND y.v = x.v
+      |  GROUP BY 1, 2)
+      |SELECT e.a AS src, e.b AS dst,
+      |       CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+      |FROM e$r e LEFT JOIN sF s ON s.a = e.a AND s.b = e.b""".stripMargin)
+    sb.toString
+  }
 
   val ops: Seq[Op] = Seq(
     // Ten exact fixed-point rounds over the trade graph; the recursive
@@ -881,6 +1106,17 @@ object Graphs {
           coSupplierEdges(Tables.lineitem(s, d))
             .select(col("src").as("id_a"), col("dst").as("id_b")))
         .select(col("node"), col("label").as("component"))
+    },
+
+    // Maximum spanning forest (the collaboration backbone) of the
+    // weighted co-supplier graph by distributed Borůvka. The forest is
+    // unique under the total (weight desc, src, dst) edge order; the
+    // output is its edge list. δ-free integer algorithm, but the
+    // per-round component merges make the SQL replay a nested fixpoint
+    // — no oracle; GraphsSpec pins the exact edge set against a
+    // sequential Kruskal.
+    Op.noOracle("graph_mst") { (s, d) =>
+      maxSpanningForest(coSupplierWeightedEdges(Tables.lineitem(s, d)))
     },
 
     // Coreness of every co-supplier node by 10 h-index rounds; the
@@ -1055,6 +1291,16 @@ object Graphs {
          |SELECT src AS node, count(*) AS deg
          |FROM kc WHERE iter = 20 GROUP BY 1""".stripMargin) { (s, d) =>
       kCore(coSupplierEdges(Tables.lineitem(s, d)), k = 12)
+    },
+
+    // 4-truss of the co-supplier graph: every surviving edge closes >= 2
+    // triangles among survivors. The oracle unrolls 8 support-and-peel
+    // rounds as plain CTEs (see kTrussOracleSql) so the ITERATIVE edge
+    // peel — not just its end state's shape — hash-compares; KTrussSpec
+    // asserts the engine converges within those 8 rounds at test scales
+    // and pins a closed-form fixture.
+    Op("graph_ktruss", kTrussOracleSql(k = 4, rounds = 8)) { (s, d) =>
+      kTruss(coSupplierEdges(Tables.lineitem(s, d)), k = 4)
     },
 
     // HITS on the directed customer->supplier trade graph: 4 full power

@@ -32,4 +32,63 @@ class EventsSpec extends SparkSpec {
         r.getLong(3)).toMap
     assert(got == brute)
   }
+
+  test("markov removal attribution: sequential replay of the whole " +
+       "protocol matches, shares sum to ~1, effects lie in [0,1]") {
+    val sf = "/root/testdata/sf0.001"
+    // sequential replay from the raw events, entirely independent code:
+    // journeys split after each purchase; chain in the 2^20/2^40 integer
+    // protocol; 30 absorption rounds with self-looped absorbers
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getString(3)))
+    val trans = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val tl = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      // journey boundaries: indexes after each purchase
+      val journeys = tl.foldLeft(List(List.empty[String])) {
+        case (acc, t) =>
+          if (t == "purchase") Nil :: (acc.head :+ t) :: acc.tail
+          else (acc.head :+ t) :: acc.tail
+      }.reverse.filter(_.nonEmpty)
+      journeys.foreach { j =>
+        val states = "START" +: j.map {
+          case "purchase" => "CONV"
+          case t => t
+        }
+        val withEnd = if (j.last == "purchase") states else states :+ "NULL"
+        withEnd.sliding(2).foreach {
+          case Seq(a, b) => if (a != "CONV") trans += ((a, b))
+          case _ => ()
+        }
+      }
+    }
+    val pairs = trans.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }.toSeq
+    val rowTot = pairs.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+    val edges = pairs.map { case (f, t, n) => (f, t, n * 1048576L / rowTot(f)) } ++
+      Seq(("CONV", "CONV", 1048576L), ("NULL", "NULL", 1048576L))
+    def absorbed(removed: String): Long = {
+      val e2 = edges.filter(_._1 != removed)
+        .map { case (f, t, p) => (f, if (t == removed) "NULL" else t, p) }
+      var m = Map("START" -> 1099511627776L)
+      for (_ <- 1 to 30)
+        m = e2.flatMap { case (f, t, p) => m.get(f).map(x => t -> x * p / 1048576L) }
+          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      m.getOrElse("CONV", 0L)
+    }
+    val chans = edges.map(_._1).distinct
+      .filterNot(Set("START", "CONV", "NULL")).sorted
+    val pFull = absorbed("FULL")
+    val want = chans.map(c => c -> (pFull, absorbed(c))).toMap
+    val got = graft.SparkEntry.queries("e_attribution_markov")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"got $got want $want")
+    val rows = graft.SparkEntry.queries("e_attribution_markov")(spark, sf)
+      .collect()
+    val shares = rows.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum ${shares.sum}")
+    rows.map(_.getDouble(3)).foreach(re => assert(re >= 0.0 && re <= 1.0))
+  }
 }

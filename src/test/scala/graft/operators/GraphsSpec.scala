@@ -342,6 +342,103 @@ class GraphsSpec extends SparkSpec {
     want.keys.foreach(n => assert(got.exists(_._1 == n), s"missing $n"))
   }
 
+  /** Sequential Kruskal under the same (weight desc, src, dst) total
+    * order — the unique maximum spanning forest.
+    */
+  private def kruskalMax(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = Set.newBuilder[(Long, Long, Long)]
+    edges.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .distinct
+      .sortBy { case (s, d, w) => (-w, s, d) }
+      .foreach { case (s, d, w) =>
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { parent(rs) = rd; out += ((s, d, w)) }
+      }
+    out.result()
+  }
+
+  test("max spanning forest: Boruvka equals sequential Kruskal on a " +
+       "closed-form fixture and on the sf0.001 co-supplier graph") {
+    import spark.implicits._
+    // square with one strong diagonal: unique max forest
+    val fix = Seq((1L, 2L, 5L), (2L, 3L, 4L), (3L, 4L, 5L), (1L, 4L, 2L),
+      (1L, 3L, 9L)).toDF("src", "dst", "w")
+    val got = Graphs.maxSpanningForest(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 9L), (1L, 2L, 5L), (3L, 4L, 5L)),
+      s"got $got") // (2,3,4) closes a cycle; 4 nodes -> 3 edges
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graphs.coSupplierWeightedEdges(
+        graft.Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = kruskalMax(edges)
+    val msf = graft.SparkEntry.queries("graph_mst")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(msf == want,
+      s"forest mismatch: extra=${msf -- want} missing=${want -- msf}")
+    // forest invariant: |E| = |V| - #components
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val comps = graft.SparkEntry.queries("graph_wcc")(spark, sf)
+      .collect().map(_.getLong(1)).distinct.length
+    assert(msf.size == nodes - comps)
+  }
+
+  /** Sequential synchronous k-truss peel; returns the surviving edges
+    * with in-truss support, and how many peels CHANGED the edge set
+    * (the unrolled oracle is valid iff that count fits its rounds).
+    */
+  private def seqKTruss(edges: Set[(Long, Long)], k: Int)
+      : (Map[(Long, Long), Long], Int) = {
+    var cur = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2)
+    var sup = Map.empty[(Long, Long), Long]
+    var changedRounds = 0
+    var changed = true
+    while (changed) {
+      val adj = cur.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+      sup = cur.map { case (a, b) =>
+        (a, b) -> (adj(a) intersect adj(b)).size.toLong }.toMap
+      val next = cur.filter(e => sup(e) >= k - 2)
+      changed = next != cur
+      if (changed) { cur = next; changedRounds += 1 }
+    }
+    (cur.map(e => e -> sup(e)).toMap, changedRounds)
+  }
+
+  test("k-truss: closed form on K4 plus a pendant triangle, sequential " +
+       "replay on the sf0.001 co-supplier graph, convergence within the " +
+       "oracle's unroll") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every edge closes 2 triangles) + pendant triangle
+    // {4,5,6} (each edge closes 1): the 4-truss is exactly K4, support 2
+    // everywhere; at k=3 all 9 edges survive.
+    val fix = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val t4 = Graphs.kTruss(fix, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)) && t4.values.forall(_ == 2L), s"got $t4")
+    assert(Graphs.kTruss(fix, k = 3).count() == 9)
+    // empty-graph and everything-peels edge cases return empty, not crash
+    assert(Graphs.kTruss(fix, k = 5).count() == 0)
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graphs.coSupplierEdges(graft.Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (want, changedRounds) = seqKTruss(edges, k = 4)
+    assert(changedRounds <= 8,
+      s"peel took $changedRounds changing rounds; oracle unrolls 8")
+    val got = graft.SparkEntry.queries("graph_ktruss")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want,
+      s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+  }
+
   test("coreness: closed form on a triangle-with-tail, and the h-index " +
        "fixpoint agrees with k-core peeling at every k on sf0.001") {
     import spark.implicits._
