@@ -1506,6 +1506,57 @@ object LlmOps {
       Similarity.kmeansAssignments(Tables.embeddings(s, d))
     },
 
+    // Davies-Bouldin index of the trained clustering — the internal
+    // quality readout, exact end to end: integer moments in the kmeans
+    // fixed-point space, then only correctly-rounded sqrt/divide (and
+    // the ordered-fold mean convention), so even the D_i maxima and the
+    // final scalar hash-compare. See Similarity.kmeansDaviesBouldin.
+    Op("embed_db_index", kmeansCte + """,
+       |cent AS (SELECT k, i, ci FROM km WHERE iter = 5),
+       |dist AS (
+       |  SELECT x.vec_id, c.k,
+       |         CAST(sum((x.xi - c.ci) * (x.xi - c.ci)) AS BIGINT) AS d
+       |  FROM xq x JOIN cent c USING (i)
+       |  GROUP BY 1, 2),
+       |asg AS (
+       |  SELECT vec_id, k, d FROM (
+       |    SELECT vec_id, k, d,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY d, k) AS rnk
+       |    FROM dist) WHERE rnk = 1),
+       |ks AS (SELECT DISTINCT k FROM cent),
+       |st AS (
+       |  SELECT ks.k,
+       |         CAST(count(a.vec_id) AS BIGINT) AS n,
+       |         CAST(coalesce(sum(a.d), 0) AS BIGINT) AS ss
+       |  FROM ks LEFT JOIN asg a USING (k) GROUP BY 1),
+       |sv AS (
+       |  SELECT k, n, ss,
+       |         CASE WHEN n = 0 THEN 0.0
+       |              ELSE sqrt(CAST(ss AS DOUBLE) / n) END AS s_i
+       |  FROM st),
+       |gap AS (
+       |  SELECT a.k AS ki, b.k AS kj,
+       |         CAST(sum((a.ci - b.ci) * (a.ci - b.ci)) AS BIGINT) AS g
+       |  FROM cent a JOIN cent b ON a.i = b.i AND a.k <> b.k
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT g.ki AS k,
+       |         max((si.s_i + sj.s_i) / sqrt(CAST(g.g AS DOUBLE))) AS d_i
+       |  FROM gap g
+       |  JOIN sv si ON si.k = g.ki
+       |  JOIN sv sj ON sj.k = g.kj
+       |  GROUP BY 1),
+       |dbv AS (
+       |  SELECT list_reduce(list_prepend(0.0, list(d_i ORDER BY k)),
+       |                     (a, b) -> a + b)
+       |         / (SELECT count(*) FROM ks) AS db
+       |  FROM r)
+       |SELECT sv.k, sv.n, sv.ss, sv.s_i, r.d_i, dbv.db
+       |FROM sv JOIN r USING (k), dbv""".stripMargin) { (s, d) =>
+      Similarity.kmeansDaviesBouldin(Tables.embeddings(s, d))
+    },
+
     // JL random projection 64 -> 16 on 2^20-quantized inputs: every
     // output component is a pure BIGINT sum against a ±1 literal matrix,
     // and the oracle embeds the SAME driver-generated literals, so the

@@ -967,6 +967,63 @@ object Similarity {
     assignTo(xq, cents).select(col("vid").as(idCol), col("k"))
   }
 
+  /** Davies–Bouldin index (Davies & Bouldin 1979) of the trained k-means
+    * clustering — the standard internal clustering-quality readout (lower
+    * = tighter, better-separated clusters), here EXACT enough to
+    * hash-compare: all moments are integer sums in the kmeansCore 2^20
+    * fixed-point space (per-cluster size and within-cluster squared
+    * scatter; centroid-pair squared gaps), and every float that follows —
+    * S_i = sqrt(ss_i/n_i), M_ij = sqrt(gap), R_ij = (S_i+S_j)/M_ij,
+    * D_i = max_j R_ij, DB = (ordered fold of D_i)/k — is a fixed
+    * sequence of correctly-rounded IEEE ops (÷ and √ are exactly rounded
+    * by both engines; the final mean folds in ascending-k order, the
+    * per-row double-sum convention).
+    *
+    * Scale shape: one extra map-side pass over the checkpointed
+    * quantized corpus (distance to the OWN assigned centroid via a
+    * k-entry literal lookup) and one k-row keyed aggregate; the k×k
+    * R-matrix and the fold are driver arithmetic on the k-bounded model.
+    * Returns one row per cluster (k, n, ss, s_i, d_i) with the shared
+    * `db` scalar repeated — the whole table hash-compares.
+    */
+  def kmeansDaviesBouldin(embeddings: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding", k: Int = 8,
+                          iters: Int = 5): DataFrame = {
+    val (cents, xq) = kmeansCore(embeddings, idCol, vecCol, k, iters)
+    val centArr = array(cents.map(c => typedlit(c.toSeq)): _*)
+    val d2 = aggregate(
+      zip_with(col("xq"), element_at(centArr, col("k") + 1),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val stats = assignTo(xq, cents)
+      .select(col("k"), d2.as("d2"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("ss"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Dedup.releaseCheckpoint(xq)
+    val s = (0 until k).map { i =>
+      val (n, ss) = stats.getOrElse(i, (0L, 0L))
+      if (n == 0L) 0.0 else math.sqrt(ss.toDouble / n)
+    }
+    def gap(i: Int, j: Int): Long =
+      cents(i).indices.map { d =>
+        val diff = cents(i)(d) - cents(j)(d); diff * diff
+      }.sum
+    val dI = (0 until k).map { i =>
+      (0 until k).filter(_ != i).map { j =>
+        (s(i) + s(j)) / math.sqrt(gap(i, j).toDouble)
+      }.max
+    }
+    val db = dI.foldLeft(0.0)(_ + _) / k
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    (0 until k).map { i =>
+      val (n, ss) = stats.getOrElse(i, (0L, 0L))
+      (i, n, ss, s(i), dI(i), db)
+    }.toDF("k", "n", "ss", "s_i", "d_i", "db")
+  }
+
   /** Deterministic ±1 sign for the (outDim j, inDim i) cell of the random
     * projection matrix: splitmix64 of the cell index, low bit. Driver-side
     * like [[hyperplane]]; the oracle embeds the SAME literals, so the two

@@ -798,6 +798,213 @@ object Events {
         (ch, pf, pc, re.toDouble / pf, re.toDouble / reTot)
       }.toDF("channel", "p_full_fx", "p_removed_fx", "removal_effect",
         "share")
+    },
+
+    // Shapley-value attribution (Shapley 1953 applied per Zhao et al.
+    // 2018 "Shapley value methods for attribution modeling") — the
+    // order-free counterpart of e_attribution_markov: each journey
+    // contributes its distinct touch-channel SET (a bitmask over the
+    // sorted channel alphabet), the coalition value v(S) is the exact
+    // conversion rate of journeys with touch set S in ppm fixed point,
+    // and a channel's credit is the Shapley sum
+    // φ_i = Σ_{S∌i} |S|!(K−1−|S|)!·(v(S∪i) − v(S)) / K!. The weighted
+    // sum stays INTEGER (factorials × ppm differences); only the final
+    // /K! is a float division, so both engines hash-compare φ's exact
+    // numerator. Unobserved coalitions value 0 on both sides, and
+    // efficiency (Σφ = v(full) − v(∅)) holds exactly in the scaled
+    // integers — EventsSpec asserts it.
+    //
+    // Scale shape: journey segmentation and the mask bit_or are the
+    // e_attribution_markov shuffle shape (one running window + one
+    // keyed agg); the coalition table is ≤ 2^K rows (K = |channels|,
+    // bounded by the event-type alphabet) and is driver state by
+    // construction — the 2^K·K Shapley enumeration never touches the
+    // corpus. The 2^K collect is the envelope: past K ≈ 20 channels
+    // switch to sampled-permutation Shapley.
+    Op("e_attribution_shapley",
+       """WITH seq AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |         coalesce(sum(CASE WHEN event_type = 'purchase'
+         |                           THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                   AND 1 PRECEDING), 0) AS j
+         |  FROM events),
+         |chan AS (
+         |  SELECT ch, bit, CAST(1 << bit AS BIGINT) AS bv FROM (
+         |    SELECT event_type AS ch,
+         |           CAST(row_number() OVER (ORDER BY event_type) - 1
+         |                AS INTEGER) AS bit
+         |    FROM (SELECT DISTINCT event_type FROM events
+         |          WHERE event_type <> 'purchase'))),
+         |jour AS (
+         |  SELECT s.user_id, s.j,
+         |         coalesce(bit_or(c.bv), 0) AS mask,
+         |         max(CASE WHEN s.event_type = 'purchase'
+         |                  THEN 1 ELSE 0 END) AS conv
+         |  FROM seq s LEFT JOIN chan c ON c.ch = s.event_type
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT mask, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(conv) AS BIGINT) AS cnv,
+         |         CAST(sum(conv) AS BIGINT) * 1000000
+         |           // CAST(count(*) AS BIGINT) AS v_fx
+         |  FROM jour GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM chan),
+         |masks AS (SELECT CAST(range AS BIGINT) AS m FROM range(1024)),
+         |phi AS (
+         |  SELECT c.ch AS channel,
+         |         CAST(sum(CAST(factorial(bit_count(m.m)) AS BIGINT) *
+         |                  CAST(factorial(CAST(k.k AS INTEGER) - 1 -
+         |                                 bit_count(m.m)) AS BIGINT) *
+         |                  (coalesce(va.v_fx, 0) - coalesce(vb.v_fx, 0)))
+         |              AS BIGINT) AS phi_num
+         |  FROM chan c
+         |  CROSS JOIN k
+         |  CROSS JOIN masks m
+         |  LEFT JOIN v va ON va.mask = (m.m | c.bv)
+         |  LEFT JOIN v vb ON vb.mask = m.m
+         |  WHERE (m.m & c.bv) = 0 AND m.m < (1 << CAST(k.k AS INTEGER))
+         |  GROUP BY 1)
+         |SELECT channel, phi_num,
+         |       CAST(phi_num AS DOUBLE) /
+         |         CAST(factorial(CAST(kk.k AS INTEGER)) AS BIGINT)
+         |         AS phi_ppm
+         |FROM phi, k kk""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          coalesce(sum(when(col("event_type") === "purchase", 1)
+              .otherwise(0))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0)).as("j"))
+      // channel alphabet: bounded by distinct event types — driver state
+      val chans = Tables.events(s, d)
+        .filter(col("event_type") =!= "purchase")
+        .select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      import s.implicits._
+      val chanDf = broadcast(
+        chans.zipWithIndex.map { case (c, i) => (c, 1L << i) }
+          .toSeq.toDF("ch", "bv"))
+      val jour = seq.join(chanDf, seq("event_type") === chanDf("ch"),
+          "left")
+        .groupBy(col("user_id"), col("j"))
+        .agg(coalesce(bit_or(col("bv")), lit(0L)).as("mask"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("conv"))
+      // coalition table: <= 2^K rows — driver state by construction
+      val v = jour.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("cnv"))
+        .select(col("mask"), expr("cnv * 1000000 div n").as("v_fx"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kk = chans.length
+      def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+      val rows = chans.zipWithIndex.map { case (ch, i) =>
+        val bv = 1L << i
+        val phiNum = (0L until (1L << kk)).filter(m => (m & bv) == 0L)
+          .map { m =>
+            val sz = java.lang.Long.bitCount(m)
+            fact(sz) * fact(kk - 1 - sz) *
+              (v.getOrElse(m | bv, 0L) - v.getOrElse(m, 0L))
+          }.sum
+        (ch, phiNum, phiNum.toDouble / fact(kk))
+      }
+      rows.toSeq.toDF("channel", "phi_num", "phi_ppm")
+    },
+
+    // CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013
+    // "Improving the sensitivity of online controlled experiments"):
+    // the A/B readout on per-user purchase spend, adjusted by the
+    // pre-treatment covariate every experimentation platform uses first
+    // — user engagement (click count). θ = cov(X,Y)/var(X) is computed
+    // from EXACT integer moments (clicks are integers, spend in cents
+    // via round(value·100) — identical half-up on both engines for
+    // positive values), so n·Σxy − Σx·Σy and n·Σxx − Σx² hash-compare
+    // as BIGINTs; θ, the raw uplift, and the CUPED uplift are then the
+    // same fixed sequence of IEEE divisions on both engines.
+    //
+    // Scale shape: one per-user aggregate (keyed shuffle), one keyless
+    // moments aggregate with map-side partials, one 2-row per-variant
+    // aggregate — the e_ab_welch shape. 64-bit envelope: n·Σxy needs
+    // clicks·cents·users² under 2^63 — past ~10^9 users lift the moment
+    // products to DECIMAL.
+    Op("e_ab_cuped",
+       """WITH u AS (
+         |  SELECT user_id, user_id % 2 AS variant,
+         |         CAST(sum(CASE WHEN event_type = 'click'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+         |                  THEN CAST(round(value * 100) AS BIGINT) END),
+         |                  0) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM u),
+         |p AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+         |         CAST(sum(x) AS BIGINT) AS sxv,
+         |         CAST(sum(y) AS BIGINT) AS syv
+         |  FROM u GROUP BY 1),
+         |w AS (
+         |  SELECT max(CASE WHEN variant = 0 THEN nv END) AS n0,
+         |         max(CASE WHEN variant = 0 THEN sxv END) AS sx0,
+         |         max(CASE WHEN variant = 0 THEN syv END) AS sy0,
+         |         max(CASE WHEN variant = 1 THEN nv END) AS n1,
+         |         max(CASE WHEN variant = 1 THEN sxv END) AS sx1,
+         |         max(CASE WHEN variant = 1 THEN syv END) AS sy1
+         |  FROM p)
+         |SELECT w.n0, w.n1,
+         |       g.n * g.sxy - g.sx * g.sy AS cov_num,
+         |       g.n * g.sxx - g.sx * g.sx AS var_num,
+         |       CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE) /
+         |         CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS theta,
+         |       CAST(w.sy1 AS DOUBLE) / w.n1
+         |         - CAST(w.sy0 AS DOUBLE) / w.n0 AS raw_uplift,
+         |       (CAST(w.sy1 AS DOUBLE) / w.n1
+         |         - CAST(w.sy0 AS DOUBLE) / w.n0)
+         |       - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE) /
+         |          CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+         |         * (CAST(w.sx1 AS DOUBLE) / w.n1
+         |            - CAST(w.sx0 AS DOUBLE) / w.n0) AS cuped_uplift
+         |FROM g, w""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("x"),
+          coalesce(sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)"))),
+            lit(0L)).as("y"))
+      val g = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val p = u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("nv"), sum(col("x")).as("sxv"),
+          sum(col("y")).as("syv"))
+      val w = p.agg(
+        max(when(col("variant") === 0, col("nv"))).as("n0"),
+        max(when(col("variant") === 0, col("sxv"))).as("sx0"),
+        max(when(col("variant") === 0, col("syv"))).as("sy0"),
+        max(when(col("variant") === 1, col("nv"))).as("n1"),
+        max(when(col("variant") === 1, col("sxv"))).as("sx1"),
+        max(when(col("variant") === 1, col("syv"))).as("sy1"))
+      val covNum = col("n") * col("sxy") - col("sx") * col("sy")
+      val varNum = col("n") * col("sxx") - col("sx") * col("sx")
+      val theta = covNum.cast("double") / varNum.cast("double")
+      val rawUp = col("sy1").cast("double") / col("n1") -
+        col("sy0").cast("double") / col("n0")
+      val xGap = col("sx1").cast("double") / col("n1") -
+        col("sx0").cast("double") / col("n0")
+      g.crossJoin(broadcast(w)) // two 1-row keyless aggregates
+        .select(col("n0"), col("n1"), covNum.as("cov_num"),
+          varNum.as("var_num"), theta.as("theta"), rawUp.as("raw_uplift"),
+          (rawUp - theta * xGap).as("cuped_uplift"))
     }
   )
 }

@@ -131,7 +131,11 @@ class PlanAuditSpec extends SparkSpec {
         n == "text_heaps_law" ||
         // 1-row order-statistic / threshold attaches onto
         // localCheckpoint'ed score tables (verified below)
-        n == "ts_stl_anomalies" || n == "llm_ppl_filter")
+        n == "ts_stl_anomalies" || n == "llm_ppl_filter" ||
+        // e_ab_cuped: the t_equal_rowcount shape — the 1-row global
+        // moments aggregate crossJoined to the 1-row per-variant pivot
+        // (verified keyless-aggregate below)
+        n == "e_ab_cuped")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -175,7 +179,8 @@ class PlanAuditSpec extends SparkSpec {
         "profile_mutual_info", "er_blocking_quality", "ts_runs_test",
         // r8 late additions (see the exemption comments above)
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
-        "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter")
+        "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
+        "e_ab_cuped")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

@@ -489,6 +489,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cents((1, 0)) == seed && cents((1, 1)) == seed)
   }
 
+  test("davies-bouldin: two tight well-separated blobs score far below a " +
+       "split-blob clustering, and the table is internally consistent") {
+    import spark.implicits._
+    val rows = (0 until 20).map { n =>
+      val base = if (n % 2 == 0) 0.0 else 0.9
+      (n.toLong, Seq.tabulate(4)(i => base + 0.001 * ((n * 7 + i) % 5)))
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansDaviesBouldin(d, k = 2, iters = 4).collect()
+    assert(out.length == 2)
+    // n sums to the corpus; db is the mean of d_i and identical per row
+    assert(out.map(_.getLong(1)).sum == 20L)
+    val dIs = out.sortBy(_.getInt(0)).map(_.getDouble(4))
+    val db = out.head.getDouble(5)
+    assert(out.forall(_.getDouble(5) == db))
+    assert(db == dIs.foldLeft(0.0)(_ + _) / 2)
+    // tight separated blobs: scatter tiny vs the inter-centroid gap
+    assert(db < 0.1, s"db=$db")
+    // the sf0.001 embeddings table runs end to end with k=8
+    val real = graft.SparkEntry.queries("embed_db_index")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(real.length == 8 && real.forall(_.getDouble(5) > 0))
+  }
+
   test("brute-force plan: corpus is not shuffled before the TopK aggregate") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.bruteForceKnn(d).queryExecution.executedPlan.toString

@@ -91,4 +91,87 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum ${shares.sum}")
     rows.map(_.getDouble(3)).foreach(re => assert(re >= 0.0 && re <= 1.0))
   }
+
+  test("shapley attribution: independent replay matches and efficiency " +
+       "(sum of credits = v(all) - v(none)) holds exactly in the scaled " +
+       "integers") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 +
+          r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getString(3)))
+    val chans = ev.map(_._4).filter(_ != "purchase").distinct.sorted
+    val bit = chans.zipWithIndex.toMap
+    // journeys -> (touch mask, converted)
+    val jours = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val tl = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      var mask = 0L
+      var open = false
+      tl.foreach { t =>
+        if (t == "purchase") { jours += ((mask, 1)); mask = 0L; open = false }
+        else { mask |= 1L << bit(t); open = true }
+      }
+      if (open) jours += ((mask, 0))
+    }
+    val v = jours.groupBy(_._1).map { case (m, xs) =>
+      m -> xs.map(_._2).sum.toLong * 1000000L / xs.size
+    }
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val k = chans.length
+    val want = chans.map { ch =>
+      val bv = 1L << bit(ch)
+      ch -> (0L until (1L << k)).filter(m => (m & bv) == 0L).map { m =>
+        val sz = java.lang.Long.bitCount(m)
+        fact(sz) * fact(k - 1 - sz) *
+          (v.getOrElse(m | bv, 0L) - v.getOrElse(m, 0L))
+      }.sum
+    }.toMap
+    val got = graft.SparkEntry.queries("e_attribution_shapley")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got want $want")
+    // efficiency: sum of scaled credits telescopes to K!(v(C) - v(empty))
+    val eff = fact(k) *
+      (v.getOrElse((1L << k) - 1, 0L) - v.getOrElse(0L, 0L))
+    assert(got.values.sum == eff, s"sum ${got.values.sum} != $eff")
+  }
+
+  test("cuped: integer moments replay exactly and the adjusted uplift " +
+       "is the documented IEEE expression over them") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    val byUser = ev.groupBy(_._1).map { case (uid, rows) =>
+      val x = rows.count(_._2 == "click").toLong
+      val y = rows.filter(_._2 == "purchase")
+        .map(r => math.round(r._3 * 100)).sum
+      (uid % 2, x, y)
+    }.toSeq
+    val n = byUser.size.toLong
+    val sx = byUser.map(_._2).sum; val sy = byUser.map(_._3).sum
+    val sxy = byUser.map(r => r._2 * r._3).sum
+    val sxx = byUser.map(r => r._2 * r._2).sum
+    def side(v: Long) = byUser.filter(_._1 == v)
+    val (n0, sx0, sy0) = (side(0).size.toLong, side(0).map(_._2).sum,
+      side(0).map(_._3).sum)
+    val (n1, sx1, sy1) = (side(1).size.toLong, side(1).map(_._2).sum,
+      side(1).map(_._3).sum)
+    val covNum = n * sxy - sx * sy
+    val varNum = n * sxx - sx * sx
+    val theta = covNum.toDouble / varNum.toDouble
+    val rawUp = sy1.toDouble / n1 - sy0.toDouble / n0
+    val cuped = rawUp - theta * (sx1.toDouble / n1 - sx0.toDouble / n0)
+    val r = graft.SparkEntry.queries("e_ab_cuped")(spark, sf)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == (n0, n1))
+    assert((r.getLong(2), r.getLong(3)) == (covNum, varNum))
+    assert(r.getDouble(4) == theta && r.getDouble(5) == rawUp &&
+      r.getDouble(6) == cuped,
+      s"${(r.getDouble(4), r.getDouble(5), r.getDouble(6))} vs " +
+        s"${(theta, rawUp, cuped)}")
+  }
 }
