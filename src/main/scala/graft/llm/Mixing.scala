@@ -335,6 +335,51 @@ object Mixing {
       .drop("__k", "__pid", "__local", "__off")
   }
 
+  /** Distributed inclusive prefix sums — for each name in `sumCols`, a
+    * `<name>_cum` column holding the running BIGINT sum of that column in
+    * global `orderCol` order, WITHOUT a single-partition window. Same
+    * protocol as [[assignContiguousIds]] (it is the generalization from
+    * "prefix count" to "prefix aggregate"): range-partition on the order
+    * key, materialize that exchange ONCE (localCheckpoint — the offsets
+    * aggregate and the row-level join must see the SAME partition cuts),
+    * per-partition running sums in parallel windows, per-partition totals
+    * cumulated on the ≤#partitions-row side and broadcast back. All
+    * `sumCols` share one (partition, order) window spec → a single
+    * WindowExec pass, and the offsets side is one tiny aggregate.
+    *
+    * `orderCol` must be a total order over the rows (the CDF/rank
+    * substrates here key on distinct values, which satisfies it); ties
+    * across a range boundary would make per-partition sums
+    * order-dependent. This is the global-CDF primitive under f_ks_test /
+    * f_mann_whitney: a naive `sum() OVER (ORDER BY v)` moves the whole
+    * table to one partition, which is exactly what cannot happen at
+    * 100 TB.
+    */
+  def prefixSums(df: DataFrame, orderCol: Column, sumCols: Seq[String],
+                 numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.withColumn("__k", orderCol)
+      .repartitionByRange(parts, col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(sum(col(sumCols.head)).as(s"__t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"__t_$c")): _*)
+    val carryW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = offs.select(col("__pid") +: sumCols.map { c =>
+      coalesce(sum(col(s"__t_$c")).over(carryW), lit(0L)).as(s"__o_$c")
+    }: _*)
+    val cumed = sumCols.foldLeft(
+        ranged.join(broadcast(carry), Seq("__pid"))) { (acc, c) =>
+      acc.withColumn(s"${c}_cum", col(s"__o_$c") + sum(col(c)).over(w))
+    }
+    cumed.drop("__k" +: "__pid" +: sumCols.map(c => s"__o_$c"): _*)
+  }
+
   /** Competence-based curriculum ordering (Bengio et al. 2009 "Curriculum
     * learning"; Platanios et al. 2019 "Competence-based curriculum
     * learning for NMT"): rank documents by a difficulty signal, then gate

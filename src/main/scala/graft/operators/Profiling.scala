@@ -416,6 +416,149 @@ object Profiling {
               .as("chi_term"))
     },
 
+    // Two-sample Kolmogorov–Smirnov test on purchase spend between the
+    // A/B variants (the distribution-level readout e_ab_welch's
+    // mean-comparison misses): D = sup_t |F0(t) − F1(t)|, exact — at
+    // every distinct cents value the ECDF gap is the INTEGER
+    // |i·n1 − j·n0| over the common denominator n0·n1, so the max is a
+    // hash-comparable BIGINT and the floats (D, the sqrt(n0·n1/N)-scaled
+    // statistic) are a fixed sequence of correctly-rounded IEEE ops. The
+    // p-value is deliberately absent: the Kolmogorov series needs exp,
+    // which DuckDB and the JVM round differently (see the verify-skill
+    // transcendental note) — ks_stat is the sufficient input to any
+    // critical-value table.
+    //
+    // Scale shape: one keyed count per distinct value, then the global
+    // ECDF via Mixing.prefixSums (range exchange materialized once,
+    // per-partition running sums, broadcast carry) — no single-partition
+    // window anywhere; the totals attach is a 1-row aggregate over the
+    // same checkpoint. 64-bit envelope: i·n1 needs n0·n1 < 2^63 —
+    // ~3·10^9 samples per arm; past that lift the gap products to
+    // DECIMAL(38,0).
+    Op("f_ks_test",
+       """WITH p AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         |         user_id % 2 AS g
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT cents,
+         |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS c0,
+         |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS c1
+         |  FROM p GROUP BY 1),
+         |k AS (
+         |  SELECT cents,
+         |         CAST(sum(c0) OVER (ORDER BY cents) AS BIGINT) AS i,
+         |         CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS j
+         |  FROM c),
+         |n AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+         |             CAST(sum(c1) AS BIGINT) AS n1 FROM c)
+         |SELECT n.n0, n.n1,
+         |       CAST(max(abs(i * n.n1 - j * n.n0)) AS BIGINT) AS d_num,
+         |       CAST(max(abs(i * n.n1 - j * n.n0)) AS DOUBLE)
+         |         / CAST(n.n0 * n.n1 AS DOUBLE) AS d,
+         |       sqrt(CAST(n.n0 * n.n1 AS DOUBLE)
+         |            / CAST(n.n0 + n.n1 AS DOUBLE)) *
+         |         (CAST(max(abs(i * n.n1 - j * n.n0)) AS DOUBLE)
+         |          / CAST(n.n0 * n.n1 AS DOUBLE)) AS ks_stat
+         |FROM k, n GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("user_id") % 2).as("g"))
+      val c = p.groupBy(col("cents")).agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+      val k = graft.llm.Mixing.prefixSums(c, col("cents"), Seq("c0", "c1"))
+      // grand totals = the final cumulative values — read from the same
+      // checkpoint, never a second scan of events
+      val n = k.agg(max(col("c0_cum")).as("n0"), max(col("c1_cum")).as("n1"))
+      val dn = col("d_num").cast("double") /
+        (col("n0") * col("n1")).cast("double")
+      k.crossJoin(broadcast(n))
+        .groupBy(col("n0"), col("n1"))
+        .agg(max(abs(col("c0_cum") * col("n1") -
+          col("c1_cum") * col("n0"))).as("d_num"))
+        .select(col("n0"), col("n1"), col("d_num"), dn.as("d"),
+          (sqrt((col("n0") * col("n1")).cast("double") /
+            (col("n0") + col("n1")).cast("double")) * dn).as("ks_stat"))
+    },
+
+    // Mann–Whitney U test on the same two spend samples — the rank-sum
+    // alternative a skewed spend distribution calls for (Mann & Whitney
+    // 1947). Tie-corrected and exact where it matters: with per-value
+    // counts (c0, c1, t = c0+c1) and the prefix count before each value,
+    // every tied observation takes the DOUBLED midrank 2·prefix + t + 1,
+    // so the rank sum r1_twice = Σ c1·(2·prefix + t + 1), the statistic
+    // u1_twice = 2·U1 = r1_twice − n1(n1+1), and the tie term Σ(t³ − t)
+    // are all hash-comparable BIGINTs; z then applies the normal
+    // approximation σ² = n0·n1/12·(N+1 − Σ(t³−t)/(N(N−1))) as one fixed
+    // IEEE sequence, written identically in both engines.
+    //
+    // Scale shape: identical to f_ks_test — per-value counts, one
+    // prefixSums pass, one keyless aggregate; nothing rescans events.
+    // 64-bit envelope: c1·2·prefix products cap at 2n² — same ~3·10^9
+    // per-arm bound as f_ks_test; t³ is per-value tie mass (bounded by
+    // the heaviest tie group, far smaller).
+    Op("f_mann_whitney",
+       """WITH p AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         |         user_id % 2 AS g
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT cents,
+         |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS c0,
+         |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS c1
+         |  FROM p GROUP BY 1),
+         |k AS (
+         |  SELECT cents, c0, c1, c0 + c1 AS t,
+         |         CAST(sum(c0 + c1) OVER (ORDER BY cents) AS BIGINT) AS tc
+         |  FROM c),
+         |a AS (
+         |  SELECT CAST(sum(c0) AS BIGINT) AS n0,
+         |         CAST(sum(c1) AS BIGINT) AS n1,
+         |         CAST(sum(c1 * (2 * (tc - t) + t + 1)) AS BIGINT)
+         |           AS r1_twice,
+         |         CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+         |  FROM k)
+         |SELECT n0, n1, r1_twice,
+         |       r1_twice - n1 * (n1 + 1) AS u1_twice, tie_term,
+         |       CAST(r1_twice - n1 * (n1 + 1) - n0 * n1 AS DOUBLE) /
+         |         (2 * sqrt(CAST(n0 * n1 AS DOUBLE) / 12.0 *
+         |                   (CAST(n0 + n1 + 1 AS DOUBLE)
+         |                    - CAST(tie_term AS DOUBLE)
+         |                      / CAST((n0 + n1) * (n0 + n1 - 1)
+         |                             AS DOUBLE)))) AS z
+         |FROM a""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("user_id") % 2).as("g"))
+      val c = p.groupBy(col("cents")).agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+        .withColumn("t", col("c0") + col("c1"))
+      val k = graft.llm.Mixing.prefixSums(c, col("cents"), Seq("t"))
+      val a = k.agg(
+        sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("c1") * (lit(2L) * (col("t_cum") - col("t")) +
+          col("t") + 1L)).as("r1_twice"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+      val nn = col("n0") + col("n1")
+      a.select(col("n0"), col("n1"), col("r1_twice"),
+        (col("r1_twice") - col("n1") * (col("n1") + 1L)).as("u1_twice"),
+        col("tie_term"),
+        ((col("r1_twice") - col("n1") * (col("n1") + 1L) -
+          col("n0") * col("n1")).cast("double") /
+          (lit(2) * sqrt((col("n0") * col("n1")).cast("double") /
+            lit(12.0) * ((nn + 1L).cast("double") -
+              col("tie_term").cast("double") /
+                (nn * (nn - 1L)).cast("double"))))).as("z"))
+    },
+
     // Join-key skew census: the top-10 heaviest supplier keys with their
     // integer parts-per-million share — the profile that decides whether
     // a downstream join needs salting (Skew.saltedJoin) or AQE skew

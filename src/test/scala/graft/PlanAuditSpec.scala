@@ -135,7 +135,10 @@ class PlanAuditSpec extends SparkSpec {
         // e_ab_cuped: the t_equal_rowcount shape — the 1-row global
         // moments aggregate crossJoined to the 1-row per-variant pivot
         // (verified keyless-aggregate below)
-        n == "e_ab_cuped")
+        n == "e_ab_cuped" ||
+        // f_ks_test: the 1-row grand-totals attach onto the prefixSums
+        // checkpoint (verified below)
+        n == "f_ks_test")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -180,7 +183,7 @@ class PlanAuditSpec extends SparkSpec {
         // r8 late additions (see the exemption comments above)
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
-        "e_ab_cuped")
+        "e_ab_cuped", "f_ks_test")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

@@ -77,4 +77,31 @@ class DistributedUtilPropertySpec extends SparkSpec {
       got == expect
     })
   }
+
+  test("prefixSums == sequential running sums on random keyed counts, " +
+       "any partition count") {
+    val genRows = for {
+      vals <- Gen.nonEmptyListOf(for {
+        a <- Gen.chooseNum(-5L, 5L)
+        b <- Gen.chooseNum(0L, 9L)
+      } yield (a, b))
+      parts <- Gen.oneOf(1, 2, 5, 16)
+    } yield (vals.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong * 7 % 1000 * 1000 + i, a, b) }, parts) // unique keys
+    checkProp(Prop.forAll(genRows) { case (rows, parts) =>
+      import spark.implicits._
+      val sorted = rows.sortBy(_._1)
+      var (ca, cb) = (0L, 0L)
+      val expect = sorted.map { case (k, a, b) =>
+        ca += a; cb += b; (k, ca, cb)
+      }.toSet
+      val got = graft.llm.Mixing.prefixSums(
+          rows.toDF("k", "a", "b").repartition(3),
+          org.apache.spark.sql.functions.col("k"), Seq("a", "b"),
+          numParts = parts)
+        .select("k", "a_cum", "b_cum").as[(Long, Long, Long)]
+        .collect().toSet
+      got == expect
+    })
+  }
 }

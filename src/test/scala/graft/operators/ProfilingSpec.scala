@@ -233,4 +233,72 @@ class ProfilingSpec extends SparkSpec {
       }
     }
   }
+
+  /** The two spend samples the rank tests run on, replayed driver-side. */
+  private def spendSamples(): (Seq[Long], Seq[Long]) = {
+    val rows = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(round(value * 100) AS BIGINT)", "user_id % 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (rows.filter(_._2 == 0L).map(_._1).toSeq,
+      rows.filter(_._2 == 1L).map(_._1).toSeq)
+  }
+
+  test("ks test: d_num matches a brute-force sup over all distinct " +
+       "values, and the derived floats are consistent") {
+    val Array(row) = graft.SparkEntry.queries("f_ks_test")(spark, sf)
+      .collect()
+    val (x, y) = spendSamples()
+    val (n0, n1) = (x.size.toLong, y.size.toLong)
+    assert(row.getLong(0) == n0 && row.getLong(1) == n1)
+    val dNum = (x ++ y).distinct.map { t =>
+      math.abs(x.count(_ <= t) * n1 - y.count(_ <= t) * n0)
+    }.max
+    assert(row.getLong(2) == dNum)
+    val d = dNum.toDouble / (n0 * n1).toDouble
+    assert(row.getDouble(3) == d)
+    assert(row.getDouble(4) ==
+      math.sqrt((n0 * n1).toDouble / (n0 + n1).toDouble) * d)
+    // same-sample sanity: KS of a sample against itself is zero
+    assert(dNum >= 0 && d <= 1.0)
+  }
+
+  test("mann-whitney: rank sum matches a sequential midrank replay, tie " +
+       "term reconciles, and z is finite") {
+    val Array(row) = graft.SparkEntry.queries("f_mann_whitney")(spark, sf)
+      .collect()
+    val (x, y) = spendSamples()
+    val (n0, n1) = (x.size.toLong, y.size.toLong)
+    assert(row.getLong(0) == n0 && row.getLong(1) == n1)
+    // sequential reference: doubled midranks over the pooled sorted sample
+    val pooled = (x.map((_, 0)) ++ y.map((_, 1))).sortBy(_._1)
+    val byVal = pooled.groupBy(_._1)
+    var r1Twice = 0L
+    var tieTerm = 0L
+    var prefix = 0L
+    byVal.keys.toSeq.sorted.foreach { v =>
+      val grp = byVal(v)
+      val t = grp.size.toLong
+      val c1 = grp.count(_._2 == 1).toLong
+      r1Twice += c1 * (2 * prefix + t + 1)
+      tieTerm += t * t * t - t
+      prefix += t
+    }
+    assert(row.getLong(2) == r1Twice)
+    assert(row.getLong(3) == r1Twice - n1 * (n1 + 1))
+    assert(row.getLong(4) == tieTerm)
+    assert(!row.getDouble(5).isNaN && !row.getDouble(5).isInfinite)
+    // U1 + U2 = n0*n1 (doubled: u1_twice + u2_twice = 2*n0*n1) — replay
+    // group 0's rank sum and check the identity
+    var r0Twice = 0L
+    prefix = 0L
+    byVal.keys.toSeq.sorted.foreach { v =>
+      val grp = byVal(v)
+      val t = grp.size.toLong
+      r0Twice += grp.count(_._2 == 0).toLong * (2 * prefix + t + 1)
+      prefix += t
+    }
+    val u0Twice = r0Twice - n0 * (n0 + 1)
+    assert(row.getLong(3) + u0Twice == 2 * n0 * n1)
+  }
 }
