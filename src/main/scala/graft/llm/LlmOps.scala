@@ -2650,6 +2650,45 @@ object LlmOps {
         "doc_id", pairs, valFrac = 0.1, testFrac = 0.1)
     },
 
+    // DPO preference pairs (Rafailov et al. 2023): within each
+    // (lang, source) prompt group, rank by the integer reward (n_chars
+    // stands in for a scored reward; the pairing logic only sees the
+    // rank), pair rank i with rank n−i+1 for i ≤ n/2, and keep pairs
+    // with reward gap ≥ 1 — max-gap extremes pairing, deterministic
+    // tiebreak by doc_id, middle element of odd groups unpaired. All
+    // columns integer/string → the whole pair table hash-compares. See
+    // Mixing.dpoPairs for the scale shape (keyed window + rank-pruned
+    // keyed self-join, no driver state).
+    Op("mix_dpo_pairs",
+       """WITH r AS (
+         |  SELECT lang, source, doc_id, n_chars AS reward,
+         |         CAST(row_number() OVER (PARTITION BY lang, source
+         |               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+         |         CAST(count(*) OVER (PARTITION BY lang, source)
+         |              AS BIGINT) AS n
+         |  FROM documents),
+         |t AS (SELECT lang, source, rk AS pair_id, doc_id AS chosen_id,
+         |             reward AS chosen_reward
+         |      FROM r WHERE rk <= n // 2),
+         |b AS (SELECT lang, source, n - rk + 1 AS pair_id,
+         |             doc_id AS rejected_id, reward AS rejected_reward
+         |      FROM r WHERE rk > n - n // 2)
+         |SELECT t.lang, t.source, t.pair_id, chosen_id, rejected_id,
+         |       chosen_reward, rejected_reward,
+         |       chosen_reward - rejected_reward AS gap
+         |FROM t JOIN b USING (lang, source, pair_id)
+         |WHERE chosen_reward - rejected_reward >= 1""".stripMargin) {
+      (s, d) =>
+        Mixing.dpoPairs(
+          Tables.documents(s, d)
+            .select(col("lang"), col("source"), col("doc_id"),
+              col("n_chars").as("reward")),
+          Seq("lang", "source"), "doc_id", "reward")
+          .select(col("lang"), col("source"), col("pair_id"),
+            col("chosen_id"), col("rejected_id"), col("chosen_reward"),
+            col("rejected_reward"), col("gap"))
+    },
+
     // PII redaction: the scrub every public-corpus pipeline runs before
     // training. Synthetic PII (email/IP/phone/SSN derived from doc_id) is
     // appended to every document so the replacement chain is exercised on

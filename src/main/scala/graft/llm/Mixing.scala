@@ -380,6 +380,48 @@ object Mixing {
     cumed.drop("__k" +: "__pid" +: sumCols.map(c => s"__o_$c"): _*)
   }
 
+  /** DPO preference-pair construction (Rafailov et al. 2023 "Direct
+    * preference optimization") — the step that turns scored generations
+    * into (chosen, rejected) training rows. Within each prompt group,
+    * rank candidates by reward (ties broken by id — a total order, so
+    * the pairing is deterministic and engine-replayable) and pair
+    * extremes: pair i = (rank i, rank n−i+1) for i ≤ n/2, keeping pairs
+    * whose reward gap is at least `margin` — max-gap pairing gives DPO
+    * its strongest preference signal per pair, and the margin drops the
+    * near-tie pairs whose label would be noise. The middle element of an
+    * odd group is unpaired by construction.
+    *
+    * Scale shape: one windowed rank per prompt group (a keyed shuffle on
+    * the group columns; groups are prompt-sized, never corpus-sized) and
+    * one keyed self-join on (group, pair index) with both sides
+    * rank-pruned to their half BEFORE the join. No driver state, no
+    * global window. Reward must be integer (exact gap arithmetic — the
+    * oracle hash-compares it).
+    */
+  def dpoPairs(docs: DataFrame, groupCols: Seq[String], idCol: String,
+               rewardCol: String, margin: Long = 1L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*)
+      .orderBy(col(rewardCol).desc, col(idCol))
+    val ranked = docs
+      .select(grp :+ col(idCol) :+ col(rewardCol): _*)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+    val half = expr("n div 2")
+    val top = ranked.filter(col("rk") <= half)
+      .select(grp ++ Seq(col("rk").as("pair_id"),
+        col(idCol).as("chosen_id"),
+        col(rewardCol).as("chosen_reward")): _*)
+    val bottom = ranked.filter(col("rk") > col("n") - half)
+      .select(grp ++ Seq((col("n") - col("rk") + 1L).as("pair_id"),
+        col(idCol).as("rejected_id"),
+        col(rewardCol).as("rejected_reward")): _*)
+    top.join(bottom, groupCols :+ "pair_id")
+      .withColumn("gap", col("chosen_reward") - col("rejected_reward"))
+      .filter(col("gap") >= margin)
+  }
+
   /** Competence-based curriculum ordering (Bengio et al. 2009 "Curriculum
     * learning"; Platanios et al. 2019 "Competence-based curriculum
     * learning for NMT"): rank documents by a difficulty signal, then gate

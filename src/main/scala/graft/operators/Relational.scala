@@ -435,6 +435,48 @@ object Relational {
         .filter(col("rk") <= 10)
         .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice").as("price"))
+    },
+
+    // Incremental view maintenance for a JOIN view — the delta-join
+    // algebra (Blakeley, Larson & Tompa 1986 "Efficiently updating
+    // materialized views"): with insert batches ΔA and ΔB on V = A ⋈ B,
+    //   ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    // and every joined pair lands in EXACTLY one of the four terms
+    // (old×old = the stored view, plus the three delta terms), so
+    // V_new is a pure UNION ALL — no dedup pass. Hash equality with the
+    // one-shot full join PROVES the partition is exact, the same
+    // contract as ivm_merge_agg/topk.
+    //
+    // Scale shape: the nightly cost is the three delta terms; ΔA ⋈ ΔB
+    // is delta-sized, and the two delta×history joins are what
+    // bucketing the STORED tables on the join key exists for — with A
+    // and B bucketed on orderkey (olist/Catalog's bucketed warehouse),
+    // each is a co-located map-side join of a GB-scale delta against
+    // pruned history buckets; history is never re-joined against itself.
+    Op("ivm_merge_join",
+       """SELECT o_orderkey, l_linenumber, o_custkey, l_suppkey,
+         |       l_extendedprice AS price
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin) {
+      (s, d) =>
+        val a = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val b = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_suppkey"), col("l_extendedprice"))
+        // "yesterday's" tables and today's insert batches, split on
+        // independent predicates so all three delta terms are non-empty
+        val aOld = a.filter(col("o_orderkey") % 4 =!= 0)
+        val aNew = a.filter(col("o_orderkey") % 4 === 0)
+        val bOld = b.filter(col("l_suppkey") % 5 =!= 0)
+        val bNew = b.filter(col("l_suppkey") % 5 === 0)
+        def j(x: org.apache.spark.sql.DataFrame,
+              y: org.apache.spark.sql.DataFrame) =
+          x.join(y, x("o_orderkey") === y("l_orderkey"))
+            .select(col("o_orderkey"), col("l_linenumber"),
+              col("o_custkey"), col("l_suppkey"),
+              col("l_extendedprice").as("price"))
+        j(aOld, bOld) // the stored view
+          .unionByName(j(aNew, bOld)) // ΔA ⋈ B_old
+          .unionByName(j(aOld, bNew)) // A_old ⋈ ΔB
+          .unionByName(j(aNew, bNew)) // ΔA ⋈ ΔB
     }
   )
 

@@ -500,4 +500,44 @@ class MixingSpec extends SparkSpec {
       s"length bias: sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("dpo pairs: extremes pairing on a hand-checkable group, margin " +
+       "drops near-ties, no document on both sides, odd middle unpaired") {
+    import spark.implicits._
+    // one group of 5 (middle unpaired), one group of 4 with a reward tie
+    // that the margin must drop, one singleton (no pairs possible)
+    val docs = Seq(
+      ("g1", 1L, 50L), ("g1", 2L, 40L), ("g1", 3L, 30L), ("g1", 4L, 20L),
+      ("g1", 5L, 10L),
+      ("g2", 6L, 7L), ("g2", 7L, 7L), ("g2", 8L, 7L), ("g2", 9L, 1L),
+      ("g3", 10L, 99L)
+    ).toDF("g", "id", "r")
+    val got = Mixing.dpoPairs(docs, Seq("g"), "id", "r")
+      .select("g", "pair_id", "chosen_id", "rejected_id", "gap")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // g1: (1,5) gap 40, (2,4) gap 20; id 3 is the unpaired middle
+    // g2 ranks by (r desc, id): 6,7,8,9 -> pairs (6,9) gap 6 and (7,8)
+    // gap 0 — dropped by the margin
+    assert(got == Set(("g1", 1L, 1L, 5L, 40L), ("g1", 2L, 2L, 4L, 20L),
+      ("g2", 1L, 6L, 9L, 6L)))
+    // corpus-level invariants at sf0.001: chosen strictly beats rejected,
+    // ids never repeat within a side of a group, deterministic re-run
+    val real = graft.SparkEntry.queries("mix_dpo_pairs")(spark,
+      "/root/testdata/sf0.001")
+    val rows = real.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(7) >= 1L))
+    val perGroup = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    perGroup.values.foreach { rs =>
+      val chosen = rs.map(_.getLong(3))
+      val rejected = rs.map(_.getLong(4))
+      assert(chosen.distinct.length == chosen.length)
+      assert(rejected.distinct.length == rejected.length)
+      assert(chosen.toSet.intersect(rejected.toSet).isEmpty)
+    }
+    val again = graft.SparkEntry.queries("mix_dpo_pairs")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
 }

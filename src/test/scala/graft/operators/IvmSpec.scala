@@ -59,4 +59,25 @@ class IvmSpec extends SparkSpec {
     assert(got.sortBy(t => (-t._2, t._3)) == topk(all, k))
   }
 
+  test("delta join: the four terms partition the full join exactly — " +
+       "disjoint, and their union equals the one-shot join") {
+    import spark.implicits._
+    val a = (1L to 40L).map(k => (k, s"a$k")).toDF("k", "av")
+    val b = (1L to 120L).map(i => (i % 50 + 1, i)).toDF("k", "bv")
+    val (aOld, aNew) = (a.filter($"k" % 4 =!= 0), a.filter($"k" % 4 === 0))
+    val (bOld, bNew) = (b.filter($"bv" % 3 =!= 0), b.filter($"bv" % 3 === 0))
+    def j(x: DataFrame, y: DataFrame) =
+      x.join(y, "k").select($"k", $"av", $"bv")
+        .as[(Long, String, Long)].collect().toSeq
+    val terms = Seq(j(aOld, bOld), j(aNew, bOld), j(aOld, bNew),
+      j(aNew, bNew))
+    val full = j(a, b)
+    assert(terms.flatten.sorted == full.sorted)
+    // pairwise disjoint: total size already matches, so any overlap
+    // would force a missing pair — check directly anyway
+    val sets = terms.map(_.toSet)
+    for (i <- sets.indices; l <- sets.indices if i < l)
+      assert(sets(i).intersect(sets(l)).isEmpty, s"terms $i and $l overlap")
+  }
+
 }
