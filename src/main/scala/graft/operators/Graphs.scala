@@ -663,6 +663,54 @@ object Graphs {
     d
   }
 
+  /** Per-source bounded BFS: [[shortestHops]] with the state keyed by
+    * (source, node) so every seed advances in the same keyed join+agg
+    * per round — k seeds cost k× state rows, not k× rounds (the
+    * [[betweenness]] forward-pass distribution argument). Returns
+    * (s, node, dist) for every node within `iters` hops of seed s.
+    * Same 0-weight self-loop trick → one min-aggregate per round, and
+    * the fixed round count makes the whole run replayable by a
+    * single-reference recursive CTE. Exact integer distances.
+    */
+  def perSourceHops(edges: DataFrame,
+                    seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    iters: Int = 6, checkpointEvery: Int = 6,
+                    reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val step = cut(sym.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(nodes.select(col("node").as("src"),
+        col("node").as("dst"), lit(0L).as("w"))))
+    var d = nodes.filter(seedPred(col("node")))
+      .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
+    var dCk: Option[DataFrame] = None
+    var round = 0
+    while (round < iters) {
+      d = step.join(d.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("s"), col("dst"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+        .withColumnRenamed("dst", "node")
+      round += 1
+      if (round % checkpointEvery == 0 || round == iters) {
+        val cutD = cut(d)
+        dCk.foreach(Dedup.releaseCheckpoint)
+        dCk = Some(cutD)
+        d = cutD
+      }
+    }
+    Dedup.releaseCheckpoint(step)
+    d
+  }
+
   /** Betweenness centrality from a sampled source set (Brandes 2001;
     * the sampling estimator of Brandes & Pich 2007): for each seed s,
     * a level-synchronous BFS counts shortest paths σ_s(v), then a
@@ -1394,6 +1442,49 @@ object Graphs {
          |SELECT node, dist FROM d WHERE iter = 6""".stripMargin) { (s, d) =>
       shortestHops(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
         node => node < 100, iters = 6)
+    },
+
+    // Closeness centrality from a sampled seed set (Bavelas 1950;
+    // sampled exactly as betweenness is — exact closeness needs one BFS
+    // per NODE): for each seed s, C(s) = (r_s − 1) / Σ_v d(s, v) over
+    // the nodes reached within the hop cap. Both sufficient statistics
+    // (reached count, distance sum) are exact BIGINTs from the
+    // perSourceHops state; the division is the only float. Same
+    // fixed-round min-aggregate BFS as graph_bfs, keyed by (source,
+    // node), so the recursive CTE replays all seeds at once.
+    Op("graph_closeness",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |step AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+         |  UNION ALL SELECT node, node, 0 FROM nodes),
+         |d AS (
+         |  SELECT 0 AS iter, node AS s, node, CAST(0 AS BIGINT) AS dist
+         |  FROM nodes WHERE node < 100
+         |  UNION ALL
+         |  SELECT d.iter + 1, d.s, st.dst AS node, min(d.dist + st.w)
+         |  FROM d JOIN step st ON st.src = d.node
+         |  WHERE d.iter < 6
+         |  GROUP BY 1, 2, 3)
+         |SELECT s AS source, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+         |       CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |       CAST(count(*) - 1 AS DOUBLE) / CAST(sum(dist) AS DOUBLE)
+         |         AS closeness
+         |FROM d WHERE iter = 6 GROUP BY 1""".stripMargin) { (s, d) =>
+      perSourceHops(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+          node => node < 100, iters = 6)
+        .groupBy(col("s").as("source"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          sum(col("dist")).as("sum_dist"))
+        .select(col("source"), col("n_reached"), col("sum_dist"),
+          (col("n_reached").cast("double") / col("sum_dist").cast("double"))
+            .as("closeness"))
     },
 
     // Degree assortativity (Newman 2002): the Pearson correlation of

@@ -762,6 +762,84 @@ object Timeseries {
           .as("fc7_cents"))
     },
 
+    // Theil–Sen robust trend (Theil 1950; Sen 1968): the median of all
+    // pairwise slopes of the daily-revenue series — the estimator that
+    // shrugs off the outlier days OLS (ts_ols_trend) gets dragged by
+    // (29% breakdown point). Exactness: each pairwise slope is the
+    // rational dy/dx; pairs are ordered by the IEEE double dy/dx (ONE
+    // correctly-rounded division — identical in both engines) with the
+    // exact (dy, dx, d1) triple as tiebreak, so the total order and
+    // hence the selected middle pair(s) agree engine-to-engine; the
+    // reported median keeps the middle pairs' exact integers alongside
+    // the one fixed float sequence. n_pairs derives as n(n−1)/2 — one
+    // scalar attach, no second counting pass.
+    //
+    // Scale shape: the pair fan-out is over the DAILY table, which is
+    // calendar-bounded — it grows with elapsed time, not data volume
+    // (366 rows/year ⇒ ~6.7M pairs per decade), so the non-equi
+    // self-join is bounded-model work, not corpus work. The median rank
+    // comes from Mixing.assignContiguousIds over the pair table — no
+    // single-partition window even at the decade scale.
+    Op("ts_theil_sen",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |              CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS m
+         |       FROM daily),
+         |p AS (
+         |  SELECT a.day AS d1, b.cents - a.cents AS dy,
+         |         b.day - a.day AS dx
+         |  FROM daily a JOIN daily b ON b.day > a.day),
+         |r AS (
+         |  SELECT dy, dx,
+         |         CAST(row_number() OVER (
+         |           ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
+         |                    dy, dx, d1) AS BIGINT) AS rk
+         |  FROM p)
+         |SELECT nn.n_days, nn.m AS n_pairs,
+         |       max(CASE WHEN rk = (nn.m + 1) // 2 THEN dy END) AS lo_num,
+         |       max(CASE WHEN rk = (nn.m + 1) // 2 THEN dx END) AS lo_den,
+         |       max(CASE WHEN rk = nn.m // 2 + 1 THEN dy END) AS hi_num,
+         |       max(CASE WHEN rk = nn.m // 2 + 1 THEN dx END) AS hi_den,
+         |       (max(CASE WHEN rk = (nn.m + 1) // 2 THEN
+         |              CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) END)
+         |        + max(CASE WHEN rk = nn.m // 2 + 1 THEN
+         |              CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) END)) / 2
+         |         AS slope_cents
+         |FROM r, nn GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
+      val nn = daily.agg(count(lit(1)).as("n_days"),
+        expr("count(1) * (count(1) - 1) div 2").as("m"))
+      val a = daily.select(col("day").as("d1"), col("cents").as("c1"))
+      val b = daily.select(col("day").as("d2"), col("cents").as("c2"))
+      val p = a.join(b, col("d2") > col("d1"))
+        .select(col("d1"), (col("c2") - col("c1")).as("dy"),
+          (col("d2") - col("d1")).as("dx"))
+      val sDbl = col("dy").cast("double") / col("dx").cast("double")
+      val r = graft.llm.Mixing.assignContiguousIds(
+          p.withColumn("s", sDbl),
+          struct(col("s"), col("dy"), col("dx"), col("d1")))
+        .withColumn("rk", col("seq_id") + 1L)
+      val loRk = expr("(m + 1) div 2")
+      val hiRk = expr("m div 2 + 1")
+      r.crossJoin(broadcast(nn))
+        .groupBy(col("n_days"), col("m").as("n_pairs"))
+        .agg(
+          max(when(col("rk") === loRk, col("dy"))).as("lo_num"),
+          max(when(col("rk") === loRk, col("dx"))).as("lo_den"),
+          max(when(col("rk") === hiRk, col("dy"))).as("hi_num"),
+          max(when(col("rk") === hiRk, col("dx"))).as("hi_den"),
+          ((max(when(col("rk") === loRk, col("s")))
+            + max(when(col("rk") === hiRk, col("s")))) / 2)
+            .as("slope_cents"))
+    },
+
     // Holt-Winters additive seasonal smoothing (Winters 1960) of global
     // daily revenue with a weekly (m = 7) cycle — the seasonal upgrade
     // of ts_holt_forecast's level+trend smoother, and the classic

@@ -138,7 +138,12 @@ class PlanAuditSpec extends SparkSpec {
         n == "e_ab_cuped" ||
         // f_ks_test: the 1-row grand-totals attach onto the prefixSums
         // checkpoint (verified below)
-        n == "f_ks_test")
+        n == "f_ks_test" ||
+        // ts_theil_sen: the pairwise-slope non-equi self-join is over
+        // the CALENDAR-BOUNDED daily table (the ts_autocorr argument —
+        // rows grow with elapsed days, not data volume), plus the usual
+        // 1-row n/m attach (verified keyless-aggregate below)
+        n == "ts_theil_sen")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -183,7 +188,7 @@ class PlanAuditSpec extends SparkSpec {
         // r8 late additions (see the exemption comments above)
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
-        "e_ab_cuped", "f_ks_test")
+        "e_ab_cuped", "f_ks_test", "ts_theil_sen")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

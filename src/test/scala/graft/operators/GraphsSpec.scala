@@ -484,4 +484,36 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("perSourceHops: each source's slice equals an independent " +
+       "single-seed shortestHops, and closeness reconciles on a path " +
+       "graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val multi = Graphs.perSourceHops(edges, n => n.isin(1L, 3L, 10L),
+        iters = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    Seq(1L, 3L, 10L).foreach { s =>
+      val single = Graphs.shortestHops(edges, n => n === s, iters = 4)
+        .as[(Long, Long)].collect().map { case (n, d) => (s, n, d) }.toSet
+      assert(multi.filter(_._1 == s) == single, s"slice for seed $s")
+    }
+    // hand closeness: from node 3 on the path, dists 0+1+1+2+2 = 6 over
+    // 4 reached; from 1: 0+1+2+3+4 = 10; from 10: just 11 at dist 1
+    val sums = multi.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.size - 1, rs.toSeq.map(_._3).sum)
+    }
+    assert(sums(3L) == (4, 6L) && sums(1L) == (4, 10L) &&
+      sums(10L) == (1, 1L))
+    // the registered op at sf0.001: closeness == (r-1)/sum_dist row-wise
+    val rows = graft.SparkEntry.queries("graph_closeness")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) ==
+        r.getLong(1).toDouble / r.getLong(2).toDouble)
+    }
+  }
+
 }

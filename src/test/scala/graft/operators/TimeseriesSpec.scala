@@ -364,4 +364,34 @@ class TimeseriesSpec extends SparkSpec {
     assert(math.abs(seas.map(_._2).sum) <= 7L, s"seasonal sum ${seas.map(_._2).sum}")
   }
 
+  test("theil-sen: selected middle pairs match a sequential pairwise-" +
+       "slope median replay, and the median lies within the slope range") {
+    val sf = "/root/testdata/sf0.001"
+    val Array(row) = graft.SparkEntry.queries("ts_theil_sen")(spark, sf)
+      .collect()
+    // replay: daily cents series -> all pairwise slopes -> same ordering
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(unix_date(to_date(col("ts"))).cast("long").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val pairs = for {
+      i <- daily.indices; j <- daily.indices if daily(j)._1 > daily(i)._1
+    } yield {
+      val dy = daily(j)._2 - daily(i)._2
+      val dx = daily(j)._1 - daily(i)._1
+      (dy.toDouble / dx.toDouble, dy, dx, daily(i)._1)
+    }
+    val m = pairs.size.toLong
+    assert(row.getLong(0) == daily.length.toLong && row.getLong(1) == m)
+    val sorted = pairs.sortBy(p => (p._1, p._2, p._3, p._4))
+    val lo = sorted(((m + 1) / 2 - 1).toInt)
+    val hi = sorted((m / 2 + 1 - 1).toInt)
+    assert((row.getLong(2), row.getLong(3)) == (lo._2, lo._3))
+    assert((row.getLong(4), row.getLong(5)) == (hi._2, hi._3))
+    assert(row.getDouble(6) == (lo._1 + hi._1) / 2)
+    val slopes = pairs.map(_._1)
+    assert(row.getDouble(6) >= slopes.min && row.getDouble(6) <= slopes.max)
+  }
+
 }
