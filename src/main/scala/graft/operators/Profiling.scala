@@ -559,6 +559,72 @@ object Profiling {
                 (nn * (nn - 1L)).cast("double"))))).as("z"))
     },
 
+    // Spearman rank correlation (Spearman 1904) of quantity vs extended
+    // price — the monotone-association screen that profile_corr_matrix's
+    // Pearson misses when the relationship is nonlinear. Exactness: ranks
+    // are tie-averaged and DOUBLED (a tie block occupying ranks r..r+c−1
+    // has average r+(c−1)/2, so 2·avg = 2r+c−1 is always an integer); the
+    // doubled-rank mean is exactly n+1 (Σ2·rank = n(n+1)), so deviations
+    // and all three moment sums are exact BIGINTs and ρ is one double
+    // quotient of one product and one sqrt — both correctly-rounded IEEE
+    // ops, bit-identical across engines. Doubling cancels in ρ.
+    //
+    // Scale shape: ranks come from the f_mann_whitney substrate — a value
+    // HISTOGRAM (bounded by the value domain, not the row count) with a
+    // distributed prefix sum (Mixing.prefixSums, never a global window),
+    // joined back on the value: the quantity side broadcasts (50 keys),
+    // the price side is an ordinary keyed join that scales with distinct
+    // prices. Moment sums fit BIGINT to ~1.3e9 rows (4n³ < 2^63); beyond
+    // that swap the three sums to DECIMAL(38,0) — the rest is unchanged.
+    Op("profile_spearman",
+       """WITH c AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |              AS BIGINT) AS p
+         |  FROM lineitem),
+         |hq AS (SELECT q, CAST(count(*) AS BIGINT) AS t FROM c GROUP BY 1),
+         |kq AS (SELECT q, 2 * (CAST(sum(t) OVER (ORDER BY q) AS BIGINT)
+         |                      - t) + t + 1 AS rq FROM hq),
+         |hp AS (SELECT p, CAST(count(*) AS BIGINT) AS t FROM c GROUP BY 1),
+         |kp AS (SELECT p, 2 * (CAST(sum(t) OVER (ORDER BY p) AS BIGINT)
+         |                      - t) + t + 1 AS rp FROM hp),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+         |dev AS (
+         |  SELECT n, rq - (n + 1) AS dq, rp - (n + 1) AS dp
+         |  FROM c JOIN kq USING (q) JOIN kp USING (p), nn)
+         |SELECT n, CAST(sum(dq * dq) AS BIGINT) AS sxx,
+         |       CAST(sum(dp * dp) AS BIGINT) AS syy,
+         |       CAST(sum(dq * dp) AS BIGINT) AS sxy,
+         |       CAST(sum(dq * dp) AS DOUBLE) /
+         |         sqrt(CAST(sum(dq * dq) AS DOUBLE)
+         |              * CAST(sum(dp * dp) AS DOUBLE)) AS rho
+         |FROM dev GROUP BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("p"))
+      def rank2(rows: DataFrame, v: String): DataFrame = {
+        val h = rows.groupBy(col(v)).agg(count(lit(1)).as("t"))
+        graft.llm.Mixing.prefixSums(h, col(v), Seq("t"))
+          .select(col(v), (lit(2L) * (col("t_cum") - col("t")) +
+            col("t") + 1L).as(s"r_$v"))
+      }
+      val t = c.agg(count(lit(1)).as("n"))
+      val dev = c.join(rank2(c.select("q"), "q"), Seq("q"))
+        .join(rank2(c.select("p"), "p"), Seq("p"))
+        .crossJoin(broadcast(t))
+        .select(col("n"), (col("r_q") - (col("n") + 1L)).as("dq"),
+          (col("r_p") - (col("n") + 1L)).as("dp"))
+      dev.groupBy(col("n"))
+        .agg(sum(col("dq") * col("dq")).as("sxx"),
+          sum(col("dp") * col("dp")).as("syy"),
+          sum(col("dq") * col("dp")).as("sxy"))
+        .select(col("n"), col("sxx"), col("syy"), col("sxy"),
+          (col("sxy").cast("double") /
+            sqrt(col("sxx").cast("double") * col("syy").cast("double")))
+            .as("rho"))
+    },
+
     // Join-key skew census: the top-10 heaviest supplier keys with their
     // integer parts-per-million share — the profile that decides whether
     // a downstream join needs salting (Skew.saltedJoin) or AQE skew

@@ -250,6 +250,90 @@ object Timeseries {
           (col("num").cast("double") / col("den").cast("double")).as("r1"))
     },
 
+    // Cross-correlation function (Box & Jenkins 1970 ch.11): does click
+    // traffic LEAD purchase revenue, and by how many days? r_k for lags
+    // 0..7 between the zero-filled daily click-count and purchase-cents
+    // series, normalized by the full-series deviation energies (the
+    // standard CCF estimator — one shared denominator, so the lag
+    // profile is comparable across k). Exactness: both series are
+    // integers, means are the floor-division convention shared with
+    // ts_autocorr, so every deviation, numerator, and denominator is an
+    // exact BIGINT; each r_k is one double quotient of one product and
+    // one sqrt.
+    //
+    // Scale shape: raw events collapse to two calendar-bounded daily
+    // aggregates (one filtered scan each, scheduled concurrently); the
+    // lag fan-out is 8× the DAY table, never the event table, and the
+    // lag join is an equi-join on day+lag. Grand totals attach as 1-row
+    // broadcasts.
+    Op("ts_cross_corr",
+       """WITH x AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS day,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |y AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |days AS (SELECT day FROM x UNION SELECT day FROM y),
+         |ser AS (
+         |  SELECT day, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+         |  FROM days LEFT JOIN x USING (day) LEFT JOIN y USING (day)),
+         |tot AS (SELECT CAST(sum(x) AS BIGINT) AS tx,
+         |               CAST(sum(y) AS BIGINT) AS ty,
+         |               CAST(count(*) AS BIGINT) AS nd FROM ser),
+         |dev AS (
+         |  SELECT day, x - (tx // nd) AS dx, y - (ty // nd) AS dy
+         |  FROM ser, tot),
+         |den AS (SELECT CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         |               CAST(sum(dy * dy) AS BIGINT) AS syy FROM dev),
+         |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(0, 8)),
+         |num AS (
+         |  SELECT lag, CAST(count(*) AS BIGINT) AS n_overlap,
+         |         CAST(sum(a.dx * b.dy) AS BIGINT) AS num
+         |  FROM lags CROSS JOIN dev a
+         |       JOIN dev b ON b.day = a.day + lags.lag
+         |  GROUP BY 1)
+         |SELECT lag, n_overlap, num, sxx, syy,
+         |       CAST(num AS DOUBLE) /
+         |         sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)) AS r
+         |FROM num, den""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val x = ev.filter(col("event_type") === "click")
+        .groupBy(day.as("day")).agg(count(lit(1)).as("x"))
+      val y = ev.filter(col("event_type") === "purchase")
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(dec) * 100).cast("long").as("y"))
+      val days = x.select("day").unionByName(y.select("day")).distinct()
+      val ser = days.join(x, Seq("day"), "left").join(y, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val tot = ser.agg(sum(col("x")).as("tx"), sum(col("y")).as("ty"),
+        count(lit(1)).as("nd"))
+      val dev = ser.crossJoin(broadcast(tot))
+        .select(col("day"), (col("x") - expr("tx div nd")).as("dx"),
+          (col("y") - expr("ty div nd")).as("dy"))
+      val den = dev.agg(sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      val lags = s.range(0, 8).select(col("id").as("lag"))
+      val num = dev.select(col("day"), col("dx"))
+        .crossJoin(broadcast(lags))
+        .join(dev.select((col("day")).as("day2"), col("dy")),
+          col("day2") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_overlap"), sum(col("dx") * col("dy"))
+          .as("num"))
+      num.crossJoin(broadcast(den))
+        .select(col("lag"), col("n_overlap"), col("num"), col("sxx"),
+          col("syy"),
+          (col("num").cast("double") /
+            sqrt(col("sxx").cast("double") * col("syy").cast("double")))
+            .as("r"))
+    },
+
     // DAU / WAU / MAU actives — THE product-analytics metric family.
     // Sliding-window distinct counts don't decompose into running sums,
     // so the exact form joins the bounded (user, day) cell table to the

@@ -143,7 +143,12 @@ class PlanAuditSpec extends SparkSpec {
         // the CALENDAR-BOUNDED daily table (the ts_autocorr argument —
         // rows grow with elapsed days, not data volume), plus the usual
         // 1-row n/m attach (verified keyless-aggregate below)
-        n == "ts_theil_sen")
+        n == "ts_theil_sen" ||
+        // profile_spearman: the 1-row (n) attach onto the rank-joined
+        // rows; ts_cross_corr: the 1-row totals/denominator attaches
+        // plus the 8-row lag Range fan-out over the calendar-bounded
+        // daily table (both verified keyless-aggregate below)
+        n == "profile_spearman" || n == "ts_cross_corr")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -188,7 +193,8 @@ class PlanAuditSpec extends SparkSpec {
         // r8 late additions (see the exemption comments above)
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
-        "e_ab_cuped", "f_ks_test", "ts_theil_sen")
+        "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
+        "ts_cross_corr")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

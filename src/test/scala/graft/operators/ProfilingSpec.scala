@@ -301,4 +301,40 @@ class ProfilingSpec extends SparkSpec {
     val u0Twice = r0Twice - n0 * (n0 + 1)
     assert(row.getLong(3) + u0Twice == 2 * n0 * n1)
   }
+
+  test("spearman: moment sums match a sequential doubled-midrank replay " +
+       "and rho is the exact quotient within [-1, 1]") {
+    val Array(row) = graft.SparkEntry.queries("profile_spearman")(spark, sf)
+      .collect()
+    val pairs = graft.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = pairs.length.toLong
+    assert(row.getLong(0) == n)
+    // sequential doubled midranks: tie block at start-rank r, size c ->
+    // every member gets 2r + c - 1
+    def rank2(vs: Array[Long]): Map[Long, Long] = {
+      var prefix = 0L
+      vs.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) =>
+        val c = g.length.toLong
+        val r2 = 2 * prefix + c + 1
+        prefix += c
+        v -> r2
+      }.toMap
+    }
+    val rq = rank2(pairs.map(_._1))
+    val rp = rank2(pairs.map(_._2))
+    var (sxx, syy, sxy) = (0L, 0L, 0L)
+    pairs.foreach { case (q, p) =>
+      val dq = rq(q) - (n + 1)
+      val dp = rp(p) - (n + 1)
+      sxx += dq * dq; syy += dp * dp; sxy += dq * dp
+    }
+    assert(row.getLong(1) == sxx && row.getLong(2) == syy &&
+      row.getLong(3) == sxy)
+    assert(row.getDouble(4) ==
+      sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble))
+    assert(math.abs(row.getDouble(4)) <= 1.0)
+  }
 }

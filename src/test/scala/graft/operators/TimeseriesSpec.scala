@@ -394,4 +394,40 @@ class TimeseriesSpec extends SparkSpec {
     assert(row.getDouble(6) >= slopes.min && row.getDouble(6) <= slopes.max)
   }
 
+  test("cross-correlation: per-lag numerators match a sequential replay " +
+       "of the zero-filled series, and lag 0 covers every day") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("ts_cross_corr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    val ev = graft.Tables.events(spark, sf)
+    val xs = ev.filter(col("event_type") === "click")
+      .selectExpr("unix_date(CAST(ts AS DATE))").collect()
+      .groupBy(_.getInt(0).toLong).view.mapValues(_.length.toLong).toMap
+    val ys = ev.filter(col("event_type") === "purchase")
+      .selectExpr("unix_date(CAST(ts AS DATE))",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .groupBy(_.getInt(0).toLong).view
+      .mapValues(_.map(_.getLong(1)).sum).toMap
+    val days = (xs.keySet ++ ys.keySet).toSeq.sorted
+    val nd = days.length.toLong
+    val tx = xs.values.sum; val ty = ys.values.sum
+    val dx = days.map(d => d -> (xs.getOrElse(d, 0L) -
+      Math.floorDiv(tx, nd))).toMap
+    val dy = days.map(d => d -> (ys.getOrElse(d, 0L) -
+      Math.floorDiv(ty, nd))).toMap
+    val sxx = dx.values.map(v => v * v).sum
+    val syy = dy.values.map(v => v * v).sum
+    rows.foreach { case (lag, nOv, num, oSxx, oSyy, r) =>
+      val hits = days.filter(d => dy.contains(d + lag))
+      assert(nOv == hits.length.toLong, s"lag $lag overlap")
+      val expNum = hits.map(d => dx(d) * dy(d + lag)).sum
+      assert(num == expNum, s"lag $lag numerator")
+      assert(oSxx == sxx && oSyy == syy)
+      assert(r == num.toDouble / math.sqrt(sxx.toDouble * syy.toDouble))
+    }
+    assert(rows.head._2 == nd)
+  }
+
 }
