@@ -224,9 +224,133 @@ object Sketches {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** KLL-style streaming quantile sketch (Karnin, Lang & Liberty, FOCS'16;
+    * deterministic alternating-parity compaction in the Manku-Rajagopalan-
+    * Lindsay 1998 lineage): a hierarchy of compactor buffers where level i
+    * holds items of weight 2^i. When the sketch overflows its budget, the
+    * lowest over-capacity level sorts its buffer and promotes every other
+    * item to the level above — the surviving half alternates per
+    * compaction (the stored parity bit), which cancels rank bias across
+    * successive compactions. Capacities decay geometrically (c = 2/3)
+    * from k at the top level, giving the KLL space profile: total state
+    * is ~3k items regardless of n.
+    *
+    * Weight conservation is exact: a compaction turns an even count of
+    * weight-w items into half as many weight-2w items (an odd leftover
+    * stays behind), so the weighted CDF always integrates to exactly n —
+    * asserted in SketchesSpec. Estimates are deterministic given an
+    * arrival order but NOT partitioning-invariant (compaction is not a
+    * linear sketch), so this entry is rows-only: the spec pins the rank
+    * error of every probe against the exact CDF instead of a value hash,
+    * under two different partitionings.
+    *
+    * Scale shape: the shuffle carries one ~3k-item buffer per partition —
+    * the bounded-state contract of this file — where the exact
+    * alternative (percentile_disc) shuffles the full value multiset.
+    */
+  final class KllBuf {
+    var n: Long = 0L
+    var levels: Array[scala.collection.mutable.ArrayBuffer[Long]] =
+      Array(new scala.collection.mutable.ArrayBuffer[Long])
+    var parity: Array[Boolean] = Array(false)
+  }
+
+  final class Kll(k: Int, probes: Seq[Double])
+      extends Aggregator[Long, KllBuf, Seq[(Double, Long, Long)]] {
+    require(k >= 8, s"k must be at least 8, got $k")
+
+    private def capacity(lvl: Int, numLevels: Int): Int = {
+      val depth = numLevels - 1 - lvl
+      math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+    }
+
+    private def totalCap(numLevels: Int): Int =
+      (0 until numLevels).map(capacity(_, numLevels)).sum
+
+    private def grow(b: KllBuf, to: Int): Unit = if (b.levels.length < to) {
+      b.levels = b.levels.padTo(to,
+        null: scala.collection.mutable.ArrayBuffer[Long])
+        .map(l => if (l == null)
+          new scala.collection.mutable.ArrayBuffer[Long] else l)
+      b.parity = b.parity.padTo(to, false)
+    }
+
+    /** Compact the lowest over-capacity level (or level 0 if only the
+      * total is over) until the sketch fits its budget. */
+    private def compress(b: KllBuf): Unit = {
+      var guard = 0
+      while (b.levels.iterator.map(_.size).sum > totalCap(b.levels.length)
+             && guard < 64) {
+        guard += 1
+        val nl = b.levels.length
+        val over = (0 until nl)
+          .find(l => b.levels(l).size > capacity(l, nl)).getOrElse(0)
+        val buf = b.levels(over)
+        if (buf.size < 2) return // nothing compactable; accept overshoot
+        grow(b, over + 2)
+        val sorted = buf.toArray
+        java.util.Arrays.sort(sorted)
+        val pairs = sorted.length & ~1 // even prefix; odd leftover stays
+        val off = if (b.parity(over)) 1 else 0
+        b.parity(over) = !b.parity(over)
+        val up = b.levels(over + 1)
+        var i = off
+        while (i < pairs) { up += sorted(i); i += 2 }
+        buf.clear()
+        if (pairs < sorted.length) buf += sorted(sorted.length - 1)
+      }
+    }
+
+    def zero: KllBuf = new KllBuf
+
+    def reduce(b: KllBuf, x: Long): KllBuf = {
+      b.levels(0) += x
+      b.n += 1
+      if (b.levels.iterator.map(_.size).sum > totalCap(b.levels.length))
+        compress(b)
+      b
+    }
+
+    def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      a.n += b.n
+      grow(a, b.levels.length)
+      var i = 0
+      while (i < b.levels.length) { a.levels(i) ++= b.levels(i); i += 1 }
+      compress(a)
+      a
+    }
+
+    def finish(b: KllBuf): Seq[(Double, Long, Long)] = {
+      if (b.n == 0L) return Seq.empty
+      val weighted = b.levels.iterator.zipWithIndex.flatMap { case (l, i) =>
+        l.iterator.map(v => (v, 1L << i))
+      }.toArray.sortBy(_._1)
+      probes.map { p =>
+        val target = math.max(1L, math.ceil(p * b.n).toLong)
+        var cum = 0L
+        var i = 0
+        var est = weighted.last._1
+        var found = false
+        while (i < weighted.length && !found) {
+          cum += weighted(i)._2
+          if (cum >= target) { est = weighted(i)._1; found = true }
+          i += 1
+        }
+        (p, est, b.n)
+      }
+    }
+
+    def bufferEncoder: Encoder[KllBuf] = Encoders.kryo[KllBuf]
+    def outputEncoder: Encoder[Seq[(Double, Long, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long, Long)]]()
+  }
+
   private val cmsDepth = 4
   private val cmsWidth = 64
   private val cmsProbes = Seq("spark", "data", "join", "stream", "table")
+
+  private[operators] val kllProbes =
+    Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
 
   /** alpha_4096 * 4096^2 * 2^49 — the HLL estimate numerator, computed
     * once here (BEFORE `ops`, which interpolates it into the oracle at
@@ -783,6 +907,23 @@ object Sketches {
         .select(col("wend").as("day"), col("n_exact"), col("n_buckets"),
           sScaled.as("hll_sum_scaled"),
           (lit(hllNumerator) / sScaled.cast("double")).as("hll_estimate"))
+    },
+
+    // KLL quantile profile of extended price — the mergeable-summary
+    // answer to "give me the p1/p5/quartiles/p95/p99 of a 100 TB column
+    // in one pass with bounded memory" (see the Kll scaladoc for the
+    // sketch contract and why this entry is rows-only). k = 200 targets
+    // ~1% worst-case rank error; SketchesSpec pins every probe's exact
+    // rank error under two partitionings and the exact weight budget.
+    Op.noOracle("f_kll_quantile") { (s, d) =>
+      val sk = udaf(new Kll(200, kllProbes), Encoders.scalaLong)
+      Tables.lineitem(s, d)
+        .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)").as("cents"))
+        .agg(sk(col("cents")).as("qs"))
+        .select(explode(col("qs")).as("q"))
+        .select(col("q._1").as("probe"), col("q._2").as("est_cents"),
+          col("q._3").as("n"))
     }
   )
 

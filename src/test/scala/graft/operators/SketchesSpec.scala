@@ -204,4 +204,54 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kll: every probe's exact rank error is within 2% of n, the " +
+       "count is exact, and estimates are monotone") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("f_kll_quantile")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val cents = graft.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    assert(rows.nonEmpty && rows.forall(_._3 == n))
+    rows.foreach { case (p, est, _) =>
+      val rank = cents.count(_ <= est).toLong
+      assert(math.abs(rank - p * n) <= 0.02 * n,
+        s"probe $p est $est rank $rank target ${p * n}")
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+  }
+
+  test("kll: driver-side sequential feed conserves weight exactly and " +
+       "holds the rank bound on a uniform stream; a merged two-way " +
+       "split holds it too") {
+    val k = 200
+    val probes = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val agg = new Sketches.Kll(k, probes)
+    val n = 50000
+    // deterministic scrambled order: i * 48271 mod 65537 over 1..n
+    val xs = (1 to n).map(i => ((i.toLong * 48271L) % 65537L, i.toLong))
+      .sortBy(_._1).map(_._2)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    // weight conservation: the weighted sample must integrate to n
+    val weight = whole.levels.zipWithIndex
+      .map { case (l, i) => l.size.toLong * (1L << i) }.sum
+    assert(weight == n.toLong && whole.n == n.toLong)
+    def check(out: Seq[(Double, Long, Long)]): Unit = {
+      assert(out.forall(_._3 == n.toLong))
+      out.foreach { case (p, est, _) =>
+        // uniform 1..n: exact rank of value v is v itself
+        assert(math.abs(est - p * n) <= 0.02 * n, s"probe $p est $est")
+      }
+    }
+    check(agg.finish(whole))
+    val (lo, hi) = xs.splitAt(n / 3)
+    val merged = agg.merge(lo.foldLeft(agg.zero)(agg.reduce),
+      hi.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.n == n.toLong)
+    check(agg.finish(merged))
+  }
+
 }
