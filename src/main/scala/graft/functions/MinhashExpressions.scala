@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native portable-minhash signature kernel.
@@ -236,6 +236,62 @@ case class WindowsWithPos(child: Expression, n: Int)
   override def prettyName: String = "windows_with_pos"
 }
 
+/** `winnow_fps(s, gram, win)` — the full winnowing selection (Schleimer
+  * et al. 2003) as ONE map-side pass: md5 each `gram`-char window of `s`,
+  * slide a `win`-wide frame over the gram-hash stream, keep each frame's
+  * minimum hash with the RIGHTMOST position on ties, and emit the
+  * DISTINCT selections as array<struct<pos:long, fp:string>> (pos is the
+  * 1-based gram offset). Empty when the doc has fewer than `win` grams.
+  *
+  * Byte-for-byte parity with the composed formulation it replaces
+  * (posexplode of transform(sequence, md5(substring)) + windowed
+  * min(struct(h, -pos)) + distinct): digests are MessageDigest("MD5")
+  * over the UTF-8 bytes of the char substring, compared as raw bytes
+  * (fixed-width lowercase hex order == byte order), and the rightmost
+  * tie comes from `<=` while scanning left-to-right. Selected indexes
+  * are non-decreasing as the frame slides (the dropped gram is the only
+  * one that can unseat a minimum), so the distinct collapse is a
+  * last-selection check — no hash set.
+  *
+  * Why a native expression (ladder rung (b)): the composed form explodes
+  * ~|text| gram rows per doc and SHUFFLES them into per-doc sorted
+  * windows just to take a 4-row min — at 100 TB that shuffle is ~the
+  * corpus size. Here selection happens inside the scan projection and
+  * only the ~2/(win+1)-density fingerprint relation ever leaves the map
+  * side. ASCII fast path digests straight out of the doc's byte array
+  * (no per-gram substring allocation).
+  */
+case class WinnowFps(child: Expression, gram: Int, win: Int)
+    extends UnaryExpression {
+
+  require(gram > 0 && win > 0, s"need positive gram/win, got ($gram, $win)")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashMd5.computeWinnow(a.asInstanceOf[UTF8String], gram, win)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashMd5.computeWinnow($c, $gram, $win);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fps"
+}
+
 /** `token_shingles(toks, n)` — the DISTINCT length-n token windows of the
   * array in first-occurrence order, with the whole-doc fallback for short
   * documents: a doc with fewer than n tokens yields the single shingle
@@ -393,6 +449,67 @@ object MinhashMd5 {
       i += 1
     }
     false
+  }
+
+  private def hexU8(dig: Array[Byte]): UTF8String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = hexChars((dig(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(dig(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** winnow_fps kernel — see WinnowFps. */
+  def computeWinnow(s: UTF8String, gram: Int, win: Int): ArrayData = {
+    val nChars = s.numChars()
+    val ng = nChars - gram + 1
+    if (nChars < gram || ng < win)
+      return new GenericArrayData(Array.empty[Any])
+    val md = digests.get()
+    val digs = new Array[Array[Byte]](ng)
+    if (s.numBytes() == nChars) {
+      // ASCII fast path: char windows ARE byte windows — digest straight
+      // out of one byte array, no per-gram substring
+      val bytes = s.getBytes
+      var i = 0
+      while (i < ng) {
+        md.reset(); md.update(bytes, i, gram); digs(i) = md.digest()
+        i += 1
+      }
+    } else {
+      // non-ASCII: substringSQL indexes CODE POINTS like Spark's
+      // substring (a Java String.substring would count UTF-16 units and
+      // diverge on astral chars)
+      var i = 0
+      while (i < ng) {
+        md.reset()
+        md.update(s.substringSQL(i + 1, gram).getBytes)
+        digs(i) = md.digest()
+        i += 1
+      }
+    }
+    val sel = new java.util.ArrayList[AnyRef](ng / 2 + 1)
+    var last = -1
+    var p = 0
+    while (p + win <= ng) {
+      var best = p
+      var j = p + 1
+      while (j < p + win) {
+        // h[j] <= h[best] moves the pick right: rightmost min on ties
+        if (!unsignedLess(digs(best), digs(j))) best = j
+        j += 1
+      }
+      if (best != last) {
+        sel.add(new GenericInternalRow(
+          Array[Any]((best + 1).toLong, hexU8(digs(best)))))
+        last = best
+      }
+      p += 1
+    }
+    new GenericArrayData(sel.toArray)
   }
 
   /** simhash kernel — see SimhashSigs. Portable: bit b of a token's

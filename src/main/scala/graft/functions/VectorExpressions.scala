@@ -499,6 +499,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
       (children: Seq[Expression]) => TokenShingles(children(0),
         children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("zorder_rank"),
       new ExpressionInfo(classOf[RankBucket].getName, "zorder_rank"),
       (children: Seq[Expression]) => RankBucket(children(0),
@@ -572,6 +577,10 @@ object GraftFunctions {
   def minWindowMd5(s: Column, window: Int): Column =
     call_function("minwindow_md5", s,
       org.apache.spark.sql.functions.lit(window))
+  def winnowFps(s: Column, gram: Int, win: Int): Column =
+    call_function("winnow_fps", s,
+      org.apache.spark.sql.functions.lit(gram),
+      org.apache.spark.sql.functions.lit(win))
   def windowsWithPos(toks: Column, n: Int): Column =
     call_function("windows_with_pos", toks,
       org.apache.spark.sql.functions.lit(n))

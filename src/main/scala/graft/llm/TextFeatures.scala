@@ -156,34 +156,21 @@ object TextFeatures {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
-    // Exploded-gram + sliding-window formulation, NOT a per-window
-    // array-slice transform: the slice form allocates ~6 small arrays
-    // per window and ran 18.5s at sf0.1; this shape computes each gram
-    // hash once, shuffles the gram stream by document, and takes the
-    // per-window argmin as one streaming windowed MIN over
-    // struct(h, -pos) — struct ordering gives the minimum hash with the
-    // RIGHTMOST position on ties, exactly the Schleimer tie rule the
-    // oracle's list_position expression replays (4.4s, same output
-    // hash). sequence() is INCLUSIVE (and descends when stop < start)
-    // while the oracle's range() is end-exclusive: guard short docs and
-    // stop at length - 7 so both engines enumerate grams i = 1..L-7.
-    val grams = docs
+    // Native winnow_fps kernel (functions/MinhashExpressions.scala): the
+    // whole selection — per-gram md5, 4-wide rightmost-min frame,
+    // distinct collapse — happens inside the scan projection, so only
+    // the ~2/(w+1)-density fingerprint relation ever leaves the map
+    // side. The exploded-gram + per-doc windowed-min formulation this
+    // replaces shuffled the ENTIRE gram stream (~|text| rows per doc)
+    // just to take a 4-row min: 3.5s → 0.7s warm at sf0.1, and at
+    // 100 TB it removes a corpus-sized shuffle. Byte-for-byte the same
+    // output (oracle hash unchanged): md5 over the char window's UTF-8
+    // bytes, hex order == digest-byte order, `<=` scan = rightmost tie.
+    docs
       .select(col(idCol), normalized(col(textCol)).as("norm"))
-      .select(col(idCol), posexplode(expr(
-        "CASE WHEN length(norm) < 8 THEN array()" +
-          " ELSE transform(sequence(1, length(norm) - 7)," +
-          " i -> md5(substring(norm, i, 8))) END")))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("h"))
-    val byDoc = Window.partitionBy(col(idCol))
-    val frame = byDoc.orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 3)
-    grams
-      .withColumn("mn", min(struct(col("h"), (-col("pos")).as("np")))
-        .over(frame))
-      .withColumn("ng", count(lit(1)).over(byDoc))
-      .filter(col("ng") >= 4 && col("pos") <= col("ng") - 3)
-      .select(col(idCol), (-col("mn.np")).as("pos"), col("mn.h").as("fp"))
-      .distinct()
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.winnowFps(col("norm"), 8, 4))
+          .as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 }

@@ -50,4 +50,47 @@ class WinnowingSpec extends SparkSpec {
     val bad = out.filter($"pos" < 1).count()
     assert(bad == 0)
   }
+
+  test("native kernel replays the composed exploded-gram formulation " +
+       "byte-for-byte, including ties, short docs, and non-BMP text") {
+    val docs = Seq(
+      1L -> "abababababababababab",           // max ties: 2 distinct grams
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "short",                          // < 8 chars -> empty
+      4L -> "exactly11ch",                    // ng = 4: single window
+      5L -> "exactly10c",                     // ng = 3 < w -> empty
+      6L -> "héllo wörld çafé naïve résumé encore déjà vu",
+      7L -> "日本語のテキストで窓を転がす実験です長さ十分",
+      8L -> "emoji 😀😁😂🤣😃😄😅😆 in the stream 😀😁😂🤣",
+      9L -> ""
+    ).toDF("doc_id", "text")
+    val kernel = TextFeatures
+      .winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // the pre-kernel formulation: explode gram md5s, 4-frame windowed
+    // min over struct(h, -pos), rightmost tie, distinct
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select($"doc_id", TextFeatures.normalized($"text").as("norm"))
+      .select($"doc_id", posexplode(expr(
+        "CASE WHEN length(norm) < 8 THEN array()" +
+          " ELSE transform(sequence(1, length(norm) - 7)," +
+          " i -> md5(substring(norm, i, 8))) END")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+        $"col".as("h"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val frame = byDoc.orderBy($"pos").rowsBetween(Window.currentRow, 3)
+    val composed = grams
+      .withColumn("mn", min(struct($"h", (-$"pos").as("np"))).over(frame))
+      .withColumn("ng", count(lit(1)).over(byDoc))
+      .filter($"ng" >= 4 && $"pos" <= $"ng" - 3)
+      .select($"doc_id", (-$"mn.np").as("pos"), $"mn.h".as("fp"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(kernel == composed)
+    assert(!kernel.exists(t => t._1 == 3L || t._1 == 5L || t._1 == 9L))
+    assert(kernel.count(_._1 == 4L) == 1)
+  }
 }
