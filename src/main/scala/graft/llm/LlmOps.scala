@@ -2689,6 +2689,89 @@ object LlmOps {
             col("rejected_reward"), col("gap"))
     },
 
+    // Best-of-n rejection sampling (Stiennon et al. 2020; the BoN
+    // baseline every RLHF paper reports): per prompt group, keep ONLY
+    // the top-reward candidate (deterministic doc_id tiebreak) plus the
+    // margin over the runner-up — the margin is the selection-confidence
+    // signal a distillation pipeline filters on. One keyed window (rank
+    // + lead over the same sort — a single shuffle and sort, groups are
+    // prompt-sized); all columns integer/string so the table
+    // hash-compares.
+    Op("mix_best_of_n",
+       """WITH r AS (
+         |  SELECT lang, source, doc_id, CAST(n_chars AS BIGINT) AS reward,
+         |         row_number() OVER (PARTITION BY lang, source
+         |           ORDER BY n_chars DESC, doc_id) AS rk,
+         |         lead(CAST(n_chars AS BIGINT)) OVER (
+         |           PARTITION BY lang, source
+         |           ORDER BY n_chars DESC, doc_id) AS runner_up,
+         |         CAST(count(*) OVER (PARTITION BY lang, source)
+         |              AS BIGINT) AS n_candidates
+         |  FROM documents)
+         |SELECT lang, source, n_candidates, doc_id AS best_id,
+         |       reward AS best_reward,
+         |       reward - runner_up AS margin
+         |FROM r WHERE rk = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+      val ord = w.orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("reward"),
+          row_number().over(ord).as("rk"),
+          lead(col("n_chars").cast("long"), 1).over(ord).as("runner_up"),
+          count(lit(1)).over(w).as("n_candidates"))
+        .filter(col("rk") === 1)
+        .select(col("lang"), col("source"), col("n_candidates"),
+          col("doc_id").as("best_id"), col("reward").as("best_reward"),
+          (col("reward") - col("runner_up")).as("margin"))
+    },
+
+    // GRPO group-relative advantage (Shao et al. 2024 "DeepSeekMath"):
+    // the PPO-free policy-gradient weight — each sample's reward
+    // standardized against its own prompt group, no value network.
+    // Exactness: with integer rewards, (r − mean)/std rearranges to
+    // (n·r − S) / sqrt(n·Q − S²) — an exact BIGINT numerator and the
+    // sqrt of an exact BIGINT (population std; the n's cancel), so the
+    // advantage is one IEEE division of two correctly-rounded values.
+    // Degenerate groups (zero variance, e.g. n = 1) yield NULL via the
+    // same CASE on both engines.
+    //
+    // Scale shape: one keyed window computes (n, S, Q) alongside the
+    // rows — a single shuffle on the prompt key, no join-back; groups
+    // are prompt-sized so no window ever exceeds a prompt's samples.
+    Op("mix_grpo_advantage",
+       """WITH g AS (
+         |  SELECT lang, source, doc_id, CAST(n_chars AS BIGINT) AS reward,
+         |         CAST(count(*) OVER (PARTITION BY lang, source)
+         |              AS BIGINT) AS n,
+         |         CAST(sum(CAST(n_chars AS BIGINT)) OVER (
+         |              PARTITION BY lang, source) AS BIGINT) AS s,
+         |         CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+         |              OVER (PARTITION BY lang, source) AS BIGINT) AS q
+         |  FROM documents)
+         |SELECT lang, source, doc_id, reward, n,
+         |       n * reward - s AS adv_num,
+         |       CASE WHEN n * q - s * s > 0 THEN
+         |         CAST(n * reward - s AS DOUBLE) /
+         |           sqrt(CAST(n * q - s * s AS DOUBLE))
+         |       END AS advantage
+         |FROM g""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+      val r = col("n_chars").cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          r.as("reward"), count(lit(1)).over(w).as("n"),
+          sum(r).over(w).as("s"), sum(r * r).over(w).as("q"))
+        .select(col("lang"), col("source"), col("doc_id"), col("reward"),
+          col("n"), (col("n") * col("reward") - col("s")).as("adv_num"),
+          when(col("n") * col("q") - col("s") * col("s") > 0,
+            (col("n") * col("reward") - col("s")).cast("double") /
+              sqrt((col("n") * col("q") - col("s") * col("s"))
+                .cast("double"))).as("advantage"))
+    },
+
     // PII redaction: the scrub every public-corpus pipeline runs before
     // training. Synthetic PII (email/IP/phone/SSN derived from doc_id) is
     // appended to every document so the replacement chain is exercised on

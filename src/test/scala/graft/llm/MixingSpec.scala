@@ -540,4 +540,58 @@ class MixingSpec extends SparkSpec {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("best-of-n: one winner per group holding the max reward, margin " +
+       "vs the true runner-up, null margin only on singleton groups") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("mix_best_of_n")(spark, sf)
+      .collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "source", "doc_id", "n_chars").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.length == docs.size, "exactly one winner per group")
+    rows.foreach { r =>
+      val g = docs((r.getString(0), r.getString(1)))
+      // winner: max reward, min doc_id among ties
+      val best = g.minBy { case (id, rw) => (-rw, id) }
+      assert(r.getLong(3) == best._1 && r.getLong(4) == best._2)
+      assert(r.getLong(2) == g.length.toLong)
+      if (g.length == 1) assert(r.isNullAt(5))
+      else {
+        val sorted = g.sortBy { case (id, rw) => (-rw, id) }
+        assert(r.getLong(5) == best._2 - sorted(1)._2)
+      }
+    }
+  }
+
+  test("grpo: advantages in every non-degenerate group sum to ~zero, " +
+       "square-sum to ~n, and replay the exact integer formula") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("mix_grpo_advantage")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.head._2._2
+      assert(rs.length.toLong == n, s"group $g n")
+      val s = rs.map(_._2._1).sum
+      val q = rs.map(t => t._2._1 * t._2._1).sum
+      rs.foreach { case (_, (rw, _, advNum, adv)) =>
+        assert(advNum == n * rw - s)
+        if (n * q - s * s > 0)
+          assert(adv == advNum.toDouble / math.sqrt((n * q - s * s).toDouble))
+        else assert(adv.isNaN)
+      }
+      if (n * q - s * s > 0) {
+        val advs = rs.map(_._2._4)
+        assert(math.abs(advs.sum) < 1e-9 * n)
+        // population standardization: sum of squares == n exactly up to fp
+        assert(math.abs(advs.map(a => a * a).sum - n) < 1e-6 * n)
+      }
+    }
+  }
+
 }
