@@ -110,6 +110,55 @@ object Profiling {
     "o_orderdate" -> AsString,
     "o_orderpriority" -> Identity)
 
+  /** Acklam's rational approximation to the standard normal inverse CDF
+    * (P.J. Acklam 2003, public algorithm; |relative error| < 1.15e-9).
+    * Driver-side only: it mints the BH threshold LITERALS both engines
+    * compare against — approximation error shifts the thresholds
+    * identically on both sides, so engine agreement is exact even where
+    * the approximation isn't.
+    */
+  private def invNorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"p in (0,1) required, got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+    } else if (p <= 1.0 - pLow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+    }
+  }
+
+  /** BH step-up thresholds in the z domain for m = 25 hypotheses at
+    * α = 0.05: z*(k) = Φ⁻¹(1 − αk/(2m)). One Seq drives the Spark local
+    * table AND the oracle VALUES list (Double.toString round-trips). */
+  private val bhThresholds: Seq[(Long, Double)] =
+    (1 to 25).map(k => (k.toLong, invNorm(1.0 - 0.05 * k / (2.0 * 25))))
+
+  private val bhThresholdValues: String =
+    // CAST each literal: DuckDB types a bare decimal literal DECIMAL,
+    // whose double conversion can differ in the last ulp from the
+    // round-tripped IEEE value Spark embeds
+    bhThresholds.map { case (k, z) => s"($k, CAST($z AS DOUBLE))" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") t(k, z_star)")
+
   val ops: Seq[Op] = Seq(entropyOp, corrMatrixOp) ++ Seq(
     Op("profile_columns", profileOracle("orders", orderFields)) { (s, d) =>
       profile(Tables.orders(s, d), orderFields)
@@ -557,6 +606,113 @@ object Profiling {
             lit(12.0) * ((nn + 1L).cast("double") -
               col("tie_term").cast("double") /
                 (nn * (nn - 1L)).cast("double"))))).as("z"))
+    },
+
+    // Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) over
+    // the 25 per-nation "does this nation's order value differ?" Welch
+    // z-tests — the multiple-testing step every segment-screening
+    // dashboard needs before it declares 25 segments "significant" at
+    // α=0.05 apiece. Engine-portable without a normal CDF: BH rejects
+    // p_(k) ≤ kα/m ⟺ |z|_(k) ≥ Φ⁻¹(1 − kα/(2m)), so the m inverse-CDF
+    // thresholds are DRIVER-pinned literals (Acklam's rational
+    // approximation, computed once in Scala and printed into both plans
+    // — the hllNumerator idiom; Double.toString round-trips the IEEE
+    // value). Every z is the e_ab_welch recipe: exact BIGINT moments per
+    // nation, complement moments by subtraction from the exact grand
+    // totals, then an expression-identical double formula.
+    //
+    // Scale shape: one keyed aggregate to 25 nation rows, a 1-row grand-
+    // totals attach, a 25-row broadcast threshold join, and windows over
+    // the NATION-BOUNDED table. The order scan aggregates once.
+    Op("f_bh_fdr", {
+      s"""WITH oc AS (
+         |  SELECT c_nationkey AS nation,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |              AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |g AS (
+         |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(cents) AS BIGINT) AS s,
+         |         sum(cents * cents) AS q
+         |  FROM oc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |               CAST(sum(s) AS BIGINT) AS st,
+         |               sum(q) AS qt FROM g),
+         |z AS (
+         |  SELECT nation, n,
+         |         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |          - CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE))
+         |         / sqrt((CAST(q AS DOUBLE) * CAST(n AS DOUBLE)
+         |                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |                   * (CAST(n AS DOUBLE) - 1.0))
+         |                + (CAST(qt - q AS DOUBLE) * CAST(nt - n AS DOUBLE)
+         |                   - CAST(st - s AS DOUBLE) * CAST(st - s AS DOUBLE))
+         |                  / (CAST(nt - n AS DOUBLE) * CAST(nt - n AS DOUBLE)
+         |                     * (CAST(nt - n AS DOUBLE) - 1.0))) AS z
+         |  FROM g, tot),
+         |rk AS (
+         |  SELECT nation, n, z,
+         |         CAST(row_number() OVER (ORDER BY abs(z) DESC, nation)
+         |              AS BIGINT) AS k
+         |  FROM z),
+         |th AS ($bhThresholdValues),
+         |flagged AS (
+         |  SELECT rk.nation, rk.n, rk.z, rk.k, th.z_star,
+         |         abs(rk.z) >= th.z_star AS passes
+         |  FROM rk JOIN th USING (k)),
+         |kmax AS (
+         |  SELECT coalesce(max(CASE WHEN passes THEN k END), 0) AS km
+         |  FROM flagged)
+         |SELECT nation, n, z, k, z_star, k <= km AS rejected
+         |FROM flagged, kmax""".stripMargin
+    }) { (s, d) =>
+      val oc = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      // squared-cents sums overflow BIGINT already at sf0.01 (qt ~ 4e19)
+      // — carry Q as DECIMAL(38,0) (DuckDB: the HUGEINT its sum(BIGINT)
+      // yields); the z math only ever sees it through one exact-int →
+      // nearest-double cast, identical on both engines
+      val g = oc.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(expr("CAST(cents AS DECIMAL(38,0))") * col("cents")).as("q"))
+      val tot = g.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+        sum(col("q")).as("qt"))
+      def d_(c: Column): Column = c.cast("double")
+      val vmIn = (d_(col("q")) * d_(col("n")) - d_(col("s")) * d_(col("s"))) /
+        (d_(col("n")) * d_(col("n")) * (d_(col("n")) - 1.0))
+      val vmOut = (d_(col("qt") - col("q")) * d_(col("nt") - col("n")) -
+        d_(col("st") - col("s")) * d_(col("st") - col("s"))) /
+        (d_(col("nt") - col("n")) * d_(col("nt") - col("n")) *
+          (d_(col("nt") - col("n")) - 1.0))
+      val z = g.crossJoin(broadcast(tot))
+        .select(col("nation"), col("n"),
+          ((d_(col("s")) / d_(col("n")) -
+            d_(col("st") - col("s")) / d_(col("nt") - col("n"))) /
+            sqrt(vmIn + vmOut)).as("z"))
+      val rk = z.withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("z")).desc, col("nation"))).cast("long"))
+      val th = s.createDataFrame(
+        s.sparkContext.parallelize(bhThresholds.map {
+          case (k, zs) => org.apache.spark.sql.Row(k, zs) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("z_star",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val flagged = rk.join(broadcast(th), Seq("k"))
+        .select(col("nation"), col("n"), col("z"), col("k"), col("z_star"),
+          (abs(col("z")) >= col("z_star")).as("passes"))
+      val kmax = flagged.agg(coalesce(max(when(col("passes"), col("k"))),
+        lit(0L)).as("km"))
+      flagged.crossJoin(broadcast(kmax))
+        .select(col("nation"), col("n"), col("z"), col("k"), col("z_star"),
+          (col("k") <= col("km")).as("rejected"))
     },
 
     // Spearman rank correlation (Spearman 1904) of quantity vs extended

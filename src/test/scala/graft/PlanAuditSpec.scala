@@ -148,7 +148,10 @@ class PlanAuditSpec extends SparkSpec {
         // rows; ts_cross_corr: the 1-row totals/denominator attaches
         // plus the 8-row lag Range fan-out over the calendar-bounded
         // daily table (both verified keyless-aggregate below)
-        n == "profile_spearman" || n == "ts_cross_corr")
+        n == "profile_spearman" || n == "ts_cross_corr" ||
+        // f_bh_fdr: 1-row grand-totals and kmax attaches onto the
+        // 25-row nation table (verified keyless-aggregate below)
+        n == "f_bh_fdr")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -194,7 +197,7 @@ class PlanAuditSpec extends SparkSpec {
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
-        "ts_cross_corr")
+        "ts_cross_corr", "f_bh_fdr")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

@@ -302,6 +302,26 @@ class ProfilingSpec extends SparkSpec {
     assert(row.getLong(3) + u0Twice == 2 * n0 * n1)
   }
 
+  test("bh-fdr: thresholds decrease in k, the rejected set is the exact " +
+       "step-up prefix, and a sequential replay agrees") {
+    val rows = graft.SparkEntry.queries("f_bh_fdr")(spark, sf)
+      .collect().map(r => (r.getLong(3), math.abs(r.getDouble(2)),
+        r.getDouble(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.length == 25 && rows.map(_._1).toSeq == (1L to 25L))
+    // z*(k) strictly decreasing (larger k -> looser p cutoff)
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._3 > b._3) }
+    // |z| non-increasing in rank
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._2 >= b._2) }
+    // step-up: kmax = max{k : |z|_(k) >= z*(k)}; rejected iff k <= kmax
+    val kmax = rows.filter(t => t._2 >= t._3).map(_._1)
+      .foldLeft(0L)(math.max)
+    rows.foreach { case (k, _, _, rej) => assert(rej == (k <= kmax)) }
+    // the k=1 threshold is Bonferroni at alpha/m: Phi^-1(1 - 0.001) and
+    // the k=25 threshold is the unadjusted 1.96 — pin both to 1e-6
+    assert(math.abs(rows.head._3 - 3.0902323061678132) < 1e-6)
+    assert(math.abs(rows.last._3 - 1.959963984540054) < 1e-6)
+  }
+
   test("spearman: moment sums match a sequential doubled-midrank replay " +
        "and rho is the exact quotient within [-1, 1]") {
     val Array(row) = graft.SparkEntry.queries("profile_spearman")(spark, sf)
