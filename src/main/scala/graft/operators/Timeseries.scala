@@ -29,6 +29,52 @@ object Timeseries {
   private val day: org.apache.spark.sql.Column =
     unix_date(to_date(col("ts"))).cast("long")
 
+  /** ts_granger's shared arithmetic: ONE expression text per stage,
+    * interpolated verbatim into the Spark selectExpr AND the DuckDB
+    * oracle, so both engines run the identical IEEE op sequence on the
+    * identical exact BIGINT moments (the e_ab_welch discipline, made
+    * literal). Stage 1 casts the moments to short double names; stage 2
+    * solves both OLS fits — the restricted 2×2 in closed form, the
+    * unrestricted 3×3 by Cramer cofactor expansion along the first row;
+    * stage 3 collapses each RSS through the normal equations
+    * (RSS = Σy² − β'X'y).
+    */
+  private val grangerDoubles: Seq[String] = Seq(
+    "CAST(n AS DOUBLE) AS dn", "CAST(sy AS DOUBLE) AS dsy",
+    "CAST(syl AS DOUBLE) AS dsyl", "CAST(sxl AS DOUBLE) AS dsxl",
+    "CAST(syy AS DOUBLE) AS dsyy", "CAST(syl2 AS DOUBLE) AS dsyl2",
+    "CAST(sxl2 AS DOUBLE) AS dsxl2", "CAST(syyl AS DOUBLE) AS dsyyl",
+    "CAST(syxl AS DOUBLE) AS dsyxl", "CAST(sylxl AS DOUBLE) AS dsylxl")
+
+  private val grangerFits: Seq[String] = {
+    val det = "(dn * (dsyl2 * dsxl2 - dsylxl * dsylxl)" +
+      " - dsyl * (dsyl * dsxl2 - dsylxl * dsxl)" +
+      " + dsxl * (dsyl * dsylxl - dsyl2 * dsxl))"
+    val detA = "(dsy * (dsyl2 * dsxl2 - dsylxl * dsylxl)" +
+      " - dsyl * (dsyyl * dsxl2 - dsylxl * dsyxl)" +
+      " + dsxl * (dsyyl * dsylxl - dsyl2 * dsyxl))"
+    val detB = "(dn * (dsyyl * dsxl2 - dsylxl * dsyxl)" +
+      " - dsy * (dsyl * dsxl2 - dsylxl * dsxl)" +
+      " + dsxl * (dsyl * dsyxl - dsyyl * dsxl))"
+    val detC = "(dn * (dsyl2 * dsyxl - dsyyl * dsylxl)" +
+      " - dsyl * (dsyl * dsyxl - dsyyl * dsxl)" +
+      " + dsy * (dsyl * dsylxl - dsyl2 * dsxl))"
+    val bR = "((dn * dsyyl - dsyl * dsy) / (dn * dsyl2 - dsyl * dsyl))"
+    Seq("dsy", "dsyy", "dsyyl", "dsyxl",
+      s"$bR AS b_r",
+      s"((dsy - $bR * dsyl) / dn) AS a_r",
+      s"($detA / $det) AS a_u",
+      s"($detB / $det) AS b_u",
+      s"($detC / $det) AS c_u")
+  }
+
+  private val grangerRss: Seq[String] = Seq(
+    "(dsyy - a_r * dsy - b_r * dsyyl) AS rss_r",
+    "(dsyy - a_u * dsy - b_u * dsyyl - c_u * dsyxl) AS rss_u")
+
+  private val grangerF: String =
+    "(rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3.0))"
+
   val ops: Seq[Op] = Seq(
 
     // Per-user daily spend, gap-filled over each user's own [first, last]
@@ -922,6 +968,91 @@ object Timeseries {
           ((max(when(col("rk") === loRk, col("s")))
             + max(when(col("rk") === hiRk, col("s")))) / 2)
             .as("slope_cents"))
+    },
+
+    // Granger causality (Granger 1969): does yesterday's click traffic
+    // improve the autoregression of today's purchase revenue? Restricted
+    // model y_t ~ a + b·y_{t−1} vs unrestricted y_t ~ a + b·y_{t−1} +
+    // c·x_{t−1}, F = (RSS_r − RSS_u)/(RSS_u/(n−3)). Engine-exact float
+    // discipline: every sufficient statistic (the 10 lagged moment sums)
+    // is an exact BIGINT; the OLS solves (2×2 and 3×3 Cramer), RSS
+    // collapses (RSS = Syy − β'X'y, cross terms vanish at the normal
+    // equations), and F are ONE shared arithmetic-expression text
+    // interpolated into BOTH plans (grangerFormulas), so both engines
+    // execute the identical IEEE op sequence on identical integers.
+    //
+    // Scale shape: raw events collapse to the calendar-bounded daily
+    // table (two filtered branches of one scan), lag-1 via one ordered
+    // window over days, one keyless aggregate to a single moment row,
+    // then scalar arithmetic. Nothing beyond the day table ever
+    // shuffles.
+    Op("ts_granger",
+       s"""WITH x AS (
+          |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |           AS day,
+          |         CAST(count(*) AS BIGINT) AS x
+          |  FROM events WHERE event_type = 'click' GROUP BY 1),
+          |y AS (
+          |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |           AS day,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+          |           AS y
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |days AS (SELECT day FROM x UNION SELECT day FROM y),
+          |ser AS (
+          |  SELECT day, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+          |  FROM days LEFT JOIN x USING (day) LEFT JOIN y USING (day)),
+          |lagged AS (
+          |  SELECT day, y,
+          |         lag(y) OVER (ORDER BY day) AS yl,
+          |         lag(x) OVER (ORDER BY day) AS xl
+          |  FROM ser),
+          |mm AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(yl) AS BIGINT) AS syl,
+          |         CAST(sum(xl) AS BIGINT) AS sxl,
+          |         CAST(sum(y * y) AS BIGINT) AS syy,
+          |         CAST(sum(yl * yl) AS BIGINT) AS syl2,
+          |         CAST(sum(xl * xl) AS BIGINT) AS sxl2,
+          |         CAST(sum(y * yl) AS BIGINT) AS syyl,
+          |         CAST(sum(y * xl) AS BIGINT) AS syxl,
+          |         CAST(sum(yl * xl) AS BIGINT) AS sylxl
+          |  FROM lagged WHERE yl IS NOT NULL AND xl IS NOT NULL),
+          |dd AS (SELECT n, ${grangerDoubles.mkString(", ")} FROM mm),
+          |fit AS (SELECT n, ${grangerFits.mkString(", ")} FROM dd),
+          |rss AS (SELECT n, ${grangerRss.mkString(", ")} FROM fit)
+          |SELECT n, rss_r, rss_u, rss_r - rss_u AS c_gain,
+          |       $grangerF AS f_stat
+          |FROM rss""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val x = ev.filter(col("event_type") === "click")
+        .groupBy(day.as("day")).agg(count(lit(1)).as("x"))
+      val y = ev.filter(col("event_type") === "purchase")
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(dec) * 100).cast("long").as("y"))
+      val days = x.select("day").unionByName(y.select("day")).distinct()
+      val ser = days.join(x, Seq("day"), "left").join(y, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.orderBy(col("day"))
+      val lagged = ser.select(col("day"), col("y"),
+          lag(col("y"), 1).over(w).as("yl"),
+          lag(col("x"), 1).over(w).as("xl"))
+        .filter(col("yl").isNotNull && col("xl").isNotNull)
+      val mm = lagged.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("yl")).as("syl"), sum(col("xl")).as("sxl"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("yl") * col("yl")).as("syl2"),
+        sum(col("xl") * col("xl")).as("sxl2"),
+        sum(col("y") * col("yl")).as("syyl"),
+        sum(col("y") * col("xl")).as("syxl"),
+        sum(col("yl") * col("xl")).as("sylxl"))
+      val dd = mm.selectExpr("n" +: grangerDoubles: _*)
+      val fit = dd.selectExpr("n" +: grangerFits: _*)
+      val rss = fit.selectExpr("n" +: grangerRss: _*)
+      rss.selectExpr("n", "rss_r", "rss_u", "rss_r - rss_u AS c_gain",
+        s"$grangerF AS f_stat")
     },
 
     // Holt-Winters additive seasonal smoothing (Winters 1960) of global

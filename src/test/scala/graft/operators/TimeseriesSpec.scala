@@ -394,6 +394,86 @@ class TimeseriesSpec extends SparkSpec {
     assert(row.getDouble(6) >= slopes.min && row.getDouble(6) <= slopes.max)
   }
 
+  test("granger: RSS values match an independent Gaussian-elimination " +
+       "OLS replay, nest correctly, and F reconciles") {
+    val sf = "/root/testdata/sf0.001"
+    val Array(row) = graft.SparkEntry.queries("ts_granger")(spark, sf)
+      .collect()
+    val (n, rssR, rssU, cGain, f) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(rssU >= 0 && rssR >= rssU, "nested models: RSS_u <= RSS_r")
+    assert(cGain == rssR - rssU)
+    assert(f == cGain / (rssU / (n - 3).toDouble))
+    // independent replay: collect the zero-filled daily series, fit both
+    // models by Gaussian elimination with partial pivoting
+    val ev = graft.Tables.events(spark, sf)
+    def dailyOf(t: String, revenue: Boolean): Map[Long, Long] = {
+      val f0 = ev.filter(col("event_type") === t)
+      val df0 =
+        if (revenue) f0.groupBy(unix_date(to_date(col("ts"))).cast("long")
+            .as("d"))
+          .agg(sum(col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("v"))
+        else f0.groupBy(unix_date(to_date(col("ts"))).cast("long").as("d"))
+          .agg(count(lit(1)).as("v"))
+      df0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val xs = dailyOf("click", revenue = false)
+    val ys = dailyOf("purchase", revenue = true)
+    val days = (xs.keySet ++ ys.keySet).toSeq.sorted
+    val rowsT = days.sliding(2).collect { case Seq(p, c) if c == p + 1 =>
+      (ys.getOrElse(c, 0L).toDouble, ys.getOrElse(p, 0L).toDouble,
+        xs.getOrElse(p, 0L).toDouble)
+    }.toSeq
+    // the engine keeps every lagged row (lag over the day SEQUENCE, not
+    // the calendar): rebuild identically — consecutive positions in the
+    // sorted day list, gap or not
+    val rows2 = days.sliding(2).collect { case Seq(p, c) =>
+      (ys.getOrElse(c, 0L).toDouble, ys.getOrElse(p, 0L).toDouble,
+        xs.getOrElse(p, 0L).toDouble)
+    }.toSeq
+    val data = if (rows2.size.toLong == n) rows2 else rowsT
+    assert(data.size.toLong == n)
+    def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+      val m = b0.length
+      val a = a0.map(_.clone); val b = b0.clone
+      for (i <- 0 until m) {
+        val p = (i until m).maxBy(r => math.abs(a(r)(i)))
+        val (ta, tb) = (a(i), b(i)); a(i) = a(p); a(p) = ta
+        b(i) = b(p); b(p) = tb
+        for (r <- i + 1 until m) {
+          val fct = a(r)(i) / a(i)(i)
+          for (cI <- i until m) a(r)(cI) -= fct * a(i)(cI)
+          b(r) -= fct * b(i)
+        }
+      }
+      val x = new Array[Double](m)
+      for (i <- m - 1 to 0 by -1) {
+        var s = b(i)
+        for (j <- i + 1 until m) s -= a(i)(j) * x(j)
+        x(i) = s / a(i)(i)
+      }
+      x
+    }
+    def rssOf(useX: Boolean): Double = {
+      val feats = data.map { case (_, yl, xl) =>
+        if (useX) Array(1.0, yl, xl) else Array(1.0, yl) }
+      val ts = data.map(_._1)
+      val m = feats.head.length
+      val ata = Array.tabulate(m, m)((i, j) =>
+        feats.zip(ts).map { case (fr, _) => fr(i) * fr(j) }.sum)
+      val atb = Array.tabulate(m)(i =>
+        feats.zip(ts).map { case (fr, t) => fr(i) * t }.sum)
+      val beta = solve(ata, atb)
+      feats.zip(ts).map { case (fr, t) =>
+        val e = t - fr.zip(beta).map { case (u, v) => u * v }.sum
+        e * e
+      }.sum
+    }
+    assert(math.abs(rssOf(useX = false) - rssR) <= 1e-6 * rssR)
+    assert(math.abs(rssOf(useX = true) - rssU) <= 1e-6 * math.max(rssU, 1.0))
+  }
+
   test("cross-correlation: per-lag numerators match a sequential replay " +
        "of the zero-filled series, and lag 0 covers every day") {
     val sf = "/root/testdata/sf0.001"
