@@ -218,6 +218,41 @@ object Events {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Semi-structured extraction through Spark 4's VARIANT type — the
+    // engine-native path a Snowflake-style warehouse uses for JSON
+    // columns (parse once into the binary variant encoding, then typed
+    // `variant_get` access; the reference's platform calls this VARIANT
+    // too). Same answers as the string-path e_json_extract, exercised
+    // here as typed longs plus the missing-path contract: a '$.absent'
+    // extraction is NULL on every row, counted to prove it. At 100 TB
+    // the variant parse happens once per row in the scan projection and
+    // every downstream field access is an O(path) binary probe — no
+    // re-tokenizing per field the way repeated get_json_object calls do.
+    Op("e_variant_extract",
+       """SELECT event_type,
+         |       CAST(count(k) AS BIGINT) AS n_k,
+         |       CAST(sum(k) AS BIGINT) AS sum_k,
+         |       CAST(min(k) AS BIGINT) AS min_k,
+         |       CAST(max(k) AS BIGINT) AS max_k,
+         |       CAST(count(missing) AS BIGINT) AS n_missing
+         |FROM (SELECT event_type,
+         |             CAST(json_extract_string(props, '$.k') AS BIGINT)
+         |               AS k,
+         |             CAST(json_extract_string(props, '$.absent')
+         |                  AS BIGINT) AS missing
+         |      FROM events)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.absent', 'long')")
+            .as("missing"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count(col("missing")).as("n_missing"))
+    },
+
     // Ordered funnel: users whose first view precedes their first click,
     // which precedes their first purchase. One pivot-style conditional-min
     // aggregate per user — a single shuffle, no joins, no windows.

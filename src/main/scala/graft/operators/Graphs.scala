@@ -1444,6 +1444,52 @@ object Graphs {
         node => node < 100, iters = 6)
     },
 
+    // Butterfly counting (Sanei-Mehri, Sariyüce & Tirthapura, KDD'18):
+    // the bipartite analog of triangle counting — a butterfly is a
+    // (2,2)-biclique c1–p–c2–q–c1, THE motif whose density drives
+    // bipartite community metrics and k-bitruss peeling. Exact census on
+    // the customer–supplier trade graph: wedges Σ_p C(deg_p, 2) come
+    // from the degree table alone; butterflies Σ_{c1<c2} C(w, 2) need
+    // the per-pair common-neighbor counts, materialized by one
+    // supplier-keyed self-join of the edge list. All integers, one row,
+    // hash-compared.
+    //
+    // Scale shape: the wedge fan-out is Σ_p deg_p² — the quantity the
+    // KDD'18 paper bounds by processing wedges FROM THE SPARSER SIDE
+    // and capping hubs (the er_blocking/minhash maxDocFreq rule); at
+    // trade-graph densities the supplier side is the right pivot (25k
+    // customers share 10k suppliers). The degree census and edge count
+    // are tiny keyless aggregates attached as 1-row broadcasts.
+    Op("graph_butterflies",
+       """WITH e AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS w
+         |  FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+         |  GROUP BY 1, 2)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+         |         AS n_wedges,
+         |       (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT)
+         |        FROM pairs) AS n_butterflies""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+      val deg = e.groupBy(col("p")).agg(count(lit(1)).as("d"))
+      val pairs = e.select(col("p"), col("c").as("c1"))
+        .join(e.select(col("p"), col("c").as("c2")), Seq("p"))
+        .filter(col("c1") < col("c2"))
+        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      val nw = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val nb = pairs.agg(coalesce(sum(expr("w * (w - 1) div 2")), lit(0L))
+        .as("n_butterflies"))
+      ne.crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+    },
+
     // Closeness centrality from a sampled seed set (Bavelas 1950;
     // sampled exactly as betweenness is — exact closeness needs one BFS
     // per NODE): for each seed s, C(s) = (r_s − 1) / Σ_v d(s, v) over

@@ -174,4 +174,26 @@ class EventsSpec extends SparkSpec {
       s"${(r.getDouble(4), r.getDouble(5), r.getDouble(6))} vs " +
         s"${(theta, rawUp, cuped)}")
   }
+
+  test("variant extraction: typed variant_get agrees with the string " +
+       "JSON path row-for-row, missing paths are NULL everywhere") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("e_variant_extract")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+    // every row's k extracted; no phantom '$.absent' values anywhere
+    val perType = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == perType(r.getString(0)), "n_k covers all rows")
+      assert(r.getLong(5) == 0L, "missing path must count zero")
+    }
+    // row-level agreement between the variant path and get_json_object
+    val disagree = ev.select(
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("v"),
+        get_json_object(col("props"), "$.k").cast("long").as("j"))
+      .filter(!(col("v") <=> col("j"))).count()
+    assert(disagree == 0L)
+  }
 }

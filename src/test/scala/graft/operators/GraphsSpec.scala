@@ -516,4 +516,33 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("butterflies: K(2,2) has exactly one, a path has none, and the " +
+       "registered op matches a brute-force quad census at sf0.001") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val ds = edges.distinct
+      val wedges = ds.groupBy(_._2).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+      val pairs = ds.groupBy(_._2).values.flatMap { g =>
+        val cs = g.map(_._1).sorted
+        for (i <- cs.indices; j <- i + 1 until cs.size)
+          yield (cs(i), cs(j))
+      }.groupBy(identity).values.map(_.size.toLong)
+      (ds.size.toLong, wedges, pairs.map(w => w * (w - 1) / 2).sum)
+    }
+    // K(2,2): 4 edges, 2 wedges (one per supplier), 1 butterfly
+    assert(census(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))) ==
+      (4L, 2L, 1L))
+    // path c1-p1-c2-p2: 4 nodes, 3 edges, wedges but no closed quad
+    assert(census(Seq((1L, 10L), (2L, 10L), (2L, 11L))) == (3L, 1L, 0L))
+    val Array(row) = graft.SparkEntry.queries("graph_butterflies")(spark,
+      "/root/testdata/sf0.001").collect()
+    val edges = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(graft.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_suppkey").as[(Long, Long)].collect().toSeq
+    val (ne, nw, nb) = census(edges)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (ne, nw, nb))
+  }
+
 }
