@@ -381,7 +381,7 @@ object Dedup {
                          maxRounds: Int = 50,
                          reliable: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     // Both edge directions from ONE evaluation of `pairs`: the union-of-
     // two-selects formulation scanned the pair subtree twice, and `pairs`
     // is typically the run's most expensive fragment (a banding join, a
@@ -487,7 +487,7 @@ object Dedup {
       val out = base.join(nearDupLosers, Seq(idCol), "left_anti")
         .select(col(idCol) +: passthrough.map(col) :+
           length(col(textCol)).cast("long").as("n_chars"): _*)
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut(_))
       releaseCheckpoint(labels) // out is materialized; labels' blocks are dead
       out
     } finally base.unpersist()

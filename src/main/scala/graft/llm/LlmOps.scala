@@ -1027,7 +1027,7 @@ object LlmOps {
           |       p.log_ppl <= c.p67 AS kept
           |FROM ppl p, cuts c""".stripMargin) { (s, d) =>
       val ppl = CorpusQuality.perplexity(Tables.documents(s, d))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut(_))
       val cuts = ppl.agg(
         expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY log_ppl)")
           .as("p33"),

@@ -321,7 +321,7 @@ object Mixing {
     val ranged = df.withColumn("__k", orderCol)
       .repartitionByRange(parts, col("__k"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     val local = row_number()
       .over(Window.partitionBy(col("__pid")).orderBy(col("__k")))
     val offsets = ranged.groupBy(col("__pid")).count()
@@ -362,7 +362,7 @@ object Mixing {
     val ranged = df.withColumn("__k", orderCol)
       .repartitionByRange(parts, col("__k"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     val w = Window.partitionBy(col("__pid")).orderBy(col("__k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = ranged.groupBy(col("__pid"))

@@ -905,7 +905,7 @@ object Similarity {
         transform(col(vecCol).cast("array<double>"),
           x => floor(x * lit(1048576.0) + lit(0.5)).cast("long") +
             lit(SHIFT)).as("xq"))
-      .localCheckpoint() // scanned every round: materialize once
+      .transform(graft.Ckpt.cut(_)) // scanned every round: materialize once
     var cents: Array[Array[Long]] = xq.filter(col("vid") < k)
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).toArray)

@@ -119,7 +119,7 @@ object Topics {
         explode(array_distinct(TextFeatures.tokens(col(textCol))))
           .as("tok"))
       .join(broadcast(words), "tok")
-      .localCheckpoint() // feeds dfreq AND both sides of the pair join
+      .transform(graft.Ckpt.cut(_)) // feeds dfreq AND both sides of the pair join
     val dfreq = dw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prs = topw.select(col("z"), col("rank").as("ri"),
         col("tok").as("wi"))
@@ -142,7 +142,7 @@ object Topics {
           sort_array(collect_list(struct(col("ri"), col("rj"), col("t")))),
           lit(0.0),
           (acc, x) => acc + x.getField("t")).as("coherence"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     Dedup.releaseCheckpoint(dw)
     out
   }
@@ -156,7 +156,7 @@ object Topics {
                  reliable: Boolean = false): DataFrame = {
     require(k >= 2 && vocabSize >= k && rounds >= 1 && topWords >= 1)
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val spark = docs.sparkSession
     val occ0 = docs
       .select(col(idCol).as("doc_id"),
@@ -218,7 +218,7 @@ object Topics {
       .filter(col("rank") <= topWords)
       .select(col("z"), col("rank").cast("long").as("rank"),
         col("tok"), col("phi").as("phi_fx"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     Dedup.releaseCheckpoint(phi)
     Dedup.releaseCheckpoint(theta)
     Dedup.releaseCheckpoint(occ)

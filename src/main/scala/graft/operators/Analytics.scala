@@ -708,7 +708,7 @@ object Analytics {
       val ranged = rev
         .repartitionByRange(parts, col("cents").desc, col("o_custkey"))
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut(_))
       val w = Window.partitionBy(col("__pid"))
         .orderBy(col("cents").desc, col("o_custkey"))
       val off = ranged.groupBy(col("__pid"))
@@ -911,7 +911,7 @@ object Analytics {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, col(minCol))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     val byPrice = Window.partitionBy(col("__pid")).orderBy(col(minCol))
     val strictPrefix = byPrice.rangeBetween(Window.unboundedPreceding, -1)
     val inclPrefix = byPrice.rangeBetween(Window.unboundedPreceding, 0)

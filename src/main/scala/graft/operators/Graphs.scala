@@ -51,7 +51,7 @@ object Graphs {
     require(scale >= 1000, s"scale too small for meaningful ranks: $scale")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
@@ -125,7 +125,7 @@ object Graphs {
                            reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
@@ -211,7 +211,7 @@ object Graphs {
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("dd"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     val o1 = oriented.toDF("u", "v", "dv")
     val o2 = oriented.toDF("u", "w", "dw")
     val wedges = o1.join(o2, Seq("u"))
@@ -282,7 +282,7 @@ object Graphs {
             reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val W = org.apache.spark.sql.expressions.Window
     var cur = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
@@ -341,7 +341,7 @@ object Graphs {
              reliable: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val W = org.apache.spark.sql.expressions.Window
     var cur = cut(edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
@@ -425,7 +425,7 @@ object Graphs {
                        reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
@@ -565,7 +565,7 @@ object Graphs {
            reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct())
     val hubs = e.select(col("src").as("node")).distinct()
@@ -632,7 +632,7 @@ object Graphs {
                    reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
@@ -679,7 +679,7 @@ object Graphs {
                     reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
@@ -740,7 +740,7 @@ object Graphs {
                   maxRounds: Int = 12,
                   reliable: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val sym = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
@@ -808,7 +808,7 @@ object Graphs {
       .groupBy(col("node"))
       .agg(sum(col("delta")).as("bc"),
         count(lit(1)).as("n_sources_reaching"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     graft.llm.Dedup.releaseCheckpoint(state)
     graft.llm.Dedup.releaseCheckpoint(sym)
     out
@@ -834,7 +834,7 @@ object Graphs {
                         maxRounds: Int = 20,
                         reliable: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val base = cut(edges.select(
         least(col(srcCol), col(dstCol)).as("src"),
         greatest(col(srcCol), col(dstCol)).as("dst"), col(wCol).as("w"))
@@ -912,7 +912,7 @@ object Graphs {
                dstCol: String = "dst", rounds: Int = 10,
                reliable: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      graft.Ckpt.cut(df, reliable)
     val sym = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
@@ -1110,7 +1110,7 @@ object Graphs {
          |            THEN coalesce(tc.tri, 0) * 1000000
          |                 // (d.deg * (d.deg - 1) // 2) END AS cc_ppm
          |FROM deg d LEFT JOIN tc USING (node)""".stripMargin) { (s, d) =>
-      val edges = coSupplierEdges(Tables.lineitem(s, d)).localCheckpoint()
+      val edges = coSupplierEdges(Tables.lineitem(s, d)).transform(graft.Ckpt.cut(_))
       val deg = edges.select(explode(array(
           struct(col("src").as("node")),
           struct(col("dst").as("node")))).as("e"))
@@ -1660,7 +1660,7 @@ object Graphs {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val e = sym
@@ -1698,7 +1698,7 @@ object Graphs {
       // subtrees — the assignContiguousIds lesson (content here is
       // deterministic either way, but three re-executions of the
       // distinct would triple the dominant shuffle)
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut(_))
     val canon = sym.filter(col("src") < col("dst"))
     val mDf = canon.agg(count(lit(1)).as("m"))
     val deg = sym.groupBy(col("src").as("node"))

@@ -1195,7 +1195,7 @@ object Timeseries {
          |SELECT a.day, a.cents, a.residual_fx, a.med_fx, d.mad_fx,
          |       abs(a.residual_fx - a.med_fx) > 3 * d.mad_fx AS is_anomaly
          |FROM ad a, mad d""".stripMargin) { (s, d) =>
-      val comp = stlComponents(Tables.events(s, d)).localCheckpoint()
+      val comp = stlComponents(Tables.events(s, d)).transform(graft.Ckpt.cut(_))
       val med = comp.agg(
         expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
           " (ORDER BY residual_fx) AS BIGINT)").as("med_fx"))
@@ -1203,7 +1203,7 @@ object Timeseries {
         .select(col("day"), col("cents"), col("residual_fx"),
           col("med_fx"),
           abs(col("residual_fx") - col("med_fx")).as("adev"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut(_))
       val mad = ad.agg(
         expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
           " (ORDER BY adev) AS BIGINT)").as("mad_fx"))
