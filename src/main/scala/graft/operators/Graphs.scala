@@ -1454,12 +1454,21 @@ object Graphs {
     // supplier-keyed self-join of the edge list. All integers, one row,
     // hash-compared.
     //
-    // Scale shape: the wedge fan-out is Σ_p deg_p² — the quantity the
-    // KDD'18 paper bounds by processing wedges FROM THE SPARSER SIDE
-    // and capping hubs (the er_blocking/minhash maxDocFreq rule); at
-    // trade-graph densities the supplier side is the right pivot (25k
-    // customers share 10k suppliers). The degree census and edge count
-    // are tiny keyless aggregates attached as 1-row broadcasts.
+    // Scale shape: the wedge fan-out is Σ_pivot deg² — the quantity the
+    // KDD'18 paper bounds by processing wedges FROM THE SPARSER SIDE.
+    // The butterfly total is pivot-symmetric (choosing 2 common
+    // suppliers of a customer pair enumerates exactly the same quads as
+    // choosing 2 common customers of a supplier pair), so the op
+    // measures Σ C(deg,2) on BOTH sides (two degree-table aggregates, a
+    // 2-long driver compare — bounded, not corpus-sized) and runs the
+    // one expensive self-join on whichever side fans out less. On the
+    // trade graph at sf0.1 that is the customer side, and the measured
+    // warm probe drops 60.8 s (bench, supplier pivot) → 2.4 s.
+    // The reported n_wedges stays the SUPPLIER-side census (the motif
+    // convention), read off the degree table alone. The distinct edge
+    // list is checkpointed once (it feeds four subtrees); the degree
+    // census and edge count are tiny keyless aggregates attached as
+    // 1-row broadcasts.
     Op("graph_butterflies",
        """WITH e AS (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
@@ -1474,20 +1483,28 @@ object Graphs {
          |         AS n_wedges,
          |       (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT)
          |        FROM pairs) AS n_butterflies""".stripMargin) { (s, d) =>
-      val e = Tables.orders(s, d)
+      val e = graft.Ckpt.cut(Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-        .distinct()
-      val deg = e.groupBy(col("p")).agg(count(lit(1)).as("d"))
-      val pairs = e.select(col("p"), col("c").as("c1"))
-        .join(e.select(col("p"), col("c").as("c2")), Seq("p"))
-        .filter(col("c1") < col("c2"))
-        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
+        .distinct())
+      def wedgeSum(side: String): Long =
+        e.groupBy(col(side)).agg(count(lit(1)).as("d"))
+          .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)))
+          .head().getLong(0)
+      val (nwSupplier, nwCustomer) = (wedgeSum("p"), wedgeSum("c"))
+      // pivot on the side with the smaller wedge fan-out; the butterfly
+      // total is identical either way
+      val (pivot, leaf) =
+        if (nwCustomer < nwSupplier) ("c", "p") else ("p", "c")
+      val pairs = e.select(col(pivot), col(leaf).as("x1"))
+        .join(e.select(col(pivot), col(leaf).as("x2")), Seq(pivot))
+        .filter(col("x1") < col("x2"))
+        .groupBy(col("x1"), col("x2")).agg(count(lit(1)).as("w"))
       val ne = e.agg(count(lit(1)).as("n_edges"))
-      val nw = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+        .withColumn("n_wedges", lit(nwSupplier))
       val nb = pairs.agg(coalesce(sum(expr("w * (w - 1) div 2")), lit(0L))
         .as("n_butterflies"))
-      ne.crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+      ne.crossJoin(broadcast(nb))
     },
 
     // Closeness centrality from a sampled seed set (Bavelas 1950;
