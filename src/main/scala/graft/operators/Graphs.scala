@@ -663,14 +663,31 @@ object Graphs {
     d
   }
 
-  /** Per-source bounded BFS: [[shortestHops]] with the state keyed by
-    * (source, node) so every seed advances in the same keyed join+agg
-    * per round — k seeds cost k× state rows, not k× rounds (the
-    * [[betweenness]] forward-pass distribution argument). Returns
+  /** Per-source bounded BFS: [[shortestHops]] semantics with the state
+    * keyed by (source, node) so every seed advances in the same keyed
+    * join+agg per round — k seeds cost k× state rows, not k× rounds
+    * (the [[betweenness]] forward-pass distribution argument). Returns
     * (s, node, dist) for every node within `iters` hops of seed s.
-    * Same 0-weight self-loop trick → one min-aggregate per round, and
-    * the fixed round count makes the whole run replayable by a
-    * single-reference recursive CTE. Exact integer distances.
+    * Exact integer distances.
+    *
+    * Unlike the single-source-set [[shortestHops]] (whose state is one
+    * row per node — relaxing everything every round costs nothing),
+    * this state is seeds × reached and full relaxation re-joins ALL of
+    * it against the edge list every round. So this variant is
+    * FRONTIER-driven: on an unweighted graph a node's distance is
+    * settled the round it is first reached, so only the newly-reached
+    * rows propagate (edges ⋈ frontier), and an anti-join against the
+    * settled set drops re-reached nodes. Each edge is traversed once
+    * per seed across the whole run instead of once per seed PER ROUND
+    * — graph_closeness at sf0.1 warm-probed 15.4 s → 10.2 s (the
+    * bipartite trade graph saturates by hop ~3, so middle-round
+    * frontiers stay near-full and bound the win) — and
+    * the round's fresh count rides the checkpoint action as an
+    * Observation (the componentMinLabels protocol), so an exhausted
+    * frontier short-circuits the remaining rounds with no extra job.
+    * The final settled set equals the relaxation fixpoint the
+    * recursive-CTE oracle replays (min over ≤iters-hop paths = BFS
+    * first-reach depth), which is what the hash compare pins.
     */
   def perSourceHops(edges: DataFrame,
                     seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
@@ -680,35 +697,36 @@ object Graphs {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
-    val sym = edges.select(explode(array(
+    val sym = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-    val nodes = sym.select(col("src").as("node")).distinct()
-    val step = cut(sym.select(col("src"), col("dst"), lit(1L).as("w"))
-      .unionByName(nodes.select(col("node").as("src"),
-        col("node").as("dst"), lit(0L).as("w"))))
-    var d = nodes.filter(seedPred(col("node")))
-      .select(col("node").as("s"), col("node"), lit(0L).as("dist"))
-    var dCk: Option[DataFrame] = None
-    var round = 0
-    while (round < iters) {
-      d = step.join(d.hint("shuffle_hash"), col("src") === col("node"))
-        .groupBy(col("s"), col("dst"))
-        .agg(min(col("dist") + col("w")).as("dist"))
-        .withColumnRenamed("dst", "node")
+      .distinct())
+    var settled = cut(sym.select(col("src").as("node")).distinct()
+      .filter(seedPred(col("node")))
+      .select(col("node").as("s"), col("node"), lit(0L).as("dist")))
+    var frontier = settled
+    var round = 1
+    var exhausted = false
+    while (!exhausted && round <= iters) {
+      val reached = sym
+        .join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("s"), col("dst").as("node")).distinct()
+        .join(settled.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
+        .select(col("s"), col("node"), lit(round.toLong).as("dist"))
+      val obs = org.apache.spark.sql.Observation(s"hops_fresh_$round")
+      val next = cut(settled.unionByName(reached)
+        .observe(obs, count(when(col("dist") === round, 1)).as("fresh")))
+      exhausted = obs.get("fresh").asInstanceOf[Long] == 0L
+      Dedup.releaseCheckpoint(settled)
+      settled = next
+      frontier = next.filter(col("dist") === round)
       round += 1
-      if (round % checkpointEvery == 0 || round == iters) {
-        val cutD = cut(d)
-        dCk.foreach(Dedup.releaseCheckpoint)
-        dCk = Some(cutD)
-        d = cutD
-      }
     }
-    Dedup.releaseCheckpoint(step)
-    d
+    Dedup.releaseCheckpoint(sym)
+    settled
   }
 
   /** Betweenness centrality from a sampled source set (Brandes 2001;
