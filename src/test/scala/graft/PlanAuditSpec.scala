@@ -151,7 +151,12 @@ class PlanAuditSpec extends SparkSpec {
         n == "profile_spearman" || n == "ts_cross_corr" ||
         // f_bh_fdr: 1-row grand-totals and kmax attaches onto the
         // 25-row nation table (verified keyless-aggregate below)
-        n == "f_bh_fdr")
+        n == "f_bh_fdr" ||
+        // graph_butterflies: the 1-row edge-count aggregate crossJoined
+        // to the 1-row butterfly-sum aggregate — the t_equal_rowcount
+        // two-keyless-aggregates shape (verified below); the wedge
+        // self-join itself is keyed on the pivot column, no cartesian
+        n == "graph_butterflies")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -197,7 +202,7 @@ class PlanAuditSpec extends SparkSpec {
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
-        "ts_cross_corr", "f_bh_fdr")
+        "ts_cross_corr", "f_bh_fdr", "graph_butterflies")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
