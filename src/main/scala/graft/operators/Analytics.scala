@@ -783,6 +783,82 @@ object Analytics {
           .as("cum_revenue"))
     },
 
+    // RFM quintile segmentation (Hughes, "Strategic Database Marketing"
+    // 1994 — the retail-standard customer scoring the reference's
+    // e-commerce marts feed): every customer scored 1–5 on Recency
+    // (days since last order, most recent = 5), Frequency (order
+    // count) and Monetary (lifetime exact cents). Quintiles are SQL
+    // ntile(5) REPLAYED DISTRIBUTIVELY: a global ntile window is a
+    // single-partition sort, so each metric's global rank comes from
+    // one assignContiguousIds pass (range exchange materialized once +
+    // broadcast offsets) and the bucket is rebuilt from (rank, n) with
+    // ntile's exact uneven-bucket rule — the first n mod 5 buckets
+    // carry one extra row — in pure integer arithmetic against the
+    // 1-row count attach. Ties break by custkey on both sides (the
+    // assignContiguousIds total-order contract), so all three scores
+    // hash-compare against DuckDB's ntile verbatim; R is 6 − q over
+    // ascending staleness so 5 stays "best" for every letter.
+    //
+    // Scale shape: one keyed aggregate over orders, then three
+    // rank passes + three keyed joins over the CUSTOMER-sized frame
+    // (checkpointed once); the recency origin and row count are 1-row
+    // keyless-aggregate attaches (audited in PlanAuditSpec).
+    Op("m_rfm_scores",
+       """WITH agg AS (
+         |  SELECT o_custkey AS custkey,
+         |         CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+         |              (SELECT CAST(max(o_orderdate) AS DATE)
+         |               FROM orders)) AS BIGINT) AS rec_days,
+         |         CAST(count(*) AS BIGINT) AS n_orders,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+         |              AS BIGINT) AS mon_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT custkey, rec_days, n_orders, mon_cents,
+         |       CAST(6 - ntile(5) OVER (ORDER BY rec_days, custkey)
+         |            AS BIGINT) AS r_q,
+         |       CAST(ntile(5) OVER (ORDER BY n_orders, custkey)
+         |            AS BIGINT) AS f_q,
+         |       CAST(ntile(5) OVER (ORDER BY mon_cents, custkey)
+         |            AS BIGINT) AS m_q
+         |FROM agg""".stripMargin) { (s, d) =>
+      val maxd = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("d0"))
+      val base = graft.Ckpt.cut(Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("n_orders"),
+          expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)""").as("mon_cents"))
+        .crossJoin(broadcast(maxd))
+        .select(col("custkey"),
+          datediff(col("d0"), col("last_d")).cast("long").as("rec_days"),
+          col("n_orders"), col("mon_cents")))
+      val n1 = base.agg(count(lit(1)).as("n"))
+      // ntile(5) from the 0-based global rank r and total n: the first
+      // n%5 buckets hold n div 5 + 1 rows (the ELSE divisor is only
+      // reached when n div 5 > 0, so the integer div cannot see zero)
+      def quint(metric: String): DataFrame =
+        graft.llm.Mixing.assignContiguousIds(
+            base.select(col("custkey"), col(metric)),
+            struct(col(metric), col("custkey")))
+          .crossJoin(broadcast(n1))
+          .select(col("custkey"), expr(
+            """CAST(CASE
+              |  WHEN seq_id + 1 <= (n % 5) * (n div 5 + 1)
+              |  THEN seq_id div (n div 5 + 1) + 1
+              |  ELSE (n % 5) + (seq_id - (n % 5) * (n div 5 + 1))
+              |       div (n div 5) + 1
+              |END AS BIGINT)""".stripMargin).as(s"${metric}_q"))
+      base
+        .join(quint("rec_days")
+          .select(col("custkey"), (lit(6L) - col("rec_days_q")).as("r_q")),
+          "custkey")
+        .join(quint("n_orders").withColumnRenamed("n_orders_q", "f_q"),
+          "custkey")
+        .join(quint("mon_cents").withColumnRenamed("mon_cents_q", "m_q"),
+          "custkey")
+    },
+
     // Week-over-week revenue growth in integer parts-per-million — the
     // period-over-period readout every dashboard carries, kept exact:
     // weekly cents via the decimal domain, growth as (cur-prev)*1e6 div

@@ -156,7 +156,11 @@ class PlanAuditSpec extends SparkSpec {
         // to the 1-row butterfly-sum aggregate — the t_equal_rowcount
         // two-keyless-aggregates shape (verified below); the wedge
         // self-join itself is keyed on the pivot column, no cartesian
-        n == "graph_butterflies")
+        n == "graph_butterflies" ||
+        // m_rfm_scores: the 1-row recency-origin (max date) and row
+        // count attaches onto the customer aggregate feeding the three
+        // rank passes (verified keyless-aggregate below)
+        n == "m_rfm_scores")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -202,7 +206,8 @@ class PlanAuditSpec extends SparkSpec {
         "p6_scalar_subquery", "retrieval_eval", "ts_stl_decompose",
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
-        "ts_cross_corr", "f_bh_fdr", "graph_butterflies")
+        "ts_cross_corr", "f_bh_fdr", "graph_butterflies",
+        "m_rfm_scores")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

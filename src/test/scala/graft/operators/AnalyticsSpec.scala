@@ -209,4 +209,41 @@ class AnalyticsSpec extends SparkSpec {
     val (_, g3) = gini((1L to n))
     assert(math.abs(g3 - (n - 1).toDouble / (3 * n)) < 1e-12, s"$g3")
   }
+
+  test("RFM scores replay a sequential ntile(5) per metric, quintile " +
+       "populations differ by at most one, and 5 means best everywhere") {
+    val rows = graft.SparkEntry.queries("m_rfm_scores")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // sequential ntile: first n%5 buckets take one extra row
+    def ntile5(ranked: Seq[Long]): Map[Long, Long] = {
+      val n = ranked.size; val base = n / 5; val extra = n % 5
+      ranked.zipWithIndex.map { case (c, i) =>
+        val q = if (i < extra * (base + 1)) i / (base + 1) + 1
+                else extra + (i - extra * (base + 1)) / base + 1
+        c -> q.toLong
+      }.toMap
+    }
+    def metric(i: Int) = rows.map(r => r.getLong(0) -> r.getLong(i))
+    val recQ = ntile5(metric(1).sortBy { case (c, v) => (v, c) }.map(_._1))
+    val freqQ = ntile5(metric(2).sortBy { case (c, v) => (v, c) }.map(_._1))
+    val monQ = ntile5(metric(3).sortBy { case (c, v) => (v, c) }.map(_._1))
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(4) == 6L - recQ(c), s"r_q of $c")
+      assert(r.getLong(5) == freqQ(c), s"f_q of $c")
+      assert(r.getLong(6) == monQ(c), s"m_q of $c")
+    }
+    Seq(4, 5, 6).foreach { i =>
+      val pops = rows.groupBy(_.getLong(i)).map(_._2.length.toLong)
+      assert(pops.max - pops.min <= 1, s"col $i quintiles unbalanced: $pops")
+    }
+    // 5 = best: the most recent / most frequent / biggest spender each
+    // score 5 on their letter
+    val byRec = rows.minBy(r => (r.getLong(1), r.getLong(0)))
+    val byFreq = rows.maxBy(r => (r.getLong(2), r.getLong(0)))
+    val byMon = rows.maxBy(r => (r.getLong(3), r.getLong(0)))
+    assert(byRec.getLong(4) == 5L && byFreq.getLong(5) == 5L &&
+      byMon.getLong(6) == 5L)
+  }
 }
