@@ -465,6 +465,62 @@ object Profiling {
               .as("chi_term"))
     },
 
+    // Benford first-digit audit (Newcomb 1881; Benford 1938; the
+    // Nigrini forensic-accounting screen): the leading significant
+    // digit of genuine transaction amounts follows log10(1 + 1/d), and
+    // a book-cooked ledger doesn't. The digit comes from exact cents
+    // (leading significant digit is invariant under the ×100 shift), so
+    // the whole test is integer: per-digit counts, observed share in
+    // truncating ppm against the 1-row total attach, and the χ²-style
+    // deviation term (obs−exp)² div exp in the SAME ppm domain — the
+    // expected shares are the nine pinned log10 constants, not runtime
+    // ln calls, so nothing transcendental touches a compared column.
+    // One keyed aggregate over orders; nine rows out, hash-compared.
+    Op("f_benford",
+       """WITH digits AS (
+         |  SELECT CAST(substr(CAST(
+         |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |                AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders
+         |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |             AS BIGINT) > 0),
+         |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+         |      FROM digits GROUP BY 1),
+         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o),
+         |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+         |        (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+         |        (8, 51153), (9, 45757)) AS t(digit, exp_ppm))
+         |SELECT CAST(e.digit AS BIGINT) AS digit, coalesce(o.n, 0) AS n,
+         |       CAST(coalesce(o.n, 0) * 1000000 // nn.total AS BIGINT)
+         |         AS share_ppm,
+         |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         |       CAST((coalesce(o.n, 0) * 1000000 // nn.total - e.exp_ppm)
+         |            * (coalesce(o.n, 0) * 1000000 // nn.total - e.exp_ppm)
+         |            // e.exp_ppm AS BIGINT) AS chi_ppm
+         |FROM e LEFT JOIN o USING (digit), nn""".stripMargin) { (s, d) =>
+      val cents =
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val o = Tables.orders(s, d)
+        .select(cents.as("cents")).filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val nn = o.agg(sum(col("n")).as("total"))
+      val e = s.createDataFrame(Seq((1L, 301030L), (2L, 176091L),
+          (3L, 124939L), (4L, 96910L), (5L, 79181L), (6L, 66947L),
+          (7L, 57992L), (8L, 51153L), (9L, 45757L)))
+        .toDF("digit", "exp_ppm")
+      broadcast(e).join(o, Seq("digit"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(nn))
+        .select(col("digit"), col("n"),
+          expr("CAST(n * 1000000 div total AS BIGINT)").as("share_ppm"),
+          col("exp_ppm"),
+          expr("""CAST((n * 1000000 div total - exp_ppm)
+                  * (n * 1000000 div total - exp_ppm)
+                  div exp_ppm AS BIGINT)""").as("chi_ppm"))
+    },
+
     // Two-sample Kolmogorov–Smirnov test on purchase spend between the
     // A/B variants (the distribution-level readout e_ab_welch's
     // mean-comparison misses): D = sup_t |F0(t) − F1(t)|, exact — at

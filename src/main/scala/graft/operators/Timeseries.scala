@@ -892,6 +892,67 @@ object Timeseries {
           .as("fc7_cents"))
     },
 
+    // CUSUM changepoint (Page 1954, the offline max-|S| form): the day
+    // t* where the cumulative deviation from the series mean is largest
+    // — THE single-level-shift locator a revenue dashboard runs before
+    // fitting anything (a trend fit through a step function lies;
+    // ts_ols_trend's residuals hide exactly this). Exactness: with
+    // prefix sums P_t and total T over n days, S_t = P_t − t·T/n is
+    // rational, so the argmax runs on the CLEARED form
+    // D_t = n·P_t − t·T — exact BIGINT, same argmax. t* must leave both
+    // segments non-empty (t < n; D_n ≡ 0 anyway), ties break on the
+    // earlier day, and only the final segment-mean presentation divides
+    // (two correctly-rounded doubles). The prefix window is ordered
+    // over the calendar-bounded daily table (the ts_autocorr argument:
+    // rows grow with elapsed days, not data volume); the (n, T) totals
+    // are a 1-row keyless attach. One row out, hash-compared.
+    Op("ts_level_shift",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |scored AS (
+         |  SELECT day,
+         |         row_number() OVER (ORDER BY day) AS t,
+         |         CAST(sum(cents) OVER (ORDER BY day
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS pre
+         |  FROM daily),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(cents) AS BIGINT) AS total FROM daily)
+         |SELECT n, day AS cp_day,
+         |       abs(n * pre - t * total) AS d_abs,
+         |       CAST(pre AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+         |       CAST(total - pre AS DOUBLE) / CAST(n - t AS DOUBLE)
+         |         AS mean_after
+         |FROM scored, tot
+         |WHERE t < n
+         |ORDER BY abs(n * pre - t * total) DESC, day ASC
+         |LIMIT 1""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
+      val w = Window.orderBy(col("day"))
+      val scored = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("pre", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total"))
+      scored.crossJoin(broadcast(tot))
+        .filter(col("t") < col("n"))
+        .withColumn("d_abs",
+          abs(col("n") * col("pre") - col("t") * col("total")))
+        .orderBy(col("d_abs").desc, col("day").asc)
+        .limit(1)
+        .select(col("n"), col("day").as("cp_day"), col("d_abs"),
+          (col("pre").cast("double") / col("t").cast("double"))
+            .as("mean_before"),
+          ((col("total") - col("pre")).cast("double") /
+            (col("n") - col("t")).cast("double")).as("mean_after"))
+    },
+
     // Theil–Sen robust trend (Theil 1950; Sen 1968): the median of all
     // pairwise slopes of the daily-revenue series — the estimator that
     // shrugs off the outlier days OLS (ts_ols_trend) gets dragged by

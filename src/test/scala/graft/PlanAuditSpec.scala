@@ -160,7 +160,11 @@ class PlanAuditSpec extends SparkSpec {
         // m_rfm_scores: the 1-row recency-origin (max date) and row
         // count attaches onto the customer aggregate feeding the three
         // rank passes (verified keyless-aggregate below)
-        n == "m_rfm_scores")
+        n == "m_rfm_scores" ||
+        // ts_cusum_changepoint: the 1-row (n, total) attach onto the
+        // calendar-bounded daily table; f_benford: the 1-row digit
+        // total attach onto the 9-row census (both verified below)
+        n == "ts_level_shift" || n == "f_benford")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -207,7 +211,7 @@ class PlanAuditSpec extends SparkSpec {
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
         "ts_cross_corr", "f_bh_fdr", "graph_butterflies",
-        "m_rfm_scores")
+        "m_rfm_scores", "ts_level_shift", "f_benford")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

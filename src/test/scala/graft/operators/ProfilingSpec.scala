@@ -357,4 +357,27 @@ class ProfilingSpec extends SparkSpec {
       sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble))
     assert(math.abs(row.getDouble(4)) <= 1.0)
   }
+
+  test("Benford: pinned expected shares sum to exactly 1e6 ppm, counts " +
+       "replay a driver-side first-digit census, and chi terms are the " +
+       "exact integer formula") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("f_benford")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 9L))
+    assert(rows.map(_._4).sum == 1000000L, "expected ppm must total 1e6")
+    val cents = graft.Tables.orders(spark, sf)
+      .select(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[Long].collect().filter(_ > 0)
+    val census = cents.groupBy(_.toString.head.asDigit.toLong)
+      .map { case (d, v) => d -> v.length.toLong }
+    val total = cents.length.toLong
+    rows.foreach { case (d, nOb, share, exp, chi) =>
+      assert(nOb == census.getOrElse(d, 0L), s"digit $d count")
+      assert(share == Math.floorDiv(nOb * 1000000L, total))
+      assert(chi == Math.floorDiv((share - exp) * (share - exp), exp))
+    }
+  }
 }

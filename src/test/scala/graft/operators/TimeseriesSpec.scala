@@ -510,4 +510,42 @@ class TimeseriesSpec extends SparkSpec {
     assert(rows.head._2 == nd)
   }
 
+  test("CUSUM changepoint replays the sequential argmax of |n*P_t - " +
+       "t*T| and a synthetic step lands exactly on the shift day") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // sequential replay on the real daily series
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum($"value".cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+      .select(datediff($"d", lit("1970-01-01").cast("date")).cast("long"),
+        $"cents")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var pre = 0L
+    val ds = daily.zipWithIndex.dropRight(1).map { case ((day, c), i) =>
+      pre += c
+      (day, i + 1L, pre, (n * pre - (i + 1L) * total).abs)
+    }
+    val best = ds.maxBy(x => (x._4, -x._1))
+    val row = graft.SparkEntry.queries("ts_level_shift")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == best._1, "changepoint day")
+    assert(row.getLong(2) == best._4, "cleared deviation")
+    assert(row.getDouble(3) == best._3.toDouble / best._2.toDouble)
+    assert(row.getDouble(4) ==
+      (total - best._3).toDouble / (n - best._2).toDouble)
+    // synthetic step: level 100 for 10 days then 200 for 10 days -> the
+    // cleared CUSUM peaks exactly at the last low day
+    val step = (1L to 20L).map(d => (d, if (d <= 10) 100L else 200L))
+    val st = step.map(_._2).sum
+    val peaks = step.dropRight(1).scanLeft((0L, 0L, 0L)) {
+      case ((_, t, p), (d, c)) => (d, t + 1, p + c)
+    }.drop(1).map { case (d, t, p) => (d, (20L * p - t * st).abs) }
+    assert(peaks.maxBy(x => (x._2, -x._1))._1 == 10L)
+  }
+
 }
