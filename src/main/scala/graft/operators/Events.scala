@@ -275,6 +275,46 @@ object Events {
         .agg(count(lit(1)).as("n_converted"))
     },
 
+    // Top-10 full conversion paths: each converting user's complete
+    // event-type sequence STRICTLY BEFORE their first purchase,
+    // ranked by how many users share it — the journey readout
+    // e_top_paths' fixed 3-step windows can't give (a path here is the
+    // whole pre-conversion history). Order inside a path is the total
+    // (ts, event_id) order so timestamp ties cannot flip two engines'
+    // concatenations. One conditional-min aggregate finds first
+    // purchases, one keyed join+filter scopes the history, one
+    // collect-sort-join builds each user's path string (bounded by the
+    // per-user event count — journey, not corpus, sized), and the
+    // top-k is TakeOrderedAndProject with the path as tiebreak.
+    Op("e_conversion_paths",
+       """WITH fp AS (
+         |  SELECT user_id, min(ts) AS fp
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |pre AS (
+         |  SELECT e.user_id, e.ts, e.event_id, e.event_type
+         |  FROM events e JOIN fp USING (user_id) WHERE e.ts < fp.fp),
+         |paths AS (
+         |  SELECT user_id,
+         |         string_agg(event_type, '>' ORDER BY ts, event_id)
+         |           AS path
+         |  FROM pre GROUP BY 1)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         |FROM paths GROUP BY 1
+         |ORDER BY n_users DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+      ev.join(fp, "user_id").filter(col("ts") < col("fp"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path").asc)
+        .limit(10)
+    },
+
     // Top-20 three-step event paths across all user timelines — the
     // sequence-mining primitive behind journey dashboards ("what do
     // users do around an error?"). Two leads on the sessionize window

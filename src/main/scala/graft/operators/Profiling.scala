@@ -521,6 +521,85 @@ object Profiling {
                   div exp_ppm AS BIGINT)""").as("chi_ppm"))
     },
 
+    // Exact functional-dependency census (the FD-validation half of
+    // Metanome-style profiling, companion to profile_inclusion_deps'
+    // IND discovery): candidate A → B holds iff
+    // countDistinct(A) = countDistinct(A, B); the violation count
+    // |distinct(A,B)| − |distinct(A)| says how many LHS groups carry a
+    // second RHS value. Candidates span the expected outcomes — key →
+    // attribute (holds), hierarchy edges (nation → region holds),
+    // attribute → attribute on independent columns (fails with many
+    // violations) — so the census is a discriminating fixture, not a
+    // tautology. Each candidate is two distinct aggregates over its own
+    // table (keyed shuffles, no window, no collect); the whole output
+    // is |candidates| rows.
+    Op("profile_fds",
+       """SELECT tbl, lhs, rhs, n_lhs, n_pair,
+         |       n_pair = n_lhs AS holds,
+         |       n_pair - n_lhs AS violations
+         |FROM (
+         |  SELECT 'orders' AS tbl, 'o_orderkey' AS lhs,
+         |         'o_custkey' AS rhs,
+         |         (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+         |          FROM orders) AS n_lhs,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |          (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
+         |           AS n_pair
+         |  UNION ALL
+         |  SELECT 'nation', 'n_nationkey', 'n_regionkey',
+         |         (SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT)
+         |          FROM nation),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |          (SELECT DISTINCT n_nationkey, n_regionkey FROM nation))
+         |  UNION ALL
+         |  SELECT 'customer', 'c_custkey', 'c_nationkey',
+         |         (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+         |          FROM customer),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |          (SELECT DISTINCT c_custkey, c_nationkey FROM customer))
+         |  UNION ALL
+         |  SELECT 'orders', 'o_custkey', 'o_orderpriority',
+         |         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+         |          FROM orders),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |          (SELECT DISTINCT o_custkey, o_orderpriority FROM orders))
+         |  UNION ALL
+         |  SELECT 'lineitem', 'l_orderkey', 'l_suppkey',
+         |         (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         |          FROM lineitem),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |          (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem))
+         |  UNION ALL
+         |  SELECT 'supplier', 's_suppkey', 's_nationkey',
+         |         (SELECT CAST(count(DISTINCT s_suppkey) AS BIGINT)
+         |          FROM supplier),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |          (SELECT DISTINCT s_suppkey, s_nationkey FROM supplier)))
+         |""".stripMargin) { (s, d) =>
+      def cand(df: DataFrame, tbl: String, lhs: String,
+               rhs: String): DataFrame =
+        df.agg(count_distinct(col(lhs)).as("n_lhs"))
+          .crossJoin(broadcast(
+            df.select(col(lhs), col(rhs)).distinct()
+              .agg(count(lit(1)).as("n_pair"))))
+          .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"),
+            lit(rhs).as("rhs"), col("n_lhs"), col("n_pair"),
+            (col("n_pair") === col("n_lhs")).as("holds"),
+            (col("n_pair") - col("n_lhs")).as("violations"))
+      Seq(
+        cand(Tables.orders(s, d), "orders", "o_orderkey", "o_custkey"),
+        cand(Tables.nation(s, d), "nation", "n_nationkey", "n_regionkey"),
+        cand(Tables.customer(s, d), "customer", "c_custkey",
+          "c_nationkey"),
+        cand(Tables.orders(s, d), "orders", "o_custkey",
+          "o_orderpriority"),
+        cand(Tables.lineitem(s, d), "lineitem", "l_orderkey",
+          "l_suppkey"),
+        cand(Tables.supplier(s, d), "supplier", "s_suppkey",
+          "s_nationkey"))
+        .reduce(_ unionByName _)
+    },
+
     // Two-sample Kolmogorov–Smirnov test on purchase spend between the
     // A/B variants (the distribution-level readout e_ab_welch's
     // mean-comparison misses): D = sup_t |F0(t) − F1(t)|, exact — at

@@ -196,4 +196,26 @@ class EventsSpec extends SparkSpec {
       .filter(!(col("v") <=> col("j"))).count()
     assert(disagree == 0L)
   }
+
+  test("conversion paths replay a driver-side first-purchase history " +
+       "build: counts, ordering, and the top-10 cutoff all agree") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val fp = ev.filter(_._4 == "purchase").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).min }
+    val paths = ev.filter(e => fp.get(e._1).exists(e._2 < _))
+      .groupBy(_._1).map { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).mkString(">")
+      }
+    val expected = paths.groupBy(identity).map { case (p, v) =>
+      (p, v.size.toLong) }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = graft.SparkEntry.queries("e_conversion_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"\n$got\nvs\n$expected")
+  }
 }

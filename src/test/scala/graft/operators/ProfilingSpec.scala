@@ -380,4 +380,28 @@ class ProfilingSpec extends SparkSpec {
       assert(chi == Math.floorDiv((share - exp) * (share - exp), exp))
     }
   }
+
+  test("FD census: keys and hierarchy edges hold with zero violations, " +
+       "independent attributes fail, arithmetic reconciles") {
+    val rows = graft.SparkEntry.queries("profile_fds")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))).toMap
+    assert(rows.size == 6)
+    // key -> attribute and hierarchy FDs must hold exactly
+    Seq(("orders", "o_orderkey", "o_custkey"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("customer", "c_custkey", "c_nationkey"),
+        ("supplier", "s_suppkey", "s_nationkey")).foreach { k =>
+      val (nl, np, holds, v) = rows(k)
+      assert(holds && v == 0L && nl == np, s"$k must hold: $nl $np")
+    }
+    // a customer places orders at several priorities; an order spans
+    // several suppliers — both candidates must FAIL with violations
+    Seq(("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_suppkey")).foreach { k =>
+      val (nl, np, holds, v) = rows(k)
+      assert(!holds && v > 0L && v == np - nl, s"$k must fail: $nl $np")
+    }
+  }
 }
