@@ -859,6 +859,66 @@ object Analytics {
           "custkey")
     },
 
+    // Repeat-purchase readout: the share of customers who ever order
+    // twice and the EXACT (lower) median days between first and second
+    // order — retention economics in two numbers, no approximate
+    // percentile. First/second order dates come from one keyed window
+    // (rn ≤ 2, ties broken by orderkey so both engines pick the same
+    // second order); the median is an order statistic selected by
+    // global rank over the customer-sized gap table via
+    // assignContiguousIds — rank k = (n+1) div 2 under the total
+    // (gap, custkey) order — never a single-partition percentile sort.
+    // All BIGINTs; share in truncating ppm.
+    Op("m_repeat_rate",
+       """WITH ranked AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |         row_number() OVER (PARTITION BY o_custkey
+         |                            ORDER BY o_orderdate, o_orderkey)
+         |           AS rn
+         |  FROM orders),
+         |gaps AS (
+         |  SELECT a.o_custkey,
+         |         CAST(datediff('day', a.d, b.d) AS BIGINT) AS gap
+         |  FROM ranked a JOIN ranked b
+         |    ON a.o_custkey = b.o_custkey AND a.rn = 1 AND b.rn = 2),
+         |c AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+         |        AS n_customers FROM orders),
+         |r AS (SELECT CAST(count(*) AS BIGINT) AS n_repeat FROM gaps),
+         |med AS (
+         |  SELECT gap AS median_gap_days FROM
+         |    (SELECT gap,
+         |            row_number() OVER (ORDER BY gap, o_custkey) AS k
+         |     FROM gaps), r
+         |  WHERE k = (r.n_repeat + 1) // 2)
+         |SELECT c.n_customers, r.n_repeat,
+         |       CAST(r.n_repeat * 1000000 // c.n_customers AS BIGINT)
+         |         AS repeat_ppm,
+         |       med.median_gap_days
+         |FROM c, r, med""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val firstTwo = Tables.orders(s, d)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+      val gaps = firstTwo.groupBy(col("o_custkey"))
+        .agg(datediff(max(when(col("rn") === 2, col("d"))),
+          min(when(col("rn") === 1, col("d")))).cast("long").as("gap"))
+        .filter(col("gap").isNotNull)
+      val nc = Tables.orders(s, d)
+        .agg(count_distinct(col("o_custkey")).as("n_customers"))
+      val nr = gaps.agg(count(lit(1)).as("n_repeat"))
+      val med = graft.llm.Mixing.assignContiguousIds(gaps,
+          struct(col("gap"), col("o_custkey")))
+        .crossJoin(broadcast(nr))
+        .filter(col("seq_id") + 1 === expr("(n_repeat + 1) div 2"))
+        .select(col("gap").as("median_gap_days"))
+      nc.crossJoin(broadcast(nr))
+        .withColumn("repeat_ppm",
+          expr("CAST(n_repeat * 1000000 div n_customers AS BIGINT)"))
+        .crossJoin(broadcast(med))
+    },
+
     // Week-over-week revenue growth in integer parts-per-million — the
     // period-over-period readout every dashboard carries, kept exact:
     // weekly cents via the decimal domain, growth as (cur-prev)*1e6 div

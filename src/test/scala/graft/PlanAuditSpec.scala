@@ -168,7 +168,10 @@ class PlanAuditSpec extends SparkSpec {
         // profile_fds: each candidate attaches its 1-row distinct-pair
         // count to its 1-row distinct-LHS count — six t_equal_rowcount
         // shapes unioned (verified keyless-aggregate below)
-        n == "profile_fds")
+        n == "profile_fds" ||
+        // m_repeat_rate: 1-row customer-count / repeat-count / median
+        // order-statistic attaches (verified keyless-aggregate below)
+        n == "m_repeat_rate")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -215,7 +218,8 @@ class PlanAuditSpec extends SparkSpec {
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
         "ts_cross_corr", "f_bh_fdr", "graph_butterflies",
-        "m_rfm_scores", "ts_level_shift", "f_benford", "profile_fds")
+        "m_rfm_scores", "ts_level_shift", "f_benford", "profile_fds",
+        "m_repeat_rate")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

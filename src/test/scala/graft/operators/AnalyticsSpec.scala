@@ -246,4 +246,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(byRec.getLong(4) == 5L && byFreq.getLong(5) == 5L &&
       byMon.getLong(6) == 5L)
   }
+
+  test("repeat rate replays a driver-side first-two-orders build: " +
+       "counts, truncating ppm, and the exact lower-median gap") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", to_date($"o_orderdate").as("d"), $"o_orderkey")
+      .select($"o_custkey", datediff($"d", lit("1970-01-01").cast("date"))
+        .cast("long"), $"o_orderkey")
+      .as[(Long, Long, Long)].collect()
+    val byCust = orders.groupBy(_._1)
+    val gaps = byCust.toSeq.flatMap { case (c, os) =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      if (sorted.length >= 2) Some(c -> (sorted(1)._2 - sorted(0)._2))
+      else None
+    }
+    val row = graft.SparkEntry.queries("m_repeat_rate")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == byCust.size.toLong)
+    assert(row.getLong(1) == gaps.length.toLong)
+    assert(row.getLong(2) ==
+      Math.floorDiv(gaps.length.toLong * 1000000L, byCust.size.toLong))
+    val sortedGaps = gaps.sortBy { case (c, g) => (g, c) }.map(_._2)
+    assert(row.getLong(3) == sortedGaps((gaps.length + 1) / 2 - 1),
+      "lower median gap")
+  }
 }
