@@ -465,6 +465,69 @@ object Profiling {
               .as("chi_term"))
     },
 
+    // Cramér's V (Cramér 1946): the [0,1] effect-size normalization of
+    // f_chi_square's statistic — V = sqrt(χ² / (N·min(r−1, c−1))) —
+    // the number that makes two contingency tables comparable. Two
+    // hash-compare subtleties: each cell's deviation is squared IN THE
+    // DOUBLE DOMAIN (dev ≤ ~2^53 is exact as a double; its BIGINT
+    // square can overflow at scale, and IEEE multiplication rounds
+    // identically everywhere), and χ² is the SEQUENTIAL fold of cell
+    // terms in pinned (lang, source) order — sort_array + aggregate
+    // here, list_reduce over an ordered list in the oracle — because a
+    // parallel double sum is partitioning-dependent. The cell table is
+    // |langs|×|sources|, so the fold list is bounded, not corpus-sized.
+    Op("f_cramers_v",
+       """WITH o AS (
+         |  SELECT lang, source, count(*) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+         |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |cells AS (
+         |  SELECT o.lang, o.source,
+         |         CAST(o.o * n.n - rt.rt * ct.ct AS DOUBLE)
+         |           * CAST(o.o * n.n - rt.rt * ct.ct AS DOUBLE)
+         |           / CAST(n.n * rt.rt * ct.ct AS DOUBLE) AS term
+         |  FROM o JOIN rt USING (lang) JOIN ct USING (source), nn n),
+         |s AS (
+         |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS r,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS c,
+         |         list_reduce(list_prepend(0.0,
+         |           list(term ORDER BY lang, source)),
+         |           (a, b) -> a + b) AS chi2
+         |  FROM cells)
+         |SELECT s.r, s.c, n.n, s.chi2,
+         |       sqrt(s.chi2 / CAST(n.n * least(s.r - 1, s.c - 1)
+         |                          AS DOUBLE)) AS v
+         |FROM s, nn n""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val o = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rt = o.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val ct = o.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val dev = (col("o") * col("n") - col("rt") * col("ct"))
+        .cast("double")
+      val cells = o.join(broadcast(rt), "lang")
+        .join(broadcast(ct), "source")
+        .crossJoin(broadcast(nn))
+        .select(col("lang"), col("source"), col("n"),
+          (dev * dev /
+            (col("n") * col("rt") * col("ct")).cast("double")).as("term"))
+      cells.agg(
+          count_distinct(col("lang")).as("r"),
+          count_distinct(col("source")).as("c"),
+          max(col("n")).as("n"),
+          expr("""aggregate(sort_array(collect_list(
+                    struct(lang, source, term))),
+                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""")
+            .as("chi2"))
+        .select(col("r"), col("c"), col("n"), col("chi2"),
+          sqrt(col("chi2") /
+            (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))
+            .as("v"))
+    },
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938; the
     // Nigrini forensic-accounting screen): the leading significant
     // digit of genuine transaction amounts follows log10(1 + 1/d), and
@@ -597,6 +660,79 @@ object Profiling {
           "l_suppkey"),
         cand(Tables.supplier(s, d), "supplier", "s_suppkey",
           "s_nationkey"))
+        .reduce(_ unionByName _)
+    },
+
+    // Unique-column-combination census (UCC / key discovery — the
+    // profiling step BEFORE profile_fds, since every minimal key
+    // trivially determines everything): candidate column set K is a key
+    // iff count(*) = count(distinct K); dupes counts the surplus rows.
+    // Candidates span declared single keys (hold), foreign keys (fail),
+    // and the classic TPC-H composite line key (l_orderkey,
+    // l_linenumber) — which this driver's generator does NOT enforce
+    // (line numbers are drawn randomly), so the census CATCHES a
+    // key-assumption violation a schema reader would have missed:
+    // exactly what UCC discovery is for. Two aggregates per candidate
+    // over its own table; |candidates| rows out, all integer.
+    Op("profile_uniques",
+       """SELECT tbl, cols, n_rows, n_distinct,
+         |       n_rows = n_distinct AS is_unique,
+         |       n_rows - n_distinct AS dupes
+         |FROM (
+         |  SELECT 'orders' AS tbl, 'o_orderkey' AS cols,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+         |         (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+         |          FROM orders) AS n_distinct
+         |  UNION ALL
+         |  SELECT 'events', 'event_id',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM events),
+         |         (SELECT CAST(count(DISTINCT event_id) AS BIGINT)
+         |          FROM events)
+         |  UNION ALL
+         |  SELECT 'documents', 'doc_id',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM documents),
+         |         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+         |          FROM documents)
+         |  UNION ALL
+         |  SELECT 'lineitem', 'l_orderkey,l_linenumber',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM
+         |          (SELECT DISTINCT l_orderkey, l_linenumber
+         |           FROM lineitem))
+         |  UNION ALL
+         |  SELECT 'lineitem', 'l_orderkey',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         |         (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         |          FROM lineitem)
+         |  UNION ALL
+         |  SELECT 'lineitem', 'l_linenumber',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         |         (SELECT CAST(count(DISTINCT l_linenumber) AS BIGINT)
+         |          FROM lineitem)
+         |  UNION ALL
+         |  SELECT 'orders', 'o_custkey',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         |         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+         |          FROM orders))""".stripMargin) { (s, d) =>
+      def ucand(df: DataFrame, tbl: String,
+                cols: Seq[String]): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(df.select(cols.map(col): _*).distinct()
+            .agg(count(lit(1)).as("n_distinct"))))
+          .select(lit(tbl).as("tbl"),
+            lit(cols.mkString(",")).as("cols"),
+            col("n_rows"), col("n_distinct"),
+            (col("n_rows") === col("n_distinct")).as("is_unique"),
+            (col("n_rows") - col("n_distinct")).as("dupes"))
+      Seq(
+        ucand(Tables.orders(s, d), "orders", Seq("o_orderkey")),
+        ucand(Tables.events(s, d), "events", Seq("event_id")),
+        ucand(Tables.documents(s, d), "documents", Seq("doc_id")),
+        ucand(Tables.lineitem(s, d), "lineitem",
+          Seq("l_orderkey", "l_linenumber")),
+        ucand(Tables.lineitem(s, d), "lineitem", Seq("l_orderkey")),
+        ucand(Tables.lineitem(s, d), "lineitem", Seq("l_linenumber")),
+        ucand(Tables.orders(s, d), "orders", Seq("o_custkey")))
         .reduce(_ unionByName _)
     },
 

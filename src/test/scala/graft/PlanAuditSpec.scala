@@ -171,7 +171,11 @@ class PlanAuditSpec extends SparkSpec {
         n == "profile_fds" ||
         // m_repeat_rate: 1-row customer-count / repeat-count / median
         // order-statistic attaches (verified keyless-aggregate below)
-        n == "m_repeat_rate")
+        n == "m_repeat_rate" ||
+        // f_cramers_v: f_chi_square's 1-row N attach onto the bounded
+        // contingency table; profile_uniques: seven t_equal_rowcount
+        // two-keyless-aggregate shapes unioned (both verified below)
+        n == "f_cramers_v" || n == "profile_uniques")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -219,7 +223,7 @@ class PlanAuditSpec extends SparkSpec {
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
         "ts_cross_corr", "f_bh_fdr", "graph_butterflies",
         "m_rfm_scores", "ts_level_shift", "f_benford", "profile_fds",
-        "m_repeat_rate")
+        "m_repeat_rate", "f_cramers_v", "profile_uniques")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")

@@ -404,4 +404,57 @@ class ProfilingSpec extends SparkSpec {
       assert(!holds && v > 0L && v == np - nl, s"$k must fail: $nl $np")
     }
   }
+
+  test("UCC census: declared ids are unique, FKs are not, and the " +
+       "census catches the generator's unenforced composite line key") {
+    val rows = graft.SparkEntry.queries("profile_uniques")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(rows.size == 7)
+    Seq(("orders", "o_orderkey"), ("events", "event_id"),
+        ("documents", "doc_id")).foreach { k =>
+      val (nr, nd, uniq, dupes) = rows(k)
+      assert(uniq && dupes == 0L && nr == nd, s"$k must be unique")
+    }
+    // the driver's generator draws line numbers randomly, so the
+    // canonical TPC-H composite key does NOT hold in this data — the
+    // census must report that instead of trusting the schema
+    Seq(("lineitem", "l_orderkey,l_linenumber"),
+        ("lineitem", "l_orderkey"), ("lineitem", "l_linenumber"),
+        ("orders", "o_custkey")).foreach { k =>
+      val (nr, nd, uniq, dupes) = rows(k)
+      assert(!uniq && dupes == nr - nd && dupes > 0L, s"$k must repeat")
+    }
+    // the composite still repeats LESS than either component alone
+    val comp = rows(("lineitem", "l_orderkey,l_linenumber"))._4
+    assert(comp < rows(("lineitem", "l_orderkey"))._4 &&
+      comp < rows(("lineitem", "l_linenumber"))._4)
+  }
+
+  test("Cramér's V replays a sequential chi-square fold and lands in " +
+       "[0, 1]") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val cells = graft.Tables.documents(spark, sf)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .as[(String, String, Long)].collect()
+    val rt = cells.groupBy(_._1).map { case (l, v) => l -> v.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (s2, v) => s2 -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    var chi2 = 0.0
+    cells.sortBy(c => (c._1, c._2)).foreach { case (l, s2, o) =>
+      val dev = (o * n - rt(l) * ct(s2)).toDouble
+      chi2 += dev * dev / (n * rt(l) * ct(s2)).toDouble
+    }
+    val row = graft.SparkEntry.queries("f_cramers_v")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == rt.size && row.getLong(1) == ct.size &&
+      row.getLong(2) == n)
+    assert(row.getDouble(3) == chi2, s"${row.getDouble(3)} vs $chi2")
+    val v = row.getDouble(4)
+    assert(v == math.sqrt(chi2 /
+      (n * math.min(rt.size - 1, ct.size - 1)).toDouble))
+    assert(v >= 0.0 && v <= 1.0)
+  }
 }
