@@ -539,7 +539,7 @@ object Profiling {
     // expected shares are the nine pinned log10 constants, not runtime
     // ln calls, so nothing transcendental touches a compared column.
     // One keyed aggregate over orders; nine rows out, hash-compared.
-    Op("f_benford",
+    Op("f_benford_chi",
        """WITH digits AS (
          |  SELECT CAST(substr(CAST(
          |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100

@@ -164,7 +164,7 @@ class PlanAuditSpec extends SparkSpec {
         // ts_cusum_changepoint: the 1-row (n, total) attach onto the
         // calendar-bounded daily table; f_benford: the 1-row digit
         // total attach onto the 9-row census (both verified below)
-        n == "ts_level_shift" || n == "f_benford" ||
+        n == "ts_level_shift" || n == "f_benford_chi" ||
         // profile_fds: each candidate attaches its 1-row distinct-pair
         // count to its 1-row distinct-LHS count — six t_equal_rowcount
         // shapes unioned (verified keyless-aggregate below)
@@ -222,7 +222,7 @@ class PlanAuditSpec extends SparkSpec {
         "text_heaps_law", "ts_stl_anomalies", "llm_ppl_filter",
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
         "ts_cross_corr", "f_bh_fdr", "graph_butterflies",
-        "m_rfm_scores", "ts_level_shift", "f_benford", "profile_fds",
+        "m_rfm_scores", "ts_level_shift", "f_benford_chi", "profile_fds",
         "m_repeat_rate", "f_cramers_v", "profile_uniques")
       .foreach { name =>
         val p = plan(name)

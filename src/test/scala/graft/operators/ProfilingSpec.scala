@@ -363,7 +363,7 @@ class ProfilingSpec extends SparkSpec {
        "exact integer formula") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
-    val rows = graft.SparkEntry.queries("f_benford")(spark, sf).collect()
+    val rows = graft.SparkEntry.queries("f_benford_chi")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.map(_._1).sorted.toSeq == (1L to 9L))
