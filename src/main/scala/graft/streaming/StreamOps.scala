@@ -248,6 +248,49 @@ object StreamOps {
         })
   }
 
+  final case class DriftReading(key: String, event_id: Long, ts: Timestamp,
+                                cents: Long)
+  final case class DriftState(sPos: Long, sNeg: Long)
+  final case class DriftSignal(key: String, event_id: Long, s_pos: Long,
+                               s_neg: Long, alarm: Boolean)
+
+  /** Per-key two-sided CUSUM drift detector — the streaming sequential
+    * form of the batch `ts_level_shift` locator (Page 1954). Against a
+    * pinned reference level `mu0` and slack `k` (exact cents), each
+    * reading updates
+    *   s+ := max(0, s+ + (x − mu0 − k));  s− := max(0, s− + (mu0 − x − k))
+    * and an alarm fires when either side crosses `h`, after which BOTH
+    * sides reset so the detector re-arms — the standard restart rule, and
+    * the reason the whole thing is O(1) BIGINT state per key (two
+    * accumulators; no window, no history). Readings inside a trigger
+    * batch sort by (ts, event_id) before the state walk so a replay
+    * produces identical signals, and the emitted sequence equals a
+    * sequential fold of the full stream — StreamingSpec pins both.
+    * Everything stays in integer cents: no float ever enters the state.
+    */
+  def cusumDrift(readings: Dataset[DriftReading], mu0: Long,
+                 slack: Long = 0L, h: Long): Dataset[DriftSignal] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, batch: Iterator[DriftReading],
+         state: GroupState[DriftState]) => {
+          val sorted = batch.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var st = state.getOption.getOrElse(DriftState(0L, 0L))
+          val out = sorted.map { r =>
+            val up = math.max(0L, st.sPos + (r.cents - mu0 - slack))
+            val dn = math.max(0L, st.sNeg + (mu0 - r.cents - slack))
+            val alarm = up > h || dn > h
+            st = if (alarm) DriftState(0L, 0L) else DriftState(up, dn)
+            DriftSignal(key, r.event_id, up, dn, alarm)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Continuous corpus ingest with near-dup rejection — the streaming form
     * of [[graft.llm.Dedup.incrementalNearDups]]. Each micro-batch of new
     * documents is (1) deduplicated WITHIN the batch (MinHash pairs →

@@ -466,4 +466,48 @@ class StreamingSpec extends SparkSpec {
     }.toSet + 4L
     assert(kept == ref)
   }
+
+  test("CUSUM drift: state carries across trigger batches, alarms match " +
+       "a sequential fold, and both sides reset after an alarm") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def rd(id: Long, key: String, millis: Long, cents: Long) =
+      StreamOps.DriftReading(key, id, new Timestamp(millis), cents)
+    val stream = MemoryStream[StreamOps.DriftReading]
+    // mu0 = 1000, slack 0, threshold 500
+    val q = StreamOps.cusumDrift(stream.toDS(), mu0 = 1000L, h = 500L)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      // batch 1: 1000 -> s=(0,0); 1300 -> (300,0); 1400 -> (700,0) ALARM
+      // (resets); out-of-order input inside the batch must not matter
+      stream.addData(rd(3, "a", 3000, 1400), rd(1, "a", 1000, 1000),
+        rd(2, "a", 2000, 1300))
+      q.processAllAvailable()
+      // batch 2: state resumed at (0,0) after the alarm: 700 -> (0,300);
+      // 600 -> (0,700) ALARM; independent key untouched
+      stream.addData(rd(4, "a", 4000, 700), rd(5, "a", 5000, 600),
+        rd(6, "b", 5000, 1200))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("drift")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(("a", 1L)) == (0L, 0L, false))
+    assert(got(("a", 2L)) == (300L, 0L, false))
+    assert(got(("a", 3L)) == (700L, 0L, true), "alarm at threshold cross")
+    assert(got(("a", 4L)) == (0L, 300L, false), "reset after alarm")
+    assert(got(("a", 5L)) == (0L, 700L, true))
+    assert(got(("b", 6L)) == (200L, 0L, false), "keys independent")
+    // sequential fold over the merged per-key stream replays the signals
+    var (sp, sn) = (0L, 0L)
+    Seq((1L, 1000L), (2L, 1300L), (3L, 1400L), (4L, 700L), (5L, 600L))
+      .foreach { case (id, x) =>
+        val up = math.max(0L, sp + (x - 1000L))
+        val dn = math.max(0L, sn + (1000L - x))
+        val alarm = up > 500L || dn > 500L
+        assert(got(("a", id)) == (up, dn, alarm), s"fold mismatch at $id")
+        if (alarm) { sp = 0L; sn = 0L } else { sp = up; sn = dn }
+      }
+  }
 }
