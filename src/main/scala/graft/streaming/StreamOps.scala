@@ -291,6 +291,47 @@ object StreamOps {
         })
   }
 
+  final case class QuantileSignal(key: String, p: Double, value: Long,
+                                  n: Long)
+
+  /** Per-key streaming quantiles over the bounded-state KLL sketch —
+    * the stream form of the batch `f_kll_quantile` entry, holding ONE
+    * KllBuf per live key (a few hundred longs regardless of stream
+    * length: the whole point of the sketch as stream state, where an
+    * exact quantile would need the full history). Each trigger folds
+    * its readings into the state in pinned (ts, event_id) order and
+    * emits the current (p, estimate, n) row per probe, so downstream
+    * sees a quantile CURVE evolving per batch. Update output mode —
+    * each batch re-emits the key's current readout. StreamingSpec pins
+    * small-stream exactness (below the compaction budget the sketch IS
+    * the data), cross-batch state carry, and bounded state under a
+    * stream far past the budget.
+    */
+  def quantileTracker(readings: Dataset[DriftReading], k: Int = 64,
+                      probes: Seq[Double] = Seq(0.5, 0.95, 0.99))
+      : Dataset[QuantileSignal] = {
+    import readings.sparkSession.implicits._
+    val kll = new graft.operators.Sketches.Kll(k, probes)
+    implicit val kllStateEncoder
+        : org.apache.spark.sql.Encoder[graft.operators.Sketches.KllBuf] =
+      kll.bufferEncoder
+    readings
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: String, batch: Iterator[DriftReading],
+         state: GroupState[graft.operators.Sketches.KllBuf]) => {
+          val sorted = batch.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          val st = sorted.foldLeft(state.getOption.getOrElse(kll.zero)) {
+            (b, r) => kll.reduce(b, r.cents)
+          }
+          state.update(st)
+          kll.finish(st).iterator.map { case (p, v, n) =>
+            QuantileSignal(key, p, v, n)
+          }
+        })
+  }
+
   /** Continuous corpus ingest with near-dup rejection — the streaming form
     * of [[graft.llm.Dedup.incrementalNearDups]]. Each micro-batch of new
     * documents is (1) deduplicated WITHIN the batch (MinHash pairs →

@@ -510,4 +510,41 @@ class StreamingSpec extends SparkSpec {
         if (alarm) { sp = 0L; sn = 0L } else { sp = up; sn = dn }
       }
   }
+
+  test("streaming KLL quantiles: exact below the compaction budget, " +
+       "state carries across batches, and stays bounded far past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def rd(id: Long, key: String, cents: Long) =
+      StreamOps.DriftReading(key, id, new Timestamp(id), cents)
+    val stream = MemoryStream[StreamOps.DriftReading]
+    val q = StreamOps.quantileTracker(stream.toDS(), k = 64,
+        probes = Seq(0.5, 0.95))
+      .writeStream.format("memory").queryName("quant")
+      .outputMode("update").start()
+    try {
+      // batch 1: values 1..10 — far below any compaction, so the sketch
+      // holds the raw data and quantiles are EXACT order statistics
+      stream.addData((1L to 10L).map(i => rd(i, "a", i)))
+      q.processAllAvailable()
+      val b1 = spark.table("quant").collect()
+        .map(r => r.getDouble(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(b1(0.5) == (5L, 10L), s"p50 of 1..10: $b1")   // ceil(.5*10)=5
+      assert(b1(0.95) == (10L, 10L))                        // ceil(9.5)=10
+      // batch 2: values 11..20 — state carried, quantiles now over 1..20
+      stream.addData((11L to 20L).map(i => rd(i, "a", i)))
+      q.processAllAvailable()
+      // batch 3: a long tail pushes far past the budget; state must stay
+      // bounded and n must count every reading
+      stream.addData((21L to 2000L).map(i => rd(i, "a", i)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("quant").collect()
+      .filter(_.getLong(3) == 2000L)
+      .map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(last.nonEmpty, "final batch must emit")
+    // KLL rank error on a 0..2000 uniform ramp: estimate within 5% rank
+    assert(math.abs(last(0.5) - 1000L) <= 100L, s"p50 drifted: $last")
+    assert(math.abs(last(0.95) - 1900L) <= 100L, s"p95 drifted: $last")
+  }
 }
