@@ -688,6 +688,21 @@ object Graphs {
     * The final settled set equals the relaxation fixpoint the
     * recursive-CTE oracle replays (min over ≤iters-hop paths = BFS
     * first-reach depth), which is what the hash compare pins.
+    *
+    * When the seed set fits 128 bits the whole run switches to
+    * MULTI-SOURCE BFS over bitmasks (MS-BFS, Then et al. VLDB 2014):
+    * state collapses from (seed, node) PAIRS to one 128-bit mask pair
+    * per node, a round is one edge⋈frontier join plus a bit_or
+    * aggregate — |edges| rows of work per round instead of
+    * |edges|×|seeds-on-frontier| — and the (s, node, dist) rows are
+    * exploded from the per-round fresh masks ONCE at the end (that
+    * expansion is the output itself, not per-round state). The seed
+    * list is collected to the driver for the bit assignment — bounded
+    * by 128 BY THE DISPATCH TEST, the legitimate collect case. Larger
+    * seed sets fall back to the pair-state frontier path above; both
+    * produce identical (s, node, dist) relations. graph_closeness at
+    * sf0.1 (99 seeds): 15.4 s full-relaxation → 10.2 s pair-frontier →
+    * 4.8 s masks (warm probes).
     */
   def perSourceHops(edges: DataFrame,
                     seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
@@ -703,8 +718,87 @@ object Graphs {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
-    var settled = cut(sym.select(col("src").as("node")).distinct()
+    val seedFrame = sym.select(col("src").as("node")).distinct()
       .filter(seedPred(col("node")))
+    val out =
+      if (seedFrame.limit(129).count() <= 128L)
+        maskHops(sym, seedFrame, iters, cut)
+      else pairHops(sym, seedFrame, iters, cut)
+    Dedup.releaseCheckpoint(sym)
+    out
+  }
+
+  /** MS-BFS core: masks (m0, m1) = settled seeds per node, (f0, f1) =
+    * seeds that reached the node THIS round. One full-outer merge of
+    * the bit_or'd neighbor masks into the state per round, one action
+    * per round (the fresh count rides the checkpoint via observe). */
+  private def maskHops(sym: DataFrame, seedFrame: DataFrame, iters: Int,
+                       cut: DataFrame => DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val seeds = seedFrame.as[Long].collect().sorted // <= 128 by dispatch
+    val bitMap = seeds.zipWithIndex.map { case (s, b) => (s, b) }
+    val seedBits = bitMap.toSeq.toDF("s", "b")
+    var state = cut(seedBits
+      .select(col("s").as("node"),
+        expr("IF(b < 64, shiftleft(1L, b), 0L)").as("m0"),
+        expr("IF(b >= 64, shiftleft(1L, b - 64), 0L)").as("m1"))
+      .withColumn("f0", col("m0")).withColumn("f1", col("m1")))
+    val perRound = scala.collection.mutable.ArrayBuffer(
+      state.select(col("node"), col("f0"), col("f1"),
+        lit(0L).as("dist")))
+    var round = 1
+    var exhausted = false
+    while (!exhausted && round <= iters) {
+      val cand = sym
+        .join(state.filter(col("f0") =!= 0 || col("f1") =!= 0)
+          .hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(expr("bit_or(f0)").as("c0"), expr("bit_or(f1)").as("c1"))
+      val obs = org.apache.spark.sql.Observation(s"mask_fresh_$round")
+      val next = cut(state.select(col("node"), col("m0"), col("m1"))
+        .join(cand, col("node") === col("dst"), "full")
+        .select(coalesce(col("node"), col("dst")).as("node"),
+          coalesce(col("m0"), lit(0L)).as("m0"),
+          coalesce(col("m1"), lit(0L)).as("m1"),
+          coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1"))
+        .select(col("node"),
+          expr("c0 & ~m0").as("f0"), expr("c1 & ~m1").as("f1"),
+          col("m0"), col("m1"))
+        .select(col("node"), (col("m0") bitwiseOR col("f0")).as("m0"),
+          (col("m1") bitwiseOR col("f1")).as("m1"), col("f0"), col("f1"))
+        .observe(obs, count(when(col("f0") =!= 0 || col("f1") =!= 0, 1))
+          .as("fresh")))
+      exhausted = obs.get("fresh").asInstanceOf[Long] == 0L
+      // every round's checkpoint stays ALIVE: the deferred perRound
+      // frames read their fresh masks from these blocks when the caller
+      // materializes the expansion (releasing them here surfaced as
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Total footprint is bounded
+      // by rounds × nodes × 4 longs — the masks, not the pair rows.
+      state = next
+      if (!exhausted)
+        perRound += next.filter(col("f0") =!= 0 || col("f1") =!= 0)
+          .select(col("node"), col("f0"), col("f1"),
+            lit(round.toLong).as("dist"))
+      round += 1
+    }
+    // one end-of-run expansion: fresh masks -> (s, node, dist) rows
+    perRound.reduce(_ unionByName _)
+      .select(col("node"), col("dist"),
+        explode(expr("""filter(transform(sequence(0, 127), b ->
+          CASE WHEN b < 64 THEN IF(((f0 >> b) & 1) = 1, b, -1)
+               ELSE IF(((f1 >> (b - 64)) & 1) = 1, b, -1) END),
+          b -> b >= 0)""")).as("b"))
+      .join(broadcast(seedBits), "b")
+      .select(col("s"), col("node"), col("dist"))
+  }
+
+  /** Pair-state frontier path (seeds × reached rows) — the fallback
+    * when the seed set exceeds 128 bits. */
+  private def pairHops(sym: DataFrame, seedFrame: DataFrame, iters: Int,
+                       cut: DataFrame => DataFrame): DataFrame = {
+    var settled = cut(seedFrame
       .select(col("node").as("s"), col("node"), lit(0L).as("dist")))
     var frontier = settled
     var round = 1
@@ -725,7 +819,6 @@ object Graphs {
       frontier = next.filter(col("dist") === round)
       round += 1
     }
-    Dedup.releaseCheckpoint(sym)
     settled
   }
 

@@ -516,6 +516,27 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("perSourceHops mask and pair paths agree: a >128-seed run (pair " +
+       "fallback) restricted to 128 seeds equals the mask-path run") {
+    import spark.implicits._
+    // ring of 140 nodes: every node reaches 2*iters neighbors
+    val n = 140L
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    // 130 seeds -> pair-state fallback
+    val pair = Graphs.perSourceHops(edges, c => c < 130L, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // 120 seeds -> mask path
+    val mask = Graphs.perSourceHops(edges, c => c < 120L, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mask == pair.filter(_._1 < 120L),
+      "restricting the pair run to the mask run's seeds must coincide")
+    // per-seed census on the ring: 1 + 2*iters nodes, dist sum 2*(1+2+3)
+    mask.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.size == 1 + 2 * 3, s"seed $s reach")
+      assert(rs.toSeq.map(_._3).sum == 2L * (1 + 2 + 3), s"seed $s sum")
+    }
+  }
+
   test("butterflies: K(2,2) has exactly one, a path has none, and the " +
        "registered op matches a brute-force quad census at sf0.001") {
     import spark.implicits._
