@@ -1661,6 +1661,54 @@ object Graphs {
             .as("closeness"))
     },
 
+    // Sampled-eccentricity diameter bound (the double-sweep family of
+    // lower bounds, e.g. Magnien, Latapy & Habib 2009): ecc(s) =
+    // max_v d(s, v) from each pinned seed, diameter ≥ max ecc. Exact
+    // diameter needs all-pairs BFS — quadratic, off the table at scale;
+    // the seed sample rides the SAME perSourceHops mask kernel as
+    // graph_closeness, so this whole readout costs one extra aggregate
+    // over that run. Hop cap 8 > the trade graph's observed
+    // eccentricities, so within-component distances are converged (the
+    // oracle replays the identical 8 relaxation rounds). One all-BIGINT
+    // row: seed count, the diameter bound, min eccentricity (a center
+    // candidate), and the eccentricity sum.
+    Op("graph_diameter",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |step AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+         |  UNION ALL SELECT node, node, 0 FROM nodes),
+         |d AS (
+         |  SELECT 0 AS iter, node AS s, node, CAST(0 AS BIGINT) AS dist
+         |  FROM nodes WHERE node < 100
+         |  UNION ALL
+         |  SELECT d.iter + 1, d.s, st.dst AS node, min(d.dist + st.w)
+         |  FROM d JOIN step st ON st.src = d.node
+         |  WHERE d.iter < 8
+         |  GROUP BY 1, 2, 3),
+         |ecc AS (
+         |  SELECT s, CAST(max(dist) AS BIGINT) AS ecc
+         |  FROM d WHERE iter = 8 GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_seeds,
+         |       CAST(max(ecc) AS BIGINT) AS diameter_lb,
+         |       CAST(min(ecc) AS BIGINT) AS min_ecc,
+         |       CAST(sum(ecc) AS BIGINT) AS sum_ecc
+         |FROM ecc""".stripMargin) { (s, d) =>
+      perSourceHops(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+          node => node < 100, iters = 8)
+        .groupBy(col("s")).agg(max(col("dist")).as("ecc"))
+        .agg(count(lit(1)).as("n_seeds"),
+          max(col("ecc")).as("diameter_lb"),
+          min(col("ecc")).as("min_ecc"),
+          sum(col("ecc")).as("sum_ecc"))
+    },
+
     // Degree assortativity (Newman 2002): the Pearson correlation of
     // endpoint degrees over the symmetrized edge list — do hubs attach
     // to hubs (r > 0, social nets) or to leaves (r < 0, bipartite/
