@@ -925,20 +925,31 @@ object Graphs {
     out
   }
 
-  /** MAXIMUM spanning forest by distributed Borůvka (Borůvka 1926; the
-    * only spanning-tree algorithm whose rounds are data-parallel): each
-    * round every component picks its best incident cross edge — here
-    * the HIGHEST weight (backbone extraction: the strongest skeleton of
-    * a collaboration graph), ties broken by (src, dst) so the edge
-    * order is total and the forest UNIQUE — then components linked by
-    * chosen edges merge. O(log n) rounds; per round one label attach
-    * (two keyed joins), one per-component min-struct aggregate, and a
-    * component merge on the CONTRACTED label graph (≤ #components
-    * rows) via componentMinLabels. Edge list is never mutated — only
-    * the node→component map changes, so the big relation stays put
-    * while the shrinking label table does the work. The forest is
-    * unique by total edge order, so GraphsSpec pins it edge-for-edge
-    * against a sequential Kruskal replay.
+  /** MAXIMUM spanning forest by distributed Borůvka WITH CONTRACTION
+    * (Borůvka 1926; the only spanning-tree algorithm whose rounds are
+    * data-parallel): each round every component picks its best
+    * incident cross edge — here the HIGHEST weight (backbone
+    * extraction: the strongest skeleton of a collaboration graph),
+    * ties broken by (src, dst) so the edge order is total and the
+    * forest UNIQUE — then components linked by chosen edges merge and
+    * the edge list is CONTRACTED onto the new component space:
+    * intra-component edges drop, and parallel edges between the same
+    * component pair collapse to their min-struct (max weight under the
+    * total order). Contraction preserves the pick exactly — a dropped
+    * intra edge can never be a cross pick, and the per-component
+    * argmin over per-pair argmins equals the global argmin — while the
+    * working relation shrinks geometrically instead of re-joining the
+    * full edge table against the label map every round (the previous
+    * design; graph_mst warm-probed 8.6 s → see commit for the
+    * post-contraction number). Each edge carries its ORIGINAL
+    * (src, dst, w) through relabeling, so the output and the tie
+    * order never change. Per round: one per-component min-struct
+    * aggregate over the CURRENT (contracted) edges, a component merge
+    * on the picked label pairs (≤ #components rows) via
+    * componentMinLabels, and one relabel+collapse of the contracted
+    * edges against that small map. The forest is unique by total edge
+    * order, so GraphsSpec pins it edge-for-edge against a sequential
+    * Kruskal replay.
     */
   def maxSpanningForest(edges: DataFrame, srcCol: String = "src",
                         dstCol: String = "dst", wCol: String = "w",
@@ -951,56 +962,59 @@ object Graphs {
         greatest(col(srcCol), col(dstCol)).as("dst"), col(wCol).as("w"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w")))
-    var comp = cut(base.select(explode(array(
-        col("src"), col("dst"))).as("node")).distinct()
-      .select(col("node"), col("node").as("label")))
+    // contracted working set: endpoints in component space, original
+    // edge kept inside the min-struct; one row per component pair
+    var cur = cut(base.select(col("src").as("ca"), col("dst").as("cb"),
+      struct((-col("w")).as("nw"), col("src"), col("dst")).as("e")))
     var chosen: DataFrame = null
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       val obs = org.apache.spark.sql.Observation(s"msf_cross_$round")
-      val lab = cut(base
-        .join(comp.select(col("node").as("src"), col("label").as("ca")),
-          "src")
-        .join(comp.select(col("node").as("dst"), col("label").as("cb")),
-          "dst")
-        .filter(col("ca") =!= col("cb"))
+      val pick = cut(cur.select(
+          explode(array(col("ca"), col("cb"))).as("c"),
+          struct(col("e").as("e"), col("ca"), col("cb")).as("p"))
+        .groupBy(col("c")).agg(min(col("p")).as("p"))
+        .select(col("p.e.src").as("src"), col("p.e.dst").as("dst"),
+          (-col("p.e.nw")).as("w"), col("p.ca").as("ca"),
+          col("p.cb").as("cb"))
+        .distinct() // both endpoints' components may pick the same edge
         .observe(obs, count(lit(1)).as("n")))
       if (obs.get("n").asInstanceOf[Long] == 0L) {
-        graft.llm.Dedup.releaseCheckpoint(lab)
+        graft.llm.Dedup.releaseCheckpoint(pick)
         done = true
       } else {
-        val pick = lab.select(
-            explode(array(col("ca"), col("cb"))).as("c"),
-            struct((-col("w")).as("nw"), col("src"), col("dst"),
-              col("ca"), col("cb")).as("e"))
-          .groupBy(col("c")).agg(min(col("e")).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"),
-            (-col("e.nw")).as("w"), col("e.ca").as("ca"),
-            col("e.cb").as("cb"))
-          .distinct() // both endpoints' components may pick the same edge
-        val picked = cut(pick)
-        graft.llm.Dedup.releaseCheckpoint(lab)
         val grown =
-          if (chosen == null) cut(picked.select("src", "dst", "w"))
-          else cut(chosen.unionByName(picked.select("src", "dst", "w")))
+          if (chosen == null) cut(pick.select("src", "dst", "w"))
+          else cut(chosen.unionByName(pick.select("src", "dst", "w")))
         if (chosen != null) graft.llm.Dedup.releaseCheckpoint(chosen)
         chosen = grown
         // merge on the CONTRACTED graph: labels linked by chosen edges
         val merged = graft.llm.Dedup.componentMinLabels(
-          picked.select(col("ca").as("id_a"), col("cb").as("id_b")))
-        val nextComp = cut(comp
-          .join(merged.select(col("node").as("label"),
-            col("label").as("nlabel")), Seq("label"), "left")
-          .select(col("node"),
-            coalesce(col("nlabel"), col("label")).as("label")))
-        graft.llm.Dedup.releaseCheckpoint(comp)
-        graft.llm.Dedup.releaseCheckpoint(picked)
+          pick.select(col("ca").as("id_a"), col("cb").as("id_b")))
+        val relabel = merged.select(col("node").as("old"),
+          col("label").as("nu"))
+        // contract: relabel endpoints, drop intra edges, collapse
+        // parallel edges to the per-pair min-struct
+        val nextCur = cut(cur
+          .join(relabel.withColumnRenamed("old", "ca")
+            .withColumnRenamed("nu", "na"), Seq("ca"), "left")
+          .join(relabel.withColumnRenamed("old", "cb")
+            .withColumnRenamed("nu", "nb"), Seq("cb"), "left")
+          .select(coalesce(col("na"), col("ca")).as("a"),
+            coalesce(col("nb"), col("cb")).as("b"), col("e"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("ca"),
+            greatest(col("a"), col("b")).as("cb"), col("e"))
+          .groupBy(col("ca"), col("cb")).agg(min(col("e")).as("e")))
+        graft.llm.Dedup.releaseCheckpoint(cur)
+        graft.llm.Dedup.releaseCheckpoint(pick)
         graft.llm.Dedup.releaseCheckpoint(merged)
-        comp = nextComp
+        cur = nextCur
         round += 1
       }
     }
+    graft.llm.Dedup.releaseCheckpoint(cur)
     graft.llm.Dedup.releaseCheckpoint(base)
     if (chosen == null)
       base.filter(lit(false)).select(col("src"), col("dst"), col("w"))
