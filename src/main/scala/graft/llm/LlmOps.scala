@@ -2650,6 +2650,50 @@ object LlmOps {
         "doc_id", pairs, valFrac = 0.1, testFrac = 0.1)
     },
 
+    // Leakage-safe k-fold cross-validation assignment: fold = md5 of
+    // the near-dup CLUSTER label mod k, so near-duplicates always land
+    // in the SAME fold and no fold's held-out slice leaks into another
+    // fold's training set — the CV companion to mix_split_leakage_safe
+    // (same cluster substrate, same oracle replay of the banding
+    // candidates + component walk; the fold draw is one md5 mod).
+    Op("mix_kfold",
+       s"""WITH RECURSIVE pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8)
+                 .linesIterator.mkString("\n    ")})),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs),
+          |walk(node, reach) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |labels AS (
+          |  SELECT node, least(node, min(reach)) AS label
+          |  FROM walk GROUP BY node),
+          |clustered AS (
+          |  SELECT d.doc_id, d.source,
+          |         coalesce(l.label, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+          |SELECT doc_id, source, cluster,
+          |       CAST('0x' || substr(md5(concat('fold:',
+          |              CAST(cluster AS VARCHAR))), 1, 8) AS BIGINT) % 5
+          |         AS fold
+          |FROM clustered""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, bands = 8, rows = 4,
+        threshold = 0.8, portable = true)
+      val labels = Dedup.componentMinLabels(pairs)
+        .select(col("node").as("doc_id"), col("label"))
+      docs.select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+        .select(col("doc_id"), col("source"), col("cluster"),
+          (expr("CAST(conv(substring(md5(concat('fold:', " +
+            "CAST(cluster AS STRING))), 1, 8), 16, 10) AS BIGINT)") % 5)
+            .as("fold"))
+    },
+
     // DPO preference pairs (Rafailov et al. 2023): within each
     // (lang, source) prompt group, rank by the integer reward (n_chars
     // stands in for a scored reward; the pairing logic only sees the

@@ -48,6 +48,13 @@ object Analytics {
     // the replicate means come out as one exact integer pair plus a
     // single division. The spread of the 32 means IS the standard
     // error; AnalyticsSpec turns them into a CI and checks coverage.
+    //
+    // Draw economics: md5 yields 128 bits = FOUR independent 32-bit
+    // draws, so replicate b reads hex slice (b mod 4) of the hash keyed
+    // by group b div 4 — 8 md5 calls per row for 32 replicates instead
+    // of 32 (measured 6.2 s → see commit; the hash build dominates this
+    // whole op). Both engines slice the identical hex string, so the
+    // draws stay portable.
     Op("f_bootstrap_ci", {
       val cutSql = poissonCuts.zipWithIndex
         .map { case (c, j) => s"WHEN hv < $c THEN $j" }
@@ -58,11 +65,11 @@ object Analytics {
          |           AS cents
          |  FROM orders),
          |fan AS (
-         |  SELECT b, cents,
-         |         CAST('0x' || substr(md5(concat('boot:', CAST(b AS VARCHAR),
-         |             ':', CAST(o_orderkey AS VARCHAR))), 1, 8) AS BIGINT)
-         |           AS hv
-         |  FROM o, range(32) r(b)),
+         |  SELECT g * 4 + j AS b, cents,
+         |         CAST('0x' || substr(md5(concat('boot:', CAST(g AS VARCHAR),
+         |             ':', CAST(o_orderkey AS VARCHAR))), 1 + j * 8, 8)
+         |           AS BIGINT) AS hv
+         |  FROM o, range(8) r(g), range(4) s(j)),
          |w AS (SELECT b, cents, CASE $cutSql ELSE 6 END AS w FROM fan)
          |SELECT CAST(b AS INT) AS b,
          |       CAST(sum(w) AS BIGINT) AS n_eff,
@@ -75,10 +82,14 @@ object Analytics {
         .select(col("o_orderkey"),
           (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
       val fan = o.select(col("o_orderkey"), col("cents"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-        .select(col("b"), col("cents"),
-          expr("CAST(conv(substring(md5(concat('boot:', CAST(b AS STRING)," +
-            " ':', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+          explode(sequence(lit(0), lit(7))).as("g"))
+        .select(col("cents"), col("g"),
+          md5(concat(lit("boot:"), col("g").cast("string"), lit(":"),
+            col("o_orderkey").cast("string"))).as("h"))
+        .select(col("cents"), col("g"),
+          explode(sequence(lit(0), lit(3))).as("j"), col("h"))
+        .select((col("g") * 4 + col("j")).as("b"), col("cents"),
+          expr("CAST(conv(substring(h, 1 + j * 8, 8), 16, 10) AS BIGINT)")
             .as("hv"))
       val w = poissonCuts.zipWithIndex.reverse
         .foldLeft(lit(6): org.apache.spark.sql.Column) {
@@ -122,6 +133,155 @@ object Analytics {
         .select(col("b").cast("int").as("b"), col("n_eff"), col("num"),
           (col("num").cast("double") / col("n_eff").cast("double"))
             .as("mean_cents"))
+    },
+
+    // Randomization (permutation) test for the urgent-vs-rest gap in
+    // mean order value (Fisher 1935; the Bernoulli-relabel variant is
+    // the one-pass massive-data form — each replicate redraws every
+    // row's group label with the observed group rate instead of
+    // globally shuffling labels, valid under the same exchangeability
+    // null; cf. Chung & Romano 2013 on randomization asymptotics). 32
+    // replicates fan out map-side exactly like f_bootstrap_ci (8 md5
+    // calls per row — each hash feeds 4 replicates via hex slices);
+    // the draw is the portable md5 32-bit integer compared against the
+    // observed rate by CROSS-MULTIPLICATION (hv * n < 2^32 * n1), so
+    // no float touches the assignment. The statistic is the
+    // TRUNCATING-DIVISION mean gap in milli-cents — integer-exact and
+    // pinned identically on both engines — and the exceedance count
+    // |gap_b| >= |gap_obs| is pure BIGINT. One row out: group sizes,
+    // observed gap, exceedances, p in ppm.
+    Op("f_permutation_test",
+       """WITH o AS (
+         |  SELECT o_orderkey,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents,
+         |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+         |           AS g
+         |  FROM orders),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(g) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN g = 1 THEN cents ELSE 0 END)
+         |              AS BIGINT) AS s1,
+         |         CAST(sum(CASE WHEN g = 0 THEN cents ELSE 0 END)
+         |              AS BIGINT) AS s0
+         |  FROM o),
+         |obs AS (
+         |  SELECT n, n1, n - n1 AS n0,
+         |         s1 * 1000 // n1 - s0 * 1000 // (n - n1) AS d_obs
+         |  FROM tot),
+         |fan AS (
+         |  SELECT gg * 4 + j AS b, cents,
+         |         CASE WHEN CAST('0x' || substr(md5(concat('perm:',
+         |                  CAST(gg AS VARCHAR), ':',
+         |                  CAST(o_orderkey AS VARCHAR))), 1 + j * 8, 8)
+         |                  AS BIGINT)
+         |                * (SELECT n FROM tot)
+         |                < 4294967296 * (SELECT n1 FROM tot)
+         |              THEN 1 ELSE 0 END AS gb
+         |  FROM o, range(8) r(gg), range(4) s(j)),
+         |reps AS (
+         |  SELECT b, CAST(sum(gb) AS BIGINT) AS m1,
+         |         CAST(count(*) AS BIGINT) - CAST(sum(gb) AS BIGINT) AS m0,
+         |         CAST(sum(CASE WHEN gb = 1 THEN cents ELSE 0 END)
+         |              AS BIGINT) AS t1,
+         |         CAST(sum(CASE WHEN gb = 0 THEN cents ELSE 0 END)
+         |              AS BIGINT) AS t0
+         |  FROM fan GROUP BY 1),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_valid,
+         |         CAST(sum(CASE WHEN abs(t1 * 1000 // m1 - t0 * 1000 // m0)
+         |                            >= abs((SELECT d_obs FROM obs))
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+         |  FROM reps WHERE m1 > 0 AND m0 > 0)
+         |SELECT o.n, o.n1, o.n0, o.d_obs, e.n_valid, e.n_exceed,
+         |       e.n_exceed * 1000000 // e.n_valid AS p_ppm
+         |FROM obs o, ex e""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("g"))
+      val tot = o.agg(count(lit(1)).as("n"), sum(col("g")).as("n1"),
+          sum(when(col("g") === 1, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("g") === 0, col("cents")).otherwise(0L)).as("s0"))
+        .transform(graft.Ckpt.cut(_)) // 1 row; feeds obs AND the fanout
+      val obs = tot.select(col("n"), col("n1"), (col("n") - col("n1"))
+          .as("n0"),
+        (expr("s1 * 1000 div n1") - expr("s0 * 1000 div (n - n1)"))
+          .as("d_obs"))
+      val fan = o.crossJoin(broadcast(tot.select(col("n"), col("n1"))))
+        .select(col("o_orderkey"), col("cents"), col("n"), col("n1"),
+          explode(sequence(lit(0), lit(7))).as("g"))
+        .select(col("cents"), col("n"), col("n1"), col("g"),
+          md5(concat(lit("perm:"), col("g").cast("string"), lit(":"),
+            col("o_orderkey").cast("string"))).as("h"))
+        .select(col("cents"), col("n"), col("n1"), col("g"),
+          explode(sequence(lit(0), lit(3))).as("j"), col("h"))
+        .select((col("g") * 4 + col("j")).as("b"), col("cents"),
+          (expr("CAST(conv(substring(h, 1 + j * 8, 8), 16, 10)" +
+            " AS BIGINT)") * col("n") <
+            lit(4294967296L) * col("n1")).cast("long").as("gb"))
+      val reps = fan.groupBy(col("b"))
+        .agg(sum(col("gb")).as("m1"),
+          (count(lit(1)) - sum(col("gb"))).as("m0"),
+          sum(when(col("gb") === 1, col("cents")).otherwise(0L)).as("t1"),
+          sum(when(col("gb") === 0, col("cents")).otherwise(0L)).as("t0"))
+      val ex = reps.filter(col("m1") > 0 && col("m0") > 0)
+        .crossJoin(broadcast(obs.select(col("d_obs").as("d_o"))))
+        .agg(count(lit(1)).as("n_valid"),
+          sum(when(abs(expr("t1 * 1000 div m1") -
+            expr("t0 * 1000 div m0")) >= abs(col("d_o")), 1L)
+            .otherwise(0L)).as("n_exceed"))
+      obs.crossJoin(broadcast(ex))
+        .select(col("n"), col("n1"), col("n0"), col("d_obs"),
+          col("n_valid"), col("n_exceed"),
+          expr("n_exceed * 1000000 div n_valid").as("p_ppm"))
+    },
+
+    // The 100 TB fast path of the randomization test: 64 replicates
+    // drawn from one codegen'd xxhash64 per (replicate, row) masked to
+    // the same 32-bit domain — the f_bootstrap_ci_fast convention. No
+    // DuckDB xxhash64, so rows-only; AnalyticsSpec pins the observed
+    // statistic to the portable path's and the p-value to the same
+    // order of magnitude.
+    Op.noOracle("f_permutation_test_fast") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("g"))
+      val tot = o.agg(count(lit(1)).as("n"), sum(col("g")).as("n1"),
+          sum(when(col("g") === 1, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("g") === 0, col("cents")).otherwise(0L)).as("s0"))
+        .transform(graft.Ckpt.cut(_))
+      val obs = tot.select(col("n"), col("n1"), (col("n") - col("n1"))
+          .as("n0"),
+        (expr("s1 * 1000 div n1") - expr("s0 * 1000 div (n - n1)"))
+          .as("d_obs"))
+      val fan = o.crossJoin(broadcast(tot.select(col("n"), col("n1"))))
+        .select(col("cents"), col("n"), col("n1"),
+          explode(sequence(lit(0), lit(63))).as("b"),
+          col("o_orderkey"))
+        .select(col("b"), col("cents"),
+          ((xxhash64(lit("perm"), col("b"), col("o_orderkey"))
+            .bitwiseAND(lit(4294967295L))) * col("n") <
+            lit(4294967296L) * col("n1")).cast("long").as("gb"))
+      val reps = fan.groupBy(col("b"))
+        .agg(sum(col("gb")).as("m1"),
+          (count(lit(1)) - sum(col("gb"))).as("m0"),
+          sum(when(col("gb") === 1, col("cents")).otherwise(0L)).as("t1"),
+          sum(when(col("gb") === 0, col("cents")).otherwise(0L)).as("t0"))
+      val ex = reps.filter(col("m1") > 0 && col("m0") > 0)
+        .crossJoin(broadcast(obs.select(col("d_obs").as("d_o"))))
+        .agg(count(lit(1)).as("n_valid"),
+          sum(when(abs(expr("t1 * 1000 div m1") -
+            expr("t0 * 1000 div m0")) >= abs(col("d_o")), 1L)
+            .otherwise(0L)).as("n_exceed"))
+      obs.crossJoin(broadcast(ex))
+        .select(col("n"), col("n1"), col("n0"), col("d_obs"),
+          col("n_valid"), col("n_exceed"),
+          expr("n_exceed * 1000000 div n_valid").as("p_ppm"))
     },
 
     // Relative-position windows: percent_rank (min-max normalized rank)

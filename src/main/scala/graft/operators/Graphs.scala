@@ -925,6 +925,64 @@ object Graphs {
     out
   }
 
+  /** Deterministic random-walk corpus (the DeepWalk/node2vec input —
+    * Perozzi et al. KDD 2014): from every seed node, `steps` steps of a
+    * uniform neighbor walk, where step t's draw from node u is the
+    * neighbor v minimizing the 32-bit md5 hash of (walk, t, v) — a
+    * uniform choice among neighbors that is DETERMINISTIC, so the walk
+    * table is bit-replayable by a recursive CTE and hash-compares
+    * end-to-end (the f_bootstrap_ci portable-draw convention applied
+    * to graph traversal). Output (walk, step, node): the sequence
+    * corpus an embedding trainer (skip-gram over walks) consumes.
+    *
+    * Scale shape: walk state is one row per walk; each step is one
+    * broadcast join of the state against the checkpointed symmetric
+    * edge list (map-side — the edge relation never shuffles) plus one
+    * walk-keyed min-struct aggregate over the selected neighbor rows
+    * (partial-aggregated; fanout is Σ deg(current node) per step).
+    * With corpus-scale walk counts the broadcast flips to a keyed
+    * shuffle-hash join on src — same plan family as pageRank's rounds.
+    * State is cut every step (tiny), the edge list once.
+    */
+  def randomWalks(edges: DataFrame,
+                  seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  steps: Int = 8,
+                  reliable: Boolean = false): DataFrame = {
+    require(steps >= 1, s"steps must be positive, got $steps")
+    def cut(df: DataFrame): DataFrame =
+      graft.Ckpt.cut(df, reliable)
+    val sym = cut(edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var state = cut(sym.select(col("src").as("node")).distinct()
+      .filter(seedPred(col("node")))
+      .select(col("node").as("walk"), lit(0L).as("step"), col("node")))
+    val frames = scala.collection.mutable.ArrayBuffer(state)
+    var t = 1
+    while (t <= steps) {
+      val hv = expr("CAST(conv(substring(md5(concat('walk:', " +
+        s"CAST(walk AS STRING), ':', CAST($t AS STRING), ':', " +
+        "CAST(dst AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+      val next = cut(sym.join(broadcast(state), col("src") === col("node"))
+        .select(col("walk"), hv.as("hv"), col("dst"))
+        .groupBy(col("walk"))
+        .agg(min(struct(col("hv"), col("dst"))).as("p"))
+        .select(col("walk"), lit(t.toLong).as("step"),
+          col("p.dst").as("node")))
+      frames += next
+      state = next
+      t += 1
+    }
+    val out = cut(frames.reduce(_ unionByName _))
+    frames.foreach(Dedup.releaseCheckpoint)
+    Dedup.releaseCheckpoint(sym)
+    out
+  }
+
   /** MAXIMUM spanning forest by distributed Borůvka WITH CONTRACTION
     * (Borůvka 1926; the only spanning-tree algorithm whose rounds are
     * data-parallel): each round every component picks its best
@@ -1567,6 +1625,37 @@ object Graphs {
          |SELECT node, dist FROM d WHERE iter = 6""".stripMargin) { (s, d) =>
       shortestHops(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
         node => node < 100, iters = 6)
+    },
+
+    // Walk corpus from the seed customers {node < 100}: 8 deterministic
+    // uniform-neighbor steps over the symmetrized trade graph — the
+    // DeepWalk input sequence table. The md5 argmin draw is replayed by
+    // the recursive CTE verbatim (min over (hash, neighbor) structs),
+    // so every hop of every walk hash-compares.
+    Op("graph_random_walks",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |w(walk, step, node) AS (
+         |  SELECT node, CAST(0 AS BIGINT), node FROM nodes WHERE node < 100
+         |  UNION ALL
+         |  SELECT w.walk, w.step + 1,
+         |         (min(struct_pack(h := CAST('0x' || substr(md5(concat(
+         |              'walk:', CAST(w.walk AS VARCHAR), ':',
+         |              CAST(w.step + 1 AS VARCHAR), ':',
+         |              CAST(e.dst AS VARCHAR))), 1, 8) AS BIGINT),
+         |              d := e.dst))).d
+         |  FROM w JOIN edges e ON e.src = w.node
+         |  WHERE w.step < 8
+         |  GROUP BY w.walk, w.step)
+         |SELECT walk, step, node FROM w""".stripMargin) { (s, d) =>
+      randomWalks(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+        node => node < 100, steps = 8)
     },
 
     // Butterfly counting (Sanei-Mehri, Sariyüce & Tirthapura, KDD'18):

@@ -594,4 +594,25 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("mix_kfold: folds live in 0..4, every member of a near-dup " +
+       "cluster shares its cluster's fold, and all docs are assigned") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("mix_kfold")(
+        spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"cluster", $"fold")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall { case (_, _, f) => f >= 0 && f < 5 })
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.values.forall(_.map(_._3).distinct.length == 1),
+      "a cluster must never straddle folds")
+    assert(byCluster.exists(_._2.length > 1),
+      "sf0.01 must contain at least one multi-doc near-dup cluster " +
+        "or the leakage guarantee is vacuous")
+    // balance: md5-uniform folds over ~clusters; loose 2x bound
+    val folds = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(folds.size == 5 && folds.values.min * 3 > folds.values.max,
+      s"fold sizes suspiciously skewed: $folds")
+  }
+
 }

@@ -272,4 +272,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getLong(3) == sortedGaps((gaps.length + 1) / 2 - 1),
       "lower median gap")
   }
+
+  test("permutation test: observed gap matches a direct computation, " +
+       "counts are consistent, and the replicate machinery is " +
+       "partitioning-invariant") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val row = graft.SparkEntry.queries("f_permutation_test")(spark, sf)
+      .collect().head
+    val (n, n1, n0) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (dObs, nValid, nExceed, pPpm) = (row.getLong(3), row.getLong(4),
+      row.getLong(5), row.getLong(6))
+    // direct observed statistic on collected data
+    val o = graft.Tables.orders(spark, sf)
+      .select($"o_orderpriority",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val (g1, g0) = o.partition(_._1 == "1-URGENT")
+    assert(n == o.length && n1 == g1.length && n0 == g0.length)
+    val expObs = Math.floorDiv(g1.map(_._2).sum * 1000L, g1.length.toLong) -
+      Math.floorDiv(g0.map(_._2).sum * 1000L, g0.length.toLong)
+    assert(dObs == expObs, s"observed gap $dObs vs direct $expObs")
+    assert(nValid == 32L && nExceed >= 0L && nExceed <= nValid)
+    assert(pPpm == Math.floorDiv(nExceed * 1000000L, nValid))
+    // md5 draws: a rerun is bit-identical
+    val row2 = graft.SparkEntry.queries("f_permutation_test")(spark, sf)
+      .collect().head
+    assert(row.toSeq == row2.toSeq)
+    // fast path: identical observed statistic, same-shape counters
+    val fr = graft.SparkEntry.queries("f_permutation_test_fast")(spark, sf)
+      .collect().head
+    assert(fr.getLong(0) == n && fr.getLong(1) == n1 && fr.getLong(3) == dObs)
+    assert(fr.getLong(4) == 64L && fr.getLong(5) <= 64L)
+  }
 }

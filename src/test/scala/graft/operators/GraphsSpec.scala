@@ -566,4 +566,31 @@ class GraphsSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (ne, nw, nb))
   }
 
+  test("randomWalks: every hop is a graph edge, every walk starts at its " +
+       "seed and has full length, and reruns are bit-identical") {
+    import spark.implicits._
+    val edges = Graphs.tradeGraph(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001"),
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    val w = Graphs.randomWalks(edges, n => n < 100, steps = 5)
+      .as[(Long, Long, Long)].collect().sorted
+    val seeds = w.filter(_._2 == 0L)
+    assert(seeds.forall { case (walk, _, node) => walk == node },
+      "step 0 must sit at the seed")
+    val byWalk = w.groupBy(_._1)
+    assert(byWalk.values.forall(_.length == 6),
+      "every walk must have steps 0..5")
+    val sym = edges.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val hops = byWalk.values.flatMap { rows =>
+      val seq = rows.sortBy(_._2).map(_._3)
+      seq.zip(seq.tail)
+    }
+    assert(hops.forall(sym.contains), "every consecutive pair is an edge")
+    val w2 = Graphs.randomWalks(edges.repartition(7), n => n < 100,
+      steps = 5).as[(Long, Long, Long)].collect().sorted
+    assert(w.sameElements(w2),
+      "md5 draws must make the corpus partitioning-invariant")
+  }
+
 }
