@@ -663,6 +663,59 @@ object Graphs {
     d
   }
 
+  /** Bounded-hop Bellman-Ford: exact shortest WEIGHTED distance from
+    * the seed set over ≤ `iters`-edge paths — [[shortestHops]] with the
+    * unit hop replaced by a positive integer edge cost (wCol). Same
+    * 0-cost self-loop trick, so each round stays one keyed join + one
+    * keyed min-aggregate and the whole run is replayed by a
+    * single-reference recursive CTE. Integer costs make every round
+    * exact; with non-negative costs the bounded relaxation equals the
+    * true shortest distance for any node whose optimal path uses
+    * ≤ iters edges (Bellman-Ford's invariant). Parallel edges collapse
+    * to their cheapest cost up front. State is one (node, dist) row
+    * per reached node, two checkpoint generations max.
+    */
+  def weightedHops(edges: DataFrame,
+                   seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   wCol: String = "w",
+                   iters: Int = 6, checkpointEvery: Int = 6,
+                   reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    def cut(df: DataFrame): DataFrame =
+      graft.Ckpt.cut(df, reliable)
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(wCol).as("w")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst"),
+          col(wCol).as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val step = cut(sym.unionByName(nodes.select(col("node").as("src"),
+      col("node").as("dst"), lit(0L).as("w"))))
+    var d = nodes.filter(seedPred(col("node")))
+      .select(col("node"), lit(0L).as("dist"))
+    var dCk: Option[DataFrame] = None
+    var round = 0
+    while (round < iters) {
+      d = step.join(d.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("dist"))
+        .withColumnRenamed("dst", "node")
+      round += 1
+      if (round % checkpointEvery == 0 || round == iters) {
+        val cutD = cut(d)
+        dCk.foreach(Dedup.releaseCheckpoint)
+        dCk = Some(cutD)
+        d = cutD
+      }
+    }
+    Dedup.releaseCheckpoint(step)
+    d
+  }
+
   /** Per-source bounded BFS: [[shortestHops]] semantics with the state
     * keyed by (source, node) so every seed advances in the same keyed
     * join+agg per round — k seeds cost k× state rows, not k× rounds
@@ -1656,6 +1709,48 @@ object Graphs {
          |SELECT walk, step, node FROM w""".stripMargin) { (s, d) =>
       randomWalks(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
         node => node < 100, steps = 8)
+    },
+
+    // Shortest WEIGHTED distances from the seed customers over ≤6-edge
+    // paths: bounded Bellman-Ford on the repeat-trade graph, edge cost
+    // 1 + 1000 div lines — inverse trade intensity, so the "distance"
+    // is a supply-chain remoteness measure (strong relationships are
+    // short). All-integer relaxation, replayed by the recursive CTE.
+    Op("graph_sssp",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+         |         CAST(count(*) AS BIGINT) AS lines
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (
+         |  SELECT src, dst, 1 + 1000 // lines AS w FROM raw
+         |  UNION ALL SELECT dst, src, 1 + 1000 // lines FROM raw),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |step AS (
+         |  SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges
+         |  UNION ALL SELECT node, node, 0 FROM nodes),
+         |d AS (
+         |  SELECT 0 AS iter, node, CAST(0 AS BIGINT) AS dist
+         |  FROM nodes WHERE node < 100
+         |  UNION ALL
+         |  SELECT d.iter + 1, s.dst AS node, min(d.dist + s.w) AS dist
+         |  FROM d JOIN step s ON s.src = d.node
+         |  WHERE d.iter < 6
+         |  GROUP BY 1, 2)
+         |SELECT node, dist FROM d WHERE iter = 6""".stripMargin) { (s, d) =>
+      val weighted = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("lines"))
+        .filter(col("lines") >= 3)
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"),
+          (lit(1L) + expr("1000 div lines")).as("w"))
+      weightedHops(weighted, node => node < 100, iters = 6)
     },
 
     // Butterfly counting (Sanei-Mehri, Sariyüce & Tirthapura, KDD'18):

@@ -593,4 +593,22 @@ class GraphsSpec extends SparkSpec {
       "md5 draws must make the corpus partitioning-invariant")
   }
 
+  test("weightedHops: the cheap detour beats the expensive direct edge, " +
+       "parallel edges collapse to the cheapest, and the hop bound binds") {
+    import spark.implicits._
+    // 0-1 direct costs 10; 0-2-1 costs 2+3=5; parallel 0-2 edge costs 9
+    val g = Seq((0L, 1L, 10L), (0L, 2L, 2L), (0L, 2L, 9L), (2L, 1L, 3L),
+      (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val d = Graphs.weightedHops(g, n => n === 0L, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(0L -> 0L, 1L -> 5L, 2L -> 2L, 3L -> 6L), s"got $d")
+    // iters=1 can only take single edges: node 3 unreachable, 1 pays 10
+    val d1 = Graphs.weightedHops(g, n => n === 0L, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(0L -> 0L, 1L -> 10L, 2L -> 2L), s"got $d1")
+    val dr = Graphs.weightedHops(g.repartition(5), n => n === 0L, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(dr == d, "integer relaxation must be partitioning-invariant")
+  }
+
 }
