@@ -111,15 +111,16 @@ object Topics {
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import graft.functions.GraftFunctions.ieeeLn
-    val topw = plsaTopics(docs, k, vocabSize, rounds, topWords,
-      idCol, textCol)
+    val (topw, occ) = plsaTopicsWithPostings(docs, k, vocabSize, rounds,
+      topWords, idCol, textCol)
     val words = topw.select(col("tok")).distinct()
-    val dw = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFeatures.tokens(col(textCol))))
-          .as("tok"))
+    // the co-document census reads the EM's own vocab-pruned postings
+    // (top words ⊆ vocab, and occ's key set IS the distinct (doc, tok)
+    // relation) — no second corpus tokenization pass
+    val dw = occ.select(col("doc_id"), col("tok"))
       .join(broadcast(words), "tok")
       .transform(graft.Ckpt.cut(_)) // feeds dfreq AND both sides of the pair join
+    Dedup.releaseCheckpoint(occ)
     val dfreq = dw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prs = topw.select(col("z"), col("rank").as("ri"),
         col("tok").as("wi"))
@@ -154,6 +155,22 @@ object Topics {
                  rounds: Int = 2, topWords: Int = 10,
                  idCol: String = "doc_id", textCol: String = "text",
                  reliable: Boolean = false): DataFrame = {
+    val (topw, occ) = plsaTopicsWithPostings(docs, k, vocabSize, rounds,
+      topWords, idCol, textCol, reliable)
+    Dedup.releaseCheckpoint(occ)
+    topw
+  }
+
+  /** [[plsaTopics]] that also hands back the checkpointed
+    * vocab-pruned postings (doc_id, tok, n) — [[topicCoherence]]
+    * derives its co-document census from them instead of re-tokenizing
+    * the corpus. Caller owns releasing BOTH checkpoints.
+    */
+  def plsaTopicsWithPostings(
+      docs: DataFrame, k: Int = 3, vocabSize: Int = 50,
+      rounds: Int = 2, topWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      reliable: Boolean = false): (DataFrame, DataFrame) = {
     require(k >= 2 && vocabSize >= k && rounds >= 1 && topWords >= 1)
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
@@ -221,8 +238,7 @@ object Topics {
       .transform(graft.Ckpt.cut(_))
     Dedup.releaseCheckpoint(phi)
     Dedup.releaseCheckpoint(theta)
-    Dedup.releaseCheckpoint(occ)
-    out
+    (out, occ)
   }
 
   /** One EM round of the oracle replay: CTEs u$o/c$o/phi$o/theta$o
