@@ -1080,6 +1080,47 @@ object Events {
         .select(col("n0"), col("n1"), covNum.as("cov_num"),
           varNum.as("var_num"), theta.as("theta"), rawUp.as("raw_uplift"),
           (rawUp - theta * xGap).as("cuped_uplift"))
+    },
+
+    // Weekly cohort retention triangle on the event stream: cohort =
+    // the ISO week of a user's FIRST event, k = whole weeks since, and
+    // retention is the share of the cohort active in week k — the
+    // activity-retention companion to f_cohort_retention's revenue
+    // cohorts (orders). Monday-aligned date_trunc on both engines, so
+    // week differences are exact multiples of 7 and k is pure integer;
+    // retention in truncating ppm. Scale shape: one (user, week)
+    // distinct (keyed shuffle), one per-user min, then cohort-keyed
+    // aggregates — all partial-aggregated, no windows, no fanout.
+    Op("e_retention_weekly",
+       """WITH u AS (
+         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+         |  FROM events GROUP BY 1, 2),
+         |f AS (SELECT user_id, min(w) AS cw FROM u GROUP BY 1),
+         |c AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+         |      FROM f GROUP BY 1),
+         |a AS (
+         |  SELECT f.cw, CAST((u.w - f.cw) // 7 AS BIGINT) AS k,
+         |         CAST(count(*) AS BIGINT) AS n_active
+         |  FROM u JOIN f USING (user_id) GROUP BY 1, 2)
+         |SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week, a.k,
+         |       c.n_cohort, a.n_active,
+         |       a.n_active * 1000000 // c.n_cohort AS retention_ppm
+         |FROM a JOIN c USING (cw)""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("w"))
+        .distinct()
+        .transform(graft.Ckpt.cut(_)) // feeds first-week AND activity
+      val f = u.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      val c = f.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+      val a = u.join(f, Seq("user_id"))
+        .select(col("cw"),
+          expr("datediff(w, cw) div 7").cast("long").as("k"))
+        .groupBy(col("cw"), col("k")).agg(count(lit(1)).as("n_active"))
+      a.join(c, Seq("cw"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("k"), col("n_cohort"), col("n_active"),
+          expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
     }
   )
 }

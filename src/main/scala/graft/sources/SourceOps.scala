@@ -103,6 +103,34 @@ object SourceOps {
         .groupBy(col("batch"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"))
+    },
+
+    // Fixed-width ingest (the mainframe/COBOL copybook layout that
+    // still feeds plenty of enterprise corpora): the documents table's
+    // scalar columns serialized as rpad'd fixed-offset lines, read back
+    // via spark.read.text + substring slicing — the full parser path,
+    // no delimiter assumptions. The oracle SELECTs the same columns
+    // straight from parquet, so the hash match proves the layout
+    // round-trips values exactly (ids, identifiers, counts). text is
+    // excluded: free text with newlines has no fixed-width encoding.
+    // Slicing is pure substring/trim/cast — codegen'd, map-only,
+    // predicate-pushdown-friendly once the lines are columnar.
+    Op("source_fixedwidth_ingest",
+       "SELECT doc_id, source, lang, n_chars FROM documents") { (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_fw_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Tables.documents(s, d)
+        .select(concat(
+          rpad(col("doc_id").cast("string"), 12, " "),
+          rpad(col("source"), 24, " "),
+          rpad(col("lang"), 8, " "),
+          rpad(col("n_chars").cast("string"), 12, " ")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out).select(
+        rtrim(substring(col("value"), 1, 12)).cast("long").as("doc_id"),
+        rtrim(substring(col("value"), 13, 24)).as("source"),
+        rtrim(substring(col("value"), 37, 8)).as("lang"),
+        rtrim(substring(col("value"), 45, 12)).cast("long").as("n_chars"))
     }
   )
 }

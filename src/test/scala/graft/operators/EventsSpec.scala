@@ -218,4 +218,22 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == expected, s"\n$got\nvs\n$expected")
   }
+
+  test("e_retention_weekly: k=0 retains the whole cohort, activity " +
+       "never exceeds the cohort, and cohort sizes sum to all users") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("e_retention_weekly")(spark, sf)
+      .select("cohort_week", "k", "n_cohort", "n_active", "retention_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val k0 = rows.filter(_._2 == 0L)
+    assert(k0.nonEmpty && k0.forall(r => r._4 == r._3 && r._5 == 1000000L),
+      "every user is active in their own first week")
+    assert(rows.forall(r => r._4 <= r._3 && r._2 >= 0L))
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(k0.map(_._3).sum == users, "cohorts partition the user base")
+  }
 }
