@@ -118,6 +118,78 @@ object Timeseries {
           col("v").isNotNull.as("observed"))
     },
 
+    // The interpolation companion to ts_gapfill_locf: missing days take
+    // the time-weighted average of the surrounding observed days,
+    // filled = (prev·(next_d − day) + next·(day − prev_d)) div gap — the
+    // rearrangement whose numerator is a sum of non-negative products,
+    // so one truncating integer division pins the fill identically on
+    // both engines (cents domain; exact at both endpoints by
+    // construction). Span edges are observed (lo/hi are min/max observed
+    // days), so every gap is interior and both neighbors exist. Same
+    // plan shape as LOCF: per-user span explode + two framed windows
+    // over one (user, day) sort.
+    Op("ts_gapfill_interp",
+       """WITH daily AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |           AS vc
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+         |         FROM daily GROUP BY 1),
+         |cal AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+         |        FROM span),
+         |j AS (SELECT c.user_id, c.day, d.vc FROM cal c LEFT JOIN daily d
+         |      ON d.user_id = c.user_id AND d.day = c.day),
+         |w AS (
+         |  SELECT user_id, day, vc,
+         |         last_value(vc IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |         last_value(CASE WHEN vc IS NOT NULL THEN day END
+         |             IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |         first_value(vc IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY day
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |         first_value(CASE WHEN vc IS NOT NULL THEN day END
+         |             IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY day
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j)
+         |SELECT user_id, day,
+         |       CASE WHEN vc IS NOT NULL THEN vc
+         |            ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+         |            END AS cents_filled,
+         |       vc IS NOT NULL AS observed
+         |FROM w""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), day.as("day"))
+        .agg((sum(col("value").cast(dec)) * 100).cast("long").as("vc"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("vc").isNotNull, col("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("vc"),
+          last(col("vc"), ignoreNulls = true).over(back).as("pv"),
+          last(obsDay, ignoreNulls = true).over(back).as("pd"),
+          first(col("vc"), ignoreNulls = true).over(fwd).as("nv"),
+          first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+        .select(col("user_id"), col("day"),
+          when(col("vc").isNotNull, col("vc"))
+            .otherwise(expr(
+              "(pv * (nd - day) + nv * (day - pd)) div (nd - pd)"))
+            .as("cents_filled"),
+          col("vc").isNotNull.as("observed"))
+    },
+
     // Seasonal-profile anomaly cells: an (event_type, day, hour) count is
     // anomalous when it exceeds 2x that type's mean count for the same
     // hour-of-day across the whole history. The comparison is the integer

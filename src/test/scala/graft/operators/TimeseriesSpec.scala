@@ -548,4 +548,30 @@ class TimeseriesSpec extends SparkSpec {
     assert(peaks.maxBy(x => (x._2, -x._1))._1 == 10L)
   }
 
+  test("gapfill interpolation: observed days pass through, gaps ramp " +
+       "monotonically between their neighbors, and spans match LOCF's") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("ts_gapfill_interp")(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val locf = graft.SparkEntry.queries("ts_gapfill_locf")(spark, sf)
+      .select($"user_id", $"day").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == locf,
+      "interp and LOCF fill the identical calendar")
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_._2)
+      assert(seq.head._4 && seq.last._4, "span edges are observed")
+      // between consecutive observed days, the fill is sandwiched
+      val obsIdx = seq.indices.filter(seq(_)._4)
+      obsIdx.zip(obsIdx.tail).foreach { case (i, j) =>
+        val (lo, hi) = (math.min(seq(i)._3, seq(j)._3),
+          math.max(seq(i)._3, seq(j)._3))
+        (i + 1 until j).foreach { m =>
+          assert(seq(m)._3 >= lo - 1 && seq(m)._3 <= hi,
+            s"fill ${seq(m)} escapes [$lo,$hi]")
+        }
+      }
+    }
+  }
+
 }
