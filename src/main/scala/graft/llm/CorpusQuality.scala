@@ -224,6 +224,34 @@ object CorpusQuality {
         .cast("int").as("c4_pass"))
   }
 
+  /** Keep/drop verdict with a REASONS BITMASK — the artifact a cleaning
+    * pipeline actually materializes: not five separate flag tables but
+    * one row per document saying whether it survives and exactly which
+    * rule families rejected it (bit 0 = Gopher, bit 1 = C4,
+    * bit 2 = length bounds on n_chars). Composes [[gopherRules]] and
+    * [[c4Rules]] by doc_id equi-join (both map-side flag passes over
+    * the same scan at execution time); keep = reasons == 0. The bitmask
+    * is what drives drop-rate dashboards and per-rule ablations without
+    * re-running the filters.
+    */
+  def docVerdict(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 minChars: Long = 100L, maxChars: Long = 50000L): DataFrame = {
+    val g = gopherRules(docs, idCol, textCol)
+      .select(col(idCol), col("gopher_pass"))
+    val c = c4Rules(docs, idCol, textCol)
+      .select(col(idCol), col("c4_pass"))
+    val reasons =
+      when(col("gopher_pass") === 0, 1L).otherwise(0L) +
+        when(col("c4_pass") === 0, 2L).otherwise(0L) +
+        when(col("n_chars") < minChars || col("n_chars") > maxChars, 4L)
+          .otherwise(0L)
+    docs.select(col(idCol), col("n_chars"))
+      .join(g, Seq(idCol)).join(c, Seq(idCol))
+      .select(col(idCol), reasons.as("reasons"),
+        (reasons === 0L).cast("int").as("keep"))
+  }
+
   /** Interpolated Kneser–Ney bigram perplexity — the smoothing that
     * actually ships in production n-gram LMs (Chen & Goodman 1999 show
     * it dominates add-one everywhere), as a second, sharper quality

@@ -1111,6 +1111,57 @@ object LlmOps {
       CorpusQuality.c4Rules(Tables.documents(s, d))
     },
 
+    // One verdict row per document: keep + WHY-dropped bitmask
+    // (bit 0 Gopher, bit 1 C4, bit 2 length bounds) — the composition
+    // a cleaning pipeline materializes instead of five flag tables.
+    // The oracle re-derives both rule families' pass bits and the
+    // bounds check, so the composed bitmask hash-compares end-to-end.
+    Op("llm_doc_verdict",
+       s"""WITH t AS (
+          |  SELECT doc_id, text, n_chars, $toksSql AS toks FROM documents),
+          |m AS (
+          |  SELECT doc_id, n_chars, text,
+          |    CAST(len(toks) AS BIGINT) AS n,
+          |    CAST(list_aggregate(list_transform(toks, x -> length(x)),
+          |                        'sum') AS BIGINT) AS sumlen,
+          |    CAST(length(text) - length(replace(text, '#', ''))
+          |         AS BIGINT)
+          |      + CAST((length(text) - length(replace(text, '...', '')))
+          |             // 3 AS BIGINT) AS sym,
+          |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          |         AS BIGINT) AS alpha,
+          |    CAST(len(list_filter(toks, x -> list_contains(
+          |      ['the','be','to','of','and','that','have','with'], x)))
+          |         AS BIGINT) AS stops,
+          |    len(list_filter(string_split(text, chr(10)), l ->
+          |      right(trim(l), 1) IN ('.', '!', '?', '"')
+          |      AND len(list_filter(string_split(trim(l), ' '),
+          |              w -> w <> '')) >= 5)) AS kept,
+          |    CAST(length(text) - length(replace(text, '.', ''))
+          |       + length(text) - length(replace(text, '!', ''))
+          |       + length(text) - length(replace(text, '?', ''))
+          |       AS BIGINT) AS sents,
+          |    list_contains(toks, 'javascript') AS has_js
+          |  FROM t),
+          |v AS (
+          |  SELECT doc_id,
+          |    CASE WHEN n >= 50 AND n <= 100000
+          |       AND sumlen >= 3 * n AND sumlen <= 10 * n
+          |       AND 10 * sym <= n AND 5 * alpha >= 4 * n
+          |       AND stops >= 2 THEN 0 ELSE 1 END
+          |    + CASE WHEN kept >= 1 AND sents >= 3
+          |       AND NOT contains(lower(text), 'lorem ipsum')
+          |       AND NOT contains(text, '{')
+          |       AND NOT has_js THEN 0 ELSE 2 END
+          |    + CASE WHEN n_chars < 100 OR n_chars > 50000
+          |            THEN 4 ELSE 0 END AS reasons
+          |  FROM m)
+          |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+          |       CAST(reasons = 0 AS INT) AS keep
+          |FROM v""".stripMargin) { (s, d) =>
+      CorpusQuality.docVerdict(Tables.documents(s, d))
+    },
+
     // Interpolated Kneser-Ney bigram perplexity: with D = 3/4 the whole
     // smoothed probability is one exact integer ratio, so the oracle
     // replays the discount, the continuation back-off, the ieee ln, and

@@ -249,4 +249,40 @@ class CorpusQualitySpec extends SparkSpec {
     val pred = math.exp(lnk + beta * math.log(nt.toDouble))
     assert(pred / vc < 2 && vc / pred < 2, s"pred $pred vs $vc")
   }
+
+  test("doc verdict: the bitmask decomposes into exactly the component " +
+       "rule ops' pass bits plus the bounds check, and keep = reasons==0") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val g = graft.SparkEntry.queries("text_gopher_rules")(spark, sf)
+      .select($"doc_id", $"gopher_pass").as[(Long, Int)].collect().toMap
+    val c = graft.SparkEntry.queries("text_c4_rules")(spark, sf)
+      .select($"doc_id", $"c4_pass").as[(Long, Int)].collect().toMap
+    val nc = docs.select($"doc_id", $"n_chars").as[(Long, Long)]
+      .collect().toMap
+    val v = graft.SparkEntry.queries("llm_doc_verdict")(spark, sf)
+      .select($"doc_id", $"reasons", $"keep").as[(Long, Long, Int)]
+      .collect()
+    assert(v.length == nc.size)
+    v.foreach { case (id, reasons, keep) =>
+      val want = (if (g(id) == 0) 1L else 0L) +
+        (if (c(id) == 0) 2L else 0L) +
+        (if (nc(id) < 100L || nc(id) > 50000L) 4L else 0L)
+      assert(reasons == want, s"doc $id: $reasons vs $want")
+      assert((keep == 1) == (reasons == 0L))
+    }
+    // the synthetic corpus is single-line unpunctuated text, so C4's
+    // line rules land in their documented degenerate regime (bit 1 set
+    // everywhere); require the OTHER bits to vary so the mask is proven
+    // non-constant, and prove keep=1 on a doc that passes all three
+    // families by construction
+    assert(v.map(_._2).distinct.length > 1, "reasons must vary")
+    val good = Seq((999999L,
+      ("the be to of and that have with good words here. " * 20).trim,
+      1000L)).toDF("doc_id", "text", "n_chars")
+    val vr = CorpusQuality.docVerdict(good).collect().head
+    assert(vr.getLong(1) == 0L && vr.getInt(2) == 1,
+      s"constructed passing doc must keep: $vr")
+  }
 }
