@@ -610,6 +610,69 @@ object Timeseries {
             .as("fc7"))
     },
 
+    // Rolling-origin BACKTEST of the Holt forecaster: at every day t≥2
+    // the model state from days 1..t−1 issues a one-step-ahead forecast
+    // l+b, and the absolute error against the realized total
+    // accumulates through the same integer recurrence (the error ride
+    // shares the fold — no second pass, no re-fit per origin). Output
+    // per user: days, sum of absolute errors, truncating MAE in cents —
+    // the honest "how good is fc1 actually" table next to
+    // ts_holt_forecast's point forecasts. Users with one day have no
+    // one-step origin and are excluded on both engines.
+    Op("ts_holt_backtest",
+       """WITH RECURSIVE daily AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1, 2),
+         |s AS (
+         |  SELECT user_id, cents,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+         |  FROM daily),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+         |      FROM daily GROUP BY 1),
+         |holt(user_id, rn, l, b, sae) AS (
+         |  SELECT user_id, 1::BIGINT, cents, 0::BIGINT, 0::BIGINT
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, h.rn + 1,
+         |         (s.cents + h.l + h.b) >> 1,
+         |         (((s.cents + h.l + h.b) >> 1) - h.l + h.b) >> 1,
+         |         h.sae + abs(s.cents - (h.l + h.b))
+         |  FROM holt h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+         |SELECT h.user_id, n.n_days, h.sae,
+         |       h.sae // (n.n_days - 1) AS mae_cents
+         |FROM holt h JOIN n USING (user_id)
+         |WHERE h.rn = n.n_days AND n.n_days >= 2""".stripMargin) {
+      (s, d) =>
+        val arr = sort_array(collect_list(struct(col("day"), col("cents"))))
+        Tables.events(s, d)
+          .groupBy(col("user_id"), day.as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_days"), arr.as("arr"))
+          .filter(col("n_days") >= 2)
+          .select(col("user_id"), col("n_days"),
+            aggregate(
+              slice(col("arr"), lit(2), size(col("arr")) - 1),
+              struct(element_at(col("arr"), 1).getField("cents").as("l"),
+                lit(0L).as("b"), lit(0L).as("sae")),
+              (acc, x) => {
+                val err = abs(x.getField("cents") -
+                  (acc.getField("l") + acc.getField("b")))
+                val l2 = shiftright(
+                  x.getField("cents") + acc.getField("l") + acc.getField("b"), 1)
+                struct(l2.as("l"),
+                  shiftright(l2 - acc.getField("l") + acc.getField("b"), 1)
+                    .as("b"),
+                  (acc.getField("sae") + err).as("sae"))
+              }).getField("sae").as("sae"))
+          .select(col("user_id"), col("n_days"), col("sae"),
+            expr("sae div (n_days - 1)").as("mae_cents"))
+    },
+
     // Robust outlier days by median absolute deviation — the
     // breakdown-resistant alternative to ts_anomaly_hours' mean-based
     // profile (one wild day corrupts a mean threshold but moves a

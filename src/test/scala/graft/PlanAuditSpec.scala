@@ -175,7 +175,12 @@ class PlanAuditSpec extends SparkSpec {
         // f_cramers_v: f_chi_square's 1-row N attach onto the bounded
         // contingency table; profile_uniques: seven t_equal_rowcount
         // two-keyless-aggregate shapes unioned (both verified below)
-        n == "f_cramers_v" || n == "profile_uniques")
+        n == "f_cramers_v" || n == "profile_uniques" ||
+        // f_permutation_test (+_fast): the 1-row (n, n1) totals attach
+        // feeding the replicate fanout, the 1-row d_obs attach onto the
+        // 32/64-row replicate table, and the final 1-row x 1-row
+        // assembly - all keyless aggregates (verified below)
+        n == "f_permutation_test" || n == "f_permutation_test_fast")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -223,7 +228,8 @@ class PlanAuditSpec extends SparkSpec {
         "e_ab_cuped", "f_ks_test", "ts_theil_sen", "profile_spearman",
         "ts_cross_corr", "f_bh_fdr", "graph_butterflies",
         "m_rfm_scores", "ts_level_shift", "f_benford_chi", "profile_fds",
-        "m_repeat_rate", "f_cramers_v", "profile_uniques")
+        "m_repeat_rate", "f_cramers_v", "profile_uniques",
+        "f_permutation_test", "f_permutation_test_fast")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
