@@ -409,6 +409,43 @@ object Relational {
     // with the one-shot oracle PROVES merge == re-rank, same contract
     // as ivm_merge_agg/ivm_merge_distinct. Full tiebreak on
     // (price DESC, orderkey, linenumber) keeps the cut deterministic.
+    // Incremental view maintenance for per-group MIN/MAX (insert-only):
+    // min and max are mergeable monoids, so "yesterday's" stored
+    // extremes absorb today's batch by one keyed least/greatest merge —
+    // state is two values per group forever, history never rescanned.
+    // (Deletes are deliberately NOT offered this way: removing the
+    // current extreme needs the full value multiset — that regime is
+    // cdc_table_diff feeding a recompute.) Hash equality with the
+    // one-shot oracle proves merge == re-aggregate, the
+    // ivm_merge_agg/distinct/topk contract extended to the ordered
+    // monoids. Money stays decimal through the merge; doubles only at
+    // presentation.
+    Op("ivm_merge_minmax",
+       """SELECT o_orderpriority,
+         |       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS min_price,
+         |       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS max_price,
+         |       count(*) AS n_orders
+         |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(min(col("o_totalprice").cast(dec)).as("mn"),
+            max(col("o_totalprice").cast(dec)).as("mx"),
+            count(lit(1)).as("pc"))
+      val stored = partial(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val delta = partial(orders.filter(col("o_orderkey") % 3 === 0))
+      stored.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+          sum(col("pc")).as("pc"))
+        .select(col("o_orderpriority"),
+          col("mn").cast("double").as("min_price"),
+          col("mx").cast("double").as("max_price"),
+          col("pc").as("n_orders"))
+    },
+
     Op("ivm_merge_topk",
        """SELECT l_returnflag, rk, l_orderkey, l_linenumber,
          |       l_extendedprice AS price
