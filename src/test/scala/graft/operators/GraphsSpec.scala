@@ -611,4 +611,19 @@ class GraphsSpec extends SparkSpec {
     assert(dr == d, "integer relaxation must be partitioning-invariant")
   }
 
+  test("weightedHops with unit costs IS shortestHops: identical relation " +
+       "on the real trade graph") {
+    import spark.implicits._
+    val edges = Graphs.tradeGraph(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001"),
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    val unit = edges.withColumn("w", lit(1L))
+    val viaW = Graphs.weightedHops(unit, n => n < 100, iters = 4)
+      .as[(Long, Long)].collect().sorted
+    val viaH = Graphs.shortestHops(edges, n => n < 100, iters = 4)
+      .as[(Long, Long)].collect().sorted
+    assert(viaW.sameElements(viaH),
+      "unit-cost Bellman-Ford must reduce to BFS exactly")
+  }
+
 }
