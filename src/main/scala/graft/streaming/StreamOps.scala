@@ -248,6 +248,52 @@ object StreamOps {
         })
   }
 
+  final case class CohortEvent(user_id: Long, ts: Timestamp)
+  final case class CohortEmit(user_id: Long, cohort_day: Long,
+                              week_day: Long)
+  final case class CohortState(cohortDay: Long, lastWeekDay: Long)
+
+  /** Streaming first-seen cohort tracker — the incremental substrate of
+    * the batch `e_retention_weekly` triangle: per user, O(1) state
+    * (first-seen week + last emitted activity week), emitting exactly
+    * one (user, cohort_week, activity_week) row the first time a user
+    * is seen in a new ISO week. Weeks are Monday-aligned epoch days
+    * (UTC), matching date_trunc('week') on both engines. With in-order
+    * delivery a user's week numbers are non-decreasing, so max-tracking
+    * dedupes both inside a trigger batch and across batches; the
+    * emitted row set equals the batch (user, week) distinct ⋈ first
+    * week relation (StreamingSpec pins it), and the retention triangle
+    * is one keyed aggregate over this stream's sink.
+    */
+  def cohortTracker(events: Dataset[CohortEvent]): Dataset[CohortEmit] = {
+    import events.sparkSession.implicits._
+    def weekDay(millis: Long): Long = {
+      val d = Math.floorDiv(millis, 86400000L)
+      d - Math.floorMod(d - 4L, 7L) // 1970-01-05 (epoch day 4) was a Monday
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[CohortEvent],
+         state: GroupState[CohortState]) => {
+          val weeks = batch.map(e => weekDay(e.ts.getTime)).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            CohortState(Long.MinValue, Long.MinValue))
+          val out = weeks.flatMap { w =>
+            if (st.cohortDay == Long.MinValue) {
+              st = CohortState(w, w)
+              Some(CohortEmit(userId, w, w))
+            } else if (w > st.lastWeekDay) {
+              st = st.copy(lastWeekDay = w)
+              Some(CohortEmit(userId, st.cohortDay, w))
+            } else None
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   final case class DriftReading(key: String, event_id: Long, ts: Timestamp,
                                 cents: Long)
   final case class DriftState(sPos: Long, sNeg: Long)

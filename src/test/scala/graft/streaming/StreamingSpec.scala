@@ -547,4 +547,42 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last(0.5) - 1000L) <= 100L, s"p50 drifted: $last")
     assert(math.abs(last(0.95) - 1900L) <= 100L, s"p95 drifted: $last")
   }
+
+  test("cohort tracker emits exactly the batch (user, cohort, week) " +
+       "relation of e_retention_weekly's substrate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.Tables.events(spark, sf)
+    // in-order delivery: the sessionize test's ordering contract
+    val events = raw.select(col("user_id"), col("ts"))
+      .as[StreamOps.CohortEvent].collect().sortBy(_.ts.getTime).toSeq
+    val stream = MemoryStream[StreamOps.CohortEvent]
+    // two batches to prove state carries across triggers
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val q = StreamOps.cohortTracker(stream.toDS())
+      .writeStream.format("memory").queryName("cohorts")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cohorts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch substrate: per-user (distinct week ⋈ first week), in
+    // Monday-aligned epoch days exactly like the tracker
+    val batch = raw
+      .select(col("user_id"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date"))).cast("long").as("w"))
+      .distinct()
+      .withColumn("cw", min(col("w"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))))
+      .select(col("user_id"), col("cw"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
 }
