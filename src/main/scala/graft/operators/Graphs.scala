@@ -1859,6 +1859,45 @@ object Graphs {
             .as("closeness"))
     },
 
+    // Harmonic centrality (Boldi & Vigna 2014, "Axioms for centrality"):
+    // sum of 1/d over reached nodes — the closeness variant that stays
+    // meaningful on DISCONNECTED graphs (unreached nodes contribute 0
+    // instead of poisoning the mean distance). Same perSourceHops mask
+    // kernel and the same recursive-CTE replay as graph_closeness; the
+    // readout is one integer aggregate of (10^6 div d) truncating
+    // reciprocals, so the whole profile hash-compares with no float.
+    Op("graph_harmonic",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |step AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+         |  UNION ALL SELECT node, node, 0 FROM nodes),
+         |d AS (
+         |  SELECT 0 AS iter, node AS s, node, CAST(0 AS BIGINT) AS dist
+         |  FROM nodes WHERE node < 100
+         |  UNION ALL
+         |  SELECT d.iter + 1, d.s, st.dst AS node, min(d.dist + st.w)
+         |  FROM d JOIN step st ON st.src = d.node
+         |  WHERE d.iter < 6
+         |  GROUP BY 1, 2, 3)
+         |SELECT s AS source, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+         |       CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist
+         |                     ELSE 0 END) AS BIGINT) AS harmonic_ppm
+         |FROM d WHERE iter = 6 GROUP BY 1""".stripMargin) { (s, d) =>
+      perSourceHops(tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+          node => node < 100, iters = 6)
+        .groupBy(col("s").as("source"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          sum(when(col("dist") > 0, expr("1000000 div dist"))
+            .otherwise(0L)).as("harmonic_ppm"))
+    },
+
     // Sampled-eccentricity diameter bound (the double-sweep family of
     // lower bounds, e.g. Magnien, Latapy & Habib 2009): ecc(s) =
     // max_v d(s, v) from each pinned seed, diameter ≥ max ecc. Exact
