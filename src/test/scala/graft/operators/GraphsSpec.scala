@@ -611,6 +611,31 @@ class GraphsSpec extends SparkSpec {
     assert(dr == d, "integer relaxation must be partitioning-invariant")
   }
 
+  test("harmonic centrality: the path-graph center dominates the ends, " +
+       "truncating reciprocals are exact, and n_reached matches closeness") {
+    import spark.implicits._
+    // path 0-1-2-3-4: center 2 has H = 2*(1/1 + 1/2) = 3.0 -> 3_000_000
+    // ppm; end 0 has H = 1 + 1/2 + 1/3 + 1/4 -> 1_000_000 + 500_000 +
+    // 333_333 + 250_000 = 2_083_333 (each term truncated separately)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val h = Graphs.perSourceHops(path, _ >= 0L, iters = 6)
+      .groupBy($"s").agg(
+        sum(when($"dist" > 0, expr("1000000 div dist")).otherwise(0L))
+          .as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(2L) == 3000000L, s"center: ${h(2L)}")
+    assert(h(0L) == 2083333L && h(4L) == 2083333L, s"ends: $h")
+    assert(h(2L) > h(1L) && h(1L) > h(0L), "centrality orders the path")
+    // registered op agrees with graph_closeness on reach counts
+    val sf = "/root/testdata/sf0.001"
+    val hm = graft.SparkEntry.queries("graph_harmonic")(spark, sf)
+      .select($"source", $"n_reached").as[(Long, Long)].collect().toMap
+    val cl = graft.SparkEntry.queries("graph_closeness")(spark, sf)
+      .select($"source", $"n_reached").as[(Long, Long)].collect().toMap
+    assert(hm == cl, "both centralities see the same reached sets")
+  }
+
   test("weightedHops with unit costs IS shortestHops: identical relation " +
        "on the real trade graph") {
     import spark.implicits._
