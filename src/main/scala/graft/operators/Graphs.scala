@@ -1898,6 +1898,59 @@ object Graphs {
             .otherwise(0L)).as("harmonic_ppm"))
     },
 
+    // Distance distribution from the seed sample — the neighbourhood
+    // function N(k) whose knee is the EFFECTIVE DIAMETER (the smallest
+    // k reaching ≥90% of reachable pairs; the quantity HyperANF
+    // approximates at web scale, Boldi-Rosa-Vigna 2011 — here exact on
+    // the sampled seeds). One groupBy(dist) count over the same
+    // perSourceHops run as closeness/diameter, plus a cumulative window
+    // over ≤ iters+1 rows; cum_ppm is a truncating division of exact
+    // BIGINTs, so the whole curve hash-compares.
+    Op("graph_distance_dist",
+       """WITH RECURSIVE
+         |raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM raw WHERE src <> dst
+         |  UNION SELECT dst, src FROM raw WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |step AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+         |  UNION ALL SELECT node, node, 0 FROM nodes),
+         |d AS (
+         |  SELECT 0 AS iter, node AS s, node, CAST(0 AS BIGINT) AS dist
+         |  FROM nodes WHERE node < 100
+         |  UNION ALL
+         |  SELECT d.iter + 1, d.s, st.dst AS node, min(d.dist + st.w)
+         |  FROM d JOIN step st ON st.src = d.node
+         |  WHERE d.iter < 6
+         |  GROUP BY 1, 2, 3),
+         |h AS (
+         |  SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM d WHERE iter = 6 AND dist > 0 GROUP BY 1)
+         |SELECT dist, n_pairs,
+         |       CAST(sum(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs,
+         |       CAST(sum(n_pairs) OVER (ORDER BY dist) AS BIGINT) * 1000000
+         |         // (SELECT CAST(sum(n_pairs) AS BIGINT) FROM h) AS cum_ppm
+         |FROM h""".stripMargin) { (s, d) =>
+      val hops = perSourceHops(
+          tradeGraph(Tables.orders(s, d), Tables.lineitem(s, d)),
+          node => node < 100, iters = 6)
+        .filter(col("dist") > 0)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+        .transform(graft.Ckpt.cut(_)) // ≤ iters rows; feeds cum AND total
+      val W = org.apache.spark.sql.expressions.Window
+      val cum = W.orderBy(col("dist"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val total = hops.agg(sum(col("n_pairs")).as("t"))
+      hops.select(col("dist"), col("n_pairs"),
+          sum(col("n_pairs")).over(cum).as("cum_pairs"))
+        .crossJoin(broadcast(total))
+        .select(col("dist"), col("n_pairs"), col("cum_pairs"),
+          expr("cum_pairs * 1000000 div t").as("cum_ppm"))
+    },
+
     // Sampled-eccentricity diameter bound (the double-sweep family of
     // lower bounds, e.g. Magnien, Latapy & Habib 2009): ecc(s) =
     // max_v d(s, v) from each pinned seed, diameter ≥ max ecc. Exact

@@ -180,7 +180,10 @@ class PlanAuditSpec extends SparkSpec {
         // feeding the replicate fanout, the 1-row d_obs attach onto the
         // 32/64-row replicate table, and the final 1-row x 1-row
         // assembly - all keyless aggregates (verified below)
-        n == "f_permutation_test" || n == "f_permutation_test_fast")
+        n == "f_permutation_test" || n == "f_permutation_test_fast" ||
+        // graph_distance_dist: the 1-row pair-total attach onto the
+        // <= iters-row distance histogram (verified below)
+        n == "graph_distance_dist")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -229,7 +232,8 @@ class PlanAuditSpec extends SparkSpec {
         "ts_cross_corr", "f_bh_fdr", "graph_butterflies",
         "m_rfm_scores", "ts_level_shift", "f_benford_chi", "profile_fds",
         "m_repeat_rate", "f_cramers_v", "profile_uniques",
-        "f_permutation_test", "f_permutation_test_fast")
+        "f_permutation_test", "f_permutation_test_fast",
+        "graph_distance_dist")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
