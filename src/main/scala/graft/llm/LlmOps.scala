@@ -807,6 +807,62 @@ object LlmOps {
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     },
 
+    // Quality-aware survivorship: per near-dup cluster keep the BEST
+    // document — the canonicalization a production dedup actually ships
+    // (min-id keep loses the longest/cleanest copy; CCNet and friends
+    // keep by quality). Reward here is (n_chars, ties → smaller doc_id),
+    // encoded as one min-struct over (−reward, doc_id) so the keeper is
+    // total-order unique and the oracle replays it with the same struct
+    // min. Output: every doc with its cluster, the cluster's keeper,
+    // and the drop flag — singletons keep themselves. Same banding +
+    // component-walk substrate as mix_kfold; the survivor pick adds one
+    // cluster-keyed aggregate.
+    Op("llm_dup_keep_best",
+       s"""WITH RECURSIVE pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8)
+                 .linesIterator.mkString("\n    ")})),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs),
+          |walk(node, reach) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+          |labels AS (
+          |  SELECT node, least(node, min(reach)) AS label
+          |  FROM walk GROUP BY node),
+          |clustered AS (
+          |  SELECT d.doc_id, d.n_chars,
+          |         coalesce(l.label, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+          |keepers AS (
+          |  SELECT cluster,
+          |         (min(struct_pack(nr := -n_chars, id := doc_id))).id
+          |           AS keeper
+          |  FROM clustered GROUP BY 1)
+          |SELECT c.doc_id, c.cluster, k.keeper,
+          |       CAST(c.doc_id <> k.keeper AS INT) AS dropped
+          |FROM clustered c JOIN keepers k USING (cluster)""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minHashNearDups(docs, bands = 8, rows = 4,
+          threshold = 0.8, portable = true)
+        val clustered = docs.select(col("doc_id"), col("n_chars"))
+          .join(Dedup.componentMinLabels(pairs)
+            .select(col("node").as("doc_id"), col("label")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("label"), col("doc_id")).as("cluster"))
+        val keepers = clustered.groupBy(col("cluster"))
+          .agg(min(struct((-col("n_chars")).as("nr"),
+            col("doc_id").as("id"))).as("k"))
+          .select(col("cluster"), col("k.id").as("keeper"))
+        clustered.join(keepers, Seq("cluster"))
+          .select(col("doc_id"), col("cluster"), col("keeper"),
+            (col("doc_id") =!= col("keeper")).cast("int").as("dropped"))
+    },
+
     // Benchmark decontamination: corpus docs sharing any n-gram with the
     // benchmark set (deterministic stand-in: every 97th doc). Exact string
     // shingle join — no hashing — so the oracle replays it verbatim.

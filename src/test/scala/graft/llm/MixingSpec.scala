@@ -615,4 +615,28 @@ class MixingSpec extends SparkSpec {
       s"fold sizes suspiciously skewed: $folds")
   }
 
+  test("keep-best survivorship: one keeper per cluster, the keeper " +
+       "maximizes (n_chars, -doc_id), and singletons keep themselves") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("llm_dup_keep_best")(
+        spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"cluster", $"keeper", $"dropped")
+      .as[(Long, Long, Long, Int)].collect()
+    val nChars = docs.select($"doc_id", $"n_chars")
+      .as[(Long, Long)].collect().toMap
+    assert(rows.length == nChars.size)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val keepers = rs.map(_._3).distinct
+      assert(keepers.length == 1, "one keeper per cluster")
+      val k = keepers.head
+      val best = rs.map(_._1).minBy(id => (-nChars(id), id))
+      assert(k == best, s"keeper $k vs best-by-reward $best")
+      rs.foreach { case (id, _, _, dropped) =>
+        assert((dropped == 1) == (id != k))
+      }
+      if (rs.length == 1) assert(rs.head._1 == k && rs.head._4 == 0)
+    }
+    assert(rows.exists(_._4 == 1), "fixture must drop something")
+  }
+
 }
