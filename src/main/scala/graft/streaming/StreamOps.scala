@@ -378,6 +378,45 @@ object StreamOps {
         })
   }
 
+  /** Streaming UPSERT sink — the continuous form of the warehouse's
+    * incremental merge materialization: every micro-batch merges into a
+    * [[graft.olist.TableStore]] table by unique key. Within a batch the
+    * LATEST version of each key wins (max (ts, event_id) struct — total
+    * order, so the reduction is deterministic under any partitioning);
+    * against the store it is the same anti-join + union + crash-safe
+    * replace the batch Incremental materialization runs. foreachBatch
+    * is at-least-once; the merge is IDEMPOTENT by construction (merging
+    * the same batch twice anti-joins away its own first write), so the
+    * pipeline is effectively exactly-once — the dedupIngest argument,
+    * with keyed upserts instead of partition overwrite. State is the
+    * table itself: stop/resume costs nothing, and at scale the per-batch
+    * cost is one keyed anti-join against the stored table (partition-
+    * prunable when the store is partitioned by a batch-correlated
+    * column).
+    */
+  def mergeSink(updates: DataFrame, store: graft.olist.TableStore,
+                table: String, key: String,
+                checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val others = batch.columns.filter(_ != key).map(col)
+        val latest = batch
+          .groupBy(col(key))
+          .agg(max(struct(col("ts"), col("event_id"),
+            struct(others: _*).as("row"))).as("m"))
+          .select(col(key) +: batch.columns.filter(_ != key)
+            .map(c => col(s"m.row.$c").as(c)): _*)
+        if (!store.exists(table)) store.save(table, latest)
+        else {
+          val kept = store.load(table)
+            .join(latest.select(col(key)).distinct(), Seq(key), "left_anti")
+          store.replace(table, kept.unionByName(latest))
+        }
+      }
+      .start()
+
   /** Continuous corpus ingest with near-dup rejection — the streaming form
     * of [[graft.llm.Dedup.incrementalNearDups]]. Each micro-batch of new
     * documents is (1) deduplicated WITHIN the batch (MinHash pairs →

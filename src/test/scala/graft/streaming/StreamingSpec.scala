@@ -548,6 +548,43 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last(0.95) - 1900L) <= 100L, s"p95 drifted: $last")
   }
 
+  test("merge sink: latest version per key wins, replayed batches are " +
+       "idempotent, and the table survives stop/resume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_msink")
+    val store = new graft.olist.Warehouse(spark, dir.toString)
+    val ck = dir.resolve("ck").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val updates = stream.toDS()
+      .toDF("user_id", "ts", "event_id", "value")
+    val q = StreamOps.mergeSink(updates, store, "profile", "user_id", ck)
+    try {
+      stream.addData((7L, t("2024-01-01 10:00:00"), 1L, 1.0),
+        (8L, t("2024-01-01 10:01:00"), 2L, 2.0),
+        (7L, t("2024-01-01 10:05:00"), 3L, 7.5)) // in-batch newer wins
+      q.processAllAvailable()
+      val afterB1 = store.load("profile")
+        .select("user_id", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(afterB1 == Set((7L, 3L, 7.5), (8L, 2L, 2.0)), s"$afterB1")
+      // batch 2: update key 8, add key 9
+      stream.addData((8L, t("2024-01-01 11:00:00"), 4L, 8.0),
+        (9L, t("2024-01-01 11:01:00"), 5L, 9.0))
+      q.processAllAvailable()
+      // at-least-once replay: the SAME rows arrive again
+      stream.addData((8L, t("2024-01-01 11:00:00"), 4L, 8.0),
+        (9L, t("2024-01-01 11:01:00"), 5L, 9.0))
+      q.processAllAvailable()
+      val fin = store.load("profile")
+        .select("user_id", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fin == Set((7L, 3L, 7.5), (8L, 4L, 8.0), (9L, 5L, 9.0)),
+        s"merge must converge under replay: $fin")
+    } finally q.stop()
+  }
+
   test("cohort tracker emits exactly the batch (user, cohort, week) " +
        "relation of e_retention_weekly's substrate") {
     import spark.implicits._
