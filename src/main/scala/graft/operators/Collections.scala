@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Op, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Collection/semi-structured function families (SURVEY §2.9 lists them as
   * absent from the reference — engine extensions): array construction and
@@ -110,6 +111,69 @@ object Collections {
             .as("p50"),
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
             .as("p90"))
+    },
+
+    // INTERPOLATED percentiles (percentile_cont semantics) computed
+    // manually from order statistics so the interpolation is EXACT
+    // integer arithmetic instead of each engine's own float formula:
+    // pos = (n−1)·p/100 splits into k = pos div 100 and r = pos mod
+    // 100; the answer is lo·(100−r) + hi·r in hundredth-cents — one
+    // deterministic expression over the rank-k and rank-k+1 values, so
+    // p50/p90/p99 hash-compare per group where the built-ins would
+    // drift in the last ulp. One rank window per group + a 3-row
+    // percentile fan-out joined back by rank — two keyed lookups per
+    // (group, p), no full sort collect.
+    Op("f_percentile_cont",
+       """WITH o AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents,
+         |         row_number() OVER (PARTITION BY o_orderpriority
+         |           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |                    AS BIGINT), o_orderkey) AS rk,
+         |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders),
+         |ps AS (SELECT unnest([50, 90, 99]) AS p),
+         |pos AS (
+         |  SELECT DISTINCT grp, n, p,
+         |         (n - 1) * p // 100 AS k, (n - 1) * p % 100 AS r
+         |  FROM o, ps)
+         |SELECT pos.grp, CAST(pos.p AS BIGINT) AS p,
+         |       CAST(lo.cents * (100 - pos.r) + hi.cents * pos.r
+         |            AS BIGINT) AS pctl_centicents
+         |FROM pos
+         |JOIN o lo ON lo.grp = pos.grp AND lo.rk = pos.k + 1
+         |JOIN o hi ON hi.grp = pos.grp
+         |         AND hi.rk = least(pos.k + 2, pos.n)""".stripMargin) {
+      (s, d) =>
+        val W = org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+          .select(col("grp"), col("cents"),
+            row_number().over(W.partitionBy(col("grp"))
+              .orderBy(col("cents"), col("o_orderkey"))).as("rk"),
+            count(lit(1)).over(W.partitionBy(col("grp"))).as("n"))
+          .transform(graft.Ckpt.cut(_)) // feeds pos AND both rank lookups
+        val pos = o.select(col("grp"), col("n")).distinct()
+          .select(col("grp"), col("n"),
+            explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+          .select(col("grp"), col("n"), col("p"),
+            expr("(n - 1) * p div 100").as("k"),
+            expr("(n - 1) * p % 100").as("r"))
+        val loTab = o.select(col("grp").as("g1"), col("rk").as("rk1"),
+          col("cents").as("lo_c"))
+        val hiTab = o.select(col("grp").as("g2"), col("rk").as("rk2"),
+          col("cents").as("hi_c"))
+        pos
+          .join(loTab, col("grp") === col("g1") &&
+            col("rk1") === col("k") + 1)
+          .join(hiTab, col("grp") === col("g2") &&
+            col("rk2") === least(col("k") + 2, col("n")))
+          .select(col("grp"), col("p"),
+            (col("lo_c") * (lit(100L) - col("r")) + col("hi_c") * col("r"))
+              .as("pctl_centicents"))
     }
   )
 }

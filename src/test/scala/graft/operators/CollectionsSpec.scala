@@ -34,4 +34,30 @@ class CollectionsSpec extends SparkSpec {
       assert(math.abs(rankOf(p95) - 0.95) < 0.02, s"$flag p95=$p95")
     }
   }
+
+  test("interpolated percentiles match a sequential order-statistics " +
+       "replay exactly, in hundredth-cents") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val cents = graft.Tables.orders(spark, sf)
+      .select($"o_orderpriority",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"),
+        $"o_orderkey")
+      .as[(String, Long, Long)].collect()
+    val want = cents.groupBy(_._1).flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length.toLong
+      Seq(50L, 90L, 99L).map { p =>
+        val k = ((n - 1) * p) / 100
+        val r = ((n - 1) * p) % 100
+        val lo = sorted(k.toInt)
+        val hi = sorted(math.min(k + 1, n - 1).toInt)
+        (g, p) -> (lo * (100 - r) + hi * r)
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("f_percentile_cont")(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want, s"diff: ${(got.toSet -- want.toSet).take(3)}")
+  }
 }
