@@ -642,7 +642,8 @@ object Graphs {
     val nodes = sym.select(col("src").as("node")).distinct()
     val step = cut(sym.select(col("src"), col("dst"), lit(1L).as("w"))
       .unionByName(nodes.select(col("node").as("src"),
-        col("node").as("dst"), lit(0L).as("w"))))
+        col("node").as("dst"), lit(0L).as("w")))
+      .repartition(col("src"))) // rounds join on src: no re-shuffle
     var d = nodes.filter(seedPred(col("node")))
       .select(col("node"), lit(0L).as("dist"))
     var dCk: Option[DataFrame] = None
@@ -695,7 +696,8 @@ object Graphs {
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
     val nodes = sym.select(col("src").as("node")).distinct()
     val step = cut(sym.unionByName(nodes.select(col("node").as("src"),
-      col("node").as("dst"), lit(0L).as("w"))))
+      col("node").as("dst"), lit(0L).as("w")))
+      .repartition(col("src"))) // rounds join on src: no re-shuffle
     var d = nodes.filter(seedPred(col("node")))
       .select(col("node"), lit(0L).as("dist"))
     var dCk: Option[DataFrame] = None
@@ -770,7 +772,8 @@ object Graphs {
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .distinct()
+      .repartition(col("src"))) // rounds join on src: no re-shuffle
     val seedFrame = sym.select(col("src").as("node")).distinct()
       .filter(seedPred(col("node")))
     val out =
