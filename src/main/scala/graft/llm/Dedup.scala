@@ -391,7 +391,8 @@ object Dedup {
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct())
+      .distinct()
+      .repartition(col("src"))) // rounds join on src: no re-shuffle
     var labels = cut(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("node"),
@@ -402,7 +403,7 @@ object Dedup {
     while (!converged && round < maxRounds) {
       // propagate: the min label among each node's neighbors
       val prop = edges
-        .join(labels, edges("src") === labels("node"))
+        .join(labels.hint("shuffle_hash"), edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
       // carry the round's starting label as `olabel` so convergence can
       // be measured inside the round itself — the old formulation
