@@ -434,7 +434,8 @@ object Graphs {
       .distinct()
     val adj = cut(sym.unionByName(
       sym.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst"))))
+        .select(col("src"), col("src").as("dst")))
+      .repartition(col("src"))) // rounds join on src: no re-shuffle
     var labels = adj.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var labelsCk: Option[DataFrame] = None
@@ -568,6 +569,13 @@ object Graphs {
       graft.Ckpt.cut(df, reliable)
     val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct())
+    // both orientations materialized once, each partitioned on ITS round
+    // join key - the standard store-both-directions trade (2x edge
+    // storage buys zero edge shuffles across all 2*iters half-steps)
+    val eF = cut(e.select(col("src").as("s"), col("dst").as("d"))
+      .repartition(col("s")))
+    val eB = cut(e.select(col("dst").as("s"), col("src").as("d"))
+      .repartition(col("s")))
     val hubs = e.select(col("src").as("node")).distinct()
     val nh = hubs.count()
     require(nh > 0, "edge relation spans no hub nodes")
@@ -577,9 +585,7 @@ object Graphs {
     var half = 0
     while (half < 2 * iters) {
       val forward = half % 2 == 0 // hubs feed authorities
-      val dir =
-        if (forward) e.select(col("src").as("s"), col("dst").as("d"))
-        else e.select(col("dst").as("s"), col("src").as("d"))
+      val dir = if (forward) eF else eB
       val raw = dir.join(state.hint("shuffle_hash"), col("s") === col("node"))
         .groupBy(col("d")).agg(sum(col("v")).as("raw_v"))
       val tot = raw.agg(sum(col("raw_v")).as("S"))
@@ -612,6 +618,8 @@ object Graphs {
         .unionByName(
           state.select(lit("hub").as("kind"), col("node"), col("v"))))
     stateCk.foreach(Dedup.releaseCheckpoint)
+    Dedup.releaseCheckpoint(eF)
+    Dedup.releaseCheckpoint(eB)
     Dedup.releaseCheckpoint(e)
     out
   }
@@ -1157,7 +1165,8 @@ object Graphs {
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .distinct()
+      .repartition(col("dst"))) // rounds join on dst: no re-shuffle
     var c = cut(sym.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("c"))
       .withColumnRenamed("src", "node"))
