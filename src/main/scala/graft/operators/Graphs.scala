@@ -347,11 +347,15 @@ object Graphs {
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    var out: DataFrame = null
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val sym = cur.select(explode(array(
+    // Orient ONCE by INITIAL (degree, id): the forward algorithm is
+    // exact under ANY fixed total order η on nodes (each surviving
+    // triangle has a unique η-minimum, so it is found exactly once as
+    // that node's wedge) — re-orienting by the peeled graph's current
+    // degrees each round bought nothing but two count windows and an
+    // explode per round. The initial-degree order keeps the O(√m)
+    // wedge bound on the round-0 graph; peeling only shrinks it.
+    val oriented0 = cut {
+      val sym0 = cur.select(explode(array(
           struct(col("a"), col("b")),
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
@@ -360,12 +364,22 @@ object Graphs {
         .filter(col("a") < col("b"))
       val aFirst = col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b"))
-      val oriented = cut(sym.select(
+      sym0.select(col("a"), col("b"),
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dd")))
-      val o1 = oriented.toDF("u", "v", "dv")
-      val o2 = oriented.toDF("u", "w", "dw")
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+    }
+    var out: DataFrame = null
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // surviving edges keep their frozen orientation: one keyed
+      // semi-join against the current edge set per round
+      val oriented = cut(oriented0.join(cur, Seq("a", "b"), "left_semi"))
+      val o1 = oriented.select(col("src").as("u"), col("dst").as("v"),
+        col("dd").as("dv"))
+      val o2 = oriented.select(col("src").as("u"), col("dst").as("w"),
+        col("dd").as("dw"))
       val tri = o1.join(o2, Seq("u"))
         .filter(col("dv") < col("dw") ||
           (col("dv") === col("dw") && col("v") < col("w")))
@@ -394,6 +408,7 @@ object Graphs {
       cur = kept.select(col("a"), col("b"))
       round += 1
     }
+    Dedup.releaseCheckpoint(oriented0)
     if (out == null) cur.select(col("a").as("src"), col("b").as("dst"),
       lit(0L).as("support")).filter(lit(false))
     else out.select(col("a").as("src"), col("b").as("dst"), col("support"))
