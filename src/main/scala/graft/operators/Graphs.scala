@@ -931,12 +931,18 @@ object Graphs {
                   reliable: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
-    val sym = cut(edges.select(explode(array(
+    val sym0 = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
+    // both passes keyed differently: forward probes by src, backward by
+    // dst - one orientation each, partitioned on its own join key (the
+    // HITS recipe), so neither pass ever re-shuffles the edge list
+    val sym = cut(sym0.repartition(col("src")))
+    val symB = cut(sym0.repartition(col("dst")))
+    graft.llm.Dedup.releaseCheckpoint(sym0)
     val seeds = sym.select(col("src").as("node")).distinct()
       .filter(seedPred(col("node")))
     // forward: settled (s, node, dist, sigma); frontier = last level
@@ -978,7 +984,7 @@ object Graphs {
         .select(col("s"), col("node").as("wn"),
           col("sigma").as("ws"), col("delta").as("wd"))
       val contrib = wside
-        .join(sym, col("wn") === col("dst"))
+        .join(symB.hint("shuffle_hash"), col("wn") === col("dst"))
         .select(col("s"), col("src").as("vn"), col("ws"), col("wd"))
         .join(state.filter(col("dist") === level - 1)
             .select(col("s"), col("node").as("vn"), col("sigma").as("vs")),
@@ -1001,6 +1007,7 @@ object Graphs {
       .transform(graft.Ckpt.cut(_))
     graft.llm.Dedup.releaseCheckpoint(state)
     graft.llm.Dedup.releaseCheckpoint(sym)
+    graft.llm.Dedup.releaseCheckpoint(symB)
     out
   }
 
