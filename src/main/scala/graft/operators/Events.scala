@@ -1121,6 +1121,38 @@ object Events {
         .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
           col("k"), col("n_cohort"), col("n_active"),
           expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
+    },
+
+    // Per-event lag/rolling FEATURE TABLE — the feature-store shape a
+    // behavioral model trains on: previous event type, whole seconds
+    // since it, and the trailing-7-day activity count (RANGE frame over
+    // epoch seconds, so the window is event-time, not row-count). One
+    // (user, ts) sort serves the lag pair AND the range frame; every
+    // column is integer/string, so the full table hash-compares.
+    Op("e_feature_lags",
+       """SELECT event_id, user_id, event_type,
+         |       lag(event_type) OVER w AS prev_type,
+         |       date_diff('second',
+         |         lag(ts) OVER w, ts) AS secs_since_prev,
+         |       CAST(count(*) OVER (PARTITION BY user_id
+         |         ORDER BY epoch(ts)
+         |         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS events_7d
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val range7d = Window.partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-604800L, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            (unix_timestamp(col("ts")) -
+              unix_timestamp(lag(col("ts"), 1).over(w)))
+              .as("secs_since_prev"),
+            count(lit(1)).over(range7d).as("events_7d"))
     }
   )
 }

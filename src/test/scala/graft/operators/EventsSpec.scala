@@ -236,4 +236,30 @@ class EventsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(k0.map(_._3).sum == users, "cohorts partition the user base")
   }
+
+  test("feature lags: gaps are non-negative, the 7d rolling count " +
+       "matches a sequential replay, and first events have null prev") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("e_feature_lags")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    val raw = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000))
+    val byUser = raw.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    assert(rows.length == raw.length)
+    rows.foreach { case (eid, uid, _, prev, gap, e7) =>
+      val seq = byUser(uid)
+      val idx = seq.indexWhere(_._2 == eid)
+      assert((idx == 0) == prev.isEmpty && (idx == 0) == gap.isEmpty,
+        s"event $eid idx $idx prev $prev")
+      gap.foreach(g => assert(g >= 0, s"negative gap on $eid"))
+      val t = seq(idx)._3
+      val expected7d = seq.count(e => e._3 >= t - 604800 && e._3 <= t)
+      assert(e7 == expected7d, s"event $eid: 7d $e7 vs $expected7d")
+    }
+  }
 }
