@@ -2000,6 +2000,53 @@ object LlmOps {
           col("n_distinct_texts"))
     },
 
+    // Unicode-script census per document — the routing pass that
+    // PRECEDES language ID at corpus scale (langID models are
+    // per-script; script is a map-only integer census). Counts are
+    // codepoint-class strip-differences over BMP ranges, where Spark's
+    // UTF-16 length and DuckDB's codepoint length agree 1:1; the
+    // dominant-script label takes ties in a fixed order. The synthetic
+    // corpus is ASCII (latin dominates everywhere) — the spec exercises
+    // CJK/Cyrillic/Arabic branches on constructed text.
+    Op("text_script_census",
+       """SELECT doc_id,
+         |  length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+         |    AS n_latin,
+         |  length(text) - length(regexp_replace(text,
+         |    '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+         |  length(text) - length(regexp_replace(text,
+         |    '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+         |  length(text) - length(regexp_replace(text,
+         |    '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+         |  CASE greatest(
+         |      length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')),
+         |      length(text) - length(regexp_replace(text,
+         |        '[\x{0400}-\x{04FF}]', '', 'g')),
+         |      length(text) - length(regexp_replace(text,
+         |        '[\x{4E00}-\x{9FFF}]', '', 'g')),
+         |      length(text) - length(regexp_replace(text,
+         |        '[\x{0600}-\x{06FF}]', '', 'g')))
+         |    WHEN 0 THEN 'other'
+         |    WHEN length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+         |      THEN 'latin'
+         |    WHEN length(text) - length(regexp_replace(text,
+         |      '[\x{0400}-\x{04FF}]', '', 'g')) THEN 'cyrillic'
+         |    WHEN length(text) - length(regexp_replace(text,
+         |      '[\x{4E00}-\x{9FFF}]', '', 'g')) THEN 'cjk'
+         |    ELSE 'arabic' END AS script
+         |FROM documents""".stripMargin) { (s, d) =>
+      val counts = TextFeatures.scriptCounts(col("text"))
+      val Seq(la, cy, cj, ar) = counts.map(_._2)
+      val mx = greatest(la, cy, cj, ar)
+      Tables.documents(s, d).select(col("doc_id") +:
+        counts.map { case (n, c) => c.as(s"n_$n") } :+
+        when(mx === 0L, "other")
+          .when(mx === la, "latin")
+          .when(mx === cy, "cyrillic")
+          .when(mx === cj, "cjk")
+          .otherwise("arabic").as("script"): _*)
+    },
+
     Op("text_stats",
        s"""SELECT doc_id,
           |       len($toksSql) AS n_tokens,

@@ -22,6 +22,24 @@ object TextFeatures {
   def tokens(text: Column): Column =
     split(normalized(text), " ")
 
+  /** Per-script codepoint counts (BMP ranges, where Spark's UTF-16
+    * `length` and DuckDB's codepoint `length` agree 1:1) — the
+    * script-detection census that precedes language ID at corpus scale:
+    * langID models are per-script, and routing by script is a map-only
+    * integer pass. Count of class C = len(text) − len(text with C
+    * stripped); the dominant script takes ties in the fixed order
+    * latin > cyrillic > cjk > arabic > other.
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] = Seq(
+    "latin" -> "[a-zA-Z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]"
+  ).map { case (name, cls) =>
+    name -> (length(text) -
+      length(regexp_replace(text, cls, ""))).cast("long")
+  }
+
   /** Token bigrams of an ALREADY-MATERIALIZED token array column (empty
     * for sub-2-token docs). One zip_with over two slices — per-index
     * element_at lambdas re-evaluate their way into the tokenization per

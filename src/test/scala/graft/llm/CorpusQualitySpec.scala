@@ -285,4 +285,36 @@ class CorpusQualitySpec extends SparkSpec {
     assert(vr.getLong(1) == 0L && vr.getInt(2) == 1,
       s"constructed passing doc must keep: $vr")
   }
+
+  test("script census: constructed CJK/Cyrillic/Arabic/mixed text " +
+       "counts codepoints exactly and labels the dominant script") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, greatest, when}
+    val fixtures = Seq(
+      (1L, "hello world"),                 // latin 10
+      (2L, "你好世界"),    // 4 CJK
+      (3L, "привет"), // 6 cyrillic
+      (4L, "مرحبا"),       // 5 arabic
+      (5L, "ab 一二三四"), // 2 latin vs 4 CJK -> cjk
+      (6L, "12345 !!!"),                   // no script -> other
+      (7L, "abаб")               // 2 latin vs 2 cyr tie -> latin
+    ).toDF("doc_id", "text")
+    val counts = graft.llm.TextFeatures.scriptCounts(col("text"))
+    val Seq(la, cy, cj, ar) = counts.map(_._2)
+    val mx = greatest(la, cy, cj, ar)
+    val got = fixtures.select(col("doc_id") +:
+        counts.map { case (n, c) => c.as(s"n_$n") } :+
+        when(mx === 0L, "other").when(mx === la, "latin")
+          .when(mx === cy, "cyrillic").when(mx === cj, "cjk")
+          .otherwise("arabic").as("script"): _*)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5), r._6)).toMap
+    assert(got(1L) == ((10L, 0L, 0L, 0L), "latin"))
+    assert(got(2L) == ((0L, 0L, 4L, 0L), "cjk"))
+    assert(got(3L) == ((0L, 6L, 0L, 0L), "cyrillic"))
+    assert(got(4L) == ((0L, 0L, 0L, 5L), "arabic"))
+    assert(got(5L) == ((2L, 0L, 4L, 0L), "cjk"))
+    assert(got(6L) == ((0L, 0L, 0L, 0L), "other"))
+    assert(got(7L)._2 == "latin", s"tie order: ${got(7L)}")
+  }
 }
