@@ -636,6 +636,24 @@ class GraphsSpec extends SparkSpec {
     assert(hm == cl, "both centralities see the same reached sets")
   }
 
+  test("randomWalks: hub draws on a star spread near-uniformly over the " +
+       "leaves (the md5 argmin is a genuine uniform choice)") {
+    import spark.implicits._
+    // star: hub 0, leaves 1..50; every walk alternates hub -> leaf, so
+    // odd steps are independent uniform leaf draws: 51 walks x 15 odd
+    // steps = 765 draws over 50 leaves, expected ~15.3 per leaf
+    val star = (1L to 50L).map(i => (0L, i)).toDF("src", "dst")
+    val w = Graphs.randomWalks(star, _ >= 0L, steps = 30)
+      .as[(Long, Long, Long)].collect()
+    val hubDraws = w.filter(r => r._3 != 0L && r._2 > 0)
+      .groupBy(_._3).view.mapValues(_.length).toMap
+    assert(hubDraws.keySet == (1L to 50L).toSet,
+      s"only ${hubDraws.size} leaves ever drawn")
+    val (mn, mx) = (hubDraws.values.min, hubDraws.values.max)
+    assert(mn >= 3 && mx <= 40,
+      s"draw counts outside a loose uniform band: min=$mn max=$mx")
+  }
+
   test("weightedHops with unit costs IS shortestHops: identical relation " +
        "on the real trade graph") {
     import spark.implicits._
