@@ -1358,6 +1358,60 @@ object Timeseries {
     // the windows/means run on that calendar-bounded table (|days|
     // rows — the shared Timeseries contract), seasonal means are a
     // ≤7-row aggregate, attached back by a broadcast join.
+    // Trend/seasonality STRENGTH of the STL fit (Hyndman & Athanasopoulos,
+    // "Forecasting: Principles and Practice" §3.4): F_t = max(0,
+    // 1 − Var(R)/Var(T+R)), F_s likewise against S+R — the scalar
+    // "is there a real trend/season here" readout over the decomposition.
+    // Components are truncated from 2^20 fixed point back to exact cents
+    // (truncating division pinned on both engines), variance numerators
+    // are the exact BIGINT n·Σx² − (Σx)² cross-products, and each
+    // strength is one IEEE division+subtraction — so the row
+    // hash-compares. (Bound: n·Σx² stays in BIGINT while daily totals
+    // are below ~1e10 cents — the perplexity-style documented headroom.)
+    Op("ts_stl_strength",
+       s"""WITH $stlCtes,
+         |c AS (
+         |  SELECT residual_fx // 1048576 AS r,
+         |         (trend_fx + residual_fx) // 1048576 AS tr,
+         |         (seasonal_fx + residual_fx) // 1048576 AS sr
+         |  FROM comp),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(*) * sum(r * r) - sum(r) * sum(r) AS BIGINT)
+         |           AS var_r_num,
+         |         CAST(count(*) * sum(tr * tr) - sum(tr) * sum(tr)
+         |              AS BIGINT) AS var_tr_num,
+         |         CAST(count(*) * sum(sr * sr) - sum(sr) * sum(sr)
+         |              AS BIGINT) AS var_sr_num
+         |  FROM c)
+         |SELECT n, var_r_num, var_tr_num, var_sr_num,
+         |       greatest(0.0, 1.0 - CAST(var_r_num AS DOUBLE)
+         |                           / CAST(var_tr_num AS DOUBLE))
+         |         AS f_trend,
+         |       greatest(0.0, 1.0 - CAST(var_r_num AS DOUBLE)
+         |                           / CAST(var_sr_num AS DOUBLE))
+         |         AS f_seasonal
+         |FROM m""".stripMargin) { (s, d) =>
+      val c = stlComponents(Tables.events(s, d)).select(
+        expr("residual_fx div 1048576").as("r"),
+        expr("(trend_fx + residual_fx) div 1048576").as("tr"),
+        expr("(seasonal_fx + residual_fx) div 1048576").as("sr"))
+      c.agg(count(lit(1)).as("n"),
+          sum(col("r") * col("r")).as("srr"), sum(col("r")).as("sr1"),
+          sum(col("tr") * col("tr")).as("stt"), sum(col("tr")).as("st1"),
+          sum(col("sr") * col("sr")).as("sss"), sum(col("sr")).as("ss1"))
+        .select(col("n"),
+          (col("n") * col("srr") - col("sr1") * col("sr1")).as("var_r_num"),
+          (col("n") * col("stt") - col("st1") * col("st1")).as("var_tr_num"),
+          (col("n") * col("sss") - col("ss1") * col("ss1")).as("var_sr_num"))
+        .select(col("n"), col("var_r_num"), col("var_tr_num"),
+          col("var_sr_num"),
+          greatest(lit(0.0), lit(1.0) - col("var_r_num").cast("double") /
+            col("var_tr_num").cast("double")).as("f_trend"),
+          greatest(lit(0.0), lit(1.0) - col("var_r_num").cast("double") /
+            col("var_sr_num").cast("double")).as("f_seasonal"))
+    },
+
     Op("ts_stl_decompose",
        s"""WITH $stlCtes
          |SELECT day, cents, trend_fx, seasonal_fx, residual_fx,
