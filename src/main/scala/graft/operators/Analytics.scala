@@ -963,6 +963,70 @@ object Analytics {
     // rank passes + three keyed joins over the CUSTOMER-sized frame
     // (checkpointed once); the recency origin and row count are 1-row
     // keyless-aggregate attaches (audited in PlanAuditSpec).
+    // Customer SEGMENT MIGRATION: spend-quintile in the early half of
+    // the calendar vs the late half, for customers active in both — the
+    // 5x5 matrix a retention team reads ("how many of last period's top
+    // quintile slid down"). The calendar split is the integer midpoint
+    // of the order-date span (deterministic, data-derived); quintiles
+    // use the same distributed contiguous-rank ntile as m_rfm_scores
+    // (no single-partition global window), and the oracle replays
+    // ntile(5) with the identical (cents, custkey) total order, which
+    // m_rfm_scores already proves equivalent. All-integer output.
+    Op("m_segment_migration",
+       """WITH o AS (
+         |  SELECT o_custkey AS custkey,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents,
+         |         date_diff('day', DATE '1970-01-01',
+         |                   CAST(o_orderdate AS DATE)) AS day
+         |  FROM orders),
+         |sp AS (SELECT (min(day) + max(day)) // 2 AS split FROM o),
+         |e AS (SELECT custkey, CAST(sum(cents) AS BIGINT) AS cents
+         |      FROM o, sp WHERE day <= split GROUP BY 1),
+         |l AS (SELECT custkey, CAST(sum(cents) AS BIGINT) AS cents
+         |      FROM o, sp WHERE day > split GROUP BY 1),
+         |qe AS (SELECT custkey, CAST(ntile(5) OVER (ORDER BY cents,
+         |         custkey) AS BIGINT) AS q_early FROM e),
+         |ql AS (SELECT custkey, CAST(ntile(5) OVER (ORDER BY cents,
+         |         custkey) AS BIGINT) AS q_late FROM l)
+         |SELECT q_early, q_late, CAST(count(*) AS BIGINT) AS n_customers
+         |FROM qe JOIN ql USING (custkey)
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      val sp = o.agg(((min(col("day")) + max(col("day"))) / 2)
+        .cast("long").as("split"))
+      val halves = o.crossJoin(broadcast(sp))
+        .transform(graft.Ckpt.cut(_)) // feeds both halves' aggregates
+      def half(pred: org.apache.spark.sql.Column, qName: String) = {
+        val agg = halves.filter(pred)
+          .groupBy(col("custkey")).agg(sum(col("cents")).as("cents"))
+        val n1 = agg.agg(count(lit(1)).as("n"))
+        graft.llm.Mixing.assignContiguousIds(agg,
+            struct(col("cents"), col("custkey")))
+          .crossJoin(broadcast(n1))
+          .select(col("custkey"), expr(
+            """CAST(CASE
+              |  WHEN seq_id + 1 <= (n % 5) * (n div 5 + 1)
+              |  THEN seq_id div (n div 5 + 1) + 1
+              |  ELSE (n % 5) + (seq_id - (n % 5) * (n div 5 + 1))
+              |       div (n div 5) + 1
+              |END AS BIGINT)""".stripMargin).as(qName))
+      }
+      val qe = half(col("day") <= col("split"), "q_early")
+      val ql = half(col("day") > col("split"), "q_late")
+      val out = qe.join(ql, Seq("custkey"))
+        .groupBy(col("q_early"), col("q_late"))
+        .agg(count(lit(1)).as("n_customers"))
+        .transform(graft.Ckpt.cut(_))
+      graft.llm.Dedup.releaseCheckpoint(halves)
+      out
+    },
+
     Op("m_rfm_scores",
        """WITH agg AS (
          |  SELECT o_custkey AS custkey,
