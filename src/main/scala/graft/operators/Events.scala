@@ -1123,6 +1123,67 @@ object Events {
           expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
     },
 
+    // Per-user behavioral SURPRISE: the Markov log-loss of each user's
+    // own transition sequence under the population transition matrix —
+    // high mean −ln p means the user's journey keeps taking steps the
+    // population rarely takes (bot/fraud/broken-flow triage; the
+    // sequence-level anomaly score next to ts_* value anomalies).
+    // Transition probabilities stay exact integer fractions (n, total)
+    // until ONE ieee_ln per step; the per-user sum folds in pinned
+    // (ts, event_id) order through the coherence recipe, so every
+    // surprise value hash-compares. State: per-user sequences are
+    // activity-bounded; the matrix is |types|² and broadcast.
+    Op("e_user_surprise",
+       """WITH steps AS (
+         |  SELECT user_id, ts, event_id, event_type AS f,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS t
+         |  FROM events),
+         |pairs AS (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS n
+         |  FROM steps WHERE t IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT f, CAST(sum(n) AS BIGINT) AS total FROM pairs GROUP BY 1),
+         |scored AS (
+         |  SELECT s.user_id, s.ts, s.event_id,
+         |         -ln(CAST(p.n AS DOUBLE) / CAST(tt.total AS DOUBLE)) AS nll
+         |  FROM steps s JOIN pairs p ON p.f = s.f AND p.t = s.t
+         |               JOIN tot tt ON tt.f = s.f
+         |  WHERE s.t IS NOT NULL)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |       list_reduce(list_prepend(0.0,
+         |         list(nll ORDER BY ts, event_id)), (a, b) -> a + b)
+         |         AS surprise
+         |FROM scored GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.ieeeLn
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val steps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("f"),
+          lead(col("event_type"), 1).over(byUser).as("t"))
+        .filter(col("t").isNotNull)
+        .transform(graft.Ckpt.cut(_)) // feeds the matrix AND the scoring
+      val pairs = steps.groupBy(col("f"), col("t"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("f")).agg(sum(col("n")).as("total"))
+      val scored = steps
+        .join(broadcast(pairs), Seq("f", "t"))
+        .join(broadcast(tot), Seq("f"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (-ieeeLn(col("n").cast("double") / col("total").cast("double")))
+            .as("nll"))
+      val out = scored.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_transitions"),
+          aggregate(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("nll")))),
+            lit(0.0), (acc, x) => acc + x.getField("nll")).as("surprise"))
+        .transform(graft.Ckpt.cut(_))
+      graft.llm.Dedup.releaseCheckpoint(steps)
+      out
+    },
+
     // Per-event lag/rolling FEATURE TABLE — the feature-store shape a
     // behavioral model trains on: previous event type, whole seconds
     // since it, and the trailing-7-day activity count (RANGE frame over
