@@ -2000,6 +2000,56 @@ object LlmOps {
           col("n_distinct_texts"))
     },
 
+    // Per-document n-gram NOVELTY — the memorization/boilerplate lens:
+    // what fraction of a document's 4-gram positions carry a gram seen
+    // in NO other document (df = 1 ⟺ unique to this doc, since df
+    // counts distinct docs). Low novelty = assembled from corpus-common
+    // material; high = genuinely new text — the per-doc complement of
+    // the corpus-level dedup/decontamination family. One gram-keyed
+    // census (keyed shuffle with map-side partials) + one join back;
+    // novelty is integer ppm.
+    Op("llm_ngram_novelty",
+       s"""WITH toks AS (
+          |  SELECT doc_id, $toksSql AS toks FROM documents),
+          |occ AS (
+          |  SELECT doc_id, concat_ws(' ', toks[i+1], toks[i+2], toks[i+3],
+          |                           toks[i+4]) AS gram
+          |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 3)) AS i
+          |        FROM toks WHERE len(toks) >= 4)),
+          |df AS (
+          |  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |  FROM occ GROUP BY 1)
+          |SELECT o.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_grams,
+          |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_unique,
+          |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |         * 1000000 // CAST(count(*) AS BIGINT) AS novelty_ppm
+          |FROM occ o JOIN df USING (gram)
+          |GROUP BY 1""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 4)
+      val occ = toks.select(col("doc_id"),
+          explode(sequence(lit(0), size(col("toks")) - 4)).as("i"),
+          col("toks"))
+        .select(col("doc_id"), concat_ws(" ",
+          expr("toks[i]"), expr("toks[i+1]"), expr("toks[i+2]"),
+          expr("toks[i+3]")).as("gram"))
+        .transform(graft.Ckpt.cut(_)) // feeds the census AND the join back
+      val df = occ.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val out = occ.join(df, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          expr("n_unique * 1000000 div n_grams").as("novelty_ppm"))
+        .transform(graft.Ckpt.cut(_))
+      graft.llm.Dedup.releaseCheckpoint(occ)
+      out
+    },
+
     // Unicode-script census per document — the routing pass that
     // PRECEDES language ID at corpus scale (langID models are
     // per-script; script is a map-only integer census). Counts are

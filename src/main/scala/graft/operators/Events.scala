@@ -1123,6 +1123,52 @@ object Events {
           expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
     },
 
+    // Top-1 accuracy of the Markov next-event baseline: the fraction of
+    // transitions where the population-argmax next type was the one
+    // actually taken — the sanity floor every sequence model must beat,
+    // and the readout that says whether behavior is predictable at all.
+    // The argmax per from-type is a max-struct over the bounded |types|²
+    // matrix (ties to the lexicographically smallest type, pinned on
+    // both engines); accuracy is integer ppm. One window pass + bounded
+    // joins; nothing float.
+    Op("e_markov_top1_acc",
+       """WITH steps AS (
+         |  SELECT event_type AS f,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS t
+         |  FROM events),
+         |pairs AS (
+         |  SELECT f, t, CAST(count(*) AS BIGINT) AS n
+         |  FROM steps WHERE t IS NOT NULL GROUP BY 1, 2),
+         |am AS (
+         |  SELECT f, (min(struct_pack(nn := -n, tt := t))).tt AS top1
+         |  FROM pairs GROUP BY 1)
+         |SELECT CAST(sum(p.n) AS BIGINT) AS n_transitions,
+         |       CAST(sum(CASE WHEN p.t = am.top1 THEN p.n ELSE 0 END)
+         |            AS BIGINT) AS n_top1,
+         |       CAST(sum(CASE WHEN p.t = am.top1 THEN p.n ELSE 0 END)
+         |            AS BIGINT) * 1000000
+         |         // CAST(sum(p.n) AS BIGINT) AS acc_ppm
+         |FROM pairs p JOIN am USING (f)""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("event_type").as("f"),
+          lead(col("event_type"), 1).over(byUser).as("t"))
+        .filter(col("t").isNotNull)
+        .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+        .transform(graft.Ckpt.cut(_)) // bounded; feeds argmax AND the sum
+      val am = pairs.groupBy(col("f"))
+        .agg(min(struct((-col("n")).as("nn"), col("t").as("tt"))).as("m"))
+        .select(col("f"), col("m.tt").as("top1"))
+      pairs.join(broadcast(am), Seq("f"))
+        .agg(sum(col("n")).as("n_transitions"),
+          sum(when(col("t") === col("top1"), col("n")).otherwise(0L))
+            .as("n_top1"))
+        .select(col("n_transitions"), col("n_top1"),
+          expr("n_top1 * 1000000 div n_transitions").as("acc_ppm"))
+    },
+
     // Per-user behavioral SURPRISE: the Markov log-loss of each user's
     // own transition sequence under the population transition matrix —
     // high mean −ln p means the user's journey keeps taking steps the
