@@ -368,6 +368,72 @@ object Timeseries {
           (col("num").cast("double") / col("den").cast("double")).as("r1"))
     },
 
+    // Ljung-Box portmanteau statistic (Ljung & Box 1978): Q(K) =
+    // n(n+2) Σ_{k≤K} r_k²/(n−k) over the daily-revenue ACF at lags
+    // 1..10 — the standard "is anything left after my model" white-noise
+    // test, here applied to the raw daily series (compare against the
+    // chi-square(K) tail offline). Deviations use ts_autocorr's exact
+    // floor-division-mean convention, so every num_k and the shared den
+    // are BIGINTs; each r_k is one double quotient, and the Q column is
+    // the k-ORDERED running fold (a 10-row window — sequential on both
+    // engines), so the whole lag table hash-compares. The lag fan-out is
+    // 10× the calendar-bounded day table, never the event table.
+    Op("ts_ljung_box",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS n FROM daily),
+         |dev AS (SELECT day, cents - (t // n) AS dv FROM daily, tot),
+         |den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM dev),
+         |lagged AS (
+         |  SELECT k.k, CAST(sum(a.dv * b.dv) AS BIGINT) AS num
+         |  FROM (SELECT unnest(range(1, 11)) AS k) k
+         |  JOIN dev a ON true
+         |  JOIN dev b ON b.day = a.day + k.k
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT l.k, l.num, d.den, t.n,
+         |         CAST(l.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS rk
+         |  FROM lagged l, den d, tot t)
+         |SELECT k, num, den, rk,
+         |       CAST(n AS DOUBLE) * (n + 2) * sum(rk * rk /
+         |           CAST(n - k AS DOUBLE))
+         |         OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+         |               AND CURRENT ROW) AS q_stat
+         |FROM r""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(day.as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val tot = daily.agg(sum(col("cents")).as("t"),
+        count(lit(1)).as("n"))
+      val dev = daily.crossJoin(broadcast(tot))
+        .select(col("day"), (col("cents") - expr("t div n")).as("dv"))
+        .transform(graft.Ckpt.cut(_)) // feeds den AND both lag sides
+      val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
+      val lagged = dev.select(col("day"), col("dv"),
+          explode(sequence(lit(1L), lit(10L))).as("k"))
+        .join(dev.select(col("day").as("day2"), col("dv").as("dv2")),
+          col("day2") === col("day") + col("k"))
+        .groupBy(col("k")).agg(sum(col("dv") * col("dv2")).as("num"))
+      val w = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = lagged.crossJoin(broadcast(den))
+        .crossJoin(broadcast(tot.select(col("n"))))
+        .select(col("k"), col("num"), col("den"), col("n"),
+          (col("num").cast("double") / col("den").cast("double")).as("rk"))
+        .select(col("k"), col("num"), col("den"), col("rk"),
+          (col("n").cast("double") * (col("n") + 2) *
+            sum(col("rk") * col("rk") / (col("n") - col("k"))
+              .cast("double")).over(w)).as("q_stat"))
+        .transform(graft.Ckpt.cut(_))
+      graft.llm.Dedup.releaseCheckpoint(dev)
+      out
+    },
+
     // Cross-correlation function (Box & Jenkins 1970 ch.11): does click
     // traffic LEAD purchase revenue, and by how many days? r_k for lags
     // 0..7 between the zero-filled daily click-count and purchase-cents
