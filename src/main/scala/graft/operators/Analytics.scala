@@ -963,6 +963,76 @@ object Analytics {
     // rank passes + three keyed joins over the CUSTOMER-sized frame
     // (checkpointed once); the recency origin and row count are 1-row
     // keyless-aggregate attaches (audited in PlanAuditSpec).
+    // One-way ANOVA on order value across the five priorities (Fisher's
+    // F): does priority explain ANY of the spend variance? Row-level
+    // squares go through DECIMAL(19,0)×DECIMAL(19,0) = DECIMAL(38,0) —
+    // exact on both engines where BIGINT would overflow (Σ cents² ≈
+    // 5e20 at sf0.1) — and each group's Q casts to double ONCE.
+    // Between/within sums fold over the FIVE group rows in group order
+    // (the coherence recipe: sort_array fold vs list_reduce ORDER BY),
+    // so the float accumulation is pinned; F is the standard ratio of
+    // mean squares in one fixed expression. Scale shape: one keyed
+    // aggregate over orders + a 5-row fold — nothing else.
+    Op("f_anova_oneway",
+       """WITH c AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders),
+         |g AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(cents) AS BIGINT) AS s,
+         |         CAST(sum(CAST(cents AS DECIMAL(19,0))
+         |                  * CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS q
+         |  FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |             CAST(sum(s) AS BIGINT) AS st,
+         |             CAST(count(*) AS BIGINT) AS k FROM g),
+         |f AS (
+         |  SELECT t.nt, t.k,
+         |         list_reduce(list_prepend(0.0,
+         |           list(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+         |                / CAST(g.n AS DOUBLE) ORDER BY g.grp)),
+         |           (a, b) -> a + b)
+         |           - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+         |             / CAST(t.nt AS DOUBLE) AS ssb,
+         |         list_reduce(list_prepend(0.0,
+         |           list(g.q - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+         |                / CAST(g.n AS DOUBLE) ORDER BY g.grp)),
+         |           (a, b) -> a + b) AS ssw
+         |  FROM g, t GROUP BY t.nt, t.k, t.st)
+         |SELECT nt AS n_total, k, ssb, ssw,
+         |       (ssb / CAST(k - 1 AS DOUBLE))
+         |         / (ssw / CAST(nt - k AS DOUBLE)) AS f_stat
+         |FROM f""".stripMargin) { (s, d) =>
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val c = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val g = c.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents").cast(dec19) * col("cents").cast(dec19))
+            .cast("double").as("q"))
+      val bg = col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")
+      val folded = g.agg(
+        sum(col("n")).as("nt"), sum(col("s")).as("st"),
+        count(lit(1)).as("k"),
+        aggregate(sort_array(collect_list(struct(col("grp"),
+            bg.as("b")))), lit(0.0),
+          (acc, x) => acc + x.getField("b")).as("sb"),
+        aggregate(sort_array(collect_list(struct(col("grp"),
+            (col("q") - bg).as("w")))), lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("ssw"))
+      folded.select(col("nt").as("n_total"), col("k"),
+          (col("sb") - col("st").cast("double") * col("st").cast("double")
+            / col("nt").cast("double")).as("ssb"), col("ssw"))
+        .select(col("n_total"), col("k"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("n_total") - col("k")).cast("double")))
+            .as("f_stat"))
+    },
+
     // Customer SEGMENT MIGRATION: spend-quintile in the early half of
     // the calendar vs the late half, for customers active in both — the
     // 5x5 matrix a retention team reads ("how many of last period's top
