@@ -1033,6 +1033,80 @@ object Analytics {
             .as("f_stat"))
     },
 
+    // Kruskal-Wallis H (the k-group Mann-Whitney; rank ANOVA): the
+    // distribution-free companion to f_anova_oneway on the same
+    // spend-by-priority question. Mid-ranks come from the DOUBLED-rank
+    // prefix-sum substrate shared with profile_spearman (2·midrank is
+    // an exact integer even at ties), so every per-group rank sum is a
+    // BIGINT; H folds the five group terms in group order and applies
+    // the exact-integer tie correction Σ(t³−t) — one double division
+    // each, the whole row hash-compares. Scale: one value histogram +
+    // prefix sums + a keyed join back, no global sort window.
+    Op("f_kruskal_wallis",
+       """WITH c AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders),
+         |h AS (SELECT cents, CAST(count(*) AS BIGINT) AS t
+         |      FROM c GROUP BY 1),
+         |k2 AS (SELECT cents, 2 * (CAST(sum(t) OVER (ORDER BY cents)
+         |                          AS BIGINT) - t) + t + 1 AS r2
+         |       FROM h),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+         |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc FROM h),
+         |g AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+         |         CAST(sum(r2) AS BIGINT) AS rs2
+         |  FROM c JOIN k2 USING (cents) GROUP BY 1),
+         |agg AS (
+         |  SELECT n, tc, CAST(count(*) AS BIGINT) AS k,
+         |         list_reduce(list_prepend(0.0,
+         |           list(CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+         |                / (4.0 * CAST(ng AS DOUBLE)) ORDER BY grp)),
+         |           (a, b) -> a + b) AS sr
+         |  FROM g, nn, ties GROUP BY n, tc)
+         |SELECT n AS n_total, k, tc AS tie_cubes,
+         |       12.0 * sr / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+         |         - 3.0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+         |       (12.0 * sr / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+         |         - 3.0 * CAST(n + 1 AS DOUBLE))
+         |         / (1.0 - CAST(tc AS DOUBLE)
+         |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |                     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+         |         AS h_corrected
+         |FROM agg""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val h = c.groupBy(col("cents")).agg(count(lit(1)).as("t"))
+        .transform(graft.Ckpt.cut(_)) // feeds ranks AND the tie census
+      val k2 = graft.llm.Mixing.prefixSums(h, col("cents"), Seq("t"))
+        .select(col("cents"), (lit(2L) * (col("t_cum") - col("t")) +
+          col("t") + 1L).as("r2"))
+      val nn = c.agg(count(lit(1)).as("n"))
+      val ties = h.agg(sum(col("t") * col("t") * col("t") - col("t"))
+        .as("tc"))
+      val g = c.join(k2, Seq("cents"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("ng"), sum(col("r2")).as("rs2"))
+      val agg = g.agg(count(lit(1)).as("k"),
+          aggregate(sort_array(collect_list(struct(col("grp"),
+              (col("rs2").cast("double") * col("rs2").cast("double") /
+                (lit(4.0) * col("ng").cast("double"))).as("b")))),
+            lit(0.0), (acc, x) => acc + x.getField("b")).as("sr"))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+      val hExpr = lit(12.0) * col("sr") /
+        (col("n").cast("double") * (col("n") + 1).cast("double")) -
+        lit(3.0) * (col("n") + 1).cast("double")
+      agg.select(col("n").as("n_total"), col("k"),
+        col("tc").as("tie_cubes"), hExpr.as("h_stat"),
+        (hExpr / (lit(1.0) - col("tc").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double"))))
+          .as("h_corrected"))
+    },
+
     // Customer SEGMENT MIGRATION: spend-quintile in the early half of
     // the calendar vs the late half, for customers active in both — the
     // 5x5 matrix a retention team reads ("how many of last period's top
