@@ -1033,6 +1033,84 @@ object Analytics {
             .as("f_stat"))
     },
 
+    // Brown-Forsythe / Levene test: is the spend VARIANCE homogeneous
+    // across priorities — the assumption f_anova_oneway's F rests on,
+    // shipped as its diagnostic. W = the one-way F computed on
+    // |x − median_g| (the median-centered Brown-Forsythe form, robust
+    // where mean-centered Levene is not). Group medians are exact
+    // percentile_disc elements (the f_percentile_disc cross-engine
+    // guarantee), deviations are exact BIGINT cents, and the F fold
+    // reuses the f_anova_oneway recipe: DECIMAL(38) squares, one double
+    // cast per group, group-ordered folds.
+    Op("f_levene",
+       """WITH c AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders),
+         |med AS (SELECT grp, quantile_disc(cents, 0.5) AS m
+         |        FROM c GROUP BY 1),
+         |z AS (SELECT c.grp, abs(c.cents - med.m) AS z
+         |      FROM c JOIN med USING (grp)),
+         |g AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(z) AS BIGINT) AS s,
+         |         CAST(sum(CAST(z AS DECIMAL(19,0))
+         |                  * CAST(z AS DECIMAL(19,0))) AS DOUBLE) AS q
+         |  FROM z GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |             CAST(sum(s) AS BIGINT) AS st,
+         |             CAST(count(*) AS BIGINT) AS k FROM g),
+         |f AS (
+         |  SELECT t.nt, t.k,
+         |         list_reduce(list_prepend(0.0,
+         |           list(CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+         |                / CAST(g.n AS DOUBLE) ORDER BY g.grp)),
+         |           (a, b) -> a + b)
+         |           - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+         |             / CAST(t.nt AS DOUBLE) AS ssb,
+         |         list_reduce(list_prepend(0.0,
+         |           list(g.q - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+         |                / CAST(g.n AS DOUBLE) ORDER BY g.grp)),
+         |           (a, b) -> a + b) AS ssw
+         |  FROM g, t GROUP BY t.nt, t.k, t.st)
+         |SELECT nt AS n_total, k, ssb, ssw,
+         |       (ssb / CAST(k - 1 AS DOUBLE))
+         |         / (ssw / CAST(nt - k AS DOUBLE)) AS w_stat
+         |FROM f""".stripMargin) { (s, d) =>
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val c = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val med = c.groupBy(col("grp"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .as("m"))
+      val z = c.join(broadcast(med), Seq("grp"))
+        .select(col("grp"), abs(col("cents") - col("m")).as("z"))
+      val g = z.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("s"),
+          sum(col("z").cast(dec19) * col("z").cast(dec19))
+            .cast("double").as("q"))
+      val bg = col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")
+      val folded = g.agg(
+        sum(col("n")).as("nt"), sum(col("s")).as("st"),
+        count(lit(1)).as("k"),
+        aggregate(sort_array(collect_list(struct(col("grp"),
+            bg.as("b")))), lit(0.0),
+          (acc, x) => acc + x.getField("b")).as("sb"),
+        aggregate(sort_array(collect_list(struct(col("grp"),
+            (col("q") - bg).as("w")))), lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("ssw"))
+      folded.select(col("nt").as("n_total"), col("k"),
+          (col("sb") - col("st").cast("double") * col("st").cast("double")
+            / col("nt").cast("double")).as("ssb"), col("ssw"))
+        .select(col("n_total"), col("k"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("n_total") - col("k")).cast("double")))
+            .as("w_stat"))
+    },
+
     // Kruskal-Wallis H (the k-group Mann-Whitney; rank ANOVA): the
     // distribution-free companion to f_anova_oneway on the same
     // spend-by-priority question. Mid-ranks come from the DOUBLED-rank
