@@ -305,4 +305,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(fr.getLong(0) == n && fr.getLong(1) == n1 && fr.getLong(3) == dObs)
     assert(fr.getLong(4) == 64L && fr.getLong(5) <= 64L)
   }
+
+  test("ANOVA decomposition: SSB + SSW equals the direct total sum of " +
+       "squares, and Levene/Kruskal-Wallis agree on shape") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val xs = graft.Tables.orders(spark, sf)
+      .select($"o_orderpriority",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val mean = xs.map(_._2.toDouble).sum / xs.length
+    val sst = xs.map(x => (x._2 - mean) * (x._2 - mean)).sum
+    val a = graft.SparkEntry.queries("f_anova_oneway")(spark, sf)
+      .collect().head
+    assert(a.getLong(0) == xs.length && a.getLong(1) == 5L)
+    val (ssb, ssw, f) = (a.getDouble(2), a.getDouble(3), a.getDouble(4))
+    assert(math.abs(ssb + ssw - sst) < 1e-6 * sst,
+      s"SST decomposition: $ssb + $ssw vs $sst")
+    assert(ssb >= 0 && ssw > 0 && f >= 0)
+    val kw = graft.SparkEntry.queries("f_kruskal_wallis")(spark, sf)
+      .collect().head
+    assert(kw.getLong(0) == xs.length && kw.getLong(1) == 5L)
+    assert(kw.getDouble(4) >= kw.getDouble(3) * 0.999,
+      "tie correction can only grow H")
+    val lv = graft.SparkEntry.queries("f_levene")(spark, sf)
+      .collect().head
+    assert(lv.getLong(0) == xs.length && lv.getDouble(4) >= 0)
+  }
 }
