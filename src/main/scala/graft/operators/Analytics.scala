@@ -1033,6 +1033,108 @@ object Analytics {
             .as("f_stat"))
     },
 
+    // Tukey HSD post-hoc: after f_anova_oneway says "priorities differ",
+    // WHICH pairs differ — the studentized-range q for all C(5,2) = 10
+    // priority pairs, q_ij = |x̄_i − x̄_j| / sqrt(MSW/2 · (1/n_i + 1/n_j))
+    // (compare against the q(k, N−k) table offline). Group means stay
+    // exact integer fractions until one double division; MSW reuses the
+    // ANOVA's pinned group-ordered fold; the pair fan-out is the 5-row
+    // group table squared. Every double composes in one fixed
+    // expression, so all 10 rows hash-compare.
+    Op("f_tukey_hsd",
+       """WITH c AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders),
+         |g AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(cents) AS BIGINT) AS s,
+         |         CAST(sum(CAST(cents AS DECIMAL(19,0))
+         |                  * CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS q
+         |  FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |             CAST(count(*) AS BIGINT) AS k FROM g),
+         |msw AS (
+         |  SELECT t.nt, t.k,
+         |         list_reduce(list_prepend(0.0,
+         |           list(g.q - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+         |                / CAST(g.n AS DOUBLE) ORDER BY g.grp)),
+         |           (a, b) -> a + b)
+         |           / CAST(t.nt - t.k AS DOUBLE) AS msw
+         |  FROM g, t GROUP BY t.nt, t.k)
+         |SELECT a.grp AS grp_a, b.grp AS grp_b,
+         |       a.n AS n_a, b.n AS n_b,
+         |       abs(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+         |           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+         |         / sqrt(m.msw / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+         |                               + 1.0 / CAST(b.n AS DOUBLE)))
+         |         AS q_stat
+         |FROM g a JOIN g b ON a.grp < b.grp, msw m""".stripMargin) {
+      (s, d) =>
+        val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val c = Tables.orders(s, d).select(
+          col("o_orderpriority").as("grp"),
+          (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+        val g = c.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+            sum(col("cents").cast(dec19) * col("cents").cast(dec19))
+              .cast("double").as("q"))
+          .transform(graft.Ckpt.cut(_)) // 5 rows; feeds MSW AND both pair sides
+        val msw = g.agg(sum(col("n")).as("nt"), count(lit(1)).as("k"),
+            aggregate(sort_array(collect_list(struct(col("grp"),
+                (col("q") - col("s").cast("double") *
+                  col("s").cast("double") / col("n").cast("double"))
+                  .as("w")))),
+              lit(0.0), (acc, x) => acc + x.getField("w")).as("ssw"))
+          .select((col("ssw") / (col("nt") - col("k")).cast("double"))
+            .as("msw"))
+        val a = g.select(col("grp").as("grp_a"), col("n").as("n_a"),
+          col("s").as("s_a"))
+        val b = g.select(col("grp").as("grp_b"), col("n").as("n_b"),
+          col("s").as("s_b"))
+        a.join(b, col("grp_a") < col("grp_b"))
+          .crossJoin(broadcast(msw))
+          .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+            (abs(col("s_a").cast("double") / col("n_a").cast("double") -
+              col("s_b").cast("double") / col("n_b").cast("double")) /
+              sqrt(col("msw") / 2.0 * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double")))).as("q_stat"))
+    },
+
+    // Sample-ratio mismatch (SRM) guardrail: the A/B experimenter's
+    // first sanity check — do the variant sizes match the designed
+    // 50/50 split? chi2 with 1 df reduces to (n0 − n1)²/(n0 + n1):
+    // exact integer numerator, one double division. An SRM flag at
+    // |z| > 3 (chi2 > 9) in pure integers via cross-multiplication.
+    Op("e_ab_srm",
+       """WITH u AS (
+         |  SELECT user_id % 2 AS variant FROM events GROUP BY user_id),
+         |w AS (
+         |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n1
+         |  FROM u)
+         |SELECT n0, n1,
+         |       CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+         |         / CAST(n0 + n1 AS DOUBLE) AS chi2,
+         |       CAST((n0 - n1) * (n0 - n1) > 9 * (n0 + n1) AS INT)
+         |         AS srm_flag
+         |FROM w""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .select((col("user_id") % 2).as("variant"))
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("n0"), col("n1"),
+          (((col("n0") - col("n1")) * (col("n0") - col("n1")))
+            .cast("double") / (col("n0") + col("n1")).cast("double"))
+            .as("chi2"),
+          ((col("n0") - col("n1")) * (col("n0") - col("n1")) >
+            lit(9L) * (col("n0") + col("n1"))).cast("int").as("srm_flag"))
+    },
+
     // Brown-Forsythe / Levene test: is the spend VARIANCE homogeneous
     // across priorities — the assumption f_anova_oneway's F rests on,
     // shipped as its diagnostic. W = the one-way F computed on
