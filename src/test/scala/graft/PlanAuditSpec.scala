@@ -183,7 +183,21 @@ class PlanAuditSpec extends SparkSpec {
         n == "f_permutation_test" || n == "f_permutation_test_fast" ||
         // graph_distance_dist: the 1-row pair-total attach onto the
         // <= iters-row distance histogram (verified below)
-        n == "graph_distance_dist")
+        n == "graph_distance_dist" ||
+        // f_tukey_hsd: the pairwise non-equi join is over the
+        // checkpointed 5-ROW group table (the ts_theil_sen
+        // bounded-table argument) plus the 1-row MSW attach;
+        // f_kruskal_wallis: the 1-row n / tie-census attaches onto the
+        // 5-row fold (both verified keyless-aggregate below)
+        n == "f_tukey_hsd" || n == "f_kruskal_wallis" ||
+        // ts_stl_strength rides stlComponents' documented 1-row
+        // attaches (the ts_stl_decompose exemption);
+        // m_segment_migration attaches the 1-row calendar split and
+        // per-half count scalars onto the rank substrate (both
+        // verified keyless-aggregate below). ts_ljung_box needs no
+        // entry: its final frame is a checkpoint scan, so it passes
+        // the strict audit directly.
+        n == "ts_stl_strength" || n == "m_segment_migration")
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
@@ -233,7 +247,8 @@ class PlanAuditSpec extends SparkSpec {
         "m_rfm_scores", "ts_level_shift", "f_benford_chi", "profile_fds",
         "m_repeat_rate", "f_cramers_v", "profile_uniques",
         "f_permutation_test", "f_permutation_test_fast",
-        "graph_distance_dist")
+        "graph_distance_dist", "f_tukey_hsd", "f_kruskal_wallis",
+        "ts_stl_strength", "m_segment_migration")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
