@@ -1697,8 +1697,12 @@ object LlmOps {
     // float accumulations -> rows-only; the whitening identity (output
     // covariance == I), the canonical basis, and anisotropy removal are
     // asserted to tight tolerances in SimilaritySpec.
+    // Exploded to (vec_id, i, value) like embed_quantize_int8 so every
+    // row is scalar-typed and the driver harness can sort/hash it.
     Op.noOracle("embed_pca_whiten") { (s, d) =>
       Similarity.pcaWhiten(Tables.embeddings(s, d))
+        .select(col("vec_id"), posexplode(col("white")))
+        .select(col("vec_id"), col("pos").as("i"), col("col").as("value"))
     },
 
     // Symmetric int8 quantization codes, exploded to (vec_id, i, q) so
@@ -3683,11 +3687,15 @@ object LlmOps {
     // 0..255 + merge products at 256+rank) — the artifact a training
     // pipeline ships. Map-only application; byte-exact id round-trips
     // asserted in BpeSpec.
+    // Exploded to (doc_id, pos, token_id) so every row is scalar-typed
+    // and the driver harness can sort/hash it.
     Op.noOracle("llm_bpe_encode") { (s, d) =>
       val docs = Tables.documents(s, d)
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.encodeToIds(docs, merges)
+        .select(col("doc_id"), posexplode(col("token_ids")))
+        .select(col("doc_id"), col("pos"), col("col").as("token_id"))
     },
 
     // Tokenizer fertility report — the curve a team reads to pick vocab

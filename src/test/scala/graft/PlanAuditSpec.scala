@@ -248,7 +248,7 @@ class PlanAuditSpec extends SparkSpec {
         "m_repeat_rate", "f_cramers_v", "profile_uniques",
         "f_permutation_test", "f_permutation_test_fast",
         "graph_distance_dist", "f_tukey_hsd", "f_kruskal_wallis",
-        "ts_stl_strength", "m_segment_migration")
+        "ts_stl_strength")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
@@ -274,10 +274,15 @@ class PlanAuditSpec extends SparkSpec {
     // plan is truncated at the checkpoint, so the keyless-aggregate
     // evidence is invisible to this audit (the shape itself is the
     // f_equidepth_hist scalar attach; MixingSpec verifies the output).
+    // m_segment_migration is the same situation: its keyless n_customers
+    // aggregate broadcasts BEFORE the quintile substrate's Ckpt.cut, so
+    // the audited plan is Scan ExistingRDD[q_early, q_late, n_customers]
+    // — the materialized form of the scalar broadcast (the query itself
+    // is oracle hash-green; AnalyticsSpec verifies the output).
     Seq("knn_ivf_recall", "knn_pq_recall", "embed_decontaminate",
         "embed_hard_negatives", "llm_contamination_report",
         "hybrid_rrf_batch", "embed_quantize_recall", "knn_mmr",
-        "mix_curriculum", "embed_mrl_recall")
+        "mix_curriculum", "embed_mrl_recall", "m_segment_migration")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
