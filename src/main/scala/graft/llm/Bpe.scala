@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -34,6 +35,22 @@ object Bpe {
   /** Symbol sequence of a word: one symbol per char, plus the sentinel. */
   private def symbols(word: String): Vector[String] =
     word.map(_.toString).toVector :+ EndOfWord
+
+  /** A FROZEN merge table (rank = index) — the production deployment
+    * shape: tokenizers are trained once, frozen, and applied to every
+    * new batch (retraining per batch would silently shift every piece).
+    * Pinned as literals so the encode walk is replayable by an external
+    * engine verbatim — the llm_bpe_encode_frozen oracle embeds this very
+    * table as VALUES and replays mergeGreedy's leftmost-lowest-rank walk
+    * step for step.
+    */
+  val FrozenMerges: Seq[(String, String)] = Seq(
+    ("r", "o"), ("a", "n"), ("e", "r"), ("a", "t"), ("s", "t"),
+    ("h", "a"), ("j", "o"), ("l", "e"), ("e", "y"), ("o", "r"),
+    ("c", "o"), ("s", "c"), ("er", "</w>"), ("an", "</w>"),
+    ("ro", "w"), ("row", "</w>"), ("a", "b"), ("t", "ab"),
+    ("le", "</w>"), ("tab", "le</w>"), ("k", "ey"), ("key", "</w>"),
+    ("or", "d"), ("sc", "an</w>"))
 
   /** Learn `numMerges` merges from a (word -> count) histogram.
     * Returns merges in learned order (rank = index).
@@ -114,6 +131,40 @@ object Bpe {
     */
   def encode(word: String, ranks: Map[(String, String), Int]): Vector[String] =
     mergeGreedy(symbols(word), ranks)
+
+  /** Frozen-tokenizer corpus encode to (idCol, pos, piece) rows — the
+    * artifact a training pipeline ships, under a PINNED merge table (see
+    * [[FrozenMerges]]). Scale shape: the merge walk runs once per
+    * DISTINCT word type (vocabulary-sized work, Zipf-bounded), then
+    * joins back to the position-carrying token relation; the global
+    * piece position is one per-document window over (word index, piece
+    * index) — no corpus text ever leaves the executors. Words outside
+    * the frozen alphabet (non-[a-z0-9]) pass through as a single
+    * sentinel-terminated piece, which keeps the walk byte-exact across
+    * engines regardless of how they split astral-plane characters.
+    */
+  def encodeFrozen(docs: DataFrame, merges: Seq[(String, String)],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val tok = docs.select(col(idCol),
+        posexplode(TextFeatures.tokens(col(textCol)))
+          .as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+    val pieces = tok.select(col("word")).distinct().as[String]
+      .map { w =>
+        if (w.matches("^[a-z0-9]+$")) (w, encode(w, ranks))
+        else (w, Vector(w + EndOfWord))
+      }.toDF("word", "syms")
+    val win = Window.partitionBy(col(idCol)).orderBy(col("wpos"), col("si"))
+    tok.join(pieces, Seq("word"))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("syms")).as(Seq("si", "piece")))
+      .withColumn("pos", (row_number().over(win) - 1).cast("long"))
+      .select(col(idCol), col("pos"), col("piece"))
+  }
 
   /** Greedy lowest-rank merge loop shared by the char-level and byte-level
     * encoders — a pure function suitable for a broadcast closure.

@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus pipeline — the artifact a data team
+  * actually runs, composing the engine's cleaning inventory in the
+  * production order:
+  *
+  *   ingest → quality verdict (Gopher + C4 + length bounds) →
+  *   exact dedup (fingerprint, min-id survivor) →
+  *   near dedup (MinHash-LSH components, min-id survivor) →
+  *   decontaminate (n-gram overlap vs the held-out benchmark split) →
+  *   mix (temperature sampling over sources) →
+  *   token budget (per-source md5-draw cap) →
+  *   shard (deterministic md5 shard assignment)
+  *
+  * The deliverable is the per-stage funnel: one row per stage with the
+  * surviving document and token counts, plus one row per output shard.
+  * Every stage is an already-oracle-proven operator (llm_doc_verdict,
+  * dedup_exact, dedup_minhash, llm_decontaminate, mix_temperature_sample,
+  * mix_token_budget, mix_shard_manifest), so the WHOLE funnel
+  * hash-compares against a DuckDB replay.
+  *
+  * Scale shape: the funnel is computed in ONE pass — each stage yields a
+  * survivor-id relation, the base corpus is annotated with six
+  * left-join membership flags (all equi-joins on doc_id), and the
+  * per-stage counts come from exploding each doc's reach prefix — so no
+  * stage's lineage is re-executed once per stage row. The survivor-id
+  * relations are ids only (no text) and nest strictly, so flag order
+  * equals funnel depth. Reference framing: the reference's dbt project
+  * runs staging → marts → tests as one `dbt build`
+  * (/root/reference/models, automate_pipeline.py:1-28); this is the
+  * LLM-corpus equivalent with the same run-then-gate shape.
+  */
+object CorpusPipeline {
+
+  val stageNames: Seq[String] = Seq("0_ingest", "1_quality",
+    "2_exact_dedup", "3_near_dedup", "4_decontaminate", "5_mix", "6_budget")
+
+  /** Per-stage funnel counts (stage, n_docs, n_tokens) + per-shard rows.
+    *
+    * `benchMod`: doc_id % benchMod == 0 is held out as the benchmark
+    * split (the decontamination target, excluded from the corpus) — the
+    * convention llm_decontaminate already uses.
+    *
+    * The quality gate is the STRUCTURAL subset of the published rules:
+    * Gopher word count / mean word length / symbol ratio / alpha ratio,
+    * C4's blocklist rules (lorem ipsum, brace, javascript), and the
+    * length bounds. The punctuation-dependent rules (Gopher stop-word
+    * octet, C4 terminal-punctuation line retention and min-sentences)
+    * are corpus-register toggles a production gate configures per
+    * source — on prose they bind, on code/log/table registers they are
+    * switched off (this corpus has no sentence-terminal lines at all,
+    * so leaving them on zeroes the funnel at stage 1; the full-strict
+    * conjunction remains available as llm_doc_verdict).
+    */
+  def stageCounts(docs: DataFrame,
+                  benchMod: Long = 97L,
+                  bands: Int = 8, rows: Int = 4, threshold: Double = 0.8,
+                  shingleN: Int = 4,
+                  alpha: Double = 0.5, targetFraction: Double = 0.5,
+                  budget: Long = 200L, nShards: Int = 8): DataFrame = {
+    val bench = docs.filter(col("doc_id") % benchMod === 0)
+    val corpus = docs.filter(col("doc_id") % benchMod =!= 0)
+
+    // stage 1: quality — structural Gopher rules + C4 blocklist rules +
+    // length bounds (see the Scaladoc note on the punctuation toggles)
+    val quality = corpus.join(
+      CorpusQuality.gopherRules(corpus)
+        .join(CorpusQuality.c4Rules(corpus)
+          .select(col("doc_id"), col("c4_no_lorem"), col("c4_no_brace"),
+            col("c4_no_js")), Seq("doc_id"))
+        .join(corpus.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .filter(col("g_wc") === 1 && col("g_mwl") === 1 &&
+          col("g_sym") === 1 && col("g_alpha") === 1 &&
+          col("c4_no_lorem") === 1 && col("c4_no_brace") === 1 &&
+          col("c4_no_js") === 1 &&
+          col("n_chars") >= 100 && col("n_chars") <= 50000)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // stage 2: exact dedup — min doc_id per content fingerprint
+    val exact = quality.join(
+      quality.groupBy(TextFeatures.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // stage 3: near dedup — MinHash-LSH connected components, min-id
+    // survivor per cluster (portable signatures so the funnel replays)
+    val losers = Dedup.componentMinLabels(
+        Dedup.minHashNearDups(exact, "doc_id", "text", bands, rows,
+          threshold, portable = true))
+      .filter(col("label") < col("node"))
+      .select(col("node").as("doc_id"))
+    val near = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    // stage 4: decontaminate — drop any doc sharing an n-token shingle
+    // with the benchmark split
+    val clean = near.join(
+      Dedup.decontaminate(near, bench, "doc_id", "text", shingleN)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+    // stage 5: temperature mix over sources (rates from the clean corpus)
+    val mixed = clean.join(
+      Mixing.temperatureSample(clean, "doc_id", "source", alpha,
+        targetFraction).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // stage 6: per-source token budget in md5-draw order
+    val fin = mixed.join(
+      Mixing.tokenBudget(mixed, "doc_id", "text", "source", budget)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // ONE funnel pass: per-doc membership flags -> reach -> explode the
+    // reach prefix -> per-stage integer aggregate.
+    val nt = size(TextFeatures.tokens(col("text"))).cast("long")
+    var ann = corpus.select(col("doc_id"), nt.as("nt"))
+    Seq(quality, exact, near, clean, mixed, fin).zipWithIndex.foreach {
+      case (df, i) =>
+        ann = ann.join(df.select(col("doc_id"), lit(1).as(s"f$i")),
+          Seq("doc_id"), "left")
+    }
+    val reach: Column = (0 until 6)
+      .map(i => coalesce(col(s"f$i"), lit(0)))
+      .reduce(_ + _)
+    val stageRows = ann
+      .select(explode(sequence(lit(0), reach)).as("ord"), col("nt"))
+      .groupBy(col("ord"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(
+        element_at(array(stageNames.map(lit): _*), col("ord") + 1)
+          .as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val shardRows = Mixing.shardManifest(fin, "doc_id", "text", nShards)
+      .select(concat(lit("7_shard_"), col("shard_id").cast("string"))
+          .as("stage"),
+        col("n_docs"), col("n_tokens"))
+    stageRows.unionByName(shardRows)
+  }
+}

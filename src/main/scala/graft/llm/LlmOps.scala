@@ -578,6 +578,128 @@ object LlmOps {
        |FROM corpus c JOIN bench b ON c.s = b.s
        |GROUP BY 1""".stripMargin
 
+  /** DuckDB replay of CorpusPipeline.stageCounts — every stage is an
+    * already-proven oracle idiom (llm_doc_verdict's rule conditions,
+    * dedup_exact's fingerprint, llm_clean_corpus's nested minhash +
+    * component walk, llm_decontaminate's shingle join,
+    * mix_temperature_sample's threshold draw, mix_token_budget's
+    * draw-ordered running sum, mix_shard_manifest's md5-byte shard),
+    * composed over the same funnel. The per-doc `reach` (stages
+    * survived) is exploded to its prefix exactly like the engine side,
+    * so a stage with zero survivors emits no row on either side.
+    */
+  private val pipelineE2eOracleSql: String =
+    s"""WITH RECURSIVE tt AS (
+       |  SELECT doc_id, source, text, n_chars, $toksSql AS toks
+       |  FROM documents),
+       |d0 AS (SELECT * FROM tt WHERE doc_id % 97 <> 0),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(${shSql(4)}) AS s FROM tt
+       |  WHERE doc_id % 97 = 0),
+       |m AS (
+       |  SELECT doc_id, n_chars, text,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(list_aggregate(list_transform(toks, x -> length(x)),
+       |                        'sum') AS BIGINT) AS sumlen,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST((length(text) - length(replace(text, '...', '')))
+       |             // 3 AS BIGINT) AS sym,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+       |         AS BIGINT) AS alpha,
+       |    list_contains(toks, 'javascript') AS has_js
+       |  FROM d0),
+       |q AS (
+       |  SELECT doc_id FROM m
+       |  WHERE n >= 50 AND n <= 100000
+       |    AND sumlen >= 3 * n AND sumlen <= 10 * n
+       |    AND 10 * sym <= n AND 5 * alpha >= 4 * n
+       |    AND NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{') AND NOT has_js
+       |    AND n_chars >= 100 AND n_chars <= 50000),
+       |ex AS (
+       |  SELECT min(doc_id) AS doc_id FROM d0
+       |  WHERE doc_id IN (SELECT doc_id FROM q)
+       |  GROUP BY md5($normSql)),
+       |base AS (SELECT * FROM d0 WHERE doc_id IN (SELECT doc_id FROM ex)),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    ${minhashOracleSql(bands = 8, rows = 4, threshold = 0.8,
+              from = "base").linesIterator.mkString("\n    ")})),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+       |losers AS (SELECT DISTINCT node AS doc_id FROM walk
+       |           WHERE reach < node),
+       |nr AS (SELECT * FROM base
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |cont AS (
+       |  SELECT DISTINCT c.doc_id FROM (
+       |    SELECT doc_id, unnest(${shSql(4)}) AS s FROM nr) c
+       |  JOIN bsh b ON c.s = b.s),
+       |cl AS (SELECT * FROM nr
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |cnt AS (SELECT source, count(*) AS n FROM cl GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+       |         list_aggregate(list_transform(
+       |           list(CAST(n AS DOUBLE) ORDER BY source), x -> sqrt(x)),
+       |           'sum') AS z
+       |  FROM cnt),
+       |th AS (
+       |  SELECT source,
+       |         printf('%04x', CAST(floor(
+       |           least(0.9999, 0.5 * n_total / z * sqrt(CAST(n AS DOUBLE))
+       |                 / CAST(n AS DOUBLE)) * 65536) AS INT)) AS thr
+       |  FROM cnt, agg),
+       |mx AS (
+       |  SELECT cl.* FROM cl JOIN th USING (source)
+       |  WHERE substr(md5(concat(cl.source, ':',
+       |                          CAST(cl.doc_id AS VARCHAR))), 1, 4)
+       |        < th.thr),
+       |bud AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntk,
+       |           CAST(sum(CAST(len(toks) AS BIGINT)) OVER (
+       |             PARTITION BY source
+       |             ORDER BY md5(concat(source, ':',
+       |                                 CAST(doc_id AS VARCHAR))), doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             AS BIGINT) AS cum
+       |    FROM mx)
+       |  WHERE cum - ntk < 200),
+       |fin AS (SELECT * FROM mx
+       |        WHERE doc_id IN (SELECT doc_id FROM bud)),
+       |rch AS (
+       |  SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS nt,
+       |    CASE WHEN d0.doc_id NOT IN (SELECT doc_id FROM q) THEN 0
+       |         WHEN d0.doc_id NOT IN (SELECT doc_id FROM ex) THEN 1
+       |         WHEN d0.doc_id IN (SELECT doc_id FROM losers) THEN 2
+       |         WHEN d0.doc_id IN (SELECT doc_id FROM cont) THEN 3
+       |         WHEN d0.doc_id NOT IN (SELECT doc_id FROM mx) THEN 4
+       |         WHEN d0.doc_id NOT IN (SELECT doc_id FROM bud) THEN 5
+       |         ELSE 6 END AS reach
+       |  FROM d0),
+       |stg AS (
+       |  SELECT unnest(range(0, reach + 1)) AS ord, nt FROM rch)
+       |SELECT ['0_ingest','1_quality','2_exact_dedup','3_near_dedup',
+       |        '4_decontaminate','5_mix','6_budget'][ord + 1] AS stage,
+       |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM stg GROUP BY 1
+       |UNION ALL
+       |SELECT concat('7_shard_', CAST(
+       |    ((strpos('0123456789abcdef',
+       |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |     + strpos('0123456789abcdef',
+       |              substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8
+       |    AS VARCHAR)) AS stage,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS n_tokens
+       |FROM fin GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
 
     // --- dedup -----------------------------------------------------------
@@ -3722,6 +3844,88 @@ object LlmOps {
             (col("bytes").cast("double") / col("toks").cast("double"))
               .as("bytes_per_token"))
       }.reduce(_ unionByName _)
+    },
+
+    // Frozen-tokenizer encode, ORACLE-EXACT: the merge table is pinned
+    // (Bpe.FrozenMerges — the production shape: train once, freeze,
+    // apply), so the greedy leftmost-lowest-rank walk replays in DuckDB
+    // as a recursive CTE that performs ONE merge per step per word type
+    // and stops when no learned pair remains. The engine encodes each
+    // DISTINCT word type once and joins back (vocabulary-sized walk,
+    // corpus-sized map work); the oracle encodes the same distinct
+    // types and reassembles positions with the same (word index, piece
+    // index) window. Every (doc_id, pos, piece) row hash-compares.
+    Op("llm_bpe_encode_frozen", {
+      val rows = Bpe.FrozenMerges.zipWithIndex
+        .map { case ((a, b), r) => s"('$a', '$b', $r)" }
+        .mkString(",\n         |    ")
+      s"""WITH RECURSIVE m(a, b, r) AS (VALUES
+         |    $rows),
+         |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS wpos, toks
+         |       FROM t0),
+         |tk2 AS (SELECT doc_id, CAST(wpos AS BIGINT) AS wpos,
+         |               toks[wpos+1] AS word
+         |        FROM tk WHERE toks[wpos+1] <> ''),
+         |wd AS (SELECT DISTINCT word FROM tk2),
+         |st0 AS (
+         |  SELECT word,
+         |         list_append(list_transform(range(1, length(word) + 1),
+         |                                    i -> substr(word, i, 1)),
+         |                     '</w>') AS syms
+         |  FROM wd WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+         |enc(step, word, syms) AS (
+         |  SELECT 0, word, syms FROM st0
+         |  UNION ALL
+         |  SELECT t.step + 1, t.word,
+         |         list_concat(list_concat(
+         |             list_slice(t.syms, 1, t.bj - 1),
+         |             [t.syms[t.bj] || t.syms[t.bj + 1]]),
+         |           list_slice(t.syms, t.bj + 2, len(t.syms)))
+         |  FROM (
+         |    SELECT p.step, p.word, p.syms,
+         |           CAST(min(p.r * 100000 + p.j) % 100000 AS INT) AS bj
+         |    FROM (
+         |      SELECT s.step, s.word, s.syms, s.j, m.r
+         |      FROM (SELECT step, word, syms,
+         |                   unnest(range(1, len(syms))) AS j FROM enc) s
+         |      JOIN m ON m.a = s.syms[s.j] AND m.b = s.syms[s.j + 1]) p
+         |    GROUP BY p.step, p.word, p.syms) t),
+         |fin AS (
+         |  SELECT word, syms FROM (
+         |    SELECT word, syms,
+         |           row_number() OVER (PARTITION BY word
+         |                              ORDER BY step DESC) AS rn
+         |    FROM enc) WHERE rn = 1),
+         |pieces AS (
+         |  SELECT word, syms FROM fin
+         |  UNION ALL
+         |  SELECT word, [word || '</w>'] AS syms FROM wd
+         |  WHERE NOT regexp_matches(word, '^[a-z0-9]+$$')),
+         |ex AS (
+         |  SELECT doc_id, wpos, unnest(range(0, len(syms))) AS si, syms
+         |  FROM tk2 JOIN pieces USING (word)),
+         |ex2 AS (SELECT doc_id, wpos, si, syms[si + 1] AS piece FROM ex)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY wpos, si) - 1
+         |            AS BIGINT) AS pos, piece
+         |FROM ex2""".stripMargin
+    }) { (s, d) =>
+      Bpe.encodeFrozen(Tables.documents(s, d), Bpe.FrozenMerges)
+    },
+
+    // THE PIPELINE PRESET: the whole cleaning inventory composed
+    // end-to-end in production order — ingest -> quality verdict ->
+    // exact dedup -> near dedup -> decontaminate -> temperature mix ->
+    // token budget -> shard — reported as the per-stage funnel
+    // (stage, n_docs, n_tokens) plus one row per output shard. Every
+    // stage reuses an oracle-proven operator, so the ENTIRE funnel
+    // hash-compares end to end (see CorpusPipeline.stageCounts for the
+    // one-pass reach/explode shape that avoids re-executing a stage's
+    // lineage per funnel row).
+    Op("llm_pipeline_e2e", pipelineE2eOracleSql) { (s, d) =>
+      CorpusPipeline.stageCounts(Tables.documents(s, d))
     }
   )
 }

@@ -1428,12 +1428,54 @@ object Graphs {
 
     // Maximum spanning forest (the collaboration backbone) of the
     // weighted co-supplier graph by distributed Borůvka. The forest is
-    // unique under the total (weight desc, src, dst) edge order; the
-    // output is its edge list. δ-free integer algorithm, but the
-    // per-round component merges make the SQL replay a nested fixpoint
-    // — no oracle; GraphsSpec pins the exact edge set against a
-    // sequential Kruskal.
-    Op.noOracle("graph_mst") { (s, d) =>
+    // UNIQUE under the total (weight desc, src, dst) edge order, so any
+    // algorithm that respects that order produces the same edge set —
+    // which makes a SEQUENTIAL KRUSKAL the oracle even though the
+    // engine runs contracted Borůvka: the recursive CTE carries the
+    // union-find labeling as (step, node, label) rows, consumes ONE
+    // edge per recursion step in total order (rank join), reads the two
+    // endpoint labels with whole-partition windows (one reference to
+    // the recursive table, the graph_coreness idiom), relabels the
+    // losing component, and stops early once a single label remains
+    // (min=max window). An edge is in the forest iff its endpoints'
+    // labels differ at its own step — replayed by joining each ranked
+    // edge against the labeling one step before it; edges ranked past
+    // the early stop have no labeling row and are correctly rejected
+    // (all labels equal from that point on).
+    Op("graph_mst",
+       """WITH RECURSIVE pairs AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+         |e0 AS (
+         |  SELECT p1.s AS src, p2.s AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM pairs p1 JOIN pairs p2 ON p1.ok = p2.ok AND p1.s < p2.s
+         |  GROUP BY 1, 2 HAVING count(*) >= 6),
+         |er AS MATERIALIZED (
+         |  SELECT src, dst, w,
+         |         CAST(row_number() OVER (ORDER BY w DESC, src, dst)
+         |              AS BIGINT) AS rk
+         |  FROM e0),
+         |nd AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+         |uf(step, node, label) AS (
+         |  SELECT CAST(0 AS BIGINT), node, node FROM nd
+         |  UNION ALL
+         |  SELECT t.step, t.node,
+         |         CASE WHEN t.ls <> t.ld AND t.label = greatest(t.ls, t.ld)
+         |              THEN least(t.ls, t.ld) ELSE t.label END
+         |  FROM (
+         |    SELECT s.step + 1 AS step, s.node, s.label,
+         |           max(CASE WHEN s.node = e.src THEN s.label END)
+         |             OVER () AS ls,
+         |           max(CASE WHEN s.node = e.dst THEN s.label END)
+         |             OVER () AS ld,
+         |           min(s.label) OVER () AS mn, max(s.label) OVER () AS mx
+         |    FROM uf s JOIN er e ON e.rk = s.step + 1) t
+         |  WHERE t.mn <> t.mx)
+         |SELECT e.src, e.dst, e.w
+         |FROM er e
+         |JOIN uf su ON su.step = e.rk - 1 AND su.node = e.src
+         |JOIN uf du ON du.step = e.rk - 1 AND du.node = e.dst
+         |WHERE su.label <> du.label""".stripMargin) { (s, d) =>
       maxSpanningForest(coSupplierWeightedEdges(Tables.lineitem(s, d)))
     },
 

@@ -195,4 +195,38 @@ class BpeSpec extends SparkSpec {
       assert(r.getLong(2) > 0, r.toString)
     }
   }
+
+  test("encodeFrozen: pieces round-trip the normalized text and the " +
+       "frozen merges actually fire") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val enc = Bpe.encodeFrozen(docs, Bpe.FrozenMerges)
+    // positions are a contiguous 0..n-1 sequence per document
+    val badPos = enc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("nd"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+        col("nd") =!= col("n"))
+      .count()
+    assert(badPos == 0)
+    // merges fire: multi-char merged pieces appear
+    assert(enc.filter(col("piece").isin("er</w>", "jo", "row</w>", "an</w>"))
+      .count() > 0)
+    // concatenating pieces in pos order, with the sentinel as a word
+    // boundary, reproduces the normalized text byte-exactly
+    val rebuilt = enc
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        s => s.getField("piece")), "").as("glued"))
+      .select(col("doc_id"),
+        rtrim(regexp_replace(col("glued"), Bpe.EndOfWord, " "))
+          .as("rebuilt"))
+    val diff = docs
+      .select(col("doc_id"), TextFeatures.normalized(col("text")).as("nm"))
+      .join(rebuilt, Seq("doc_id"))
+      .filter(col("nm") =!= col("rebuilt"))
+      .count()
+    assert(diff == 0)
+  }
 }

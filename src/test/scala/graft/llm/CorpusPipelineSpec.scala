@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** CorpusPipeline.stageCounts — the one-entry funnel preset. The DuckDB
+  * oracle hash-checks every number; this spec pins the CONTRACTS the
+  * funnel shape must satisfy regardless of data: prefix-closed stages,
+  * monotone non-increasing doc and token counts, shard rows that
+  * partition exactly the budget-stage survivors, and agreement with an
+  * independently composed stage-1 filter.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("funnel is prefix-closed and monotone, shards partition the " +
+       "final stage") {
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusPipeline.stageCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val stages = out.filter(!_._1.startsWith("7_shard_"))
+      .sortBy(_._1).toSeq
+    val shards = out.filter(_._1.startsWith("7_shard_")).toSeq
+
+    // stage 0 is the bench-split corpus
+    val n0 = docs.filter(col("doc_id") % 97 =!= 0).count()
+    assert(stages.head._1 == "0_ingest" && stages.head._2 == n0)
+
+    // stages present form a prefix of the canonical order (a stage with
+    // zero survivors ends the funnel — nothing survives past it)
+    assert(stages.map(_._1) ==
+      CorpusPipeline.stageNames.take(stages.size),
+      s"stages must be a prefix: ${stages.map(_._1)}")
+
+    // monotone non-increasing docs and tokens down the funnel, and the
+    // funnel must not be vacuous (every stage drops someone at sf0.01)
+    stages.sliding(2).foreach { case Seq((sa, da, ta), (sb, db, tb)) =>
+      assert(db <= da && tb <= ta, s"$sa -> $sb must not grow")
+    }
+    assert(stages.size == 7 && stages.last._2 > 0,
+      s"full funnel expected at sf0.01: $stages")
+
+    // shard rows partition exactly the budget-stage survivors
+    val (_, nFin, tFin) = stages.last
+    assert(shards.map(_._2).sum == nFin && shards.map(_._3).sum == tFin)
+    assert(shards.forall(_._2 > 0))
+    assert(shards.map(_._1).distinct.size == shards.size)
+
+    // stage 1 agrees with an independently composed structural gate
+    // (Gopher structural rules + C4 blocklist rules + length bounds)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val n1 = CorpusQuality.gopherRules(corpus)
+      .join(CorpusQuality.c4Rules(corpus)
+        .select(col("doc_id"), col("c4_no_lorem"), col("c4_no_brace"),
+          col("c4_no_js")), Seq("doc_id"))
+      .join(corpus.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .filter(col("g_wc") === 1 && col("g_mwl") === 1 &&
+        col("g_sym") === 1 && col("g_alpha") === 1 &&
+        col("c4_no_lorem") === 1 && col("c4_no_brace") === 1 &&
+        col("c4_no_js") === 1 &&
+        col("n_chars") >= 100 && col("n_chars") <= 50000)
+      .count()
+    assert(stages(1)._2 == n1)
+    // the gate is non-vacuous in both directions at sf0.01
+    assert(n1 > 0 && n1 < stages.head._2)
+  }
+}
