@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * actually runs, composing the engine's cleaning inventory in the
   * production order:
   *
-  *   ingest → quality verdict (Gopher + C4 + length bounds) →
+  *   ingest → quality gate (structural Gopher + C4 blocklist + bounds) →
   *   exact dedup (fingerprint, min-id survivor) →
   *   near dedup (MinHash-LSH components, min-id survivor) →
   *   decontaminate (n-gram overlap vs the held-out benchmark split) →
@@ -17,18 +17,19 @@ import org.apache.spark.sql.functions._
   *
   * The deliverable is the per-stage funnel: one row per stage with the
   * surviving document and token counts, plus one row per output shard.
-  * Every stage is an already-oracle-proven operator (llm_doc_verdict,
-  * dedup_exact, dedup_minhash, llm_decontaminate, mix_temperature_sample,
-  * mix_token_budget, mix_shard_manifest), so the WHOLE funnel
-  * hash-compares against a DuckDB replay.
+  * Every stage is an already-oracle-proven operator (text_gopher_rules /
+  * text_c4_rules, dedup_exact, dedup_minhash, llm_decontaminate,
+  * mix_temperature_sample, mix_token_budget, mix_shard_manifest), so the
+  * WHOLE funnel hash-compares against a DuckDB replay.
   *
-  * Scale shape: the funnel is computed in ONE pass — each stage yields a
-  * survivor-id relation, the base corpus is annotated with six
-  * left-join membership flags (all equi-joins on doc_id), and the
-  * per-stage counts come from exploding each doc's reach prefix — so no
-  * stage's lineage is re-executed once per stage row. The survivor-id
-  * relations are ids only (no text) and nest strictly, so flag order
-  * equals funnel depth. Reference framing: the reference's dbt project
+  * Scale shape: each stage produces a SURVIVOR-ID relation that is
+  * repartitioned on doc_id and cut once (graft.Ckpt.cut), so no stage's
+  * lineage — the rule regexes, the minhash signatures, the component
+  * fixpoint — ever executes more than once; downstream stages re-attach
+  * text by a cheap scan ⋉ ids semi-join. The funnel counts come from
+  * ONE annotation pass over the six id sets (all equi-joins on doc_id)
+  * followed by a reach-prefix explode. Id relations are ids only — no
+  * text is checkpointed. Reference framing: the reference's dbt project
   * runs staging → marts → tests as one `dbt build`
   * (/root/reference/models, automate_pipeline.py:1-28); this is the
   * LLM-corpus equivalent with the same run-then-gate shape.
@@ -63,10 +64,14 @@ object CorpusPipeline {
                   budget: Long = 200L, nShards: Int = 8): DataFrame = {
     val bench = docs.filter(col("doc_id") % benchMod === 0)
     val corpus = docs.filter(col("doc_id") % benchMod =!= 0)
+    // one materialization per survivor-id relation; partitioned on the
+    // key every downstream join uses
+    def cutIds(df: DataFrame): DataFrame =
+      graft.Ckpt.cut(df.repartition(col("doc_id")))
 
     // stage 1: quality — structural Gopher rules + C4 blocklist rules +
     // length bounds (see the Scaladoc note on the punctuation toggles)
-    val quality = corpus.join(
+    val qIds = cutIds(
       CorpusQuality.gopherRules(corpus)
         .join(CorpusQuality.c4Rules(corpus)
           .select(col("doc_id"), col("c4_no_lorem"), col("c4_no_brace"),
@@ -77,14 +82,14 @@ object CorpusPipeline {
           col("c4_no_lorem") === 1 && col("c4_no_brace") === 1 &&
           col("c4_no_js") === 1 &&
           col("n_chars") >= 100 && col("n_chars") <= 50000)
-        .select("doc_id"),
-      Seq("doc_id"), "left_semi")
+        .select("doc_id"))
+    val quality = corpus.join(qIds, Seq("doc_id"), "left_semi")
 
     // stage 2: exact dedup — min doc_id per content fingerprint
-    val exact = quality.join(
+    val exIds = cutIds(
       quality.groupBy(TextFeatures.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"))
+    val exact = quality.join(exIds, Seq("doc_id"), "left_semi")
 
     // stage 3: near dedup — MinHash-LSH connected components, min-id
     // survivor per cluster (portable signatures so the funnel replays)
@@ -93,36 +98,39 @@ object CorpusPipeline {
           threshold, portable = true))
       .filter(col("label") < col("node"))
       .select(col("node").as("doc_id"))
-    val near = exact.join(losers, Seq("doc_id"), "left_anti")
+    val nearIds = cutIds(exIds.join(losers, Seq("doc_id"), "left_anti"))
+    val near = corpus.join(nearIds, Seq("doc_id"), "left_semi")
 
     // stage 4: decontaminate — drop any doc sharing an n-token shingle
     // with the benchmark split
-    val clean = near.join(
+    val cleanIds = cutIds(nearIds.join(
       Dedup.decontaminate(near, bench, "doc_id", "text", shingleN)
         .select("doc_id"),
-      Seq("doc_id"), "left_anti")
+      Seq("doc_id"), "left_anti"))
+    val clean = corpus.join(cleanIds, Seq("doc_id"), "left_semi")
 
     // stage 5: temperature mix over sources (rates from the clean corpus)
-    val mixed = clean.join(
+    val mixIds = cutIds(
       Mixing.temperatureSample(clean, "doc_id", "source", alpha,
-        targetFraction).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+        targetFraction).select("doc_id"))
+    val mixed = clean.join(mixIds, Seq("doc_id"), "left_semi")
 
     // stage 6: per-source token budget in md5-draw order
-    val fin = mixed.join(
+    val finIds = cutIds(
       Mixing.tokenBudget(mixed, "doc_id", "text", "source", budget)
-        .select("doc_id"),
-      Seq("doc_id"), "left_semi")
+        .select("doc_id"))
+    val fin = mixed.join(finIds, Seq("doc_id"), "left_semi")
 
-    // ONE funnel pass: per-doc membership flags -> reach -> explode the
-    // reach prefix -> per-stage integer aggregate.
+    // ONE funnel pass over the six (already materialized) id sets:
+    // membership flags -> reach -> explode the reach prefix -> per-stage
+    // integer aggregate.
     val nt = size(TextFeatures.tokens(col("text"))).cast("long")
     var ann = corpus.select(col("doc_id"), nt.as("nt"))
-    Seq(quality, exact, near, clean, mixed, fin).zipWithIndex.foreach {
-      case (df, i) =>
-        ann = ann.join(df.select(col("doc_id"), lit(1).as(s"f$i")),
+    Seq(qIds, exIds, nearIds, cleanIds, mixIds, finIds).zipWithIndex
+      .foreach { case (ids, i) =>
+        ann = ann.join(ids.select(col("doc_id"), lit(1).as(s"f$i")),
           Seq("doc_id"), "left")
-    }
+      }
     val reach: Column = (0 until 6)
       .map(i => coalesce(col(s"f$i"), lit(0)))
       .reduce(_ + _)
@@ -138,6 +146,11 @@ object CorpusPipeline {
       .select(concat(lit("7_shard_"), col("shard_id").cast("string"))
           .as("stage"),
         col("n_docs"), col("n_tokens"))
-    stageRows.unionByName(shardRows)
+    // materialize the (tiny) funnel, then free the id checkpoints — the
+    // cleanCorpus release discipline, so no per-call blocks linger
+    val out = graft.Ckpt.cut(stageRows.unionByName(shardRows))
+    Seq(qIds, exIds, nearIds, cleanIds, mixIds, finIds)
+      .foreach(Dedup.releaseCheckpoint)
+    out
   }
 }
