@@ -153,4 +153,113 @@ object CorpusPipeline {
       .foreach(Dedup.releaseCheckpoint)
     out
   }
+
+  val incrStageNames: Seq[String] = Seq("0_batch", "1_quality",
+    "2_exact_vs_corpus", "3_near_vs_corpus", "4_decontaminate")
+
+  /** The DAILY-INCREMENT pipeline — what a growing corpus actually runs
+    * per ingest at 100 TB: the (small) new batch is gated and deduped
+    * AGAINST THE STORED CORPUS, never the corpus against itself.
+    *
+    *   batch ingest → quality gate (same structural rules) →
+    *   exact-vs-corpus (batch fingerprints anti-joined against the
+    *   corpus fingerprint set, min-id within batch) →
+    *   near-vs-corpus (batch banded against the STORED band index;
+    *   Dedup.incrementalNearDups — corpus text touched only for
+    *   candidate rows) → decontaminate (vs the held-out benchmark) →
+    *   per-source append manifest.
+    *
+    * Splits: doc_id % benchMod == 0 is the benchmark (external to
+    * everything), doc_id % batchMod == 0 (among non-bench) is today's
+    * batch, the rest is the already-accepted corpus. Within-batch NEAR
+    * dedup is deliberately out of scope here (that is the full rebuild,
+    * [[stageCounts]]); exact dedup does collapse within-batch twins
+    * because the fingerprint set is one hash aggregate either way.
+    * Output: the batch funnel (stage, n_docs, n_tokens) plus one
+    * `5_append_<source>` row per source that lands rows in the corpus —
+    * the manifest an append job writes. Every stage replays in DuckDB;
+    * the whole funnel hash-compares.
+    */
+  def incrementalStageCounts(docs: DataFrame,
+                             benchMod: Long = 97L, batchMod: Long = 10L,
+                             bands: Int = 8, rows: Int = 4,
+                             threshold: Double = 0.8,
+                             shingleN: Int = 4): DataFrame = {
+    val bench = docs.filter(col("doc_id") % benchMod === 0)
+    val nonBench = docs.filter(col("doc_id") % benchMod =!= 0)
+    val corpus = nonBench.filter(col("doc_id") % batchMod =!= 0)
+    val batch = nonBench.filter(col("doc_id") % batchMod === 0)
+    def cutIds(df: DataFrame): DataFrame =
+      graft.Ckpt.cut(df.repartition(col("doc_id")))
+
+    // stage 1: the same structural quality gate as stageCounts
+    val qIds = cutIds(
+      CorpusQuality.gopherRules(batch)
+        .join(CorpusQuality.c4Rules(batch)
+          .select(col("doc_id"), col("c4_no_lorem"), col("c4_no_brace"),
+            col("c4_no_js")), Seq("doc_id"))
+        .join(batch.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .filter(col("g_wc") === 1 && col("g_mwl") === 1 &&
+          col("g_sym") === 1 && col("g_alpha") === 1 &&
+          col("c4_no_lorem") === 1 && col("c4_no_brace") === 1 &&
+          col("c4_no_js") === 1 &&
+          col("n_chars") >= 100 && col("n_chars") <= 50000)
+        .select("doc_id"))
+    val qBatch = batch.join(qIds, Seq("doc_id"), "left_semi")
+
+    // stage 2: exact vs corpus — fingerprints already in the store drop
+    // the batch doc; within-batch twins collapse to the min id
+    val exIds = cutIds(
+      qBatch.select(col("doc_id"),
+          TextFeatures.fingerprint(col("text")).as("fp"))
+        .join(corpus.select(TextFeatures.fingerprint(col("text")).as("fp"))
+          .distinct(), Seq("fp"), "left_anti")
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id"))
+    val exBatch = batch.join(exIds, Seq("doc_id"), "left_semi")
+
+    // stage 3: near vs corpus through the stored band index
+    val hits = Dedup.incrementalNearDups(exBatch, corpus,
+        Dedup.bandIndex(corpus, "doc_id", "text", bands, rows,
+          portable = true),
+        "doc_id", "text", bands, rows, threshold, portable = true)
+      .select(col("new_id").as("doc_id")).distinct()
+    val nearIds = cutIds(exIds.join(hits, Seq("doc_id"), "left_anti"))
+    val nearBatch = batch.join(nearIds, Seq("doc_id"), "left_semi")
+
+    // stage 4: decontaminate vs the benchmark split
+    val cleanIds = cutIds(nearIds.join(
+      Dedup.decontaminate(nearBatch, bench, "doc_id", "text", shingleN)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti"))
+    val fin = batch.join(cleanIds, Seq("doc_id"), "left_semi")
+
+    val nt = size(TextFeatures.tokens(col("text"))).cast("long")
+    var ann = batch.select(col("doc_id"), nt.as("nt"))
+    Seq(qIds, exIds, nearIds, cleanIds).zipWithIndex.foreach {
+      case (ids, i) =>
+        ann = ann.join(ids.select(col("doc_id"), lit(1).as(s"f$i")),
+          Seq("doc_id"), "left")
+    }
+    val reach: Column = (0 until 4)
+      .map(i => coalesce(col(s"f$i"), lit(0)))
+      .reduce(_ + _)
+    val stageRows = ann
+      .select(explode(sequence(lit(0), reach)).as("ord"), col("nt"))
+      .groupBy(col("ord"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(
+        element_at(array(incrStageNames.map(lit): _*), col("ord") + 1)
+          .as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val appendRows = fin
+      .select(col("source"), nt.as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(concat(lit("5_append_"), col("source")).as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val out = graft.Ckpt.cut(stageRows.unionByName(appendRows))
+    Seq(qIds, exIds, nearIds, cleanIds).foreach(Dedup.releaseCheckpoint)
+    out
+  }
 }

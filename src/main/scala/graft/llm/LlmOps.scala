@@ -700,6 +700,102 @@ object LlmOps {
        |  CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS n_tokens
        |FROM fin GROUP BY 1""".stripMargin
 
+  /** DuckDB replay of CorpusPipeline.incrementalStageCounts — the
+    * daily-increment funnel. The near-vs-corpus stage nests the minhash
+    * band CTEs over the union of batch survivors and corpus exactly as
+    * incrementalMinhashOracleSql does over the mod split (the sides
+    * separate on doc_id % batchMod inside `base`).
+    */
+  private val pipelineIncrOracleSql: String =
+    s"""WITH RECURSIVE tt AS (
+       |  SELECT doc_id, source, text, n_chars, $toksSql AS toks
+       |  FROM documents),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(${shSql(4)}) AS s FROM tt
+       |  WHERE doc_id % 97 = 0),
+       |cp AS (SELECT * FROM tt
+       |       WHERE doc_id % 97 <> 0 AND doc_id % 10 <> 0),
+       |bt AS (SELECT * FROM tt
+       |       WHERE doc_id % 97 <> 0 AND doc_id % 10 = 0),
+       |m AS (
+       |  SELECT doc_id, n_chars, text,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(list_aggregate(list_transform(toks, x -> length(x)),
+       |                        'sum') AS BIGINT) AS sumlen,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST((length(text) - length(replace(text, '...', '')))
+       |             // 3 AS BIGINT) AS sym,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+       |         AS BIGINT) AS alpha,
+       |    list_contains(toks, 'javascript') AS has_js
+       |  FROM bt),
+       |q AS (
+       |  SELECT doc_id FROM m
+       |  WHERE n >= 50 AND n <= 100000
+       |    AND sumlen >= 3 * n AND sumlen <= 10 * n
+       |    AND 10 * sym <= n AND 5 * alpha >= 4 * n
+       |    AND NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{') AND NOT has_js
+       |    AND n_chars >= 100 AND n_chars <= 50000),
+       |cfp AS (SELECT DISTINCT md5($normSql) AS fp FROM cp),
+       |ex AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5($normSql) AS fp FROM bt
+       |    WHERE doc_id IN (SELECT doc_id FROM q))
+       |  WHERE fp NOT IN (SELECT fp FROM cfp)
+       |  GROUP BY fp),
+       |base AS (
+       |  SELECT doc_id, text FROM bt
+       |  WHERE doc_id IN (SELECT doc_id FROM ex)
+       |  UNION ALL SELECT doc_id, text FROM cp),
+       |hits AS (
+       |  SELECT DISTINCT new_id AS doc_id FROM (
+       |    WITH ${minhashBandsCtes(bands = 8, rows = 4, from = "base")
+                .linesIterator.mkString("\n    ")},
+       |    cand AS (
+       |      SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+       |      FROM bands x JOIN bands y
+       |        ON x.band = y.band AND x.band_sig = y.band_sig
+       |      WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0)
+       |    SELECT new_id, corpus_id, jaccard FROM (
+       |      SELECT c.new_id, c.corpus_id,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |      FROM cand c
+       |      JOIN sh a ON a.doc_id = c.new_id
+       |      JOIN sh b ON b.doc_id = c.corpus_id)
+       |    WHERE jaccard >= 0.8)),
+       |nr AS (SELECT doc_id FROM ex
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |nrb AS (SELECT * FROM bt
+       |        WHERE doc_id IN (SELECT doc_id FROM nr)),
+       |cont AS (
+       |  SELECT DISTINCT c.doc_id FROM (
+       |    SELECT doc_id, unnest(${shSql(4)}) AS s FROM nrb) c
+       |  JOIN bsh b ON c.s = b.s),
+       |cl AS (SELECT doc_id FROM nr
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |rch AS (
+       |  SELECT bt.doc_id, CAST(len(bt.toks) AS BIGINT) AS nt,
+       |    CASE WHEN bt.doc_id NOT IN (SELECT doc_id FROM q) THEN 0
+       |         WHEN bt.doc_id NOT IN (SELECT doc_id FROM ex) THEN 1
+       |         WHEN bt.doc_id IN (SELECT doc_id FROM hits) THEN 2
+       |         WHEN bt.doc_id IN (SELECT doc_id FROM cont) THEN 3
+       |         ELSE 4 END AS reach
+       |  FROM bt),
+       |stg AS (
+       |  SELECT unnest(range(0, reach + 1)) AS ord, nt FROM rch)
+       |SELECT ['0_batch','1_quality','2_exact_vs_corpus',
+       |        '3_near_vs_corpus','4_decontaminate'][ord + 1] AS stage,
+       |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM stg GROUP BY 1
+       |UNION ALL
+       |SELECT concat('5_append_', source) AS stage,
+       |       count(*) AS n_docs,
+       |       CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS n_tokens
+       |FROM bt WHERE doc_id IN (SELECT doc_id FROM cl)
+       |GROUP BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
 
     // --- dedup -----------------------------------------------------------
@@ -3926,6 +4022,16 @@ object LlmOps {
     // lineage per funnel row).
     Op("llm_pipeline_e2e", pipelineE2eOracleSql) { (s, d) =>
       CorpusPipeline.stageCounts(Tables.documents(s, d))
+    },
+
+    // THE DAILY INCREMENT: the ingest job a growing corpus runs — the
+    // new batch gated, exact- and near-deduped AGAINST THE STORED
+    // CORPUS (band index, never corpus-vs-corpus), decontaminated, and
+    // appended with a per-source manifest. The funnel plus manifest
+    // hash-compare end-to-end (see CorpusPipeline.incrementalStageCounts
+    // for the index/semi-join scale shape).
+    Op("llm_pipeline_incremental", pipelineIncrOracleSql) { (s, d) =>
+      CorpusPipeline.incrementalStageCounts(Tables.documents(s, d))
     }
   )
 }

@@ -66,4 +66,33 @@ class CorpusPipelineSpec extends SparkSpec {
     // the gate is non-vacuous in both directions at sf0.01
     assert(n1 > 0 && n1 < stages.head._2)
   }
+
+  test("incremental funnel: prefix-closed, monotone, near-vs-corpus " +
+       "catches cross-set dups, append rows partition the accepted batch") {
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusPipeline.incrementalStageCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stages = out.filter(!_._1.startsWith("5_append_"))
+      .sortBy(_._1).toSeq
+    val appends = out.filter(_._1.startsWith("5_append_")).toSeq
+
+    assert(stages.map(_._1) ==
+      CorpusPipeline.incrStageNames.take(stages.size))
+    stages.sliding(2).foreach { case Seq((sa, da, ta), (sb, db, tb)) =>
+      assert(db <= da && tb <= ta, s"$sa -> $sb must not grow")
+    }
+    // stage 0 is exactly the batch split
+    val nBatch = docs.filter(col("doc_id") % 97 =!= 0 &&
+      col("doc_id") % 10 === 0).count()
+    assert(stages.head._1 == "0_batch" && stages.head._2 == nBatch)
+    // full funnel with survivors at sf0.01, and the banded index stage
+    // actually catches cross-set near-dups there (24 -> 21)
+    assert(stages.size == 5 && stages.last._2 > 0)
+    assert(stages(3)._2 < stages(2)._2,
+      "near-vs-corpus must drop batch docs near-duplicating the corpus")
+    // append manifest partitions exactly the accepted batch
+    assert(appends.map(_._2).sum == stages.last._2 &&
+      appends.map(_._3).sum == stages.last._3)
+    assert(appends.forall(_._2 > 0))
+  }
 }
