@@ -146,24 +146,11 @@ object Bpe {
   def encodeFrozen(docs: DataFrame, merges: Seq[(String, String)],
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val ranks = merges.zipWithIndex.toMap
-    val tok = docs.select(col(idCol),
-        posexplode(TextFeatures.tokens(col(textCol)))
-          .as(Seq("wpos", "word")))
-      .filter(col("word") =!= "")
-    val pieces = tok.select(col("word")).distinct().as[String]
-      .map { w =>
-        if (w.matches("^[a-z0-9]+$")) (w, encode(w, ranks))
-        else (w, Vector(w + EndOfWord))
-      }.toDF("word", "syms")
-    val win = Window.partitionBy(col(idCol)).orderBy(col("wpos"), col("si"))
-    tok.join(pieces, Seq("word"))
-      .select(col(idCol), col("wpos"),
-        posexplode(col("syms")).as(Seq("si", "piece")))
-      .withColumn("pos", (row_number().over(win) - 1).cast("long"))
-      .select(col(idCol), col("pos"), col("piece"))
+    TextFeatures.encodeByWordType(docs, idCol, textCol) { w =>
+      if (w.matches("^[a-z0-9]+$")) encode(w, ranks)
+      else Vector(w + EndOfWord)
+    }
   }
 
   /** Greedy lowest-rank merge loop shared by the char-level and byte-level

@@ -4011,6 +4011,66 @@ object LlmOps {
       Bpe.encodeFrozen(Tables.documents(s, d), Bpe.FrozenMerges)
     },
 
+    // Frozen-vocabulary WordPiece encode, ORACLE-EXACT — the BERT
+    // deployment shape (vocab.txt ships frozen) and the second member
+    // of the frozen-tokenizer family. encodeWord's longest-match walk
+    // replays as a recursive CTE: per word type, each step tries every
+    // remaining prefix length against the vocabulary literals and
+    // extends by the LONGEST hit; a stuck walk (max pos short of the
+    // word end) collapses to the whole-word [UNK], exactly like the
+    // engine. Positions reassemble with the same (word index, piece
+    // index) window as llm_bpe_encode_frozen.
+    Op("llm_wordpiece_encode_frozen", {
+      val rows = Wordpiece.FrozenVocab
+        .map(p => s"('$p')").mkString(",\n         |    ")
+      s"""WITH RECURSIVE v(piece) AS (VALUES
+         |    $rows),
+         |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS wpos, toks
+         |       FROM t0),
+         |tk2 AS (SELECT doc_id, CAST(wpos AS BIGINT) AS wpos,
+         |               toks[wpos+1] AS word
+         |        FROM tk WHERE toks[wpos+1] <> ''),
+         |wd AS (SELECT DISTINCT word FROM tk2),
+         |ws(word, pos, pieces) AS (
+         |  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM wd
+         |  UNION ALL
+         |  SELECT t.word, t.pos + t.blen, list_append(t.pieces, t.bpiece)
+         |  FROM (
+         |    SELECT c.word, c.pos, c.pieces,
+         |           max(c.len) AS blen, max_by(c.piece, c.len) AS bpiece
+         |    FROM (
+         |      SELECT s.word, s.pos, s.pieces, s.len,
+         |             CASE WHEN s.pos = 1
+         |                  THEN substr(s.word, 1, CAST(s.len AS INT))
+         |                  ELSE '##' || substr(s.word, CAST(s.pos AS INT),
+         |                                      CAST(s.len AS INT)) END
+         |               AS piece
+         |      FROM (SELECT word, pos, pieces,
+         |                   unnest(range(1, length(word) - pos + 2)) AS len
+         |            FROM ws) s) c
+         |    JOIN v ON v.piece = c.piece
+         |    GROUP BY c.word, c.pos, c.pieces) t),
+         |fin AS (
+         |  SELECT word, CASE WHEN pos = length(word) + 1 THEN pieces
+         |                    ELSE ['[UNK]'] END AS syms
+         |  FROM (SELECT word, pos, pieces,
+         |               row_number() OVER (PARTITION BY word
+         |                                  ORDER BY pos DESC) AS rn
+         |        FROM ws) WHERE rn = 1),
+         |ex AS (
+         |  SELECT doc_id, wpos, unnest(range(0, len(syms))) AS si, syms
+         |  FROM tk2 JOIN fin USING (word)),
+         |ex2 AS (SELECT doc_id, wpos, si, syms[si + 1] AS piece FROM ex)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY wpos, si) - 1
+         |            AS BIGINT) AS pos, piece
+         |FROM ex2""".stripMargin
+    }) { (s, d) =>
+      Wordpiece.encodeFrozen(Tables.documents(s, d), Wordpiece.FrozenVocab)
+    },
+
     // THE PIPELINE PRESET: the whole cleaning inventory composed
     // end-to-end in production order — ingest -> quality verdict ->
     // exact dedup -> near dedup -> decontaminate -> temperature mix ->

@@ -191,4 +191,32 @@ object TextFeatures {
           .as("s"))
       .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
+
+  /** Corpus encode under a per-WORD-TYPE encoder — the frozen-tokenizer
+    * application shape shared by Bpe.encodeFrozen and
+    * Wordpiece.encodeFrozen: the (pure) encoder runs once per DISTINCT
+    * word type (vocabulary-sized work, Zipf-bounded), the piece
+    * sequences join back to the position-carrying token relation, and
+    * the global piece position is one per-document window over
+    * (word index, piece index). No corpus text leaves the executors;
+    * the encoder closure carries only the frozen model literals.
+    * Output: (idCol, pos, piece).
+    */
+  def encodeByWordType(docs: DataFrame, idCol: String, textCol: String)
+                      (enc: String => Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+    val pieces = tok.select(col("word")).distinct().as[String]
+      .map(w => (w, enc(w)))
+      .toDF("word", "syms")
+    val win = Window.partitionBy(col(idCol)).orderBy(col("wpos"), col("si"))
+    tok.join(pieces, Seq("word"))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("syms")).as(Seq("si", "piece")))
+      .withColumn("pos", (row_number().over(win) - 1).cast("long"))
+      .select(col(idCol), col("pos"), col("piece"))
+  }
 }

@@ -31,6 +31,27 @@ object Wordpiece {
 
   val Unk = "[UNK]"
 
+  /** A FROZEN WordPiece vocabulary — the production deployment shape
+    * (BERT ships vocab.txt; it never retrains at inference). The full
+    * [a-z0-9] alphabet (bare + `##` continuation forms) guarantees
+    * alnum words never degrade to [UNK]; the multi-char pieces make the
+    * longest-match walk non-trivial on this corpus. Pinned as literals
+    * so the llm_wordpiece_encode_frozen oracle embeds the SAME table
+    * and replays encodeWord's walk exactly.
+    */
+  val FrozenVocab: Seq[String] = {
+    val letters = ('a' to 'z') ++ ('0' to '9')
+    val base = letters.map(_.toString) ++ letters.map("##" + _)
+    val multi = Seq(
+      "jo", "##in", "sc", "##an", "ro", "##ow", "row", "ha", "##sh",
+      "co", "##lumn", "fil", "##ter", "cust", "##omer", "ta", "##ble",
+      "##er", "key", "str", "##eam", "win", "##dow", "gr", "##oup",
+      "ba", "##tch", "val", "##ue", "or", "##der", "da", "##ta",
+      "sma", "##ll", "me", "##rge", "sp", "##ark", "ve", "##ctor",
+      "li", "##ne", "ag", "##g", "slo", "##w", "pa", "##rt")
+    base ++ multi
+  }
+
   /** WordPiece symbols: first char bare, continuations `##`-prefixed. */
   def symbols(word: String): Vector[String] =
     word.toVector.zipWithIndex.map { case (c, i) =>
@@ -139,6 +160,24 @@ object Wordpiece {
       start = end
     }
     out.toVector
+  }
+
+  /** Frozen-vocabulary corpus encode to (idCol, pos, piece) rows — the
+    * WordPiece member of the frozen-tokenizer family next to
+    * [[Bpe.encodeFrozen]]; same word-type-encode-once scale shape
+    * (TextFeatures.encodeByWordType). Engine-portable for ANY input:
+    * the vocabulary is pure-ASCII, and encodeWord degrades to a
+    * whole-word [UNK] on the first unmatchable position, so an engine
+    * that walks UTF-16 units and one that walks codepoints emit
+    * identical rows (every candidate containing a non-ASCII char misses
+    * the vocab in both).
+    */
+  def encodeFrozen(docs: DataFrame, vocab: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val vset = vocab.toSet
+    TextFeatures.encodeByWordType(docs, idCol, textCol)(
+      encodeWord(_, vset))
   }
 
   /** Train on the corpus: histogram -> bounded driver table -> merges +

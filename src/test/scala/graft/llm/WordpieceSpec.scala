@@ -62,4 +62,32 @@ class WordpieceSpec extends SparkSpec {
       numMerges = 50)
     assert(merges2 == merges, "training must be partitioning-invariant")
   }
+
+  test("encodeFrozen: longest-match pieces reassemble each word, " +
+       "multi-char pieces fire, positions are contiguous") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val enc = Wordpiece.encodeFrozen(docs, Wordpiece.FrozenVocab)
+    // per-document positions are a contiguous 0..n-1 sequence
+    val badPos = enc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("nd"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+        col("nd") =!= col("n"))
+      .count()
+    assert(badPos == 0)
+    // the frozen multi-char pieces actually fire on this corpus
+    assert(enc.filter(col("piece").isin("jo", "##in", "cust", "##omer"))
+      .count() > 0)
+    // the full alnum alphabet is in the vocab -> no [UNK] on this corpus
+    assert(enc.filter(col("piece") === Wordpiece.Unk).count() == 0)
+    // driver-side replay: pieces reassemble each word under ##-stripping
+    val vset = Wordpiece.FrozenVocab.toSet
+    for (w <- Seq("customer", "join", "window", "aggregate", "x9z")) {
+      val ps = Wordpiece.encodeWord(w, vset)
+      assert(ps.head.take(2) != "##" &&
+        ps.tail.forall(_.startsWith("##")), s"$w -> $ps")
+      assert(ps.map(_.stripPrefix("##")).mkString == w, s"$w -> $ps")
+    }
+  }
 }
