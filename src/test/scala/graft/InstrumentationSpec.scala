@@ -100,4 +100,31 @@ class InstrumentationSpec extends SparkSpec {
     assert(m.shuffleWriteBytes < 100L * totalChars,
       s"gram shuffle blew up: $m vs $totalChars chars")
   }
+
+  test("pipeline presets: each substrate executes once (bounded input " +
+       "reads) and the daily increment moves less data than the rebuild") {
+    val sf = "/root/testdata/sf0.01"
+    val nDocs = Tables.documents(spark, sf).count()
+    val (e2eRows, e2e) = Instrumentation.measure(spark) {
+      SparkEntry.queries("llm_pipeline_e2e")(spark, sf).count()
+    }
+    assert(e2eRows == 15L)
+    // the funnel's stages each re-attach text by scan-semi-join against
+    // a CUT id set; if a substrate (rules, minhash, components) ran once
+    // per downstream consumer instead, document reads would multiply
+    // well past this bound
+    assert(e2e.inputRecords < 30L * nDocs,
+      s"e2e re-executed substrates: $e2e for $nDocs docs")
+    val (incrRows, incr) = Instrumentation.measure(spark) {
+      SparkEntry.queries("llm_pipeline_incremental")(spark, sf).count()
+    }
+    assert(incrRows == 7L)
+    assert(incr.inputRecords < 30L * nDocs,
+      s"increment re-executed substrates: $incr for $nDocs docs")
+    // the 100 TB claim in one number: ingesting the 10% batch against
+    // the stored index must move LESS through shuffles than rebuilding
+    // the whole corpus
+    assert(incr.shuffleWriteBytes < e2e.shuffleWriteBytes,
+      s"increment moved more than the rebuild: $incr vs $e2e")
+  }
 }
