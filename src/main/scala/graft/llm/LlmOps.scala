@@ -4071,6 +4071,93 @@ object LlmOps {
       Wordpiece.encodeFrozen(Tables.documents(s, d), Wordpiece.FrozenVocab)
     },
 
+    // Frozen-model Unigram encode, ORACLE-EXACT — the SentencePiece
+    // deployment shape and the third member of the frozen-tokenizer
+    // family, completing the subword triad: BPE replays a greedy merge
+    // walk, WordPiece a longest-match walk, and this one the OPTIMAL
+    // segmentation (Viterbi DP). Integer-valued frozen scores make
+    // every path sum exact on both engines; the recursive CTE carries
+    // the per-word score/backpointer/piece-count arrays as lists,
+    // advances one position per step (a NULL len-0 sentinel keeps
+    // unreachable positions moving), replays the (score desc, pieces
+    // asc, piece asc) tie-break with a window rank, and a second
+    // recursion walks the backpointers into the piece sequence.
+    Op("llm_unigram_encode_frozen", {
+      val mrows = Unigram.FrozenModel.toSeq.sortBy(_._1)
+        .map { case (p, lp) => s"('$p', ${lp.toLong})" }
+        .mkString(",\n         |    ")
+      s"""WITH RECURSIVE m(piece, lp) AS (VALUES
+         |    $mrows),
+         |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS wpos, toks
+         |       FROM t0),
+         |tk2 AS (SELECT doc_id, CAST(wpos AS BIGINT) AS wpos,
+         |               toks[wpos+1] AS word
+         |        FROM tk WHERE toks[wpos+1] <> ''),
+         |wd AS (SELECT DISTINCT word FROM tk2),
+         |us(word, i, sc, bk, np) AS (
+         |  SELECT word, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)],
+         |         [CAST('' AS VARCHAR)], [CAST(0 AS BIGINT)]
+         |  FROM wd
+         |  UNION ALL
+         |  SELECT word, i, list_append(sc, s), list_append(bk, piece),
+         |         list_append(np, k)
+         |  FROM (
+         |    SELECT c.word, c.i, c.sc, c.bk, c.np, c.s, c.piece, c.k,
+         |           row_number() OVER (PARTITION BY c.word ORDER BY
+         |             (CASE WHEN c.s IS NULL THEN 1 ELSE 0 END),
+         |             c.s DESC, c.k ASC, c.piece ASC) AS rn
+         |    FROM (
+         |      SELECT s0.word, s0.i, s0.sc, s0.bk, s0.np,
+         |             CASE WHEN s0.len = 0 THEN NULL
+         |                  ELSE s0.sc[s0.i - s0.len + 1] + m.lp END AS s,
+         |             CASE WHEN s0.len = 0 THEN NULL
+         |                  ELSE m.piece END AS piece,
+         |             CASE WHEN s0.len = 0 THEN NULL
+         |                  ELSE s0.np[s0.i - s0.len + 1] + 1 END AS k
+         |      FROM (
+         |        SELECT word, i + 1 AS i, sc, bk, np,
+         |               unnest(range(0, least(6, i + 1) + 1)) AS len,
+         |               substr(word,
+         |                      CAST(i + 1 AS INT) - CAST(len AS INT) + 1,
+         |                      CAST(len AS INT)) AS cand
+         |        FROM us WHERE i < length(word)) s0
+         |      LEFT JOIN m ON s0.len > 0 AND m.piece = s0.cand
+         |      WHERE s0.len = 0
+         |         OR (m.piece IS NOT NULL
+         |             AND s0.sc[s0.i - s0.len + 1] IS NOT NULL)) c) z
+         |  WHERE z.rn = 1),
+         |fin AS (
+         |  SELECT word, sc, bk FROM (
+         |    SELECT word, i, sc, bk,
+         |           row_number() OVER (PARTITION BY word
+         |                              ORDER BY i DESC) AS rn
+         |    FROM us) WHERE rn = 1 AND i = length(word)
+         |              AND sc[length(word) + 1] IS NOT NULL),
+         |bt(word, pos, pieces) AS (
+         |  SELECT word, CAST(length(word) AS BIGINT),
+         |         CAST([] AS VARCHAR[])
+         |  FROM fin
+         |  UNION ALL
+         |  SELECT b.word, b.pos - length(f.bk[b.pos + 1]),
+         |         list_prepend(f.bk[b.pos + 1], b.pieces)
+         |  FROM bt b JOIN fin f USING (word)
+         |  WHERE b.pos > 0),
+         |syms AS (
+         |  SELECT word, pieces AS syms FROM bt WHERE pos = 0),
+         |ex AS (
+         |  SELECT doc_id, wpos, unnest(range(0, len(syms))) AS si, syms
+         |  FROM tk2 JOIN syms USING (word)),
+         |ex2 AS (SELECT doc_id, wpos, si, syms[si + 1] AS piece FROM ex)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY wpos, si) - 1
+         |            AS BIGINT) AS pos, piece
+         |FROM ex2""".stripMargin
+    }) { (s, d) =>
+      Unigram.encodeFrozen(Tables.documents(s, d), Unigram.FrozenModel)
+    },
+
     // THE PIPELINE PRESET: the whole cleaning inventory composed
     // end-to-end in production order — ingest -> quality verdict ->
     // exact dedup -> near dedup -> decontaminate -> temperature mix ->

@@ -29,6 +29,51 @@ object Unigram {
   /** A trained model: piece -> ln P(piece), normalized over the vocab. */
   type Model = Map[String, Double]
 
+  /** A FROZEN model with INTEGER-valued scores (centinats ×(−1)) — the
+    * SentencePiece .model deployment shape (train once, freeze, apply),
+    * pinned so [[viterbi]]'s DP is replayable by an external engine:
+    * sums of whole-number doubles are exact, so every score comparison
+    * and the (score, piece-count, lexicographic) tie-break replay as
+    * BIGINT arithmetic verbatim. Full [a-z0-9] alphabet so every alnum
+    * word is segmentable; multi-char pieces priced to beat their
+    * character spell-outs so the DP is non-trivial on this corpus.
+    */
+  val FrozenModel: Model = {
+    val alphabet = (('a' to 'z') ++ ('0' to '9'))
+      .map(c => c.toString -> -700.0)
+    val multi = Seq(
+      "jo" -> -900.0, "in" -> -800.0, "ha" -> -900.0, "sh" -> -850.0,
+      "row" -> -1000.0, "ba" -> -900.0, "tch" -> -1100.0, "sc" -> -900.0,
+      "an" -> -800.0, "cust" -> -1300.0, "omer" -> -1300.0,
+      "col" -> -1100.0, "umn" -> -1150.0, "fil" -> -1100.0,
+      "ter" -> -950.0, "sma" -> -1100.0, "ll" -> -850.0,
+      "slo" -> -1100.0, "mer" -> -950.0, "ge" -> -850.0, "or" -> -800.0,
+      "der" -> -950.0, "vec" -> -1100.0, "tor" -> -950.0, "li" -> -900.0,
+      "ne" -> -850.0, "da" -> -900.0, "ta" -> -850.0, "ble" -> -1000.0,
+      "agg" -> -1100.0, "val" -> -1050.0, "ue" -> -850.0,
+      "key" -> -1000.0, "str" -> -1050.0, "eam" -> -1050.0,
+      "win" -> -1000.0, "dow" -> -1000.0, "spa" -> -1050.0,
+      "rk" -> -850.0, "gr" -> -900.0, "oup" -> -1000.0, "pa" -> -900.0,
+      "rt" -> -850.0)
+    (alphabet ++ multi).toMap
+  }
+
+  /** Frozen-model corpus encode to (idCol, pos, piece) rows — the
+    * Unigram member of the frozen-tokenizer family, completing the
+    * subword triad next to [[Bpe.encodeFrozen]] (greedy merges) and
+    * [[Wordpiece.encodeFrozen]] (longest match): here the walk is the
+    * OPTIMAL segmentation under the piece scores (Viterbi DP). Same
+    * word-type-encode-once scale shape. Words the model cannot segment
+    * (any non-[a-z0-9] character) emit no pieces on both engines —
+    * viterbi returns the empty path exactly when no position chain
+    * reaches the end.
+    */
+  def encodeFrozen(docs: DataFrame, model: Model,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    TextFeatures.encodeByWordType(docs, idCol, textCol)(
+      viterbi(_, model).toVector)
+
   /** Seed vocabulary: every substring of length ≤ `maxPieceLen` of every
     * histogram word, scored by occurrence-weighted count, cut to
     * `seedSize` (single chars always kept — the fallback alphabet that

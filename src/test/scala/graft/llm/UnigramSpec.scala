@@ -56,4 +56,34 @@ class UnigramSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
     assert(re == out)
   }
+
+  test("encodeFrozen: Viterbi picks the optimal segmentation under the " +
+       "frozen scores, pieces round-trip, positions are contiguous") {
+    import org.apache.spark.sql.functions._
+    // driver-side: the DP beats the character spell-out where a
+    // multi-char piece is priced to win, and round-trips exactly
+    for (w <- Seq("join", "customer", "window", "aggregate", "zz9")) {
+      val ps = Unigram.viterbi(w, Unigram.FrozenModel)
+      assert(ps.mkString == w, s"$w -> $ps")
+      val charScore = w.length * -700.0
+      val score = ps.map(Unigram.FrozenModel).sum
+      assert(score >= charScore, s"$w: $score < $charScore")
+    }
+    assert(Unigram.viterbi("join", Unigram.FrozenModel) ==
+      List("jo", "in"))
+    // a word the model cannot segment emits the empty path
+    assert(Unigram.viterbi("naïve", Unigram.FrozenModel).isEmpty)
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val enc = Unigram.encodeFrozen(docs, Unigram.FrozenModel)
+    val badPos = enc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("nd"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+        col("nd") =!= col("n"))
+      .count()
+    assert(badPos == 0)
+    assert(enc.filter(col("piece").isin("jo", "cust", "omer", "row"))
+      .count() > 0)
+  }
 }
