@@ -2118,6 +2118,45 @@ object LlmOps {
         benchPred = col("vec_id") % 97 === 0, threshold = 0.3)
     },
 
+    // Incremental SEMANTIC dedup — the embedding-space member of the
+    // daily-increment family next to dedup_incremental and
+    // llm_pipeline_incremental: the new batch (vec_id % 10 = 0) is
+    // LSH-bucketed and joined against the STORED corpus bucket index,
+    // exact cosine verifies candidates only, and each flagged batch
+    // vector reports its store-duplicate census. The oracle replays
+    // bucket assignment with the same pinned hyperplane literals, so
+    // the hash-match proves the index join lossless w.r.t. its own
+    // candidates (the embed_semantic_dedup recall contract).
+    Op("embed_semantic_dedup_incr",
+       s"""WITH b AS (
+          |  ${bucketedSql(planes = 4, tables = 8, dim = 64)
+              .linesIterator.mkString("\n  ")}),
+          |cand AS (
+          |  SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS corpus_id
+          |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+          |  WHERE x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0),
+          |hits AS (
+          |  SELECT new_id, corpus_id, cos FROM (
+          |    SELECT c.new_id, c.corpus_id, ${cosineSql(64)} AS cos
+          |    FROM cand c
+          |    JOIN embeddings a ON a.vec_id = c.new_id
+          |    JOIN embeddings b ON b.vec_id = c.corpus_id)
+          |  WHERE cos >= 0.4)
+          |SELECT new_id, CAST(count(*) AS BIGINT) AS n_corpus_dups,
+          |       max(cos) AS max_cos
+          |FROM hits GROUP BY 1""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val index = Similarity.lshBuckets(
+          corpus.select(col("vec_id").as("vid"),
+            col("embedding").cast("array<double>").as("v")),
+          planes = 4, tables = 8, dim = 64)
+        .select("vid", "table", "bucket")
+      Similarity.incrementalSemanticDedup(batch, corpus, index,
+        planes = 4, tables = 8, threshold = 0.4, dim = 64)
+    },
+
     // --- text analysis ---------------------------------------------------
 
     // Per-source robust length outliers: exact lower-median and MAD by

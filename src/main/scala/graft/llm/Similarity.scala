@@ -852,6 +852,50 @@ object Similarity {
         coalesce(col("dups_removed"), lit(0L)).as("dups_removed"))
   }
 
+  /** Incremental semantic dedup — the embedding-space twin of
+    * Dedup.incrementalNearDups: flag each NEW-batch vector whose cosine
+    * against any ALREADY-STORED corpus vector reaches `threshold`.
+    * Returns one row per flagged batch vector:
+    * (new_id, n_corpus_dups, max_cos).
+    *
+    * Scale shape: the batch is LSH-bucketed and equi-joined against the
+    * STORED corpus bucket index (`lshBuckets` over the corpus — the
+    * persistent relation a vector store keeps next to its vectors, a
+    * few rows of (id, table, bucket) per vector), so per-ingest cost is
+    * O(batch) hashing + one index equi-join; the exact-cosine verify
+    * re-reads only the corpus vectors that produced a candidate (a
+    * semi-join prune before the verify join), and the corpus is never
+    * self-joined. count/max are order-independent-exact, so the rows
+    * hash (the embed_decontaminate precedent).
+    */
+  def incrementalSemanticDedup(newVecs: DataFrame, corpus: DataFrame,
+                               corpusBuckets: DataFrame,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               planes: Int = 8, tables: Int = 4,
+                               threshold: Double = 0.95,
+                               dim: Int = 64): DataFrame = {
+    val nv = newVecs.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cv = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cand = lshBuckets(nv, planes, tables, dim)
+      .select(col("vid").as("new_id"), col("table"), col("bucket"))
+      .join(corpusBuckets.toDF("corpus_id", "table", "bucket"),
+        Seq("table", "bucket"))
+      .select("new_id", "corpus_id").distinct()
+    val touched = cv.join(cand.select(col("corpus_id").as("vid")),
+      Seq("vid"), "left_semi")
+    cand
+      .join(nv.toDF("new_id", "va"), Seq("new_id"))
+      .join(touched.toDF("corpus_id", "vb"), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_corpus_dups"), max(col("cos")).as("max_cos"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth lever
     * of a 100 TB vector store: scale = max |v_i| per vector, codes
     * q_i = clamp(⌊v_i·127/scale + ½⌋, ±127), a 4× shrink against float32

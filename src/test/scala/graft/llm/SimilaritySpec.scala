@@ -547,4 +547,41 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("incrementalSemanticDedup flags a subset of the brute-force " +
+       "cross truth with consistent censuses") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val index = Similarity.lshBuckets(
+        corpus.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("v")),
+        planes = 4, tables = 8, dim = 64)
+      .select("vid", "table", "bucket")
+    val out = Similarity.incrementalSemanticDedup(batch, corpus, index,
+        planes = 4, tables = 8, threshold = 0.4, dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.nonEmpty, "the planted cross near-dups must be caught")
+    // brute-force truth: every cross pair's exact cosine
+    val nv = batch.select(col("vec_id").as("new_id"),
+      col("embedding").cast("array<double>").as("va"))
+    val cv = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").cast("array<double>").as("vb"))
+    val truth = nv.crossJoin(cv)
+      .select(col("new_id"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n"), max(col("cos")).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // candidates come from a lossy LSH index, the verify is exact:
+    // everything flagged is true, censuses never exceed the truth
+    out.foreach { case (id, (n, mx)) =>
+      val (tn, tmx) = truth(id) // flagged id MUST exist in truth
+      assert(n <= tn && mx <= tmx, s"$id: ($n,$mx) vs ($tn,$tmx)")
+    }
+  }
 }
