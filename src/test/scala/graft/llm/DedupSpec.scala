@@ -329,6 +329,38 @@ class DedupSpec extends SparkSpec {
     assert(inc == cross, s"inc=$inc cross=$cross")
   }
 
+  test("the band index survives a parquet round-trip: a RELOADED index " +
+       "drives incrementalNearDups to identical rows") {
+    import spark.implicits._
+    // the stored-index story made literal: persist bandIndex as the
+    // parquet relation an ingest job would keep, read it back cold,
+    // and verify the incremental join is byte-identical to the
+    // in-memory index
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, (1 to 40).map(i => s"x$i").mkString(" ")),
+      (3L, base + " tail1 tail2"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (100L, base + " extra"),
+      (101L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("band_index_").toString
+    val live = Dedup.bandIndex(corpus, bands = 8, rows = 4)
+    live.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    def run(ix: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDups(newDocs, corpus, ix,
+          bands = 8, rows = 4, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    val a = run(live)
+    val b = run(reloaded)
+    assert(a == b && a.nonEmpty, s"live=$a reloaded=$b")
+  }
+
   test("decontaminateBloom: empty benchmark yields an empty result") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")

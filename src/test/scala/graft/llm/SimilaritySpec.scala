@@ -583,5 +583,17 @@ class SimilaritySpec extends SparkSpec {
       val (tn, tmx) = truth(id) // flagged id MUST exist in truth
       assert(n <= tn && mx <= tmx, s"$id: ($n,$mx) vs ($tn,$tmx)")
     }
+
+    // the stored-index story made literal: the bucket index survives a
+    // parquet round-trip and drives the identical census
+    val dir = java.nio.file.Files
+      .createTempDirectory("bucket_index_").toString
+    index.write.mode("overwrite").parquet(dir)
+    val out2 = Similarity.incrementalSemanticDedup(batch, corpus,
+        spark.read.parquet(dir),
+        planes = 4, tables = 8, threshold = 0.4, dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out2 == out)
   }
 }
