@@ -356,6 +356,98 @@ object Similarity {
     * on the list id. No RNG anywhere -> identical results across runs AND
     * partitionings (asserted in SimilaritySpec).
     */
+  /** The IVF coarse quantizer alone — the TRAIN step of the
+    * train / index / search production split. Two modes:
+    *   - default: driver-side Lloyd's on a bounded deterministic sample
+    *     (the maxSample smallest (hash, vid) keys — one distributed
+    *     top-k, O(1) driver state at any corpus size). Same trainer as
+    *     pqKnn's codebooks: no MLlib fit jobs, and — unlike a sampled
+    *     random-init fit — the centroids, list assignment, and results
+    *     are partitioning-invariant.
+    *   - `centroidVecIds` nonempty: the centroids ARE those corpus
+    *     vectors (in vec-id order, list index = rank) with no k-means at
+    *     all — the oracle-replayable pinning (the knn_lsh planes=7
+    *     trick): argmin-of-squared-L2 against named corpus rows is
+    *     plain SQL, so the whole pipeline replays in DuckDB
+    *     (knn_ivf_recall). Quantization is weaker than trained
+    *     centroids; the production path stays the trained one.
+    */
+  def ivfCentroids(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding", nlist: Int = 16,
+                   centroidVecIds: Seq[Long] = Nil): Array[Array[Double]] = {
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    if (centroidVecIds.nonEmpty)
+      vecs.filter(col("vid").isin(centroidVecIds: _*))
+        .orderBy(col("vid"))
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+    else {
+      val sampleRows = vecs
+        .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
+        .limit(2048)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      localKMeans(sampleRows, nlist, iters = 10)
+    }
+  }
+
+  /** The persistent IVF index relation — the INDEX step: (idCol, list),
+    * one small row per corpus vector, the inverted-file a vector store
+    * keeps next to its vectors (parquet/table, partitioned by list).
+    * Assignment is pure map-side through the pq_encode kernel; ids only,
+    * no vectors — search re-attaches vectors by id join, the
+    * Dedup.bandIndex discipline.
+    */
+  def ivfIndexRelation(embeddings: DataFrame,
+                       centroids: Array[Array[Double]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val book: Seq[Seq[Seq[Double]]] = Seq(centroids.map(_.toSeq).toSeq)
+    embeddings.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vid"), element_at(
+        graft.functions.GraftFunctions.pqEncode(col("v"), book), 1)
+        .as("list"))
+  }
+
+  /** The SEARCH step against a STORED index: queries probe their nprobe
+    * nearest lists, candidates come from the (vid, list) relation
+    * equi-joined on list with vectors re-attached by vid — so a daily
+    * search job never re-trains or re-assigns. Results are identical to
+    * the monolithic [[ivfKnn]] (SimilaritySpec round-trips the index
+    * through parquet and asserts equality).
+    */
+  def ivfSearchWithIndex(embeddings: DataFrame,
+                         centroids: Array[Array[Double]],
+                         index: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         nprobe: Int = 4, k: Int = 10,
+                         nQueries: Int = 0): DataFrame = {
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val nLists = centroids.length
+    val book: Seq[Seq[Seq[Double]]] = Seq(centroids.map(_.toSeq).toSeq)
+    val distRow = element_at(
+      graft.functions.GraftFunctions.pqAdcTable(col("v"), book), 1)
+    val assigned = index.toDF("vid", "list").join(vecs, Seq("vid"))
+    val querySide = if (nQueries > 0) vecs.filter(col("vid") < nQueries)
+      else vecs
+    val probed = querySide.select(col("vid"), col("v"),
+      explode(slice(array_sort(
+        zip_with(distRow,
+          sequence(lit(0), lit(nLists - 1)),
+          (d, i) => struct(d.as("d"), i.as("list")))), 1, nprobe))
+        .as("probe"))
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("probe.list").as("list"))
+    val scored = probed
+      .join(assigned, Seq("list"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid"),
+        cosine(col("qv"), col("v")).as("sim"))
+    topKPerGroup(scored, "query_id", "vid", "sim", k)
+  }
+
   def ivfKnn(embeddings: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding",
              nlist: Int = 16, nprobe: Int = 4, k: Int = 10,
@@ -363,32 +455,9 @@ object Similarity {
              nQueries: Int = 0): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"))
-    // Coarse quantizer, two modes:
-    //   - default: driver-side Lloyd's on a bounded deterministic sample
-    //     (the maxSample smallest (hash, vid) keys — one distributed
-    //     top-k, O(1) driver state at any corpus size). Same trainer as
-    //     pqKnn's codebooks: no MLlib fit jobs, and — unlike a sampled
-    //     random-init fit — the centroids, list assignment, and results
-    //     are partitioning-invariant.
-    //   - `centroidVecIds` nonempty: the centroids ARE those corpus
-    //     vectors (in vec-id order, list index = rank) with no k-means at
-    //     all — the oracle-replayable pinning (the knn_lsh planes=7
-    //     trick): argmin-of-squared-L2 against named corpus rows is
-    //     plain SQL, so the whole pipeline replays in DuckDB
-    //     (knn_ivf_recall). Quantization is weaker than trained
-    //     centroids; the production path stays the trained one.
-    val centroids =
-      if (centroidVecIds.nonEmpty)
-        vecs.filter(col("vid").isin(centroidVecIds: _*))
-          .orderBy(col("vid"))
-          .select("v").collect().map(_.getSeq[Double](0).toArray)
-      else {
-        val sampleRows = vecs
-          .orderBy(pmod(xxhash64(col("vid")), lit(1000003L)), col("vid"))
-          .limit(2048)
-          .select("v").collect().map(_.getSeq[Double](0).toArray)
-        localKMeans(sampleRows, nlist, iters = 10)
-      }
+    // coarse quantizer: see ivfCentroids (train / index / search split)
+    val centroids = ivfCentroids(embeddings, idCol, vecCol, nlist,
+      centroidVecIds)
     val nLists = centroids.length
     val book: Seq[Seq[Seq[Double]]] = Seq(centroids.map(_.toSeq).toSeq)
 

@@ -596,4 +596,38 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     assert(out2 == out)
   }
+
+  test("IVF train/index/search split: centroids and the (vid, list) " +
+       "relation round-trip parquet and reproduce the monolithic top-k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val direct = Similarity.ivfKnn(emb, nlist = 16, nprobe = 4, k = 10,
+        nQueries = 20)
+      .select("query_id", "neighbor_id", "rank", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(direct.nonEmpty)
+    // persist BOTH artifacts the way a vector store would
+    val cents = Similarity.ivfCentroids(emb, nlist = 16)
+    val cdir = java.nio.file.Files
+      .createTempDirectory("ivf_centroids_").toString
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "c").write.mode("overwrite").parquet(cdir)
+    val idir = java.nio.file.Files
+      .createTempDirectory("ivf_index_").toString
+    Similarity.ivfIndexRelation(emb, cents)
+      .write.mode("overwrite").parquet(idir)
+    // cold reload -> identical search results
+    val cents2 = spark.read.parquet(cdir).orderBy(col("list"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val viaIndex = Similarity.ivfSearchWithIndex(emb, cents2,
+        spark.read.parquet(idir), nprobe = 4, k = 10, nQueries = 20)
+      .select("query_id", "neighbor_id", "rank", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(viaIndex == direct)
+  }
 }
