@@ -2143,7 +2143,7 @@ object LlmOps {
           |    JOIN embeddings b ON b.vec_id = c.corpus_id)
           |  WHERE cos >= 0.4)
           |SELECT new_id, CAST(count(*) AS BIGINT) AS n_corpus_dups,
-          |       max(cos) AS max_cos
+          |       max(cos) AS max_cos, min(corpus_id) AS dup_of
           |FROM hits GROUP BY 1""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val batch = emb.filter(col("vec_id") % 10 === 0)

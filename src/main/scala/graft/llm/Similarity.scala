@@ -934,8 +934,11 @@ object Similarity {
     * O(batch) hashing + one index equi-join; the exact-cosine verify
     * re-reads only the corpus vectors that produced a candidate (a
     * semi-join prune before the verify join), and the corpus is never
-    * self-joined. count/max are order-independent-exact, so the rows
-    * hash (the embed_decontaminate precedent).
+    * self-joined. count/max/min are order-independent-exact, so the
+    * rows hash (the embed_decontaminate precedent); `dup_of` is the
+    * MINIMUM flagged corpus id — a deterministic duplicate witness for
+    * audit records (an argmax-cosine witness would tie-break
+    * nondeterministically on equal cosines).
     */
   def incrementalSemanticDedup(newVecs: DataFrame, corpus: DataFrame,
                                corpusBuckets: DataFrame,
@@ -962,7 +965,8 @@ object Similarity {
         cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .groupBy(col("new_id"))
-      .agg(count(lit(1)).as("n_corpus_dups"), max(col("cos")).as("max_cos"))
+      .agg(count(lit(1)).as("n_corpus_dups"), max(col("cos")).as("max_cos"),
+        min(col("corpus_id")).as("dup_of"))
   }
 
   /** Symmetric per-vector int8 quantization — the storage/bandwidth lever

@@ -522,4 +522,86 @@ object StreamOps {
       }
       .start()
   }
+
+  /** Continuous EMBEDDING ingest with semantic near-dup rejection — the
+    * embedding-space twin of [[dedupIngest]] and the streaming form of
+    * [[graft.llm.Similarity.incrementalSemanticDedup]]. Each micro-batch
+    * of new vectors is (1) deduplicated WITHIN the batch (cosine
+    * near-dup pairs → connected components, min-id survivor), (2)
+    * checked against the ALREADY-ACCEPTED vector store via the STORED
+    * bucket index (never against corpus vectors except candidate rows),
+    * and (3) split: survivors append to the store with their bucket
+    * rows; rejects audit as (vec_id, dup_of, cos, reason ∈
+    * intra_batch|corpus).
+    *
+    * Same durability discipline as dedupIngest: state is the parquet
+    * tables (store + bucket index), not stream state, and all three
+    * sinks are partitioned by `ingest_batch` with dynamic overwrite so
+    * an at-least-once replay REPLACES its own partition — effectively
+    * exactly-once. Per-trigger cost at a 100 TB store: O(batch) plane
+    * hashing + one index equi-join + exact cosine on candidates only.
+    */
+  def embeddingIngest(newVecs: DataFrame,
+                      corpusDir: String, indexDir: String,
+                      rejectsDir: String, checkpointDir: String,
+                      planes: Int = 4, tables: Int = 8,
+                      threshold: Double = 0.95, dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.{Dedup, Similarity}
+    newVecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val b = batch.select(col("vec_id"), col("embedding")).persist()
+        try {
+          // (1) intra-batch: cosine near-dup components, min-id survives
+          val labels = Dedup.componentMinLabels(
+            Similarity.cosineNearDups(b, planes = planes, tables = tables,
+              threshold = threshold, dim = dim))
+          val intraRejects = labels.filter(col("node") =!= col("label"))
+            .select(col("node").as("vec_id"), col("label").as("dup_of"),
+              lit(null).cast("double").as("cos"),
+              lit("intra_batch").as("reason"))
+          val intraKept = b.join(
+            intraRejects.select("vec_id"), Seq("vec_id"), "left_anti")
+
+          // (2) cross-store via the stored bucket index
+          val haveCorpus =
+            fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+          val crossRejects =
+            if (!haveCorpus) None
+            else {
+              val corpus = spark.read.parquet(corpusDir)
+                .select("vec_id", "embedding")
+              val index = spark.read.parquet(indexDir)
+                .select("vid", "table", "bucket")
+              Some(Similarity.incrementalSemanticDedup(intraKept, corpus,
+                  index, planes = planes, tables = tables,
+                  threshold = threshold, dim = dim)
+                .select(col("new_id").as("vec_id"), col("dup_of"),
+                  col("max_cos").as("cos"), lit("corpus").as("reason")))
+            }
+          val accepted = crossRejects.fold(intraKept)(r =>
+            intraKept.join(r.select("vec_id"), Seq("vec_id"), "left_anti"))
+
+          // (3) idempotent partitioned writes (the dedupIngest recipe)
+          def writeBatch(df: DataFrame, dir: String): Unit =
+            df.withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(dir)
+          writeBatch(accepted, corpusDir)
+          writeBatch(Similarity.lshBuckets(
+              accepted.select(col("vec_id").as("vid"),
+                col("embedding").cast("array<double>").as("v")),
+              planes, tables, dim)
+            .select("vid", "table", "bucket"), indexDir)
+          writeBatch(crossRejects.fold(intraRejects)(
+            intraRejects.unionByName(_)), rejectsDir)
+        } finally b.unpersist()
+      }
+      .start()
+  }
 }

@@ -355,6 +355,53 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L), indexed)
   }
 
+  test("embeddingIngest: intra-batch semantic twins collapse, a stored-" +
+       "corpus twin rejects via the reloaded bucket index, the store and " +
+       "index stay consistent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_vec_ingest")
+    def dir(n: String) = root.resolve(n).toString
+    def axis(i: Int, s: Double) = Seq.tabulate(8)(j =>
+      if (j == i) s else 0.0)
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.embeddingIngest(
+      stream.toDF().toDF("vec_id", "embedding"),
+      dir("store"), dir("index"), dir("rejects"), dir("ckpt"),
+      planes = 4, tables = 8, threshold = 0.95, dim = 8)
+    try {
+      // batch 0: two directions + an intra-batch twin of vec 1 (cos = 1)
+      stream.addData((1L, axis(0, 1.0)), (2L, axis(1, 1.0)),
+        (3L, axis(0, 2.0)))
+      q.processAllAvailable()
+      val afterB0 = spark.read.parquet(dir("store"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(afterB0 == Set(1L, 2L), afterB0)
+
+      // batch 1: a twin of STORED vec 2, plus a genuinely new direction
+      stream.addData((4L, axis(1, 3.0)), (5L, axis(2, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.parquet(dir("store"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(store == Set(1L, 2L, 5L), store)
+    val rejects = spark.read.parquet(dir("rejects"))
+      .select("vec_id", "dup_of", "reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rejects == Set((3L, 1L, "intra_batch"), (4L, 2L, "corpus")),
+      rejects)
+    // the corpus-twin audit row carries the exact cosine
+    val cos4 = spark.read.parquet(dir("rejects"))
+      .filter(col("vec_id") === 4L).select("cos").head().getDouble(0)
+    assert(math.abs(cos4 - 1.0) < 1e-12, cos4.toString)
+    // the stored bucket index covers exactly the accepted store
+    val indexed = spark.read.parquet(dir("index"))
+      .select("vid").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 5L), indexed)
+  }
+
   test("dedupIngest full pipeline: quality gate rejects junk with its own " +
        "reason, accepted docs are PII-redacted before storage") {
     import spark.implicits._
