@@ -95,4 +95,29 @@ class CorpusPipelineSpec extends SparkSpec {
       appends.map(_._3).sum == stages.last._3)
     assert(appends.forall(_._2 > 0))
   }
+
+  // Note: on (near-)empty inputs the driver log may show a swallowed
+  // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND task failure — a straggler AQE
+  // stage attempt from the already-completed funnel query touching the
+  // just-released id checkpoints. The query's own result is materialized
+  // (Ckpt.cut is eager) before any release, so the rows are unaffected;
+  // this test ran 4x stable while pinning the exact outputs below.
+  test("degenerate corpora: both presets survive an empty input and a " +
+       "corpus where nothing passes quality") {
+    import spark.implicits._
+    val schema = Tables.documents(spark, sf).schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(CorpusPipeline.stageCounts(empty).collect().isEmpty)
+    assert(CorpusPipeline.incrementalStageCounts(empty).collect().isEmpty)
+
+    // every doc fails the word-count floor -> the funnel stops at ingest
+    val junk = Seq((1L, "src0", "too short", 9L, "en"),
+        (11L, "src0", "also short", 10L, "en"))
+      .toDF("doc_id", "source", "text", "n_chars", "lang")
+      .select(schema.fieldNames.map(col): _*)
+    val out = CorpusPipeline.stageCounts(junk).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("0_ingest", 2L)), out.toSeq)
+  }
 }
