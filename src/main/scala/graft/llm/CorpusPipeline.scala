@@ -61,13 +61,16 @@ object CorpusPipeline {
                   bands: Int = 8, rows: Int = 4, threshold: Double = 0.8,
                   shingleN: Int = 4,
                   alpha: Double = 0.5, targetFraction: Double = 0.5,
-                  budget: Long = 200L, nShards: Int = 8): DataFrame = {
+                  budget: Long = 200L, nShards: Int = 8,
+                  reliable: Boolean = false): DataFrame = {
     val bench = docs.filter(col("doc_id") % benchMod === 0)
     val corpus = docs.filter(col("doc_id") % benchMod =!= 0)
     // one materialization per survivor-id relation; partitioned on the
-    // key every downstream join uses
+    // key every downstream join uses. `reliable = true` swaps every cut
+    // (here and in the component fixpoint) for a durable checkpoint —
+    // the executor-loss-safe mode a multi-hour 100 TB run selects.
     def cutIds(df: DataFrame): DataFrame =
-      graft.Ckpt.cut(df.repartition(col("doc_id")))
+      graft.Ckpt.cut(df.repartition(col("doc_id")), reliable)
 
     // stage 1: quality — structural Gopher rules + C4 blocklist rules +
     // length bounds (see the Scaladoc note on the punctuation toggles)
@@ -95,7 +98,7 @@ object CorpusPipeline {
     // survivor per cluster (portable signatures so the funnel replays)
     val losers = Dedup.componentMinLabels(
         Dedup.minHashNearDups(exact, "doc_id", "text", bands, rows,
-          threshold, portable = true))
+          threshold, portable = true), reliable = reliable)
       .filter(col("label") < col("node"))
       .select(col("node").as("doc_id"))
     val nearIds = cutIds(exIds.join(losers, Seq("doc_id"), "left_anti"))
@@ -148,7 +151,7 @@ object CorpusPipeline {
         col("n_docs"), col("n_tokens"))
     // materialize the (tiny) funnel, then free the id checkpoints — the
     // cleanCorpus release discipline, so no per-call blocks linger
-    val out = graft.Ckpt.cut(stageRows.unionByName(shardRows))
+    val out = graft.Ckpt.cut(stageRows.unionByName(shardRows), reliable)
     Seq(qIds, exIds, nearIds, cleanIds, mixIds, finIds)
       .foreach(Dedup.releaseCheckpoint)
     out
@@ -184,13 +187,14 @@ object CorpusPipeline {
                              benchMod: Long = 97L, batchMod: Long = 10L,
                              bands: Int = 8, rows: Int = 4,
                              threshold: Double = 0.8,
-                             shingleN: Int = 4): DataFrame = {
+                             shingleN: Int = 4,
+                             reliable: Boolean = false): DataFrame = {
     val bench = docs.filter(col("doc_id") % benchMod === 0)
     val nonBench = docs.filter(col("doc_id") % benchMod =!= 0)
     val corpus = nonBench.filter(col("doc_id") % batchMod =!= 0)
     val batch = nonBench.filter(col("doc_id") % batchMod === 0)
     def cutIds(df: DataFrame): DataFrame =
-      graft.Ckpt.cut(df.repartition(col("doc_id")))
+      graft.Ckpt.cut(df.repartition(col("doc_id")), reliable)
 
     // stage 1: the same structural quality gate as stageCounts
     val qIds = cutIds(
@@ -258,7 +262,7 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .select(concat(lit("5_append_"), col("source")).as("stage"),
         col("n_docs"), col("n_tokens"))
-    val out = graft.Ckpt.cut(stageRows.unionByName(appendRows))
+    val out = graft.Ckpt.cut(stageRows.unionByName(appendRows), reliable)
     Seq(qIds, exIds, nearIds, cleanIds).foreach(Dedup.releaseCheckpoint)
     out
   }

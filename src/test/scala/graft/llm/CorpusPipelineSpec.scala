@@ -120,4 +120,19 @@ class CorpusPipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("0_ingest", 2L)), out.toSeq)
   }
+
+  test("reliable mode: the funnel is identical when every cut goes to " +
+       "durable checkpoint storage (the multi-hour cluster-run setting)") {
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("pipeline_reliable").toString)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(rows(CorpusPipeline.stageCounts(docs, reliable = true)) ==
+      rows(CorpusPipeline.stageCounts(docs)))
+    assert(rows(CorpusPipeline.incrementalStageCounts(docs,
+        reliable = true)) ==
+      rows(CorpusPipeline.incrementalStageCounts(docs)))
+  }
 }
