@@ -2873,11 +2873,67 @@ object LlmOps {
         nShards = 16)
     },
 
-    // Best-fit-decreasing packing: the no-overflow guarantee streaming
-    // fill cannot give. Greedy bin state is not SQL-expressible ->
-    // rows-only; the guarantee and the fill advantage over streaming
-    // fill are asserted in MixingSpec.
-    Op.noOracle("mix_pack_tight") { (s, d) =>
+    // Best-fit-decreasing packing, now ORACLE-EXACT (the last mixing
+    // entry to convert): the greedy bin state IS SQL-expressible after
+    // all — one item per recursion step per stratum (strata advance in
+    // lockstep), the open-bin set carried as a LIST of (rem, pack)
+    // structs, the tightest-fit pick replayed as
+    // list_sort(list_filter(bins, rem >= n))[1] — struct sort is
+    // (rem, pack) lexicographic, exactly the engine's
+    // ceilingEntry-then-lowest-pack-id rule — with full/overfull bins
+    // never re-offered and new packs numbered by a per-stratum counter.
+    // The no-overflow guarantee and fill advantage stay asserted in
+    // MixingSpec; every (doc, pack) assignment now hash-compares.
+    Op("mix_pack_tight",
+       s"""WITH RECURSIVE items AS (
+          |  SELECT source AS stratum, CAST(doc_id AS BIGINT) AS id,
+          |         CAST(len($toksSql) AS BIGINT) AS n,
+          |         CAST(row_number() OVER (PARTITION BY source
+          |                ORDER BY len($toksSql) DESC, doc_id)
+          |              AS BIGINT) AS rk
+          |  FROM documents),
+          |st AS (SELECT DISTINCT stratum FROM items),
+          |ws(stratum, i, bins, npacks, id, pack) AS (
+          |  SELECT stratum, CAST(0 AS BIGINT),
+          |         CAST([] AS STRUCT(rem BIGINT, pack BIGINT)[]),
+          |         CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+          |         CAST(NULL AS BIGINT)
+          |  FROM st
+          |  UNION ALL
+          |  SELECT t.stratum, t.i,
+          |         CASE WHEN t.newrem > 0 THEN
+          |           list_append(
+          |             CASE WHEN t.hit
+          |                  THEN list_filter(t.bins, b -> b.pack <> t.cpack)
+          |                  ELSE t.bins END,
+          |             {rem: t.newrem, pack: t.cpack})
+          |         ELSE
+          |           CASE WHEN t.hit
+          |                THEN list_filter(t.bins, b -> b.pack <> t.cpack)
+          |                ELSE t.bins END
+          |         END, t.np, t.id, t.cpack
+          |  FROM (
+          |    SELECT z.stratum, z.i, z.bins, z.id, z.n,
+          |           len(z.cand) > 0 AS hit,
+          |           CASE WHEN len(z.cand) > 0
+          |                THEN list_sort(z.cand)[1].pack
+          |                ELSE z.npacks END AS cpack,
+          |           CASE WHEN len(z.cand) > 0
+          |                THEN list_sort(z.cand)[1].rem - z.n
+          |                ELSE 512 - z.n END AS newrem,
+          |           CASE WHEN len(z.cand) > 0 THEN z.npacks
+          |                ELSE z.npacks + 1 END AS np
+          |    FROM (
+          |      SELECT s.stratum, s.i + 1 AS i, s.bins, s.npacks,
+          |             it.id, it.n,
+          |             list_filter(s.bins, b -> b.rem >= it.n) AS cand
+          |      FROM ws s JOIN items it ON it.stratum = s.stratum
+          |                             AND it.rk = s.i + 1) z) t)
+          |SELECT w.id AS doc_id, w.stratum AS source,
+          |       it.n AS n_tokens, w.pack AS pack_id
+          |FROM ws w JOIN items it ON it.stratum = w.stratum
+          |                       AND it.id = w.id
+          |WHERE w.i >= 1""".stripMargin) { (s, d) =>
       Mixing.packSequencesTight(Tables.documents(s, d), "doc_id", "text",
         "source", capacity = 512)
     },
