@@ -31,6 +31,15 @@ object ContentChunks {
     z ^ (z >>> 31)
   }
 
+  /** The gear table reduced mod 2^avgBits — all the oracle needs: the
+    * boundary test reads only (h & mask), and the low `avgBits` bits of
+    * the gear recurrence close over themselves under modular arithmetic
+    * (low(h<<1 + g) = (2·(h mod 2^(avgBits-1)) + low(g)) mod 2^avgBits),
+    * so Java's 64-bit overflow wrap never reaches the replay.
+    */
+  def gearMod(avgBits: Int): Seq[Long] =
+    gearTable.toSeq.map(g => g & ((1L << avgBits) - 1))
+
   /** Chunk `bytes` into content-defined spans: Seq of (offset, length).
     * `avgBits` sets the expected chunk size (2^avgBits bytes) via the
     * boundary mask; boundaries never fire before `minLen` and are forced

@@ -796,6 +796,65 @@ object LlmOps {
        |FROM bt WHERE doc_id IN (SELECT doc_id FROM cl)
        |GROUP BY 1""".stripMargin
 
+  /** Shared DuckDB replay of ContentChunks.chunks (gear-hash CDC) —
+    * ends in `cdc(doc_id, chunk_idx, off, len, chunk_md5)`. One byte
+    * per recursion step per document; only the low avgBits of the gear
+    * state are carried (see the llm_cdc_chunks op comment).
+    */
+  private def cdcChunkCtes(minLen: Int = 16, avgBits: Int = 6,
+                           maxLen: Int = 256): String = {
+    val rows = ContentChunks.gearMod(avgBits).zipWithIndex
+      .map { case (gv, b) => s"($b, $gv)" }
+      .grouped(8).map(_.mkString(", ")).mkString(",\n       |    ")
+    val half = 1L << (avgBits - 1)
+    val modv = 1L << avgBits
+    s"""gg(b, g6) AS (VALUES
+       |    $rows),
+       |dd AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |wsc(doc_id, i, strt, h6, off, clen) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |         CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS BIGINT)
+       |  FROM dd
+       |  UNION ALL
+       |  SELECT t.doc_id, t.i,
+       |         CASE WHEN t.boundary THEN t.i ELSE t.strt END,
+       |         CASE WHEN t.boundary THEN 0 ELSE t.h6n END,
+       |         CASE WHEN t.boundary THEN t.strt ELSE NULL END,
+       |         CASE WHEN t.boundary THEN t.len ELSE NULL END
+       |  FROM (
+       |    SELECT z.doc_id, z.i, z.strt, z.h6n, z.len,
+       |           (z.len >= $minLen AND z.h6n = 0)
+       |             OR z.len >= $maxLen AS boundary
+       |    FROM (
+       |      SELECT s.doc_id, s.i + 1 AS i, s.strt,
+       |             ((s.h6 % $half) * 2 + gg.g6) % $modv AS h6n,
+       |             s.i + 1 - s.strt AS len
+       |      FROM wsc s
+       |      JOIN dd ON dd.doc_id = s.doc_id AND s.i < dd.n
+       |      JOIN gg ON gg.b =
+       |        ascii(substr(dd.text, CAST(s.i + 1 AS INT), 1))) z) t),
+       |bnd AS (
+       |  SELECT doc_id, off, clen FROM wsc WHERE off IS NOT NULL
+       |  UNION ALL
+       |  SELECT w.doc_id, w.strt, dd.n - w.strt
+       |  FROM (SELECT doc_id, strt,
+       |               row_number() OVER (PARTITION BY doc_id
+       |                                  ORDER BY i DESC) AS rn
+       |        FROM wsc) w
+       |  JOIN dd USING (doc_id)
+       |  WHERE w.rn = 1 AND w.strt < dd.n),
+       |cdc AS (
+       |  SELECT b.doc_id,
+       |         CAST(row_number() OVER (PARTITION BY b.doc_id
+       |                                 ORDER BY b.off) - 1
+       |              AS INT) AS chunk_idx,
+       |         CAST(b.off AS INT) AS off, CAST(b.clen AS INT) AS len,
+       |         md5(substr(dd.text, CAST(b.off + 1 AS INT),
+       |                    CAST(b.clen AS INT))) AS chunk_md5
+       |  FROM bnd b JOIN dd USING (doc_id))""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
 
     // --- dedup -----------------------------------------------------------
@@ -3939,13 +3998,35 @@ object LlmOps {
 
     // Content-defined chunking (FastCDC gear hash): storage-level dedup,
     // the fourth dedup family (token-shingle / bit-sampling / suffix-
-    // window / CHUNK). Rows-only (a rolling-hash boundary scan is not one
-    // SQL statement); the shift-resistance property, coverage, and
-    // determinism are asserted in ContentChunksSpec.
-    Op.noOracle("llm_cdc_chunks") { (s, d) =>
-      ContentChunks.chunks(Tables.documents(s, d))
+    // window / CHUNK). ORACLE now (r9): the boundary test reads only
+    // (h & mask), and the low avgBits bits of the gear recurrence close
+    // over themselves under modular arithmetic — Java's 64-bit overflow
+    // wrap never reaches the replay — so a recursive CTE walks one BYTE
+    // per step per document (this corpus is pure ASCII, so DuckDB's
+    // char positions ARE byte offsets; verified octet_length == length
+    // corpus-wide), emitting a boundary row when (len >= minLen AND
+    // low-bits hit zero) OR len >= maxLen, plus each document's
+    // trailing partial chunk. Chunk hashes replay as md5 of the
+    // substring. Shift-resistance/coverage/determinism stay in
+    // ContentChunksSpec.
+    Op("llm_cdc_chunks", s"WITH RECURSIVE ${cdcChunkCtes()}\n" +
+       "SELECT doc_id, chunk_idx, off, len, chunk_md5 FROM cdc") {
+      (s, d) => ContentChunks.chunks(Tables.documents(s, d))
     },
-    Op.noOracle("llm_cdc_dedup") { (s, d) =>
+    // The storage-dedup census over those chunks: exact integer sums +
+    // one pinned division (stored_fraction) — all oracle-exact.
+    Op("llm_cdc_dedup", s"""WITH RECURSIVE ${cdcChunkCtes()},
+       |pc AS (
+       |  SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(max(len) AS BIGINT) AS len
+       |  FROM cdc GROUP BY 1)
+       |SELECT CAST(sum(n) AS BIGINT) AS total_chunks,
+       |       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       |       CAST(sum(n * len) AS BIGINT) AS total_bytes,
+       |       CAST(sum(len) AS BIGINT) AS distinct_bytes,
+       |       CAST(sum(len) AS DOUBLE) / CAST(sum(n * len) AS DOUBLE)
+       |         AS stored_fraction
+       |FROM pc""".stripMargin) { (s, d) =>
       ContentChunks.dedupStats(Tables.documents(s, d))
     },
 
