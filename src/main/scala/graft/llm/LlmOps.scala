@@ -4156,7 +4156,7 @@ object LlmOps {
          |           list_slice(t.syms, t.bj + 2, len(t.syms)))
          |  FROM (
          |    SELECT p.step, p.word, p.syms,
-         |           CAST(min(p.r * 100000 + p.j) % 100000 AS INT) AS bj
+         |           CAST(min({'r': p.r, 'j': p.j}).j AS INT) AS bj
          |    FROM (
          |      SELECT s.step, s.word, s.syms, s.j, m.r
          |      FROM (SELECT step, word, syms,

@@ -429,7 +429,9 @@ object Similarity {
     val book: Seq[Seq[Seq[Double]]] = Seq(centroids.map(_.toSeq).toSeq)
     val distRow = element_at(
       graft.functions.GraftFunctions.pqAdcTable(col("v"), book), 1)
-    val assigned = index.toDF("vid", "list").join(vecs, Seq("vid"))
+    // by-name select: a column-reordered index parquet errors instead of
+    // silently swapping vid/list under a positional rename
+    val assigned = index.select(col("vid"), col("list")).join(vecs, Seq("vid"))
     val querySide = if (nQueries > 0) vecs.filter(col("vid") < nQueries)
       else vecs
     val probed = querySide.select(col("vid"), col("v"),
@@ -953,7 +955,11 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val cand = lshBuckets(nv, planes, tables, dim)
       .select(col("vid").as("new_id"), col("table"), col("bucket"))
-      .join(corpusBuckets.toDF("corpus_id", "table", "bucket"),
+      // select-by-name before renaming: a stored index parquet whose
+      // column ORDER differs from the writer's must error, not silently
+      // misassign (a positional toDF would).
+      .join(corpusBuckets.select(col("vid").as("corpus_id"),
+          col("table"), col("bucket")),
         Seq("table", "bucket"))
       .select("new_id", "corpus_id").distinct()
     val touched = cv.join(cand.select(col("corpus_id").as("vid")),

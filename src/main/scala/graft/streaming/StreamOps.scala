@@ -454,11 +454,27 @@ object StreamOps {
                   threshold: Double = 0.8,
                   minQuality: Double = 0.0,
                   redactPii: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.llm.{Dedup, TextFeatures}
+      : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIngestBatch(batch, batchId, corpusDir, indexDir, rejectsDir,
+          bands, rows, threshold, minQuality, redactPii)
+      }
+      .start()
+
+  /** One dedupIngest micro-batch, exposed so a spec can invoke it TWICE
+    * with the same batchId — the at-least-once retry foreachBatch can
+    * deliver — and assert the three sinks end bit-identical to a single
+    * invocation (the replay-idempotency contract).
+    */
+  private[graft] def dedupIngestBatch(
+      batch: DataFrame, batchId: Long,
+      corpusDir: String, indexDir: String, rejectsDir: String,
+      bands: Int, rows: Int, threshold: Double,
+      minQuality: Double, redactPii: Boolean): Unit = {
+    import graft.llm.{Dedup, TextFeatures}
+    {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(corpusDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -485,14 +501,22 @@ object StreamOps {
           val intraKept = b.join(
             intraRejects.select("doc_id"), Seq("doc_id"), "left_anti")
 
-          // (2) cross-corpus via the stored band index
+          // (2) cross-corpus via the stored band index. Replay safety:
+          // read ONLY partitions written by EARLIER batches
+          // (ingest_batch < batchId) — an at-least-once retry of batch N
+          // must not see batch N's own previously-written rows, or every
+          // accepted doc would self-match and be rejected as a corpus
+          // dup, leaving corpus/index/rejects inconsistent. The predicate
+          // is on the partition column, so it prunes, not scans.
           val haveCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
           val cross =
             if (!haveCorpus) None
             else {
               val corpus = spark.read.parquet(corpusDir)
+                .filter(col("ingest_batch") < batchId)
                 .select("doc_id", "text")
               val index = spark.read.parquet(indexDir)
+                .filter(col("ingest_batch") < batchId)
                 .select("doc_id", "band", "band_sig")
               Some(Dedup.incrementalNearDups(intraKept, corpus, index,
                 bands = bands, rows = rows, threshold = threshold))
@@ -519,8 +543,7 @@ object StreamOps {
             crossRejects.fold(intraRejects)(intraRejects.unionByName(_))),
             rejectsDir)
         } finally b.unpersist()
-      }
-      .start()
+    }
   }
 
   /** Continuous EMBEDDING ingest with semantic near-dup rejection — the
@@ -546,11 +569,25 @@ object StreamOps {
                       rejectsDir: String, checkpointDir: String,
                       planes: Int = 4, tables: Int = 8,
                       threshold: Double = 0.95, dim: Int = 64)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.llm.{Dedup, Similarity}
+      : org.apache.spark.sql.streaming.StreamingQuery =
     newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embeddingIngestBatch(batch, batchId, corpusDir, indexDir,
+          rejectsDir, planes, tables, threshold, dim)
+      }
+      .start()
+
+  /** One embeddingIngest micro-batch — named (like [[dedupIngestBatch]])
+    * so the replay-idempotency spec can run the same (batch, batchId)
+    * twice and assert store, bucket index, and rejects are unchanged.
+    */
+  private[graft] def embeddingIngestBatch(
+      batch: DataFrame, batchId: Long,
+      corpusDir: String, indexDir: String, rejectsDir: String,
+      planes: Int, tables: Int, threshold: Double, dim: Int): Unit = {
+    import graft.llm.{Dedup, Similarity}
+    {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(corpusDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -567,15 +604,20 @@ object StreamOps {
           val intraKept = b.join(
             intraRejects.select("vec_id"), Seq("vec_id"), "left_anti")
 
-          // (2) cross-store via the stored bucket index
+          // (2) cross-store via the stored bucket index. Same replay
+          // guard as dedupIngest: restrict to partitions from EARLIER
+          // batches so a foreachBatch retry of batch N never self-matches
+          // against its own already-written rows (partition-pruned).
           val haveCorpus =
             fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
           val crossRejects =
             if (!haveCorpus) None
             else {
               val corpus = spark.read.parquet(corpusDir)
+                .filter(col("ingest_batch") < batchId)
                 .select("vec_id", "embedding")
               val index = spark.read.parquet(indexDir)
+                .filter(col("ingest_batch") < batchId)
                 .select("vid", "table", "bucket")
               Some(Similarity.incrementalSemanticDedup(intraKept, corpus,
                   index, planes = planes, tables = tables,
@@ -601,7 +643,6 @@ object StreamOps {
           writeBatch(crossRejects.fold(intraRejects)(
             intraRejects.unionByName(_)), rejectsDir)
         } finally b.unpersist()
-      }
-      .start()
+    }
   }
 }

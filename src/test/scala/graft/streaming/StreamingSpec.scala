@@ -476,6 +476,73 @@ class StreamingSpec extends SparkSpec {
     assert(batchesBefore == 1 && batchesAfter == 2)
   }
 
+  test("dedupIngest replay idempotency: re-running a committed batch with " +
+       "the same batchId (the at-least-once foreachBatch retry) leaves " +
+       "corpus, index, and rejects bit-identical — accepted docs do NOT " +
+       "self-match against their own already-written partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_rp")
+    def dir(n: String) = root.resolve(n).toString
+    val textA = (1 to 40).map(i => s"rpa$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"rpb$i").mkString(" ")
+    def run(batch: Seq[(Long, String)], id: Long) =
+      StreamOps.dedupIngestBatch(batch.toDF("doc_id", "text"), id,
+        dir("corpus"), dir("index"), dir("rejects"),
+        bands = 16, rows = 4, threshold = 0.8,
+        minQuality = 0.0, redactPii = false)
+    def snap(d: String, cols: String*) = spark.read.parquet(dir(d))
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+
+    run(Seq(1L -> textA), 0L)
+    // batch 1: one corpus dup (of A) and one genuinely new doc
+    val b1 = Seq(2L -> (textA + " tail"), 3L -> textB)
+    run(b1, 1L)
+    val (c1, i1, r1) = (snap("corpus", "doc_id", "text", "ingest_batch"),
+      snap("index", "doc_id", "band", "ingest_batch"),
+      snap("rejects", "doc_id", "dup_of", "reason", "ingest_batch"))
+    assert(c1.map(_.head) == Seq(1L, 3L), c1)
+
+    // the retry: same rows, same batchId. Before the ingest_batch <
+    // batchId read guard, doc 3 self-matched its own stored copy
+    // (jaccard 1.0), was rejected as a corpus dup, and the empty
+    // accepted write left a stale corpus partition with no index rows.
+    run(b1, 1L)
+    assert(snap("corpus", "doc_id", "text", "ingest_batch") == c1)
+    assert(snap("index", "doc_id", "band", "ingest_batch") == i1)
+    assert(snap("rejects", "doc_id", "dup_of", "reason", "ingest_batch") == r1)
+  }
+
+  test("embeddingIngest replay idempotency: a same-batchId retry leaves " +
+       "store, bucket index, and rejects identical (no self-match via " +
+       "the batch's own written partition)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vec_rp")
+    def dir(n: String) = root.resolve(n).toString
+    def axis(i: Int, s: Double) = Seq.tabulate(8)(j => if (j == i) s else 0.0)
+    def run(batch: Seq[(Long, Seq[Double])], id: Long) =
+      StreamOps.embeddingIngestBatch(batch.toDF("vec_id", "embedding"), id,
+        dir("store"), dir("index"), dir("rejects"),
+        planes = 4, tables = 8, threshold = 0.95, dim = 8)
+    def snap(d: String, cols: String*) = spark.read.parquet(dir(d))
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+
+    run(Seq(1L -> axis(0, 1.0), 2L -> axis(1, 1.0)), 0L)
+    // batch 1: a twin of stored vec 2 plus a new direction
+    val b1 = Seq(4L -> axis(1, 3.0), 5L -> axis(2, 1.0))
+    run(b1, 1L)
+    val (s1, i1, r1) = (snap("store", "vec_id", "ingest_batch"),
+      snap("index", "vid", "table", "bucket", "ingest_batch"),
+      snap("rejects", "vec_id", "dup_of", "reason", "ingest_batch"))
+    assert(s1.map(_.head) == Seq(1L, 2L, 5L), s1)
+
+    run(b1, 1L) // the at-least-once retry
+    assert(snap("store", "vec_id", "ingest_batch") == s1)
+    assert(snap("index", "vid", "table", "bucket", "ingest_batch") == i1)
+    assert(snap("rejects", "vec_id", "dup_of", "reason", "ingest_batch") == r1)
+  }
+
   test("stateful debounce resets only on KEPT events and carries state " +
        "across trigger batches — diverging from the batch gap form " +
        "exactly where the semantics differ") {
