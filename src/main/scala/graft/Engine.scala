@@ -18,9 +18,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Engine {
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    // Multi-JVM dress rehearsal hooks (tools/multijvm_sweep.sh):
+    //   SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the same mains
+    //     against REAL executor JVMs — real closure/broadcast/Aggregator
+    //     serialization and executor-side classloading, the boundaries a
+    //     single local[n] JVM never crosses;
+    //   SPARK_GRAFT_JARS=<packaged graft jar> ships the library to those
+    //     executor processes (local[n] ignores it — same classloader).
+    // Defaults preserve the driver contract exactly: local[cores].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    val builder = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(appName)
       .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -49,7 +58,9 @@ object Engine {
         s"${System.getProperty("java.io.tmpdir")}/graft-spark-warehouse-" +
           ProcessHandle.current().pid())
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j =>
+      builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -21,6 +21,288 @@ object LlmOps {
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** Recursive-CTE replay of [[Bpe.train]] — the TRAINING loop itself,
+    * not just a frozen walk: the corpus word histogram (top `vocabWords`
+    * by count desc, word asc — Bpe.wordHistogram's exact cut) seeds
+    * per-word symbol states (chr(31)-joined; the corpus is pure ASCII,
+    * so char splits agree across engines), and each recursion step
+    * (a) re-derives the pair census from the CURRENT states — the same
+    * numbers the engine maintains incrementally, since its add/drop
+    * bookkeeping exactly tracks state contents — (b) picks the max-count
+    * pair with the engine's lexicographic (a, b) tie-break, and
+    * (c) applies it to every word as a left fold (faithful to the
+    * engine's in-word scan because a freshly merged symbol a||b can
+    * never equal a, so a fold can never re-merge its own output as a
+    * left part). Ends in `bpem(rank, a, b)` — the learned merge table.
+    * Recursion stops at `numMerges` or when no pair remains, like the
+    * engine's while-guard.
+    */
+  private def bpeTrainCtes(numMerges: Int, vocabWords: Int): String =
+    s"""bw AS (SELECT unnest(toks) AS word
+       |      FROM (SELECT $toksSql AS toks FROM documents)),
+       |bhist AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM bw
+       |  WHERE word <> ''
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT $vocabWords),
+       |bst0 AS (
+       |  SELECT word, cnt,
+       |         array_to_string(list_transform(range(1, length(word) + 1),
+       |                                        i -> substr(word, i, 1)),
+       |                         chr(31)) || chr(31) || '</w>' AS state
+       |  FROM bhist),
+       |btr(step, word, cnt, state, ma, mb) AS (
+       |  SELECT 0, word, cnt, state, CAST(NULL AS VARCHAR),
+       |         CAST(NULL AS VARCHAR)
+       |  FROM bst0
+       |  UNION ALL
+       |  SELECT r.step + 1, r.word, r.cnt,
+       |         list_reduce(string_split(r.state, chr(31)),
+       |           (acc, x) -> CASE WHEN x = b.b AND (acc = b.a OR
+       |                              ends_with(acc, chr(31) || b.a))
+       |                       THEN acc || x
+       |                       ELSE acc || chr(31) || x END),
+       |         b.a, b.b
+       |  FROM btr r,
+       |       (SELECT a, b FROM (
+       |          SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS tot
+       |          FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS j
+       |                FROM (SELECT string_split(state, chr(31)) AS syms,
+       |                             cnt
+       |                      FROM btr))
+       |          GROUP BY 1, 2)
+       |        ORDER BY tot DESC, a, b LIMIT 1) b
+       |  WHERE r.step < $numMerges),
+       |bpem AS (
+       |  SELECT CAST(step - 1 AS BIGINT) AS rank, ma AS a, mb AS b
+       |  FROM (SELECT DISTINCT step, ma, mb FROM btr WHERE step >= 1))"""
+      .stripMargin
+
+  /** Recursive-CTE replay of [[Wordpiece.train]] — same skeleton as
+    * [[bpeTrainCtes]] (WordPiece ##-continuation symbols, join strips
+    * the ##) but the per-step argmax is the LIKELIHOOD-GAIN score
+    * c(ab)/(c(a)·c(b)), which the engine compares as exact BigInt
+    * cross-products. SQL has no BigInt ORDER BY key, so the score is
+    * keyed by its first two base-2^62 fraction digits in HUGEINT
+    * (q1 = ⌊t·2^62/d⌋, q2 = the next digit): two ratios t1/d1 ≠ t2/d2
+    * with d ≤ 2^40 differ by ≥ 1/(d1·d2) ≥ 2^-80 > 2^-124, so equal
+    * (q1, q2) ⇔ equal ratio — the key is exact for any corpus whose
+    * symbol-count products stay under 2^40 (12 orders of magnitude
+    * above this one). Symbol counts are re-derived per step from the
+    * states, mirroring the engine's incremental bookkeeping. Ends in
+    * `wpm(rank, a, b, joined)` plus `wst0` (whose states carry the
+    * alphabet).
+    */
+  private def wpTrainCtes(numMerges: Int, vocabWords: Int): String =
+    s"""ww AS (SELECT unnest(toks) AS word
+       |      FROM (SELECT $toksSql AS toks FROM documents)),
+       |whist AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ww
+       |  WHERE word <> ''
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT $vocabWords),
+       |wst0 AS (
+       |  SELECT word, cnt,
+       |         array_to_string(list_transform(range(1, length(word) + 1),
+       |           i -> CASE WHEN i = 1 THEN substr(word, i, 1)
+       |                     ELSE '##' || substr(word, i, 1) END),
+       |           chr(31)) AS state
+       |  FROM whist),
+       |wtr(step, word, cnt, state, ma, mb) AS (
+       |  SELECT 0, word, cnt, state, CAST(NULL AS VARCHAR),
+       |         CAST(NULL AS VARCHAR)
+       |  FROM wst0
+       |  UNION ALL
+       |  SELECT r.step + 1, r.word, r.cnt,
+       |         list_reduce(string_split(r.state, chr(31)),
+       |           (acc, x) -> CASE WHEN x = b.b AND (acc = b.a OR
+       |                              ends_with(acc, chr(31) || b.a))
+       |                       THEN acc || b.bs
+       |                       ELSE acc || chr(31) || x END),
+       |         b.a, b.b
+       |  FROM wtr r,
+       |       (SELECT a, b, regexp_replace(b, '^##', '') AS bs
+       |        FROM (
+       |          SELECT p.a, p.b,
+       |                 (p.tot::HUGEINT * 4611686018427387904)
+       |                   // (sa.t::HUGEINT * sb.t) AS q1,
+       |                 ((p.tot::HUGEINT * 4611686018427387904)
+       |                   % (sa.t::HUGEINT * sb.t)
+       |                   * 4611686018427387904)
+       |                   // (sa.t::HUGEINT * sb.t) AS q2
+       |          FROM (SELECT syms[j] AS a, syms[j + 1] AS b,
+       |                       sum(cnt) AS tot
+       |                FROM (SELECT syms, cnt,
+       |                             unnest(range(1, len(syms))) AS j
+       |                      FROM (SELECT string_split(state, chr(31))
+       |                                     AS syms, cnt
+       |                            FROM wtr))
+       |                GROUP BY 1, 2) p
+       |          JOIN (SELECT sym, sum(cnt) AS t
+       |                FROM (SELECT cnt,
+       |                             unnest(string_split(state, chr(31)))
+       |                               AS sym
+       |                      FROM wtr)
+       |                GROUP BY 1) sa ON sa.sym = p.a
+       |          JOIN (SELECT sym, sum(cnt) AS t
+       |                FROM (SELECT cnt,
+       |                             unnest(string_split(state, chr(31)))
+       |                               AS sym
+       |                      FROM wtr)
+       |                GROUP BY 1) sb ON sb.sym = p.b)
+       |        ORDER BY q1 DESC, q2 DESC, a, b LIMIT 1) b
+       |  WHERE r.step < $numMerges),
+       |wpm AS (
+       |  SELECT CAST(step - 1 AS BIGINT) AS rank, ma AS a, mb AS b,
+       |         ma || regexp_replace(mb, '^##', '') AS joined
+       |  FROM (SELECT DISTINCT step, ma, mb FROM wtr WHERE step >= 1))"""
+      .stripMargin
+
+  /** Viterbi DP + backtrack CTE group (the llm_unigram_encode_frozen
+    * machinery, generalized over its inputs): best segmentation of every
+    * word in `wordsRel(word, …)` under the piece scores of
+    * `modelRel(piece, lp)`. Emits `uus$sfx` (the DP recursion carrying
+    * score/backpointer/piece-count lists, advancing one position per
+    * step), `uok$sfx(word, bk)` (words that reached the end — every
+    * other word is unsegmentable, exactly viterbi's Nil), and
+    * `ubt$sfx(word, pos)` (the backpointer walk: the piece consumed at
+    * a row is `bk[pos + 1]`). With a FLOAT model the replay stays exact
+    * because every score is a fixed-order sum of ln values DuckDB and
+    * the JVM agree on bit-for-bit (java.lang.Math.log ≡ DuckDB ln — the
+    * ieee_ln precedent), so even `s == score(i)` ties replay.
+    */
+  private def unigramViterbiCtes(sfx: String, wordsRel: String,
+                                 modelRel: String): String =
+    s"""uus$sfx(word, i, sc, bk, np) AS (
+       |  SELECT word, CAST(0 AS BIGINT), [CAST(0.0 AS DOUBLE)],
+       |         [CAST('' AS VARCHAR)], [CAST(0 AS BIGINT)]
+       |  FROM $wordsRel
+       |  UNION ALL
+       |  SELECT word, i, list_append(sc, s), list_append(bk, piece),
+       |         list_append(np, k)
+       |  FROM (
+       |    SELECT c.word, c.i, c.sc, c.bk, c.np, c.s, c.piece, c.k,
+       |           row_number() OVER (PARTITION BY c.word ORDER BY
+       |             (CASE WHEN c.s IS NULL THEN 1 ELSE 0 END),
+       |             c.s DESC, c.k ASC, c.piece ASC) AS rn
+       |    FROM (
+       |      SELECT s0.word, s0.i, s0.sc, s0.bk, s0.np,
+       |             CASE WHEN s0.len = 0 THEN NULL
+       |                  ELSE s0.sc[s0.i - s0.len + 1] + m.lp END AS s,
+       |             CASE WHEN s0.len = 0 THEN NULL
+       |                  ELSE m.piece END AS piece,
+       |             CASE WHEN s0.len = 0 THEN NULL
+       |                  ELSE s0.np[s0.i - s0.len + 1] + 1 END AS k
+       |      FROM (
+       |        SELECT word, i + 1 AS i, sc, bk, np,
+       |               unnest(range(0, least(6, i + 1) + 1)) AS len,
+       |               substr(word,
+       |                      CAST(i + 1 AS INT) - CAST(len AS INT) + 1,
+       |                      CAST(len AS INT)) AS cand
+       |        FROM uus$sfx WHERE i < length(word)) s0
+       |      LEFT JOIN $modelRel m ON s0.len > 0 AND m.piece = s0.cand
+       |      WHERE s0.len = 0
+       |         OR (m.piece IS NOT NULL
+       |             AND s0.sc[s0.i - s0.len + 1] IS NOT NULL)) c) z
+       |  WHERE z.rn = 1),
+       |uok$sfx AS MATERIALIZED (
+       |  SELECT word, bk FROM (
+       |    SELECT word, i, sc, bk,
+       |           row_number() OVER (PARTITION BY word
+       |                              ORDER BY i DESC) AS rn
+       |    FROM uus$sfx) WHERE rn = 1 AND i = length(word)
+       |                    AND sc[length(word) + 1] IS NOT NULL),
+       |ubt$sfx(word, pos) AS (
+       |  SELECT word, CAST(length(word) AS BIGINT) FROM uok$sfx
+       |  UNION ALL
+       |  SELECT b.word, b.pos - length(f.bk[b.pos + 1])
+       |  FROM ubt$sfx b JOIN uok$sfx f USING (word) WHERE b.pos > 0)"""
+      .stripMargin
+
+  /** One hard-EM round k of [[Unigram.train]]: E-step (Viterbi piece
+    * counts over the histogram under model k−1 — exact integer sums in
+    * DOUBLE) into `uc$k`, then the M-step renorm into `um$k` (counts
+    * floored at 0.5 over the model's keyset; the total is a sum of
+    * halves, exact in any order, so the engine's hash-order Map sum
+    * replays as SQL sum).
+    */
+  private def unigramEmStep(k: Int): String =
+    s"""${unigramViterbiCtes(k.toString, "uhist", s"um${k - 1}")},
+       |uc$k AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS DOUBLE) AS c
+       |  FROM (SELECT b.word, f.bk[b.pos + 1] AS piece
+       |        FROM ubt$k b JOIN uok$k f USING (word)
+       |        WHERE b.pos > 0)
+       |  JOIN uhist USING (word) GROUP BY piece),
+       |um$k AS MATERIALIZED (
+       |  SELECT piece,
+       |         ln(c / (SELECT sum(greatest(coalesce(c2.c, 0.0), 0.5))
+       |                 FROM um${k - 1} m2
+       |                 LEFT JOIN uc$k c2 USING (piece))) AS lp
+       |  FROM (SELECT m.piece, greatest(coalesce(c.c, 0.0), 0.5) AS c
+       |        FROM um${k - 1} m LEFT JOIN uc$k c USING (piece)))"""
+      .stripMargin
+
+  /** Full recursive-CTE replay of [[Unigram.train]] — seed substring
+    * vocabulary, three hard-EM rounds, the prune E-step, and the final
+    * renorm — ending in `umf(piece, lp)`, the trained model, plus
+    * `uhist`. Everything the EM touches is either exact-integer
+    * arithmetic in doubles (counts, the 0.5-floored totals) or a
+    * fixed-order ln/÷/+ chain both engines execute identically, so the
+    * MODEL hash-compares float-for-float.
+    */
+  private def unigramTrainCtes(vocabSize: Int, topWords: Int): String =
+    s"""uw AS (SELECT unnest(toks) AS word
+       |      FROM (SELECT $toksSql AS toks FROM documents)),
+       |uhist AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM uw
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT $topWords),
+       |usub AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |         CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i
+       |        FROM uhist),
+       |       (SELECT unnest(range(1, 7)) AS l)
+       |  WHERE i + l <= length(word) + 1
+       |  GROUP BY 1),
+       |uchars AS (SELECT piece, c FROM usub WHERE length(piece) = 1),
+       |umulti AS (
+       |  SELECT piece, c FROM usub WHERE length(piece) > 1
+       |  ORDER BY c DESC, piece
+       |  LIMIT greatest(0, ${vocabSize * 4} -
+       |                    (SELECT count(*) FROM uchars))),
+       |useed AS MATERIALIZED (SELECT piece, c FROM uchars
+       |          UNION ALL SELECT piece, c FROM umulti),
+       |um0 AS MATERIALIZED (
+       |  SELECT piece,
+       |         ln(CAST(c AS DOUBLE) /
+       |            (SELECT CAST(sum(c) AS DOUBLE) FROM useed)) AS lp
+       |  FROM useed),
+       |${unigramEmStep(1)},
+       |${unigramEmStep(2)},
+       |${unigramEmStep(3)},
+       |${unigramViterbiCtes("4", "uhist", "um3")},
+       |uc4 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS DOUBLE) AS c
+       |  FROM (SELECT b.word, f.bk[b.pos + 1] AS piece
+       |        FROM ubt4 b JOIN uok4 f USING (word)
+       |        WHERE b.pos > 0)
+       |  JOIN uhist USING (word) GROUP BY piece),
+       |ukeep AS MATERIALIZED (
+       |  SELECT piece FROM um0 WHERE length(piece) = 1
+       |  UNION
+       |  SELECT piece FROM (
+       |    SELECT piece FROM uc4 WHERE length(piece) > 1
+       |    ORDER BY c DESC, piece
+       |    LIMIT greatest(0, $vocabSize -
+       |      (SELECT count(*) FROM um0 WHERE length(piece) = 1)))),
+       |umf AS MATERIALIZED (
+       |  SELECT piece,
+       |         ln(c / (SELECT sum(greatest(coalesce(c2.c, 0.0), 0.5))
+       |                 FROM ukeep k2
+       |                 LEFT JOIN uc4 c2 USING (piece))) AS lp
+       |  FROM (SELECT k.piece, greatest(coalesce(c.c, 0.0), 0.5) AS c
+       |        FROM ukeep k LEFT JOIN uc4 c USING (piece)))"""
+      .stripMargin
+
   /** Shared DuckDB replay of CorpusQuality.perplexity — the add-one
     * bigram LM scored in the log domain; ends in
     * `ppl(doc_id, n_bigrams, log_ppl)`. text_perplexity and
@@ -3968,28 +4250,110 @@ object LlmOps {
 
     // --- BPE tokenizer ---------------------------------------------------
 
-    // Corpus-trained byte-pair encoding, end to end: word histogram ->
-    // bounded driver merge learning -> broadcast ranks -> map-side encode.
-    // Rows-only (a 100-round greedy merge sequence is not expressible as
-    // one SQL statement); determinism + known-merge fixtures are asserted
-    // in BpeSpec.
-    Op.noOracle("llm_bpe_vocab") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val merges = Bpe.trainOnCorpus(docs, numMerges = 100,
-        vocabWords = 5000)
-      Bpe.topVocab(docs, merges, k = 20)
+    // Corpus-trained byte-pair encoding — the TRAINING loop itself is
+    // ORACLE-EXACT now (r10): the entry emits the learned merge table
+    // (rank, a, b) — the artifact a tokenizer ships — and the oracle
+    // re-learns it from scratch with a recursive CTE that performs ONE
+    // histogram-argmax merge selection per step (the frozen-encode
+    // discipline applied to training; see bpeTrainCtes). Every merge
+    // decision over 100 rounds hash-compares, pinning histogram cut,
+    // pair census, tie-breaks, and the in-word merge application order.
+    Op("llm_bpe_vocab",
+       s"""WITH RECURSIVE ${bpeTrainCtes(100, 5000)}
+          |SELECT rank, a, b FROM bpem""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Bpe.trainOnCorpus(Tables.documents(s, d), numMerges = 100,
+          vocabWords = 5000)
+        .zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "a", "b")
     },
 
-    // WordPiece (BERT family): likelihood-gain merges (exact BigInt
-    // rational argmax), longest-match-first encode with [UNK] word
-    // degradation — the third tokenizer family beside BPE and Unigram.
-    // Rows-only like its siblings; score-vs-frequency divergence,
-    // round-trips, and UNK behavior in WordpieceSpec.
-    Op.noOracle("llm_wordpiece_vocab") { (s, d) =>
+    // WordPiece (BERT family) TRAINING, ORACLE-EXACT (r10): the
+    // likelihood-gain argmax c(ab)/(c(a)·c(b)) — which the engine
+    // compares as exact BigInt cross-products — replays via HUGEINT
+    // base-2^62 fraction digits (see wpTrainCtes), so the full vocab
+    // report (alphabet at merge_rank -1, every learned piece at its
+    // rank, last-producing merge winning duplicate joins, exactly like
+    // the engine's zipWithIndex.toMap) hash-compares.
+    Op("llm_wordpiece_vocab",
+       s"""WITH RECURSIVE ${wpTrainCtes(100, 10000)},
+          |alpha AS (
+          |  SELECT DISTINCT unnest(string_split(state, chr(31))) AS token
+          |  FROM wst0),
+          |mt AS (
+          |  SELECT joined AS token, CAST(max(rank) AS INT) AS mr
+          |  FROM wpm GROUP BY 1),
+          |voc AS (SELECT token FROM alpha UNION SELECT token FROM mt)
+          |SELECT token, coalesce(mr, CAST(-1 AS INT)) AS merge_rank
+          |FROM voc LEFT JOIN mt USING (token)""".stripMargin) { (s, d) =>
       Wordpiece.vocabReport(Tables.documents(s, d), numMerges = 100)
     },
 
-    Op.noOracle("llm_wordpiece_token_counts") { (s, d) =>
+    // Per-document WordPiece token counts under the CORPUS-TRAINED
+    // vocabulary — ORACLE-EXACT (r10) by composing the training replay
+    // (wpTrainCtes) with the longest-match walk the frozen-encode entry
+    // proved: every distinct word walks once against the LEARNED vocab
+    // (alphabet ∪ merge joins), a stuck walk degrades to the whole-word
+    // [UNK] (never a real piece: vocab tokens are lowercase, '[UNK]'
+    // is not), and per-document sums are exact integers. Empty words
+    // (empty documents' single token) count 1 word / 0 pieces / 0 UNK,
+    // exactly like the engine's encodeWord("") = Vector.empty.
+    Op("llm_wordpiece_token_counts",
+       s"""WITH RECURSIVE ${wpTrainCtes(100, 5000)},
+          |v(piece) AS (
+          |  SELECT DISTINCT unnest(string_split(state, chr(31)))
+          |  FROM wst0
+          |  UNION
+          |  SELECT DISTINCT joined FROM wpm),
+          |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |tk2 AS (
+          |  SELECT doc_id, CAST(wpos AS BIGINT) AS wpos,
+          |         toks[wpos+1] AS word
+          |  FROM (SELECT doc_id, unnest(range(0, len(toks))) AS wpos,
+          |               toks
+          |        FROM t0)),
+          |wd AS (SELECT DISTINCT word FROM tk2),
+          |ws(word, pos, np) AS (
+          |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wd
+          |  UNION ALL
+          |  SELECT t.word, t.pos + t.blen, t.np + 1
+          |  FROM (
+          |    SELECT c.word, c.pos, c.np, max(c.len) AS blen
+          |    FROM (
+          |      SELECT s.word, s.pos, s.np, s.len,
+          |             CASE WHEN s.pos = 1
+          |                  THEN substr(s.word, 1, CAST(s.len AS INT))
+          |                  ELSE '##' || substr(s.word,
+          |                         CAST(s.pos AS INT),
+          |                         CAST(s.len AS INT)) END AS piece
+          |      FROM (SELECT word, pos, np,
+          |                   unnest(range(1, length(word) - pos + 2))
+          |                     AS len
+          |            FROM ws) s) c
+          |    JOIN v ON v.piece = c.piece
+          |    GROUP BY c.word, c.pos, c.np) t),
+          |fin AS (
+          |  SELECT word,
+          |         CASE WHEN pos = length(word) + 1 THEN np
+          |              ELSE CAST(1 AS BIGINT) END AS n_pieces,
+          |         CASE WHEN pos = length(word) + 1 THEN 0
+          |              ELSE 1 END AS is_unk
+          |  FROM (SELECT word, pos, np,
+          |               row_number() OVER (PARTITION BY word
+          |                                  ORDER BY pos DESC) AS rn
+          |        FROM ws) WHERE rn = 1),
+          |fin2 AS (
+          |  SELECT word,
+          |         CASE WHEN word = '' THEN CAST(0 AS BIGINT)
+          |              ELSE n_pieces END AS n_pieces,
+          |         CASE WHEN word = '' THEN 0 ELSE is_unk END AS is_unk
+          |  FROM fin)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |       CAST(sum(n_pieces) AS BIGINT) AS n_wp_tokens,
+          |       CAST(sum(is_unk) AS BIGINT) AS n_unk
+          |FROM tk2 JOIN fin2 USING (word)
+          |GROUP BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val (_, vocab) = Wordpiece.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
@@ -4030,12 +4394,22 @@ object LlmOps {
       ContentChunks.dedupStats(Tables.documents(s, d))
     },
 
-    // Unigram-LM (SentencePiece-family) tokenizer: EM-trained piece
-    // vocabulary with log-probs, Viterbi segmentation — the OTHER
-    // production tokenizer lineage next to BPE, same bounded word-
-    // histogram sufficient statistic. Rows-only (EM is not one SQL
-    // statement); optimality/round-trip/determinism in UnigramSpec.
-    Op.noOracle("llm_unigram_vocab") { (s, d) =>
+    // Unigram-LM (SentencePiece-family) tokenizer — the EM TRAINING
+    // loop is ORACLE-EXACT now (r10), the hardest member of the trained
+    // triad because the model is FLOAT: the replay works because every
+    // quantity EM touches is either an exact integer/half-integer in
+    // doubles (Viterbi piece counts, the 0.5-floored renorm totals —
+    // so even the engine's hash-order Map sums are order-independent)
+    // or a fixed-order ln/÷/+ chain DuckDB executes bit-identically
+    // (java.lang.Math.log ≡ DuckDB ln). Four chained Viterbi-DP
+    // recursions (3 EM rounds + the prune E-step) rebuild the model;
+    // the top-30 multi-char pieces hash-compare INCLUDING their float
+    // log-probs. See unigramTrainCtes.
+    Op("llm_unigram_vocab",
+       s"""WITH RECURSIVE ${unigramTrainCtes(256, 4096)}
+          |SELECT piece, lp AS logprob FROM umf
+          |WHERE length(piece) > 1
+          |ORDER BY lp DESC, piece LIMIT 30""".stripMargin) { (s, d) =>
       val spark = s
       import spark.implicits._
       val model = Unigram.trainOnCorpus(Tables.documents(s, d),
@@ -4047,7 +4421,54 @@ object LlmOps {
 
     // Per-document unigram piece counts + model log-prob — the fertility
     // statistic next to llm_bpe_token_counts, from the competing family.
-    Op.noOracle("llm_unigram_token_counts") { (s, d) =>
+    // ORACLE-EXACT (r10): the trained model (unigramTrainCtes) feeds a
+    // fifth Viterbi walk over the corpus' distinct words; per-word
+    // log-probs fold in segmentation order and per-document totals fold
+    // in word order — the engine's exact two-level foldLeft — while
+    // unsegmentable words fall back to length × the model's floor
+    // log-prob (a float min, order-independent). Empty documents emit
+    // (0, 0.0) on both sides.
+    Op("llm_unigram_token_counts",
+       s"""WITH RECURSIVE ${unigramTrainCtes(256, 4096)},
+          |dt0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |dtk AS (
+          |  SELECT doc_id, CAST(wpos AS BIGINT) AS wpos,
+          |         toks[wpos+1] AS word
+          |  FROM (SELECT doc_id, unnest(range(0, len(toks))) AS wpos,
+          |               toks
+          |        FROM dt0)
+          |  WHERE toks[wpos+1] <> ''),
+          |uwd AS MATERIALIZED (SELECT DISTINCT word FROM dtk),
+          |${unigramViterbiCtes("w", "uwd", "umf")},
+          |wstat AS MATERIALIZED (
+          |  SELECT b.word, CAST(count(*) AS BIGINT) AS nw,
+          |         list_reduce(list_prepend(0.0,
+          |             list(m.lp ORDER BY b.pos)), (a, x) -> a + x)
+          |           AS wlp
+          |  FROM ubtw b JOIN uokw f USING (word)
+          |  JOIN umf m ON m.piece = f.bk[b.pos + 1]
+          |  WHERE b.pos > 0
+          |  GROUP BY b.word),
+          |allw AS MATERIALIZED (
+          |  SELECT uwd.word,
+          |         coalesce(ws.nw, CAST(length(uwd.word) AS BIGINT))
+          |           AS nw,
+          |         coalesce(ws.wlp, (SELECT min(lp) FROM umf)
+          |                          * length(uwd.word)) AS wlp
+          |  FROM uwd LEFT JOIN wstat ws USING (word)),
+          |perdoc AS (
+          |  SELECT dtk.doc_id,
+          |         CAST(sum(a.nw) AS INT) AS n_pieces,
+          |         list_reduce(list_prepend(0.0,
+          |             list(a.wlp ORDER BY dtk.wpos)),
+          |           (acc, x) -> acc + x) AS log_prob
+          |  FROM dtk JOIN allw a USING (word)
+          |  GROUP BY dtk.doc_id)
+          |SELECT d.doc_id,
+          |       coalesce(p.n_pieces, CAST(0 AS INT)) AS n_pieces,
+          |       coalesce(p.log_prob, 0.0) AS log_prob
+          |FROM (SELECT doc_id FROM documents) d
+          |LEFT JOIN perdoc p USING (doc_id)""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val model = Unigram.trainOnCorpus(docs, vocabSize = 256,
         topWords = 4096)
@@ -4055,8 +4476,57 @@ object LlmOps {
     },
 
     // Per-document whitespace-vs-BPE token counts — the length statistic
-    // a packing/budget pass consumes.
-    Op.noOracle("llm_bpe_token_counts") { (s, d) =>
+    // a packing/budget pass consumes. ORACLE-EXACT (r10): the training
+    // replay (bpeTrainCtes) feeds its LEARNED merge table into the same
+    // greedy leftmost-lowest-rank walk llm_bpe_encode_frozen proved,
+    // with no alphabet gate (the engine's tokenCounts encodes every
+    // token, merges just never fire outside the learned alphabet), and
+    // per-document sums are exact integers. The empty token of an empty
+    // document encodes to the lone sentinel — 1 piece — on both sides.
+    Op("llm_bpe_token_counts",
+       s"""WITH RECURSIVE ${bpeTrainCtes(100, 5000)},
+          |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |tk2 AS (
+          |  SELECT doc_id, CAST(wpos AS BIGINT) AS wpos,
+          |         toks[wpos+1] AS word
+          |  FROM (SELECT doc_id, unnest(range(0, len(toks))) AS wpos,
+          |               toks
+          |        FROM t0)),
+          |wd AS (SELECT DISTINCT word FROM tk2),
+          |est0 AS (
+          |  SELECT word,
+          |         list_append(list_transform(range(1, length(word) + 1),
+          |                                    i -> substr(word, i, 1)),
+          |                     '</w>') AS syms
+          |  FROM wd),
+          |enc(step, word, syms) AS (
+          |  SELECT 0, word, syms FROM est0
+          |  UNION ALL
+          |  SELECT t.step + 1, t.word,
+          |         list_concat(list_concat(
+          |             list_slice(t.syms, 1, t.bj - 1),
+          |             [t.syms[t.bj] || t.syms[t.bj + 1]]),
+          |           list_slice(t.syms, t.bj + 2, len(t.syms)))
+          |  FROM (
+          |    SELECT p.step, p.word, p.syms,
+          |           CAST(min({'r': p.r, 'j': p.j}).j AS INT) AS bj
+          |    FROM (
+          |      SELECT s.step, s.word, s.syms, s.j, m.rank AS r
+          |      FROM (SELECT step, word, syms,
+          |                   unnest(range(1, len(syms))) AS j FROM enc) s
+          |      JOIN bpem m ON m.a = s.syms[s.j]
+          |                 AND m.b = s.syms[s.j + 1]) p
+          |    GROUP BY p.step, p.word, p.syms) t),
+          |fin AS (
+          |  SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces FROM (
+          |    SELECT word, syms,
+          |           row_number() OVER (PARTITION BY word
+          |                              ORDER BY step DESC) AS rn
+          |    FROM enc) WHERE rn = 1)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |       CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens
+          |FROM tk2 JOIN fin USING (word)
+          |GROUP BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val merges = Bpe.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
