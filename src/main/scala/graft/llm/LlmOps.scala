@@ -550,6 +550,94 @@ object LlmOps {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** Wrapping 64-bit multiply by a constant in HUGEINT (DuckDB BIGINT
+    * errors on overflow instead of wrapping): 32-bit schoolbook split,
+    * every intermediate < 2^65. `a` must be a non-negative HUGEINT
+    * expression < 2^64 (the unsigned image of the JVM long).
+    */
+  private def wrapMulSql(a: String, c: Long): String = {
+    val cu = BigInt(c) & ((BigInt(1) << 64) - 1)
+    val (ch, cl) = (cu >> 32, cu & 0xFFFFFFFFL)
+    s"""((($a) % 4294967296) * $cl
+       |      + (((($a) % 4294967296) * $ch
+       |          + (($a) // 4294967296) * $cl) % 4294967296)
+       |        * 4294967296) % 18446744073709551616""".stripMargin
+  }
+
+  /** DuckDB replay of the AUTO-SIZED LSH ANN pipeline — the corpus-scaled
+    * production path: the plane count is re-derived from count(*) exactly
+    * as Similarity.planesFor (bit-length of n/64, clamped to [4, 24]),
+    * and the hyperplanes themselves are re-generated IN SQL by replaying
+    * the splitmix64 recurrence over (table, plane, dim) in HUGEINT
+    * (wrapping multiplies via 32-bit splits, unsigned shifts as floor
+    * division, Java floorMod via double-%), so ONE static oracle is
+    * exact at every sf — no pinning. Buckets, candidates, cosine scores,
+    * and the top-k rank then replay as in lshKnnOracleSql; the per-plane
+    * dot folds in index order through the same list_aggregate shape the
+    * pinned entry proved.
+    */
+  private def lshAutoKnnOracleSql(tables: Int, k: Int, dim: Int): String =
+    s"""WITH pl AS (
+       |  SELECT CAST(least(24, greatest(4,
+       |           length(bin(greatest(1, count(*) // 64))))) AS INT) AS p
+       |  FROM embeddings),
+       |grid AS (
+       |  SELECT t.t, p.p, i.i
+       |  FROM (SELECT unnest(range($tables)) AS t) t,
+       |       (SELECT unnest(range(24)) AS p) p,
+       |       (SELECT unnest(range($dim)) AS i) i
+       |  WHERE p.p < (SELECT p FROM pl)),
+       |z0 AS (
+       |  SELECT t, p, i,
+       |         (CAST(t AS HUGEINT) * 11400714819323198485
+       |          + CAST(p AS HUGEINT) * 14029467366897019727
+       |          + CAST(i AS HUGEINT) * 1609587929392839161)
+       |           % 18446744073709551616 AS z
+       |  FROM grid),
+       |s1 AS (SELECT t, p, i, xor(z, z // 1073741824) AS z FROM z0),
+       |z1 AS (SELECT t, p, i,
+       |       ${wrapMulSql("z", 0xBF58476D1CE4E5B9L)} AS z FROM s1),
+       |s2 AS (SELECT t, p, i, xor(z, z // 134217728) AS z FROM z1),
+       |z2 AS (SELECT t, p, i,
+       |       ${wrapMulSql("z", 0x94D049BB133111EBL)} AS z FROM s2),
+       |z3 AS (SELECT t, p, i, xor(z, z // 2147483648) AS z FROM z2),
+       |hpl AS (
+       |  SELECT t, p,
+       |         list((CAST((((CASE WHEN z >= 9223372036854775808
+       |                        THEN z - 18446744073709551616
+       |                        ELSE z END) % 2000) + 2000) % 2000
+       |                    AS DOUBLE) - 1000.0) / 1000.0
+       |              ORDER BY i) AS h
+       |  FROM z3 GROUP BY 1, 2),
+       |b AS (
+       |  SELECT e.vec_id, h.t AS tbl,
+       |         CAST(sum(CASE WHEN list_aggregate(
+       |                  list_transform(range(1, ${dim + 1}),
+       |                    i -> CAST(e.embedding[i] AS DOUBLE) * h.h[i]),
+       |                  'sum') >= 0
+       |               THEN CAST(1 AS BIGINT) << CAST(h.p AS INT)
+       |               ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e, hpl h
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS vid
+       |  FROM b x JOIN b y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |   AND x.vec_id <> y.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vid, ${cosineSql(dim)} AS sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.query_id
+       |  JOIN embeddings b ON b.vec_id = c.vid)
+       |SELECT query_id, neighbor_id, rank, score FROM (
+       |  SELECT query_id, vid AS neighbor_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY query_id ORDER BY sim DESC, vid) AS INT)
+       |           AS rank,
+       |         sim AS score
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB replay of the PINNED-CENTROID IVF pipeline plus its recall
     * measurement against the exact cosine top-k. Centroids are the first
     * `nCents` corpus vectors (vec-id order = list index — see
@@ -2016,9 +2104,12 @@ object LlmOps {
     // (planesFor), i.e. the bucket space that actually scales — pinning 7
     // is right only where planesFor would pick 7, and a bigger sf under a
     // fixed 2^7 bucket space grows candidate pairs quadratically per
-    // bucket. Rows-only (candidates are hash-family + sizing dependent);
-    // keeps the corpus-scaled sizing exercised by the bench at every sf.
-    Op.noOracle("knn_lsh_auto") { (s, d) =>
+    // bucket. ORACLE-EXACT now (r10) with NO pinning: the oracle
+    // re-derives the plane count from count(*) and re-generates the
+    // splitmix64 hyperplanes in SQL (see lshAutoKnnOracleSql), so the
+    // corpus-scaled sizing is hash-verified at every sf.
+    Op("knn_lsh_auto", lshAutoKnnOracleSql(tables = 8, k = 10,
+        dim = 64)) { (s, d) =>
       Similarity.lshKnn(Tables.embeddings(s, d), tables = 8)
     },
 

@@ -382,6 +382,28 @@ object Sketches {
         .select(col("source"), col("tok"), col("rank"))
     },
 
+    // The EXACTNESS REGIME of the same sketch, hash-compared: when
+    // k >= #distinct keys, Misra-Gries counters never decrement, so the
+    // sketch IS the exact per-group frequency table under any
+    // partitioning or merge order — the regime where a sketch answer
+    // can be oracle-compared (the f_cms_freq linear-summary precedent).
+    // event_type has 5 distinct values at every SF; k = 64 leaves 12x
+    // headroom. The production top-token entry above stays rows-only —
+    // its token domain dwarfs any k — and SketchesSpec covers the
+    // in-between.
+    Op("f_heavy_hitters_exact",
+       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |       event_type AS tok, CAST(count(*) AS BIGINT) AS est
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val mg = udaf(new MisraGries(k = 64), Encoders.STRING)
+      Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .agg(mg(col("event_type")).as("hitters"))
+        .select(col("day"), explode(col("hitters")).as(Seq("tok", "est")))
+    },
+
     // Count-min point estimates for a fixed probe vocabulary, per source.
     // The sketch is a linear summary (merge = vector add), so estimates
     // are partitioning-invariant and the DuckDB oracle can replay them
@@ -919,6 +941,44 @@ object Sketches {
       val sk = udaf(new Kll(200, kllProbes), Encoders.scalaLong)
       Tables.lineitem(s, d)
         .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)").as("cents"))
+        .agg(sk(col("cents")).as("qs"))
+        .select(explode(col("qs")).as("q"))
+        .select(col("q._1").as("probe"), col("q._2").as("est_cents"),
+          col("q._3").as("n"))
+    },
+
+    // The EXACTNESS REGIME of the KLL sketch, hash-compared: below k
+    // items no compaction ever fires (level-0 capacity IS k), so the
+    // sketch holds the raw value multiset and each probe returns the
+    // exact lower order statistic at rank max(1, ceil(p*n)) — under any
+    // partitioning, since merge just concatenates sub-k buffers. k =
+    // 65536 covers the supplier dimension through sf6 (10k rows at
+    // sf1); the oracle replays the identical rank selection with
+    // percentile-by-position over the sorted balances. The lineitem
+    // entry above stays rows-only — the compaction path's estimates are
+    // arrival-order-dependent by design (rank error pinned in
+    // SketchesSpec instead).
+    Op("f_kll_quantile_exact", {
+      val probesSql = kllProbes.mkString("[", ", ", "]")
+      s"""WITH v AS (
+         |  SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM supplier),
+         |s AS (
+         |  SELECT list(cents ORDER BY cents) AS xs,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM v),
+         |p AS (SELECT unnest($probesSql) AS probe)
+         |SELECT p.probe,
+         |       s.xs[CAST(greatest(1, ceil(p.probe * s.n)) AS BIGINT)]
+         |         AS est_cents,
+         |       s.n
+         |FROM p, s""".stripMargin
+    }) { (s, d) =>
+      val sk = udaf(new Kll(65536, kllProbes), Encoders.scalaLong)
+      Tables.supplier(s, d)
+        .select(expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100" +
           " AS BIGINT)").as("cents"))
         .agg(sk(col("cents")).as("qs"))
         .select(explode(col("qs")).as("q"))
