@@ -920,9 +920,11 @@ object Graphs {
     * aggregate updates δ. Rounds are bounded by the diameter; every
     * round cuts lineage with the componentMinLabels checkpoint/observe
     * protocol (one action per round). σ are exact BIGINTs; δ is the
-    * one inherently rational quantity (σ ratios), carried as double —
-    * the entry is rows-only and GraphsSpec pins it against a plain
-    * Scala Brandes replay.
+    * one inherently rational quantity (σ ratios), carried as double
+    * with BOTH accumulation sums folded in a pinned order (per-(s, v)
+    * by predecessor node, final bc by seed) — a fixed IEEE sequence the
+    * DuckDB oracle replays bit-for-bit; GraphsSpec additionally pins it
+    * against a plain Scala Brandes replay.
     */
   def betweenness(edges: DataFrame,
                   seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
@@ -983,15 +985,24 @@ object Graphs {
       val wside = state.filter(col("dist") === level)
         .select(col("s"), col("node").as("wn"),
           col("sigma").as("ws"), col("delta").as("wd"))
+      // the per-(s, v) dependency sum folds in wn order — δ is the one
+      // float quantity here, and an unordered sum(double) would make the
+      // result partitioning-luck; the sorted fold makes the whole δ
+      // computation a fixed IEEE sequence, which is what lets the DuckDB
+      // oracle replay it bit-for-bit (the knn_cosine ordered-fold rule)
       val contrib = wside
         .join(symB.hint("shuffle_hash"), col("wn") === col("dst"))
-        .select(col("s"), col("src").as("vn"), col("ws"), col("wd"))
+        .select(col("s"), col("src").as("vn"), col("wn"), col("ws"),
+          col("wd"))
         .join(state.filter(col("dist") === level - 1)
             .select(col("s"), col("node").as("vn"), col("sigma").as("vs")),
           Seq("s", "vn"))
         .groupBy(col("s"), col("vn"))
-        .agg(sum(col("vs").cast("double") / col("ws").cast("double") *
-          (lit(1.0) + col("wd"))).as("c"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("wn"),
+            (col("vs").cast("double") / col("ws").cast("double") *
+              (lit(1.0) + col("wd"))).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("c"))
         .withColumnRenamed("vn", "node")
       val next = cut(state.join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("dist"), col("sigma"),
@@ -1002,7 +1013,9 @@ object Graphs {
     }
     val out = state.filter(col("dist") > 0) // δ_s(s) never counts
       .groupBy(col("node"))
-      .agg(sum(col("delta")).as("bc"),
+      .agg(aggregate( // bc = Σ_s δ folded in s order (see contrib note)
+          array_sort(collect_list(struct(col("s"), col("delta")))),
+          lit(0.0), (acc, x) => acc + x.getField("delta")).as("bc"),
         count(lit(1)).as("n_sources_reaching"))
       .transform(graft.Ckpt.cut(_))
     graft.llm.Dedup.releaseCheckpoint(state)
@@ -1506,10 +1519,79 @@ object Graphs {
 
     // Sampled-source betweenness centrality on the co-supplier graph:
     // seeds = supplier nodes with id <= 10 (the pinned-sample
-    // convention of graph_bfs/graph_ppr). δ ratios are inherently
-    // rational, so no DuckDB hash oracle — GraphsSpec replays Brandes
-    // in plain Scala over the same seeds and pins every score.
-    Op.noOracle("graph_betweenness") { (s, d) =>
+    // convention of graph_bfs/graph_ppr). ORACLE-EXACT now (r10): δ
+    // ratios are rational, but with BOTH dependency sums folded in a
+    // pinned order (per-(s,v) by predecessor node, final bc by seed —
+    // see the ordered-fold note in `betweenness`), the whole δ
+    // computation is one fixed IEEE sequence, so a recursive CTE
+    // replays Brandes exactly: settled-carry BFS with exact BIGINT σ
+    // (12-step cap = the engine's maxRounds), then a level-descending
+    // dependency recursion whose per-level contribution is the same
+    // sorted list_reduce. GraphsSpec still pins the scores against a
+    // plain Scala Brandes replay.
+    Op("graph_betweenness",
+       """WITH RECURSIVE
+         |pairs AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT p1.s AS src, p2.s AS dst
+         |  FROM pairs p1 JOIN pairs p2 ON p1.ok = p2.ok AND p1.s < p2.s
+         |  GROUP BY 1, 2 HAVING count(*) >= 6),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |seeds AS (SELECT DISTINCT src AS s FROM sym WHERE src <= 10),
+         |fwd(step, s, node, dist, sigma) AS (
+         |  SELECT 0, s, s, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM seeds
+         |  UNION ALL
+         |  SELECT u.step, u.s, u.node, u.dist, u.sigma FROM (
+         |    SELECT r.step + 1 AS step, r.s, r.node, r.dist, r.sigma
+         |    FROM fwd r
+         |    UNION ALL
+         |    SELECT t.step, t.s, t.node, t.dist, t.sigma FROM (
+         |      SELECT f.step + 1 AS step, f.s, e.dst AS node,
+         |             f.dist + 1 AS dist, sum(f.sigma) AS sigma
+         |      FROM fwd f JOIN sym e ON e.src = f.node
+         |      WHERE f.dist = f.step
+         |      GROUP BY 1, 2, 3, 4) t
+         |    WHERE NOT EXISTS (SELECT 1 FROM fwd x
+         |                      WHERE x.s = t.s AND x.node = t.node)
+         |  ) u
+         |  WHERE u.step <= 12),
+         |ffin AS MATERIALIZED (
+         |  SELECT s, node, dist, sigma FROM fwd WHERE step = 12),
+         |md AS MATERIALIZED (SELECT max(dist) AS m FROM ffin),
+         |bwd(step, s, node, dist, sigma, delta) AS (
+         |  SELECT 0, s, node, dist, sigma, CAST(0.0 AS DOUBLE)
+         |  FROM ffin
+         |  UNION ALL
+         |  SELECT b.step + 1, b.s, b.node, b.dist, b.sigma,
+         |         b.delta + coalesce(c.c, CAST(0.0 AS DOUBLE))
+         |  FROM bwd b
+         |  LEFT JOIN (
+         |    SELECT w.s, e.src AS vn,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list(CAST(v.sigma AS DOUBLE)
+         |                  / CAST(w.sigma AS DOUBLE)
+         |                  * (CAST(1.0 AS DOUBLE) + w.delta)
+         |                  ORDER BY w.node)),
+         |             (a, x) -> a + x) AS c
+         |    FROM bwd w
+         |    JOIN sym e ON e.dst = w.node
+         |    JOIN bwd v ON v.s = w.s AND v.node = e.src
+         |              AND v.dist = w.dist - 1
+         |    WHERE w.dist = (SELECT m FROM md) - w.step
+         |    GROUP BY 1, 2) c
+         |    ON c.s = b.s AND c.vn = b.node
+         |  WHERE b.step < (SELECT m FROM md))
+         |SELECT node,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                                list(delta ORDER BY s)),
+         |                   (a, x) -> a + x) AS bc,
+         |       CAST(count(*) AS BIGINT) AS n_sources_reaching
+         |FROM bwd
+         |WHERE step = (SELECT m FROM md) AND dist > 0
+         |GROUP BY node""".stripMargin) { (s, d) =>
       betweenness(coSupplierEdges(Tables.lineitem(s, d)), _ <= 10)
     },
 
