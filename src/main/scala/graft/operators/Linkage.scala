@@ -27,29 +27,42 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   def linkCustomers(customers: DataFrame): DataFrame = {
-    // Probe side repartitioned ON THE BLOCKING KEY: the in-block pair
-    // enumeration is the quadratic term, so its parallelism must track
-    // the number of blocks, not the source file count — a dimension-sized
-    // table arrives as one parquet split, and a broadcast join would run
-    // every block's O(m²) verify in that single task (measured 3.2s of
-    // the op's 4.9s at sf0.1; the shuffle moves only the slim key+name
-    // projection).
-    val a = customers.select(col("c_custkey").as("id_a"),
+    // DELETION-NEIGHBORHOOD candidate generation (the FastSS / SymSpell
+    // family, public since Bocek et al. 2007): every name emits itself
+    // plus each delete-one-character variant; any two strings within
+    // levenshtein 1 PROVABLY share a variant (substitution at i → both
+    // i-deletions equal; insert/delete → the longer side's deletion IS
+    // the shorter string), so an equi-join on (block, variant) yields a
+    // candidate superset with EXACT recall for the lev≤1 verify — and
+    // the quadratic in-block enumeration is gone. Work is Σ(|name|+1)
+    // key rows and per-key groups are tiny, so cost is LINEAR in data
+    // at any block-size distribution: the r10 sf1 probe measured the
+    // old (nation × segment)-block join at 44× for 10× rows (Σ block²,
+    // as its contract predicted) and this formulation at ~linear.
+    // The blocking keys still scope candidates (nk, seg must match),
+    // they just no longer own the complexity.
+    val named = customers.select(col("c_custkey").as("id"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      col("c_name").as("name_a"))
-      .repartition(col("nk"), col("seg"))
-    val b = customers.select(col("c_custkey").as("id_b"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      col("c_name").as("name_b"))
-    // Banded edit distance: the 3-arg levenshtein computes only the
-    // ±threshold diagonal (O(len·k) per pair, -1 past the bound) instead
-    // of the full O(len²) DP — the verify predicate is the hot loop of
-    // any blocking-based linkage. Same pair set as `levenshtein(x,y)<=1`,
-    // which is what the DuckDB oracle replays.
-    val pairs = a.join(b, Seq("nk", "seg"))
+      col("c_name").as("name"))
+    val keys = named.select(col("id"), col("nk"), col("seg"), col("name"),
+      explode(concat(array(col("name")),
+        transform(sequence(lit(1), length(col("name"))),
+          i => concat(col("name").substr(lit(1), i - lit(1)),
+            col("name").substr(i + lit(1), length(col("name")))))))
+        .as("variant"))
+    val a = keys.toDF("id_a", "nk", "seg", "name_a", "variant")
+      .repartition(col("nk"), col("seg"), col("variant"))
+    val b = keys.toDF("id_b", "nk", "seg", "name_b", "variant")
+    // Banded edit distance verify: the 3-arg levenshtein computes only
+    // the ±threshold diagonal (O(len·k) per pair, -1 past the bound) —
+    // needed because sharing a deletion variant is necessary, not
+    // sufficient, for lev ≤ 1. Same final pair set as the block-join
+    // formulation (`levenshtein(x,y) <= 1` inside nk×seg), which is
+    // what the DuckDB oracle replays.
+    val pairs = a.join(b, Seq("nk", "seg", "variant"))
       .filter(col("id_a") < col("id_b") &&
         levenshtein(col("name_a"), col("name_b"), 1) =!= -1)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
     val labels = Dedup.componentMinLabels(pairs)
     customers.select(col("c_custkey").as("customer_id"))
       .join(labels.select(col("node").as("customer_id"),
