@@ -303,6 +303,145 @@ object LlmOps {
        |        FROM ukeep k LEFT JOIN uc4 c USING (piece)))"""
       .stripMargin
 
+  /** Recursive-CTE replay of [[Bpe.ByteLevel.preTokenize]] — the GPT-2
+    * pre-tokenizer. Its regex ends in a lookahead (`\\s+(?!\\S)`), which
+    * RE2 (DuckDB's engine) cannot express, so the walk hand-rolls the
+    * ALTERNATION ORDER instead: one pretoken per recursion step per
+    * document, each alternative tried in the pattern's order
+    * (contraction literals, ` ?\\p{L}+`, ` ?\\p{N}+`,
+    * ` ?[^\\s\\p{L}\\p{N}]+`, then the whitespace rule: a run reaching
+    * end-of-text is taken whole, an interior run of n ≥ 2 gives up its
+    * last space to the next token — the lookahead's backtrack — and a
+    * single interior space falls through to `\\s+`). Byte-exact for
+    * this corpus because it is pure ASCII (octet_length == length
+    * corpus-wide — the llm_cdc_chunks precedent), where Java's and
+    * RE2's \\p{L}/\\p{N}/\\s agree. Ends in
+    * `ptk(doc_id, wpos, tok)`.
+    */
+  private val bytePretokCtes: String =
+    s"""bd AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |bwk(doc_id, pos, wpos, tok) AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+       |         CAST(NULL AS VARCHAR)
+       |  FROM bd
+       |  UNION ALL
+       |  SELECT q.doc_id, q.pos + length(q.tok), q.wpos + 1, q.tok
+       |  FROM (
+       |    SELECT w.doc_id, w.pos, w.wpos,
+       |      CASE
+       |        WHEN substr(s, 1, 2) = chr(39) || 's' THEN chr(39) || 's'
+       |        WHEN substr(s, 1, 2) = chr(39) || 't' THEN chr(39) || 't'
+       |        WHEN substr(s, 1, 3) = chr(39) || 're' THEN chr(39) || 're'
+       |        WHEN substr(s, 1, 3) = chr(39) || 've' THEN chr(39) || 've'
+       |        WHEN substr(s, 1, 2) = chr(39) || 'm' THEN chr(39) || 'm'
+       |        WHEN substr(s, 1, 3) = chr(39) || 'll' THEN chr(39) || 'll'
+       |        WHEN substr(s, 1, 2) = chr(39) || 'd' THEN chr(39) || 'd'
+       |        WHEN regexp_extract(s, '^ ?\\p{L}+') <> ''
+       |          THEN regexp_extract(s, '^ ?\\p{L}+')
+       |        WHEN regexp_extract(s, '^ ?\\p{N}+') <> ''
+       |          THEN regexp_extract(s, '^ ?\\p{N}+')
+       |        WHEN regexp_extract(s, '^ ?[^\\s\\p{L}\\p{N}]+') <> ''
+       |          THEN regexp_extract(s, '^ ?[^\\s\\p{L}\\p{N}]+')
+       |        WHEN w.pos + length(regexp_extract(s, '^\\s+')) > n.n
+       |          THEN regexp_extract(s, '^\\s+')
+       |        WHEN length(regexp_extract(s, '^\\s+')) >= 2
+       |          THEN substr(regexp_extract(s, '^\\s+'), 1,
+       |                 CAST(length(regexp_extract(s, '^\\s+')) - 1
+       |                      AS INT))
+       |        ELSE substr(s, 1, 1)
+       |      END AS tok
+       |    FROM bwk w
+       |    JOIN bd n ON n.doc_id = w.doc_id
+       |    CROSS JOIN LATERAL
+       |      (SELECT substr(n.text, CAST(w.pos AS INT)) AS s) sub
+       |    WHERE w.pos <= n.n
+       |  ) q),
+       |ptk AS MATERIALIZED (
+       |  SELECT doc_id, wpos - 1 AS wpos, tok FROM bwk WHERE wpos >= 1)"""
+      .stripMargin
+
+  /** Byte-level BPE training replay: [[bytePretokCtes]] feeds the same
+    * merge recursion as [[bpeTrainCtes]] but with the GPT-2 byte
+    * alphabet — for this pure-ASCII corpus the only byte that maps away
+    * from itself is the space (0x20 → the published table's U+0120, the
+    * GPT-2 'Ġ'), and there is NO end-of-word sentinel (the leading-space
+    * convention owns boundaries). Ends in `ybm(rank, a, b)` over the
+    * top-`vocabWords` pretoken histogram.
+    */
+  private def byteBpeTrainCtes(numMerges: Int, vocabWords: Int): String =
+    s"""yhist AS MATERIALIZED (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM ptk
+       |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT $vocabWords),
+       |yst0 AS (
+       |  SELECT word, cnt,
+       |         array_to_string(list_transform(
+       |             range(1, length(replace(word, ' ', chr(288))) + 1),
+       |             i -> substr(replace(word, ' ', chr(288)), i, 1)),
+       |           chr(31)) AS state
+       |  FROM yhist),
+       |ytr(step, word, cnt, state, ma, mb) AS (
+       |  SELECT 0, word, cnt, state, CAST(NULL AS VARCHAR),
+       |         CAST(NULL AS VARCHAR)
+       |  FROM yst0
+       |  UNION ALL
+       |  SELECT r.step + 1, r.word, r.cnt,
+       |         list_reduce(string_split(r.state, chr(31)),
+       |           (acc, x) -> CASE WHEN x = b.b AND (acc = b.a OR
+       |                              ends_with(acc, chr(31) || b.a))
+       |                       THEN acc || x
+       |                       ELSE acc || chr(31) || x END),
+       |         b.a, b.b
+       |  FROM ytr r,
+       |       (SELECT a, b FROM (
+       |          SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS tot
+       |          FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS j
+       |                FROM (SELECT string_split(state, chr(31)) AS syms,
+       |                             cnt
+       |                      FROM ytr))
+       |          GROUP BY 1, 2)
+       |        ORDER BY tot DESC, a, b LIMIT 1) b
+       |  WHERE r.step < $numMerges),
+       |ybm AS MATERIALIZED (
+       |  SELECT CAST(step - 1 AS BIGINT) AS rank, ma AS a, mb AS b
+       |  FROM (SELECT DISTINCT step, ma, mb FROM ytr WHERE step >= 1))"""
+      .stripMargin
+
+  /** Greedy byte-level encode walk of every DISTINCT corpus pretoken
+    * under the learned merge table `ybm` (rank < `maxRank` — greedy
+    * merges are prefix-stable, so one trainer serves several merge
+    * budgets): the llm_bpe_encode_frozen walk with byte symbols and no
+    * alphabet gate. Ends in `yfin$sfx(word, syms)`.
+    */
+  private def byteEncodeCtes(sfx: String, maxRank: Int): String =
+    s"""yenc$sfx(step, word, syms) AS (
+       |  SELECT 0, word,
+       |         list_transform(
+       |           range(1, length(replace(word, ' ', chr(288))) + 1),
+       |           i -> substr(replace(word, ' ', chr(288)), i, 1))
+       |  FROM (SELECT DISTINCT tok AS word FROM ptk)
+       |  UNION ALL
+       |  SELECT t.step + 1, t.word,
+       |         list_concat(list_concat(
+       |             list_slice(t.syms, 1, t.bj - 1),
+       |             [t.syms[t.bj] || t.syms[t.bj + 1]]),
+       |           list_slice(t.syms, t.bj + 2, len(t.syms)))
+       |  FROM (
+       |    SELECT p.step, p.word, p.syms,
+       |           CAST(min({'r': p.r, 'j': p.j}).j AS INT) AS bj
+       |    FROM (
+       |      SELECT s.step, s.word, s.syms, s.j, m.rank AS r
+       |      FROM (SELECT step, word, syms,
+       |                   unnest(range(1, len(syms))) AS j FROM yenc$sfx) s
+       |      JOIN ybm m ON m.rank < $maxRank AND m.a = s.syms[s.j]
+       |                AND m.b = s.syms[s.j + 1]) p
+       |    GROUP BY p.step, p.word, p.syms) t),
+       |yfin$sfx AS MATERIALIZED (
+       |  SELECT word, syms FROM (
+       |    SELECT word, syms,
+       |           row_number() OVER (PARTITION BY word
+       |                              ORDER BY step DESC) AS rn
+       |    FROM yenc$sfx) WHERE rn = 1)""".stripMargin
+
   /** Shared DuckDB replay of CorpusQuality.perplexity — the add-one
     * bigram LM scored in the log domain; ends in
     * `ppl(doc_id, n_bigrams, log_ppl)`. text_perplexity and
@@ -4627,24 +4766,67 @@ object LlmOps {
     // Byte-level (GPT-2/tiktoken lineage) BPE: UTF-8 byte alphabet +
     // regexp pre-tokenization, trained on the corpus pretoken histogram,
     // applied map-side — the context-window statistic for a REAL model's
-    // tokenizer (any string tokenizes; no unknown-symbol escape). Rows-
-    // only like the char-level entries (a greedy merge sequence is not one
-    // SQL statement); byte-exact round-trips, the published Sennrich merge
-    // prefix, and cross-partitioning determinism are asserted in BpeSpec.
-    Op.noOracle("llm_bpe_byte_counts") { (s, d) =>
+    // tokenizer (any string tokenizes; no unknown-symbol escape).
+    // ORACLE-EXACT now (r10), completing the trained-tokenizer family:
+    // the GPT-2 pre-tokenizer replays as a hand-rolled alternation walk
+    // (bytePretokCtes — RE2 has no lookahead), training as the same
+    // one-merge-per-step recursion as the char-level trainer over byte
+    // symbols (byteBpeTrainCtes), and the per-document count composes
+    // the greedy walk over distinct pretokens with exact integer sums.
+    Op("llm_bpe_byte_counts",
+       s"""WITH RECURSIVE $bytePretokCtes,
+          |${byteBpeTrainCtes(100, 5000)},
+          |${byteEncodeCtes("", 100)},
+          |ycnt AS (
+          |  SELECT word, CAST(len(syms) AS BIGINT) AS np FROM yfin)
+          |SELECT d.doc_id,
+          |       CAST(any_value(length(d.text)) AS BIGINT) AS n_bytes,
+          |       CAST(coalesce(sum(c.np), 0) AS BIGINT)
+          |         AS n_byte_bpe_tokens
+          |FROM documents d
+          |LEFT JOIN ptk p ON p.doc_id = d.doc_id
+          |LEFT JOIN ycnt c ON c.word = p.tok
+          |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.tokenCounts(docs, merges)
     },
 
-    // Token-id sequences under a frozen GPT-2-style vocabulary (bytes
-    // 0..255 + merge products at 256+rank) — the artifact a training
-    // pipeline ships. Map-only application; byte-exact id round-trips
-    // asserted in BpeSpec.
-    // Exploded to (doc_id, pos, token_id) so every row is scalar-typed
-    // and the driver harness can sort/hash it.
-    Op.noOracle("llm_bpe_encode") { (s, d) =>
+    // Token-id sequences under the CORPUS-TRAINED GPT-2-style
+    // vocabulary (bytes 0..255 + merge products at 256+rank, first id
+    // winning duplicate surfaces) — the artifact a training pipeline
+    // ships. ORACLE-EXACT now (r10): pre-tokenizer walk + training
+    // recursion + greedy encode walk + the id map in SQL (single-char
+    // pieces are their byte value — only the space maps away from its
+    // codepoint in this ASCII corpus; multi-char pieces take 256 + the
+    // LOWEST producing rank, the engine's foldLeft first-wins).
+    Op("llm_bpe_encode",
+       s"""WITH RECURSIVE $bytePretokCtes,
+          |${byteBpeTrainCtes(100, 5000)},
+          |${byteEncodeCtes("", 100)},
+          |lid AS (
+          |  SELECT a || b AS piece, CAST(256 + min(rank) AS INT) AS id
+          |  FROM ybm GROUP BY 1),
+          |pieces AS (
+          |  SELECT u.word, u.si, u.piece,
+          |         CASE WHEN length(u.piece) = 1
+          |              THEN CASE WHEN u.piece = chr(288)
+          |                        THEN CAST(32 AS INT)
+          |                        ELSE CAST(ascii(u.piece) AS INT) END
+          |              ELSE lid.id END AS token_id
+          |  FROM (SELECT word, si, syms[CAST(si AS INT) + 1] AS piece
+          |        FROM (SELECT word, syms,
+          |                     unnest(range(0, len(syms))) AS si
+          |              FROM yfin)) u
+          |  LEFT JOIN lid ON lid.piece = u.piece)
+          |SELECT p.doc_id,
+          |       CAST(row_number() OVER (PARTITION BY p.doc_id
+          |                               ORDER BY p.wpos, x.si) - 1
+          |            AS INT) AS pos,
+          |       x.token_id
+          |FROM ptk p JOIN pieces x ON x.word = p.tok""".stripMargin) {
+      (s, d) =>
       val docs = Tables.documents(s, d)
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
@@ -4657,11 +4839,35 @@ object LlmOps {
     // size: bytes-per-token per language at several merge counts (more
     // merges -> fewer tokens per byte, at diminishing returns; languages
     // whose scripts the merges underserve stand out as high-fertility
-    // rows). One training per vocab size (bounded driver merge loop on
-    // the shared pretoken histogram), one map-only encode pass each;
-    // the per-language aggregate is exact integer sums with one final
-    // division. Rows-only like every BPE entry.
-    Op.noOracle("llm_bpe_fertility") { (s, d) =>
+    // rows). ORACLE-EXACT now (r10): greedy merges are PREFIX-STABLE
+    // (the first 50 selections of a 200-merge run ARE the 50-merge
+    // table), so ONE training recursion to 200 serves both budgets and
+    // two encode walks (rank < 50, rank < 200) feed exact per-language
+    // integer sums + one pinned IEEE division.
+    Op("llm_bpe_fertility", {
+      def leg(sfx: String, m: Int): String =
+        s"""SELECT $m AS n_merges, d.lang,
+           |       CAST(sum(d.n_bytes) AS BIGINT) AS bytes,
+           |       CAST(sum(coalesce(d.np, 0)) AS BIGINT) AS toks,
+           |       CAST(sum(d.n_bytes) AS DOUBLE)
+           |         / CAST(sum(coalesce(d.np, 0)) AS DOUBLE)
+           |         AS bytes_per_token
+           |FROM (
+           |  SELECT dd.doc_id, dd.lang,
+           |         CAST(length(dd.text) AS BIGINT) AS n_bytes,
+           |         (SELECT sum(len(f.syms))
+           |          FROM ptk p JOIN yfin$sfx f ON f.word = p.tok
+           |          WHERE p.doc_id = dd.doc_id) AS np
+           |  FROM documents dd) d
+           |GROUP BY d.lang""".stripMargin
+      s"""WITH RECURSIVE $bytePretokCtes,
+         |${byteBpeTrainCtes(200, 5000)},
+         |${byteEncodeCtes("a", 50)},
+         |${byteEncodeCtes("b", 200)}
+         |${leg("a", 50)}
+         |UNION ALL
+         |${leg("b", 200)}""".stripMargin
+    }) { (s, d) =>
       val docs = Tables.documents(s, d)
       val hist = Bpe.ByteLevel.pretokenHistogram(docs, "text", 5000)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
