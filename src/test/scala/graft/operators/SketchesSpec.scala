@@ -254,4 +254,33 @@ class SketchesSpec extends SparkSpec {
     check(agg.finish(merged))
   }
 
+  test("misra-gries exactness regime: with k >= #distinct the counters " +
+       "ARE the exact frequency table under any partitioning (the " +
+       "f_heavy_hitters_exact contract)") {
+    // 5 distinct keys, skewed counts, scrambled order
+    val rows = (1 to 5000).map(i => s"k${(i * i) % 5}")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    Seq(1, 7).foreach { parts =>
+      val got = runMg(rows, k = 64, parts = parts)
+      assert(got == exact, s"parts=$parts: $got vs $exact")
+    }
+  }
+
+  test("kll exactness regime: below k the sketch holds the raw multiset " +
+       "and every probe is the exact rank-ceil(p*n) order statistic, " +
+       "merge order irrelevant (the f_kll_quantile_exact contract)") {
+    val agg = new Sketches.Kll(65536, Sketches.kllProbes)
+    val n = 3000
+    val xs = (1 to n).map(i => ((i.toLong * 48271L) % 65537L, i.toLong))
+      .sortBy(_._1).map(_._2) // scrambled 1..n
+    val (a, b) = xs.splitAt(n / 4)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    agg.finish(merged).foreach { case (p, est, total) =>
+      assert(total == n.toLong)
+      val want = math.max(1L, math.ceil(p * n).toLong) // value == rank here
+      assert(est == want, s"probe $p: $est != $want")
+    }
+  }
+
 }
