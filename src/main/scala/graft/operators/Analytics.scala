@@ -313,10 +313,11 @@ object Analytics {
     // row_number + broadcast offsets), so no single-partition window
     // ever materializes — the same substrate f_equidepth_hist ranks on,
     // which is what makes an "ORDER BY the whole fact table" statistic
-    // 100 TB-viable. Numerator and denominator are BIGINTs (headroom to
-    // ~sf10: rank*cents sums brush 2^63 around 10^9 rows x 10^7 cents —
-    // past that the cents would drop a digit of scale); the float is
-    // one division.
+    // 100 TB-viable. The rank-weighted sums run in 128-bit integers on
+    // both engines (DECIMAL(38,0) / HUGEINT) — the r10 sf1 stress caught
+    // the BIGINT formulation overflowing at just 1.5M orders (Σ rank·
+    // cents ≈ 2×10^19 > 2^63); num/den present as DOUBLE of the exact
+    // integers, and the float is one division.
     Op("m_gini",
        """WITH o AS (
          |  SELECT o_orderkey,
@@ -330,12 +331,14 @@ object Analytics {
          |  FROM o)
          |SELECT CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(cents) AS BIGINT) AS total_cents,
-         |       CAST(2 * sum(rk * cents)
-         |            - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num,
-         |       CAST(count(*) * sum(cents) AS BIGINT) AS gini_den,
-         |       CAST(2 * sum(rk * cents) - (count(*) + 1) * sum(cents)
-         |            AS DOUBLE)
-         |       / CAST(count(*) * sum(cents) AS DOUBLE) AS gini
+         |       CAST(2 * sum(rk::HUGEINT * cents)
+         |            - (count(*)::HUGEINT + 1) * sum(cents)
+         |            AS DOUBLE) AS gini_num,
+         |       CAST(count(*)::HUGEINT * sum(cents) AS DOUBLE)
+         |         AS gini_den,
+         |       CAST(2 * sum(rk::HUGEINT * cents)
+         |            - (count(*)::HUGEINT + 1) * sum(cents) AS DOUBLE)
+         |       / CAST(count(*)::HUGEINT * sum(cents) AS DOUBLE) AS gini
          |FROM r""".stripMargin) { (s, d) =>
       giniStats(Tables.orders(s, d)
         .select(col("o_orderkey").as("id"),
@@ -1622,17 +1625,28 @@ object Analytics {
     * (n, total_cents, gini_num, gini_den, gini) via the distributed
     * contiguous rank (see the m_gini op above for protocol and scale
     * notes). Ties order by id, which cannot change the sum.
+    *
+    * Σ rank·cents brushes 2^63 already around sf1 (1.5M orders × 2×10^7
+    * cents → ~2×10^19 — caught by the r10 full-inventory sf1 stress), so
+    * the rank-weighted accumulation runs in DECIMAL(38,0) — exact to
+    * 10^38, i.e. headroom past 10^12 rows — and num/den are PRESENTED as
+    * DOUBLE (exact integers cast identically on both engines; a DECIMAL
+    * output column would hash-mismatch the driver compare).
     */
   def giniStats(values: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val ranked = graft.llm.Mixing.assignContiguousIds(
       values, struct(col("cents"), col("id")))
     ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"),
-        sum((col("seq_id") + 1L) * col("cents")).as("rs"))
+        sum(((col("seq_id") + 1L).cast(d38) *
+          col("cents").cast(d38)).cast(d38)).as("rs"))
+      .withColumn("num", lit(2L).cast(d38) * col("rs") -
+        (col("n") + 1L).cast(d38) * col("t").cast(d38))
+      .withColumn("den", col("n").cast(d38) * col("t").cast(d38))
       .select(col("n"), col("t").as("total_cents"),
-        (lit(2L) * col("rs") - (col("n") + 1L) * col("t")).as("gini_num"),
-        (col("n") * col("t")).as("gini_den"),
-        ((lit(2L) * col("rs") - (col("n") + 1L) * col("t"))
-          .cast("double") /
-          (col("n") * col("t")).cast("double")).as("gini"))
+        col("num").cast("double").as("gini_num"),
+        col("den").cast("double").as("gini_den"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("gini"))
   }
 }

@@ -2166,7 +2166,9 @@ object Graphs {
     // calls — and IEEE-754 sqrt is CORRECTLY ROUNDED on every operand
     // (unlike ln/exp), so the double hash-compares without quantization.
     // Moment magnitudes: sum(dx*dy) <= m*degmax^2 — BIGINT-safe through
-    // sf100 for this graph family; a web-scale hub graph would center
+    // sf100 for this graph family; the FORMULA cross products (m·sxx,
+    // sx²) are not (they passed 2^63 at sf1 — r10 stress) and run
+    // 128-bit on both engines. A web-scale hub graph would center
     // first (the profile_corr_matrix route).
     //
     // Scale shape: degree via count window keyed on the endpoint (the
@@ -2194,9 +2196,11 @@ object Graphs {
          |         CAST(sum(dy * dy) AS BIGINT) AS syy
          |  FROM e)
          |SELECT m, sxy, sx,
-         |       CAST(m * sxy - sx * sy AS DOUBLE)
-         |       / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
-         |          * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+         |       CAST(m::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+         |       / (sqrt(CAST(m::HUGEINT * sxx - sx::HUGEINT * sx
+         |                    AS DOUBLE))
+         |          * sqrt(CAST(m::HUGEINT * syy - sy::HUGEINT * sy
+         |                      AS DOUBLE)))
          |         AS assortativity
          |FROM s""".stripMargin) { (s, d) =>
       assortativity(
@@ -2292,16 +2296,24 @@ object Graphs {
         Seq("src"))
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
         Seq("dst"))
+    // the final-formula cross products (m·sxx, sx², …) pass 2^63 around
+    // sf1 for this graph family (m ~ 2×10^6 sym edges × sxx ~ 10^13 —
+    // caught by the r10 full-inventory sf1 stress), so they run in
+    // DECIMAL(38,0); the five moment sums themselves stay BIGINT-safe
+    // far longer and keep their output type
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def w(c: org.apache.spark.sql.Column) = c.cast(d38)
     e.agg(count(lit(1)).as("m"),
         sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dy") * col("dy")).as("syy"))
       .select(col("m"), col("sxy"), col("sx"),
-        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+        ((w(col("m")) * w(col("sxy")) - w(col("sx")) * w(col("sy")))
+          .cast("double") /
+          (sqrt((w(col("m")) * w(col("sxx")) - w(col("sx")) * w(col("sx")))
             .cast("double")) *
-           sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+           sqrt((w(col("m")) * w(col("syy")) - w(col("sy")) * w(col("sy")))
              .cast("double")))).as("assortativity"))
   }
 

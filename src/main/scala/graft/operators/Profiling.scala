@@ -1001,8 +1001,11 @@ object Profiling {
     // distributed prefix sum (Mixing.prefixSums, never a global window),
     // joined back on the value: the quantity side broadcasts (50 keys),
     // the price side is an ordinary keyed join that scales with distinct
-    // prices. Moment sums fit BIGINT to ~1.3e9 rows (4n³ < 2^63); beyond
-    // that swap the three sums to DECIMAL(38,0) — the rest is unchanged.
+    // prices. Moment sums are 128-bit on both engines (DECIMAL(38,0) /
+    // HUGEINT; 4n³ passes 2^63 already at ~1.3M rows — the r10 sf1
+    // stress caught the BIGINT formulation overflowing at 6M); per-row
+    // products still fit BIGINT to ~10^9 rows, and the exact sums
+    // present as DOUBLE.
     Op("profile_spearman",
        """WITH c AS (
          |  SELECT CAST(l_quantity AS BIGINT) AS q,
@@ -1019,9 +1022,9 @@ object Profiling {
          |dev AS (
          |  SELECT n, rq - (n + 1) AS dq, rp - (n + 1) AS dp
          |  FROM c JOIN kq USING (q) JOIN kp USING (p), nn)
-         |SELECT n, CAST(sum(dq * dq) AS BIGINT) AS sxx,
-         |       CAST(sum(dp * dp) AS BIGINT) AS syy,
-         |       CAST(sum(dq * dp) AS BIGINT) AS sxy,
+         |SELECT n, CAST(sum(dq * dq) AS DOUBLE) AS sxx,
+         |       CAST(sum(dp * dp) AS DOUBLE) AS syy,
+         |       CAST(sum(dq * dp) AS DOUBLE) AS sxy,
          |       CAST(sum(dq * dp) AS DOUBLE) /
          |         sqrt(CAST(sum(dq * dq) AS DOUBLE)
          |              * CAST(sum(dp * dp) AS DOUBLE)) AS rho
@@ -1042,11 +1045,14 @@ object Profiling {
         .crossJoin(broadcast(t))
         .select(col("n"), (col("r_q") - (col("n") + 1L)).as("dq"),
           (col("r_p") - (col("n") + 1L)).as("dp"))
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       dev.groupBy(col("n"))
-        .agg(sum(col("dq") * col("dq")).as("sxx"),
-          sum(col("dp") * col("dp")).as("syy"),
-          sum(col("dq") * col("dp")).as("sxy"))
-        .select(col("n"), col("sxx"), col("syy"), col("sxy"),
+        .agg(sum((col("dq") * col("dq")).cast(d38)).as("sxx"),
+          sum((col("dp") * col("dp")).cast(d38)).as("syy"),
+          sum((col("dq") * col("dp")).cast(d38)).as("sxy"))
+        .select(col("n"), col("sxx").cast("double").as("sxx"),
+          col("syy").cast("double").as("syy"),
+          col("sxy").cast("double").as("sxy"),
           (col("sxy").cast("double") /
             sqrt(col("sxx").cast("double") * col("syy").cast("double")))
             .as("rho"))
