@@ -1430,10 +1430,11 @@ object Timeseries {
     // "is there a real trend/season here" readout over the decomposition.
     // Components are truncated from 2^20 fixed point back to exact cents
     // (truncating division pinned on both engines), variance numerators
-    // are the exact BIGINT n·Σx² − (Σx)² cross-products, and each
-    // strength is one IEEE division+subtraction — so the row
-    // hash-compares. (Bound: n·Σx² stays in BIGINT while daily totals
-    // are below ~1e10 cents — the perplexity-style documented headroom.)
+    // are the exact n·Σx² − (Σx)² cross-products in 128-bit integers
+    // (DECIMAL(38,0) / HUGEINT — the BIGINT form overflowed at the r10
+    // sf1 stress once daily totals grew 10×), presented as DOUBLE of
+    // the exact values, and each strength is one IEEE
+    // division+subtraction — so the row hash-compares.
     Op("ts_stl_strength",
        s"""WITH $stlCtes,
          |c AS (
@@ -1443,12 +1444,15 @@ object Timeseries {
          |  FROM comp),
          |m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |         CAST(count(*) * sum(r * r) - sum(r) * sum(r) AS BIGINT)
+         |         CAST(count(*)::HUGEINT * sum(r * r)
+         |              - sum(r)::HUGEINT * sum(r) AS DOUBLE)
          |           AS var_r_num,
-         |         CAST(count(*) * sum(tr * tr) - sum(tr) * sum(tr)
-         |              AS BIGINT) AS var_tr_num,
-         |         CAST(count(*) * sum(sr * sr) - sum(sr) * sum(sr)
-         |              AS BIGINT) AS var_sr_num
+         |         CAST(count(*)::HUGEINT * sum(tr * tr)
+         |              - sum(tr)::HUGEINT * sum(tr)
+         |              AS DOUBLE) AS var_tr_num,
+         |         CAST(count(*)::HUGEINT * sum(sr * sr)
+         |              - sum(sr)::HUGEINT * sum(sr)
+         |              AS DOUBLE) AS var_sr_num
          |  FROM c)
          |SELECT n, var_r_num, var_tr_num, var_sr_num,
          |       greatest(0.0, 1.0 - CAST(var_r_num AS DOUBLE)
@@ -1462,14 +1466,19 @@ object Timeseries {
         expr("residual_fx div 1048576").as("r"),
         expr("(trend_fx + residual_fx) div 1048576").as("tr"),
         expr("(seasonal_fx + residual_fx) div 1048576").as("sr"))
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def w(x: org.apache.spark.sql.Column) = x.cast(d38)
       c.agg(count(lit(1)).as("n"),
-          sum(col("r") * col("r")).as("srr"), sum(col("r")).as("sr1"),
-          sum(col("tr") * col("tr")).as("stt"), sum(col("tr")).as("st1"),
-          sum(col("sr") * col("sr")).as("sss"), sum(col("sr")).as("ss1"))
+          sum(w(col("r") * col("r"))).as("srr"), sum(col("r")).as("sr1"),
+          sum(w(col("tr") * col("tr"))).as("stt"), sum(col("tr")).as("st1"),
+          sum(w(col("sr") * col("sr"))).as("sss"), sum(col("sr")).as("ss1"))
         .select(col("n"),
-          (col("n") * col("srr") - col("sr1") * col("sr1")).as("var_r_num"),
-          (col("n") * col("stt") - col("st1") * col("st1")).as("var_tr_num"),
-          (col("n") * col("sss") - col("ss1") * col("ss1")).as("var_sr_num"))
+          (w(col("n")) * col("srr") - w(col("sr1")) * w(col("sr1")))
+            .cast("double").as("var_r_num"),
+          (w(col("n")) * col("stt") - w(col("st1")) * w(col("st1")))
+            .cast("double").as("var_tr_num"),
+          (w(col("n")) * col("sss") - w(col("ss1")) * w(col("ss1")))
+            .cast("double").as("var_sr_num"))
         .select(col("n"), col("var_r_num"), col("var_tr_num"),
           col("var_sr_num"),
           greatest(lit(0.0), lit(1.0) - col("var_r_num").cast("double") /
