@@ -22,7 +22,17 @@ import org.apache.spark.sql.DataFrame
   *     scale.
   */
 object Ckpt {
-  def cut(df: DataFrame, reliable: Boolean = false): DataFrame =
+  /** A cut is RELIABLE when the caller asks for it OR the session has a
+    * durable checkpoint directory configured (Engine.cluster(
+    * checkpointDir) / SPARK_GRAFT_CHECKPOINT_DIR) — so a deployment
+    * that provisioned durable checkpoint storage gets executor-loss
+    * safety in EVERY fixpoint without threading `reliable` through 50
+    * call sites, and local runs keep the fast lossy localCheckpoint.
+    */
+  def cut(df: DataFrame, reliable: Boolean = false): DataFrame = {
+    val durable = reliable ||
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined
     org.apache.spark.sql.graft.CheckpointStats.clamp(
-      if (reliable) df.checkpoint() else df.localCheckpoint())
+      if (durable) df.checkpoint() else df.localCheckpoint())
+  }
 }

@@ -60,8 +60,46 @@ object Engine {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j =>
       builder.config("spark.jars", j))
+    // Stress-regime hooks (tools/spill_sweep.sh, tools/chaos_kill.sh):
+    //   SPARK_GRAFT_CONF="k=v;k2=v2" overlays arbitrary Spark confs —
+    //     used to shrink execution memory (spark.memory.fraction) and
+    //     partition counts so the SAME inventory runs through real
+    //     ExternalSorter/UnsafeExternalSorter spill serialization;
+    //   SPARK_GRAFT_CHECKPOINT_DIR=<dir> sets a RELIABLE checkpoint
+    //     location; Ckpt.cut auto-upgrades every fixpoint's lineage cut
+    //     to a durable checkpoint when one is set (executor-loss-safe).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').iterator
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
+    // SPARK_GRAFT_METRICS=1: print cumulative spill counters at
+    // application end — the evidence a forced-spill sweep needs to prove
+    // the spill paths actually executed (not just that memory was small).
+    if (sys.env.contains("SPARK_GRAFT_METRICS")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd, SparkListenerTaskEnd}
+      import java.util.concurrent.atomic.AtomicLong
+      val mem = new AtomicLong; val disk = new AtomicLong
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mem.addAndGet(m.memoryBytesSpilled)
+            disk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+        override def onApplicationEnd(
+            e: SparkListenerApplicationEnd): Unit =
+          // scalastyle:off println
+          println(s"[graft-metrics] memoryBytesSpilled=${mem.get} " +
+            s"diskBytesSpilled=${disk.get}")
+          // scalastyle:on println
+      })
+    }
     spark
   }
 

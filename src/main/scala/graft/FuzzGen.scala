@@ -1,0 +1,285 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Randomized differential-fuzz corpus generator (VERDICT r10 "Next
+  * round" #7): writes the full ten-table testdata layout with the SAME
+  * schemas and content contracts as the driver's generator (see
+  * TESTDATA.md and FIXTURES.md), but with seed-controlled ADVERSARIAL
+  * distributions, so the oracle-bearing operator families can be
+  * hash-compared against DuckDB on data the fixed TPC-H-ish
+  * distribution never exercises.
+  *
+  *   runMain graft.FuzzGen <outDir> <seed>
+  *
+  * Regime = seed % 4:
+  *   0 minimal   — single-digit row counts, single-row dims, one EMPTY
+  *                 document text, a single-character one; the smallest
+  *                 legal instance of every contract.
+  *   1 ties      — every orderable attribute collapses to one value
+  *                 (prices, dates, quantities, names, document texts,
+  *                 event timestamps): all-tie sort keys, duplicate-
+  *                 everything dedup input, zero-variance statistics.
+  *   2 unicode   — BMP text beyond ASCII (Latin-1 accents, Cyrillic,
+  *                 CJK) in documents and name columns; byte-level
+  *                 tokenizer entries are EXPECTED to refuse via their
+  *                 printable-ASCII guard (that is the guard's contract).
+  *   3 extremes  — negative balances, zero prices/quantities, 1e15
+  *                 magnitudes, one customer owning most orders, one
+  *                 user owning most events: skew + boundary numerics.
+  *
+  * Determinism: one java.util.Random stream per table, seeded from
+  * (seed, table) — regenerating a seed reproduces the corpus bit for
+  * bit regardless of generation order or partitioning (everything is
+  * driver-built then written once; the tables are fuzz-SMALL by design).
+  */
+object FuzzGen {
+
+  private def rng(seed: Long, table: String) =
+    new java.util.Random(seed * 1000003L + table.hashCode.toLong)
+
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY")
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  private val eventTypes = Seq("error", "view", "purchase", "signup",
+    "click")
+  private val langs = Seq("en", "de", "es", "fr", "zh")
+  private val vocab = ("the a of and to in is spark table scan join sort " +
+    "merge filter window batch stream row column key value data query " +
+    "hash agg part order customer line small big fast slow dup vector")
+    .split(" ").toSeq
+  private val unicodeVocab = Seq("café", "naïve", "über", "groß",
+    "привет", "мир", "данные", "中文", "数据", "表", "日本語", "Ωμέγα",
+    "żółć", "miłość", "→", "…", "«quoted»")
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 UTC
+
+  def main(args: Array[String]): Unit = {
+    val (out, seed) = (args(0), args(1).toLong)
+    val regime = (seed % 4).toInt
+    val spark = Engine.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(name: String, schema: StructType, rows: Seq[Row]): Unit = {
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[fuzzgen] $name -> ${rows.length} rows (regime $regime)")
+    }
+
+    // sizes per regime: minimal is single digits, others a few hundred
+    val (nCust, nSupp, nPart, nOrd, nLine, nEvt, nDoc, nVec) =
+      if (regime == 0) (2, 1, 2, 3, 4, 5, 4, 64)
+      else (60, 12, 40, 150, 400, 400, 60, 100)
+
+    write("region", StructType(Seq(
+      StructField("r_regionkey", IntegerType, nullable = false),
+      StructField("r_name", StringType, nullable = false))),
+      (0 until (if (regime == 0) 1 else 5)).map(i =>
+        Row(i, if (regime == 2) s"РЕГИОН$i" else s"REGION$i")))
+
+    val nNation = if (regime == 0) 1 else 10
+    write("nation", StructType(Seq(
+      StructField("n_nationkey", IntegerType, nullable = false),
+      StructField("n_name", StringType, nullable = false),
+      StructField("n_regionkey", IntegerType, nullable = false))),
+      (0 until nNation).map(i =>
+        Row(i, s"NATION$i", if (regime == 0) 0 else i % 5)))
+
+    val rc = rng(seed, "customer")
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_name", StringType, nullable = false),
+      StructField("c_nationkey", IntegerType, nullable = false),
+      StructField("c_acctbal", DoubleType, nullable = false),
+      StructField("c_mktsegment", StringType, nullable = false))),
+      (0 until nCust).map { i =>
+        val name = regime match {
+          case 1 => "Customer#SAME"
+          case 2 => s"Customer#${unicodeVocab(rc.nextInt(unicodeVocab.size))}$i"
+          case _ => f"Customer#$i%09d"
+        }
+        val bal = regime match {
+          case 1 => 100.0
+          case 3 => Seq(-999999.99, 0.0, 1.0e15, -0.01,
+            9.99)(rc.nextInt(5))
+          case _ => math.round(rc.nextDouble() * 100000.0 - 10000.0) / 100.0
+        }
+        Row(i.toLong, name, rc.nextInt(nNation),
+          bal, segments(if (regime == 1) 0 else rc.nextInt(5)))
+      })
+
+    val rs = rng(seed, "supplier")
+    write("supplier", StructType(Seq(
+      StructField("s_suppkey", LongType, nullable = false),
+      StructField("s_name", StringType, nullable = false),
+      StructField("s_nationkey", IntegerType, nullable = false),
+      StructField("s_acctbal", DoubleType, nullable = false))),
+      (0 until nSupp).map(i => Row(i.toLong, f"Supplier#$i%09d",
+        rs.nextInt(nNation),
+        if (regime == 1) 50.0
+        else math.round(rs.nextDouble() * 20000.0 - 1000.0) / 100.0)))
+
+    val rp = rng(seed, "part")
+    val types = Seq("STANDARD BRASS", "SMALL STEEL", "LARGE COPPER",
+      "PROMO NICKEL", "ECONOMY TIN", "PROMO BRASS")
+    write("part", StructType(Seq(
+      StructField("p_partkey", LongType, nullable = false),
+      StructField("p_name", StringType, nullable = false),
+      StructField("p_brand", StringType, nullable = false),
+      StructField("p_type", StringType, nullable = false),
+      StructField("p_size", IntegerType, nullable = false),
+      StructField("p_retailprice", DoubleType, nullable = false))),
+      (0 until nPart).map { i =>
+        val nm = if (regime == 2)
+          s"part ${unicodeVocab(rp.nextInt(unicodeVocab.size))}"
+        else s"part ${vocab(rp.nextInt(vocab.size))} ${vocab(rp.nextInt(vocab.size))}"
+        Row(i.toLong, nm, s"Brand#${rp.nextInt(5) + 1}${rp.nextInt(5) + 1}",
+          types(if (regime == 1) 0 else rp.nextInt(types.size)),
+          if (regime == 1) 10 else 1 + rp.nextInt(50),
+          regime match {
+            case 1 => 100.0
+            case 3 => Seq(0.0, 0.01, 1.0e12, 42.0)(rp.nextInt(4))
+            case _ => math.round((900.0 + rp.nextDouble() * 1200.0) * 100) / 100.0
+          })
+      })
+
+    val ro = rng(seed, "orders")
+    val statuses = Seq("O", "F", "P")
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", LongType, nullable = false),
+      StructField("o_orderstatus", StringType, nullable = false),
+      StructField("o_totalprice", DoubleType, nullable = false),
+      StructField("o_orderdate", TimestampType, nullable = false),
+      StructField("o_orderpriority", StringType, nullable = false))),
+      (0 until nOrd).map { i =>
+        val cust = regime match {
+          case 3 => if (ro.nextInt(10) < 9) 0L else ro.nextInt(nCust).toLong
+          case _ => ro.nextInt(nCust).toLong
+        }
+        val price = regime match {
+          case 1 => 1000.0
+          case 3 => Seq(0.0, 0.01, 9.99e14, 123456.78)(ro.nextInt(4))
+          case _ => math.round((1000.0 + ro.nextDouble() * 400000.0) * 100) / 100.0
+        }
+        val date = if (regime == 1) ts(0)
+        else ts(ro.nextInt(2 * 365 * 24 * 60).toLong)
+        Row(i.toLong, cust, statuses(if (regime == 1) 0 else ro.nextInt(3)),
+          price, date, priorities(if (regime == 1) 0 else ro.nextInt(5)))
+      })
+
+    val rl = rng(seed, "lineitem")
+    val flags = Seq("R", "A", "N")
+    write("lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType, nullable = false),
+      StructField("l_partkey", LongType, nullable = false),
+      StructField("l_suppkey", LongType, nullable = false),
+      StructField("l_linenumber", IntegerType, nullable = false),
+      StructField("l_quantity", DoubleType, nullable = false),
+      StructField("l_extendedprice", DoubleType, nullable = false),
+      StructField("l_discount", DoubleType, nullable = false),
+      StructField("l_tax", DoubleType, nullable = false),
+      StructField("l_returnflag", StringType, nullable = false),
+      StructField("l_linestatus", StringType, nullable = false),
+      StructField("l_shipdate", TimestampType, nullable = false))),
+      (0 until nLine).map { i =>
+        val ord = if (regime == 0) (i % nOrd).toLong
+        else rl.nextInt(nOrd).toLong
+        val qty = regime match {
+          case 1 => 25.0
+          case 3 => Seq(0.0, 1.0, 50.0, 50.0)(rl.nextInt(4))
+          case _ => (1 + rl.nextInt(50)).toDouble
+        }
+        val price = regime match {
+          case 1 => 2500.0
+          case 3 => Seq(0.0, 0.01, 8.8e14, 1234.56)(rl.nextInt(4))
+          case _ => math.round((900.0 + rl.nextDouble() * 100000.0) * 100) / 100.0
+        }
+        Row(ord, rl.nextInt(nPart).toLong, rl.nextInt(nSupp).toLong,
+          1 + (i % 7), qty, price,
+          if (regime == 1) 0.05
+          else math.round(rl.nextDouble() * 10.0) / 100.0,
+          if (regime == 1) 0.08
+          else math.round(rl.nextDouble() * 8.0) / 100.0,
+          flags(if (regime == 1) 0 else rl.nextInt(3)),
+          if (rl.nextBoolean()) "O" else "F",
+          if (regime == 1) ts(0) else ts(rl.nextInt(2 * 365 * 24 * 60).toLong))
+      })
+
+    val re = rng(seed, "events")
+    write("events", StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = false))),
+      (0 until nEvt).map { i =>
+        val user = regime match {
+          case 1 => 7L
+          case 3 => if (re.nextInt(10) < 8) 1L else re.nextInt(20).toLong
+          case _ => re.nextInt(math.max(nCust / 2, 1)).toLong
+        }
+        val t = if (regime == 1) ts(0)
+        else ts(re.nextInt(30 * 24 * 60).toLong)
+        val v = regime match {
+          case 1 => 1.0
+          case 3 => Seq(-1.0e9, 0.0, 1.0e9, 0.001)(re.nextInt(4))
+          case _ => math.round(re.nextDouble() * 10000.0) / 100.0
+        }
+        Row(i.toLong, t, user,
+          eventTypes(if (regime == 1) 0 else re.nextInt(5)), v,
+          s"""{"k": ${re.nextInt(100)}}""")
+      })
+
+    val rd = rng(seed, "documents")
+    def salad(n: Int, words: Seq[String]): String =
+      (0 until n).map(_ => words(rd.nextInt(words.size))).mkString(" ")
+    write("documents", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false))),
+      (0 until nDoc).map { i =>
+        val text = regime match {
+          case 0 => Seq("", "x", "the the the",
+            salad(30, vocab))(i % 4)
+          case 1 => "the fast spark table scan join merge" // all identical
+          case 2 => salad(10 + rd.nextInt(40), vocab ++ unicodeVocab)
+          case _ => // extremes: huge repeats, digit floods, punct floods
+            Seq(salad(5, vocab) * 20,
+              (0 until 50).map(_ => rd.nextInt(1000)).mkString(" "),
+              "!?.,;:" * 40,
+              salad(10 + rd.nextInt(80), vocab))(rd.nextInt(4))
+        }
+        Row(i.toLong, text, langs(if (regime == 1) 0 else rd.nextInt(5)),
+          s"src${if (regime == 1) 0 else rd.nextInt(8)}",
+          text.length.toLong)
+      })
+
+    val rv = rng(seed, "embeddings")
+    write("embeddings", StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("label", IntegerType, nullable = false))),
+      (0 until nVec).map { i =>
+        val v = regime match {
+          case 1 => Array.fill(64)(0.5f) // all-identical vectors
+          case 3 => Array.tabulate(64)(j =>
+            if (j == i % 64) 1.0e6f else 0.0f) // axis-aligned spikes
+          case _ => Array.fill(64)((rv.nextDouble() * 2 - 1).toFloat)
+        }
+        Row(i.toLong, v.toSeq, if (regime == 1) 0 else rv.nextInt(10))
+      })
+
+    spark.stop()
+  }
+}

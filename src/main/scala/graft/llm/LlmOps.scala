@@ -318,6 +318,27 @@ object LlmOps {
     * RE2's \\p{L}/\\p{N}/\\s agree. Ends in
     * `ptk(doc_id, wpos, tok)`.
     */
+  /** Fail-fast guard for the byte-level oracle family: the DuckDB
+    * replays ([[bytePretokCtes]] / [[byteBpeTrainCtes]]) remap ONLY
+    * `' ' -> chr(288)`, while the engine maps every byte through the
+    * full GPT-2 table (`'\n' -> chr(266)`, UTF-8 continuation bytes,
+    * …). The two agree iff the corpus is printable ASCII (0x20–0x7E);
+    * any other byte would shift lexicographic merge tie-breaks
+    * SILENTLY. Make corpus drift an error, not a hash-mismatch hunt.
+    * Pushed-filter + limit(1) — short-circuits on first offender.
+    */
+  private def requireAsciiCorpus(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val bad = docs.filter(col(textCol).rlike("[^ -~]")).limit(1).count()
+    require(bad == 0L,
+      "byte-level BPE oracle parity requires a printable-ASCII corpus " +
+        s"(0x20-0x7E); found a document with other bytes in '$textCol'. " +
+        "The engine is correct on any bytes — regenerate the DuckDB " +
+        "oracle with the full GPT-2 byte table before trusting hashes.")
+    docs
+  }
+
   private val bytePretokCtes: String =
     s"""bd AS (SELECT doc_id, text, length(text) AS n FROM documents),
        |bwk(doc_id, pos, wpos, tok) AS (
@@ -2115,6 +2136,56 @@ object LlmOps {
           lit(false).as("is_clean")))
       QualityModel.score(both, "text", scorer)
         .select(col("doc_id"), col("is_clean"), col("quality_logit"))
+    },
+
+    // FROZEN-weights quality scoring, ORACLE-EXACT (the production path:
+    // the classifier is trained once, frozen, and applied to every shard
+    // — exactly Bpe.FrozenMerges' discipline applied to model weights).
+    // Scoring is one map-side projection: z = b + Σ wᵢ·(fᵢ−μᵢ)/σᵢ in the
+    // scorer's FIXED feature order, every step a single correctly-rounded
+    // IEEE op (subtract, divide, multiply, left-assoc adds), and every
+    // feature an integer-derived ratio — so DuckDB replays the identical
+    // fold bit-for-bit. The SQL is GENERATED from the same FrozenScorer
+    // literals the engine scores with, so the two sides cannot drift.
+    Op("text_quality_score_frozen", {
+      val sc = QualityModel.FrozenScorer
+      // DuckDB parses bare decimal literals as DECIMAL(38,17) and its
+      // decimal->double conversion DOUBLE-ROUNDS (a 17-digit mantissa
+      // exceeds 2^53, measured 1-ULP drift on 3/500 docs); exponent
+      // form forces a direct strtod DOUBLE parse, which is correctly
+      // rounded and bit-identical to the JVM literal.
+      def dlit(x: Double): String = {
+        val s = x.toString
+        if (s.contains('E') || s.contains('e')) s.toLowerCase else s + "e0"
+      }
+      val fSql = Map(
+        "n_chars" -> "CAST(length(text) AS DOUBLE)",
+        "n_tokens" -> s"CAST(len($toksSql) AS DOUBLE)",
+        "avg_tok_len" ->
+          (s"(CAST(list_aggregate(list_transform($toksSql, " +
+            s"t -> length(t)), 'sum') AS DOUBLE) / len($toksSql))"),
+        "punct_ratio" ->
+          ("(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', " +
+            "'', 'g')) AS DOUBLE) / length(text))"),
+        "stop_ratio" ->
+          (s"(CAST(len(list_filter($toksSql, " +
+            s"t -> list_contains($stopSql, t))) AS DOUBLE) / " +
+            s"len($toksSql))"),
+        "digit_ratio" ->
+          ("(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) " +
+            "AS DOUBLE) / length(text))"))
+      val terms = sc.features.zipWithIndex.map { case (n, i) =>
+        s"(${fSql(n)} - ${dlit(sc.mu(i))}) / ${dlit(sc.sigma(i))} * " +
+          dlit(sc.weights(i))
+      }
+      s"""SELECT doc_id,
+         |  ${(dlit(sc.bias) +: terms).mkString("\n  + ")}
+         |  AS quality_logit
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+      QualityModel.score(Tables.documents(s, d), "text",
+          QualityModel.FrozenScorer)
+        .select(col("doc_id"), col("quality_logit"))
     },
 
     // --- similarity search ----------------------------------------------
@@ -3960,6 +4031,46 @@ object LlmOps {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d))).toDF()
     },
 
+    // Metadata-only twin of multimodal_features, ORACLE-EXACT: the
+    // synthetic media table derives every header field deterministically
+    // from the document's byte length (mediaFromDocuments), and the
+    // decode chain (RawMedia / javax.imageio / javax.sound / MediaHeaders
+    // sniffers) recovers exactly those fields — so kind/format/width/
+    // height replay in DuckDB as pure integer CASE arithmetic on
+    // octet_length(text), while the binary payload (n_bytes, checksum —
+    // codec-dependent) stays on the rows-only entry. This oracle-pins
+    // the REAL container round-trip: a PNG/GIF/WAV/MP3 writer bug or a
+    // sniffer regression breaks the hash.
+    Op("multimodal_features_meta",
+       """WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         greatest(strlen(text), 1) AS rl
+         |  FROM documents)
+         |SELECT media_id,
+         |  CASE WHEN media_id % 4 IN (0, 1) THEN 'image'
+         |       WHEN media_id % 4 = 2 THEN 'video'
+         |       ELSE 'audio' END AS kind,
+         |  CASE WHEN media_id % 4 = 0 THEN 'raw/image-3ch'
+         |       WHEN media_id % 4 = 1 THEN 'image/png'
+         |       WHEN media_id % 8 = 2
+         |         THEN 'raw/video-' || CAST(4 + rl % 8 AS VARCHAR) || 'f'
+         |       WHEN media_id % 4 = 2 THEN 'image/gif'
+         |       WHEN media_id % 8 = 3 THEN 'audio/wav'
+         |       ELSE 'audio/mpeg' END AS format,
+         |  CAST(CASE WHEN media_id % 4 IN (0, 1) THEN 8 + rl % 24
+         |            WHEN media_id % 4 = 2 THEN 12
+         |            WHEN media_id % 8 = 3 THEN rl
+         |            ELSE 2 + rl % 6 END AS INT) AS width,
+         |  CAST(CASE WHEN media_id % 4 IN (0, 1) THEN 8 + (rl // 2) % 24
+         |            WHEN media_id % 4 = 2 THEN 8
+         |            ELSE 1 END AS INT) AS height
+         |FROM m""".stripMargin) { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d))).toDF()
+        .select(col("media_id"), col("kind"), col("format"),
+          col("width"), col("height"))
+    },
+
     // Resize + frame-sample over the same media table (stub codecs, real
     // per-partition batch shapes).
     Op.noOracle("multimodal_resize") { (s, d) =>
@@ -4787,7 +4898,7 @@ object LlmOps {
           |LEFT JOIN ptk p ON p.doc_id = d.doc_id
           |LEFT JOIN ycnt c ON c.word = p.tok
           |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = requireAsciiCorpus(Tables.documents(s, d))
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.tokenCounts(docs, merges)
@@ -4827,7 +4938,7 @@ object LlmOps {
           |       x.token_id
           |FROM ptk p JOIN pieces x ON x.word = p.tok""".stripMargin) {
       (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = requireAsciiCorpus(Tables.documents(s, d))
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.encodeToIds(docs, merges)
@@ -4868,7 +4979,7 @@ object LlmOps {
          |UNION ALL
          |${leg("b", 200)}""".stripMargin
     }) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = requireAsciiCorpus(Tables.documents(s, d))
       val hist = Bpe.ByteLevel.pretokenHistogram(docs, "text", 5000)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       Seq(50, 200).map { m =>

@@ -117,6 +117,28 @@ object QualityModel {
       maxSample, iters, lr)
   }
 
+  /** A FROZEN scorer — the production deployment shape (train once,
+    * freeze, apply to every shard), the [[graft.llm.Bpe.FrozenMerges]]
+    * discipline applied to the quality classifier. Provenance: one
+    * `trainContrastive` run over the driver's sf0.001 documents corpus
+    * (maxSample=2048, iters=300, lr=0.5), printed by
+    * [[QualityModelFreeze]] and pinned verbatim. Scoring with it is a
+    * fixed-order fold of correctly-rounded IEEE ops over SQL-expressible
+    * features, so the text_quality_score_frozen oracle replays it
+    * bit-for-bit in DuckDB — unlike training, whose exp() calls are
+    * libm-divergent (see functions.IeeeLn's scaladoc).
+    */
+  val FrozenScorer: Scorer = Scorer(
+    features = Seq("n_chars", "n_tokens", "avg_tok_len", "punct_ratio",
+      "stop_ratio", "digit_ratio"),
+    mu = Seq(302.651, 54.037, 4.5858974537958375, 0.14048728807648284,
+      0.03304252309730619, 0.0),
+    sigma = Seq(141.69722368134106, 25.29275846956992, 0.21210965381174404,
+      0.1408127014649693, 0.04299876538673177, 1.0),
+    weights = Seq(-0.12010825603375491, -0.02512733370890691,
+      -0.28759096019614805, -4.130351876760048, 1.8406956374356345, 0.0),
+    bias = 0.3446692448124147)
+
   /** Map-side scoring with the frozen model: one projection, weights as
     * literals, no shuffle, no driver involvement.
     */

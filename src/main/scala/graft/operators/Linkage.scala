@@ -50,9 +50,11 @@ object Linkage {
           i => concat(col("name").substr(lit(1), i - lit(1)),
             col("name").substr(i + lit(1), length(col("name")))))))
         .as("variant"))
-    val a = keys.toDF("id_a", "nk", "seg", "name_a", "variant")
+    val a = keys.select(col("id").as("id_a"), col("nk"), col("seg"),
+        col("name").as("name_a"), col("variant"))
       .repartition(col("nk"), col("seg"), col("variant"))
-    val b = keys.toDF("id_b", "nk", "seg", "name_b", "variant")
+    val b = keys.select(col("id").as("id_b"), col("nk"), col("seg"),
+      col("name").as("name_b"), col("variant"))
     // Banded edit distance verify: the 3-arg levenshtein computes only
     // the ±threshold diagonal (O(len·k) per pair, -1 past the bound) —
     // needed because sharing a deletion variant is necessary, not

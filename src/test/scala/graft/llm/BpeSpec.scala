@@ -229,4 +229,25 @@ class BpeSpec extends SparkSpec {
       .count()
     assert(diff == 0)
   }
+
+  test("byte-level corpus entries FAIL FAST on a non-printable-ASCII " +
+       "corpus instead of silently drifting from the space-only-remap " +
+       "oracle (requireAsciiCorpus guard)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ascii-guard").toString
+    Seq((0L, "plain ascii doc", "en", "src0", 15L),
+        (1L, "hat eine Umlaut-Zeile: größer", "de", "src0", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.SparkEntry.queries("llm_bpe_byte_counts")(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("printable-ASCII"), e.getMessage)
+    // the engine-side byte-level tokenizer itself is byte-agnostic: the
+    // guard protects ORACLE PARITY, not the operator
+    val merges = Bpe.ByteLevel.trainOnCorpus(
+      graft.Tables.documents(spark, dir), numMerges = 5, vocabWords = 100)
+    assert(merges.nonEmpty)
+  }
 }

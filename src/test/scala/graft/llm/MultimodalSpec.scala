@@ -472,4 +472,42 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hOrig ^ hInv) >= 20,
       "inverted ramp must not collide")
   }
+
+  test("metadata round-trip: the decode chain recovers exactly the " +
+       "synthesis-formula metadata for every id-mod case (the " +
+       "multimodal_features_meta oracle contract)") {
+    import spark.implicits._
+    // ids 0..7 cover all 8 container branches; text lengths vary dims
+    val docs = (0L to 7L).map(i =>
+      (i, "x" * (3 + 7 * i.toInt), "en", "src0", (3 + 7 * i).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs)).collect()
+      .map(f => f.media_id -> f).toMap
+    for (i <- 0L to 7L) {
+      val rl = 3 + 7 * i.toInt
+      val f = feats(i)
+      (i % 4, i % 8) match {
+        case (0, _) =>
+          assert(f.kind == "image" && f.format == "raw/image-3ch" &&
+            f.width == 8 + rl % 24 && f.height == 8 + (rl / 2) % 24)
+        case (1, _) =>
+          assert(f.kind == "image" && f.format == "image/png" &&
+            f.width == 8 + rl % 24 && f.height == 8 + (rl / 2) % 24)
+        case (2, 2) =>
+          assert(f.kind == "video" &&
+            f.format == s"raw/video-${4 + rl % 8}f" &&
+            f.width == 12 && f.height == 8)
+        case (2, _) =>
+          assert(f.kind == "video" && f.format == "image/gif" &&
+            f.width == 12 && f.height == 8)
+        case (3, 3) =>
+          assert(f.kind == "audio" && f.format == "audio/wav" &&
+            f.width == rl && f.height == 1)
+        case _ =>
+          assert(f.kind == "audio" && f.format == "audio/mpeg" &&
+            f.width == 2 + rl % 6 && f.height == 1)
+      }
+    }
+  }
 }

@@ -60,4 +60,25 @@ class QualityModelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("FrozenScorer literals are exactly one trainContrastive run over " +
+       "the sf0.001 corpus (pinned-provenance, the FrozenMerges rule)") {
+    // If this fails, someone edited either the literals or the training
+    // path: re-run graft.llm.QualityModelFreeze and re-pin deliberately.
+    val fresh = QualityModel.trainContrastive(docs, "doc_id", "text")
+    assert(QualityModel.FrozenScorer == fresh)
+  }
+
+  test("frozen scoring separates the hand-made probe and is independent " +
+       "of the corpus it runs on") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "the results of the query are stored in a table and the " +
+        "engine is fast to scan and the plan is easy to read"),
+      (2L, "zzk@@ qq##7 ;;!! pp%% xx&& 9988 ** ?? ~~ || ^^ { } " +
+        "]] [[ // \\\\ ,, .. ;; ::")).toDF("doc_id", "text")
+    val out = QualityModel.score(probe, "text", QualityModel.FrozenScorer)
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(out(0) > out(1), out.mkString(","))
+  }
 }

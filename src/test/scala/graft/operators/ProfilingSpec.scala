@@ -351,8 +351,10 @@ class ProfilingSpec extends SparkSpec {
       val dp = rp(p) - (n + 1)
       sxx += dq * dq; syy += dp * dp; sxy += dq * dp
     }
-    assert(row.getLong(1) == sxx && row.getLong(2) == syy &&
-      row.getLong(3) == sxy)
+    // moment sums are DECIMAL(38,0) presented as DOUBLE since the r10
+    // overflow widening — compare against the exact sums' double images
+    assert(row.getDouble(1) == sxx.toDouble && row.getDouble(2) == syy.toDouble &&
+      row.getDouble(3) == sxy.toDouble)
     assert(row.getDouble(4) ==
       sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble))
     assert(math.abs(row.getDouble(4)) <= 1.0)

@@ -36,15 +36,19 @@ def load_new(path):
         return json.load(f)
 
 
-def load_base(path):
+def load_base(path, new_path="BENCH_LOCAL.json"):
     if path is not None:
         with open(path) as f:
             return json.load(f)
+    # default baseline: the committed copy of the SAME record (so this
+    # gate works for BENCH_LOCAL.json and BENCH_SF1.json alike)
+    import os
+    name = os.path.basename(new_path)
     out = subprocess.run(
-        ["git", "show", "HEAD:BENCH_LOCAL.json"],
+        ["git", "show", f"HEAD:{name}"],
         capture_output=True, text=True)
     if out.returncode != 0:
-        print("no committed BENCH_LOCAL.json at HEAD; nothing to compare")
+        print(f"no committed {name} at HEAD; nothing to compare")
         sys.exit(0)
     return json.loads(out.stdout)
 
@@ -53,7 +57,7 @@ def main():
     new_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LOCAL.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else None
     new = queries(load_new(new_path))
-    base = queries(load_base(base_path))
+    base = queries(load_base(base_path, new_path))
     shared = sorted(set(new) & set(base))
     if not shared:
         print("no shared queries between records; nothing to compare")

@@ -19,7 +19,8 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 # build output, so recompiles in the working tree can't swap class files
 # under a running JVM.
 CLASSES="${GRAFT_CLASSES:-$REPO/target/scala-2.13/classes}"
-JAR="${GRAFT_JAR:-$REPO/target/scala-2.13/olistsnowflakedbtspark_2.13-0.1.0.jar}"
+DEFAULT_JAR="$(ls -t "$REPO"/target/scala-2.13/*.jar 2>/dev/null | head -1 || true)"
+JAR="${GRAFT_JAR:-$DEFAULT_JAR}"
 [ -d "$CLASSES" ] || { echo "compile first: sbt -batch compile package" >&2; exit 1; }
 
 ADD_OPENS=""
