@@ -26,9 +26,12 @@ import org.apache.spark.sql.types._
   *                 CJK) in documents and name columns; byte-level
   *                 tokenizer entries are EXPECTED to refuse via their
   *                 printable-ASCII guard (that is the guard's contract).
-  *   3 extremes  — negative balances, zero prices/quantities, 1e15
-  *                 magnitudes, one customer owning most orders, one
-  *                 user owning most events: skew + boundary numerics.
+  *   3 extremes  — negative balances, zero prices/quantities, 1e9
+  *                 magnitudes (the edge of the engine's documented
+  *                 cents-in-BIGINT money contract — integer-WIDTH
+  *                 probing beyond it belongs to the sf1 gate), one
+  *                 customer owning most orders, one user owning most
+  *                 events: skew + boundary numerics.
   *
   * Determinism: one java.util.Random stream per table, seeded from
   * (seed, table) — regenerating a seed reproduces the corpus bit for
@@ -66,9 +69,25 @@ object FuzzGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def write(name: String, schema: StructType, rows: Seq[Row]): Unit = {
+      // single-FILE parquet, like the driver's testdata layout (DuckDB's
+      // oracle views point at '<dir>/<name>.parquet' as a plain file)
+      val tmp = s"$out/.tmp_$name"
       spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 2), schema)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+          spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+        .head
+      Files.createDirectories(Paths.get(out))
+      val dest = Paths.get(s"$out/$name.parquet")
+      if (Files.isDirectory(dest)) // stale directory-layout leftover
+        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      Files.move(Paths.get(part), dest,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
       println(s"[fuzzgen] $name -> ${rows.length} rows (regime $regime)")
     }
 
@@ -106,7 +125,7 @@ object FuzzGen {
         }
         val bal = regime match {
           case 1 => 100.0
-          case 3 => Seq(-999999.99, 0.0, 1.0e15, -0.01,
+          case 3 => Seq(-999999.99, 0.0, 1.0e9, -0.01,
             9.99)(rc.nextInt(5))
           case _ => math.round(rc.nextDouble() * 100000.0 - 10000.0) / 100.0
         }
@@ -144,7 +163,7 @@ object FuzzGen {
           if (regime == 1) 10 else 1 + rp.nextInt(50),
           regime match {
             case 1 => 100.0
-            case 3 => Seq(0.0, 0.01, 1.0e12, 42.0)(rp.nextInt(4))
+            case 3 => Seq(0.0, 0.01, 1.0e7, 42.0)(rp.nextInt(4))
             case _ => math.round((900.0 + rp.nextDouble() * 1200.0) * 100) / 100.0
           })
       })
@@ -165,7 +184,7 @@ object FuzzGen {
         }
         val price = regime match {
           case 1 => 1000.0
-          case 3 => Seq(0.0, 0.01, 9.99e14, 123456.78)(ro.nextInt(4))
+          case 3 => Seq(0.0, 0.01, 9.99e8, 123456.78)(ro.nextInt(4))
           case _ => math.round((1000.0 + ro.nextDouble() * 400000.0) * 100) / 100.0
         }
         val date = if (regime == 1) ts(0)
@@ -198,7 +217,7 @@ object FuzzGen {
         }
         val price = regime match {
           case 1 => 2500.0
-          case 3 => Seq(0.0, 0.01, 8.8e14, 1234.56)(rl.nextInt(4))
+          case 3 => Seq(0.0, 0.01, 8.8e8, 1234.56)(rl.nextInt(4))
           case _ => math.round((900.0 + rl.nextDouble() * 100000.0) * 100) / 100.0
         }
         Row(ord, rl.nextInt(nPart).toLong, rl.nextInt(nSupp).toLong,
@@ -230,7 +249,7 @@ object FuzzGen {
         else ts(re.nextInt(30 * 24 * 60).toLong)
         val v = regime match {
           case 1 => 1.0
-          case 3 => Seq(-1.0e9, 0.0, 1.0e9, 0.001)(re.nextInt(4))
+          case 3 => Seq(-1.0e6, 0.0, 1.0e6, 0.001)(re.nextInt(4))
           case _ => math.round(re.nextDouble() * 10000.0) / 100.0
         }
         Row(i.toLong, t, user,
@@ -273,8 +292,10 @@ object FuzzGen {
       (0 until nVec).map { i =>
         val v = regime match {
           case 1 => Array.fill(64)(0.5f) // all-identical vectors
-          case 3 => Array.tabulate(64)(j =>
-            if (j == i % 64) 1.0e6f else 0.0f) // axis-aligned spikes
+          case 3 => Array.tabulate(64)(j => // axis-aligned unit spikes:
+            // exactly-tied distances + zero norms, inside the documented
+            // |x| <= 1 fixed-point k-means contract
+            if (j == i % 64) 1.0f else 0.0f)
           case _ => Array.fill(64)((rv.nextDouble() * 2 - 1).toFloat)
         }
         Row(i.toLong, v.toSeq, if (regime == 1) 0 else rv.nextInt(10))

@@ -1544,12 +1544,12 @@ object LlmOps {
     // iterated label propagation converges to.
     Op("llm_clean_corpus", {
       val qualitySql =
-        s"""(CASE WHEN length(text) < 20 THEN 0.2
-           |      WHEN length(text) > 2000 THEN 0.5 ELSE 1.0 END) * 0.5
+        s"""(CASE WHEN length(text) < 20 THEN 0.2e0
+           |      WHEN length(text) > 2000 THEN 0.5e0 ELSE 1.0e0 END) * 0.5e0
            |+ (CASE WHEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-           |          / length(text) > 0.2 THEN 0.3 ELSE 1.0 END) * 0.25
+           |          / NULLIF(length(text), 0) > 0.2 THEN 0.3e0 ELSE 1.0e0 END) * 0.25e0
            |+ (CASE WHEN CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS DOUBLE)
-           |          / len($toksSql) > 0.02 THEN 1.0 ELSE 0.7 END) * 0.25""".stripMargin
+           |          / len($toksSql) > 0.02 THEN 1.0e0 ELSE 0.7e0 END) * 0.25e0""".stripMargin
       s"""WITH RECURSIVE q AS (
          |  SELECT doc_id, source, text FROM documents
          |  WHERE $qualitySql >= 0.5),
@@ -2166,14 +2166,14 @@ object LlmOps {
             s"t -> length(t)), 'sum') AS DOUBLE) / len($toksSql))"),
         "punct_ratio" ->
           ("(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', " +
-            "'', 'g')) AS DOUBLE) / length(text))"),
+            "'', 'g')) AS DOUBLE) / NULLIF(length(text), 0))"),
         "stop_ratio" ->
           (s"(CAST(len(list_filter($toksSql, " +
             s"t -> list_contains($stopSql, t))) AS DOUBLE) / " +
             s"len($toksSql))"),
         "digit_ratio" ->
           ("(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) " +
-            "AS DOUBLE) / length(text))"))
+            "AS DOUBLE) / NULLIF(length(text), 0))"))
       val terms = sc.features.zipWithIndex.map { case (n, i) =>
         s"(${fSql(n)} - ${dlit(sc.mu(i))}) / ${dlit(sc.sigma(i))} * " +
           dlit(sc.weights(i))
@@ -3006,7 +3006,7 @@ object LlmOps {
           |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
           |       length(text) AS n_chars_measured,
           |       CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-          |         / length(text) AS punct_ratio,
+          |         / NULLIF(length(text), 0) AS punct_ratio,
           |       CAST(list_aggregate(list_transform($toksSql, t -> length(t)), 'sum') AS DOUBLE)
           |         / len($toksSql) AS avg_token_len,
           |       CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS DOUBLE)
@@ -3035,7 +3035,7 @@ object LlmOps {
           |    CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS DOUBLE)
           |      / len($toksSql) AS stop_ratio,
           |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-          |      / length(text) AS p_ratio
+          |      / NULLIF(length(text), 0) AS p_ratio
           |  FROM documents)
           |SELECT doc_id, lang AS lang_label,
           |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
@@ -3043,10 +3043,12 @@ object LlmOps {
           |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
           |       WHEN greatest(h_en, h_de, h_fr, h_es) > 0 AND h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
           |       ELSE 'und' END AS lang_pred,
-          |  (CASE WHEN length(text) < 20 THEN 0.2
-          |        WHEN length(text) > 2000 THEN 0.5 ELSE 1.0 END) * 0.5
-          |  + (CASE WHEN p_ratio > 0.2 THEN 0.3 ELSE 1.0 END) * 0.25
-          |  + (CASE WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.7 END) * 0.25
+          |  (CASE WHEN length(text) < 20 THEN 0.2e0
+          |        WHEN length(text) > 2000 THEN 0.5e0 ELSE 1.0e0 END)
+          |    * 0.5e0
+          |  + (CASE WHEN p_ratio > 0.2 THEN 0.3e0 ELSE 1.0e0 END) * 0.25e0
+          |  + (CASE WHEN stop_ratio > 0.02 THEN 1.0e0 ELSE 0.7e0 END)
+          |    * 0.25e0
           |    AS quality
           |FROM hits""".stripMargin) { (s, d) =>
       val t = col("text")

@@ -37,7 +37,7 @@ object QualityModel {
     "punct_ratio" -> TextFeatures.punctRatio(text),
     "stop_ratio" -> TextFeatures.stopwordRatio(text),
     "digit_ratio" -> (length(regexp_replace(text, "[^0-9]", ""))
-      .cast("double") / length(text)))
+      .cast("double") / when(length(text) =!= 0, length(text))))
 
   /** Train on a bounded deterministic sample: standardize features with
     * the sample's moments, then full-batch gradient descent on logistic

@@ -1024,6 +1024,18 @@ object Similarity {
                          vecCol: String, k: Int, iters: Int)
       : (Array[Array[Long]], DataFrame) = {
     val SHIFT = 1048576L
+    // the fixed-point contract is |x| <= 1 (normalized embeddings):
+    // beyond it the squared-distance folds overflow BIGINT as a deep
+    // ANSI error inside an executor. Fail fast with the actual contract
+    // instead (one pushed-filter + limit(1) scan; the loop below scans
+    // 2x per iteration, so the check is marginal cost).
+    val outOfRange = embeddings
+      .filter(exists(col(vecCol).cast("array<double>"),
+        x => abs(x) > lit(1.0)))
+      .limit(1).count()
+    require(outOfRange == 0L,
+      s"fixed-point k-means requires |$vecCol| components <= 1 " +
+        "(normalize embeddings first); found a vector outside the range")
     val xq = embeddings.select(col(idCol).as("vid"),
         transform(col(vecCol).cast("array<double>"),
           x => floor(x * lit(1048576.0) + lit(0.5)).cast("long") +

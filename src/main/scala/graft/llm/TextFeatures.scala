@@ -60,10 +60,13 @@ object TextFeatures {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Share of non-alphanumeric, non-space characters. */
+  /** Share of non-alphanumeric, non-space characters. NULL for the empty
+    * string (undefined share, and ANSI-mode Spark would otherwise abort
+    * the whole job on the division — fuzz `minimal` regime).
+    */
   def punctRatio(text: Column): Column =
     length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") /
-      length(text)
+      when(length(text) =!= 0, length(text))
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 

@@ -331,14 +331,16 @@ object Analytics {
          |  FROM o)
          |SELECT CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(cents) AS BIGINT) AS total_cents,
-         |       CAST(2 * sum(rk::HUGEINT * cents)
+         |       CAST(CAST(2 * sum(rk::HUGEINT * cents)
          |            - (count(*)::HUGEINT + 1) * sum(cents)
-         |            AS DOUBLE) AS gini_num,
-         |       CAST(count(*)::HUGEINT * sum(cents) AS DOUBLE)
-         |         AS gini_den,
-         |       CAST(2 * sum(rk::HUGEINT * cents)
-         |            - (count(*)::HUGEINT + 1) * sum(cents) AS DOUBLE)
-         |       / CAST(count(*)::HUGEINT * sum(cents) AS DOUBLE) AS gini
+         |            AS VARCHAR) AS DOUBLE) AS gini_num,
+         |       CAST(CAST(count(*)::HUGEINT * sum(cents) AS VARCHAR)
+         |            AS DOUBLE) AS gini_den,
+         |       CAST(CAST(2 * sum(rk::HUGEINT * cents)
+         |            - (count(*)::HUGEINT + 1) * sum(cents) AS VARCHAR)
+         |            AS DOUBLE)
+         |       / CAST(CAST(count(*)::HUGEINT * sum(cents) AS VARCHAR)
+         |              AS DOUBLE) AS gini
          |FROM r""".stripMargin) { (s, d) =>
       giniStats(Tables.orders(s, d)
         .select(col("o_orderkey").as("id"),
@@ -417,14 +419,20 @@ object Analytics {
          |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
          |         AS spend_30d
          |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-         |             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS epoch_day
+         |             CAST(epoch(o_orderdate) AS BIGINT) // 86400
+         |               AS epoch_day
          |      FROM orders)""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("epoch_day"))
         .rangeBetween(-30, Window.currentRow)
       Tables.orders(s, d)
+        // integer `div`, NOT double-divide-then-cast: on intra-day
+        // timestamps the double path TRUNCATES while DuckDB's
+        // CAST(double AS BIGINT) rounds — rows land in different
+        // 30-day frames (fuzz `extremes` caught the drift; the driver
+        // corpus masks it because its dates are all midnight)
         .withColumn("epoch_day",
-          (unix_timestamp(col("o_orderdate")) / 86400).cast("long"))
+          expr("unix_timestamp(o_orderdate) div 86400"))
         .select(
           col("o_custkey").as("customer_id"),
           col("o_orderkey").as("order_id"),
@@ -1488,7 +1496,8 @@ object Analytics {
          |FROM (
          |  SELECT wk, cents,
          |         ((cents - lag(cents) OVER (ORDER BY wk)) * 1000000)
-         |           // lag(cents) OVER (ORDER BY wk) AS growth_ppm
+         |           // NULLIF(lag(cents) OVER (ORDER BY wk), 0)
+         |           AS growth_ppm
          |  FROM weekly)
          |WHERE growth_ppm IS NOT NULL""".stripMargin) { (s, d) =>
       val weekly = Tables.orders(s, d)
@@ -1496,9 +1505,12 @@ object Analytics {
         .agg(sum(col("o_totalprice").cast(dec) * 100).cast("long")
           .as("cents"))
       weekly
+        // a zero-revenue predecessor week makes growth undefined: NULL
+        // (dropped by the IS NOT NULL below), never an ANSI div-by-zero
+        // job abort (fuzz `extremes` regime plants zero-price orders)
         .withColumn("growth_ppm",
           expr("((cents - lag(cents) OVER (ORDER BY wk)) * 1000000)" +
-            " div lag(cents) OVER (ORDER BY wk)"))
+            " div nullif(lag(cents) OVER (ORDER BY wk), 0)"))
         .filter(col("growth_ppm").isNotNull)
         .select(col("wk"),
           (col("cents").cast("double") / 100.0).as("revenue"),

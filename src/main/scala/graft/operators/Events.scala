@@ -1242,17 +1242,24 @@ object Events {
          |       date_diff('second',
          |         lag(ts) OVER w, ts) AS secs_since_prev,
          |       CAST(count(*) OVER (PARTITION BY user_id
-         |         ORDER BY epoch(ts)
-         |         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         |         ORDER BY epoch_us(ts)
+         |         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
          |         AS BIGINT) AS events_7d
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
       (s, d) =>
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
+        // MICROSECOND range keys, not whole seconds: unix_timestamp
+        // truncates sub-second parts, so a pair at exactly 604800 whole
+        // seconds with descending fractions flips in/out of the frame vs
+        // any exact-time engine — the sf1 value gate caught 24-vs-23
+        // trailing counts that every smaller sf missed (the boundary
+        // needs ~1-in-604800 luck per near-edge pair). Exact integers on
+        // both sides make the frame decision identical.
         val range7d = Window.partitionBy(col("user_id"))
-          .orderBy(unix_timestamp(col("ts")))
-          .rangeBetween(-604800L, Window.currentRow)
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-604800000000L, Window.currentRow)
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
             lag(col("event_type"), 1).over(w).as("prev_type"),

@@ -2196,11 +2196,12 @@ object Graphs {
          |         CAST(sum(dy * dy) AS BIGINT) AS syy
          |  FROM e)
          |SELECT m, sxy, sx,
-         |       CAST(m::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
-         |       / (sqrt(CAST(m::HUGEINT * sxx - sx::HUGEINT * sx
-         |                    AS DOUBLE))
-         |          * sqrt(CAST(m::HUGEINT * syy - sy::HUGEINT * sy
-         |                      AS DOUBLE)))
+         |       CAST(CAST(m::HUGEINT * sxy - sx::HUGEINT * sy
+         |                 AS VARCHAR) AS DOUBLE)
+         |       / (sqrt(CAST(CAST(m::HUGEINT * sxx - sx::HUGEINT * sx
+         |                    AS VARCHAR) AS DOUBLE))
+         |          * sqrt(CAST(CAST(m::HUGEINT * syy - sy::HUGEINT * sy
+         |                      AS VARCHAR) AS DOUBLE)))
          |         AS assortativity
          |FROM s""".stripMargin) { (s, d) =>
       assortativity(

@@ -33,8 +33,14 @@ object Headline {
   private def revenue = sum(col("l_extendedprice").cast(dec) *
     (lit(1) - col("l_discount").cast(dec92))).cast("double")
 
+  // decimal sums present as DOUBLE through a VARCHAR hop: DuckDB's
+  // decimal->double cast rounds the int128 unscaled value FIRST and then
+  // divides by 10^scale (two roundings, 1-ULP drift once the unscaled
+  // sum passes 2^53 — the sf1 gate caught q1's sum_charge); the decimal
+  // string -> strtod route is correctly rounded, and Spark's
+  // BigDecimal.doubleValue already is.
   private val revenueSql =
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE)"
+    "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS VARCHAR) AS DOUBLE)"
 
   val ops: Seq[Op] = Seq(
 
@@ -45,14 +51,14 @@ object Headline {
     // exact sums -> bit-identical presentation on both engines.
     Op("q1_pricing_summary",
        s"""SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
           |  $revenueSql AS sum_disc_price,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))
-          |        * (1 + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-          |  CAST(sum(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / count(*) AS avg_disc,
+          |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))
+          |        * (1 + CAST(l_tax AS DECIMAL(9,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+          |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+          |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+          |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(9,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
           |  count(*) AS count_order
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -777,11 +777,11 @@ object Profiling {
          |SELECT n.n0, n.n1,
          |       CAST(max(abs(i * n.n1 - j * n.n0)) AS BIGINT) AS d_num,
          |       CAST(max(abs(i * n.n1 - j * n.n0)) AS DOUBLE)
-         |         / CAST(n.n0 * n.n1 AS DOUBLE) AS d,
+         |         / NULLIF(CAST(n.n0 * n.n1 AS DOUBLE), 0.0) AS d,
          |       sqrt(CAST(n.n0 * n.n1 AS DOUBLE)
          |            / CAST(n.n0 + n.n1 AS DOUBLE)) *
          |         (CAST(max(abs(i * n.n1 - j * n.n0)) AS DOUBLE)
-         |          / CAST(n.n0 * n.n1 AS DOUBLE)) AS ks_stat
+         |          / NULLIF(CAST(n.n0 * n.n1 AS DOUBLE), 0.0)) AS ks_stat
          |FROM k, n GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val p = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
@@ -794,8 +794,11 @@ object Profiling {
       // grand totals = the final cumulative values — read from the same
       // checkpoint, never a second scan of events
       val n = k.agg(max(col("c0_cum")).as("n0"), max(col("c1_cum")).as("n1"))
+      // one empty arm -> D undefined -> NULL, not an ANSI abort (fuzz
+      // `minimal` regime: 5 events may land every purchase in one group)
       val dn = col("d_num").cast("double") /
-        (col("n0") * col("n1")).cast("double")
+        when((col("n0") * col("n1")) =!= 0L,
+          (col("n0") * col("n1")).cast("double"))
       k.crossJoin(broadcast(n))
         .groupBy(col("n0"), col("n1"))
         .agg(max(abs(col("c0_cum") * col("n1") -
@@ -847,11 +850,11 @@ object Profiling {
          |SELECT n0, n1, r1_twice,
          |       r1_twice - n1 * (n1 + 1) AS u1_twice, tie_term,
          |       CAST(r1_twice - n1 * (n1 + 1) - n0 * n1 AS DOUBLE) /
-         |         (2 * sqrt(CAST(n0 * n1 AS DOUBLE) / 12.0 *
+         |         NULLIF(2 * sqrt(CAST(n0 * n1 AS DOUBLE) / 12.0 *
          |                   (CAST(n0 + n1 + 1 AS DOUBLE)
          |                    - CAST(tie_term AS DOUBLE)
-         |                      / CAST((n0 + n1) * (n0 + n1 - 1)
-         |                             AS DOUBLE)))) AS z
+         |                      / NULLIF(CAST((n0 + n1) * (n0 + n1 - 1)
+         |                             AS DOUBLE), 0.0))), 0.0) AS z
          |FROM a""".stripMargin) { (s, d) =>
       val p = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
@@ -872,11 +875,16 @@ object Profiling {
         (col("r1_twice") - col("n1") * (col("n1") + 1L)).as("u1_twice"),
         col("tie_term"),
         ((col("r1_twice") - col("n1") * (col("n1") + 1L) -
-          col("n0") * col("n1")).cast("double") /
-          (lit(2) * sqrt((col("n0") * col("n1")).cast("double") /
+          col("n0") * col("n1")).cast("double") / {
+          // degenerate samples (one arm empty, a single observation, or
+          // ALL values tied -> sigma = 0) make z undefined: NULL, never
+          // an ANSI divide-by-zero abort (fuzz `minimal`/`ties` regimes)
+          val nnD = (nn * (nn - 1L)).cast("double")
+          val den = lit(2) * sqrt((col("n0") * col("n1")).cast("double") /
             lit(12.0) * ((nn + 1L).cast("double") -
-              col("tie_term").cast("double") /
-                (nn * (nn - 1L)).cast("double"))))).as("z"))
+              col("tie_term").cast("double") / when(nnD =!= 0.0, nnD)))
+          when(den =!= 0.0, den)
+        }).as("z"))
     },
 
     // Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) over
@@ -904,7 +912,7 @@ object Profiling {
          |g AS (
          |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
          |         CAST(sum(cents) AS BIGINT) AS s,
-         |         sum(cents * cents) AS q
+         |         sum(CAST(cents AS HUGEINT) * cents) AS q
          |  FROM oc GROUP BY 1),
          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
          |               CAST(sum(s) AS BIGINT) AS st,
@@ -912,19 +920,25 @@ object Profiling {
          |z AS (
          |  SELECT nation, n,
          |         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-         |          - CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE))
-         |         / sqrt((CAST(q AS DOUBLE) * CAST(n AS DOUBLE)
+         |          - CAST(st - s AS DOUBLE)
+         |            / NULLIF(CAST(nt - n AS DOUBLE), 0.0))
+         |         / NULLIF(sqrt((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+         |                   * CAST(n AS DOUBLE)
          |                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-         |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-         |                   * (CAST(n AS DOUBLE) - 1.0))
-         |                + (CAST(qt - q AS DOUBLE) * CAST(nt - n AS DOUBLE)
+         |                / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |                   * (CAST(n AS DOUBLE) - 1.0), 0.0)
+         |                + (CAST(CAST(qt - q AS VARCHAR) AS DOUBLE)
+         |                     * CAST(nt - n AS DOUBLE)
          |                   - CAST(st - s AS DOUBLE) * CAST(st - s AS DOUBLE))
-         |                  / (CAST(nt - n AS DOUBLE) * CAST(nt - n AS DOUBLE)
-         |                     * (CAST(nt - n AS DOUBLE) - 1.0))) AS z
+         |                  / NULLIF(CAST(nt - n AS DOUBLE)
+         |                     * CAST(nt - n AS DOUBLE)
+         |                     * (CAST(nt - n AS DOUBLE) - 1.0), 0.0)),
+         |             0.0) AS z
          |  FROM g, tot),
          |rk AS (
          |  SELECT nation, n, z,
-         |         CAST(row_number() OVER (ORDER BY abs(z) DESC, nation)
+         |         CAST(row_number() OVER (ORDER BY abs(z) DESC NULLS LAST,
+         |                                 nation)
          |              AS BIGINT) AS k
          |  FROM z),
          |th AS ($bhThresholdValues),
@@ -954,20 +968,29 @@ object Profiling {
       val tot = g.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
         sum(col("q")).as("qt"))
       def d_(c: Column): Column = c.cast("double")
-      val vmIn = (d_(col("q")) * d_(col("n")) - d_(col("s")) * d_(col("s"))) /
-        (d_(col("n")) * d_(col("n")) * (d_(col("n")) - 1.0))
-      val vmOut = (d_(col("qt") - col("q")) * d_(col("nt") - col("n")) -
-        d_(col("st") - col("s")) * d_(col("st") - col("s"))) /
-        (d_(col("nt") - col("n")) * d_(col("nt") - col("n")) *
+      // degenerate slices (singleton nation, zero variance, one nation
+      // owning every order) yield NULL z rather than an ANSI
+      // divide-by-zero job abort; NULLs sort last in the BH rank on
+      // both engines (fuzz `ties`/`extremes` regimes)
+      def safeDiv(num: Column, den: Column): Column =
+        num / when(den =!= 0.0, den)
+      val vmIn = safeDiv(
+        d_(col("q")) * d_(col("n")) - d_(col("s")) * d_(col("s")),
+        d_(col("n")) * d_(col("n")) * (d_(col("n")) - 1.0))
+      val vmOut = safeDiv(
+        d_(col("qt") - col("q")) * d_(col("nt") - col("n")) -
+          d_(col("st") - col("s")) * d_(col("st") - col("s")),
+        d_(col("nt") - col("n")) * d_(col("nt") - col("n")) *
           (d_(col("nt") - col("n")) - 1.0))
       val z = g.crossJoin(broadcast(tot))
         .select(col("nation"), col("n"),
-          ((d_(col("s")) / d_(col("n")) -
-            d_(col("st") - col("s")) / d_(col("nt") - col("n"))) /
+          safeDiv(d_(col("s")) / d_(col("n")) -
+            safeDiv(d_(col("st") - col("s")), d_(col("nt") - col("n"))),
             sqrt(vmIn + vmOut)).as("z"))
       val rk = z.withColumn("k", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(abs(col("z")).desc, col("nation"))).cast("long"))
+          .orderBy(abs(col("z")).desc_nulls_last, col("nation")))
+        .cast("long"))
       val th = s.createDataFrame(
         s.sparkContext.parallelize(bhThresholds.map {
           case (k, zs) => org.apache.spark.sql.Row(k, zs) }, 1),
@@ -1022,12 +1045,14 @@ object Profiling {
          |dev AS (
          |  SELECT n, rq - (n + 1) AS dq, rp - (n + 1) AS dp
          |  FROM c JOIN kq USING (q) JOIN kp USING (p), nn)
-         |SELECT n, CAST(sum(dq * dq) AS DOUBLE) AS sxx,
-         |       CAST(sum(dp * dp) AS DOUBLE) AS syy,
-         |       CAST(sum(dq * dp) AS DOUBLE) AS sxy,
-         |       CAST(sum(dq * dp) AS DOUBLE) /
-         |         sqrt(CAST(sum(dq * dq) AS DOUBLE)
-         |              * CAST(sum(dp * dp) AS DOUBLE)) AS rho
+         |SELECT n,
+         |       CAST(CAST(sum(dq * dq) AS VARCHAR) AS DOUBLE) AS sxx,
+         |       CAST(CAST(sum(dp * dp) AS VARCHAR) AS DOUBLE) AS syy,
+         |       CAST(CAST(sum(dq * dp) AS VARCHAR) AS DOUBLE) AS sxy,
+         |       CAST(CAST(sum(dq * dp) AS VARCHAR) AS DOUBLE) /
+         |         NULLIF(sqrt(CAST(CAST(sum(dq * dq) AS VARCHAR) AS DOUBLE)
+         |              * CAST(CAST(sum(dp * dp) AS VARCHAR) AS DOUBLE)),
+         |           0.0) AS rho
          |FROM dev GROUP BY 1""".stripMargin) { (s, d) =>
       val c = Tables.lineitem(s, d).select(
         col("l_quantity").cast("long").as("q"),
@@ -1053,9 +1078,13 @@ object Profiling {
         .select(col("n"), col("sxx").cast("double").as("sxx"),
           col("syy").cast("double").as("syy"),
           col("sxy").cast("double").as("sxy"),
-          (col("sxy").cast("double") /
-            sqrt(col("sxx").cast("double") * col("syy").cast("double")))
-            .as("rho"))
+          // an all-tie column has zero rank variance: rho is undefined
+          // -> NULL, never an ANSI divide-by-zero abort (fuzz `ties`)
+          (col("sxy").cast("double") / {
+            val den =
+              sqrt(col("sxx").cast("double") * col("syy").cast("double"))
+            when(den =!= 0.0, den)
+          }).as("rho"))
     },
 
     // Join-key skew census: the top-10 heaviest supplier keys with their

@@ -1055,18 +1055,19 @@ object Timeseries {
          |       n * sxy - sx * sy AS slope_num,
          |       n * sxx - sx * sx AS slope_den,
          |       CAST(n * sxy - sx * sy AS DOUBLE)
-         |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+         |         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+         |         AS slope_cents,
          |       (CAST(sy AS DOUBLE)
          |        - (CAST(n * sxy - sx * sy AS DOUBLE)
-         |           / CAST(n * sxx - sx * sx AS DOUBLE))
+         |           / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
          |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
          |         AS intercept_cents,
          |       (CAST(sy AS DOUBLE)
          |        - (CAST(n * sxy - sx * sy AS DOUBLE)
-         |           / CAST(n * sxx - sx * sx AS DOUBLE))
+         |           / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
          |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
          |       + (CAST(n * sxy - sx * sy AS DOUBLE)
-         |          / CAST(n * sxx - sx * sx AS DOUBLE))
+         |          / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
          |         * CAST(last_day + 7 AS DOUBLE) AS fc7_cents
          |FROM m""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
@@ -1081,7 +1082,11 @@ object Timeseries {
         max(col("day")).as("last_day"))
       val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
       val slopeDen = col("n") * col("sxx") - col("sx") * col("sx")
-      val slope = slopeNum.cast("double") / slopeDen.cast("double")
+      // degenerate regression (a single distinct day -> zero x-variance)
+      // yields NULL, not a job-killing ANSI divide-by-zero: at 100 TB a
+      // one-day slice must not abort the whole run (fuzz regime `ties`)
+      val slope = slopeNum.cast("double") /
+        when(slopeDen =!= 0, slopeDen.cast("double"))
       val intercept = (col("sy").cast("double") -
         slope * col("sx").cast("double")) / col("n").cast("double")
       m.select(col("n"),
@@ -1444,15 +1449,15 @@ object Timeseries {
          |  FROM comp),
          |m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |         CAST(count(*)::HUGEINT * sum(r * r)
-         |              - sum(r)::HUGEINT * sum(r) AS DOUBLE)
+         |         CAST(CAST(count(*)::HUGEINT * sum(r * r)
+         |              - sum(r)::HUGEINT * sum(r) AS VARCHAR) AS DOUBLE)
          |           AS var_r_num,
-         |         CAST(count(*)::HUGEINT * sum(tr * tr)
+         |         CAST(CAST(count(*)::HUGEINT * sum(tr * tr)
          |              - sum(tr)::HUGEINT * sum(tr)
-         |              AS DOUBLE) AS var_tr_num,
-         |         CAST(count(*)::HUGEINT * sum(sr * sr)
+         |              AS VARCHAR) AS DOUBLE) AS var_tr_num,
+         |         CAST(CAST(count(*)::HUGEINT * sum(sr * sr)
          |              - sum(sr)::HUGEINT * sum(sr)
-         |              AS DOUBLE) AS var_sr_num
+         |              AS VARCHAR) AS DOUBLE) AS var_sr_num
          |  FROM c)
          |SELECT n, var_r_num, var_tr_num, var_sr_num,
          |       greatest(0.0, 1.0 - CAST(var_r_num AS DOUBLE)

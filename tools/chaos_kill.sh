@@ -30,6 +30,13 @@ mkdir -p "$SPARK_GRAFT_CHECKPOINT_DIR"
 DRIVER=$!
 
 (
+  # wait for the standalone worker to actually launch executor JVMs
+  # (local-cluster startup takes 10-30s under load), THEN give the job
+  # KILL_AFTER seconds of real progress before striking
+  for _ in $(seq 1 120); do
+    pgrep -f CoarseGrainedExecutorBackend >/dev/null && break
+    sleep 1
+  done
   sleep "$KILL_AFTER"
   # executors of this run: CoarseGrainedExecutorBackend children whose
   # command line carries this driver's app (standalone worker launches

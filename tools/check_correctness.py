@@ -31,7 +31,12 @@ for name in sorted(os.listdir(outdir)):
     if name not in oracle:
         print(f"{name:24s} noOracle rows={len(spark)}")
         continue
-    odf = con.execute(oracle[name]).df()
+    try:
+        odf = con.execute(oracle[name]).df()
+    except Exception as e:  # an oracle-side error fails THIS entry only
+        fails += 1
+        print(f"{name:24s} FAIL oracle-error: {str(e)[:160]}")
+        continue
     s, o = canon(spark), canon(odf)
     ok_rows = len(s) == len(o)
     ok_schema = list(s.columns) == list(o.columns)
