@@ -43,7 +43,7 @@ def compare_one(outdir, name, sfdir, sql, result_path):
     try:
         spark = pd.read_parquet(os.path.join(outdir, name))
         con = duckdb.connect()
-        con.execute("SET threads TO 4")
+        con.execute(f"SET threads TO {os.environ.get('DUCKDB_THREADS', '4')}")
         for p in glob.glob(os.path.join(sfdir, "*.parquet")):
             t = os.path.basename(p)[:-8]
             # ScaleGen writes Spark directory-layout parquet; the
