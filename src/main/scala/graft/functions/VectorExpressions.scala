@@ -510,6 +510,14 @@ object GraftFunctions {
         children(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray())),
+    (FunctionIdentifier("md5_slices32"),
+      new ExpressionInfo(classOf[Md5Slices32].getName, "md5_slices32"),
+      (children: Seq[Expression]) => Md5Slices32(children(0))),
+    (FunctionIdentifier("md5_bits"),
+      new ExpressionInfo(classOf[Md5Bits].getName, "md5_bits"),
+      (children: Seq[Expression]) => Md5Bits(children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_md5"),
       (children: Seq[Expression]) => SimhashSigs(children(0), portable = true)),
@@ -590,6 +598,11 @@ object GraftFunctions {
   def rankBucket(c: Column, bounds: Seq[Double]): Column =
     call_function("zorder_rank", c,
       org.apache.spark.sql.functions.typedlit(bounds))
+  def md5Slices32(s: Column): Column = call_function("md5_slices32", s)
+  def md5Bits(s: Column, start: Int, len: Int): Column =
+    call_function("md5_bits", s,
+      org.apache.spark.sql.functions.lit(start),
+      org.apache.spark.sql.functions.lit(len))
   def simhashMd5(tokens: Column): Column = call_function("simhash_md5", tokens)
   def simhashXx(tokens: Column): Column = call_function("simhash_xx", tokens)
   def bloomAgg(hashed: Column, estItems: Long, numBits: Long): Column =

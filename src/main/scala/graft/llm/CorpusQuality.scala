@@ -341,7 +341,7 @@ object CorpusQuality {
     val occ = docs.select(col(strataCol).as("src"),
         explode(TextFeatures.tokens(col(textCol))).as("tok"))
       .select(col("src"),
-        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
+        pmod(graft.functions.GraftFunctions.md5Bits(col("tok"), 1, 6),
           lit(B.toLong)).cast("int").as("bucket"))
     val counts = occ.groupBy(col("src"), col("bucket"))
       .agg(count(lit(1)).as("n"))

@@ -3254,9 +3254,9 @@ object LlmOps {
         .select(col("doc_id"), posexplode(TextFeatures.tokens(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
           col("col").as("tok"))
-        .withColumn("masked", expr(
-          "CAST(conv(substring(md5(concat('span:', CAST(doc_id AS STRING)," +
-            " ':', CAST(p AS STRING))), 1, 4), 16, 10) AS BIGINT) < 9830"))
+        .withColumn("masked", graft.functions.GraftFunctions.md5Bits(
+          concat(lit("span:"), col("doc_id").cast("string"), lit(":"),
+            col("p").cast("string")), 1, 4) < 9830)
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val byMask = Window.partitionBy(col("doc_id"), col("masked"))
         .orderBy(col("p"))
@@ -3370,12 +3370,12 @@ object LlmOps {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), TextFeatures.tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("c1", expr(
-          "CAST(conv(substring(md5(concat('fim1:'," +
-            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % (n + 1)"))
-        .withColumn("c2", expr(
-          "CAST(conv(substring(md5(concat('fim2:'," +
-            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % (n + 1)"))
+        .withColumn("c1", graft.functions.GraftFunctions.md5Bits(
+          concat(lit("fim1:"), col("doc_id").cast("string")), 1, 8)
+          % (col("n") + 1))
+        .withColumn("c2", graft.functions.GraftFunctions.md5Bits(
+          concat(lit("fim2:"), col("doc_id").cast("string")), 1, 8)
+          % (col("n") + 1))
         .withColumn("lo", least(col("c1"), col("c2")))
         .withColumn("hi", greatest(col("c1"), col("c2")))
       t.select(col("doc_id"), col("lo").as("cut_lo"), col("hi").as("cut_hi"),
@@ -3854,8 +3854,8 @@ object LlmOps {
         .join(labels, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("label"), col("doc_id")))
         .select(col("doc_id"), col("source"), col("cluster"),
-          (expr("CAST(conv(substring(md5(concat('fold:', " +
-            "CAST(cluster AS STRING))), 1, 8), 16, 10) AS BIGINT)") % 5)
+          (graft.functions.GraftFunctions.md5Bits(
+            concat(lit("fold:"), col("cluster").cast("string")), 1, 8) % 5)
             .as("fold"))
     },
 
@@ -3896,6 +3896,103 @@ object LlmOps {
           .select(col("lang"), col("source"), col("pair_id"),
             col("chosen_id"), col("rejected_id"), col("chosen_reward"),
             col("rejected_reward"), col("gap"))
+    },
+
+    // Bradley–Terry preference-strength ratings (Bradley & Terry 1952;
+    // Hunter 2004 MM fit) — the model behind reward-model eval and
+    // arena leaderboards, fit here over deterministic cross-source
+    // document "matches": consecutive docs in each md5 bucket play one
+    // match, more chars wins (doc_id tiebreak), players are sources.
+    // The pair stream and the K x K win matrix are distributed; the MM
+    // solve is a bounded driver model (Mixing.btRatings) replayed
+    // integer-for-integer by the recursive CTE: denominator terms
+    // (n_ij * 1e12) // (r_i + r_j) summed exactly, one more floor-div
+    // for the update, mean-1e6 normalization per round, 12 rounds.
+    Op("mix_bt_ratings",
+       """WITH RECURSIVE d0 AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS reward,
+         |         CAST(CAST('0x' || substr(md5(concat('bt:',
+         |              CAST(doc_id AS VARCHAR))), 1, 6) AS BIGINT) % 256
+         |           AS INT) AS bucket
+         |  FROM documents),
+         |p AS (
+         |  SELECT bucket, doc_id, source, reward,
+         |         lag(source) OVER win AS psrc,
+         |         lag(reward) OVER win AS prew,
+         |         lag(doc_id) OVER win AS pid
+         |  FROM d0 WINDOW win AS (PARTITION BY bucket ORDER BY doc_id)),
+         |m AS (
+         |  SELECT CASE WHEN reward > prew OR (reward = prew AND doc_id < pid)
+         |              THEN source ELSE psrc END AS w,
+         |         CASE WHEN reward > prew OR (reward = prew AND doc_id < pid)
+         |              THEN psrc ELSE source END AS l,
+         |         CAST(count(*) AS HUGEINT) AS n
+         |  FROM p WHERE psrc IS NOT NULL AND psrc <> source
+         |  GROUP BY 1, 2),
+         |games AS (
+         |  SELECT a, b, CAST(sum(n) AS HUGEINT) AS g FROM (
+         |    SELECT w AS a, l AS b, n FROM m
+         |    UNION ALL SELECT l, w, n FROM m)
+         |  GROUP BY 1, 2),
+         |players AS (SELECT DISTINCT a AS s FROM games),
+         |wins AS (
+         |  SELECT pl.s, CAST(coalesce(mw.nn, 0) AS HUGEINT) AS wins
+         |  FROM players pl LEFT JOIN (
+         |    SELECT w, CAST(sum(n) AS HUGEINT) AS nn FROM m GROUP BY 1) mw
+         |  ON mw.w = pl.s),
+         |nk AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM players),
+         |it AS (
+         |  SELECT 0 AS iter, s, CAST(1000000 AS HUGEINT) AS r FROM players
+         |  UNION ALL
+         |  SELECT iter + 1, s,
+         |         GREATEST(CAST(1 AS HUGEINT),
+         |           (raw * (SELECT k FROM nk) * 1000000)
+         |             // (sum(raw) OVER ())) AS r
+         |  FROM (
+         |    SELECT d.iter, d.s,
+         |           GREATEST(CAST(1 AS HUGEINT),
+         |             (w.wins * CAST(1000000000000 AS HUGEINT)) // d.denom)
+         |             AS raw
+         |    FROM (
+         |      SELECT i.iter, i.s,
+         |             sum((g.g * CAST(1000000000000 AS HUGEINT))
+         |                 // (i.r + j.r)) AS denom
+         |      FROM it i
+         |      JOIN games g ON g.a = i.s
+         |      JOIN it j ON j.iter = i.iter AND j.s = g.b
+         |      WHERE i.iter < 12
+         |      GROUP BY 1, 2) d
+         |    JOIN wins w ON w.s = d.s))
+         |SELECT it.s AS source, CAST(it.r AS BIGINT) AS rating,
+         |       CAST(w.wins AS BIGINT) AS wins, CAST(gt.g AS BIGINT) AS games
+         |FROM it
+         |JOIN wins w ON w.s = it.s
+         |JOIN (SELECT a AS s, CAST(sum(g) AS HUGEINT) AS g FROM games
+         |      GROUP BY 1) gt ON gt.s = it.s
+         |WHERE it.iter = 12""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("reward"))
+        .withColumn("bucket",
+          pmod(graft.functions.GraftFunctions.md5Bits(
+            concat(lit("bt:"), col("doc_id").cast("string")), 1, 6),
+            lit(256L)).cast("int"))
+      val win = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val p = b.select(col("bucket"), col("doc_id"), col("source"),
+          col("reward"),
+          lag(col("source"), 1).over(win).as("psrc"),
+          lag(col("reward"), 1).over(win).as("prew"),
+          lag(col("doc_id"), 1).over(win).as("pid"))
+        .filter(col("psrc").isNotNull && col("psrc") =!= col("source"))
+      val curWins = col("reward") > col("prew") ||
+        (col("reward") === col("prew") && col("doc_id") < col("pid"))
+      val pairs = p.select(
+        when(curWins, col("source")).otherwise(col("psrc")).as("w"),
+        when(curWins, col("psrc")).otherwise(col("source")).as("l"))
+      Mixing.btRatings(pairs, "w", "l", iters = 12)
+        .select(col("player").as("source"), col("rating"), col("wins"),
+          col("games"))
     },
 
     // Best-of-n rejection sampling (Stiennon et al. 2020; the BoN

@@ -228,8 +228,8 @@ object Mixing {
   def shardId(id: Column, nShards: Int): Column = {
     require(nShards >= 1 && nShards <= 256,
       s"nShards must be in [1, 256], got $nShards")
-    pmod(conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int"),
-      lit(nShards))
+    pmod(graft.functions.GraftFunctions.md5Bits(id.cast("string"), 1, 2)
+      .cast("int"), lit(nShards))
   }
 
   /** Per-shard manifest — the summary record (docs/tokens/chars per output
@@ -632,7 +632,7 @@ object Mixing {
         explode(concat(col("toks"), TextFeatures.bigramsOfTokens(col("toks"))))
           .as("gram"))
       .select(col(idCol), col("is_target"),
-        pmod(conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long"),
+        pmod(graft.functions.GraftFunctions.md5Bits(col("gram"), 1, 6),
           lit(nBuckets.toLong)).cast("int").as("bucket"))
       // bucket is never null; the explicit filter mirrors the isnotnull
       // the join constraint inserts on the scoring branch, so all three
@@ -680,9 +680,9 @@ object Mixing {
   def dsirResample(weights: DataFrame, idCol: String, k: Int,
                    seed: String = "dsir"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (conv(substring(
-        md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8),
-        16, 10).cast("long").cast("double") + 0.5) / lit(4294967296.0)
+    val u = (graft.functions.GraftFunctions.md5Bits(
+        concat(lit(seed + ":"), col(idCol).cast("string")), 1, 8)
+        .cast("double") + 0.5) / lit(4294967296.0)
     val gumbel = round(-graft.functions.GraftFunctions.ieeeLn(
         -graft.functions.GraftFunctions.ieeeLn(u)) * lit(1048576.0))
       .cast("long").cast("double") / lit(1048576.0)
@@ -712,9 +712,9 @@ object Mixing {
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int, seed: String = "wsample"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (conv(substring(
-        md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8),
-        16, 10).cast("long").cast("double") + 0.5) / lit(4294967296.0)
+    val u = (graft.functions.GraftFunctions.md5Bits(
+        concat(lit(seed + ":"), col(idCol).cast("string")), 1, 8)
+        .cast("double") + 0.5) / lit(4294967296.0)
     val key = round(graft.functions.GraftFunctions.ieeeLn(u) /
         weightCol.cast("double") * lit(1048576.0))
       .cast("long").cast("double") / lit(1048576.0)
@@ -759,5 +759,74 @@ object Mixing {
         when(h < lit(thresh(1.0 - valFrac - testFrac)), lit("train"))
           .when(h < lit(thresh(1.0 - testFrac)), lit("val"))
           .otherwise(lit("test")))
+  }
+
+  /** Bradley–Terry preference-strength ratings (Bradley & Terry 1952)
+    * fit by Hunter's MM algorithm (Hunter 2004, "MM algorithms for
+    * generalized Bradley-Terry models") — the model behind reward-model
+    * eval and arena-style leaderboards: given pairwise outcomes between
+    * K players, find strengths pi_i with P(i beats j) = pi_i/(pi_i+pi_j).
+    * Update per round: pi_i <- W_i / sum_j n_ij/(pi_i + pi_j).
+    *
+    * `pairs` has one row per decided comparison with `winnerCol` /
+    * `loserCol` (player ids). Returns one row per player:
+    * (player, rating, wins, games) with rating the fixed-point strength
+    * after `iters` MM rounds, normalized each round to mean 1e6.
+    *
+    * Exactness: the whole fit is integer arithmetic — each denominator
+    * term is (n_ij * 1e12) floor-div (r_i + r_j), summed exactly (term
+    * order is irrelevant once each term is an exact integer), the
+    * update floor-divides once more, and the per-round normalization is
+    * (raw_i * K * 1e6) floor-div sum(raw). Both engines walk identical
+    * integers, so the rating table hash-compares. BigInt here, HUGEINT
+    * in the DuckDB replay — no overflow on either side at any corpus
+    * scale (products stay under 2^90 for n_ij up to 1e12).
+    *
+    * Scale shape: the heavy work — producing and aggregating the pair
+    * outcomes — is distributed (one groupBy over the pair stream); the
+    * MM solve touches only the K x K win matrix, a bounded driver model
+    * like the k-means centroid loop (guarded at 4096 players /
+    * 2^24 matrix cells). Rounds are fixed, not converged, so the
+    * output is partitioning- and engine-invariant.
+    */
+  def btRatings(pairs: DataFrame, winnerCol: String, loserCol: String,
+                iters: Int = 12): DataFrame = {
+    val spark = pairs.sparkSession
+    val m = pairs.groupBy(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
+    require(m.length <= (1 << 24), s"win matrix too large: ${m.length}")
+    val players = m.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    require(players.length <= 4096,
+      s"too many players for the bounded solve: ${players.length}")
+    val k = BigInt(players.length)
+    val scale = BigInt("1000000000000") // 1e12
+    val unit = BigInt(1000000)          // 1e6
+    val wins = players.map(p =>
+      p -> BigInt(m.filter(_._1 == p).map(_._3).sum)).toMap
+    // undirected games per unordered pair, stored both directions
+    val games = m.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum)
+      .toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+      .groupBy(t => (t._1, t._2)).view.mapValues(v => BigInt(v.map(_._3).sum))
+      .toMap
+    val byPlayer = games.keys.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    var r = players.map(p => p -> unit).toMap
+    (1 to iters).foreach { _ =>
+      val raw = players.map { p =>
+        val denom = byPlayer(p).map(q =>
+          games((p, q)) * scale / (r(p) + r(q))).sum
+        p -> (wins(p) * scale / denom).max(BigInt(1))
+      }.toMap
+      val tot = raw.values.sum
+      r = players.map(p =>
+        p -> (raw(p) * k * unit / tot).max(BigInt(1))).toMap
+    }
+    import spark.implicits._
+    players.map { p =>
+      (p, r(p).toLong, wins(p).toLong,
+        byPlayer(p).map(q => games((p, q))).sum.toLong)
+    }.toSeq.toDF("player", "rating", "wins", "games")
   }
 }

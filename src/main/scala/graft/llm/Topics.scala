@@ -190,8 +190,9 @@ object Topics {
     val byZ = Window.partitionBy(col("z"))
     var phi = cut(zdf.crossJoin(broadcast(vocab))
       .select(col("z"), col("tok"),
-        (expr("CAST(conv(substring(md5(concat('plsa:', CAST(z AS STRING)," +
-          " ':', tok)), 1, 8), 16, 10) AS BIGINT)") % 1000 + 1).as("r"))
+        (graft.functions.GraftFunctions.md5Bits(
+          concat(lit("plsa:"), col("z").cast("string"), lit(":"),
+            col("tok")), 1, 8) % 1000 + 1).as("r"))
       .withColumn("sr", sum(col("r")).over(byZ))
       .withColumn("phi", greatest(expr(s"r * $S div sr"), lit(1L)))
       .select(col("z"), col("tok"), col("phi")))

@@ -81,16 +81,20 @@ object Analytics {
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"),
           (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      // draws via the native md5_slices32 kernel — element j is
+      // byte-equal to the conv(substring(md5, 1+j*8, 8)) slice the
+      // oracle SQL replays (Md5DrawParitySpec), minus the hex-string
+      // build + substring + conv parse per (row, replicate)
       val fan = o.select(col("o_orderkey"), col("cents"),
           explode(sequence(lit(0), lit(7))).as("g"))
         .select(col("cents"), col("g"),
-          md5(concat(lit("boot:"), col("g").cast("string"), lit(":"),
-            col("o_orderkey").cast("string"))).as("h"))
+          graft.functions.GraftFunctions.md5Slices32(
+            concat(lit("boot:"), col("g").cast("string"), lit(":"),
+              col("o_orderkey").cast("string"))).as("hs"))
         .select(col("cents"), col("g"),
-          explode(sequence(lit(0), lit(3))).as("j"), col("h"))
+          posexplode(col("hs")).as(Seq("j", "hv")))
         .select((col("g") * 4 + col("j")).as("b"), col("cents"),
-          expr("CAST(conv(substring(h, 1 + j * 8, 8), 16, 10) AS BIGINT)")
-            .as("hv"))
+          col("hv"))
       val w = poissonCuts.zipWithIndex.reverse
         .foldLeft(lit(6): org.apache.spark.sql.Column) {
           case (acc, (c, j)) => when(col("hv") < c, lit(j)).otherwise(acc)
@@ -210,17 +214,19 @@ object Analytics {
           .as("n0"),
         (expr("s1 * 1000 div n1") - expr("s0 * 1000 div (n - n1)"))
           .as("d_obs"))
+      // same md5_slices32 routing as f_bootstrap_ci: draws bit-equal
+      // to the oracle's conv(substring(md5)) slices (Md5DrawParitySpec)
       val fan = o.crossJoin(broadcast(tot.select(col("n"), col("n1"))))
         .select(col("o_orderkey"), col("cents"), col("n"), col("n1"),
           explode(sequence(lit(0), lit(7))).as("g"))
         .select(col("cents"), col("n"), col("n1"), col("g"),
-          md5(concat(lit("perm:"), col("g").cast("string"), lit(":"),
-            col("o_orderkey").cast("string"))).as("h"))
+          graft.functions.GraftFunctions.md5Slices32(
+            concat(lit("perm:"), col("g").cast("string"), lit(":"),
+              col("o_orderkey").cast("string"))).as("hs"))
         .select(col("cents"), col("n"), col("n1"), col("g"),
-          explode(sequence(lit(0), lit(3))).as("j"), col("h"))
+          posexplode(col("hs")).as(Seq("j", "hv")))
         .select((col("g") * 4 + col("j")).as("b"), col("cents"),
-          (expr("CAST(conv(substring(h, 1 + j * 8, 8), 16, 10)" +
-            " AS BIGINT)") * col("n") <
+          (col("hv") * col("n") <
             lit(4294967296L) * col("n1")).cast("long").as("gb"))
       val reps = fan.groupBy(col("b"))
         .agg(sum(col("gb")).as("m1"),

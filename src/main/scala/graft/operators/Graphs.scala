@@ -1063,9 +1063,9 @@ object Graphs {
     val frames = scala.collection.mutable.ArrayBuffer(state)
     var t = 1
     while (t <= steps) {
-      val hv = expr("CAST(conv(substring(md5(concat('walk:', " +
-        s"CAST(walk AS STRING), ':', CAST($t AS STRING), ':', " +
-        "CAST(dst AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+      val hv = graft.functions.GraftFunctions.md5Bits(
+        concat(lit("walk:"), col("walk").cast("string"), lit(":"),
+          lit(t.toString), lit(":"), col("dst").cast("string")), 1, 8)
       val next = cut(sym.join(broadcast(state), col("src") === col("node"))
         .select(col("walk"), hv.as("hv"), col("dst"))
         .groupBy(col("walk"))

@@ -495,9 +495,8 @@ object Sketches {
     }) { (s, d) =>
       val k = 256
       val kmv = udaf(new Kmv(k), Encoders.scalaLong)
-      val hv = expr(
-        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
-          " AS BIGINT)")
+      val hv = graft.functions.GraftFunctions.md5Bits(
+        col("l_partkey").cast("string"), 1, 15)
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_partkey"), hv.as("hv"))
         .groupBy(col("l_returnflag"))
@@ -545,9 +544,8 @@ object Sketches {
     }) { (s, d) =>
       val k = 256
       val kmv = udaf(new Kmv(k), Encoders.scalaLong)
-      val hv = expr(
-        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
-          " AS BIGINT)")
+      val hv = graft.functions.GraftFunctions.md5Bits(
+        col("l_partkey").cast("string"), 1, 15)
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), hv.as("hv"))
       val stored = li.filter(col("l_orderkey") % 4 =!= 0)
@@ -650,9 +648,8 @@ object Sketches {
     }) { (s, d) =>
       val k = 256
       val kmv = udaf(new Kmv(k), Encoders.scalaLong)
-      val hv = expr(
-        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
-          " AS BIGINT)")
+      val hv = graft.functions.GraftFunctions.md5Bits(
+        col("l_partkey").cast("string"), 1, 15)
       val li = Tables.lineitem(s, d)
         .filter(col("l_returnflag").isin("R", "A"))
         .select(col("l_returnflag").as("s"), col("l_partkey"), hv.as("hv"))
@@ -744,9 +741,8 @@ object Sketches {
          |FROM a JOIN ex USING (l_returnflag)""".stripMargin
     }) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val hv = expr(
-        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
-          " AS BIGINT)")
+      val hv = graft.functions.GraftFunctions.md5Bits(
+        col("l_partkey").cast("string"), 1, 15)
       val rem = col("hv").bitwiseAND(lit(281474976710655L))
       val rank = when(rem === 0L, 49)
         .otherwise(lit(49) - length(bin(rem)))
@@ -806,9 +802,8 @@ object Sketches {
     }) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .filter(col("l_returnflag").isin("R", "A"))
-      val hv = expr(
-        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)" +
-          " AS BIGINT)")
+      val hv = graft.functions.GraftFunctions.md5Bits(
+        col("l_partkey").cast("string"), 1, 15)
       val rem = col("hv").bitwiseAND(lit(281474976710655L))
       val rank = when(rem === 0L, 49)
         .otherwise(lit(49) - length(bin(rem)))
@@ -896,9 +891,8 @@ object Sketches {
       val ev = Tables.events(s, d)
       val day = unix_date(to_date(col("ts"))).cast("long").as("day")
       val days = ev.select(day).distinct()
-      val hv = expr(
-        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)" +
-          " AS BIGINT)")
+      val hv = graft.functions.GraftFunctions.md5Bits(
+        col("user_id").cast("string"), 1, 15)
       val rem = col("hv").bitwiseAND(lit(281474976710655L))
       val rank = when(rem === 0L, 49)
         .otherwise(lit(49) - length(bin(rem)))

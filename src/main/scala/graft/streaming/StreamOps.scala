@@ -90,8 +90,8 @@ object StreamOps {
       org.apache.spark.sql.Encoders.scalaLong)
     docs
       .select(col(strataCol).as("stratum"),
-        expr(s"CAST(conv(substring(md5(CAST($valueCol AS STRING)), 1, 15)," +
-          " 16, 10) AS BIGINT)").as("hv"))
+        graft.functions.GraftFunctions.md5Bits(
+          col(valueCol).cast("string"), 1, 15).as("hv"))
       .groupBy(col("stratum"))
       .agg(kmv(col("hv")).as("sk"))
       .select(col("stratum"),

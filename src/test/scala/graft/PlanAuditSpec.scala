@@ -306,14 +306,21 @@ class PlanAuditSpec extends SparkSpec {
     // unavoidable cost of ANY plan over the table. knn_lsh construction
     // must add nothing on top (the r3 formulation ran a corpus count()
     // per call: baseline + 1).
-    def jobs() = spark.sparkContext.statusTracker
-      .getJobIdsForGroup(null).length
-    val b0 = jobs()
-    Tables.embeddings(spark, sf)
-    val baseline = jobs() - b0
-    val q0 = jobs()
-    SparkEntry.queries("knn_lsh")(spark, sf)
-    val cost = jobs() - q0
+    // count within explicit job groups: the ungrouped global job-id list
+    // is bounded by spark.ui.retainedJobs, so a full-suite run can EVICT
+    // entries between two samples and a before/after difference goes
+    // negative (observed: baseline -99)
+    def jobsIn(tag: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try f finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val baseline = jobsIn("plan-audit-baseline") {
+      Tables.embeddings(spark, sf)
+    }
+    val cost = jobsIn("plan-audit-knn-lsh") {
+      SparkEntry.queries("knn_lsh")(spark, sf)
+    }
     assert(cost <= baseline,
       s"knn_lsh plan construction ran $cost job(s) vs read-only baseline $baseline")
   }

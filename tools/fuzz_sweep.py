@@ -57,7 +57,7 @@ ENTRIES = [
     "llm_unigram_token_counts", "llm_bpe_byte_counts",
     # mixing
     "mix_temperature_sample", "mix_token_budget", "mix_pack_sequences",
-    "mix_kfold", "mix_stratified_sample",
+    "mix_kfold", "mix_stratified_sample", "mix_bt_ratings",
     # retrieval + embeddings
     "text_bm25_topk", "hybrid_rrf", "knn_cosine", "embed_kmeans",
     "embed_quantize_int8", "embed_near_dup",
