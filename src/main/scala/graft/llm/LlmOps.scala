@@ -1451,20 +1451,34 @@ object LlmOps {
     },
 
     // EXACT n-gram Jaccard similarity join (prefix-filtered AllPairs).
-    // The oracle is the brute-force ALL-PAIRS join — tractable at sf0.01
-    // (500 docs -> 125k pairs) — so the hash-match proves the prefix
-    // filter is LOSSLESS at the threshold, not merely that the engine
-    // agrees with its own candidate generator. No hashing anywhere:
-    // shingles compare as strings, Jaccard is one int/int division, so
-    // the whole operator replays in DuckDB bit-for-bit.
+    // The oracle computes the EXACT Jaccard of every pair sharing at
+    // least one shingle, via the inverted index: the shingle lists are
+    // distinct sets, so the per-pair match count over the index IS
+    // |A∩B| and the union follows by inclusion-exclusion — the same
+    // integers the all-pairs list_intersect form divided, through the
+    // same single IEEE division (equality of the two forms verified at
+    // sf0.001/sf0.01, r11). Restricting to shared-shingle pairs is
+    // LOSSLESS at any threshold > 0 (it prunes only jaccard = 0), and
+    // the candidates come from EVERY shared shingle, not the engine's
+    // prefix — so the hash-match still proves the engine's prefix
+    // filter lossless, while the replay stays tractable at sf1 (the
+    // unrestricted a x b form timed DuckDB out at 6M rows).
     Op("dedup_jaccard",
        s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          |sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks)
-          |SELECT id_a, id_b, jaccard FROM (
+          |sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks),
+          |occ AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          |sizes AS (SELECT doc_id, len(sh) AS ns FROM sh),
+          |ic AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |         CAST(count(*) AS BIGINT) AS c
+          |  FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, jaccard FROM (
+          |  SELECT ic.id_a, ic.id_b,
+          |    CAST(ic.c AS DOUBLE) / (x.ns + y.ns - ic.c) AS jaccard
+          |  FROM ic
+          |  JOIN sizes x ON x.doc_id = ic.id_a
+          |  JOIN sizes y ON y.doc_id = ic.id_b)
           |WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
       Dedup.jaccardNearDups(Tables.documents(s, d), threshold = 0.8)
     },
@@ -1472,16 +1486,25 @@ object LlmOps {
     // Directional containment join (quote/subset detection): ordered
     // pairs with |Sa∩Sb|/|Sa| >= 0.9 — the asymmetric derivative-content
     // relation Jaccard misses. Probe-prefix-filtered, exact; the oracle
-    // is the brute-force all-ordered-pairs replay, so a hash match
-    // proves the prefix filter lossless.
+    // counts shared shingles over the inverted index (exact |Sa∩Sb| on
+    // distinct shingle sets — the dedup_jaccard note; containment >=
+    // 0.9 > 0 requires a shared shingle, so the restriction is
+    // lossless), proving the probe-prefix filter lossless.
     Op("dedup_containment",
        s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          |sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks)
-          |SELECT id_a, id_b, containment FROM (
+          |sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks),
+          |occ AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          |sizes AS (SELECT doc_id, len(sh) AS ns FROM sh),
+          |ic AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          |      / len(a.sh) AS containment
-          |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id)
+          |         CAST(count(*) AS BIGINT) AS c
+          |  FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id != b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, containment FROM (
+          |  SELECT ic.id_a, ic.id_b,
+          |    CAST(ic.c AS DOUBLE) / x.ns AS containment
+          |  FROM ic
+          |  JOIN sizes x ON x.doc_id = ic.id_a)
           |WHERE containment >= 0.9""".stripMargin) { (s, d) =>
       Dedup.containmentDups(Tables.documents(s, d), threshold = 0.9)
     },
@@ -1498,12 +1521,20 @@ object LlmOps {
        s"""WITH truth AS (
           |  SELECT id_a, id_b FROM (
           |    WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          |    sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks)
-          |    SELECT id_a, id_b FROM (
+          |    sh AS (SELECT doc_id, ${shSql(3)} AS sh FROM toks),
+          |    occ AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          |    sizes AS (SELECT doc_id, len(sh) AS ns FROM sh),
+          |    ic AS (
           |      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          |             CAST(count(*) AS BIGINT) AS c
+          |      FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2)
+          |    SELECT id_a, id_b FROM (
+          |      SELECT ic.id_a, ic.id_b,
+          |        CAST(ic.c AS DOUBLE) / (x.ns + y.ns - ic.c) AS jaccard
+          |      FROM ic
+          |      JOIN sizes x ON x.doc_id = ic.id_a
+          |      JOIN sizes y ON y.doc_id = ic.id_b)
           |    WHERE jaccard >= 0.8)),
           |lsh AS (
           |  SELECT id_a, id_b FROM (
@@ -4485,6 +4516,101 @@ object LlmOps {
             / (col("nb").cast("double") * col("c1").cast("double")
               * col("c2").cast("double"))).as("pmi"))
         .orderBy(col("pmi").desc, col("bigram"))
+        .limit(25)
+    },
+
+    // Log-likelihood-ratio collocations (Dunning 1993, "Accurate methods
+    // for the statistics of surprise and coincidence") — the significance
+    // test that fixed PMI's rare-pair bias and remains the default
+    // collocation scorer in NLP pipelines: G2 over the bigram
+    // contingency table (first-position vs second-position margins drawn
+    // from the bigram relation itself, so rows and columns sum exactly),
+    //   llr = 2 * sum_ij k_ij * ln(k_ij * N / (R_i * C_j)),
+    // zero cells contributing zero. Same scale shape as PMI: two keyed
+    // margins, one 1-row broadcast total, a keyed join per side, and a
+    // distributed top-25 (TakeOrderedAndProject). Hash parity: every
+    // count is an exact BIGINT cast to double (products stay under
+    // 2^53), each term is one IEEE division + ieee_ln + multiply, and
+    // the four terms fold in the same written order on both engines.
+    Op("text_llr_collocations",
+       s"""WITH toks AS (SELECT $toksSql AS toks FROM documents),
+          |bg AS (
+          |  SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM (
+          |    SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+          |      ELSE list_transform(range(0, len(toks) - 1),
+          |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS bigram
+          |    FROM toks)
+          |  GROUP BY bigram),
+          |w AS (
+          |  SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+          |         split_part(bigram, ' ', 2) AS w2
+          |  FROM bg),
+          |r1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM w GROUP BY 1),
+          |r2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM w GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM w)
+          |SELECT bigram, k11, llr FROM (
+          |  SELECT w.bigram, w.c12 AS k11,
+          |    2.0 * (((CASE WHEN w.c12 = 0 THEN 0.0 ELSE
+          |        CAST(w.c12 AS DOUBLE) * ln((CAST(w.c12 AS DOUBLE)
+          |          * CAST(t.nb AS DOUBLE))
+          |          / (CAST(r1.c1 AS DOUBLE) * CAST(r2.c2 AS DOUBLE))) END
+          |      + CASE WHEN r1.c1 - w.c12 = 0 THEN 0.0 ELSE
+          |        CAST(r1.c1 - w.c12 AS DOUBLE)
+          |          * ln((CAST(r1.c1 - w.c12 AS DOUBLE)
+          |          * CAST(t.nb AS DOUBLE))
+          |          / (CAST(r1.c1 AS DOUBLE)
+          |             * CAST(t.nb - r2.c2 AS DOUBLE))) END)
+          |      + CASE WHEN r2.c2 - w.c12 = 0 THEN 0.0 ELSE
+          |        CAST(r2.c2 - w.c12 AS DOUBLE)
+          |          * ln((CAST(r2.c2 - w.c12 AS DOUBLE)
+          |          * CAST(t.nb AS DOUBLE))
+          |          / (CAST(t.nb - r1.c1 AS DOUBLE)
+          |             * CAST(r2.c2 AS DOUBLE))) END)
+          |      + CASE WHEN t.nb - r1.c1 - r2.c2 + w.c12 = 0 THEN 0.0 ELSE
+          |        CAST(t.nb - r1.c1 - r2.c2 + w.c12 AS DOUBLE)
+          |          * ln((CAST(t.nb - r1.c1 - r2.c2 + w.c12 AS DOUBLE)
+          |          * CAST(t.nb AS DOUBLE))
+          |          / (CAST(t.nb - r1.c1 AS DOUBLE)
+          |             * CAST(t.nb - r2.c2 AS DOUBLE))) END) AS llr
+          |  FROM w
+          |  JOIN r1 USING (w1)
+          |  JOIN r2 USING (w2)
+          |  CROSS JOIN tot t
+          |  WHERE w.c12 >= 5)
+          |ORDER BY llr DESC, bigram LIMIT 25""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.ieeeLn
+      def term(k: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+               c: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(k === 0, lit(0.0)).otherwise(
+          k.cast("double") * ieeeLn((k.cast("double") * n.cast("double"))
+            / (r.cast("double") * c.cast("double"))))
+      val bg = Tables.documents(s, d)
+        .select(TextFeatures.tokens(col("text")).as("toks"))
+        .select(explode(TextFeatures.bigramsOfTokens(col("toks")))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      val w = bg
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      val r1 = w.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val r2 = w.groupBy("w2").agg(sum(col("c12")).as("c2"))
+      val tot = w.agg(sum(col("c12")).as("nb"))
+      val k11 = col("c12")
+      val k12 = col("c1") - col("c12")
+      val k21 = col("c2") - col("c12")
+      val k22 = col("nb") - col("c1") - col("c2") + col("c12")
+      w.join(r1, Seq("w1"))
+        .join(r2, Seq("w2"))
+        .crossJoin(broadcast(tot)) // 1-row total attach
+        .filter(col("c12") >= 5)
+        .select(col("bigram"), col("c12").as("k11"),
+          (lit(2.0) * (((term(k11, col("c1"), col("c2"), col("nb"))
+            + term(k12, col("c1"), col("nb") - col("c2"), col("nb")))
+            + term(k21, col("nb") - col("c1"), col("c2"), col("nb")))
+            + term(k22, col("nb") - col("c1"), col("nb") - col("c2"),
+                col("nb")))).as("llr"))
+        .orderBy(col("llr").desc, col("bigram"))
         .limit(25)
     },
 

@@ -183,17 +183,42 @@ object Linkage {
        |WHERE score >= $fsThreshold""".stripMargin
   }
 
+  /** DuckDB candidate CTE for the edit-distance-1 truth sets: the same
+    * deletion-neighborhood theorem [[editJoinBySignature]] cites (FastSS,
+    * Bocek et al. 2007 — dist(s,t) <= 1 implies a shared deletion
+    * variant), written independently in DuckDB's list dialect. LOSSLESS
+    * by the theorem, so restricting the levenshtein verify to `cand`
+    * changes nothing — and keeps the replay sf1-tractable (r11: the
+    * unrestricted customer x customer form, 11G pairs at 150k rows,
+    * timed DuckDB out). The all-pairs form remains proven at sf <= 0.01
+    * by the committed r10 records and the fuzz sweep's generated names.
+    */
+  private val sigCandCtes: String =
+    """sigs AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |         unnest(list_distinct(list_transform(
+      |           range(0, len(c_name) + 1),
+      |           i -> substr(c_name, 1, i) || substr(c_name, i + 2))))
+      |           AS sig
+      |  FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |         a.name AS na, b.name AS nb
+      |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id)""".stripMargin
+
   /** Shared DuckDB replay of the blocking + verify + component walk,
     * through `labels(node, label)` — both linkage oracles build on it.
     */
   private val linkCte: String =
-    """WITH RECURSIVE pairs AS (
-      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-      |  FROM customer a JOIN customer b
-      |    ON a.c_nationkey = b.c_nationkey
-      |   AND a.c_mktsegment = b.c_mktsegment
-      |   AND a.c_custkey < b.c_custkey
-      |   AND levenshtein(a.c_name, b.c_name) <= 1),
+    s"""WITH RECURSIVE $sigCandCtes,
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c
+      |  JOIN customer a ON a.c_custkey = c.id_a
+      |  JOIN customer b ON b.c_custkey = c.id_b
+      |  WHERE a.c_nationkey = b.c_nationkey
+      |    AND a.c_mktsegment = b.c_mktsegment
+      |    AND levenshtein(c.na, c.nb) <= 1),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -281,10 +306,10 @@ object Linkage {
 
   val ops: Seq[Op] = Seq(
     Op("er_edit_join_sig",
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) {
+      s"""WITH $sigCandCtes
+        |SELECT id_a, id_b,
+        |       CAST(levenshtein(na, nb) AS INT) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin) {
       (s, d) => editJoinBySignature(Tables.customer(s, d))
     },
     // Blocking-quality evaluation (Christen 2012's two standard
@@ -299,12 +324,15 @@ object Linkage {
     // buys; both counts are keyed aggregates (the candidate-pair count
     // is per-block n*(n-1)/2 summed, never materialized pairs).
     Op("er_blocking_quality",
-       """WITH truth AS (
-         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       s"""WITH $sigCandCtes,
+         |truth AS (
+         |  SELECT c.id_a, c.id_b,
          |         CAST(a.c_nationkey = b.c_nationkey
          |              AND a.c_mktsegment = b.c_mktsegment AS INT) AS blocked
-         |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-         |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+         |  FROM cand c
+         |  JOIN customer a ON a.c_custkey = c.id_a
+         |  JOIN customer b ON b.c_custkey = c.id_b
+         |  WHERE levenshtein(c.na, c.nb) <= 1),
          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
          |             CAST(sum(blocked) AS BIGINT) AS n_caught FROM truth),
          |bl AS (

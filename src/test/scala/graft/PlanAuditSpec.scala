@@ -77,6 +77,9 @@ class PlanAuditSpec extends SparkSpec {
         n == "mix_dsir_resample" || n == "profile_drift_psi" ||
         n == "text_bm25_topk" || n == "hybrid_rrf" ||
         n == "f_equidepth_hist" || n == "text_pmi_collocations" ||
+        // text_llr_collocations: the same 1-row Nb totals attach as the
+        // PMI op it complements (verified below)
+        n == "text_llr_collocations" ||
         n == "text_bm25_batch" || n == "text_perplexity_kn" ||
         n == "embed_quantize_recall" ||
         // f_kmv_jaccard / mix_curriculum: 1-row scalar attaches
@@ -224,6 +227,7 @@ class PlanAuditSpec extends SparkSpec {
         // text_perplexity_kn: the 1-row bigram-type count B attaches the
         // same way as text_perplexity's vocab scalar
         "f_equidepth_hist", "text_pmi_collocations", "text_bm25_batch",
+        "text_llr_collocations",
         // f_kmv_jaccard: the 1-row exact union/intersection aggregate
         // attaches to the 1-row pivoted sketch pair
         "text_perplexity_kn", "f_kmv_jaccard", "text_bm25_prf",

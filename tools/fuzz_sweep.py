@@ -49,6 +49,7 @@ ENTRIES = [
     "text_stats", "text_top_bigrams", "text_tfidf", "text_zipf",
     "text_perplexity", "text_gopher_rules", "text_repetition",
     "text_winnowing", "text_lang_quality", "text_quality_score_frozen",
+    "text_llr_collocations",
     # dedup
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "llm_dedup_lines", "llm_substring_dedup",
