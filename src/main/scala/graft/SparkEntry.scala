@@ -32,7 +32,8 @@ object SparkEntry {
       llm.Retrieval.ops ++
       llm.Classify.ops ++
       llm.Moderation.ops ++
-      llm.Topics.ops
+      llm.Topics.ops ++
+      llm.Evals.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The fct_orders shape (agg + left join + derived total) — the reference's

@@ -518,6 +518,9 @@ object GraftFunctions {
       (children: Seq[Expression]) => Md5Bits(children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("lcs_len"),
+      new ExpressionInfo(classOf[LcsLen].getName, "lcs_len"),
+      (children: Seq[Expression]) => LcsLen(children(0), children(1))),
     (FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashSigs].getName, "simhash_md5"),
       (children: Seq[Expression]) => SimhashSigs(children(0), portable = true)),
@@ -567,6 +570,7 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
   def ieeeLn(x: Column): Column = call_function("ieee_ln", x)
+  def lcsLen(a: Column, b: Column): Column = call_function("lcs_len", a, b)
   def deflateLen(x: Column): Column = call_function("deflate_len", x)
   def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
     call_function("pq_encode", v,

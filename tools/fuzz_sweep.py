@@ -67,6 +67,9 @@ ENTRIES = [
     "e_sessionize", "e_funnel", "ts_ema", "ts_mad_outliers", "ts_ols_trend",
     # multimodal metadata + dbt-style tests
     "multimodal_features_meta", "t_accepted_values",
+    # eval metrics
+    "text_readability", "llm_pass_at_k", "llm_bleu_pairs", "llm_rouge_l",
+    "f_conformal_interval",
 ]
 
 # (regime, entry) -> documented contract boundary. Regime 2 is unicode.
