@@ -225,6 +225,34 @@ object Evals {
           lit(100.0)).as("half_width"))
   }
 
+  /** Leave-one-source-out ablation table — the planning sheet for corpus
+    * mixture decisions: for every source, its token share and what the
+    * corpus-wide mean document length becomes WITHOUT it. Exact integer
+    * sums everywhere; the closed form (total − group) makes the ablation
+    * one aggregate + a broadcast 1-row totals attach, not |sources|
+    * re-scans.
+    */
+  def sourceAblation(docs: DataFrame): DataFrame = {
+    val toks = filter(TextFeatures.tokens(col("text")), t => t =!= "")
+    val per = docs.select(col("source"), size(toks).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("nn"),
+      sum(col("n_tokens")).as("tt"))
+    per.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      (col("n_tokens").cast("double") / col("tt").cast("double"))
+        .as("token_share"),
+      when(col("nn") > col("n_docs"),
+        (col("tt") - col("n_tokens")).cast("double") /
+          (col("nn") - col("n_docs")).cast("double")).as("loo_mean_len"),
+      when(col("nn") > col("n_docs"),
+        (col("tt") - col("n_tokens")).cast("double") /
+          (col("nn") - col("n_docs")).cast("double") -
+          col("tt").cast("double") / col("nn").cast("double"))
+        .as("delta_vs_overall"))
+  }
+
   // --- oracle SQL -----------------------------------------------------
 
   private val toksSql =
@@ -421,6 +449,28 @@ object Evals {
          |WHERE rn = least(n_calib, (9 * (n_calib + 1) + 9) // 10)"""
          .stripMargin) {
       (s, d) => conformalInterval(Tables.events(s, d))
+    },
+
+    // Leave-one-source-out mixture ablation: exact integer sums, three
+    // fixed-shape double columns.
+    Op("mix_source_ablation",
+       s"""WITH per AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+          |               CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+          |SELECT source, n_docs, n_tokens,
+          |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS token_share,
+          |  CASE WHEN nn > n_docs THEN
+          |    CAST(tt - n_tokens AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+          |  END AS loo_mean_len,
+          |  CASE WHEN nn > n_docs THEN
+          |    CAST(tt - n_tokens AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+          |    - CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)
+          |  END AS delta_vs_overall
+          |FROM per, tot""".stripMargin) { (s, d) =>
+      sourceAblation(Tables.documents(s, d))
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1267,6 +1268,90 @@ object Events {
               unix_timestamp(lag(col("ts"), 1).over(w)))
               .as("secs_since_prev"),
             count(lit(1)).over(range7d).as("events_7d"))
+    },
+
+    // Difference-in-differences estimator per event_type: treatment =
+    // user-id parity, the pre/post cut is the discrete median event day
+    // (an existing value — percentile_disc / quantile_disc agree), so the
+    // whole 2×2 design is deterministic. Cell sums stay exact integer
+    // cents; the four means and the DiD are fixed-shape double
+    // expressions. One aggregate over the scan + a broadcast 1-row cut —
+    // nothing here outgrows a 100 TB events table.
+    Op("e_did_estimator",
+       """WITH e AS (
+         |  SELECT event_type, user_id % 2 AS treat,
+         |         CAST(round(value * 100) AS BIGINT) AS cents,
+         |         CAST(datediff('day', DATE '1970-01-01',
+         |                       CAST(ts AS DATE)) AS BIGINT) AS day
+         |  FROM events),
+         |cut AS (SELECT quantile_disc(day, 0.5) AS cutday FROM e),
+         |cells AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN treat = 0 AND day <= cutday
+         |                  THEN cents ELSE 0 END) AS BIGINT) AS s00,
+         |    CAST(sum(CASE WHEN treat = 0 AND day <= cutday
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |    CAST(sum(CASE WHEN treat = 0 AND day > cutday
+         |                  THEN cents ELSE 0 END) AS BIGINT) AS s01,
+         |    CAST(sum(CASE WHEN treat = 0 AND day > cutday
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN treat = 1 AND day <= cutday
+         |                  THEN cents ELSE 0 END) AS BIGINT) AS s10,
+         |    CAST(sum(CASE WHEN treat = 1 AND day <= cutday
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN treat = 1 AND day > cutday
+         |                  THEN cents ELSE 0 END) AS BIGINT) AS s11,
+         |    CAST(sum(CASE WHEN treat = 1 AND day > cutday
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n11
+         |  FROM e, cut GROUP BY 1)
+         |SELECT event_type, n00, n01, n10, n11,
+         |  CASE WHEN n00 > 0 THEN CAST(s00 AS DOUBLE) / n00 END AS m00,
+         |  CASE WHEN n01 > 0 THEN CAST(s01 AS DOUBLE) / n01 END AS m01,
+         |  CASE WHEN n10 > 0 THEN CAST(s10 AS DOUBLE) / n10 END AS m10,
+         |  CASE WHEN n11 > 0 THEN CAST(s11 AS DOUBLE) / n11 END AS m11,
+         |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+         |    (CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+         |    - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)
+         |  END AS did
+         |FROM cells""".stripMargin) { (s, d) =>
+      didEstimator(Tables.events(s, d))
     }
   )
+
+  /** See the e_did_estimator op entry above for the design contract. */
+  def didEstimator(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      (col("user_id") % 2).as("treat"),
+      round(col("value") * 100).cast("long").as("cents"),
+      expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+        .cast("long").as("day"))
+    val cut = e.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY day)")
+        .as("cutday"))
+    def cell(tr: Int, post: Boolean, suffix: String) = {
+      val in = col("treat") === tr &&
+        (if (post) col("day") > col("cutday")
+         else col("day") <= col("cutday"))
+      Seq(sum(when(in, col("cents")).otherwise(0L)).as(s"s$suffix"),
+        sum(when(in, 1L).otherwise(0L)).as(s"n$suffix"))
+    }
+    val aggs = cell(0, post = false, "00") ++ cell(0, post = true, "01") ++
+      cell(1, post = false, "10") ++ cell(1, post = true, "11")
+    val cells = e.crossJoin(broadcast(cut))
+      .groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    def m(suffix: String) =
+      when(col(s"n$suffix") > 0,
+        col(s"s$suffix").cast("double") / col(s"n$suffix").cast("double"))
+    cells.select(col("event_type"),
+      col("n00"), col("n01"), col("n10"), col("n11"),
+      m("00").as("m00"), m("01").as("m01"),
+      m("10").as("m10"), m("11").as("m11"),
+      when(col("n00") > 0 && col("n01") > 0 &&
+           col("n10") > 0 && col("n11") > 0,
+        (col("s11").cast("double") / col("n11").cast("double") -
+          col("s10").cast("double") / col("n10").cast("double")) -
+        (col("s01").cast("double") / col("n01").cast("double") -
+          col("s00").cast("double") / col("n00").cast("double")))
+        .as("did"))
+  }
 }

@@ -474,6 +474,56 @@ object Graphs {
     labels
   }
 
+  /** Weisfeiler–Leman color refinement (1-WL) — the node-feature /
+    * graph-fingerprint kernel behind WL graph kernels and GNN
+    * expressiveness analyses: start from degree colors, then each round
+    * re-colors every node with a hash of (own color | sorted multiset of
+    * neighbor colors). Two nodes share a color after r rounds iff 1-WL
+    * cannot distinguish their r-hop neighborhoods.
+    *
+    * Determinism: colors are md5 hex strings; the neighbor multiset is
+    * sorted lexicographically before hashing (sort_array / `list(… ORDER
+    * BY …)` agree on ASCII hex), so every round is bit-replayable in
+    * DuckDB. Scale shape per round: one src-keyed equi-join of colors
+    * against the pre-partitioned adjacency + one dst-keyed aggregate —
+    * the labelPropagation recipe. The sorted neighbor-color list bounds
+    * a row by the node's degree (fine on the minShared-thresholded
+    * co-supplier graph; an unbounded power-law graph would swap in an
+    * order-invariant multiset-sum combine instead of the sorted list).
+    */
+  def wlRefinement(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst", rounds: Int = 3,
+                   reliable: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val adj = graft.Ckpt.cut(sym.repartition(col("src")), reliable)
+    var colors = adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("string").as("color"))
+    for (_ <- 1 to rounds) {
+      val nbr = adj
+        .join(colors.hint("shuffle_hash"), adj("src") === colors("node"))
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(col("color"))).as("ncs"))
+      colors = colors.join(nbr, colors("node") === nbr("dst"))
+        .select(col("node"),
+          md5(concat(col("color"), lit("|"), array_join(col("ncs"), ",")))
+            .as("color"))
+    }
+    // materialize the final colors BEFORE releasing the adjacency blocks
+    // (they are still in the colors lineage until this cut); partitioned
+    // on color so the class-size window needs no further exchange
+    val cutColors = graft.Ckpt.cut(colors.repartition(col("color")), reliable)
+    Dedup.releaseCheckpoint(adj)
+    cutColors.withColumn("class_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("color"))).cast("long"))
+  }
+
   /** The customer–supplier trade graph: an edge for every (customer,
     * supplier) pair connected by an order line — emitted WITH duplicates
     * (one per connecting line): pageRank's symmetrize step deduplicates
@@ -1673,6 +1723,41 @@ object Graphs {
         labelPropagation(
           tradeGraphWeighted(Tables.orders(s, d), Tables.lineitem(s, d)),
           iters = 5)
+    },
+
+    // 1-WL color refinement on the co-supplier graph: 3 rounds from
+    // degree colors; md5 colors + lexicographically sorted neighbor
+    // multisets make every round bit-replayable (unrolled CTE chain —
+    // each round is one join + one sorted list aggregate).
+    Op("graph_wl_refinement",
+       s"""WITH $coSupplierCte,
+         |sym AS (SELECT a AS u, b AS v FROM e0
+         |        UNION ALL SELECT b, a FROM e0),
+         |c0 AS (SELECT u AS node, CAST(count(*) AS VARCHAR) AS color
+         |       FROM sym GROUP BY 1),
+         |n1 AS (SELECT e.v AS node,
+         |              array_to_string(list(u.color ORDER BY u.color), ',')
+         |                AS ncs
+         |       FROM sym e JOIN c0 u ON u.node = e.u GROUP BY 1),
+         |c1 AS (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
+         |       FROM c0 c JOIN n1 n USING (node)),
+         |n2 AS (SELECT e.v AS node,
+         |              array_to_string(list(u.color ORDER BY u.color), ',')
+         |                AS ncs
+         |       FROM sym e JOIN c1 u ON u.node = e.u GROUP BY 1),
+         |c2 AS (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
+         |       FROM c1 c JOIN n2 n USING (node)),
+         |n3 AS (SELECT e.v AS node,
+         |              array_to_string(list(u.color ORDER BY u.color), ',')
+         |                AS ncs
+         |       FROM sym e JOIN c2 u ON u.node = e.u GROUP BY 1),
+         |c3 AS (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
+         |       FROM c2 c JOIN n3 n USING (node))
+         |SELECT node, color,
+         |       CAST(count(*) OVER (PARTITION BY color) AS BIGINT)
+         |         AS class_size
+         |FROM c3""".stripMargin) { (s, d) =>
+      wlRefinement(coSupplierEdges(Tables.lineitem(s, d)), rounds = 3)
     },
 
     // Common-neighbor / Jaccard / Adamic-Adar link features for customer

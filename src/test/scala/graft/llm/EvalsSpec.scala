@@ -132,6 +132,44 @@ class EvalsSpec extends SparkSpec {
     assert(r.getDouble(6) == 2.0, "half width = 600 / 3 / 100")
   }
 
+  test("source ablation: leave-one-out means from exact integer sums") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s0", 5L),
+      (2L, "a b c d e", "en", "s0", 9L),
+      (3L, "a b c d e f", "en", "s1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Evals.sourceAblation(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s0 = out("s0"); val s1 = out("s1")
+    assert(s0.getLong(1) == 2L && s0.getLong(2) == 8L)
+    assert(s1.getLong(1) == 1L && s1.getLong(2) == 6L)
+    assert(s0.getDouble(3) == 8.0 / 14.0 && s1.getDouble(3) == 6.0 / 14.0)
+    assert(s0.getDouble(4) == 6.0, "without s0: 6 tokens / 1 doc")
+    assert(s1.getDouble(4) == 4.0, "without s1: 8 tokens / 2 docs")
+    assert(s0.getDouble(5) == 6.0 - 14.0 / 3.0)
+    assert(s1.getDouble(5) == 4.0 - 14.0 / 3.0)
+  }
+
+  test("DiD estimator: hand-computed 2x2 on a deterministic design") {
+    def ev(id: Long, user: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"1970-01-0${day + 1}%d 00:00:00"),
+        user, "t", v, "{}")
+    // control = even user, treat = odd user; median day = 2 -> post day>2
+    val events = Seq(
+      ev(1, 2, 1, 1.00), ev(2, 2, 2, 3.00), // control pre: mean 200 cents
+      ev(3, 2, 3, 2.00), ev(4, 2, 4, 4.00), // control post: mean 300
+      ev(5, 1, 1, 1.00), ev(6, 1, 2, 1.00), // treat pre: mean 100
+      ev(7, 1, 3, 5.00), ev(8, 1, 4, 7.00)  // treat post: mean 600
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Events.didEstimator(events).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((1 to 4).forall(i => r.getLong(i) == 2L), "2 events per cell")
+    assert(r.getDouble(5) == 200.0 && r.getDouble(6) == 300.0)
+    assert(r.getDouble(7) == 100.0 && r.getDouble(8) == 600.0)
+    assert(r.getDouble(9) == (600.0 - 100.0) - (300.0 - 200.0))
+  }
+
   test("BLEU brevity penalty kicks in when the candidate is shorter") {
     val docs = Seq(
       (1L, "a b", "s0", "en"),

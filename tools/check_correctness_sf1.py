@@ -44,6 +44,13 @@ def compare_one(outdir, name, sfdir, sql, result_path):
         spark = pd.read_parquet(os.path.join(outdir, name))
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.environ.get('DUCKDB_THREADS', '4')}")
+        # spill to /tmp, never the repo cwd (a 6M-row replay once wrote
+        # a 458 MB duckdb_temp_storage into the tree and filled the disk)
+        tmp = os.environ.get("DUCKDB_TMP", "/tmp/ducktmp")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute(
+            f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '24GB')}'")
         for p in glob.glob(os.path.join(sfdir, "*.parquet")):
             t = os.path.basename(p)[:-8]
             # ScaleGen writes Spark directory-layout parquet; the

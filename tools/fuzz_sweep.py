@@ -69,7 +69,8 @@ ENTRIES = [
     "multimodal_features_meta", "t_accepted_values",
     # eval metrics
     "text_readability", "llm_pass_at_k", "llm_bleu_pairs", "llm_rouge_l",
-    "f_conformal_interval",
+    "f_conformal_interval", "graph_wl_refinement", "e_did_estimator",
+    "mix_source_ablation",
 ]
 
 # (regime, entry) -> documented contract boundary. Regime 2 is unicode.
