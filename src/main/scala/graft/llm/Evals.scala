@@ -253,6 +253,38 @@ object Evals {
         .as("delta_vs_overall"))
   }
 
+  /** Green-list watermark detector (Kirchenbauer et al. 2023): score each
+    * document by how many of its token bigrams fall in the "green" half
+    * of a hash partition keyed on the (prev, cur) pair — a watermarking
+    * LLM biases generation toward green continuations, so watermarked
+    * text shows z ≫ 0 while natural text centers on 0.
+    *
+    * green(prev, cur) := first md5 nibble of the bigram string < 8 — an
+    * exact 1/2-rate partition both engines compute identically. The
+    * z-score (2g − n)/√n is one integer subtraction, one sqrt, one
+    * division: IEEE sqrt is CORRECTLY ROUNDED in both engines (unlike
+    * ln/exp), so z hash-compares bit-for-bit — the reason this detector
+    * needs no quantization. Map-only over the scan.
+    */
+  def watermarkDetect(docs: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val toks = filter(TextFeatures.tokens(col("text")), t => t =!= "")
+    val base = docs.select(col("doc_id"),
+      TextFeatures.bigramsOfTokens(toks).as("bgs"))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_scored"),
+        size(filter(col("bgs"),
+          b => substring(md5(b), 1, 1).isin(
+            "0", "1", "2", "3", "4", "5", "6", "7")))
+          .cast("long").as("n_green"))
+    base.select(col("doc_id"), col("n_scored"), col("n_green"),
+      when(col("n_scored") > 0,
+        (lit(2L) * col("n_green") - col("n_scored")).cast("double") /
+          sqrt(col("n_scored").cast("double"))).as("z"),
+      when(col("n_scored") > 0,
+        (lit(2L) * col("n_green") - col("n_scored")).cast("double") /
+          sqrt(col("n_scored").cast("double")) > zCut).as("flagged"))
+  }
+
   // --- oracle SQL -----------------------------------------------------
 
   private val toksSql =
@@ -471,6 +503,32 @@ object Evals {
           |  END AS delta_vs_overall
           |FROM per, tot""".stripMargin) { (s, d) =>
       sourceAblation(Tables.documents(s, d))
+    },
+
+    // Watermark detection: exact green counts; z through IEEE sqrt only.
+    Op("llm_watermark_detect",
+       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |bg AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) < 2 THEN []
+          |    ELSE list_transform(range(0, len(toks) - 1),
+          |           i -> concat_ws(' ', toks[i+1], toks[i+2])) END AS bgs
+          |  FROM t),
+          |cnt AS (
+          |  SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_scored,
+          |         CAST(len(list_filter(bgs,
+          |                b -> strpos('01234567', substr(md5(b), 1, 1)) > 0))
+          |              AS BIGINT) AS n_green
+          |  FROM bg)
+          |SELECT doc_id, n_scored, n_green,
+          |  CASE WHEN n_scored > 0 THEN
+          |    CAST(2 * n_green - n_scored AS DOUBLE)
+          |      / sqrt(CAST(n_scored AS DOUBLE)) END AS z,
+          |  CASE WHEN n_scored > 0 THEN
+          |    CAST(2 * n_green - n_scored AS DOUBLE)
+          |      / sqrt(CAST(n_scored AS DOUBLE)) > 2.0e0 END AS flagged
+          |FROM cnt""".stripMargin) { (s, d) =>
+      watermarkDetect(Tables.documents(s, d))
     }
   )
 }

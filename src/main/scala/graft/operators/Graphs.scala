@@ -524,6 +524,46 @@ object Graphs {
         .partitionBy(col("color"))).cast("long"))
   }
 
+  /** Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) for a ladder of
+    * degree thresholds: how densely the high-degree "club" interconnects —
+    * the classic hub-assortativity diagnostic (Colizza et al. 2006,
+    * unnormalized φ). Exact integers (degree census + edge census per
+    * threshold via a 4-way literal explode — no inequality join) and one
+    * final division. NULL below two club members.
+    */
+  def richClub(edges: DataFrame,
+               thresholds: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = edges.select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val kArr = array(thresholds.map(k => lit(k.toLong)): _*)
+    val nk = deg.select(col("deg"), explode(kArr).as("k"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_rich"))
+    val ek = edges
+      .join(deg.select(col("node"), col("deg").as("da")),
+        col("node") === col("src")).drop("node")
+      .join(deg.select(col("node"), col("deg").as("db")),
+        col("node") === col("dst")).drop("node")
+      .select(col("da"), col("db"), explode(kArr).as("k"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_rich"))
+    thresholds.map(_.toLong).toDF("k")
+      .join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"))
+      .withColumn("phi",
+        when(col("n_rich") >= 2,
+          (lit(2L) * col("e_rich")).cast("double") /
+            (col("n_rich") * (col("n_rich") - 1)).cast("double")))
+  }
+
   /** The customer–supplier trade graph: an edge for every (customer,
     * supplier) pair connected by an order line — emitted WITH duplicates
     * (one per connecting line): pageRank's symmetrize step deduplicates
@@ -1758,6 +1798,33 @@ object Graphs {
          |         AS class_size
          |FROM c3""".stripMargin) { (s, d) =>
       wlRefinement(coSupplierEdges(Tables.lineitem(s, d)), rounds = 3)
+    },
+
+    // Rich-club coefficients over the co-supplier graph: exact degree and
+    // edge censuses per threshold, one final division.
+    Op("graph_rich_club",
+       s"""WITH $coSupplierCte,
+         |sym AS (SELECT a AS u, b AS v FROM e0
+         |        UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+         |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+         |       FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+         |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+         |       FROM ks JOIN e0 ON true
+         |       JOIN deg da ON da.node = e0.a
+         |       JOIN deg db ON db.node = e0.b
+         |       WHERE da.deg > k AND db.deg > k GROUP BY 1)
+         |SELECT ks.k, coalesce(nk.n_rich, 0) AS n_rich,
+         |       coalesce(ek.e_rich, 0) AS e_rich,
+         |       CASE WHEN coalesce(nk.n_rich, 0) >= 2 THEN
+         |         CAST(2 * coalesce(ek.e_rich, 0) AS DOUBLE)
+         |           / CAST(nk.n_rich * (nk.n_rich - 1) AS DOUBLE)
+         |       END AS phi
+         |FROM ks LEFT JOIN nk USING (k)
+         |LEFT JOIN ek USING (k)""".stripMargin) { (s, d) =>
+      richClub(coSupplierEdges(Tables.lineitem(s, d)))
     },
 
     // Common-neighbor / Jaccard / Adamic-Adar link features for customer

@@ -170,6 +170,29 @@ class EvalsSpec extends SparkSpec {
     assert(r.getDouble(9) == (600.0 - 100.0) - (300.0 - 200.0))
   }
 
+  test("watermark detector: exact green census vs a JVM md5 replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Seq("a b c d e f g", "x y", "solo", "")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Evals.watermarkDetect(docs).orderBy("doc_id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val bgs = toks.dropRight(1).zip(toks.drop(1)).map(p => s"${p._1} ${p._2}")
+      val greens = bgs.count(b => "01234567".contains(md5hex(b).charAt(0)))
+      val r = out(i)
+      assert(r.getLong(1) == bgs.length.toLong, s"n_scored doc $i")
+      assert(r.getLong(2) == greens.toLong, s"n_green doc $i")
+      if (bgs.nonEmpty) {
+        val z = (2.0 * greens - bgs.length) / math.sqrt(bgs.length.toDouble)
+        assert(r.getDouble(3) == z && r.getBoolean(4) == (z > 2.0))
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+  }
+
   test("BLEU brevity penalty kicks in when the candidate is shorter") {
     val docs = Seq(
       (1L, "a b", "s0", "en"),

@@ -41,6 +41,19 @@ class WlRefinementSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("rich club: K4 plus a pendant gives phi(2)=1 and empty high clubs") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    val out = Graphs.richClub(g)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // deg: 1 -> 4, {2,3,4} -> 3, 5 -> 1
+    assert(out(2L) == ((4L, 6L, Some(1.0))), "k=2: the K4 is a full club")
+    assert(out(4L) == ((0L, 0L, None)), "k=4: nobody exceeds degree 4")
+    assert(out(8L) == ((0L, 0L, None)) && out(16L) == ((0L, 0L, None)))
+  }
+
   test("degree-1 start: a star's center and leaves split immediately") {
     val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("src", "dst")
     val out = Graphs.wlRefinement(star, rounds = 2)
