@@ -285,6 +285,58 @@ object Evals {
           sqrt(col("n_scored").cast("double")) > zCut).as("flagged"))
   }
 
+  /** Greedy bigram-LM decoding — the deterministic skeleton of LM
+    * generation, run entirely as relational algebra: train a corpus
+    * bigram table, take each source's most frequent token as the prompt,
+    * then follow the argmax continuation `steps` times (ties break to the
+    * lexicographically smaller token; a token with no observed
+    * continuation ends the walk early).
+    *
+    * The argmax-next table is computed ONCE (one aggregate + one
+    * per-prev row_number) and cut, so the walk's `steps` joins touch a
+    * checkpoint leaf instead of re-deriving the LM each round; the walk
+    * state is |sources| rows. Replayed exactly by a recursive CTE.
+    */
+  def greedyCompletion(docs: DataFrame, steps: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("source"),
+      filter(TextFeatures.tokens(col("text")), x => x =!= "").as("toks"))
+    val occ = t.select(col("source"), explode(col("toks")).as("tok"))
+    val starts = occ.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("c").desc, col("tok").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("tok").as("seq"), col("tok").as("last"),
+        lit(1L).as("n_toks"))
+    val bg = t.select(
+        explode(TextFeatures.bigramsOfTokens(col("toks"))).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("prev"),
+        split(col("bg"), " ").getItem(1).as("cur"))
+    val bn = graft.Ckpt.cut(
+      bg.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("prev")
+            .orderBy(col("c").desc, col("cur").asc)))
+        .filter(col("rn") === 1)
+        .select(col("prev"), col("cur").as("next"))
+        .repartition(col("prev")))
+    var state = starts
+    for (_ <- 1 to steps) {
+      state = state.join(bn, state("last") === bn("prev"), "left")
+        .select(col("source"),
+          when(col("next").isNotNull,
+            concat_ws(" ", col("seq"), col("next")))
+            .otherwise(col("seq")).as("seq"),
+          col("next").as("last"),
+          when(col("next").isNotNull, col("n_toks") + 1)
+            .otherwise(col("n_toks")).as("n_toks"))
+    }
+    val out = state.select(col("source"), col("seq").as("completion"),
+      col("n_toks"))
+    out
+  }
+
   // --- oracle SQL -----------------------------------------------------
 
   private val toksSql =
@@ -529,6 +581,45 @@ object Evals {
           |      / sqrt(CAST(n_scored AS DOUBLE)) > 2.0e0 END AS flagged
           |FROM cnt""".stripMargin) { (s, d) =>
       watermarkDetect(Tables.documents(s, d))
+    },
+
+    // Greedy bigram-LM decode: the recursive CTE replays the argmax walk.
+    Op("llm_greedy_completion",
+       s"""WITH RECURSIVE t AS (
+          |  SELECT source, $toksSql AS toks FROM documents),
+          |occ AS (SELECT source, unnest(toks) AS tok FROM t),
+          |starts AS (
+          |  SELECT source, tok FROM (
+          |    SELECT source, tok, row_number() OVER (
+          |             PARTITION BY source ORDER BY c DESC, tok) AS rn
+          |    FROM (SELECT source, tok, count(*) AS c FROM occ
+          |          GROUP BY 1, 2))
+          |  WHERE rn = 1),
+          |bgp AS (
+          |  SELECT toks[i+1] AS prev, toks[i+2] AS cur
+          |  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+          |        FROM t WHERE len(toks) >= 2)),
+          |bn AS (
+          |  SELECT prev, cur AS next FROM (
+          |    SELECT prev, cur, row_number() OVER (
+          |             PARTITION BY prev ORDER BY c DESC, cur) AS rn
+          |    FROM (SELECT prev, cur, count(*) AS c FROM bgp
+          |          GROUP BY 1, 2))
+          |  WHERE rn = 1),
+          |walk(step, source, seq, last, n_toks) AS (
+          |  SELECT 0, source, tok, tok, CAST(1 AS BIGINT) FROM starts
+          |  UNION ALL
+          |  SELECT w.step + 1, w.source,
+          |         CASE WHEN b.next IS NULL THEN w.seq
+          |              ELSE w.seq || ' ' || b.next END,
+          |         b.next,
+          |         CASE WHEN b.next IS NULL THEN w.n_toks
+          |              ELSE w.n_toks + 1 END
+          |  FROM walk w LEFT JOIN bn b ON b.prev = w.last
+          |  WHERE w.step < 10)
+          |SELECT source, seq AS completion, n_toks
+          |FROM walk WHERE step = 10""".stripMargin) { (s, d) =>
+      greedyCompletion(Tables.documents(s, d), steps = 10)
     }
   )
 }

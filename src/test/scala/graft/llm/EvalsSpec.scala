@@ -193,6 +193,22 @@ class EvalsSpec extends SparkSpec {
     }
   }
 
+  test("greedy completion: argmax walk with ties and early termination") {
+    val docs = Seq(
+      (1L, "a b a b a c", "en", "s0", 11L), // a->b beats a->c; cycles
+      (2L, "x y z", "en", "s1", 5L)         // chain ends at z
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Evals.greedyCompletion(docs, steps = 10)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // start = most frequent token of the source ('a' x3); argmax(a)=b
+    // (2 vs 1), argmax(b)=a -> alternates to 11 tokens
+    assert(out("s0") == (("a b a b a b a b a b a", 11L)))
+    // all-singleton counts: start ties break to 'x'; z has no
+    // continuation so the walk stops after 3 tokens
+    assert(out("s1") == (("x y z", 3L)))
+  }
+
   test("BLEU brevity penalty kicks in when the candidate is shorter") {
     val docs = Seq(
       (1L, "a b", "s0", "en"),
