@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -28,6 +29,55 @@ object Timeseries {
   /** Epoch-day of an event timestamp, as BIGINT (DuckDB date_diff parity). */
   private val day: org.apache.spark.sql.Column =
     unix_date(to_date(col("ts"))).cast("long")
+
+  /** Durbin–Levinson PACF (lags 1..4) over the daily-cents series — see
+    * the ts_pacf op entry for the numeric contract (exact DECIMAL(38,0)
+    * autocovariances, VARCHAR-routed oracle division, pinned DL parens).
+    */
+  def pacf(events: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val daily = events.groupBy(day.as("day"))
+      .agg(sum(col("value").cast(dec) * 100).cast("long").as("cents"))
+    val tot = daily.agg(sum(col("cents")).as("t"), count(lit(1)).as("d"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("cents") - expr("t div d")).cast(d38).as("dv"))
+    val w = Window.orderBy(col("day"))
+    val lagd = dev.select(col("dv"),
+      lead(col("dv"), 1).over(w).as("l1"),
+      lead(col("dv"), 2).over(w).as("l2"),
+      lead(col("dv"), 3).over(w).as("l3"),
+      lead(col("dv"), 4).over(w).as("l4"))
+    val agg = lagd.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("dv") * col("dv")).as("c0"),
+      sum(when(col("l1").isNotNull, col("dv") * col("l1"))).as("c1"),
+      sum(when(col("l2").isNotNull, col("dv") * col("l2"))).as("c2"),
+      sum(when(col("l3").isNotNull, col("dv") * col("l3"))).as("c3"),
+      sum(when(col("l4").isNotNull, col("dv") * col("l4"))).as("c4"))
+    // Spark's Decimal→Double is correctly rounded (matches the oracle's
+    // VARCHAR→strtod route); each r_k is one IEEE division.
+    def r(k: Int) = (col(s"c$k").cast("double") / col("c0").cast("double"))
+      .as(s"r$k")
+    agg.select(col("n_days"), r(1), r(2), r(3), r(4))
+      .withColumn("pacf1", col("r1"))
+      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("pacf2", (col("r2") - col("r1") * col("r1")) / col("v1"))
+      .withColumn("phi21", col("r1") - col("pacf2") * col("r1"))
+      .withColumn("v2",
+        col("v1") * (lit(1.0) - col("pacf2") * col("pacf2")))
+      .withColumn("pacf3",
+        (col("r3") - (col("phi21") * col("r2") + col("pacf2") * col("r1")))
+          / col("v2"))
+      .withColumn("phi31", col("phi21") - col("pacf3") * col("pacf2"))
+      .withColumn("phi32", col("pacf2") - col("pacf3") * col("phi21"))
+      .withColumn("v3",
+        col("v2") * (lit(1.0) - col("pacf3") * col("pacf3")))
+      .withColumn("pacf4",
+        (col("r4") - ((col("phi31") * col("r3") + col("phi32") * col("r2"))
+          + col("pacf3") * col("r1"))) / col("v3"))
+      .select(col("n_days"), col("r1"), col("r2"), col("r3"), col("r4"),
+        col("pacf1"), col("pacf2"), col("pacf3"), col("pacf4"))
+  }
 
   /** ts_granger's shared arithmetic: ONE expression text per stage,
     * interpolated verbatim into the Spark selectExpr AND the DuckDB
@@ -366,6 +416,72 @@ object Timeseries {
         sum(col("dv") * col("dv")).as("den"))
         .select(col("num"), col("den"),
           (col("num").cast("double") / col("den").cast("double")).as("r1"))
+    },
+
+    // Partial autocorrelation (lags 1..4) by Durbin–Levinson over the
+    // daily-revenue ACF — the AR-order diagnostic next to ts_autocorr.
+    // Autocovariance sums are EXACT 128-bit integers (DECIMAL(38,0) /
+    // HUGEINT: the lag products square day-level cents, which brushes
+    // BIGINT range at sf1 — the r10 overflow lesson applied up front);
+    // r_k is one division with the DuckDB side routed through VARCHAR
+    // (hugeint→double double-rounds, strtod is correctly rounded — the
+    // r11 sf1 lesson); the DL recursion is a fixed chain of identically
+    // parenthesized IEEE ops on both engines.
+    Op("ts_pacf",
+       """WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |           AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |           AS cents
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS d FROM daily),
+         |dev AS (
+         |  SELECT day, CAST(cents - (t // d) AS HUGEINT) AS dv
+         |  FROM daily, tot),
+         |lagd AS (
+         |  SELECT dv,
+         |         lead(dv, 1) OVER (ORDER BY day) AS l1,
+         |         lead(dv, 2) OVER (ORDER BY day) AS l2,
+         |         lead(dv, 3) OVER (ORDER BY day) AS l3,
+         |         lead(dv, 4) OVER (ORDER BY day) AS l4
+         |  FROM dev),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |         sum(dv * dv) AS c0,
+         |         sum(CASE WHEN l1 IS NOT NULL THEN dv * l1 END) AS c1,
+         |         sum(CASE WHEN l2 IS NOT NULL THEN dv * l2 END) AS c2,
+         |         sum(CASE WHEN l3 IS NOT NULL THEN dv * l3 END) AS c3,
+         |         sum(CASE WHEN l4 IS NOT NULL THEN dv * l4 END) AS c4
+         |  FROM lagd),
+         |r AS (
+         |  SELECT n_days,
+         |    CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(c0 AS VARCHAR) AS DOUBLE) AS r1,
+         |    CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(c0 AS VARCHAR) AS DOUBLE) AS r2,
+         |    CAST(CAST(c3 AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(c0 AS VARCHAR) AS DOUBLE) AS r3,
+         |    CAST(CAST(c4 AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(c0 AS VARCHAR) AS DOUBLE) AS r4
+         |  FROM agg),
+         |dl1 AS (SELECT *, r1 AS pacf1, 1.0e0 - r1 * r1 AS v1 FROM r),
+         |dl2 AS (SELECT *, (r2 - r1 * r1) / v1 AS pacf2 FROM dl1),
+         |dl2b AS (SELECT *, r1 - pacf2 * r1 AS phi21,
+         |                v1 * (1.0e0 - pacf2 * pacf2) AS v2 FROM dl2),
+         |dl3 AS (SELECT *,
+         |          (r3 - (phi21 * r2 + pacf2 * r1)) / v2 AS pacf3
+         |        FROM dl2b),
+         |dl3b AS (SELECT *, phi21 - pacf3 * pacf2 AS phi31,
+         |                pacf2 - pacf3 * phi21 AS phi32,
+         |                v2 * (1.0e0 - pacf3 * pacf3) AS v3 FROM dl3),
+         |dl4 AS (SELECT *,
+         |          (r4 - ((phi31 * r3 + phi32 * r2) + pacf3 * r1)) / v3
+         |            AS pacf4
+         |        FROM dl3b)
+         |SELECT n_days, r1, r2, r3, r4, pacf1, pacf2, pacf3, pacf4
+         |FROM dl4""".stripMargin) { (s, d) =>
+      pacf(Tables.events(s, d))
     },
 
     // Ljung-Box portmanteau statistic (Ljung & Box 1978): Q(K) =

@@ -574,4 +574,55 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+
+  test("pacf: Durbin-Levinson matches an independent JVM replay exactly") {
+    import spark.implicits._
+    val ts0 = java.time.LocalDate.of(2024, 1, 1)
+    // one event per day -> daily cents = 100 * value
+    val values = Seq(3.0, 7.0, 2.0, 9.0, 4.0, 8.0, 1.0, 6.0, 5.0, 10.0)
+    val events = values.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        ts0.plusDays(i).atStartOfDay()), 1L, "t", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val row = Timeseries.pacf(events).collect()(0)
+    assert(row.getLong(0) == values.length.toLong)
+
+    // independent replay: exact integer autocovariances, then DL
+    val cents = values.map(v => BigInt(math.round(v * 100)))
+    val n = cents.length
+    val mean = cents.sum / n // integer truncation, as the operator defines
+    val dv = cents.map(_ - mean)
+    def c(k: Int): BigInt =
+      (0 until n - k).map(t => dv(t) * dv(t + k)).sum
+    val r = (1 to 4).map(k =>
+      BigDecimal(c(k)).toDouble / BigDecimal(c(0)).toDouble)
+    val (r1, r2, r3, r4) = (r(0), r(1), r(2), r(3))
+    val pacf1 = r1
+    val v1 = 1.0 - r1 * r1
+    val pacf2 = (r2 - r1 * r1) / v1
+    val phi21 = r1 - pacf2 * r1
+    val v2 = v1 * (1.0 - pacf2 * pacf2)
+    val pacf3 = (r3 - (phi21 * r2 + pacf2 * r1)) / v2
+    val phi31 = phi21 - pacf3 * pacf2
+    val phi32 = pacf2 - pacf3 * phi21
+    val v3 = v2 * (1.0 - pacf3 * pacf3)
+    val pacf4 = (r4 - ((phi31 * r3 + phi32 * r2) + pacf3 * r1)) / v3
+
+    assert(row.getDouble(1) == r1 && row.getDouble(2) == r2 &&
+      row.getDouble(3) == r3 && row.getDouble(4) == r4)
+    assert(row.getDouble(5) == pacf1 && row.getDouble(6) == pacf2 &&
+      row.getDouble(7) == pacf3 && row.getDouble(8) == pacf4)
+  }
+
+  test("pacf: a sub-5-point series yields NULL high lags, no crash") {
+    import spark.implicits._
+    val events = (0 until 3).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-0${i + 1}%d 00:00:00"),
+        1L, "t", 1.0 + i, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val row = Timeseries.pacf(events).collect()(0)
+    assert(row.getLong(0) == 3L)
+    assert(row.isNullAt(3) && row.isNullAt(4), "r3/r4 null on 3 points")
+  }
 }
