@@ -535,6 +535,119 @@ object Profiling {
     // (leading significant digit is invariant under the ×100 shift), so
     // the whole test is integer: per-digit counts, observed share in
     // truncating ppm against the 1-row total attach, and the χ²-style
+    // McNemar's paired-binary test over per-user outcome flags (clicked
+    // vs purchased): the 2×2 discordant-cell statistic (b−c)²/(b+c).
+    // Two hash aggregates, exact integers, ONE double division.
+    Op("f_mcnemar_test",
+       """WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r1,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r2
+         |  FROM events GROUP BY 1),
+         |cnt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_both,
+         |    CAST(sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_click_only,
+         |    CAST(sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_purchase_only,
+         |    CAST(sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_neither
+         |  FROM u)
+         |SELECT n_users, n_both, n_click_only, n_purchase_only, n_neither,
+         |  CASE WHEN n_click_only + n_purchase_only > 0 THEN
+         |    CAST((n_click_only - n_purchase_only)
+         |         * (n_click_only - n_purchase_only) AS DOUBLE)
+         |      / CAST(n_click_only + n_purchase_only AS DOUBLE)
+         |  END AS mcnemar_chi2
+         |FROM cnt""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d).groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("r1"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("r2"))
+      u.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("r1") === 1 && col("r2") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("r1") === 1 && col("r2") === 0, 1L).otherwise(0L))
+          .as("n_click_only"),
+        sum(when(col("r1") === 0 && col("r2") === 1, 1L).otherwise(0L))
+          .as("n_purchase_only"),
+        sum(when(col("r1") === 0 && col("r2") === 0, 1L).otherwise(0L))
+          .as("n_neither"))
+        .withColumn("mcnemar_chi2",
+          when(col("n_click_only") + col("n_purchase_only") > 0,
+            ((col("n_click_only") - col("n_purchase_only")) *
+              (col("n_click_only") - col("n_purchase_only"))).cast("double")
+              / (col("n_click_only") + col("n_purchase_only"))
+                .cast("double")))
+    },
+
+    // Cohen's kappa between two deterministic "raters" (high-value flag
+    // vs conversion-type flag) in the EXACT integer rearrangement
+    // κ = (po·n − pe) / (n² − pe) with 128-bit products (n² brushes
+    // BIGINT at row counts a 100 TB table reaches) and ONE division —
+    // the DuckDB side routed through VARCHAR (hugeint→double
+    // double-rounds; strtod is correctly rounded).
+    Op("f_cohen_kappa",
+       """WITH u AS (
+         |  SELECT CASE WHEN value >= 50.0e0 THEN 1 ELSE 0 END AS a,
+         |         CASE WHEN event_type IN ('purchase', 'signup')
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM events),
+         |cnt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n00,
+         |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n01
+         |  FROM u),
+         |k AS (
+         |  SELECT n, n11, n00, n10, n01,
+         |    CAST(n11 + n00 AS HUGEINT) * n AS po_n,
+         |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |      + CAST(n00 + n01 AS HUGEINT) * (n00 + n10) AS pe_n,
+         |    CAST(n AS HUGEINT) * n AS n2
+         |  FROM cnt)
+         |SELECT n, n11, n00, n10, n01,
+         |  CASE WHEN n2 <> pe_n THEN
+         |    CAST(CAST(po_n - pe_n AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(n2 - pe_n AS VARCHAR) AS DOUBLE)
+         |  END AS kappa
+         |FROM k""".stripMargin) { (s, d) =>
+      val d38 = org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 0)
+      val u = Tables.events(s, d).select(
+        when(col("value") >= 50.0, 1).otherwise(0).as("a"),
+        when(col("event_type").isin("purchase", "signup"), 1)
+          .otherwise(0).as("b"))
+      u.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+          .as("n00"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+          .as("n01"))
+        .withColumn("po_n",
+          (col("n11") + col("n00")).cast(d38) * col("n"))
+        .withColumn("pe_n",
+          (col("n11") + col("n10")).cast(d38) * (col("n11") + col("n01"))
+            + (col("n00") + col("n01")).cast(d38) *
+              (col("n00") + col("n10")))
+        .withColumn("n2", col("n").cast(d38) * col("n"))
+        .select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
+          when(col("n2") =!= col("pe_n"),
+            (col("po_n") - col("pe_n")).cast("double") /
+              (col("n2") - col("pe_n")).cast("double")).as("kappa"))
+    },
+
     // deviation term (obs−exp)² div exp in the SAME ppm domain — the
     // expected shares are the nine pinned log10 constants, not runtime
     // ln calls, so nothing transcendental touches a compared column.
