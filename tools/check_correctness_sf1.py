@@ -51,6 +51,10 @@ def compare_one(outdir, name, sfdir, sql, result_path):
         con.execute(f"SET temp_directory='{tmp}'")
         con.execute(
             f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '24GB')}'")
+        # fail fast instead of filling the disk (a runaway spill once
+        # starved every concurrent worker's temp writes)
+        con.execute("SET max_temp_directory_size='"
+                    + os.environ.get("DUCKDB_MAX_TMP", "35GB") + "'")
         for p in glob.glob(os.path.join(sfdir, "*.parquet")):
             t = os.path.basename(p)[:-8]
             # ScaleGen writes Spark directory-layout parquet; the
@@ -87,7 +91,15 @@ def compare_one(outdir, name, sfdir, sql, result_path):
             except Exception:  # noqa: BLE001
                 pass
     except Exception as e:  # noqa: BLE001 - report any oracle error
-        res = {"status": "oracle_error", "err": str(e)[:500]}
+        msg = str(e)
+        # resource exhaustion is a REPLAY-capacity boundary (like a
+        # timeout), not a wrong answer: the engine side ran clean and
+        # DuckDB could not fit the replay in temp/memory budget
+        capacity = ("No space left" in msg or "Out of Memory" in msg
+                    or "max_temp_directory_size" in msg
+                    or "temp_directory" in msg)
+        res = {"status": "oracle_capacity" if capacity else "oracle_error",
+               "err": msg[:500]}
     with open(result_path, "w") as f:
         json.dump(res, f)
 
@@ -163,19 +175,24 @@ def main():
                 print(f"{name:28s} OK   rows={res['spark_rows']}",
                       flush=True)
             else:
-                fails += 1
+                if st != "oracle_capacity":
+                    fails += 1
                 print(f"{name:28s} {st.upper()} "
                       f"{res.get('err', '')[:140]}", flush=True)
                 if "first_diffs" in res:
                     print(res["first_diffs"], flush=True)
         running = still
 
+    fails = sum(1 for r in results.values()
+                if r["status"] in ("FAIL", "oracle_error"))
     summary = {
         "sf_dir": sfdir, "entries": len(results),
         "pass": sum(1 for r in results.values() if r["status"] == "pass"),
         "fail": fails,
         "oracle_timeout": sum(1 for r in results.values()
                               if r["status"] == "oracle_timeout"),
+        "oracle_capacity": sum(1 for r in results.values()
+                               if r["status"] == "oracle_capacity"),
         "no_oracle": sum(1 for r in results.values()
                          if r["status"] == "no_oracle"),
         "results": results,
