@@ -281,8 +281,9 @@ object Evals {
         (lit(2L) * col("n_green") - col("n_scored")).cast("double") /
           sqrt(col("n_scored").cast("double"))).as("z"),
       when(col("n_scored") > 0,
-        (lit(2L) * col("n_green") - col("n_scored")).cast("double") /
-          sqrt(col("n_scored").cast("double")) > zCut).as("flagged"))
+        ((lit(2L) * col("n_green") - col("n_scored")).cast("double") /
+          sqrt(col("n_scored").cast("double")) > zCut).cast("int"))
+        .as("flagged"))
   }
 
   /** Greedy bigram-LM decoding — the deterministic skeleton of LM
@@ -577,8 +578,9 @@ object Evals {
           |    CAST(2 * n_green - n_scored AS DOUBLE)
           |      / sqrt(CAST(n_scored AS DOUBLE)) END AS z,
           |  CASE WHEN n_scored > 0 THEN
-          |    CAST(2 * n_green - n_scored AS DOUBLE)
-          |      / sqrt(CAST(n_scored AS DOUBLE)) > 2.0e0 END AS flagged
+          |    CAST(CAST(2 * n_green - n_scored AS DOUBLE)
+          |         / sqrt(CAST(n_scored AS DOUBLE)) > 2.0e0 AS INT)
+          |  END AS flagged
           |FROM cnt""".stripMargin) { (s, d) =>
       watermarkDetect(Tables.documents(s, d))
     },

@@ -188,7 +188,8 @@ class EvalsSpec extends SparkSpec {
       assert(r.getLong(2) == greens.toLong, s"n_green doc $i")
       if (bgs.nonEmpty) {
         val z = (2.0 * greens - bgs.length) / math.sqrt(bgs.length.toDouble)
-        assert(r.getDouble(3) == z && r.getBoolean(4) == (z > 2.0))
+        assert(r.getDouble(3) == z &&
+          r.getInt(4) == (if (z > 2.0) 1 else 0))
       } else assert(r.isNullAt(3) && r.isNullAt(4))
     }
   }
