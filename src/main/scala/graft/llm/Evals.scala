@@ -394,17 +394,17 @@ object Evals {
     // BLEU over consecutive-doc pairs: integer clipped counts via
     // tok-keyed joins; log-domain score through ieee_ln.
     Op("llm_bleu_pairs",
-       s"""WITH t AS (SELECT doc_id, $toksSql AS toks
+       s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
           |           FROM documents),
-          |pairs AS (
+          |pairs AS MATERIALIZED (
           |  SELECT a.doc_id, b.doc_id AS ref_id,
           |         CAST(len(a.toks) AS BIGINT) AS cand_len,
           |         CAST(len(b.toks) AS BIGINT) AS ref_len
           |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
-          |uni AS (
+          |uni AS MATERIALIZED (
           |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
-          |bg AS (
+          |bg AS MATERIALIZED (
           |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
           |  FROM (SELECT doc_id, unnest(
           |          CASE WHEN len(toks) < 2 THEN []
@@ -412,13 +412,13 @@ object Evals {
           |                 i -> concat_ws(' ', toks[i+1], toks[i+2])) END)
           |          AS tok
           |        FROM t) GROUP BY 1, 2),
-          |m1 AS (
+          |m1 AS MATERIALIZED (
           |  SELECT p.doc_id, CAST(sum(least(cu.c, ru.c)) AS BIGINT) AS p1_num
           |  FROM pairs p
           |  JOIN uni cu ON cu.doc_id = p.doc_id
           |  JOIN uni ru ON ru.doc_id = p.ref_id AND ru.tok = cu.tok
           |  GROUP BY 1),
-          |m2 AS (
+          |m2 AS MATERIALIZED (
           |  SELECT p.doc_id, CAST(sum(least(cu.c, ru.c)) AS BIGINT) AS p2_num
           |  FROM pairs p
           |  JOIN bg cu ON cu.doc_id = p.doc_id

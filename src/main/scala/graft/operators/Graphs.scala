@@ -1776,27 +1776,27 @@ object Graphs {
     // each round is one join + one sorted list aggregate).
     Op("graph_wl_refinement",
        s"""WITH $coSupplierCte,
-         |sym AS (SELECT a AS u, b AS v FROM e0
+         |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
          |        UNION ALL SELECT b, a FROM e0),
-         |c0 AS (SELECT u AS node, CAST(count(*) AS VARCHAR) AS color
+         |c0 AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS VARCHAR) AS color
          |       FROM sym GROUP BY 1),
-         |n1 AS (SELECT e.v AS node,
+         |n1 AS MATERIALIZED (SELECT e.v AS node,
          |              array_to_string(list(u.color ORDER BY u.color), ',')
          |                AS ncs
          |       FROM sym e JOIN c0 u ON u.node = e.u GROUP BY 1),
-         |c1 AS (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
+         |c1 AS MATERIALIZED (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
          |       FROM c0 c JOIN n1 n USING (node)),
-         |n2 AS (SELECT e.v AS node,
+         |n2 AS MATERIALIZED (SELECT e.v AS node,
          |              array_to_string(list(u.color ORDER BY u.color), ',')
          |                AS ncs
          |       FROM sym e JOIN c1 u ON u.node = e.u GROUP BY 1),
-         |c2 AS (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
+         |c2 AS MATERIALIZED (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
          |       FROM c1 c JOIN n2 n USING (node)),
-         |n3 AS (SELECT e.v AS node,
+         |n3 AS MATERIALIZED (SELECT e.v AS node,
          |              array_to_string(list(u.color ORDER BY u.color), ',')
          |                AS ncs
          |       FROM sym e JOIN c2 u ON u.node = e.u GROUP BY 1),
-         |c3 AS (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
+         |c3 AS MATERIALIZED (SELECT c.node, md5(c.color || '|' || n.ncs) AS color
          |       FROM c2 c JOIN n3 n USING (node))
          |SELECT node, color,
          |       CAST(count(*) OVER (PARTITION BY color) AS BIGINT)
