@@ -2064,16 +2064,16 @@ object LlmOps {
     Op("text_perplexity_kn",
        s"""WITH toks AS (
           |  SELECT doc_id, $toksSql AS toks FROM documents),
-          |occ AS (
+          |occ AS MATERIALIZED (
           |  SELECT doc_id, i, toks[i+1] AS w1, toks[i+2] AS w2,
           |         concat_ws(' ', toks[i+1], toks[i+2]) AS bigram
           |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
           |        FROM toks WHERE len(toks) >= 2)),
-          |c12 AS (SELECT bigram, count(*) AS c12 FROM occ GROUP BY 1),
-          |c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
-          |types AS (SELECT DISTINCT bigram, w1, w2 FROM occ),
-          |nf1 AS (SELECT w1, count(*) AS nf1 FROM types GROUP BY 1),
-          |np2 AS (SELECT w2, count(*) AS np2 FROM types GROUP BY 1),
+          |c12 AS MATERIALIZED (SELECT bigram, count(*) AS c12 FROM occ GROUP BY 1),
+          |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+          |types AS MATERIALIZED (SELECT DISTINCT bigram, w1, w2 FROM occ),
+          |nf1 AS MATERIALIZED (SELECT w1, count(*) AS nf1 FROM types GROUP BY 1),
+          |np2 AS MATERIALIZED (SELECT w2, count(*) AS np2 FROM types GROUP BY 1),
           |b AS (SELECT count(*) AS bb FROM types),
           |scored AS (
           |  SELECT occ.doc_id, occ.i,
@@ -2453,12 +2453,12 @@ object LlmOps {
     // verbatim and walks components with the same recursive CTE the
     // clean-corpus oracle uses.
     Op("embed_semantic_dedup",
-       s"""WITH RECURSIVE pairs AS (
+       s"""WITH RECURSIVE pairs AS MATERIALIZED (
           |  SELECT id_a, id_b FROM (
           |    ${embedNearDupOracleSql(planes = 8, tables = 4,
                   threshold = 0.4, dim = 64)
                   .linesIterator.mkString("\n    ")})),
-          |edges AS (
+          |edges AS MATERIALIZED (
           |  SELECT id_a AS src, id_b AS dst FROM pairs
           |  UNION ALL SELECT id_b, id_a FROM pairs),
           |walk(node, reach) AS (

@@ -1458,19 +1458,20 @@ object Graphs {
     // checkpointed once and feeds both.
     Op("graph_clustering",
        s"""WITH $coSupplierCte,
-         |deg AS (
+         |e0m AS MATERIALIZED (SELECT a, b FROM e0),
+         |deg AS MATERIALIZED (
          |  SELECT node, count(*) AS deg FROM (
-         |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+         |    SELECT a AS node FROM e0m UNION ALL SELECT b FROM e0m)
          |  GROUP BY 1),
-         |o AS (
+         |o AS MATERIALIZED (
          |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
          |              THEN a ELSE b END AS src,
          |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
          |              THEN b ELSE a END AS dst,
          |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
          |              THEN db.deg ELSE da.deg END AS dd
-         |  FROM e0 JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
-         |tri AS (
+         |  FROM e0m JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+         |tri AS MATERIALIZED (
          |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
          |  FROM o o1
          |  JOIN o o2 ON o1.src = o2.src

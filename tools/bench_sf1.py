@@ -32,6 +32,9 @@ NAMES = [
     "profile_inclusion_deps", "mix_dsir_resample", "er_blocking_quality",
     "graph_butterflies", "m_basket_rules", "layout_bloom_skip",
     "graph_betweenness",
+    # r11 eval-metrics tier: the four heaviest of the session's additions
+    "graph_wl_refinement", "llm_bleu_pairs", "graph_rich_club",
+    "llm_greedy_completion",
 ]
 
 
