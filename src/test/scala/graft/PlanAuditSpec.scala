@@ -122,6 +122,11 @@ class PlanAuditSpec extends SparkSpec {
         n == "profile_mutual_info" || n == "er_blocking_quality" ||
         // runs test: the 1-row discrete-median attach (verified below)
         n == "ts_runs_test" ||
+        // r11 eval tier, all the same keyless 1-row attach (verified
+        // below): pacf's (t, d) mean + exact autocovariance scalars,
+        // DiD's discrete-median day cut, ablation's corpus totals
+        n == "ts_pacf" || n == "e_did_estimator" ||
+        n == "mix_source_ablation" ||
         // r8 late additions: p6's 1-row mean attach, retrieval_eval's
         // bm25-batch stats attach, stl's 1-row n / seasonal-center
         // attaches (all verified 1-row below); embed_mrl_recall embeds
@@ -252,7 +257,8 @@ class PlanAuditSpec extends SparkSpec {
         "m_repeat_rate", "f_cramers_v", "profile_uniques",
         "f_permutation_test", "f_permutation_test_fast",
         "graph_distance_dist", "f_tukey_hsd", "f_kruskal_wallis",
-        "ts_stl_strength")
+        "ts_stl_strength", "ts_pacf", "e_did_estimator",
+        "mix_source_ablation")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"), s"$name:\n$p")
