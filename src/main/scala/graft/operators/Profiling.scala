@@ -535,6 +535,66 @@ object Profiling {
     // (leading significant digit is invariant under the ×100 shift), so
     // the whole test is integer: per-digit counts, observed share in
     // truncating ppm against the 1-row total attach, and the χ²-style
+    // ROC AUC of the value score against the purchase label — THE
+    // standard classifier-eval metric, in the tie-corrected rank form
+    // AUC = (Σ2·avgrank_pos − n₊(n₊+1)) / (2·n₊·n₋). Ranks come from
+    // prefix sums over the GROUPED score domain (one aggregate, then a
+    // window over |distinct scores| rows — bounded by the cents domain,
+    // never the row count), 2·avgrank = 2·cum_n − n + 1 stays integer,
+    // sums are 128-bit (rank sums square the row count), ONE division
+    // with the DuckDB side routed through VARCHAR.
+    Op("f_auc_roc",
+       """WITH e AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |           AS pos
+         |  FROM events),
+         |g AS (
+         |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(pos) AS BIGINT) AS npos
+         |  FROM e GROUP BY 1),
+         |r AS (
+         |  SELECT score, n, npos,
+         |         CAST(sum(n) OVER (ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_n
+         |  FROM g),
+         |agg AS (
+         |  SELECT sum(CAST(npos AS HUGEINT) * (2 * cum_n - n + 1)) AS s2,
+         |         CAST(sum(npos) AS BIGINT) AS n_pos,
+         |         CAST(sum(n - npos) AS BIGINT) AS n_neg
+         |  FROM r)
+         |SELECT n_pos, n_neg,
+         |  CAST(CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS VARCHAR)
+         |       AS DOUBLE)
+         |    / CAST(CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS VARCHAR)
+         |           AS DOUBLE) AS auc
+         |FROM agg WHERE n_pos > 0 AND n_neg > 0""".stripMargin) { (s, d) =>
+      val d38 = org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 0)
+      val e = Tables.events(s, d).select(
+        round(col("value") * 100).cast("long").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val g = e.groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val r = g.withColumn("cum_n", sum(col("n")).over(w))
+      r.agg(
+        sum(col("npos").cast(d38) *
+          (lit(2L) * col("cum_n") - col("n") + 1)).as("s2"),
+        sum(col("npos")).as("n_pos"),
+        sum(col("n") - col("npos")).as("n_neg"))
+        .where(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("n_pos"), col("n_neg"),
+          ((col("s2") - col("n_pos").cast(d38) * (col("n_pos") + 1))
+            .cast("double") /
+            (lit(2L).cast(d38) * col("n_pos") * col("n_neg"))
+              .cast("double")).as("auc"))
+    },
+
     // McNemar's paired-binary test over per-user outcome flags (clicked
     // vs purchased): the 2×2 discordant-cell statistic (b−c)²/(b+c).
     // Two hash aggregates, exact integers, ONE double division.

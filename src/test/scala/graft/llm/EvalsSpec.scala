@@ -210,6 +210,31 @@ class EvalsSpec extends SparkSpec {
     assert(out("s1") == (("x y z", 3L)))
   }
 
+  test("AUC: rank formula equals the brute-force pairwise count exactly") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // scores with ties across and within classes
+    val scored = Seq(
+      (1.00, "purchase"), (2.00, "purchase"), (2.00, "view"),
+      (3.00, "view"), (0.50, "view"), (2.00, "purchase"), (4.00, "purchase"))
+    val rows = scored.zipWithIndex.map { case ((v, t), i) =>
+      (i.toLong, ts, 1L, t, v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("aucspec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = graft.operators.Profiling.ops
+      .find(_.name == "f_auc_roc").get.query(spark, dir).collect()(0)
+
+    val pos = scored.filter(_._2 == "purchase").map(_._1)
+    val neg = scored.filter(_._2 != "purchase").map(_._1)
+    val num = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val brute = num.toDouble / (2.0 * pos.size * neg.size)
+    assert(row.getLong(0) == pos.size.toLong &&
+      row.getLong(1) == neg.size.toLong)
+    assert(row.getDouble(2) == brute, s"auc ${row.getDouble(2)} vs $brute")
+  }
+
   test("BLEU brevity penalty kicks in when the candidate is shorter") {
     val docs = Seq(
       (1L, "a b", "s0", "en"),

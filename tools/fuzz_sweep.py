@@ -71,7 +71,7 @@ ENTRIES = [
     "text_readability", "llm_pass_at_k", "llm_bleu_pairs", "llm_rouge_l",
     "f_conformal_interval", "graph_wl_refinement", "e_did_estimator",
     "mix_source_ablation", "llm_watermark_detect", "graph_rich_club",
-    "llm_greedy_completion", "ts_pacf", "f_mcnemar_test", "f_cohen_kappa",
+    "llm_greedy_completion", "ts_pacf", "f_mcnemar_test", "f_cohen_kappa", "f_auc_roc",
 ]
 
 # (regime, entry) -> documented contract boundary. Regime 2 is unicode.
