@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   *
   *   runMain graft.FuzzGen <outDir> <seed>
   *
-  * Regime = seed % 4:
+  * Regime = seed % 5:
   *   0 minimal   — single-digit row counts, single-row dims, one EMPTY
   *                 document text, a single-character one; the smallest
   *                 legal instance of every contract.
@@ -23,15 +23,25 @@ import org.apache.spark.sql.types._
   *                 event timestamps): all-tie sort keys, duplicate-
   *                 everything dedup input, zero-variance statistics.
   *   2 unicode   — BMP text beyond ASCII (Latin-1 accents, Cyrillic,
-  *                 CJK) in documents and name columns; byte-level
-  *                 tokenizer entries are EXPECTED to refuse via their
-  *                 printable-ASCII guard (that is the guard's contract).
+  *                 CJK, NFD combining marks) in documents and name
+  *                 columns. Since r12 the FULL oracle list runs here:
+  *                 the byte-level BPE replay carries the complete GPT-2
+  *                 byte table and the char-level tokenizers are
+  *                 codepoint-exact on both sides.
   *   3 extremes  — negative balances, zero prices/quantities, 1e9
   *                 magnitudes (the edge of the engine's documented
   *                 cents-in-BIGINT money contract — integer-WIDTH
   *                 probing beyond it belongs to the sf1 gate), one
   *                 customer owning most orders, one user owning most
   *                 events: skew + boundary numerics.
+  *   4 astral    — non-BMP document text (emoji, Gothic/math-bold
+  *                 letters: 4-byte UTF-8, surrogate pairs on the JVM)
+  *                 mixed with BMP scripts. The byte-level family and
+  *                 every Spark-SQL-function text path replay exactly
+  *                 (both walk codepoints/bytes); the one documented
+  *                 boundary is the Unigram trainer, whose seed-piece
+  *                 enumeration is UTF-16-unit-based by contract
+  *                 (Unigram.scala) — excluded in fuzz_sweep.py.
   *
   * Determinism: one java.util.Random stream per table, seeded from
   * (seed, table) — regenerating a seed reproduces the corpus bit for
@@ -56,14 +66,31 @@ object FuzzGen {
     .split(" ").toSeq
   private val unicodeVocab = Seq("café", "naïve", "über", "groß",
     "привет", "мир", "данные", "中文", "数据", "表", "日本語", "Ωμέγα",
-    "żółć", "miłość", "→", "…", "«quoted»")
+    "żółć", "miłość", "→", "…", "«quoted»",
+    // combining marks (NFD-style): base + U+0301 / U+0308 — a codepoint
+    // that is \p{M} (neither letter nor number nor space) in both
+    // regex engines, exercising the punct-run pretokenizer branch
+    // mid-word
+    "me\u0301tro", "u\u0308ber", "x\u0301y")
+  // Astral regime vocab: non-BMP codepoints — 4-byte UTF-8, surrogate
+  // PAIRS on the JVM — mixed with BMP. Long-assigned codepoints only
+  // (Unicode ≤ 13, the JDK 17 data the engine's \p{L}/\p{N} classes
+  // use): emoji (\p{So} → the punctuation-run pretokenizer branch),
+  // Gothic + math-bold letters (astral \p{L}), and mixed-script tokens.
+  // Every BMP char here stays < U+E000 so the driver-side UTF-16
+  // symbol Ordering agrees with codepoint/UTF-8 order even next to
+  // surrogates.
+  private val astralVocab = Seq("\uD83D\uDE00", "\uD83D\uDE80",
+    "\uD83C\uDF0D", "data\uD83D\uDCCA", "\uD800\uDF30\uD800\uDF3F",
+    "\uD835\uDD4A\uD835\uDD61", "ok\uD83D\uDC4D", "中\uD83D\uDE00文",
+    "café", "мир", "\uD83E\uDD16bot")
 
   private def ts(minutes: Long): Timestamp =
     new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 UTC
 
   def main(args: Array[String]): Unit = {
     val (out, seed) = (args(0), args(1).toLong)
-    val regime = (seed % 4).toInt
+    val regime = (seed % 5).toInt
     val spark = Engine.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -272,6 +299,7 @@ object FuzzGen {
             salad(30, vocab))(i % 4)
           case 1 => "the fast spark table scan join merge" // all identical
           case 2 => salad(10 + rd.nextInt(40), vocab ++ unicodeVocab)
+          case 4 => salad(10 + rd.nextInt(40), vocab ++ astralVocab)
           case _ => // extremes: huge repeats, digit floods, punct floods
             Seq(salad(5, vocab) * 20,
               (0 until 50).map(_ => rd.nextInt(1000)).mkString(" "),

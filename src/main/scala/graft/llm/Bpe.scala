@@ -31,9 +31,21 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
-  /** Symbol sequence of a word: one symbol per char, plus the sentinel. */
-  private def symbols(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ EndOfWord
+  /** Symbol sequence of a word: one symbol per CODEPOINT (not UTF-16
+    * unit — an astral char is one symbol, never a surrogate-half pair,
+    * matching the oracle's codepoint-based substr walk), plus the
+    * sentinel.
+    */
+  private def symbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (out += EndOfWord).result()
+  }
 
   /** A FROZEN merge table (rank = index) — the production deployment
     * shape: tokenizers are trained once, frozen, and applied to every

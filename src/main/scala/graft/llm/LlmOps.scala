@@ -24,8 +24,10 @@ object LlmOps {
   /** Recursive-CTE replay of [[Bpe.train]] — the TRAINING loop itself,
     * not just a frozen walk: the corpus word histogram (top `vocabWords`
     * by count desc, word asc — Bpe.wordHistogram's exact cut) seeds
-    * per-word symbol states (chr(31)-joined; the corpus is pure ASCII,
-    * so char splits agree across engines), and each recursion step
+    * per-word symbol states (chr(31)-joined; the engine's symbols and
+    * DuckDB's substr both walk CODEPOINTS, so splits agree on any
+    * valid-UTF-8 corpus — the chr(31) separator would only collide with
+    * a corpus containing U+001F itself), and each recursion step
     * (a) re-derives the pair census from the CURRENT states — the same
     * numbers the engine maintains incrementally, since its add/drop
     * bookkeeping exactly tracks state contents — (b) picks the max-count
@@ -312,35 +314,59 @@ object LlmOps {
     * ` ?[^\\s\\p{L}\\p{N}]+`, then the whitespace rule: a run reaching
     * end-of-text is taken whole, an interior run of n ≥ 2 gives up its
     * last space to the next token — the lookahead's backtrack — and a
-    * single interior space falls through to `\\s+`). Byte-exact for
-    * this corpus because it is pure ASCII (octet_length == length
-    * corpus-wide — the llm_cdc_chunks precedent), where Java's and
-    * RE2's \\p{L}/\\p{N}/\\s agree. Ends in
-    * `ptk(doc_id, wpos, tok)`.
+    * single interior space falls through to `\\s+`). Byte-exact for any
+    * valid-UTF-8 corpus without U+000B ([[requireOracleSafeText]]):
+    * DuckDB's substr/length walk codepoints, Java's regex walks
+    * codepoints, and \\p{L}/\\p{N}/\\s agree for long-assigned
+    * codepoints (the documented Unicode-version contract). Also carries
+    * the full 256-entry GPT-2 byte↔char table as `bmap(b, ch)` (bytes
+    * printable in latin-1 map to themselves, the 68 others to 256+n in
+    * byte order — [[Bpe.ByteLevel.byteToChar]] verbatim) and its
+    * list-indexed form `bml(m)` (m[b+1] = ch), which the symbol-init
+    * expressions ([[byteSymsSql]]) consume: codepoint → UTF-8 bytes by
+    * pure arithmetic → mapped chars. Ends in `ptk(doc_id, wpos, tok)`.
     */
-  /** Fail-fast guard for the byte-level oracle family: the DuckDB
-    * replays ([[bytePretokCtes]] / [[byteBpeTrainCtes]]) remap ONLY
-    * `' ' -> chr(288)`, while the engine maps every byte through the
-    * full GPT-2 table (`'\n' -> chr(266)`, UTF-8 continuation bytes,
-    * …). The two agree iff the corpus is printable ASCII (0x20–0x7E);
-    * any other byte would shift lexicographic merge tie-breaks
-    * SILENTLY. Make corpus drift an error, not a hash-mismatch hunt.
+  /** Fail-fast guard for the byte-level oracle family, now narrowed to
+    * the ONE codepoint with a proven pre-tokenizer class divergence:
+    * U+000B (vertical tab) is `\s` to Java's regex (ASCII `\s` =
+    * `[ \t\n\x0B\f\r]`) but NOT to RE2's (`[\t\n\f\r ]`), so the
+    * engine's `\s+(?!\S)` rule and the oracle walk's punctuation rule
+    * can split a mixed whitespace run differently around it (e.g.
+    * `" "` → one Java pretoken, two RE2 pretokens). Everything
+    * else — any valid-UTF-8 text, all 256 byte values via multi-byte
+    * codepoints — replays exactly: the oracle now carries the full
+    * GPT-2 byte table ([[bytePretokCtes]]'s `bmap`), not just the
+    * space remap. Remaining documented contract (not guarded, because
+    * it is a Unicode-VERSION boundary, not a class boundary): `\p{L}`
+    * / `\p{N}` membership of codepoints assigned after the JVM's
+    * Unicode data (JDK 17 = Unicode 13.0) may differ from RE2's newer
+    * tables; fuzz corpora use long-stable scripts.
     * Pushed-filter + limit(1) — short-circuits on first offender.
     */
-  private def requireAsciiCorpus(
+  private def requireOracleSafeText(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val bad = docs.filter(col(textCol).rlike("[^ -~]")).limit(1).count()
+    val bad = docs.filter(col(textCol).contains("\u000B")).limit(1).count()
     require(bad == 0L,
-      "byte-level BPE oracle parity requires a printable-ASCII corpus " +
-        s"(0x20-0x7E); found a document with other bytes in '$textCol'. " +
-        "The engine is correct on any bytes — regenerate the DuckDB " +
-        "oracle with the full GPT-2 byte table before trusting hashes.")
+      "byte-level BPE oracle parity excludes U+000B (vertical tab): " +
+        "Java \\s includes it, RE2 \\s does not, so the pre-tokenizer " +
+        s"replay can split differently. Found one in '$textCol'. The " +
+        "engine itself is correct on any bytes.")
     docs
   }
 
   private val bytePretokCtes: String =
-    s"""bd AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    s"""bmap AS MATERIALIZED (
+       |  SELECT b,
+       |         CASE WHEN pr THEN chr(CAST(b AS INT))
+       |              ELSE chr(CAST(255 + row_number()
+       |                     OVER (PARTITION BY pr ORDER BY b) AS INT))
+       |         END AS ch
+       |  FROM (SELECT b, (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+       |                  OR (b BETWEEN 174 AND 255) AS pr
+       |        FROM range(0, 256) t(b))),
+       |bml AS MATERIALIZED (SELECT list(ch ORDER BY b) AS m FROM bmap),
+       |bd AS (SELECT doc_id, text, length(text) AS n FROM documents),
        |bwk(doc_id, pos, wpos, tok) AS (
        |  SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
        |         CAST(NULL AS VARCHAR)
@@ -381,13 +407,44 @@ object LlmOps {
        |  SELECT doc_id, wpos - 1 AS wpos, tok FROM bwk WHERE wpos >= 1)"""
       .stripMargin
 
+  /** Symbol-init list of a pretoken under the FULL GPT-2 byte table:
+    * each codepoint of `wordExpr` → its UTF-8 bytes by pure integer
+    * arithmetic (no encode()/BLOB round-trip — byte-extraction on
+    * BLOBs has no per-byte integer accessor in DuckDB SQL) → each byte
+    * through `bml.m`. The enclosing FROM must include `bml`. Matches
+    * [[Bpe.ByteLevel.symbols]] (`getBytes("UTF-8")` then byteToChar)
+    * for every valid-UTF-8 string, non-BMP included: DuckDB's
+    * substr/unicode walk codepoints, and a surrogate pair is one
+    * codepoint on the JVM side too (getBytes encodes the pair as one
+    * 4-byte sequence).
+    */
+  private def byteSymsSql(wordExpr: String): String =
+    s"""list_transform(
+       |  flatten(list_transform(
+       |    list_transform(range(1, length($wordExpr) + 1),
+       |                   i -> unicode(substr($wordExpr, CAST(i AS INT), 1))),
+       |    cp -> CASE
+       |      WHEN cp < 128 THEN [cp]
+       |      WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+       |      WHEN cp < 65536 THEN [224 + cp // 4096,
+       |                            128 + (cp // 64) % 64, 128 + cp % 64]
+       |      ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+       |            128 + (cp // 64) % 64, 128 + cp % 64] END)),
+       |  b -> m[CAST(b AS INT) + 1])""".stripMargin
+
   /** Byte-level BPE training replay: [[bytePretokCtes]] feeds the same
     * merge recursion as [[bpeTrainCtes]] but with the GPT-2 byte
-    * alphabet — for this pure-ASCII corpus the only byte that maps away
-    * from itself is the space (0x20 → the published table's U+0120, the
-    * GPT-2 'Ġ'), and there is NO end-of-word sentinel (the leading-space
-    * convention owns boundaries). Ends in `ybm(rank, a, b)` over the
-    * top-`vocabWords` pretoken histogram.
+    * alphabet — every pretoken's symbols come from the full 256-entry
+    * byte table via [[byteSymsSql]] (space → U+0120 'Ġ', newline →
+    * U+010A, multi-byte codepoints → one symbol per UTF-8 byte), and
+    * there is NO end-of-word sentinel (the leading-space convention
+    * owns boundaries). The chr(31) state separator stays collision-free
+    * on any input: 0x1F is non-printable, so the mapped alphabet never
+    * contains it. Merge tie-breaks compare mapped symbols — all BMP
+    * chars ≤ U+0143 and concatenations thereof, where the engine's
+    * UTF-16 Ordering, codepoint order, and DuckDB's UTF-8 memcmp
+    * coincide. Ends in `ybm(rank, a, b)` over the top-`vocabWords`
+    * pretoken histogram.
     */
   private def byteBpeTrainCtes(numMerges: Int, vocabWords: Int): String =
     s"""yhist AS MATERIALIZED (
@@ -395,11 +452,9 @@ object LlmOps {
        |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT $vocabWords),
        |yst0 AS (
        |  SELECT word, cnt,
-       |         array_to_string(list_transform(
-       |             range(1, length(replace(word, ' ', chr(288))) + 1),
-       |             i -> substr(replace(word, ' ', chr(288)), i, 1)),
+       |         array_to_string(${byteSymsSql("word")},
        |           chr(31)) AS state
-       |  FROM yhist),
+       |  FROM yhist, bml),
        |ytr(step, word, cnt, state, ma, mb) AS (
        |  SELECT 0, word, cnt, state, CAST(NULL AS VARCHAR),
        |         CAST(NULL AS VARCHAR)
@@ -436,10 +491,8 @@ object LlmOps {
   private def byteEncodeCtes(sfx: String, maxRank: Int): String =
     s"""yenc$sfx(step, word, syms) AS (
        |  SELECT 0, word,
-       |         list_transform(
-       |           range(1, length(replace(word, ' ', chr(288))) + 1),
-       |           i -> substr(replace(word, ' ', chr(288)), i, 1))
-       |  FROM (SELECT DISTINCT tok AS word FROM ptk)
+       |         ${byteSymsSql("word")}
+       |  FROM (SELECT DISTINCT tok AS word FROM ptk), bml
        |  UNION ALL
        |  SELECT t.step + 1, t.word,
        |         list_concat(list_concat(
@@ -5103,8 +5156,9 @@ object LlmOps {
     // regexp pre-tokenization, trained on the corpus pretoken histogram,
     // applied map-side — the context-window statistic for a REAL model's
     // tokenizer (any string tokenizes; no unknown-symbol escape).
-    // ORACLE-EXACT now (r10), completing the trained-tokenizer family:
-    // the GPT-2 pre-tokenizer replays as a hand-rolled alternation walk
+    // ORACLE-EXACT (r10; r12 extends parity from printable-ASCII to any
+    // valid-UTF-8 corpus via the full 256-entry byte table in SQL): the
+    // GPT-2 pre-tokenizer replays as a hand-rolled alternation walk
     // (bytePretokCtes — RE2 has no lookahead), training as the same
     // one-merge-per-step recursion as the char-level trainer over byte
     // symbols (byteBpeTrainCtes), and the per-document count composes
@@ -5116,14 +5170,14 @@ object LlmOps {
           |ycnt AS (
           |  SELECT word, CAST(len(syms) AS BIGINT) AS np FROM yfin)
           |SELECT d.doc_id,
-          |       CAST(any_value(length(d.text)) AS BIGINT) AS n_bytes,
+          |       CAST(any_value(strlen(d.text)) AS BIGINT) AS n_bytes,
           |       CAST(coalesce(sum(c.np), 0) AS BIGINT)
           |         AS n_byte_bpe_tokens
           |FROM documents d
           |LEFT JOIN ptk p ON p.doc_id = d.doc_id
           |LEFT JOIN ycnt c ON c.word = p.tok
           |GROUP BY d.doc_id""".stripMargin) { (s, d) =>
-      val docs = requireAsciiCorpus(Tables.documents(s, d))
+      val docs = requireOracleSafeText(Tables.documents(s, d))
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.tokenCounts(docs, merges)
@@ -5132,11 +5186,12 @@ object LlmOps {
     // Token-id sequences under the CORPUS-TRAINED GPT-2-style
     // vocabulary (bytes 0..255 + merge products at 256+rank, first id
     // winning duplicate surfaces) — the artifact a training pipeline
-    // ships. ORACLE-EXACT now (r10): pre-tokenizer walk + training
-    // recursion + greedy encode walk + the id map in SQL (single-char
-    // pieces are their byte value — only the space maps away from its
-    // codepoint in this ASCII corpus; multi-char pieces take 256 + the
-    // LOWEST producing rank, the engine's foldLeft first-wins).
+    // ships. ORACLE-EXACT now (r10; full byte table r12): pre-tokenizer
+    // walk + training recursion + greedy encode walk + the id map in
+    // SQL (a single-char piece's id is its BYTE value — the inverse of
+    // the bmap table, joined on the mapped char; multi-char pieces take
+    // 256 + the LOWEST producing rank, the engine's foldLeft
+    // first-wins).
     Op("llm_bpe_encode",
        s"""WITH RECURSIVE $bytePretokCtes,
           |${byteBpeTrainCtes(100, 5000)},
@@ -5147,15 +5202,14 @@ object LlmOps {
           |pieces AS (
           |  SELECT u.word, u.si, u.piece,
           |         CASE WHEN length(u.piece) = 1
-          |              THEN CASE WHEN u.piece = chr(288)
-          |                        THEN CAST(32 AS INT)
-          |                        ELSE CAST(ascii(u.piece) AS INT) END
+          |              THEN CAST(bm.b AS INT)
           |              ELSE lid.id END AS token_id
           |  FROM (SELECT word, si, syms[CAST(si AS INT) + 1] AS piece
           |        FROM (SELECT word, syms,
           |                     unnest(range(0, len(syms))) AS si
           |              FROM yfin)) u
-          |  LEFT JOIN lid ON lid.piece = u.piece)
+          |  LEFT JOIN lid ON lid.piece = u.piece
+          |  LEFT JOIN bmap bm ON bm.ch = u.piece)
           |SELECT p.doc_id,
           |       CAST(row_number() OVER (PARTITION BY p.doc_id
           |                               ORDER BY p.wpos, x.si) - 1
@@ -5163,7 +5217,7 @@ object LlmOps {
           |       x.token_id
           |FROM ptk p JOIN pieces x ON x.word = p.tok""".stripMargin) {
       (s, d) =>
-      val docs = requireAsciiCorpus(Tables.documents(s, d))
+      val docs = requireOracleSafeText(Tables.documents(s, d))
       val merges = Bpe.ByteLevel.trainOnCorpus(docs, numMerges = 100,
         vocabWords = 5000)
       Bpe.ByteLevel.encodeToIds(docs, merges)
@@ -5190,7 +5244,7 @@ object LlmOps {
            |         AS bytes_per_token
            |FROM (
            |  SELECT dd.doc_id, dd.lang,
-           |         CAST(length(dd.text) AS BIGINT) AS n_bytes,
+           |         CAST(strlen(dd.text) AS BIGINT) AS n_bytes,
            |         (SELECT sum(len(f.syms))
            |          FROM ptk p JOIN yfin$sfx f ON f.word = p.tok
            |          WHERE p.doc_id = dd.doc_id) AS np
@@ -5204,7 +5258,7 @@ object LlmOps {
          |UNION ALL
          |${leg("b", 200)}""".stripMargin
     }) { (s, d) =>
-      val docs = requireAsciiCorpus(Tables.documents(s, d))
+      val docs = requireOracleSafeText(Tables.documents(s, d))
       val hist = Bpe.ByteLevel.pretokenHistogram(docs, "text", 5000)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       Seq(50, 200).map { m =>

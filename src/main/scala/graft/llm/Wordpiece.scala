@@ -52,11 +52,26 @@ object Wordpiece {
     base ++ multi
   }
 
-  /** WordPiece symbols: first char bare, continuations `##`-prefixed. */
-  def symbols(word: String): Vector[String] =
-    word.toVector.zipWithIndex.map { case (c, i) =>
-      if (i == 0) c.toString else "##" + c
+  /** WordPiece symbols: first codepoint bare, continuations
+    * `##`-prefixed. Codepoint-based like [[Bpe]]'s char symbols, so an
+    * astral char is one symbol — and [[encodeWord]]'s UTF-16 substring
+    * walk stays codepoint-ALIGNED automatically: every vocab piece is a
+    * whole-codepoint string, so a match can only end on a codepoint
+    * boundary.
+    */
+  def symbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var first = true
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val s = new String(Character.toChars(cp))
+      out += (if (first) s else "##" + s)
+      first = false
+      i += Character.charCount(cp)
     }
+    out.result()
+  }
 
   /** Merge two adjacent symbols: the right side sheds its `##`. */
   private def join(a: String, b: String): String = a + b.stripPrefix("##")

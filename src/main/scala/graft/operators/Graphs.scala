@@ -1379,6 +1379,108 @@ object Graphs {
     sb.toString
   }
 
+  /** Pointer-doubling depth of the graph_mst oracle's per-round
+    * contraction: K doublings resolve pointer chains up to 2^(K-1)
+    * labels — 18 covers 131072-label chains, far beyond any supplier
+    * graph here (sf1 ≈ 10^4 nodes), and each doubling is one tiny
+    * label-sized self-join.
+    */
+  private val MstJumpK = 18
+  private val mstJumpCtes: String =
+    (2 to MstJumpK).map { i =>
+      s"""   ptr$i AS MATERIALIZED (
+         |     SELECT p.lab, q.tgt FROM ptr${i - 1} p
+         |     JOIN ptr${i - 1} q ON q.lab = p.tgt)""".stripMargin
+    }.mkString(",\n")
+
+  /** Maximum spanning forest (the collaboration backbone) of the
+    * weighted co-supplier graph by distributed Borůvka. The forest is
+    * UNIQUE under the total (weight desc, src, dst) edge order, so any
+    * algorithm that respects that order produces the same edge set —
+    * and the oracle now replays BORŮVKA ROUNDS too (r12; the r10
+    * edge-per-recursion-step Kruskal replay was O(|E|) steps × a full
+    * node relabel each and timed out DuckDB's 900 s budget at sf1,
+    * while the engine ran 13.5 s — an oracle-capacity hole, VERDICT
+    * r11 #2). Each recursion step is ONE round: every component label
+    * picks its minimum-rank crossing edge (per-label min over the
+    * crossing-edge census), chosen edges are emitted as kind=1 rows,
+    * and the merged components contract by pointer DOUBLING over the
+    * chosen-edge pointer forest — 2-cycles resolve to the smaller
+    * label as root, then ptr_{i+1} = ptr_i ∘ ptr_i, so MstJumpK = 18
+    * doublings reach roots of chains up to 2^17 labels
+    * (far above any component count here; the per-round label count
+    * at least halves, so rounds ≤ log2 V). Every per-round CTE is
+    * MATERIALIZED — DuckDB inlines plain CTEs per reference, and the
+    * doubling chain references each level twice, which would expand
+    * 2^K copies of the census (the graph_wl_refinement lesson).
+    * Borůvka under a total edge order yields the same unique forest
+    * as Kruskal (cut property with all-distinct ranks), so the edge
+    * set hash-compares against the engine's contracted Borůvka.
+    */
+  private val mstOp: Op =
+      Op("graph_mst",
+         s"""WITH RECURSIVE pairs AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+           |e0 AS (
+           |  SELECT p1.s AS src, p2.s AS dst, CAST(count(*) AS BIGINT) AS w
+           |  FROM pairs p1 JOIN pairs p2 ON p1.ok = p2.ok AND p1.s < p2.s
+           |  GROUP BY 1, 2 HAVING count(*) >= 6),
+           |er AS MATERIALIZED (
+           |  SELECT src, dst, w,
+           |         CAST(row_number() OVER (ORDER BY w DESC, src, dst)
+           |              AS BIGINT) AS rk
+           |  FROM e0),
+           |nd AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+           |bor(round, kind, node, label, src, dst, w) AS (
+           |  SELECT CAST(0 AS BIGINT), 0, node, node,
+           |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           |         CAST(NULL AS BIGINT)
+           |  FROM nd
+           |  UNION ALL
+           |  (WITH cur AS MATERIALIZED (
+           |     SELECT round, node, label FROM bor WHERE kind = 0),
+           |   xe AS MATERIALIZED (
+           |     SELECT e.rk, e.src, e.dst, e.w, a.label AS la, b.label AS lb
+           |     FROM er e JOIN cur a ON a.node = e.src
+           |               JOIN cur b ON b.node = e.dst
+           |     WHERE a.label <> b.label),
+           |   best AS MATERIALIZED (
+           |     SELECT lab, min(rk) AS rk FROM (
+           |       SELECT la AS lab, rk FROM xe
+           |       UNION ALL SELECT lb, rk FROM xe)
+           |     GROUP BY 1),
+           |   chosen AS MATERIALIZED (
+           |     SELECT DISTINCT x.rk, x.src, x.dst, x.w, x.la, x.lb
+           |     FROM xe x JOIN best b ON b.rk = x.rk),
+           |   ptr0 AS MATERIALIZED (
+           |     SELECT b.lab,
+           |            CASE WHEN c.la = b.lab THEN c.lb ELSE c.la END AS tgt
+           |     FROM best b JOIN chosen c ON c.rk = b.rk),
+           |   ptr1 AS MATERIALIZED (
+           |     SELECT p.lab,
+           |            CASE WHEN q.tgt = p.lab AND p.lab < p.tgt THEN p.lab
+           |                 ELSE p.tgt END AS tgt
+           |     FROM ptr0 p JOIN ptr0 q ON q.lab = p.tgt),
+           |$mstJumpCtes
+           |   SELECT u.round, u.kind, u.node, u.label, u.src, u.dst, u.w
+           |   FROM (
+           |     SELECT c.round + 1 AS round, 0 AS kind, c.node,
+           |            coalesce(p.tgt, c.label) AS label,
+           |            CAST(NULL AS BIGINT) AS src,
+           |            CAST(NULL AS BIGINT) AS dst,
+           |            CAST(NULL AS BIGINT) AS w
+           |     FROM cur c LEFT JOIN ptr$MstJumpK p ON p.lab = c.label
+           |     UNION ALL
+           |     SELECT mr.round + 1, 1, NULL, NULL, ch.src, ch.dst, ch.w
+           |     FROM chosen ch, (SELECT max(round) AS round FROM cur) mr
+           |   ) u
+           |   WHERE (SELECT count(*) FROM chosen) > 0))
+           |SELECT DISTINCT src, dst, w FROM bor
+           |WHERE kind = 1""".stripMargin) { (s, d) =>
+        maxSpanningForest(coSupplierWeightedEdges(Tables.lineitem(s, d)))
+      }
+
   val ops: Seq[Op] = Seq(
     // Ten exact fixed-point rounds over the trade graph; the recursive
     // CTE replays every truncating division bit-for-bit, so an ITERATIVE
@@ -1535,58 +1637,7 @@ object Graphs {
         .select(col("node"), col("label").as("component"))
     },
 
-    // Maximum spanning forest (the collaboration backbone) of the
-    // weighted co-supplier graph by distributed Borůvka. The forest is
-    // UNIQUE under the total (weight desc, src, dst) edge order, so any
-    // algorithm that respects that order produces the same edge set —
-    // which makes a SEQUENTIAL KRUSKAL the oracle even though the
-    // engine runs contracted Borůvka: the recursive CTE carries the
-    // union-find labeling as (step, node, label) rows, consumes ONE
-    // edge per recursion step in total order (rank join), reads the two
-    // endpoint labels with whole-partition windows (one reference to
-    // the recursive table, the graph_coreness idiom), relabels the
-    // losing component, and stops early once a single label remains
-    // (min=max window). An edge is in the forest iff its endpoints'
-    // labels differ at its own step — replayed by joining each ranked
-    // edge against the labeling one step before it; edges ranked past
-    // the early stop have no labeling row and are correctly rejected
-    // (all labels equal from that point on).
-    Op("graph_mst",
-       """WITH RECURSIVE pairs AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-         |e0 AS (
-         |  SELECT p1.s AS src, p2.s AS dst, CAST(count(*) AS BIGINT) AS w
-         |  FROM pairs p1 JOIN pairs p2 ON p1.ok = p2.ok AND p1.s < p2.s
-         |  GROUP BY 1, 2 HAVING count(*) >= 6),
-         |er AS MATERIALIZED (
-         |  SELECT src, dst, w,
-         |         CAST(row_number() OVER (ORDER BY w DESC, src, dst)
-         |              AS BIGINT) AS rk
-         |  FROM e0),
-         |nd AS (SELECT DISTINCT node FROM (
-         |  SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
-         |uf(step, node, label) AS (
-         |  SELECT CAST(0 AS BIGINT), node, node FROM nd
-         |  UNION ALL
-         |  SELECT t.step, t.node,
-         |         CASE WHEN t.ls <> t.ld AND t.label = greatest(t.ls, t.ld)
-         |              THEN least(t.ls, t.ld) ELSE t.label END
-         |  FROM (
-         |    SELECT s.step + 1 AS step, s.node, s.label,
-         |           max(CASE WHEN s.node = e.src THEN s.label END)
-         |             OVER () AS ls,
-         |           max(CASE WHEN s.node = e.dst THEN s.label END)
-         |             OVER () AS ld,
-         |           min(s.label) OVER () AS mn, max(s.label) OVER () AS mx
-         |    FROM uf s JOIN er e ON e.rk = s.step + 1) t
-         |  WHERE t.mn <> t.mx)
-         |SELECT e.src, e.dst, e.w
-         |FROM er e
-         |JOIN uf su ON su.step = e.rk - 1 AND su.node = e.src
-         |JOIN uf du ON du.step = e.rk - 1 AND du.node = e.dst
-         |WHERE su.label <> du.label""".stripMargin) { (s, d) =>
-      maxSpanningForest(coSupplierWeightedEdges(Tables.lineitem(s, d)))
-    },
+    mstOp,
 
     // Coreness of every co-supplier node by 10 h-index rounds; the
     // recursive CTE replays each round's count window bit-for-bit

@@ -15,10 +15,14 @@ Usage:
 Writes <workdir>/FUZZ.json: per seed+entry OK/FAIL/SKIP, plus a summary.
 Exit 1 iff any non-excluded entry fails.
 
-Exclusions are CONTRACT boundaries, not bugs (each carries its reason):
-entries whose oracle parity is documented to require printable-ASCII
-text are skipped on the unicode regime — their engine-side guard
-(requireAsciiCorpus) throwing IS the verified behavior there.
+Exclusions are CONTRACT boundaries, not bugs (each carries its reason).
+Since r12 the unicode regime (2) runs the FULL entry list — the
+byte-level BPE oracle carries the complete 256-entry GPT-2 byte table
+and the char tokenizers are codepoint-exact on both sides. The one
+remaining exclusion is the Unigram trainer on the astral regime (4):
+its seed-piece enumeration is UTF-16-unit-based by documented contract
+(Unigram.scala), while the oracle walks codepoints — surrogate-pair
+corpora are the byte-level tokenizer's domain.
 """
 import json
 import os
@@ -53,7 +57,8 @@ ENTRIES = [
     # dedup
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "llm_dedup_lines", "llm_substring_dedup",
-    # tokenizers (char-level; byte-level is ASCII-guarded by design)
+    # tokenizers (char-level codepoint-exact; byte-level carries the
+    # full GPT-2 byte table — both replay on any valid-UTF-8 corpus)
     "llm_bpe_token_counts", "llm_wordpiece_token_counts",
     "llm_unigram_token_counts", "llm_bpe_byte_counts",
     # mixing
@@ -74,19 +79,13 @@ ENTRIES = [
     "llm_greedy_completion", "ts_pacf", "f_mcnemar_test", "f_cohen_kappa", "f_auc_roc",
 ]
 
-# (regime, entry) -> documented contract boundary. Regime 2 is unicode.
+# (regime, entry) -> documented contract boundary. Regime 2 is unicode
+# (BMP), regime 4 is astral (non-BMP / surrogate pairs).
 EXCLUDE = {
-    (2, "llm_bpe_token_counts"):
-        "char-BPE oracle: merge recursion documented ASCII-only "
-        "(LlmOps bpeTrainCtes scaladoc)",
-    (2, "llm_wordpiece_token_counts"):
-        "wordpiece oracle: same ASCII-only training-replay contract",
-    (2, "llm_unigram_token_counts"):
-        "unigram oracle: same ASCII-only training-replay contract",
-    (2, "llm_bpe_byte_counts"):
-        "byte-BPE guard refuses non-ASCII by design (requireAsciiCorpus)",
-    (2, "text_winnowing"):
-        "per-char fingerprint oracle documented ASCII-only",
+    (4, "llm_unigram_token_counts"):
+        "unigram trainer enumerates seed pieces by UTF-16 unit "
+        "(documented contract, Unigram.scala); the oracle walks "
+        "codepoints — they diverge exactly on surrogate-pair corpora",
 }
 
 
@@ -102,7 +101,7 @@ def main():
     os.makedirs(WORK, exist_ok=True)
     results, fails = {}, 0
     for seed in range(1, N_SEEDS + 1):
-        regime = seed % 4
+        regime = seed % 5
         data = f"{WORK}/data_{seed}"
         dump = f"{WORK}/dump_{seed}"
         r = sh([f"{REPO}/tools/run_verify.sh", data, str(seed)],
