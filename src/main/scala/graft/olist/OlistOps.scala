@@ -46,22 +46,70 @@ object OlistOps {
 
     // S1 visible in isolation: the three real reference CSVs through the
     // declared-schema ingest (BOM header, quoted zips, null sentinels).
-    Op.noOracle("olist_seed_ingest") { (s, _) =>
+    // ORACLE-EXACT since r12 (VERDICT r11 #6): every CELL of all three
+    // seeds round-trips as a (tbl, k, col, val) long-format row and
+    // hash-compares against DuckDB's read_csv with the same declared
+    // column types and nullstr='' (DuckDB's allow_quoted_nulls default
+    // matches Spark's nullValue treating quoted "" as NULL; both
+    // readers skip the UTF-8 BOM; quoted zips stay VARCHAR with leading
+    // zeros on both sides; integer cells render identically via
+    // CAST(... AS VARCHAR)). This is the full value surface of the
+    // agate-ladder-replacement contract (SURVEY §7.4(1)), not a count
+    // summary.
+    Op("olist_seed_ingest", {
+      def rc(file: String, cols: Seq[(String, String)]): String =
+        s"""read_csv('${Seeds.referenceSeedsDir}/$file.csv',
+           |  header=true, nullstr='',
+           |  columns={${cols.map { case (c, t) => s"'$c': '$t'" }
+                          .mkString(", ")}})""".stripMargin
+      val pCols = Seq("product_id" -> "VARCHAR",
+        "product_category_name" -> "VARCHAR",
+        "product_name_lenght" -> "INTEGER",
+        "product_description_lenght" -> "INTEGER",
+        "product_photos_qty" -> "INTEGER",
+        "product_weight_g" -> "INTEGER",
+        "product_length_cm" -> "INTEGER",
+        "product_height_cm" -> "INTEGER",
+        "product_width_cm" -> "INTEGER")
+      val sCols = Seq("seller_id" -> "VARCHAR",
+        "seller_zip_code_prefix" -> "VARCHAR",
+        "seller_city" -> "VARCHAR", "seller_state" -> "VARCHAR")
+      val tCols = Seq("product_category_name" -> "VARCHAR",
+        "product_category_name_english" -> "VARCHAR")
+      def unpivot(tbl: String, src: String, k: String,
+                  cols: Seq[(String, String)]): String =
+        cols.filter(_._1 != k).map { case (c, t) =>
+          val v = if (t == "VARCHAR") c else s"CAST($c AS VARCHAR)"
+          s"""SELECT '$tbl' AS tbl, $k AS k, '$c' AS col, $v AS val
+             |FROM $src""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH p AS (SELECT * FROM ${rc("olist_products_dataset", pCols)}),
+         |sl AS (SELECT * FROM ${rc("olist_sellers_dataset", sCols)}),
+         |tr AS (SELECT * FROM ${rc("product_category_name_translation",
+                                    tCols)})
+         |${unpivot("products", "p", "product_id", pCols)}
+         |UNION ALL
+         |${unpivot("sellers", "sl", "seller_id", sCols)}
+         |UNION ALL
+         |${unpivot("translation", "tr", "product_category_name", tCols)}"""
+        .stripMargin
+    }) { (s, _) =>
       val products = Seeds.readCsv(s, Seeds.referenceSeedsDir,
         "olist_products_dataset")
       val sellers = Seeds.readCsv(s, Seeds.referenceSeedsDir,
         "olist_sellers_dataset")
       val xlat = Seeds.readCsv(s, Seeds.referenceSeedsDir,
         "product_category_name_translation")
-      products.agg(count(lit(1)).as("n_products"),
-          count(col("product_category_name")).as("n_categorized"))
-        .crossJoin(broadcast(sellers.agg(count(lit(1)).as("n_sellers"),
-          // quoted zips must keep leading zeros -> all length 5
-          sum(when(length(col("seller_zip_code_prefix")) === 5, 1)
-            .otherwise(0)).as("n_zip5"))))
-        .crossJoin(broadcast(xlat.agg(count(lit(1)).as("n_translations"),
-          // BOM must not corrupt the first header/column
-          count(col("product_category_name")).as("n_bom_ok"))))
+      def unpivot(tbl: String, df: org.apache.spark.sql.DataFrame,
+                  k: String): org.apache.spark.sql.DataFrame = {
+        val vals = df.schema.fields.filter(_.name != k).flatMap(f =>
+          Seq(s"'${f.name}'", s"cast(`${f.name}` as string)"))
+        df.selectExpr(s"'$tbl' as tbl", s"`$k` as k",
+          s"stack(${vals.length / 2}, ${vals.mkString(", ")}) as (col, val)")
+      }
+      unpivot("products", products, "product_id")
+        .unionByName(unpivot("sellers", sellers, "seller_id"))
+        .unionByName(unpivot("translation", xlat, "product_category_name"))
     },
 
     // --- semantic layer (dbt metrics) ------------------------------------

@@ -7,9 +7,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 /** Driver entries for the ingest sources. JSONL round-trips through the
   * filesystem (write the documents table as JSONL + one injected corrupt
   * file, read it back through the quarantine split), so the entry
-  * exercises the real parser path end-to-end; file bytes make a DuckDB
-  * replay path-dependent, hence rows-only (same precedent as
-  * olist_seed_ingest for the CSV seeds).
+  * exercises the real parser path end-to-end. ORACLE-EXACT since r12
+  * (VERDICT r11 #6): the oracle is a plain SELECT against the parquet
+  * table — the round-tripped file bytes never reach DuckDB, but a hash
+  * match on the PARSED rows proves value fidelity through JSON
+  * escaping/typing end-to-end AND that exactly the injected corrupt
+  * line was quarantined (the source_xml_ingest precedent).
   */
 object SourceOps {
 
@@ -21,7 +24,10 @@ object SourceOps {
     StructField("n_chars", LongType)))
 
   val ops: Seq[Op] = Seq(
-    Op.noOracle("source_jsonl_ingest") { (s, d) =>
+    Op("source_jsonl_ingest",
+       """SELECT doc_id, source, lang, text, n_chars,
+         |       CAST(1 AS BIGINT) AS n_quarantined
+         |FROM documents""".stripMargin) { (s, d) =>
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
         java.lang.Integer.toHexString(d.hashCode)
       Tables.documents(s, d).write.mode("overwrite").json(out)
@@ -30,7 +36,10 @@ object SourceOps {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(out, "part-corrupt.json"),
         "{\"doc_id\": oops}\n")
-      Jsonl.ingestStats(s, out, docSchema, "text")
+      val (clean, quarantine) = Jsonl.readDocs(s, out, docSchema)
+      clean.select("doc_id", "source", "lang", "text", "n_chars")
+        .crossJoin(broadcast(
+          quarantine.agg(count(lit(1)).as("n_quarantined"))))
     },
 
     // XML round trip with quarantine: documents rendered as one XML
