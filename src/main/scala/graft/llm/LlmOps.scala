@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
 object LlmOps {
 
   // Shared SQL fragments for the oracle side (DuckDB dialect).
+  // SCHEMA CONTRACT: documents.text is NON-NULL (see the fuller note at
+  // Evals.toksSql — every generator declares it nullable=false, and the
+  // text tier's Spark-vs-DuckDB NULL conventions differ).
   private val normSql =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val toksSql = s"string_split($normSql, ' ')"

@@ -94,10 +94,17 @@ def compare_one(outdir, name, sfdir, sql, result_path):
         msg = str(e)
         # resource exhaustion is a REPLAY-capacity boundary (like a
         # timeout), not a wrong answer: the engine side ran clean and
-        # DuckDB could not fit the replay in temp/memory budget
-        capacity = ("No space left" in msg or "Out of Memory" in msg
-                    or "max_temp_directory_size" in msg
-                    or "temp_directory" in msg)
+        # DuckDB could not fit the replay in temp/memory budget.
+        # Classify by the SPECIFIC DuckDB exception types + the exact
+        # overflow messages, not loose substrings (ADVICE r11: a genuine
+        # oracle error whose message merely mentioned the temp directory
+        # would have been silently excused).
+        capacity = (
+            isinstance(e, duckdb.OutOfMemoryException)
+            or (isinstance(e, (duckdb.IOException, duckdb.OutOfRangeException))
+                and ("No space left on device" in msg
+                     or "max_temp_directory_size" in msg
+                     or "exceed the maximum size of the temporary" in msg)))
         res = {"status": "oracle_capacity" if capacity else "oracle_error",
                "err": msg[:500]}
     with open(result_path, "w") as f:
@@ -114,7 +121,7 @@ def main():
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
-    results, fails = {}, 0
+    results = {}
     # focused re-run: seed results from the existing record, re-compare
     # only the named entries, merge back (fix-one-entry iteration aid)
     if only is not None:
@@ -175,8 +182,8 @@ def main():
                 print(f"{name:28s} OK   rows={res['spark_rows']}",
                       flush=True)
             else:
-                if st != "oracle_capacity":
-                    fails += 1
+                # (fails is recounted from `results` after the loop —
+                # no in-loop counter, ADVICE r11)
                 print(f"{name:28s} {st.upper()} "
                       f"{res.get('err', '')[:140]}", flush=True)
                 if "first_diffs" in res:
