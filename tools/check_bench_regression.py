@@ -23,6 +23,13 @@ import sys
 
 RATIO = 1.5
 DELTA = 0.5
+# Adjudication tier (VERDICT r11 #5): a query drifting past 1.7x used to
+# surface only at the judge's 2.0x cross-round gate a round LATE
+# (embed_decontaminate closed r11 at 1.95x unadjudicated). Anything
+# crossing this tier gets named loudly so the PERF_DRIFT old-tree
+# protocol runs the round it appears; it does not fail the gate.
+ADJ_RATIO = 1.7
+ADJ_DELTA = 0.3
 
 
 def queries(rec):
@@ -65,12 +72,15 @@ def main():
 
     regressions = []
     drift = []
+    adjudicate = []
     for q in shared:
         b, n = base[q], new[q]
         ratio = n / b if b > 0 else float("inf")
         delta = n - b
         if ratio > RATIO and delta > DELTA:
             regressions.append((q, b, n, ratio, delta))
+        elif ratio > ADJ_RATIO and delta > ADJ_DELTA:
+            adjudicate.append((q, b, n, ratio, delta))
         elif ratio > 1.3:
             drift.append((q, b, n, ratio, delta))
 
@@ -79,6 +89,13 @@ def main():
           f"new total {tn:.1f}s  ratio {tn / tb:.3f}")
     print(f"new-only: {len(set(new) - set(base))}  "
           f"removed: {len(set(base) - set(new))}")
+
+    if adjudicate:
+        print(f"\nADJUDICATE (ratio>{ADJ_RATIO}x AND >+{ADJ_DELTA}s — run "
+              f"the PERF_DRIFT old-tree protocol THIS round): "
+              f"{len(adjudicate)}")
+        for q, b, n, r, d in sorted(adjudicate, key=lambda x: -x[4]):
+            print(f"  {q:32s} {b:7.3f}s -> {n:7.3f}s  ({r:.2f}x, {d:+.2f}s)")
 
     if drift:
         print(f"\nnon-fatal drift (ratio>1.3 but under the "
