@@ -108,15 +108,28 @@ object ScaleGen {
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long")))
 
-    // embeddings: rotate by copy positions — norm-preserving, cosine
-    // between copies collapses to ~0
+    // embeddings: rotate by (copy % dim) positions — norm-preserving,
+    // cosine between copies collapses to ~0. Once factor exceeds dim
+    // the rotation wraps (copy 64 would otherwise slice a negative
+    // length — the r12 sf10 probe hit exactly that), so each wrap also
+    // flips the sign of every entry: a row's copy-64 twin is then the
+    // NEGATION of its copy-0 self (cosine −1), never an exact
+    // duplicate that would hand near-dup workloads an artificial
+    // clique. Norms and per-dim magnitude distributions still survive.
     val dim = 64
+    require(factor <= 2 * dim,
+      s"embedding rotation supports at most ${2 * dim} copies " +
+        "(one rotation cycle per sign); raise dim handling first")
+    val rot = col("copy") % dim
+    val flip = (lit(1) - floor(col("copy") / dim) % 2 * 2).cast("float")
     write("embeddings", Tables.embeddings(spark, src).crossJoin(cp)
       .select(
         remap("vec_id").as("vec_id"),
-        concat(
-          slice(col("embedding"), col("copy") + 1, lit(dim) - col("copy")),
-          slice(col("embedding"), lit(1), col("copy"))).as("embedding"),
+        transform(
+          concat(
+            slice(col("embedding"), rot + 1, lit(dim) - rot),
+            slice(col("embedding"), lit(1), rot)),
+          x => x * flip).as("embedding"),
         col("label")))
 
     spark.stop()
