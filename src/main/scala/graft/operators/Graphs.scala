@@ -662,9 +662,21 @@ object Graphs {
     * driver-side action inside the loop; the normalizer rides the plan as
     * a broadcast nested loop of one row. State is one generation of
     * O(nodes) rows, checkpointed every `checkpointEvery` half-steps.
-    * Headroom: raw scores are bounded by max-degree·scale, so the default
-    * 2^20 scale leaves ~2^23 max-degree headroom inside BIGINT after the
-    * scale multiply; lower `scale` for hub-ier graphs.
+    *
+    * Headroom & the ADAPTIVE scale (r12 — the sf10 probe's catch): with
+    * L1 renormalization every half-step, total mass never exceeds
+    * `scale`, so any node's raw push-sum is ≤ scale and the per-node
+    * multiply is ≤ scale² — scale up to 2^31 stays BIGINT-exact
+    * regardless of degree (the old "max-degree·scale" bound was loose).
+    * The binding constraint is the OTHER direction: the initial state is
+    * scale div nh per hub, so a fixed 2^20 scale zeroes the whole state
+    * once the graph exceeds 2^20 hubs — at sf10 the 1.5M-customer trade
+    * graph hit exactly that (v0 = 0 → S = 0 → division by zero on the
+    * first normalize). scale = 0 (the default) now means AUTO:
+    * min(2^31, max(2^20, nh·2^10)) — ≥ 1024 units of per-node
+    * resolution up to 2M hubs, degrading gracefully to 1 unit at 2^31
+    * hubs, failing loudly beyond (a 100 TB graph past 2^31 nodes needs
+    * the double-domain variant, not more integer bits).
     *
     * Returns (kind, node, v): kind 'hub' for source-side nodes after the
     * final backward half-step, 'auth' for destination-side nodes after
@@ -672,7 +684,7 @@ object Graphs {
     */
   def hits(edges: DataFrame, srcCol: String = "src",
            dstCol: String = "dst", iters: Int = 4,
-           scale: Long = 1L << 20, checkpointEvery: Int = 1,
+           scale: Long = 0L, checkpointEvery: Int = 1,
            reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
@@ -689,7 +701,13 @@ object Graphs {
     val hubs = e.select(col("src").as("node")).distinct()
     val nh = hubs.count()
     require(nh > 0, "edge relation spans no hub nodes")
-    var state = hubs.select(col("node"), lit(scale / nh).as("v"))
+    val sc = if (scale > 0L) scale
+             else math.min(1L << 31, math.max(1L << 20, nh << 10))
+    require(nh <= sc,
+      s"$nh hubs exceed the fixed-point scale $sc: the initial state " +
+        "would truncate to all-zero mass. Use the double-domain scorer " +
+        "for graphs past 2^31 nodes.")
+    var state = hubs.select(col("node"), lit(sc / nh).as("v"))
     var prev = state
     var stateCk: Option[DataFrame] = None
     var half = 0
@@ -702,7 +720,7 @@ object Graphs {
       prev = state
       state = raw.crossJoin(broadcast(tot))
         .select(col("d").as("node"),
-          expr(s"($scale * raw_v) div S").as("v"))
+          expr(s"($sc * raw_v) div S").as("v"))
       half += 1
       // Cut EVERY `checkpointEvery` half-steps, default 1 — unlike the
       // single-lineage pageRank (where deeper uncut plans are cheaper),
@@ -1969,14 +1987,19 @@ object Graphs {
          |  SELECT src AS s, dst AS d, 0 AS par FROM raw
          |  UNION ALL SELECT dst, src, 1 FROM raw),
          |hub0 AS (SELECT DISTINCT src AS node FROM raw),
+         |sc AS MATERIALIZED (
+         |  SELECT least(1::BIGINT << 31,
+         |               greatest(1::BIGINT << 20,
+         |                        count(*)::BIGINT << 10)) AS s
+         |  FROM hub0),
          |state AS (
          |  SELECT 0 AS iter, node,
-         |         CAST((1::BIGINT << 20) // (SELECT count(*) FROM hub0)
+         |         CAST((SELECT s FROM sc) // (SELECT count(*) FROM hub0)
          |              AS BIGINT) AS v
          |  FROM hub0
          |  UNION ALL
          |  SELECT iter, node,
-         |         CAST(((1::BIGINT << 20) * raw_v) //
+         |         CAST(((SELECT s FROM sc) * raw_v) //
          |              (CAST(sum(raw_v) OVER () AS BIGINT)) AS BIGINT)
          |  FROM (
          |    SELECT st.iter + 1 AS iter, di.d AS node,
