@@ -69,6 +69,11 @@ ENTRIES = [
     "embed_quantize_int8", "embed_near_dup",
     # graph + events + timeseries
     "graph_wcc", "graph_pagerank", "graph_triangles", "graph_bfs",
+    # r12 additions: the Boruvka-round MST replay (all-tie weights stress
+    # the (w desc, src, dst) tie-break; the minimal regime stresses the
+    # empty/one-edge forest), adaptive-scale HITS, and the two
+    # newly-oracle-backed ingest entries
+    "graph_mst", "graph_hits", "source_jsonl_ingest", "olist_seed_ingest",
     "e_sessionize", "e_funnel", "ts_ema", "ts_mad_outliers", "ts_ols_trend",
     # multimodal metadata + dbt-style tests
     "multimodal_features_meta", "t_accepted_values",
