@@ -230,24 +230,40 @@ class BpeSpec extends SparkSpec {
     assert(diff == 0)
   }
 
-  test("byte-level corpus entries FAIL FAST on a non-printable-ASCII " +
-       "corpus instead of silently drifting from the space-only-remap " +
-       "oracle (requireAsciiCorpus guard)") {
+  test("byte-level corpus entries RUN on non-ASCII text (the r12 full " +
+       "byte-table oracle) and fail fast ONLY on U+000B — the one " +
+       "Java-vs-RE2 \\s class divergence (requireOracleSafeText guard)") {
     import spark.implicits._
     val dir = java.nio.file.Files
-      .createTempDirectory("graft-ascii-guard").toString
+      .createTempDirectory("graft-vtab-guard").toString
+    // non-ASCII (umlaut, 2-byte UTF-8) is now a SUPPORTED oracle input
     Seq((0L, "plain ascii doc", "en", "src0", 15L),
         (1L, "hat eine Umlaut-Zeile: größer", "de", "src0", 29L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("llm_bpe_byte_counts")(spark, dir)
+      .collect()
+    assert(rows.length == 2)
+    // n_bytes is the UTF-8 OCTET count (ö and ß are 2 bytes each)
+    val nBytes = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nBytes(1L) ==
+      "hat eine Umlaut-Zeile: größer".getBytes("UTF-8").length.toLong)
+    // ... but a vertical tab still fails fast: Java \s matches it, RE2
+    // \s does not, so the pre-tokenizer replay could split differently
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-vtab-guard2").toString
+    Seq((0L, "bad\u000Bdoc", "en", "src0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
     val e = intercept[IllegalArgumentException] {
-      graft.SparkEntry.queries("llm_bpe_byte_counts")(spark, dir).collect()
+      graft.SparkEntry.queries("llm_bpe_byte_counts")(spark, dir2)
+        .collect()
     }
-    assert(e.getMessage.contains("printable-ASCII"), e.getMessage)
+    assert(e.getMessage.contains("U+000B"), e.getMessage)
     // the engine-side byte-level tokenizer itself is byte-agnostic: the
     // guard protects ORACLE PARITY, not the operator
     val merges = Bpe.ByteLevel.trainOnCorpus(
-      graft.Tables.documents(spark, dir), numMerges = 5, vocabWords = 100)
+      graft.Tables.documents(spark, dir2), numMerges = 5, vocabWords = 100)
     assert(merges.nonEmpty)
   }
 }
