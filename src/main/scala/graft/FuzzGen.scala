@@ -36,12 +36,12 @@ import org.apache.spark.sql.types._
   *                 events: skew + boundary numerics.
   *   4 astral    — non-BMP document text (emoji, Gothic/math-bold
   *                 letters: 4-byte UTF-8, surrogate pairs on the JVM)
-  *                 mixed with BMP scripts. The byte-level family and
-  *                 every Spark-SQL-function text path replay exactly
-  *                 (both walk codepoints/bytes); the one documented
-  *                 boundary is the Unigram trainer, whose seed-piece
-  *                 enumeration is UTF-16-unit-based by contract
-  *                 (Unigram.scala) — excluded in fuzz_sweep.py.
+  *                 mixed with BMP scripts. The byte-level family,
+  *                 every Spark-SQL-function text path, AND (since r13)
+  *                 the Unigram trainer all replay exactly — each walks
+  *                 codepoints/bytes, never UTF-16 units, so a
+  *                 surrogate pair is one position on both engines and
+  *                 fuzz_sweep.py carries no exclusions.
   *
   * Determinism: one java.util.Random stream per table, seeded from
   * (seed, table) — regenerating a seed reproduces the corpus bit for

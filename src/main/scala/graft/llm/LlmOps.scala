@@ -5036,7 +5036,7 @@ object LlmOps {
       import spark.implicits._
       val model = Unigram.trainOnCorpus(Tables.documents(s, d),
         vocabSize = 256, topWords = 4096)
-      model.toSeq.filter(_._1.length > 1)
+      model.toSeq.filter(p => p._1.codePointCount(0, p._1.length) > 1)
         .sortBy { case (p, lp) => (-lp, p) }.take(30)
         .toDF("piece", "logprob")
     },

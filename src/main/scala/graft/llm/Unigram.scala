@@ -29,6 +29,24 @@ object Unigram {
   /** A trained model: piece -> ln P(piece), normalized over the vocab. */
   type Model = Map[String, Double]
 
+  /** UTF-16 offsets of each CODEPOINT boundary of `w` (length = codepoint
+    * count + 1, last entry = w.length). Every index in this file is a
+    * codepoint index into this table — the same unit DuckDB's
+    * `substr`/`length` count — so supplementary-plane characters
+    * (surrogate pairs in the JVM) are one position, never split.
+    */
+  private[llm] def cpOffsets(w: String): Array[Int] = {
+    val buf = new mutable.ArrayBuffer[Int](w.length + 1)
+    var i = 0
+    while (i < w.length) { buf += i; i += Character.charCount(w.codePointAt(i)) }
+    buf += w.length
+    buf.toArray
+  }
+
+  /** Codepoint count of `s` — the piece-length unit shared with the
+    * DuckDB oracle's `length()`. */
+  private[llm] def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** A FROZEN model with INTEGER-valued scores (centinats ×(−1)) — the
     * SentencePiece .model deployment shape (train once, freeze, apply),
     * pinned so [[viterbi]]'s DP is replayable by an external engine:
@@ -74,20 +92,22 @@ object Unigram {
     TextFeatures.encodeByWordType(docs, idCol, textCol)(
       viterbi(_, model).toVector)
 
-  /** Seed vocabulary: every substring of length ≤ `maxPieceLen` of every
-    * histogram word, scored by occurrence-weighted count, cut to
-    * `seedSize` (single chars always kept — the fallback alphabet that
-    * makes every word segmentable).
+  /** Seed vocabulary: every substring of length ≤ `maxPieceLen`
+    * CODEPOINTS of every histogram word, scored by occurrence-weighted
+    * count, cut to `seedSize` (single codepoints always kept — the
+    * fallback alphabet that makes every word segmentable).
     */
   def seedVocab(wordCounts: Map[String, Long], seedSize: Int,
                 maxPieceLen: Int = 6): Map[String, Long] = {
     val subCount = mutable.HashMap.empty[String, Long]
     wordCounts.foreach { case (w, c) =>
+      val off = cpOffsets(w)
+      val n = off.length - 1
       var i = 0
-      while (i < w.length) {
+      while (i < n) {
         var len = 1
-        while (len <= maxPieceLen && i + len <= w.length) {
-          subCount.updateWith(w.substring(i, i + len)) { prev =>
+        while (len <= maxPieceLen && i + len <= n) {
+          subCount.updateWith(w.substring(off(i), off(i + len))) { prev =>
             Some(prev.getOrElse(0L) + c)
           }
           len += 1
@@ -95,8 +115,8 @@ object Unigram {
         i += 1
       }
     }
-    val chars = subCount.filter(_._1.length == 1)
-    val multi = subCount.filter(_._1.length > 1).toSeq
+    val chars = subCount.filter(p => cpLen(p._1) == 1)
+    val multi = subCount.filter(p => cpLen(p._1) > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }
       .take(math.max(0, seedSize - chars.size))
     (chars ++ multi).toMap
@@ -110,8 +130,9 @@ object Unigram {
     */
   def viterbi(word: String, model: Model, maxPieceLen: Int = 6)
       : List[String] = {
-    val n = word.length
-    // best(i) = (score, pieces, lastPiece) for word[0, i)
+    val off = cpOffsets(word)
+    val n = off.length - 1 // codepoint count — DP positions are codepoints
+    // best(i) = (score, pieces, lastPiece) for word[0, i) codepoints
     val score = Array.fill(n + 1)(Double.NegativeInfinity)
     val nPieces = Array.fill(n + 1)(Int.MaxValue)
     val back = Array.fill(n + 1)("")
@@ -121,7 +142,7 @@ object Unigram {
     while (i <= n) {
       var len = 1
       while (len <= maxPieceLen && len <= i) {
-        val piece = word.substring(i - len, i)
+        val piece = word.substring(off(i - len), off(i))
         model.get(piece).foreach { lp =>
           val s = score(i - len) + lp
           val k = nPieces(i - len) + 1
@@ -137,7 +158,7 @@ object Unigram {
     if (score(n).isNegInfinity) return Nil
     var out = List.empty[String]
     var pos = n
-    while (pos > 0) { out = back(pos) :: out; pos -= back(pos).length }
+    while (pos > 0) { out = back(pos) :: out; pos -= cpLen(back(pos)) }
     out
   }
 
@@ -173,7 +194,7 @@ object Unigram {
       val total = withAlpha.values.sum
       withAlpha.map { case (p, c) => p -> math.log(c / total) }
     }
-    val alphabet = probs.keySet.filter(_.length == 1)
+    val alphabet = probs.keySet.filter(cpLen(_) == 1)
     var r = 0
     while (r < emRounds) {
       probs = renorm(estep(probs), probs.keySet)
@@ -181,7 +202,7 @@ object Unigram {
     }
     // prune: keep the alphabet plus the top multi-char pieces by count
     val counts = estep(probs)
-    val keepMulti = counts.filter(_._1.length > 1).toSeq
+    val keepMulti = counts.filter(p => cpLen(p._1) > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }
       .take(math.max(0, vocabSize - alphabet.size))
       .map(_._1)
@@ -221,8 +242,12 @@ object Unigram {
       var lp = 0.0
       toks.foreach { w =>
         val pieces = viterbi(w, m)
-        if (pieces.isEmpty) { n += w.length; lp += floor * w.length }
-        else { n += pieces.size; lp += pieces.map(m).sum }
+        if (pieces.isEmpty) {
+          // fallback prices one piece per CODEPOINT (the oracle's
+          // length(word) unit), not per UTF-16 unit
+          val wl = w.codePointCount(0, w.length)
+          n += wl; lp += floor * wl
+        } else { n += pieces.size; lp += pieces.map(m).sum }
       }
       (n, lp)
     }

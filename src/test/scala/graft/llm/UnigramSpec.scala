@@ -40,6 +40,45 @@ class UnigramSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-9, s"model mass $mass")
   }
 
+  test("codepoint walk (r13): astral chars are ONE position — seed " +
+       "pieces never split a surrogate pair, Viterbi segments and " +
+       "fallback pricing count codepoints") {
+    val rocket = "🚀"            // U+1F680, 2 UTF-16 units
+    val gothic = "𐌰𐌿" // 2 astral letters
+    // seedVocab: every emitted piece is a whole-codepoint substring
+    val seeds = Unigram.seedVocab(
+      Map(s"a${rocket}b" -> 10L, gothic -> 5L), seedSize = 64)
+    seeds.keys.foreach { p =>
+      assert(!Character.isSurrogate(p.head) ||
+             Character.isHighSurrogate(p.head) && p.length >= 2,
+        s"piece ${p.map(_.toInt)} starts with a lone surrogate")
+      assert(!Character.isLowSurrogate(p.head) &&
+             !Character.isHighSurrogate(p.last),
+        s"piece ${p.map(_.toInt)} splits a surrogate pair")
+    }
+    // the full 3-codepoint word must appear (maxPieceLen counts cps)
+    assert(seeds.contains(s"a${rocket}b"))
+    assert(seeds.contains(rocket), "astral char missing from alphabet")
+    // train + viterbi on a surrogate corpus: round-trips, no lone halves
+    val m = Unigram.train(Map(s"a${rocket}b" -> 10L, gothic -> 5L),
+      vocabSize = 16)
+    val seg = Unigram.viterbi(s"a${rocket}b", m)
+    assert(seg.nonEmpty && seg.mkString == s"a${rocket}b", seg.toString)
+    assert(seg.forall(p => p.codePointCount(0, p.length) >= 1 &&
+      !Character.isLowSurrogate(p.head)), seg.toString)
+    // a maxPieceLen-6 word of 6 astral cps (12 UTF-16 units) is one piece
+    val six = rocket * 6
+    val m6 = Unigram.train(Map(six -> 100L), vocabSize = 8)
+    assert(Unigram.viterbi(six, m6).mkString == six)
+    // fallback pricing: unsegmentable word priced per codepoint
+    import spark.implicits._
+    val docs = Seq((1L, gothic)).toDF("doc_id", "text")
+    val asciiModel: Unigram.Model = Map("a" -> -1.0)
+    val row = Unigram.tokenCounts(docs, asciiModel).collect().head
+    assert(row.getInt(1) == 2, s"expected 2 codepoint pieces, got $row")
+    assert(math.abs(row.getDouble(2) - (-2.0)) < 1e-12, row.toString)
+  }
+
   test("corpus training + map-side encode: fewer pieces than characters, " +
        "log-probs finite and negative, partitioning-invariant") {
     import spark.implicits._

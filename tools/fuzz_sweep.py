@@ -16,13 +16,13 @@ Writes <workdir>/FUZZ.json: per seed+entry OK/FAIL/SKIP, plus a summary.
 Exit 1 iff any non-excluded entry fails.
 
 Exclusions are CONTRACT boundaries, not bugs (each carries its reason).
-Since r12 the unicode regime (2) runs the FULL entry list — the
-byte-level BPE oracle carries the complete 256-entry GPT-2 byte table
-and the char tokenizers are codepoint-exact on both sides. The one
-remaining exclusion is the Unigram trainer on the astral regime (4):
-its seed-piece enumeration is UTF-16-unit-based by documented contract
-(Unigram.scala), while the oracle walks codepoints — surrogate-pair
-corpora are the byte-level tokenizer's domain.
+Since r13 the exclusion map is EMPTY: the unicode regime (2) runs the
+full entry list (byte-level BPE carries the complete 256-entry GPT-2
+byte table; char tokenizers are codepoint-exact on both sides), and the
+Unigram trainer — the last r12 exclusion — now walks CODEPOINTS end to
+end (seed-piece enumeration, Viterbi DP, fallback pricing;
+Unigram.cpOffsets), matching the oracle's substr/length unit on
+surrogate-pair corpora too.
 """
 import json
 import os
@@ -86,12 +86,7 @@ ENTRIES = [
 
 # (regime, entry) -> documented contract boundary. Regime 2 is unicode
 # (BMP), regime 4 is astral (non-BMP / surrogate pairs).
-EXCLUDE = {
-    (4, "llm_unigram_token_counts"):
-        "unigram trainer enumerates seed pieces by UTF-16 unit "
-        "(documented contract, Unigram.scala); the oracle walks "
-        "codepoints — they diverge exactly on surrogate-pair corpora",
-}
+EXCLUDE = {}
 
 
 def sh(cmd, env=None, timeout=1800):
