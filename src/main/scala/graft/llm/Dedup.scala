@@ -387,12 +387,19 @@ object Dedup {
     // is typically the run's most expensive fragment (a banding join, a
     // levenshtein block join) — doubling it cost more than the whole
     // fixpoint on real inputs.
+    // ONE exchange, not two (r13): repartition on src FIRST, then dedup —
+    // hash(src) clusters every (src, dst) group into one partition, so the
+    // dedup aggregate's ClusteredDistribution(src, dst) is already
+    // satisfied and plans WITHOUT its own exchange, while the result stays
+    // hash(src)-partitioned for every fixpoint round's join. The old
+    // distinct()-then-repartition shape shuffled the full edge relation
+    // twice (hash(src,dst), then hash(src)).
     val edges = cut(pairs.select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .repartition(col("src"))) // rounds join on src: no re-shuffle
+      .repartition(col("src")) // rounds join on src: no re-shuffle
+      .dropDuplicates(Seq("src", "dst")))
     var labels = cut(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("node"),

@@ -186,7 +186,11 @@ object Topics {
     // postings on the pinned vocabulary — scanned every round
     val occ = cut(occ0.join(broadcast(vocab), "tok")
       .select(col("doc_id"), col("tok"), col("n")))
-    val zdf = spark.range(k).select(col("id").as("z"))
+    // k topic rows (a constant at any corpus scale): one partition — the
+    // default 32-slice range layout drags 32-task stages through every
+    // plan that inherits its partitioning (phi init measured 2.0 s of
+    // task overhead for 0.19 s of CPU at sf0.1)
+    val zdf = spark.range(0, k, 1, 1).select(col("id").as("z"))
     val byZ = Window.partitionBy(col("z"))
     var phi = cut(zdf.crossJoin(broadcast(vocab))
       .select(col("z"), col("tok"),

@@ -52,12 +52,19 @@ object Graphs {
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
+    // ONE full-edge exchange, not two (r13): repartition on src first,
+    // then dedup — hash(src) clusters every (src, dst) group into one
+    // partition, so the dedup aggregate AND the degree window both plan
+    // without further exchanges (ClusteredDistribution(src, dst) and
+    // (src) are satisfied by hash(src)). The old distinct()-then-window
+    // shape shuffled the full edge relation twice.
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
     // degree-annotated adjacency, materialized once — every round joins
     // it. Degree comes from a count window over src rather than a
     // groupBy+join-back: that turns three full-edge shuffles (distinct,
@@ -126,12 +133,14 @@ object Graphs {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
+    // one full-edge exchange, not two — see pageRank's sym note (r13)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
     val adj = cut(sym.withColumn("deg",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")))))
@@ -193,11 +202,17 @@ object Graphs {
     // the whole annotate step in ONE plan chain; the groupBy+join-back
     // formulation fed the edge build into three subtrees and needed a
     // second checkpoint to stop re-execution.
+    // one exchange saved (r13): repartition(a) + exchange-free dedup
+    // replaces distinct(), and the `a` window then runs on the existing
+    // hash(a) partitioning — two full-edge exchanges in this build
+    // instead of three (see pageRank's sym note)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("a"), col(dstCol).as("b")),
         struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
+      .repartition(col("a"))
+      .dropDuplicates(Seq("a", "b"))
       .withColumn("da", count(lit(1)).over(W.partitionBy(col("a"))))
       .withColumn("db", count(lit(1)).over(W.partitionBy(col("b"))))
       .filter(col("a") < col("b")) // back to one row per undirected edge
@@ -284,19 +299,35 @@ object Graphs {
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
     val W = org.apache.spark.sql.expressions.Window
+    // one full-edge exchange in the build (see pageRank's sym note, r13),
+    // leaving `cur` hash(src)-partitioned for round 0's src window
     var cur = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val obs = org.apache.spark.sql.Observation(s"kcore_removed_r$round")
-      val next = cut(cur
-        .withColumn("ds", count(lit(1)).over(W.partitionBy(col("src"))))
-        .withColumn("dd", count(lit(1)).over(W.partitionBy(col("dst"))))
+      // Alternate the window evaluation order per round (r13): the two
+      // degree windows key on different columns, so one of them always
+      // re-shuffles — but the round's OUTPUT keeps the partitioning of
+      // whichever window ran last, so evaluating THAT side first next
+      // round makes it exchange-free. One full-edge exchange per round
+      // instead of two; the ds/dd values (and thus the peel) are
+      // order-independent annotations.
+      val srcFirst = round % 2 == 0
+      val withDegs =
+        if (srcFirst) cur
+          .withColumn("ds", count(lit(1)).over(W.partitionBy(col("src"))))
+          .withColumn("dd", count(lit(1)).over(W.partitionBy(col("dst"))))
+        else cur
+          .withColumn("dd", count(lit(1)).over(W.partitionBy(col("dst"))))
+          .withColumn("ds", count(lit(1)).over(W.partitionBy(col("src"))))
+      val next = cut(withDegs
         .observe(obs,
           count(when(col("ds") < k || col("dd") < k, 1)).as("removed"))
         .filter(col("ds") >= k && col("dd") >= k)
@@ -343,10 +374,14 @@ object Graphs {
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
     val W = org.apache.spark.sql.expressions.Window
+    // one exchange, hash(a)-partitioned (r13): the orientation build's
+    // `a` window below then runs exchange-free (see pageRank's sym note)
     var cur = cut(edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+      .filter(col("a") =!= col("b"))
+      .repartition(col("a"))
+      .dropDuplicates(Seq("a", "b")))
     // Orient ONCE by INITIAL (degree, id): the forward algorithm is
     // exact under ANY fixed total order η on nodes (each surviving
     // triangle has a unique η-minimum, so it is found exactly once as
@@ -441,16 +476,22 @@ object Graphs {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
-    val sym = edges.select(explode(array(
+    // ONE full-edge exchange, not two (r13): self-loops are unioned in
+    // WITH duplicates (one per incident raw edge — harmless, the dedup
+    // collapses them) so the whole relation takes a single
+    // repartition(src) and one exchange-free dedup aggregate, instead of
+    // distinct() + union + a second full repartition. A self-loop key
+    // (u, u) can never collide with a real edge (src =!= dst is filtered
+    // first), so the dedup is exact.
+    val raw = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-    val adj = cut(sym.unionByName(
-      sym.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst")))
-      .repartition(col("src"))) // rounds join on src: no re-shuffle
+    val adj = cut(raw.unionByName(
+        raw.select(col("src"), col("src").as("dst")))
+      .repartition(col("src")) // rounds join on src: no re-shuffle
+      .dropDuplicates(Seq("src", "dst")))
     var labels = adj.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var labelsCk: Option[DataFrame] = None
@@ -495,13 +536,15 @@ object Graphs {
                    dstCol: String = "dst", rounds: Int = 3,
                    reliable: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
+    // one full-edge exchange, not two — see pageRank's sym note (r13)
     val sym = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-    val adj = graft.Ckpt.cut(sym.repartition(col("src")), reliable)
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+    val adj = graft.Ckpt.cut(sym, reliable)
     var colors = adj.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("string").as("color"))
     for (_ <- 1 to rounds) {
@@ -689,16 +732,19 @@ object Graphs {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
-    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct())
     // both orientations materialized once, each partitioned on ITS round
     // join key - the standard store-both-directions trade (2x edge
-    // storage buys zero edge shuffles across all 2*iters half-steps)
-    val eF = cut(e.select(col("src").as("s"), col("dst").as("d"))
+    // storage buys zero edge shuffles across all 2*iters half-steps).
+    // r13: the forward orientation dedups exchange-free after its single
+    // repartition (see pageRank's sym note) and the backward one derives
+    // from it — two full-edge exchanges + two cuts instead of three of
+    // each (the old shape cut a distinct()'d `e` first).
+    val eF = cut(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .repartition(col("s"))
+      .dropDuplicates(Seq("s", "d")))
+    val eB = cut(eF.select(col("d").as("s"), col("s").as("d"))
       .repartition(col("s")))
-    val eB = cut(e.select(col("dst").as("s"), col("src").as("d"))
-      .repartition(col("s")))
-    val hubs = e.select(col("src").as("node")).distinct()
+    val hubs = eF.select(col("s").as("node")).distinct()
     val nh = hubs.count()
     require(nh > 0, "edge relation spans no hub nodes")
     val sc = if (scale > 0L) scale
@@ -709,46 +755,47 @@ object Graphs {
         "for graphs past 2^31 nodes.")
     var state = hubs.select(col("node"), lit(sc / nh).as("v"))
     var prev = state
-    var stateCk: Option[DataFrame] = None
+    // Every half-step materializes its raw sum aggregate ONCE (a cut,
+    // default checkpointEvery = 1): each half-step references that
+    // aggregate twice — the rows and the L1 normalizer built from them —
+    // so an uncut chain re-executes the prefix 2^steps times (measured:
+    // 34s vs ~1s for 8 half-steps at sf0.1). r13: the normalizer total
+    // now rides the SAME cut action as an Observation and is folded into
+    // the projection as a LITERAL — the per-half-step scalar-aggregate
+    // job and its broadcast exchange are gone (same exact integer
+    // division; DuckDB's replay already computes the identical per-round
+    // scalar). `prev` is a projection over the PREVIOUS half-step's cut,
+    // so two raw generations stay alive at a time.
+    val rawGens = scala.collection.mutable.Queue.empty[DataFrame]
     var half = 0
     while (half < 2 * iters) {
       val forward = half % 2 == 0 // hubs feed authorities
       val dir = if (forward) eF else eB
-      val raw = dir.join(state.hint("shuffle_hash"), col("s") === col("node"))
+      val obs = org.apache.spark.sql.Observation(s"hits_norm_$half")
+      val rawCut = cut(dir
+        .join(state.hint("shuffle_hash"), col("s") === col("node"))
         .groupBy(col("d")).agg(sum(col("v")).as("raw_v"))
-      val tot = raw.agg(sum(col("raw_v")).as("S"))
+        .observe(obs, sum(col("raw_v")).as("S")))
+      // null only when raw is EMPTY — then the projection below is empty
+      // too and the literal is never evaluated, so any placeholder works
+      val sTot = Option(obs.get("S")).map(_.asInstanceOf[Long])
+        .getOrElse(1L)
       prev = state
-      state = raw.crossJoin(broadcast(tot))
-        .select(col("d").as("node"),
-          expr(s"($sc * raw_v) div S").as("v"))
+      state = rawCut.select(col("d").as("node"),
+        expr(s"($sc * raw_v) div $sTot").as("v"))
+      rawGens.enqueue(rawCut)
+      if (rawGens.size > 2) Dedup.releaseCheckpoint(rawGens.dequeue())
       half += 1
-      // Cut EVERY `checkpointEvery` half-steps, default 1 — unlike the
-      // single-lineage pageRank (where deeper uncut plans are cheaper),
-      // each half-step here references its own raw aggregate TWICE (the
-      // rows and the broadcast normalizer built from them), so an uncut
-      // chain re-executes the prefix 2^steps times (measured: 34s vs
-      // ~1s for 8 half-steps at sf0.1). The normalizer makes per-step
-      // materialization the correct trade.
-      if (half % checkpointEvery == 0 && half < 2 * iters) {
-        // cut materializes the new generation BEFORE the old is
-        // released, and `prev` is only ever consumed as the LAST cut
-        // frame (reassigned each iteration), so two generations suffice
-        val cutState = cut(state)
-        stateCk.foreach(Dedup.releaseCheckpoint)
-        stateCk = Some(cutState)
-        state = cutState
-      }
     }
-    // materialize the output BEFORE releasing the edge checkpoint —
-    // prev (the authorities side) is still lazy over e until this cut
+    // materialize the output BEFORE releasing the raw/edge checkpoints —
+    // prev and state are lazy projections over the last two cuts
     val out = cut(
       prev.select(lit("auth").as("kind"), col("node"), col("v"))
         .unionByName(
           state.select(lit("hub").as("kind"), col("node"), col("v"))))
-    stateCk.foreach(Dedup.releaseCheckpoint)
+    rawGens.foreach(Dedup.releaseCheckpoint)
     Dedup.releaseCheckpoint(eF)
     Dedup.releaseCheckpoint(eB)
-    Dedup.releaseCheckpoint(e)
     out
   }
 
@@ -769,19 +816,25 @@ object Graphs {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
-    val sym = edges.select(explode(array(
+    // ONE full-edge exchange, not two (r13): symmetrized edges (w=1,
+    // with duplicates) and per-incident-edge self-loops (w=0) union
+    // BEFORE the single repartition(src); the min-w aggregate then runs
+    // exchange-free under hash(src) and collapses both duplicate kinds.
+    // A self-loop key (u, u) can never collide with a real edge (the
+    // src =!= dst filter runs first), so min(w) is a pure dedup.
+    val raw = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-    val nodes = sym.select(col("src").as("node")).distinct()
-    val step = cut(sym.select(col("src"), col("dst"), lit(1L).as("w"))
-      .unionByName(nodes.select(col("node").as("src"),
-        col("node").as("dst"), lit(0L).as("w")))
-      .repartition(col("src"))) // rounds join on src: no re-shuffle
-    var d = nodes.filter(seedPred(col("node")))
-      .select(col("node"), lit(0L).as("dist"))
+    val step = cut(raw.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(raw.select(col("src"), col("src").as("dst"),
+        lit(0L).as("w")))
+      .repartition(col("src")) // rounds join on src: no re-shuffle
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    // exactly one w=0 self-loop row per node — the node set, for free
+    var d = step.filter(col("w") === 0L && seedPred(col("src")))
+      .select(col("src").as("node"), lit(0L).as("dist"))
     var dCk: Option[DataFrame] = None
     var round = 0
     while (round < iters) {
@@ -821,7 +874,12 @@ object Graphs {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
-    val sym = edges.select(explode(array(
+    // one full-edge exchange, not two — the shortestHops step-build
+    // shape (r13): self-loops (w=0) union in pre-dedup, one
+    // repartition(src), and the min-w aggregate collapses parallel
+    // edges AND duplicate self-loops exchange-free. Costs are positive,
+    // so w=0 rows are exactly the per-node self-loops.
+    val raw = edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst"),
           col(wCol).as("w")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst"),
@@ -829,13 +887,12 @@ object Graphs {
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.w").as("w"))
       .filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-    val nodes = sym.select(col("src").as("node")).distinct()
-    val step = cut(sym.unionByName(nodes.select(col("node").as("src"),
-      col("node").as("dst"), lit(0L).as("w")))
-      .repartition(col("src"))) // rounds join on src: no re-shuffle
-    var d = nodes.filter(seedPred(col("node")))
-      .select(col("node"), lit(0L).as("dist"))
+    val step = cut(raw.unionByName(raw.select(col("src"),
+        col("src").as("dst"), lit(0L).as("w")))
+      .repartition(col("src")) // rounds join on src: no re-shuffle
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    var d = step.filter(col("w") === 0L && seedPred(col("src")))
+      .select(col("src").as("node"), lit(0L).as("dist"))
     var dCk: Option[DataFrame] = None
     var round = 0
     while (round < iters) {
@@ -903,13 +960,14 @@ object Graphs {
     require(iters >= 1, s"iters must be positive, got $iters")
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
+    // one full-edge exchange, not two — see pageRank's sym note (r13)
     val sym = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .repartition(col("src"))) // rounds join on src: no re-shuffle
+      .repartition(col("src")) // rounds join on src: no re-shuffle
+      .dropDuplicates(Seq("src", "dst")))
     val seedFrame = sym.select(col("src").as("node")).distinct()
       .filter(seedPred(col("node")))
     val out =
@@ -1046,18 +1104,21 @@ object Graphs {
                   reliable: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
-    val sym0 = cut(edges.select(explode(array(
+    // both passes keyed differently: forward probes by src, backward by
+    // dst - one orientation each, partitioned on its own join key (the
+    // HITS recipe), so neither pass ever re-shuffles the edge list.
+    // r13: the src orientation dedups exchange-free after its single
+    // repartition (see pageRank's sym note) and the dst orientation
+    // derives from it — two full-edge exchanges total instead of three,
+    // and one fewer checkpoint action.
+    val sym = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
-    // both passes keyed differently: forward probes by src, backward by
-    // dst - one orientation each, partitioned on its own join key (the
-    // HITS recipe), so neither pass ever re-shuffles the edge list
-    val sym = cut(sym0.repartition(col("src")))
-    val symB = cut(sym0.repartition(col("dst")))
-    graft.llm.Dedup.releaseCheckpoint(sym0)
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst")))
+    val symB = cut(sym.repartition(col("dst")))
     val seeds = sym.select(col("src").as("node")).distinct()
       .filter(seedPred(col("node")))
     // forward: settled (s, node, dist, sigma); frontier = last level
@@ -1236,11 +1297,18 @@ object Graphs {
     // edge kept inside the min-struct; one row per component pair
     var cur = cut(base.select(col("src").as("ca"), col("dst").as("cb"),
       struct((-col("w")).as("nw"), col("src"), col("dst")).as("e")))
-    var chosen: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       val obs = org.apache.spark.sql.Observation(s"msf_cross_$round")
+      // No per-round distinct (r13): both endpoints' components may pick
+      // the same edge, but every consumer tolerates the duplicate row —
+      // the observation only tests n == 0, componentMinLabels dedups its
+      // pair input itself, the contraction relabel is keyed on the label
+      // map, and the FINAL distinct() below collapses the chosen set
+      // once. Dropping it removes one exchange + one AQE stage per
+      // Borůvka round.
       val pick = cut(cur.select(
           explode(array(col("ca"), col("cb"))).as("c"),
           struct(col("e").as("e"), col("ca"), col("cb")).as("p"))
@@ -1248,17 +1316,19 @@ object Graphs {
         .select(col("p.e.src").as("src"), col("p.e.dst").as("dst"),
           (-col("p.e.nw")).as("w"), col("p.ca").as("ca"),
           col("p.cb").as("cb"))
-        .distinct() // both endpoints' components may pick the same edge
         .observe(obs, count(lit(1)).as("n")))
       if (obs.get("n").asInstanceOf[Long] == 0L) {
         graft.llm.Dedup.releaseCheckpoint(pick)
         done = true
       } else {
-        val grown =
-          if (chosen == null) cut(pick.select("src", "dst", "w"))
-          else cut(chosen.unionByName(pick.select("src", "dst", "w")))
-        if (chosen != null) graft.llm.Dedup.releaseCheckpoint(chosen)
-        chosen = grown
+        // Defer the chosen-forest union to the end of the run (r13): the
+        // per-round cut(chosen ∪ pick) materialization bought nothing —
+        // `chosen` is only read once, after convergence — and cost one
+        // action (plus its AQE stages) per round. The per-round pick
+        // checkpoints stay alive until the final union materializes (the
+        // maskHops perRound protocol); total footprint is rounds × picked
+        // edges, bounded by the forest size.
+        picks += pick
         // merge on the CONTRACTED graph: labels linked by chosen edges
         val merged = graft.llm.Dedup.componentMinLabels(
           pick.select(col("ca").as("id_a"), col("cb").as("id_b")))
@@ -1278,7 +1348,6 @@ object Graphs {
             greatest(col("a"), col("b")).as("cb"), col("e"))
           .groupBy(col("ca"), col("cb")).agg(min(col("e")).as("e")))
         graft.llm.Dedup.releaseCheckpoint(cur)
-        graft.llm.Dedup.releaseCheckpoint(pick)
         graft.llm.Dedup.releaseCheckpoint(merged)
         cur = nextCur
         round += 1
@@ -1286,9 +1355,16 @@ object Graphs {
     }
     graft.llm.Dedup.releaseCheckpoint(cur)
     graft.llm.Dedup.releaseCheckpoint(base)
-    if (chosen == null)
+    if (picks.isEmpty)
       base.filter(lit(false)).select(col("src"), col("dst"), col("w"))
-    else chosen.distinct()
+    else {
+      // one action collapses all rounds' picks (dupes from the dropped
+      // per-round distinct included); only then release the pick blocks
+      val forest = cut(picks.reduce(_ unionByName _)
+        .select(col("src"), col("dst"), col("w")).distinct())
+      picks.foreach(graft.llm.Dedup.releaseCheckpoint)
+      forest
+    }
   }
 
   /** Full core decomposition — coreness per node — by H-INDEX ITERATION
@@ -1308,13 +1384,14 @@ object Graphs {
                reliable: Boolean = false): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       graft.Ckpt.cut(df, reliable)
+    // one full-edge exchange, not two — see pageRank's sym note (r13)
     val sym = cut(edges.select(explode(array(
         struct(col(srcCol).as("src"), col(dstCol).as("dst")),
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .repartition(col("dst"))) // rounds join on dst: no re-shuffle
+      .repartition(col("dst")) // rounds join on dst: no re-shuffle
+      .dropDuplicates(Seq("src", "dst")))
     var c = cut(sym.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("c"))
       .withColumnRenamed("src", "node"))

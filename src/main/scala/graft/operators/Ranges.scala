@@ -71,7 +71,9 @@ object Ranges {
         |SELECT l_orderkey, l_linenumber, band
         |FROM lineitem, bands
         |WHERE l_extendedprice >= lo AND l_extendedprice <= hi""".stripMargin) { (s, d) =>
-      val bands = s.range(0, 30).select(
+      // 30 constant rows: one partition at any scale — the default
+      // 32-slice range layout costs a 32-task stage for 30 rows
+      val bands = s.range(0, 30, 1, 1).select(
         col("id").as("band"),
         (col("id") * 2000).cast("double").as("lo"),
         (col("id") * 2000 + 2499).cast("double").as("hi"))

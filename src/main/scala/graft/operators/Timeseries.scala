@@ -618,7 +618,8 @@ object Timeseries {
           (col("y") - expr("ty div nd")).as("dy"))
       val den = dev.agg(sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dy") * col("dy")).as("syy"))
-      val lags = s.range(0, 8).select(col("id").as("lag"))
+      // 8 constant rows: one partition (32-slice default = 32-task stage)
+      val lags = s.range(0, 8, 1, 1).select(col("id").as("lag"))
       val num = dev.select(col("day"), col("dx"))
         .crossJoin(broadcast(lags))
         .join(dev.select((col("day")).as("day2"), col("dy")),
